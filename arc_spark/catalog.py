@@ -1,0 +1,146 @@
+"""Measurement/table catalog.
+
+Replaces the reference's regex table→path rewriter
+(/root/reference/internal/api/query.go:2462-2596 convertSQLToStoragePaths):
+instead of rewriting SQL strings into ``read_parquet('<path>/**')`` calls,
+every measurement is registered as a Spark temp view (or catalog table) over
+its Parquet path and Spark's analyzer resolves names. Partition pruning,
+parallel scan, and schema merge are then native (reference A2/A3 collapse).
+
+Two catalogs live here:
+
+- :func:`load_tables` — the flat driver testdata layout
+  (``<sf_dir>/<name>.parquet``).
+- :class:`MeasurementCatalog` — arc's ``db.measurement`` namespace over
+  hive-partitioned storage (``<root>/<db>/<measurement>/year=/month=/...``),
+  including multi-tier (hot ∪ cold) reads
+  (reference internal/api/query.go:2836-2921 buildMultiTierReadParquet).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TESTDATA_TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def _nanos_timestamp_columns(path: str) -> list[str]:
+    """Column names stored as parquet TIMESTAMP(NANOS) — Spark cannot read
+    those natively (arc's type system is µs-only, SURVEY §1.2; ns inputs are
+    normalized to µs at ingest, reference internal/ingest/msgpack.go:435-505)."""
+    import pyarrow.parquet as pq
+
+    schema = pq.read_schema(path)
+    return [f.name for f in schema if str(f.type) == "timestamp[ns]"]
+
+
+def read_parquet_normalized(spark: SparkSession, path: str) -> DataFrame:
+    """spark.read.parquet with ns-timestamp healing: ns columns are read as
+    long (legacy conf) and floor-converted to µs timestamps — the same
+    normalization arc applies at ingest."""
+    from pyspark.sql import functions as F
+
+    ns_cols = _nanos_timestamp_columns(path)
+    if not ns_cols:
+        return spark.read.parquet(path)
+    # left set for the session: execution of the (lazy) scan must see the
+    # same conf that resolved the schema
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, register_views: bool = True
+) -> dict[str, DataFrame]:
+    """Load the driver testdata tables; optionally register temp views."""
+    if not os.path.isdir(sf_dir):
+        raise FileNotFoundError(f"testdata dir not found: {sf_dir}")
+    dfs: dict[str, DataFrame] = {}
+    for name in TESTDATA_TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            df = read_parquet_normalized(spark, path)
+            dfs[name] = df
+            if register_views:
+                df.createOrReplaceTempView(name)
+    return dfs
+
+
+class MeasurementCatalog:
+    """``db.measurement`` → partitioned-Parquet path resolution.
+
+    SHOW DATABASES / SHOW MEASUREMENTS are directory listings, like the
+    reference (internal/api/databases.go:435-662) — storage is the source
+    of truth, no metadata service required.
+    """
+
+    def __init__(self, spark: SparkSession, root: str, cold_root: str | None = None):
+        self.spark = spark
+        self.root = root
+        self.cold_root = cold_root
+
+    # -- namespace listing (reference A12) --------------------------------
+    def databases(self) -> list[str]:
+        if not os.path.isdir(self.root):
+            return []
+        return sorted(
+            d for d in os.listdir(self.root)
+            if os.path.isdir(os.path.join(self.root, d)) and not d.startswith(".")
+        )
+
+    def measurements(self, db: str) -> list[str]:
+        base = os.path.join(self.root, db)
+        if not os.path.isdir(base):
+            return []
+        return sorted(
+            d for d in os.listdir(base)
+            if os.path.isdir(os.path.join(base, d)) and not d.startswith(".")
+        )
+
+    # -- resolution (reference A1/A4) --------------------------------------
+    def paths(self, db: str, measurement: str) -> list[str]:
+        """All tier paths holding this measurement (hot first)."""
+        out = []
+        hot = os.path.join(self.root, db, measurement)
+        if os.path.isdir(hot):
+            out.append(hot)
+        if self.cold_root:
+            cold = os.path.join(self.cold_root, db, measurement)
+            if os.path.isdir(cold):
+                out.append(cold)
+        return out
+
+    def table(self, db: str, measurement: str, merge_schema: bool = True) -> DataFrame:
+        """DataFrame over every tier of a measurement.
+
+        'No files found' yields an EMPTY DataFrame, not an error — matching
+        the reference (internal/api/query.go:2035-2037).
+        """
+        paths = self.paths(db, measurement)
+        if not paths:
+            return self.spark.createDataFrame([], "time timestamp")
+        reader = self.spark.read.option("basePath", paths[0]) if len(paths) == 1 else self.spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*paths)
+
+    def register(self, db: str, measurement: str, view: str | None = None) -> str:
+        name = view or f"{db}_{measurement}"
+        self.table(db, measurement).createOrReplaceTempView(name)
+        return name

@@ -1,0 +1,17 @@
+"""Column-level functions (all JVM-side Catalyst expressions — no Python UDFs
+in the hot path)."""
+
+from arc_spark.functions.time import time_bucket, normalize_epoch_to_timestamp  # noqa: F401
+from arc_spark.functions.text import (  # noqa: F401
+    normalize_ws,
+    ws_token_count,
+    regex_token_count,
+    fingerprint_md5,
+    rolling_hash,
+    word_shingles,
+    char_shingles,
+    lang_scores,
+    lang_id,
+    quality_score,
+)
+from arc_spark.functions.vector import dot, l2_norm, cosine_similarity  # noqa: F401

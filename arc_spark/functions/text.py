@@ -1,0 +1,177 @@
+"""Text-analysis functions for training-data pipelines.
+
+Beyond the reference's own surface (BASELINE.json north star): language ID,
+quality scoring, token counting, fingerprinting, shingling. All pure Catalyst
+expressions — they run JVM-side inside whole-stage codegen and scale linearly
+with no Python boundary crossing, which is what makes them usable over 100 TB
+of documents.
+
+Where an oracle needs the same computation in DuckDB SQL, the expressions are
+restricted to the portable intersection (md5, regexp_replace, replace,
+length, split) and integer arithmetic so results are bit-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def normalize_ws(col: Column | str) -> Column:
+    """Collapse runs of whitespace to single spaces and trim."""
+    return F.regexp_replace(F.trim(_c(col)), r"\s+", " ")
+
+
+def ws_token_count(col: Column | str) -> Column:
+    """Whitespace token count over normalized text (0 for empty)."""
+    t = normalize_ws(col)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit(""))) + 1
+    ).cast("long")
+
+
+# BPE-ish pre-tokenizer: letter runs | digit runs | single non-alnum glyph.
+BPE_TOKEN_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def regex_token_count(col: Column | str) -> Column:
+    t = normalize_ws(col)
+    return F.size(F.regexp_extract_all(t, F.lit(BPE_TOKEN_PATTERN), F.lit(0))).cast("long")
+
+
+def fingerprint_md5(col: Column | str) -> Column:
+    """Content fingerprint: md5 of lowercased whitespace-normalized text.
+
+    Identical in DuckDB: ``md5(regexp_replace(lower(trim(x)), '\\s+', ' ', 'g'))``
+    — both return lowercase hex, so fingerprints are directly comparable.
+    """
+    return F.md5(F.encode(F.lower(normalize_ws(col)), "UTF-8"))
+
+
+def rolling_hash(col: Column | str, mod: int = 1_000_000_007, base: int = 31) -> Column:
+    """Polynomial rolling hash over characters (deterministic, overflow-safe).
+
+    Sequential fold over the string's characters; `mod` keeps intermediate
+    values < base*mod which fits comfortably in int64 even under ANSI
+    overflow checking.
+    """
+    chars = F.split(_c(col), "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * F.lit(base) + F.when(F.length(ch) > 0, F.ascii(ch)).otherwise(F.lit(0))) % F.lit(mod),
+    )
+
+
+def words(col: Column | str) -> Column:
+    return F.split(F.lower(normalize_ws(col)), " ")
+
+
+def word_shingles(col: Column | str, k: int = 3) -> Column:
+    """Distinct k-word shingles ('w1 w2 w3') of lowercased text.
+
+    Empty array when the document has fewer than k words (guards Spark's
+    descending-sequence behavior for stop < start).
+    """
+    w = words(col)
+    n = F.size(w)
+    return F.when(n >= k, F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.array_join(F.slice(w, i, k), " "),
+        )
+    )).otherwise(F.array().cast("array<string>"))
+
+
+def char_shingles(col: Column | str, k: int = 5) -> Column:
+    """Distinct character k-grams of lowercased normalized text."""
+    t = F.lower(normalize_ws(col))
+    n = F.length(t)
+    return F.when(n >= k, F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.substring(t, i, F.lit(k)),
+        )
+    )).otherwise(F.array().cast("array<string>"))
+
+
+# --- language identification (n-gram / stopword heuristic) -----------------
+
+# Tiny per-language stopword marker sets. This is a heuristic classifier —
+# the point is the *shape* (portable integer scoring at scan speed), not
+# SOTA accuracy; swap in fastText/CLD3 via pandas_udf for production quality.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": [" the ", " and ", " is ", " of ", " to "],
+    "de": [" der ", " und ", " die ", " ist ", " das "],
+    "fr": [" le ", " et ", " la ", " est ", " les "],
+    "es": [" el ", " y ", " la ", " es ", " los "],
+}
+
+
+def _occurrences(t: Column, marker: str) -> Column:
+    # Non-overlapping occurrence count via length difference — portable to
+    # DuckDB: (length(t) - length(replace(t, m, ''))) / length(m).
+    return (
+        (F.length(t) - F.length(F.replace(t, F.lit(marker), F.lit("")))) / F.lit(len(marker))
+    ).cast("long")
+
+
+def lang_scores(col: Column | str) -> dict[str, Column]:
+    t = F.concat(F.lit(" "), F.lower(normalize_ws(col)), F.lit(" "))
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        score = F.lit(0).cast("long")
+        for m in markers:
+            score = score + _occurrences(t, m)
+        out[lang] = score
+    return out
+
+
+def lang_id(col: Column | str) -> Column:
+    """argmax over language scores; 'unknown' when no marker hit.
+    Deterministic tie-break: language iteration order (en, de, fr, es)."""
+    scores = lang_scores(col)
+    best_lang = F.lit("unknown")
+    best_score = F.lit(0).cast("long")
+    for lang, s in scores.items():
+        is_better = s > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, s).otherwise(best_score)
+    return best_lang
+
+
+# --- quality scoring --------------------------------------------------------
+
+def quality_metrics(col: Column | str) -> dict[str, Column]:
+    """Integer-derived quality signals (deterministic across engines)."""
+    t = normalize_ws(col)
+    n = F.length(t)
+    alpha = F.length(F.regexp_replace(t, "[^A-Za-z]", ""))
+    digit = F.length(F.regexp_replace(t, "[^0-9]", ""))
+    space = F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit("")))
+    punct = n - alpha - digit - space
+    tokens = ws_token_count(t)
+    return {
+        "n_chars": n.cast("long"),
+        "n_alpha": alpha.cast("long"),
+        "n_digit": digit.cast("long"),
+        "n_punct": punct.cast("long"),
+        "n_tokens": tokens,
+    }
+
+
+def quality_score(col: Column | str) -> Column:
+    """[0,1] heuristic quality score: rewards alpha density and plausible
+    mean token length, penalizes punctuation soup. Exact rational arithmetic
+    over integers, one final double division → engine-portable."""
+    m = quality_metrics(col)
+    n = m["n_chars"]
+    # score = alpha_ratio * 0.7 + (1 - punct_ratio) * 0.3, guarded for empty
+    num = m["n_alpha"] * F.lit(7) + (n - m["n_punct"]) * F.lit(3)
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        F.round(num.cast("double") / (n * F.lit(10)).cast("double"), 6)
+    )

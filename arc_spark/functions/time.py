@@ -1,0 +1,74 @@
+"""Time functions.
+
+The reference string-rewrites ``time_bucket(INTERVAL, col)`` into integer
+epoch arithmetic before handing SQL to DuckDB
+(/root/reference/internal/api/query.go:369-526). Here the same bucketing is a
+Catalyst expression — whole-stage-codegen'd, no rewrite pass needed.
+``date_trunc`` needs nothing at all (Spark built-in, same as DuckDB's).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_INTERVAL_RE = re.compile(
+    r"^\s*(\d+)\s*(microsecond|millisecond|second|minute|hour|day|week)s?\s*$",
+    re.IGNORECASE,
+)
+
+_UNIT_MICROS = {
+    "microsecond": 1,
+    "millisecond": 1_000,
+    "second": 1_000_000,
+    "minute": 60_000_000,
+    "hour": 3_600_000_000,
+    "day": 86_400_000_000,
+    "week": 7 * 86_400_000_000,
+}
+
+
+def interval_micros(interval: str) -> int:
+    """'15 minutes' → 900000000 µs. Calendar units (month/year) are not
+    fixed-width; use date_trunc for those (the reference does the same —
+    months are left to DuckDB natively, query.go:400-412)."""
+    m = _INTERVAL_RE.match(interval)
+    if not m:
+        raise ValueError(
+            f"unsupported time_bucket interval {interval!r}; "
+            "use date_trunc for calendar units (month/quarter/year)"
+        )
+    return int(m.group(1)) * _UNIT_MICROS[m.group(2).lower()]
+
+
+def time_bucket(interval: str, col: Column | str, origin_micros: int = 0) -> Column:
+    """Fixed-width tumbling bucket start, as a timestamp column.
+
+    Equivalent DuckDB SQL (for oracles):
+    ``make_timestamp(((epoch_us(col) - origin) // N) * N + origin)``.
+    Uses integer `div` so the arithmetic is exact for any epoch value.
+    """
+    n = interval_micros(interval)
+    c = F.col(col) if isinstance(col, str) else col
+    micros = F.unix_micros(c) - F.lit(origin_micros)
+    bucket = (micros - ((micros % n) + n) % n)  # floor-div for negatives too
+    return F.timestamp_micros(bucket + F.lit(origin_micros))
+
+
+def normalize_epoch_to_timestamp(col: Column | str) -> Column:
+    """Auto-detect epoch unit (s/ms/µs/ns) by magnitude → timestamp(µs).
+
+    Mirrors the reference's ingest-time normalization
+    (/root/reference/internal/ingest/msgpack.go:435-505): values are
+    classified by decimal magnitude, valid for dates 2001-01-01..2286.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    v = c.cast("long")
+    return F.timestamp_micros(
+        F.when(v >= F.lit(10**17), (v / F.lit(1000)).cast("long"))  # ns → µs
+        .when(v >= F.lit(10**14), v)  # already µs
+        .when(v >= F.lit(10**11), v * F.lit(1000))  # ms → µs
+        .otherwise(v * F.lit(1_000_000))  # s → µs
+    )

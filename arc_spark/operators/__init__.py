@@ -1,0 +1,15 @@
+"""DataFrame-level operators: dedup family, similarity search, as-of join,
+compaction, lifecycle (retention / predicate delete)."""
+
+from arc_spark.operators.dedup import (  # noqa: F401
+    dedup_exact,
+    dedup_last_writer_wins,
+    minhash_signatures,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_dup_pairs,
+    embedding_near_dup_pairs,
+)
+from arc_spark.operators.asof import asof_join  # noqa: F401
+from arc_spark.operators.similarity import brute_force_topk, lsh_bucketed_topk  # noqa: F401

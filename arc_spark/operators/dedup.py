@@ -1,0 +1,317 @@
+"""Deduplication operators for large-scale corpora.
+
+Five families, each chosen for a different scale/precision point:
+
+- exact          — hash-groupBy on a content fingerprint. One shuffle.
+- last-writer    — arc's compaction dedup semantics: newest row per
+                   (tags..., time) wins (reference
+                   /root/reference/internal/compaction/dedup.go:166-236,
+                   ROW_NUMBER() OVER (PARTITION BY tags,time ORDER BY time DESC) = 1).
+- n-gram Jaccard — exact set-similarity via shingle inverted index
+                   (shuffle on shingle, then on pair). Quadratic only within
+                   shingle posting lists; prune hot shingles for 100 TB runs.
+- MinHash + LSH  — sketch → band-bucket join → verify. The scale path: cost
+                   is O(n·bands) + candidate verification, never all-pairs.
+- SimHash        — 64-bit near-dup fingerprint, hamming-distance candidates
+                   via rotated prefix buckets.
+- embedding      — cosine-threshold near-dup over embedding vectors.
+
+Everything is built-in Catalyst expressions (xxhash64, higher-order array
+functions, window) — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from arc_spark.functions.text import fingerprint_md5, word_shingles
+from arc_spark.functions.vector import cosine_similarity
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+def dedup_exact(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep the lowest-id row per exact (normalized) content fingerprint.
+
+    One hash-aggregate shuffle on the fingerprint; the fingerprint is a
+    Catalyst md5 so the map side is codegen'd. At 100 TB this is the cheap
+    first pass that typically removes 30-50% of crawl data.
+    """
+    return (
+        df.select(F.col(id_col), fingerprint_md5(text_col).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def dedup_last_writer_wins(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """arc compaction-dedup semantics: newest row per key wins.
+
+    Reference: /root/reference/internal/compaction/dedup.go:219-233 —
+    ``QUALIFY ROW_NUMBER() OVER (PARTITION BY tags..., time ORDER BY time
+    DESC) = 1``. One window shuffle on the key columns; at scale, keys are
+    (tags, time) so the shuffle matches the natural write partitioning.
+    """
+    order = [F.col(order_col).desc()] + [F.col(c).desc() for c in (tiebreak_cols or [])]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard (exact set similarity via inverted index)
+# --------------------------------------------------------------------------
+
+def _shingled(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("doc"), word_shingles(text_col, k).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+    max_posting_list: int | None = None,
+) -> DataFrame:
+    """All document pairs with word-k-gram Jaccard ≥ threshold.
+
+    Plan shape: explode shingles → (shuffle on shingle) self-join within
+    posting lists → (shuffle on pair) count intersections → join doc sizes.
+    ``max_posting_list`` drops ultra-common shingles (stopword shingles),
+    which bounds the worst-case pair blow-up at corpus scale — the standard
+    trick from suffix-filtering literature.
+    """
+    sh = _shingled(df, id_col, text_col, k)
+    sizes = sh.select("doc", F.size("shingles").alias("sz"))
+    posting = sh.select("doc", F.explode("shingles").alias("s"))
+    if max_posting_list is not None:
+        hot = posting.groupBy("s").count().filter(F.col("count") > max_posting_list)
+        posting = posting.join(F.broadcast(hot.select("s")), "s", "left_anti")
+    a, b = posting.alias("a"), posting.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"doc": "doc_a", "sz": "sz_a"}), "doc_a")
+        .join(sizes.withColumnsRenamed({"doc": "doc_b", "sz": "sz_b"}), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 128,
+) -> DataFrame:
+    """(doc, signature array<long>) — num_hashes independent min-hashes.
+
+    Hash family: xxhash64(seed_i, shingle) — a built-in 64-bit hash, so the
+    whole signature computation is a single codegen'd projection over the
+    shingle array (no explode, no shuffle). Signature i = min over shingles.
+    """
+    sh = _shingled(df, id_col, text_col, k)
+    # NOTE: built as a SQL expr, not stacked F.transform lambdas — PySpark's
+    # Python-side lambda variables collide when many transforms share one
+    # projection, silently collapsing all signature slots to one value.
+    sig = F.expr(
+        "array(" + ",".join(
+            f"array_min(transform(shingles, s -> xxhash64({i}, s)))"
+            for i in range(num_hashes)
+        ) + ")"
+    )
+    return sh.select("doc", sig.alias("sig"), F.size("shingles").alias("sz"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 128,
+    bands: int = 64,
+    threshold: float = 0.5,
+    verify: bool = True,
+) -> DataFrame:
+    """Near-dup pairs via MinHash banding, optionally verified with the exact
+    Jaccard of the shingle sets.
+
+    rows_per_band = num_hashes // bands; a pair lands in a candidate bucket
+    with probability 1-(1-j^r)^b — with r=2,b=64 a pair at j=0.5 is missed
+    w.p. ~1e-8, so verified output ≡ the exact operator's output w.h.p.
+    while scaling as O(n·bands) instead of O(n²).
+    """
+    r = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, k, num_hashes).cache()
+    band_rows = sigs.select(
+        "doc",
+        F.posexplode(
+            F.array(*[
+                F.xxhash64(*[F.col("sig")[i * r + j] for j in range(r)])
+                for i in range(bands)
+            ])
+        ).alias("band", "bucket"),
+    )
+    a, b = band_rows.alias("a"), band_rows.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+    if not verify:
+        return cands
+    # exact verification on candidates only: intersect shingle sets
+    sh = _shingled(df, id_col, text_col, k)
+    verified = (
+        cands.join(sh.withColumnsRenamed({"doc": "doc_a", "shingles": "sh_a"}), "doc_a")
+        .join(sh.withColumnsRenamed({"doc": "doc_b", "shingles": "sh_b"}), "doc_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return verified
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+            bits: int = 64) -> DataFrame:
+    """64-bit SimHash per document.
+
+    token hashes → per-bit majority vote. Implemented as `bits` array-filter
+    expressions over the token-hash array (still one codegen'd projection per
+    row; O(bits·tokens) per row, no shuffle at all).
+    """
+    from arc_spark.functions.text import words
+
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.transform(words(text_col), lambda w: F.xxhash64(w)).alias("hs"),
+    ).filter(F.size("hs") > 0)
+    # per-bit majority vote as one nested-lambda SQL expression (see the
+    # minhash note re: PySpark lambda collisions). shiftleft(1L, 63) wraps to
+    # the sign bit, which is exactly the two's-complement encoding we want.
+    sh = F.expr(
+        f"""aggregate(sequence(0, {bits - 1}), CAST(0 AS BIGINT),
+            (acc, b) -> acc + IF(
+                size(filter(hs, h -> (shiftright(h, b) & 1) = 1)) * 2 >= size(hs),
+                shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT)))"""
+    )
+    return toks.select("doc", sh.alias("simhash"))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    tables: int = 4,
+) -> DataFrame:
+    """Pairs with hamming(simhash) ≤ max_hamming.
+
+    Candidate generation: split the 64-bit hash into `tables` 16-bit blocks;
+    by pigeonhole any pair within distance `tables-1` shares at least one
+    exact block → equi-join per block (shuffle on block value), then verify
+    with bit_count(a XOR b). Scales as O(n·tables), not O(n²).
+    """
+    hs = simhash(df, id_col, text_col).cache()
+    width = 64 // tables
+    blocks = hs.select(
+        "doc", "simhash",
+        F.posexplode(
+            F.array(*[
+                F.shiftrightunsigned(F.col("simhash"), i * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                for i in range(tables)
+            ])
+        ).alias("block_idx", "block"),
+    )
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.block_idx") == F.col("b.block_idx"))
+            & (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .distinct()
+    )
+    return cands.filter(F.col("hamming") <= max_hamming)
+
+
+# --------------------------------------------------------------------------
+# embedding near-dup
+# --------------------------------------------------------------------------
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    digits: int = 4,
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold (exact, all-pairs).
+
+    This is the correctness baseline; at corpus scale use
+    :func:`arc_spark.operators.similarity.lsh_bucketed_topk`'s bucketing to
+    restrict the pair space first.
+    """
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    a, b = base.alias("a"), base.alias("b")
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cosine_similarity(F.col("a.v"), F.col("b.v"), digits).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,70 @@
+"""SparkSession construction with arc-equivalent engine configuration.
+
+The reference tunes DuckDB (memory_limit, threads, temp_directory spill,
+parquet metadata cache — /root/reference/internal/database/duckdb.go:426-466).
+The Spark equivalents are set here once; everything else (vectorized
+execution, spill, parallel scan) is Catalyst/Tungsten built-in.
+
+Scale notes (the configs that matter at 100 TB / 1000 executors):
+- AQE on: runtime coalescing of shuffle partitions + skew-join splitting
+  replaces any hand-tuned partition count.
+- broadcast threshold 64 MB: dimension tables (region/nation/supplier/part
+  metadata) broadcast instead of shuffling the fact table.
+- parquet aggregate pushdown: COUNT/MIN/MAX answered from footers — this is
+  how arc gets its 1 ms COUNT(*) over 393M rows (BASELINE.md); Spark can do
+  the same when the query is footer-answerable.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8)))
+
+
+def get_spark(
+    app_name: str = "arc-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a tuned local SparkSession.
+
+    In a real deployment the master/memory settings come from the cluster
+    manager; only the ``spark.sql.*`` settings below travel with the app.
+    """
+    cpus = cpus or default_parallelism()
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        # Determinism / dialect
+        .config("spark.sql.session.timeZone", "UTC")
+        # Shuffle sizing: at 100 TB this is driven by AQE advisory sizes,
+        # locally we start at #cores and let AQE coalesce.
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Joins: dims broadcast; facts sort-merge/shuffled-hash via AQE.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Parquet scan efficiency (arc: parquet_metadata_cache, footer COUNT)
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        .config("spark.sql.parquet.recordLevelFilter.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # Python<->JVM interchange is Arrow everywhere (arc serves Arrow IPC).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # Quieter local runs
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.extraJavaOptions", "-Dlog4j2.level=error -XX:+UseG1GC")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark

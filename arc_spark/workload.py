@@ -1,0 +1,964 @@
+"""Query workload registry: the SURVEY.md §2 operator inventory, each entry
+a (Spark implementation, DuckDB oracle SQL) pair with IDENTICAL output column
+names, so the driver's order-insensitive value-hash comparison passes.
+
+Determinism rules used throughout (floating point must match DuckDB bit-for-bit):
+- SUM over doubles → sum exact DECIMAL(30,6) then cast back to double
+  (accumulation order no longer matters).
+- AVG → exact decimal sum / count (one deterministic double division).
+- cosine scores → computed in double, rounded to 4 digits on both sides;
+  ranking ties broken by id.
+- every integer output is int64 on both sides (Spark `length`/`size`/
+  `row_number` return int32 — cast).
+
+Reference parity notes per query cite /root/reference file:line in each
+docstring; the inventory keys match SURVEY.md §2.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from arc_spark.catalog import load_tables
+from arc_spark.functions.text import (
+    BPE_TOKEN_PATTERN,
+    fingerprint_md5,
+    lang_id,
+    lang_scores,
+    normalize_ws,
+    quality_metrics,
+    quality_score,
+    regex_token_count,
+    ws_token_count,
+)
+from arc_spark.functions.time import time_bucket
+from arc_spark.operators.asof import asof_join
+from arc_spark.operators.dedup import (
+    dedup_exact,
+    dedup_last_writer_wins,
+    embedding_near_dup_pairs,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from arc_spark.operators.similarity import brute_force_topk, lsh_bucketed_topk
+
+
+def dsum(col: Column, alias: str) -> Column:
+    """Deterministic SUM of a double column: exact decimal accumulation."""
+    return F.sum(col.cast("decimal(30,6)")).cast("double").alias(alias)
+
+
+def _osum(expr: str) -> str:
+    """Oracle-side twin of :func:`dsum`."""
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(30,6))) AS DOUBLE)"
+
+
+TS = dt.datetime  # brevity
+
+
+# ===========================================================================
+# Spark implementations
+# ===========================================================================
+
+def q01_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q1 shape: scan+filter+hash agg (SURVEY §2.B aggregation).
+    Plan: partial/final hash agg, filter pushed to parquet scan."""
+    t = load_tables(spark, sf, register_views=False)
+    li = t["lineitem"]
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit(TS(1998, 9, 2)))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity"), "sum_qty"),
+            dsum(F.col("l_extendedprice"), "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(charge, "sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .withColumn("avg_qty", F.col("sum_qty") / F.col("count_order"))
+    )
+
+
+def q02_revenue_by_nation(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-way join + agg (TPC-H Q5 shape). Dims (nation, region) are
+    broadcast — no shuffle of the fact side for them; customer⋈orders⋈lineitem
+    shuffle on keys with AQE."""
+    t = load_tables(spark, sf, register_views=False)
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("o_orderdate") >= F.lit(TS(1996, 1, 1)))
+        .groupBy("r_name", "n_name")
+        .agg(dsum(revenue, "revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+def q03_top_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-k join+agg (TPC-H Q3 shape): ORDER BY ... LIMIT with deterministic
+    tie-break; Spark plans a TakeOrderedAndProject (no global sort)."""
+    t = load_tables(spark, sf, register_views=False)
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        t["customer"]
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(
+            (F.col("o_orderdate") < F.lit(TS(1998, 1, 1)))
+            & (F.col("l_shipdate") > F.lit(TS(1998, 1, 1)))
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(revenue, "revenue"))
+        .select(
+            F.col("l_orderkey").alias("orderkey"),
+            "o_orderdate",
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), F.asc("orderkey"))
+        .limit(10)
+    )
+
+
+def q04_order_priority_exists(spark: SparkSession, sf: str) -> DataFrame:
+    """EXISTS correlated subquery → left-semi join (SURVEY §2.B subqueries)."""
+    t = load_tables(spark, sf, register_views=False)
+    o, li = t["orders"], t["lineitem"]
+    return (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit(TS(1997, 1, 1)))
+            & (F.col("o_orderdate") < F.lit(TS(1997, 4, 1)))
+        )
+        .join(
+            li,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q05_window_topk_per_brand(spark: SparkSession, sf: str) -> DataFrame:
+    """ROW_NUMBER window top-k per group (reference compaction dedup shape,
+    /root/reference/internal/compaction/dedup.go:219-233)."""
+    t = load_tables(spark, sf, register_views=False)
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return (
+        t["part"]
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("p_brand", "p_partkey", "p_retailprice", "rk")
+    )
+
+
+def q06_events_conditional_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """COUNT(DISTINCT), FILTER'd counts (README example queries;
+    /root/reference/internal/api/delete.go:663-669 uses COUNT(*) FILTER)."""
+    t = load_tables(spark, sf, register_views=False)
+    return (
+        t["events"]
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            dsum(F.col("value"), "total_value"),
+            F.count(F.when(F.col("value") > 50, 1)).alias("n_high"),
+        )
+    )
+
+
+def q07_time_bucket(spark: SparkSession, sf: str) -> DataFrame:
+    """time_bucket(15 min) — the reference's flagship rewrite
+    (/root/reference/internal/api/query.go:369-443) as a Catalyst expression."""
+    t = load_tables(spark, sf, register_views=False)
+    return (
+        t["events"]
+        .groupBy(time_bucket("15 minutes", "ts").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value"), "total_value"))
+    )
+
+
+def q08_date_trunc(spark: SparkSession, sf: str) -> DataFrame:
+    """date_trunc group-by (/root/reference/internal/api/query.go:448-485)."""
+    t = load_tables(spark, sf, register_views=False)
+    return (
+        t["events"]
+        .groupBy(
+            F.date_trunc("DAY", F.col("ts")).alias("day"),
+            F.col("event_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q09_cte_setops(spark: SparkSession, sf: str) -> DataFrame:
+    """CTE + INTERSECT/EXCEPT/UNION ALL (SURVEY §2.B set ops)."""
+    t = load_tables(spark, sf, register_views=False)
+    big = (
+        t["orders"].filter(F.col("o_totalprice") > 300000)
+        .select(F.col("o_custkey").alias("custkey")).distinct()
+    )
+    bld = (
+        t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("custkey")).distinct()
+    )
+    both = big.intersect(bld).withColumn("tag", F.lit("both"))
+    big_only = big.subtract(bld).withColumn("tag", F.lit("big_only"))
+    bld_only = bld.subtract(big).withColumn("tag", F.lit("building_only"))
+    return both.unionByName(big_only).unionByName(bld_only)
+
+
+def q10_in_subquery(spark: SparkSession, sf: str) -> DataFrame:
+    """IN-list + IN-subquery (SURVEY §2.B subqueries)."""
+    t = load_tables(spark, sf, register_views=False)
+    heavy = t["lineitem"].filter(F.col("l_quantity") >= 48).select("l_partkey").distinct()
+    return (
+        t["part"]
+        .filter(F.col("p_size").isin(1, 5, 9, 13))
+        .join(heavy, F.col("p_partkey") == F.col("l_partkey"), "left_semi")
+        .select("p_partkey", "p_name", F.col("p_size").cast("long").alias("p_size"))
+    )
+
+
+def q11_having_scalar_subquery(spark: SparkSession, sf: str) -> DataFrame:
+    """Scalar subquery in WHERE + HAVING (SURVEY §2.B)."""
+    t = load_tables(spark, sf, register_views=False)
+    avg_bal = t["supplier"].agg(F.avg("s_acctbal").alias("__avg"))
+    return (
+        t["supplier"]
+        .join(F.broadcast(avg_bal))
+        .filter(F.col("s_acctbal") > F.col("__avg"))
+        .groupBy(F.col("s_nationkey").cast("long").alias("s_nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_sup"), dsum(F.col("s_acctbal"), "total_bal"))
+        .filter(F.col("n_sup") >= 2)
+    )
+
+
+def q12_string_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    """String/cast/CASE surface: upper, substr, split_part, regexp_extract,
+    try_cast (SURVEY §2.B strings; /root/reference/internal/sql/mask.go:108)."""
+    t = load_tables(spark, sf, register_views=False)
+    return t["events"].select(
+        "event_id",
+        F.upper("event_type").alias("et_upper"),
+        F.substring("props", 1, 6).alias("p6"),
+        F.length("props").cast("long").alias("plen"),
+        F.split_part(F.col("props"), F.lit(":"), F.lit(2)).alias("after_colon"),
+        F.expr("try_cast(regexp_extract(props, '[0-9]+', 0) AS BIGINT)").alias("k_num"),
+        F.when(F.col("value") > 50, "high").otherwise("low").alias("value_band"),
+    )
+
+
+def q13_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join: each purchase ↔ most recent prior view of the same user.
+    Implemented as a merge (union + window), one shuffle on user_id —
+    survives 100× scale with no pair blow-up. DuckDB oracle: native ASOF."""
+    t = load_tables(spark, sf, register_views=False)
+    ev = t["events"]
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    views = ev.filter(F.col("event_type") == "view")
+    joined = asof_join(
+        purchases, views, on="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["event_id"], suffix="_view",
+    )
+    # timestamps as epoch-µs ints: the source column is ns-precision parquet,
+    # which Spark floors to µs — integer output keeps both engines comparable
+    return joined.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.unix_micros("ts").alias("purchase_ts_us"),
+        F.col("event_id_view").alias("prior_view_id"),
+        F.unix_micros("ts_view").alias("prior_view_ts_us"),
+    )
+
+
+def q14_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup via content fingerprint hash-groupBy (pipeline operator)."""
+    t = load_tables(spark, sf, register_views=False)
+    return dedup_exact(t["documents"], "text", "doc_id")
+
+
+def q15_dedup_lww(spark: SparkSession, sf: str) -> DataFrame:
+    """arc compaction dedup semantics: last-writer-wins per (tags..., time)
+    (/root/reference/internal/compaction/dedup.go:166-236)."""
+    t = load_tables(spark, sf, register_views=False)
+    return dedup_last_writer_wins(
+        t["events"], ["user_id"], "ts", tiebreak_cols=["event_id"]
+    ).select(
+        "user_id",
+        F.col("event_id").alias("latest_event_id"),
+        F.unix_micros("ts").alias("latest_ts_us"),
+        F.col("event_type").alias("latest_event_type"),
+    )
+
+
+def q16_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs (inverted-index plan)."""
+    t = load_tables(spark, sf, register_views=False)
+    return ngram_jaccard_pairs(t["documents"], threshold=0.2)
+
+
+def q17_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates, exact-verified at j≥0.8.
+    With r=2,b=64 the miss probability at j=0.8 is (1-0.64)^64 ≈ 4e-29, so
+    the verified output equals the brute-force oracle."""
+    t = load_tables(spark, sf, register_views=False)
+    return minhash_lsh_pairs(
+        t["documents"], threshold=0.8, num_hashes=128, bands=64
+    )
+
+
+def q18_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash fingerprints (no SQL oracle — hash family is Spark-specific)."""
+    t = load_tables(spark, sf, register_views=False)
+    return simhash(t["documents"]).select(F.col("doc").alias("doc_id"), "simhash")
+
+
+def q19_embedding_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Brute-force cosine top-10 for 5 query vectors (ANN baseline)."""
+    t = load_tables(spark, sf, register_views=False)
+    emb = t["embeddings"]
+    out = brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+    return out.withColumn("rk", F.col("rank").cast("long")).drop("rank")
+
+
+def q20_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    """Language-ID heuristic (stopword-marker scoring, pipeline operator)."""
+    t = load_tables(spark, sf, register_views=False)
+    scores = lang_scores("text")
+    return t["documents"].select(
+        "doc_id",
+        lang_id("text").alias("lang_pred"),
+        scores["en"].alias("en_hits"),
+        scores["de"].alias("de_hits"),
+        scores["fr"].alias("fr_hits"),
+        scores["es"].alias("es_hits"),
+    )
+
+
+def q21_quality_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Document quality metrics + score (pipeline operator)."""
+    t = load_tables(spark, sf, register_views=False)
+    m = quality_metrics("text")
+    return t["documents"].select(
+        "doc_id",
+        m["n_chars"].alias("n_chars_norm"),
+        m["n_alpha"].alias("n_alpha"),
+        m["n_digit"].alias("n_digit"),
+        m["n_punct"].alias("n_punct"),
+        m["n_tokens"].alias("n_tokens"),
+        quality_score("text").alias("quality"),
+    )
+
+
+def q22_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish regex) aggregated per source."""
+    t = load_tables(spark, sf, register_views=False)
+    per_doc = t["documents"].select(
+        "source",
+        ws_token_count("text").alias("ws_tokens"),
+        regex_token_count("text").alias("re_tokens"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ws_tokens").alias("total_ws_tokens"),
+            F.sum("re_tokens").alias("total_re_tokens"),
+        )
+        .withColumn(
+            "avg_ws_tokens",
+            F.col("total_ws_tokens").cast("double") / F.col("n_docs"),
+        )
+    )
+
+
+def q23_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Document fingerprinting: full + prefix content hashes."""
+    t = load_tables(spark, sf, register_views=False)
+    norm = F.lower(normalize_ws(F.col("text")))
+    return t["documents"].select(
+        "doc_id",
+        fingerprint_md5("text").alias("fp"),
+        F.md5(F.encode(F.substring(norm, 1, 100), "UTF-8")).alias("fp_prefix"),
+        F.length(norm).cast("long").alias("n_chars_norm"),
+    )
+
+
+def q24_recursive_cte(spark: SparkSession, sf: str) -> DataFrame:
+    """Recursive CTE (day series) + left join; Spark 4 WITH RECURSIVE."""
+    load_tables(spark, sf, register_views=True)
+    sql = """
+    WITH RECURSIVE days(day) AS (
+        SELECT TIMESTAMP '2024-01-01'
+        UNION ALL
+        SELECT day + INTERVAL 1 DAY FROM days WHERE day < TIMESTAMP '2024-01-30'
+    )
+    SELECT d.day AS day, COALESCE(e.n, 0) AS n_events
+    FROM days d
+    LEFT JOIN (
+        SELECT CAST(date_trunc('DAY', ts) AS TIMESTAMP) AS day, COUNT(*) AS n
+        FROM events GROUP BY 1
+    ) e USING (day)
+    """
+    try:
+        return spark.sql(sql)
+    except Exception:
+        # fallback: sequence() generator (same result set)
+        days = spark.sql(
+            "SELECT explode(sequence(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-30',"
+            " INTERVAL 1 DAY)) AS day"
+        )
+        per_day = spark.sql(
+            "SELECT CAST(date_trunc('DAY', ts) AS TIMESTAMP) AS day, COUNT(*) AS n"
+            " FROM events GROUP BY 1"
+        )
+        return (
+            days.join(per_day, "day", "left")
+            .select("day", F.coalesce(F.col("n"), F.lit(0).cast("long")).alias("n_events"))
+        )
+
+
+def q25_lateral_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-2 customers per nation (LATERAL in the oracle; window top-k here —
+    identical result, and the window form is the scalable Spark plan)."""
+    t = load_tables(spark, sf, register_views=False)
+    w = Window.partitionBy("n_name").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 2)
+        .select("n_name", "c_custkey", "c_acctbal", "rk")
+    )
+
+
+def q26_multitier_union(spark: SparkSession, sf: str) -> DataFrame:
+    """Hot ∪ cold tier read as UNION ALL (reference A4 multi-tier scan,
+    /root/reference/internal/api/query.go:2836-2921)."""
+    t = load_tables(spark, sf, register_views=False)
+    mid = F.lit(TS(2024, 1, 15))
+    ev = t["events"]
+    hot = ev.filter(F.col("ts") < mid)
+    cold = ev.filter(F.col("ts") >= mid)
+    return (
+        hot.unionByName(cold)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.unix_micros(F.min("ts")).alias("first_ts_us"),
+            F.unix_micros(F.max("ts")).alias("last_ts_us"),
+        )
+    )
+
+
+def q27_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate aggregates (SURVEY §2.B approx row) — sketch values are
+    engine-specific, so no value oracle (rows-only check)."""
+    t = load_tables(spark, sf, register_views=False)
+    return (
+        t["events"]
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id").alias("approx_users"))
+    )
+
+
+def q28_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (dedup by embedding, pipeline op)."""
+    t = load_tables(spark, sf, register_views=False)
+    return embedding_near_dup_pairs(t["embeddings"], threshold=0.45)
+
+
+def q29_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """GROUP BY ROLLUP (grouping sets surface)."""
+    t = load_tables(spark, sf, register_views=False)
+    return (
+        t["lineitem"]
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("l_quantity"), "sum_qty"))
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("rf"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("ls"),
+            "n",
+            "sum_qty",
+        )
+    )
+
+
+def q30_conditional_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    """Wide conditional aggregation (SUM(CASE WHEN ...)) — README error-rate
+    query shape (/root/reference/README.md §The Problem)."""
+    t = load_tables(spark, sf, register_views=False)
+    ev = t["events"]
+
+    def n_of(et: str, alias: str) -> Column:
+        return F.sum(F.when(F.col("event_type") == et, 1).otherwise(0)).alias(alias)
+
+    return (
+        ev.groupBy((F.col("user_id") % 10).alias("user_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            n_of("click", "n_click"),
+            n_of("view", "n_view"),
+            n_of("purchase", "n_purchase"),
+            n_of("signup", "n_signup"),
+            n_of("error", "n_error"),
+            dsum(
+                F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(F.lit(0.0)),
+                "purchase_value",
+            ),
+        )
+    )
+
+
+def q31_select_order_limit(spark: SparkSession, sf: str) -> DataFrame:
+    """REST single-measurement query shape: WHERE + ORDER BY + LIMIT
+    (/root/reference/internal/api/query.go:3923-4130)."""
+    t = load_tables(spark, sf, register_views=False)
+    return (
+        t["events"]
+        .filter(F.col("value") > 90)
+        .select(
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+        .orderBy(F.desc("ts_us"), F.asc("event_id"))
+        .limit(100)
+    )
+
+
+def q32_count_star(spark: SparkSession, sf: str) -> DataFrame:
+    """COUNT(*) — answered from parquet footers when aggregate pushdown is on
+    (arc: 1 ms over 393M rows, BASELINE.md; reference A14 estimate)."""
+    t = load_tables(spark, sf, register_views=False)
+    return t["lineitem"].agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+def q33_delete_rewrite(spark: SparkSession, sf: str) -> DataFrame:
+    """Predicate-DELETE accounting (GDPR rewrite: keep NOT(pred) rows;
+    /root/reference/internal/api/delete.go:531-870)."""
+    t = load_tables(spark, sf, register_views=False)
+    pred = (F.col("user_id") % 97) == 3
+    return t["events"].agg(
+        F.count(F.when(~pred, 1)).alias("n_kept"),
+        F.count(F.when(pred, 1)).alias("n_deleted"),
+        F.sum(F.when(~pred, F.col("user_id")).otherwise(F.lit(0))).alias("kept_user_id_sum"),
+    )
+
+
+def q34_retention_cutoff(spark: SparkSession, sf: str) -> DataFrame:
+    """Retention scan: rows surviving a time cutoff, per day
+    (/root/reference/internal/api/retention.go:791-900)."""
+    t = load_tables(spark, sf, register_views=False)
+    return (
+        t["events"]
+        .filter(F.col("ts") >= F.lit(TS(2024, 1, 20)))
+        .groupBy(F.date_trunc("DAY", F.col("ts")).alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q35_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """ANN scale path: hyperplane-LSH bucketed top-k (approximate → rows-only)."""
+    t = load_tables(spark, sf, register_views=False)
+    emb = t["embeddings"]
+    out = lsh_bucketed_topk(emb, emb.filter(F.col("vec_id") < 5), k=10, planes=4)
+    return out.withColumn("rk", F.col("rank").cast("long")).drop("rank")
+
+
+# ===========================================================================
+# DuckDB oracle SQL (identical aliases; DuckDB dialect)
+# ===========================================================================
+
+_NORM = "regexp_replace(trim(text), '\\s+', ' ', 'g')"
+_LNORM = f"lower({_NORM})"
+
+_JACCARD_PAIRS = f"""
+WITH norm AS (
+    SELECT doc_id, string_split({_LNORM}, ' ') AS w FROM documents
+),
+sh AS (
+    SELECT DISTINCT doc_id,
+           unnest(list_transform(generate_series(1, len(w) - 2),
+                                 i -> array_to_string(w[i:i+2], ' '))) AS s
+    FROM norm WHERE len(w) >= 3
+),
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+FROM inter
+JOIN sz sa ON doc_a = sa.doc_id
+JOIN sz sb ON doc_b = sb.doc_id
+WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= {{thr}}
+"""
+
+_COSINE_EXPR = (
+    "round(list_dot_product(a.v, b.v) / "
+    "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4)"
+)
+
+
+ORACLES: dict[str, str] = {
+    "q01_pricing_summary": f"""
+        SELECT l_returnflag, l_linestatus,
+               {_osum('l_quantity')} AS sum_qty,
+               {_osum('l_extendedprice')} AS sum_base_price,
+               {_osum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+               {_osum('(l_extendedprice * (1 - l_discount)) * (1 + l_tax)')} AS sum_charge,
+               COUNT(*) AS count_order,
+               {_osum('l_quantity')} / COUNT(*) AS avg_qty
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "q02_revenue_by_nation": f"""
+        SELECT r_name, n_name,
+               {_osum('l_extendedprice * (1 - l_discount)')} AS revenue,
+               COUNT(*) AS n_items
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        GROUP BY r_name, n_name
+    """,
+    "q03_top_orders": f"""
+        SELECT l_orderkey AS orderkey, o_orderdate, o_orderpriority,
+               {_osum('l_extendedprice * (1 - l_discount)')} AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+          AND l_shipdate > TIMESTAMP '1998-01-01'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, orderkey
+        LIMIT 10
+    """,
+    "q04_order_priority_exists": """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate < TIMESTAMP '1997-04-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        GROUP BY o_orderpriority
+    """,
+    "q05_window_topk_per_brand": """
+        SELECT p_brand, p_partkey, p_retailprice, rk FROM (
+            SELECT p_brand, p_partkey, p_retailprice,
+                   ROW_NUMBER() OVER (PARTITION BY p_brand
+                                      ORDER BY p_retailprice DESC, p_partkey) AS rk
+            FROM part) t
+        WHERE rk <= 3
+    """,
+    "q06_events_conditional_agg": f"""
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               COUNT(DISTINCT user_id) AS n_users,
+               {_osum('value')} AS total_value,
+               COUNT(*) FILTER (WHERE value > 50) AS n_high
+        FROM events GROUP BY event_type
+    """,
+    "q07_time_bucket": f"""
+        SELECT make_timestamp((epoch_us(ts) // 900000000) * 900000000) AS bucket,
+               COUNT(*) AS n,
+               {_osum('value')} AS total_value
+        FROM events GROUP BY 1
+    """,
+    "q08_date_trunc": """
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    """,
+    "q09_cte_setops": """
+        WITH big AS (SELECT DISTINCT o_custkey AS custkey FROM orders
+                     WHERE o_totalprice > 300000),
+             bld AS (SELECT DISTINCT c_custkey AS custkey FROM customer
+                     WHERE c_mktsegment = 'BUILDING')
+        SELECT custkey, 'both' AS tag FROM (SELECT custkey FROM big INTERSECT SELECT custkey FROM bld)
+        UNION ALL
+        SELECT custkey, 'big_only' AS tag FROM (SELECT custkey FROM big EXCEPT SELECT custkey FROM bld)
+        UNION ALL
+        SELECT custkey, 'building_only' AS tag FROM (SELECT custkey FROM bld EXCEPT SELECT custkey FROM big)
+    """,
+    "q10_in_subquery": """
+        SELECT p_partkey, p_name, CAST(p_size AS BIGINT) AS p_size
+        FROM part
+        WHERE p_size IN (1, 5, 9, 13)
+          AND p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 48)
+    """,
+    "q11_having_scalar_subquery": f"""
+        SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey, COUNT(*) AS n_sup,
+               {_osum('s_acctbal')} AS total_bal
+        FROM supplier
+        WHERE s_acctbal > (SELECT AVG(s_acctbal) FROM supplier)
+        GROUP BY s_nationkey
+        HAVING COUNT(*) >= 2
+    """,
+    "q12_string_funcs": """
+        SELECT event_id,
+               upper(event_type) AS et_upper,
+               substr(props, 1, 6) AS p6,
+               length(props) AS plen,
+               split_part(props, ':', 2) AS after_colon,
+               TRY_CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS k_num,
+               CASE WHEN value > 50 THEN 'high' ELSE 'low' END AS value_band
+        FROM events
+    """,
+    "q13_asof_join": """
+        SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+               epoch_us(p.ts) AS purchase_ts_us,
+               v.event_id AS prior_view_id, epoch_us(v.ts) AS prior_view_ts_us
+        FROM (SELECT event_id, user_id,
+                     make_timestamp(epoch_us(ts)) AS ts
+              FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT event_id, user_id,
+                               make_timestamp(epoch_us(ts)) AS ts
+                        FROM events WHERE event_type = 'view') v
+          ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+    "q14_dedup_exact": f"""
+        SELECT md5({_LNORM}) AS fingerprint, MIN(doc_id) AS keep_id,
+               COUNT(*) AS n_dups
+        FROM documents GROUP BY 1
+    """,
+    "q15_dedup_lww": """
+        SELECT user_id, event_id AS latest_event_id, epoch_us(ts) AS latest_ts_us,
+               event_type AS latest_event_type
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                           ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+              FROM events) t
+        WHERE rn = 1
+    """,
+    "q16_ngram_jaccard": _JACCARD_PAIRS.format(thr=0.2),
+    "q17_minhash_lsh": _JACCARD_PAIRS.format(thr=0.8),
+    "q19_embedding_topk": f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        scored AS (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   {_COSINE_EXPR} AS score
+            FROM e a JOIN e b ON b.vec_id <> a.vec_id
+            WHERE a.vec_id < 5
+        )
+        SELECT query_id, neighbor_id, score, rk FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY score DESC, neighbor_id) AS rk
+            FROM scored) t
+        WHERE rk <= 10
+    """,
+    "q20_lang_id": """
+        WITH t AS (
+            SELECT doc_id,
+                   ' ' || lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) || ' ' AS tt
+            FROM documents
+        ),
+        s AS (
+            SELECT doc_id,
+                   (length(tt) - length(replace(tt, ' the ', ''))) // 5
+                 + (length(tt) - length(replace(tt, ' and ', ''))) // 5
+                 + (length(tt) - length(replace(tt, ' is ', ''))) // 4
+                 + (length(tt) - length(replace(tt, ' of ', ''))) // 4
+                 + (length(tt) - length(replace(tt, ' to ', ''))) // 4 AS en_hits,
+                   (length(tt) - length(replace(tt, ' der ', ''))) // 5
+                 + (length(tt) - length(replace(tt, ' und ', ''))) // 5
+                 + (length(tt) - length(replace(tt, ' die ', ''))) // 5
+                 + (length(tt) - length(replace(tt, ' ist ', ''))) // 5
+                 + (length(tt) - length(replace(tt, ' das ', ''))) // 5 AS de_hits,
+                   (length(tt) - length(replace(tt, ' le ', ''))) // 4
+                 + (length(tt) - length(replace(tt, ' et ', ''))) // 4
+                 + (length(tt) - length(replace(tt, ' la ', ''))) // 4
+                 + (length(tt) - length(replace(tt, ' est ', ''))) // 5
+                 + (length(tt) - length(replace(tt, ' les ', ''))) // 5 AS fr_hits,
+                   (length(tt) - length(replace(tt, ' el ', ''))) // 4
+                 + (length(tt) - length(replace(tt, ' y ', ''))) // 3
+                 + (length(tt) - length(replace(tt, ' la ', ''))) // 4
+                 + (length(tt) - length(replace(tt, ' es ', ''))) // 4
+                 + (length(tt) - length(replace(tt, ' los ', ''))) // 5 AS es_hits
+            FROM t
+        )
+        SELECT doc_id,
+               CASE WHEN greatest(en_hits, de_hits, fr_hits, es_hits) = 0 THEN 'unknown'
+                    WHEN en_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'en'
+                    WHEN de_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'de'
+                    WHEN fr_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'fr'
+                    ELSE 'es' END AS lang_pred,
+               en_hits, de_hits, fr_hits, es_hits
+        FROM s
+    """,
+    "q21_quality_score": f"""
+        WITH m AS (
+            SELECT doc_id,
+                   length({_NORM}) AS n_chars,
+                   length(regexp_replace({_NORM}, '[^A-Za-z]', '', 'g')) AS n_alpha,
+                   length(regexp_replace({_NORM}, '[^0-9]', '', 'g')) AS n_digit,
+                   length({_NORM}) - length(replace({_NORM}, ' ', '')) AS n_space,
+                   CASE WHEN length({_NORM}) = 0 THEN 0
+                        ELSE length({_NORM}) - length(replace({_NORM}, ' ', '')) + 1
+                   END AS n_tokens
+            FROM documents
+        )
+        SELECT doc_id,
+               n_chars AS n_chars_norm, n_alpha, n_digit,
+               n_chars - n_alpha - n_digit - n_space AS n_punct,
+               n_tokens,
+               CASE WHEN n_chars = 0 THEN 0.0
+                    ELSE round(CAST(n_alpha * 7 + (n_chars - (n_chars - n_alpha - n_digit - n_space)) * 3 AS DOUBLE)
+                               / (n_chars * 10), 6)
+               END AS quality
+        FROM m
+    """,
+    "q22_token_stats": f"""
+        WITH t AS (
+            SELECT source,
+                   CASE WHEN length({_NORM}) = 0 THEN 0
+                        ELSE length({_NORM}) - length(replace({_NORM}, ' ', '')) + 1
+                   END AS ws_tokens,
+                   len(regexp_extract_all({_NORM}, '{BPE_TOKEN_PATTERN}')) AS re_tokens
+            FROM documents
+        )
+        SELECT source, COUNT(*) AS n_docs,
+               SUM(ws_tokens) AS total_ws_tokens,
+               SUM(re_tokens) AS total_re_tokens,
+               CAST(SUM(ws_tokens) AS DOUBLE) / COUNT(*) AS avg_ws_tokens
+        FROM t GROUP BY source
+    """,
+    "q23_fingerprint": f"""
+        SELECT doc_id,
+               md5({_LNORM}) AS fp,
+               md5(substr({_LNORM}, 1, 100)) AS fp_prefix,
+               length({_LNORM}) AS n_chars_norm
+        FROM documents
+    """,
+    "q24_recursive_cte": """
+        WITH RECURSIVE days(day) AS (
+            SELECT TIMESTAMP '2024-01-01'
+            UNION ALL
+            SELECT day + INTERVAL 1 DAY FROM days WHERE day < TIMESTAMP '2024-01-30'
+        )
+        SELECT d.day AS day, COALESCE(e.n, 0) AS n_events
+        FROM days d
+        LEFT JOIN (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                          COUNT(*) AS n
+                   FROM events GROUP BY 1) e USING (day)
+    """,
+    "q25_lateral_topk": """
+        SELECT n_name, c.c_custkey, c.c_acctbal, c.rk
+        FROM nation, LATERAL (
+            SELECT c_custkey, c_acctbal,
+                   ROW_NUMBER() OVER (ORDER BY c_acctbal DESC, c_custkey) AS rk
+            FROM customer WHERE c_nationkey = n_nationkey
+            ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
+    """,
+    "q26_multitier_union": """
+        SELECT event_type, COUNT(*) AS n,
+               epoch_us(MIN(ts)) AS first_ts_us, epoch_us(MAX(ts)) AS last_ts_us
+        FROM (
+            SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-15'
+            UNION ALL
+            SELECT * FROM events WHERE ts >= TIMESTAMP '2024-01-15'
+        ) u
+        GROUP BY event_type
+    """,
+    "q28_embedding_near_dup": f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COSINE_EXPR} AS cosine
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE {_COSINE_EXPR} >= 0.45
+    """,
+    "q29_rollup": f"""
+        SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+               COALESCE(l_linestatus, 'ALL') AS ls,
+               COUNT(*) AS n,
+               {_osum('l_quantity')} AS sum_qty
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "q30_conditional_pivot": f"""
+        SELECT user_id % 10 AS user_bucket,
+               COUNT(*) AS n_events,
+               SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+               SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+               SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+               SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
+               {_osum("CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END")} AS purchase_value
+        FROM events GROUP BY 1
+    """,
+    "q31_select_order_limit": """
+        SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+        FROM events WHERE value > 90
+        ORDER BY ts_us DESC, event_id LIMIT 100
+    """,
+    "q32_count_star": "SELECT COUNT(*) AS n_rows FROM lineitem",
+    "q33_delete_rewrite": """
+        SELECT COUNT(*) FILTER (WHERE NOT (user_id % 97 = 3)) AS n_kept,
+               COUNT(*) FILTER (WHERE user_id % 97 = 3) AS n_deleted,
+               SUM(CASE WHEN NOT (user_id % 97 = 3) THEN user_id ELSE 0 END) AS kept_user_id_sum
+        FROM events
+    """,
+    "q34_retention_cutoff": """
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, COUNT(*) AS n
+        FROM events WHERE ts >= TIMESTAMP '2024-01-20'
+        GROUP BY 1
+    """,
+}
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "q02_revenue_by_nation": q02_revenue_by_nation,
+    "q03_top_orders": q03_top_orders,
+    "q04_order_priority_exists": q04_order_priority_exists,
+    "q05_window_topk_per_brand": q05_window_topk_per_brand,
+    "q06_events_conditional_agg": q06_events_conditional_agg,
+    "q07_time_bucket": q07_time_bucket,
+    "q08_date_trunc": q08_date_trunc,
+    "q09_cte_setops": q09_cte_setops,
+    "q10_in_subquery": q10_in_subquery,
+    "q11_having_scalar_subquery": q11_having_scalar_subquery,
+    "q12_string_funcs": q12_string_funcs,
+    "q13_asof_join": q13_asof_join,
+    "q14_dedup_exact": q14_dedup_exact,
+    "q15_dedup_lww": q15_dedup_lww,
+    "q16_ngram_jaccard": q16_ngram_jaccard,
+    "q17_minhash_lsh": q17_minhash_lsh,
+    "q18_simhash": q18_simhash,
+    "q19_embedding_topk": q19_embedding_topk,
+    "q20_lang_id": q20_lang_id,
+    "q21_quality_score": q21_quality_score,
+    "q22_token_stats": q22_token_stats,
+    "q23_fingerprint": q23_fingerprint,
+    "q24_recursive_cte": q24_recursive_cte,
+    "q25_lateral_topk": q25_lateral_topk,
+    "q26_multitier_union": q26_multitier_union,
+    "q27_approx_distinct": q27_approx_distinct,
+    "q28_embedding_near_dup": q28_embedding_near_dup,
+    "q29_rollup": q29_rollup,
+    "q30_conditional_pivot": q30_conditional_pivot,
+    "q31_select_order_limit": q31_select_order_limit,
+    "q32_count_star": q32_count_star,
+    "q33_delete_rewrite": q33_delete_rewrite,
+    "q34_retention_cutoff": q34_retention_cutoff,
+    "q35_lsh_topk": q35_lsh_topk,
+}

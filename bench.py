@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline workload queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline set mirrors BASELINE.md's query categories:
+  count_star        ← COUNT(*) (footer pushdown; arc: 1 ms via metadata)
+  select_limit      ← SELECT ... LIMIT (arc: LIMIT 10K-1M rows)
+  time_bucket       ← time_bucket agg (arc: Time Bucket 1h/7d)
+  date_trunc        ← date_trunc group (arc: Date Trunc day/30d)
+  group_by          ← GROUP BY host shape (arc: GROUP BY host)
+  join_agg          ← multi-way join + agg (beyond arc's published set)
+  window_dedup      ← compaction-dedup window (arc A21)
+  text_pipeline     ← token/quality/lang scan (beyond-reference operators)
+  minhash_lsh       ← near-dup dedup at LSH scale path
+  embedding_topk    ← ANN brute-force baseline
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "q32_count_star",
+    "q31_select_order_limit",
+    "q07_time_bucket",
+    "q08_date_trunc",
+    "q06_events_conditional_agg",
+    "q01_pricing_summary",
+    "q02_revenue_by_nation",
+    "q03_top_orders",
+    "q15_dedup_lww",
+    "q22_token_stats",
+    "q21_quality_score",
+    "q17_minhash_lsh",
+    "q19_embedding_topk",
+    "q13_asof_join",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from arc_spark.session import get_spark
+    from arc_spark.workload import QUERIES
+
+    spark = get_spark(app_name="arc-spark-bench")
+
+    # warm the session + file index (arc keeps a long-lived server process;
+    # the comparable number is steady-state latency, not JVM start)
+    QUERIES["q32_count_star"](spark, sf_dir).collect()
+
+    times: dict[str, float] = {}
+    total = 0.0
+    for name in BENCH_QUERIES:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count() if name != "q31_select_order_limit" else len(df.collect())
+        dt = time.perf_counter() - t0
+        times[name] = round(dt, 4)
+        total += dt
+        print(f"# {name}: {dt:.3f}s rows={n}", file=sys.stderr)
+
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    print(json.dumps({
+        "metric": "workload_total_wall",
+        "value": round(total, 4),
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()
