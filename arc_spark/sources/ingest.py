@@ -1,0 +1,138 @@
+"""Ingest decode layer: wire records → typed Arrow batches → DataFrames.
+
+Mirrors the reference's ingest semantics (SURVEY §1.2/§2.A15-A18):
+- timestamp unit auto-detection (s/ms/µs/ns → µs,
+  /root/reference/internal/ingest/msgpack.go:435-505)
+- per-batch schema inference from first non-null value
+  (/root/reference/internal/ingest/arrow_writer.go:339-367): ints widen to
+  int64, floats to float64, strings, bools; `time` must be integer epoch
+- row→columnar conversion (arrow_writer.go:1177 rowsToColumnar)
+- schema-evolution-tolerant accumulation (union of columns, nulls backfill —
+  arrow_writer.go:2706-2930 mergeBatches)
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import pyarrow as pa
+
+from arc_spark.sources.msgpack_codec import unpackb
+
+# magnitude thresholds for epoch-unit detection (valid ~2001..2286, like the
+# reference's decimal-digit classification)
+_NS_MIN = 10**17
+_US_MIN = 10**14
+_MS_MIN = 10**11
+
+
+def normalize_epoch_us(v: int) -> int:
+    """Auto-detect epoch unit by magnitude → microseconds."""
+    if v >= _NS_MIN:
+        return v // 1000
+    if v >= _US_MIN:
+        return v
+    if v >= _MS_MIN:
+        return v * 1000
+    return v * 1_000_000
+
+
+def decode_msgpack_payload(data: bytes) -> dict:
+    """Decode an arc wire payload (columnar `{m, columns, tags?}`, row
+    `{m, t, fields, tags?}`, or batch `{batch: [rows]}`) into the columnar
+    form {measurement, columns: {name: list}, tag_columns: [..]}."""
+    obj = unpackb(data)
+    if isinstance(obj, dict) and "columns" in obj:
+        cols = {str(k): list(v) for k, v in obj["columns"].items()}
+        if "time" in cols:
+            cols["time"] = [normalize_epoch_us(int(t)) if t is not None else None
+                            for t in cols["time"]]
+        return {
+            "measurement": obj.get("m") or obj.get("measurement"),
+            "columns": cols,
+            "tag_columns": list(obj.get("tags") or obj.get("tag_columns") or []),
+        }
+    rows = obj["batch"] if isinstance(obj, dict) and "batch" in obj else [obj]
+    return rows_to_columnar(rows)
+
+
+def rows_to_columnar(rows: list[dict]) -> dict:
+    """Row records ({m, t, fields{}, tags{}}) → columnar batch."""
+    if not rows:
+        return {"measurement": None, "columns": {}, "tag_columns": []}
+    measurement = rows[0].get("m") or rows[0].get("measurement")
+    tag_keys: list[str] = []
+    field_keys: list[str] = []
+    for r in rows:
+        for k in (r.get("tags") or {}):
+            if k not in tag_keys:
+                tag_keys.append(k)
+        for k in (r.get("fields") or {}):
+            if k not in field_keys:
+                field_keys.append(k)
+    columns: dict[str, list] = {"time": []}
+    for k in tag_keys + field_keys:
+        columns[k] = []
+    for r in rows:
+        t = r.get("t") or r.get("time") or r.get("timestamp")
+        columns["time"].append(normalize_epoch_us(int(t)) if t is not None else None)
+        tags = r.get("tags") or {}
+        fields = r.get("fields") or {}
+        for k in tag_keys:
+            columns[k].append(tags.get(k))
+        for k in field_keys:
+            columns[k].append(fields.get(k))
+    return {"measurement": measurement, "columns": columns, "tag_columns": tag_keys}
+
+
+def _infer_arrow_type(name: str, values: list, tag_columns: set[str]) -> pa.DataType:
+    if name == "time":
+        return pa.timestamp("us")
+    if name in tag_columns:
+        return pa.string()
+    for v in values:
+        if v is None:
+            continue
+        if isinstance(v, bool):
+            return pa.bool_()
+        if isinstance(v, int):
+            return pa.int64()
+        if isinstance(v, float):
+            return pa.float64()
+        if isinstance(v, str):
+            return pa.string()
+        raise TypeError(f"unsupported ingest type {type(v)} in column {name!r}")
+    return pa.string()  # all-null column defaults to string (nullable)
+
+
+def columnar_to_arrow(batch: dict) -> pa.Table:
+    """Columnar dict batch → typed Arrow table (arc's type system exactly)."""
+    cols = batch["columns"]
+    tag_set = set(batch.get("tag_columns") or [])
+    arrays, names = [], []
+    for name, values in cols.items():
+        typ = _infer_arrow_type(name, values, tag_set)
+        if name == "time":
+            values = [v if v is None else int(v) for v in values]
+            arrays.append(pa.array(values, type=pa.int64()).cast(pa.timestamp("us")))
+        elif pa.types.is_int64(typ):
+            arrays.append(pa.array([None if v is None else int(v) for v in values], type=typ))
+        elif pa.types.is_float64(typ):
+            arrays.append(pa.array(
+                [None if v is None else float(v) for v in values], type=typ))
+        else:
+            arrays.append(pa.array(values, type=typ))
+        names.append(name)
+    return pa.table(dict(zip(names, arrays)))
+
+
+def merge_batches(tables: list[pa.Table]) -> pa.Table:
+    """Union-by-name merge across schema evolution: missing columns → null
+    (reference mergeBatches with validity bitmaps, arrow_writer.go:2706-2930)."""
+    return pa.concat_tables(tables, promote_options="permissive")
+
+
+def columnar_to_dataframe(spark, batch: dict):
+    """Columnar wire batch → Spark DataFrame (Arrow-native, zero row loop)."""
+    table = columnar_to_arrow(batch)
+    return spark.createDataFrame(table)

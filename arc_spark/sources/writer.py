@@ -1,0 +1,106 @@
+"""Measurement writer: hour-partitioned, sorted Parquet (the ingest sink).
+
+Reference behavior (A19, /root/reference/internal/ingest/arrow_writer.go:2440-2639):
+batches are split by the *data* hour, sorted by per-measurement sort keys
+(`time` always last, config/sort_keys.go:9-60), and written under
+``db/measurement/YYYY/MM/DD/HH/``.
+
+Spark-first translation: hive partition columns ``year=/month=/day=/hour=``
+derived from `time`, ``repartition`` by those columns (each output partition
+written by one task → bounded small-file count), ``sortWithinPartitions`` for
+the sort keys, zstd Parquet. Catalyst then prunes partitions from time
+predicates natively — replacing the reference's 1205-line string pruner (A2).
+
+Tag metadata (`arc:tags`, `arc:dedup_time` parquet-footer KV in the
+reference, arrow_writer.go:505-543) lives in a per-measurement JSON manifest
+(`_arc_manifest.json`) — compaction reads it for the dedup key.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MANIFEST_NAME = "_arc_manifest.json"
+
+
+def measurement_path(root: str, db: str, measurement: str) -> str:
+    return os.path.join(root, db, measurement)
+
+
+def write_manifest(root: str, db: str, measurement: str,
+                   tag_columns: list[str], sort_keys: list[str],
+                   dedup_time: bool = False) -> None:
+    path = measurement_path(root, db, measurement)
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, MANIFEST_NAME), "w") as f:
+        json.dump(
+            {"tag_columns": tag_columns, "sort_keys": sort_keys,
+             "dedup_time": dedup_time},
+            f,
+        )
+
+
+def read_manifest(root: str, db: str, measurement: str) -> dict:
+    p = os.path.join(measurement_path(root, db, measurement), MANIFEST_NAME)
+    if not os.path.exists(p):
+        return {"tag_columns": [], "sort_keys": [], "dedup_time": False}
+    with open(p) as f:
+        return json.load(f)
+
+
+def with_partition_columns(df: DataFrame, time_col: str = "time") -> DataFrame:
+    t = F.col(time_col)
+    return (
+        df.withColumn("year", F.year(t))
+        .withColumn("month", F.month(t))
+        .withColumn("day", F.dayofmonth(t))
+        .withColumn("hour", F.hour(t))
+    )
+
+
+def write_measurement(
+    df: DataFrame,
+    root: str,
+    db: str,
+    measurement: str,
+    tag_columns: list[str] | None = None,
+    sort_keys: list[str] | None = None,
+    dedup_time: bool = False,
+    mode: str = "append",
+    target_file_partitions: int | None = None,
+) -> str:
+    """Write a micro-batch into the measurement's hive layout.
+
+    Scale shape: one shuffle (`repartition` on the partition columns) so each
+    (year,month,day,hour) is produced by as few tasks as possible — the
+    small-file problem is bounded at write time instead of deferred entirely
+    to compaction. Sort keys become `sortWithinPartitions`, preserving arc's
+    within-file ordering guarantee for time-range scans.
+    """
+    if "time" not in df.columns:
+        raise ValueError("measurement batches require a 'time' column")
+    tag_columns = tag_columns if tag_columns is not None else []
+    sort_keys = list(sort_keys) if sort_keys else list(tag_columns)
+    if "time" not in sort_keys:
+        sort_keys = sort_keys + ["time"]  # time always last (reference)
+
+    out = measurement_path(root, db, measurement)
+    part_cols = ["year", "month", "day", "hour"]
+    pdf = with_partition_columns(df)
+    if target_file_partitions:
+        pdf = pdf.repartition(target_file_partitions, *[F.col(c) for c in part_cols])
+    else:
+        pdf = pdf.repartition(*[F.col(c) for c in part_cols])
+    (
+        pdf.sortWithinPartitions(*sort_keys)
+        .write.mode(mode)
+        .option("compression", "zstd")
+        .partitionBy(*part_cols)
+        .parquet(out)
+    )
+    write_manifest(root, db, measurement, tag_columns, sort_keys, dedup_time)
+    return out

@@ -1,0 +1,161 @@
+"""Ingest decode + writer tests (reference adversarial cases: schema churn,
+all-nil columns, mixed time units — SURVEY §5, FIXTURES.md §5/§7)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import glob
+import os
+
+import pytest
+
+from arc_spark.sources.ingest import (
+    columnar_to_arrow,
+    columnar_to_dataframe,
+    decode_msgpack_payload,
+    merge_batches,
+    normalize_epoch_us,
+    rows_to_columnar,
+)
+from arc_spark.sources.msgpack_codec import packb, unpackb
+from arc_spark.sources.writer import read_manifest, write_measurement
+
+
+def test_msgpack_roundtrip():
+    obj = {
+        "m": "cpu",
+        "columns": {"time": [1, 2, 3], "host": ["a", None, "c"], "value": [0.5, 1.5, None]},
+        "tags": ["host"],
+        "n": 3,
+        "flag": True,
+        "blob": b"\x00\x01\xff",
+        "neg": -12345678901234,
+        "nested": [1, {"k": None}],
+    }
+    assert unpackb(packb(obj)) == obj
+
+
+def test_msgpack_large_collections():
+    obj = {"arr": list(range(70000)), "s": "x" * 70000}
+    assert unpackb(packb(obj)) == obj
+
+
+def test_normalize_epoch_units():
+    base_s = 1700000000
+    assert normalize_epoch_us(base_s) == base_s * 10**6
+    assert normalize_epoch_us(base_s * 10**3) == base_s * 10**6
+    assert normalize_epoch_us(base_s * 10**6) == base_s * 10**6
+    assert normalize_epoch_us(base_s * 10**9 + 999) == base_s * 10**6
+
+
+def test_decode_columnar_payload():
+    payload = packb({
+        "m": "cpu",
+        "columns": {"time": [1700000000, 1700000001], "host": ["a", "b"], "value": [1.0, 2.0]},
+        "tags": ["host"],
+    })
+    batch = decode_msgpack_payload(payload)
+    assert batch["measurement"] == "cpu"
+    assert batch["columns"]["time"] == [1700000000 * 10**6, 1700000001 * 10**6]
+    assert batch["tag_columns"] == ["host"]
+
+
+def test_decode_row_batch_payload():
+    payload = packb({"batch": [
+        {"m": "cpu", "t": 1700000000000, "tags": {"host": "a"}, "fields": {"v": 1.5}},
+        {"m": "cpu", "t": 1700000001000, "tags": {"host": "b"}, "fields": {"v": 2.5, "extra": 7}},
+    ]})
+    batch = decode_msgpack_payload(payload)
+    assert batch["tag_columns"] == ["host"]
+    assert batch["columns"]["v"] == [1.5, 2.5]
+    assert batch["columns"]["extra"] == [None, 7]  # sparse column → null backfill
+
+
+def test_schema_inference_types():
+    batch = rows_to_columnar([
+        {"m": "s", "t": 1700000000, "tags": {"device": "d1"},
+         "fields": {"temp": 21.5, "count": 3, "ok": True, "note": "n"}},
+    ])
+    table = columnar_to_arrow(batch)
+    types = {f.name: str(f.type) for f in table.schema}
+    assert types == {
+        "time": "timestamp[us]", "device": "string", "temp": "double",
+        "count": "int64", "ok": "bool", "note": "string",
+    }
+
+
+def test_all_nil_column_defaults_string():
+    batch = rows_to_columnar([
+        {"m": "s", "t": 1700000000, "fields": {"online": None}},
+        {"m": "s", "t": 1700000001, "fields": {"online": None}},
+    ])
+    table = columnar_to_arrow(batch)
+    assert str(table.schema.field("online").type) == "string"
+
+
+def test_schema_evolution_merge():
+    t1 = columnar_to_arrow(rows_to_columnar(
+        [{"m": "s", "t": 1, "fields": {"temp": 20.0}}]))
+    t2 = columnar_to_arrow(rows_to_columnar(
+        [{"m": "s", "t": 2, "fields": {"temp": 21.0, "humidity": 0.4}}]))
+    merged = merge_batches([t1, t2])
+    assert merged.num_rows == 2
+    assert merged.column("humidity").to_pylist() == [None, 0.4]
+
+
+def test_columnar_to_dataframe(spark):
+    batch = decode_msgpack_payload(packb({
+        "m": "cpu",
+        "columns": {"time": [1700000000, 1700003600], "host": ["a", "b"],
+                    "value": [1.0, 2.0]},
+        "tags": ["host"],
+    }))
+    df = columnar_to_dataframe(spark, batch)
+    assert df.count() == 2
+    assert dict(df.dtypes)["time"].startswith("timestamp")
+
+
+def test_write_measurement_hive_layout(spark, tmp_path):
+    root = str(tmp_path)
+    batch = rows_to_columnar([
+        {"m": "cpu", "t": int(dt.datetime(2024, 3, 1, 10, 5).timestamp() * 1e6),
+         "tags": {"host": "a"}, "fields": {"value": 1.0}},
+        {"m": "cpu", "t": int(dt.datetime(2024, 3, 1, 11, 20).timestamp() * 1e6),
+         "tags": {"host": "a"}, "fields": {"value": 2.0}},
+        {"m": "cpu", "t": int(dt.datetime(2024, 3, 2, 0, 0).timestamp() * 1e6),
+         "tags": {"host": "b"}, "fields": {"value": 3.0}},
+    ])
+    df = columnar_to_dataframe(spark, batch)
+    out = write_measurement(df, root, "metrics", "cpu", tag_columns=["host"])
+    hours = sorted(glob.glob(os.path.join(out, "year=*/month=*/day=*/hour=*")))
+    assert [h.split("cpu/")[1] for h in hours] == [
+        "year=2024/month=3/day=1/hour=10",
+        "year=2024/month=3/day=1/hour=11",
+        "year=2024/month=3/day=2/hour=0",
+    ]
+    # read back through the catalog: partition pruning columns exist
+    back = spark.read.parquet(out)
+    assert back.count() == 3
+    assert {"year", "month", "day", "hour"} <= set(back.columns)
+    m = read_manifest(root, "metrics", "cpu")
+    assert m["tag_columns"] == ["host"]
+    assert m["sort_keys"] == ["host", "time"]
+
+
+def test_partition_pruning_from_time_predicate(spark, tmp_path):
+    """The replacement for the reference's 1205-line pruner (A2): a hive
+    layout + partition filter prunes at plan time."""
+    root = str(tmp_path)
+    rows = []
+    for day in (1, 2, 3):
+        for h in (0, 12):
+            rows.append({"m": "cpu",
+                         "t": int(dt.datetime(2024, 3, day, h).timestamp() * 1e6),
+                         "tags": {"host": "a"}, "fields": {"value": float(day)}})
+    df = columnar_to_dataframe(spark, rows_to_columnar(rows))
+    out = write_measurement(df, root, "metrics", "cpu", tag_columns=["host"])
+    back = spark.read.parquet(out)
+    pruned = back.filter("year = 2024 AND month = 3 AND day = 2")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert pruned.count() == 2

@@ -1,0 +1,215 @@
+"""Plan validator, continuous queries, serving encoders, multimodal plumbing."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from arc_spark.plans.validator import SqlValidationError, extract_tables, validate_read_only
+from arc_spark.serving import column_types, stream_typed_json, to_arrow_ipc, to_columnar_msgpack
+from arc_spark.sources.msgpack_codec import unpackb
+from arc_spark.streaming.cq import ContinuousQuery, CQScheduler, streaming_window_agg
+
+
+# --------------------------------------------------------------------------
+# validator (reference A10/A11)
+# --------------------------------------------------------------------------
+
+GOOD = [
+    "SELECT 1",
+    "SELECT * FROM events WHERE value > 1 ORDER BY ts LIMIT 5",
+    "WITH x AS (SELECT 1 AS a) SELECT * FROM x JOIN x y ON x.a = y.a",
+    "SELECT count(*) FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey",
+    "SHOW TABLES",
+    "SHOW DATABASES",
+]
+
+BAD = [
+    "DROP TABLE events",
+    "CREATE TABLE t (a INT)",
+    "INSERT INTO events VALUES (1)",
+    "UPDATE events SET value = 0",
+    "DELETE FROM events",
+    "SET spark.sql.ansi.enabled=false",
+    "ADD JAR '/tmp/evil.jar'",
+    "CACHE TABLE events",
+    "SELECT 1; DROP TABLE events",
+    "CREATE OR REPLACE VIEW v AS SELECT 1",
+    "MERGE INTO a USING b ON a.id = b.id WHEN MATCHED THEN DELETE",
+]
+
+
+@pytest.mark.parametrize("sql", GOOD)
+def test_validator_allows_reads(spark, sql):
+    validate_read_only(spark, sql)
+
+
+@pytest.mark.parametrize("sql", BAD)
+def test_validator_blocks_writes(spark, sql):
+    with pytest.raises(SqlValidationError):
+        validate_read_only(spark, sql)
+
+
+def test_extract_tables_cte_aware(spark):
+    sql = """
+    WITH recent AS (SELECT * FROM metrics.cpu WHERE time > now())
+    SELECT r.*, e.v FROM recent r
+    JOIN app.events e ON e.host = r.host
+    JOIN lookup ON lookup.k = e.k
+    """
+    tables = extract_tables(spark, sql)
+    assert ("metrics", "cpu") in tables
+    assert ("app", "events") in tables
+    assert ("lookup",) in tables
+    assert ("recent",) not in tables  # CTE name filtered
+
+
+# --------------------------------------------------------------------------
+# continuous queries (reference A28)
+# --------------------------------------------------------------------------
+
+def _events_view(spark):
+    rows = [
+        (dt.datetime(2024, 3, 1, 10, 4), "h1", 1.0),
+        (dt.datetime(2024, 3, 1, 10, 20), "h1", 3.0),
+        (dt.datetime(2024, 3, 1, 10, 40), "h2", 5.0),
+        (dt.datetime(2024, 3, 1, 11, 10), "h1", 7.0),
+    ]
+    spark.createDataFrame(rows, "time timestamp, host string, value double") \
+        .createOrReplaceTempView("cq_source")
+
+
+def test_cq_run_and_checkpoint(spark, tmp_path):
+    _events_view(spark)
+    root = str(tmp_path / "storage")
+    cq = ContinuousQuery(
+        name="hourly_avg",
+        sql="""SELECT host, CAST(AVG(value) AS DOUBLE) AS avg_value
+               FROM cq_source WHERE time >= {start_time} AND time < {end_time}
+               GROUP BY host""",
+        dest_db="analytics",
+        dest_measurement="cq_hourly_avg",
+        interval_seconds=3600,
+        tag_columns=["host"],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    res = cq.run_once(spark, root, now=dt.datetime(2024, 3, 1, 11, 0, 5))
+    assert res["ran"]
+    out = spark.read.parquet(os.path.join(root, "analytics", "cq_hourly_avg"))
+    rows = {r["host"]: r["avg_value"] for r in out.collect()}
+    assert rows == {"h1": 2.0, "h2": 5.0}
+    # time stamped with window start
+    assert out.select("time").distinct().collect()[0][0] == dt.datetime(2024, 3, 1, 10, 0)
+
+    # same now → window already processed → no rerun
+    res2 = cq.run_once(spark, root, now=dt.datetime(2024, 3, 1, 11, 0, 6))
+    assert not res2["ran"]
+    # next hour → next window
+    res3 = cq.run_once(spark, root, now=dt.datetime(2024, 3, 1, 12, 0, 1))
+    assert res3["ran"] and res3["start"] == "2024-03-01T11:00:00"
+
+
+def test_cq_scheduler_tick(spark, tmp_path):
+    _events_view(spark)
+    sched = CQScheduler(spark, str(tmp_path / "s"))
+    sched.register(ContinuousQuery(
+        "c1", "SELECT COUNT(*) AS n FROM cq_source WHERE time >= {start_time} AND time < {end_time}",
+        "analytics", "c1_out", 3600, checkpoint_dir=str(tmp_path / "ck")))
+    out = sched.tick(now=dt.datetime(2024, 3, 1, 11, 0, 1))
+    assert out[0]["ran"]
+
+
+def test_streaming_window_agg_batch_semantics(spark):
+    _events_view(spark)
+    df = spark.table("cq_source")
+    out = streaming_window_agg(
+        df, "time", "1 hour",
+        {"avg_value": "CAST(AVG(value) AS DOUBLE)", "n": "COUNT(*)"},
+        group_cols=["host"],
+    )
+    rows = {(r["time"], r["host"]): (r["avg_value"], r["n"]) for r in out.collect()}
+    assert rows[(dt.datetime(2024, 3, 1, 10, 0), "h1")] == (2.0, 2)
+    assert rows[(dt.datetime(2024, 3, 1, 11, 0), "h1")] == (7.0, 1)
+
+
+# --------------------------------------------------------------------------
+# serving encoders (reference A31-A33)
+# --------------------------------------------------------------------------
+
+def _result_df(spark):
+    return spark.createDataFrame(
+        [(1, "a", 1.5, dt.datetime(2024, 3, 1, 10)), (2, "b", 2.5, dt.datetime(2024, 3, 1, 11))],
+        "id bigint, name string, v double, ts timestamp",
+    )
+
+
+def test_arrow_ipc_roundtrip(spark):
+    import pyarrow as pa
+
+    df = _result_df(spark)
+    blob = to_arrow_ipc(df)
+    table = pa.ipc.open_stream(blob).read_all()
+    assert table.num_rows == 2
+    assert table.column("name").to_pylist() == ["a", "b"]
+
+
+def test_typed_json_stream(spark):
+    df = _result_df(spark)
+    chunks = list(stream_typed_json(df, flush_rows=1))
+    header = json.loads(chunks[0])
+    assert {c["name"]: c["type"] for c in header["columns"]} == {
+        "id": "int", "name": "string", "v": "float", "ts": "timestamp",
+    }
+    data = [json.loads(c)["data"] for c in chunks[1:]]
+    assert sum(len(d) for d in data) == 2
+
+
+def test_columnar_msgpack(spark):
+    df = _result_df(spark)
+    obj = unpackb(to_columnar_msgpack(df))
+    assert obj["column_order"] == ["id", "name", "v", "ts"]
+    # result may stream as several frames; concatenate column-wise
+    ids = [v for fr in obj["frames"] for v in fr["columns"]["id"]]
+    ts = [v for fr in obj["frames"] for v in fr["columns"]["ts"]]
+    assert sorted(ids) == [1, 2]
+    assert sorted(ts) == [
+        int(dt.datetime(2024, 3, 1, 10).timestamp() * 1e6),
+        int(dt.datetime(2024, 3, 1, 11).timestamp() * 1e6),
+    ]
+
+
+# --------------------------------------------------------------------------
+# multimodal plumbing
+# --------------------------------------------------------------------------
+
+def test_multimodal_feature_extract_and_frames(spark):
+    from arc_spark.multimodal import blob_table, extract_features, resize_images, sample_frames
+
+    df = blob_table(spark, [
+        (1, "image/png", b"\x89PNG-fake-1", 640, 480, None, "png"),
+        (2, "video/mp4", b"mp4-fake", None, None, 2500, "h264"),
+    ])
+    feats = extract_features(df, dim=8).collect()
+    assert len(feats) == 2 and len(feats[0]["feature"]) == 8
+    # deterministic: same blob → same features
+    feats2 = extract_features(df, dim=8).collect()
+    assert [f["feature"] for f in feats] == [f["feature"] for f in feats2]
+
+    resized = resize_images(df.filter("media_type = 'image/png'"), 224, 224).collect()
+    assert resized[0]["width"] == 224 and resized[0]["height"] == 224
+
+    frames = sample_frames(df.filter("media_type = 'video/mp4'"), every_ms=1000).collect()
+    assert [f["frame_ts_ms"] for f in frames] == [0, 1000, 2000]
+    assert all(len(f["frame"]) == 16 for f in frames)
+
+
+def test_multimodal_stub_raises_without_codec(spark):
+    from arc_spark.multimodal import blob_table, extract_features
+
+    df = blob_table(spark, [(1, "image/png", b"x", 1, 1, None, "png")])
+    with pytest.raises(Exception):  # NotImplementedError surfaces as Py4J error
+        extract_features(df, deterministic_stub=False).collect()
