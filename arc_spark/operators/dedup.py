@@ -78,7 +78,12 @@ def dedup_last_writer_wins(
 # --------------------------------------------------------------------------
 
 def _shingled(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
-    return df.select(
+    # spread rows across the cluster first: corpora often arrive as few large
+    # files, and shingling/signatures are CPU-bound projections that would
+    # otherwise run at the input's (possibly tiny) partition count
+    spark = df.sparkSession
+    n = spark.sparkContext.defaultParallelism
+    return df.repartition(n).select(
         F.col(id_col).alias("doc"), word_shingles(text_col, k).alias("shingles")
     ).filter(F.size("shingles") > 0)
 
