@@ -41,8 +41,15 @@ def _nanos_timestamp_columns(path: str) -> list[str]:
     """Column names stored as parquet TIMESTAMP(NANOS) — Spark cannot read
     those natively (arc's type system is µs-only, SURVEY §1.2; ns inputs are
     normalized to µs at ingest, reference internal/ingest/msgpack.go:435-505)."""
+    import glob
+
     import pyarrow.parquet as pq
 
+    if os.path.isdir(path):
+        files = sorted(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+        if not files:
+            return []
+        path = files[0]
     schema = pq.read_schema(path)
     return [f.name for f in schema if str(f.type) == "timestamp[ns]"]
 

@@ -1,0 +1,209 @@
+"""Query governance, estimation, and registry/cancellation.
+
+Reference parity:
+- A14 query estimate — /root/reference/internal/api/query.go:3544-3757
+  (wrap query in SELECT COUNT(*), classify warning level);
+- A37 governance — /root/reference/internal/governance/ + enforcement at
+  query.go:1438-1469 (per-token rate limit, row caps, max duration);
+- A38 query registry / cancellation —
+  /root/reference/internal/queryregistry/registry.go (register, list,
+  cancel in-flight queries).
+
+Spark-first mechanics: row caps are a `LIMIT` on the plan (pushed into the
+scan by Catalyst, e.g. CollectLimit/TakeOrderedAndProject — not a post-hoc
+truncation), estimates prefer Catalyst statistics over execution, and
+cancellation uses Spark job groups (`interruptTag` / cancelJobGroup), the
+engine-native equivalent of the reference's context cancellation.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+# ---------------------------------------------------------------------------
+# A14 — query estimate
+# ---------------------------------------------------------------------------
+
+def estimate_rows(df: DataFrame) -> tuple[int, str]:
+    """(row_count, warning_level) for a plan, like the reference's
+    estimateQuery: none <10k, low <100k, medium <1M, high ≥1M."""
+    n = df.count()
+    if n < 10_000:
+        level = "none"
+    elif n < 100_000:
+        level = "low"
+    elif n < 1_000_000:
+        level = "medium"
+    else:
+        level = "high"
+    return n, level
+
+
+def plan_stats_rowcount(df: DataFrame) -> int | None:
+    """Catalyst-statistics row estimate (no execution) — cheaper than
+    COUNT(*) when parquet footers carry stats; None when unavailable."""
+    try:
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        rc = stats.rowCount()
+        return int(rc.get().toString()) if rc.isDefined() else None
+    except Exception:
+        return None
+
+
+# ---------------------------------------------------------------------------
+# A37 — governance: rate limits, row caps, duration caps
+# ---------------------------------------------------------------------------
+
+class GovernanceError(Exception):
+    pass
+
+
+class RateLimitExceeded(GovernanceError):
+    pass
+
+
+@dataclass
+class TokenPolicy:
+    """Per-token limits (reference: per-token governance config)."""
+    max_queries_per_minute: int | None = None
+    max_rows: int | None = None
+    max_duration_s: float | None = None
+
+
+@dataclass
+class _TokenState:
+    window_start: float = 0.0
+    count: int = 0
+
+
+class Governor:
+    """Enforces TokenPolicy per auth token: sliding one-minute rate window
+    + row-cap injection. `admit` raises; `cap` rewrites the plan."""
+
+    def __init__(self):
+        self._policies: dict[str, TokenPolicy] = {}
+        self._state: dict[str, _TokenState] = {}
+        self._lock = threading.Lock()
+
+    def set_policy(self, token: str, policy: TokenPolicy) -> None:
+        self._policies[token] = policy
+
+    def admit(self, token: str, now: float | None = None) -> None:
+        pol = self._policies.get(token)
+        if pol is None or pol.max_queries_per_minute is None:
+            return
+        t = now if now is not None else time.monotonic()
+        with self._lock:
+            st = self._state.setdefault(token, _TokenState(window_start=t))
+            if t - st.window_start >= 60.0:
+                st.window_start, st.count = t, 0
+            if st.count >= pol.max_queries_per_minute:
+                raise RateLimitExceeded(
+                    f"rate limit {pol.max_queries_per_minute}/min exceeded"
+                )
+            st.count += 1
+
+    def cap(self, token: str, df: DataFrame) -> DataFrame:
+        """Row-cap the plan. LIMIT participates in planning (Catalyst turns
+        it into CollectLimit / limit pushdown) rather than truncating a
+        fully-computed result."""
+        pol = self._policies.get(token)
+        if pol is None or pol.max_rows is None:
+            return df
+        return df.limit(pol.max_rows)
+
+    def timeout_s(self, token: str) -> float | None:
+        pol = self._policies.get(token)
+        return pol.max_duration_s if pol else None
+
+
+# ---------------------------------------------------------------------------
+# A38 — query registry / cancellation via job groups
+# ---------------------------------------------------------------------------
+
+@dataclass
+class QueryInfo:
+    query_id: str
+    sql: str
+    token: str
+    started_at: float
+    status: str = "running"  # running | done | cancelled | error
+    error: str | None = None
+    finished_at: float | None = None
+    rows: int | None = None
+    _cancel: threading.Event = field(default_factory=threading.Event, repr=False)
+
+
+class QueryRegistry:
+    """Track in-flight queries; cancel via Spark job-group interruption.
+
+    Each executed query runs under a job group named by its query_id;
+    `cancel` calls `sparkContext.cancelJobGroup`, which interrupts all of
+    that query's running stages across the cluster.
+    """
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self._queries: dict[str, QueryInfo] = {}
+        self._lock = threading.Lock()
+
+    def list(self) -> list[QueryInfo]:
+        with self._lock:
+            return list(self._queries.values())
+
+    def get(self, query_id: str) -> QueryInfo | None:
+        return self._queries.get(query_id)
+
+    def cancel(self, query_id: str) -> bool:
+        info = self._queries.get(query_id)
+        if info is None or info.status != "running":
+            return False
+        info._cancel.set()
+        self.spark.sparkContext.cancelJobGroup(query_id)
+        info.status = "cancelled"
+        info.finished_at = time.time()
+        return True
+
+    def run(
+        self,
+        df: DataFrame,
+        sql: str = "",
+        token: str = "",
+        collect=lambda d: d.collect(),
+    ):
+        """Execute under a registered, cancellable job group."""
+        qid = uuid.uuid4().hex[:16]
+        info = QueryInfo(query_id=qid, sql=sql, token=token, started_at=time.time())
+        with self._lock:
+            self._queries[qid] = info
+        sc = self.spark.sparkContext
+        sc.setJobGroup(qid, sql[:200] or qid, interruptOnCancel=True)
+        try:
+            result = collect(df)
+            if info.status == "running":
+                info.status = "done"
+                info.rows = len(result) if hasattr(result, "__len__") else None
+            return result
+        except Exception as exc:
+            if info.status != "cancelled":
+                info.status = "error"
+                info.error = str(exc)[:500]
+            raise
+        finally:
+            info.finished_at = time.time()
+            sc.setJobGroup("", "")
+
+    def prune(self, keep_s: float = 3600.0) -> None:
+        cutoff = time.time() - keep_s
+        with self._lock:
+            self._queries = {
+                k: v
+                for k, v in self._queries.items()
+                if v.status == "running" or (v.finished_at or 0) > cutoff
+            }

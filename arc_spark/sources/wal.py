@@ -1,0 +1,122 @@
+"""Write-ahead log for ingest durability (reference A29,
+/root/reference/internal/wal/wal.go:19-100+, recovery.go, reader.go).
+
+The reference acks a write after the raw payload is framed + fsynced, then
+flushes Parquet asynchronously — decoupling ack latency from flush latency.
+This module reproduces that contract for the Spark ingest path:
+
+frame layout (little-endian):  [u32 length][i64 ts_us][u32 crc32][payload]
+
+- ``sync`` modes: "fsync" (every append), "batch" (every N appends or
+  close), "none" (OS buffering only) — mirroring the reference's
+  fsync/fdatasync/async modes.
+- rotation by size; replay scans segment files in order, verifies CRC,
+  stops at the first torn frame (crash tail), and yields payloads.
+
+At cluster scale this role is usually played by a durable queue (Kafka);
+the WAL keeps the single-node deployment dependency-free.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+import time
+import zlib
+from collections.abc import Iterator
+
+_HEADER = struct.Struct("<IqI")  # length, ts_us, crc32
+
+
+class Wal:
+    def __init__(
+        self,
+        directory: str,
+        max_segment_bytes: int = 64 * 1024 * 1024,
+        sync: str = "fsync",
+        batch_every: int = 64,
+    ):
+        if sync not in ("fsync", "batch", "none"):
+            raise ValueError(f"sync mode {sync!r}")
+        self.dir = directory
+        self.max_segment_bytes = max_segment_bytes
+        self.sync = sync
+        self.batch_every = batch_every
+        self._seq = 0
+        self._fh = None
+        self._since_sync = 0
+        os.makedirs(directory, exist_ok=True)
+        existing = self._segments()
+        if existing:
+            self._seq = int(os.path.basename(existing[-1]).split(".")[0]) + 1
+
+    def _segments(self) -> list[str]:
+        return sorted(
+            os.path.join(self.dir, f)
+            for f in os.listdir(self.dir)
+            if f.endswith(".wal")
+        )
+
+    def _open(self):
+        if self._fh is None:
+            path = os.path.join(self.dir, f"{self._seq:012d}.wal")
+            self._fh = open(path, "ab")
+        return self._fh
+
+    def append(self, payload: bytes, ts_us: int | None = None) -> None:
+        """Frame + write one entry; durability per the sync mode."""
+        ts = ts_us if ts_us is not None else int(time.time() * 1_000_000)
+        fh = self._open()
+        fh.write(_HEADER.pack(len(payload), ts, zlib.crc32(payload) & 0xFFFFFFFF))
+        fh.write(payload)
+        self._since_sync += 1
+        if self.sync == "fsync" or (
+            self.sync == "batch" and self._since_sync >= self.batch_every
+        ):
+            fh.flush()
+            os.fsync(fh.fileno())
+            self._since_sync = 0
+        if fh.tell() >= self.max_segment_bytes:
+            self._rotate()
+
+    def _rotate(self) -> None:
+        if self._fh is not None:
+            self._fh.flush()
+            os.fsync(self._fh.fileno())
+            self._fh.close()
+            self._fh = None
+        self._seq += 1
+
+    def close(self) -> None:
+        if self._fh is not None:
+            self._fh.flush()
+            os.fsync(self._fh.fileno())
+            self._fh.close()
+            self._fh = None
+
+    def truncate(self) -> None:
+        """Drop all segments (after a successful Parquet flush the log is
+        no longer needed — reference rotates/deletes flushed segments)."""
+        self.close()
+        for seg in self._segments():
+            os.remove(seg)
+
+    def replay(self) -> Iterator[tuple[int, bytes]]:
+        """Yield (ts_us, payload) for every intact frame across segments.
+        A torn/corrupt tail frame ends replay of that segment silently —
+        crash-consistent recovery semantics (reference recovery.go)."""
+        for seg in self._segments():
+            with open(seg, "rb") as fh:
+                data = fh.read()
+            pos = 0
+            while pos + _HEADER.size <= len(data):
+                length, ts, crc = _HEADER.unpack_from(data, pos)
+                start = pos + _HEADER.size
+                end = start + length
+                if end > len(data):
+                    break  # torn frame at crash point
+                payload = data[start:end]
+                if zlib.crc32(payload) & 0xFFFFFFFF != crc:
+                    break  # corrupt frame: stop this segment
+                yield ts, payload
+                pos = end

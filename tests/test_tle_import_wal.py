@@ -1,0 +1,263 @@
+"""Tests: TLE parse (A17), CSV/Parquet bulk import (A30), WAL (A29),
+governance/estimate/registry (A14/A37/A38)."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import pytest
+
+from arc_spark.governance import (
+    Governor,
+    QueryRegistry,
+    RateLimitExceeded,
+    TokenPolicy,
+    estimate_rows,
+)
+from arc_spark.sources.bulk_import import (
+    ImportError_,
+    import_csv,
+    import_parquet,
+    import_result,
+)
+from arc_spark.sources.tle import (
+    _mod_exp,
+    classify_orbit,
+    parse_entry,
+    parse_tle,
+    tle_files_to_df,
+    tle_to_df,
+)
+from arc_spark.sources.wal import Wal
+
+# ISS (ZARYA) — canonical public example element set
+ISS_NAME = "ISS (ZARYA)"
+ISS_L1 = "1 25544U 98067A   08264.51782528 -.00002182  00000-0 -11606-4 0  2927"
+ISS_L2 = "2 25544  51.6416 247.4627 0006703 130.5360 325.0288 15.72125391563537"
+
+
+# ---------------------------------------------------------------------------
+# TLE
+# ---------------------------------------------------------------------------
+
+class TestTLE:
+    def test_parse_entry_fields(self):
+        r = parse_entry(ISS_NAME, ISS_L1, ISS_L2)
+        assert r["norad_id"] == "25544"
+        assert r["classification"] == "U"
+        assert r["international_designator"] == "98067A"
+        assert r["inclination_deg"] == pytest.approx(51.6416)
+        assert r["raan_deg"] == pytest.approx(247.4627)
+        assert r["eccentricity"] == pytest.approx(0.0006703)
+        assert r["mean_motion_rev_day"] == pytest.approx(15.72125391)
+        assert r["revolution_number"] == 56353.0
+        # epoch: 2008, day 264.51782528
+        import datetime as dt
+        t = dt.datetime.fromtimestamp(r["time"] / 1e6, dt.timezone.utc)
+        assert t.year == 2008 and t.timetuple().tm_yday == 264
+
+    def test_derived_orbital_metrics(self):
+        r = parse_entry(ISS_NAME, ISS_L1, ISS_L2)
+        # ISS: ~92 min period, ~340-360 km altitude LEO
+        assert 90 < r["period_min"] < 94
+        assert 300 < r["perigee_km"] < 400
+        assert 300 < r["apogee_km"] < 400
+        assert r["orbit_type"] == "LEO"
+        # Kepler consistency: a = (mu/n^2)^(1/3)
+        n = r["mean_motion_rev_day"] * 2 * math.pi / 86400
+        assert r["semi_major_axis_km"] == pytest.approx(
+            (3.986004418e14 / n**2) ** (1 / 3) / 1000
+        )
+
+    def test_modified_exponential(self):
+        assert _mod_exp(" 00000-0") == 0.0
+        assert _mod_exp("-11606-4") == pytest.approx(-0.11606e-4)
+        assert _mod_exp(" 12345-3") == pytest.approx(0.12345e-3)
+        assert _mod_exp("+12345+1") == pytest.approx(1.2345)
+
+    def test_checksum_rejected(self):
+        bad = ISS_L1[:68] + "8"  # wrong checksum digit
+        recs, warns = parse_tle(f"{ISS_NAME}\n{bad}\n{ISS_L2}\n")
+        assert recs == [] and len(warns) == 1 and "checksum" in warns[0]
+
+    def test_two_line_format_and_mixed(self):
+        text = f"{ISS_L1}\n{ISS_L2}\n{ISS_NAME}\n{ISS_L1}\n{ISS_L2}\n"
+        recs, warns = parse_tle(text)
+        assert len(recs) == 2 and not warns
+        assert recs[0]["object_name"] == "NORAD 25544"
+        assert recs[1]["object_name"] == ISS_NAME
+
+    def test_classify_orbit_bands(self):
+        assert classify_orbit(-5, 100, 0.0) == "SUB"
+        assert classify_orbit(400, 420, 0.001) == "LEO"
+        assert classify_orbit(20000, 20200, 0.01) == "MEO"
+        assert classify_orbit(35780, 35790, 0.0001) == "GEO"
+        assert classify_orbit(500, 40000, 0.3) == "HEO"
+
+    def test_tle_to_df(self, spark):
+        df = tle_to_df(spark, f"{ISS_NAME}\n{ISS_L1}\n{ISS_L2}\n")
+        rows = df.collect()
+        assert len(rows) == 1
+        assert rows[0]["norad_id"] == "25544"
+        assert dict(df.dtypes)["time"] == "timestamp"
+
+    def test_tle_files_distributed(self, spark):
+        body = f"{ISS_NAME}\n{ISS_L1}\n{ISS_L2}\n"
+        files = spark.createDataFrame(
+            [(f"f{i}", body) for i in range(5)], "name string, content string"
+        ).repartition(3)
+        out = tle_files_to_df(spark, files)
+        assert out.count() == 5
+        assert out.select("orbit_type").distinct().collect()[0][0] == "LEO"
+
+
+# ---------------------------------------------------------------------------
+# Bulk import
+# ---------------------------------------------------------------------------
+
+class TestImport:
+    def _write_csv(self, tmp_path, name, text):
+        p = os.path.join(tmp_path, name)
+        with open(p, "w") as fh:
+            fh.write(text)
+        return p
+
+    def test_csv_epoch_auto_magnitudes(self, spark, tmp_path):
+        # same instant in s / ms / µs / ns
+        p = self._write_csv(
+            str(tmp_path),
+            "t.csv",
+            "time,v\n1700000000,1\n1700000000000,2\n"
+            "1700000000000000,3\n1700000000000000000,4\n",
+        )
+        df = import_csv(spark, p)
+        us = [r[0] for r in df.selectExpr("unix_micros(time)").collect()]
+        assert us == [1700000000_000000] * 4
+
+    def test_csv_string_timestamps(self, spark, tmp_path):
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        p = self._write_csv(
+            str(tmp_path),
+            "s.csv",
+            'time,v\n"2024-01-02 03:04:05",1\n"2024-01-02T03:04:05",2\n"2024-01-02",3\n',
+        )
+        df = import_csv(spark, p, time_format="")
+        us = [r[0] for r in df.selectExpr("unix_micros(time)").collect()]
+        assert us[0] == us[1] != us[2]
+
+    def test_csv_explicit_format_and_rename(self, spark, tmp_path):
+        p = self._write_csv(str(tmp_path), "r.csv", "created,v\n1700000000000,9\n")
+        df = import_csv(spark, p, time_column="created", time_format="epoch_ms")
+        assert "time" in df.columns and "created" not in df.columns
+        assert df.selectExpr("unix_micros(time)").collect()[0][0] == 1700000000_000000
+
+    def test_missing_and_conflicting_time_column(self, spark, tmp_path):
+        p = self._write_csv(str(tmp_path), "m.csv", "a,b\n1,2\n")
+        with pytest.raises(ImportError_, match="not found"):
+            import_csv(spark, p)
+        p2 = self._write_csv(str(tmp_path), "c.csv", "created,time\n1,2\n")
+        with pytest.raises(ImportError_, match="already exists"):
+            import_csv(spark, p2, time_column="created")
+
+    def test_parquet_import_and_result(self, spark, tmp_path):
+        src = spark.createDataFrame(
+            [(1700000000, 1.5), (1700000600, 2.5)], "time long, v double"
+        )
+        p = os.path.join(str(tmp_path), "in.parquet")
+        src.write.parquet(p)
+        df = import_parquet(spark, p)
+        res = import_result(df)
+        assert res["rows_imported"] == 2
+        assert res["time_range_min_us"] == 1700000000_000000
+        assert res["time_range_max_us"] == 1700000600_000000
+
+
+# ---------------------------------------------------------------------------
+# WAL
+# ---------------------------------------------------------------------------
+
+class TestWal:
+    def test_append_replay_roundtrip(self, tmp_path):
+        w = Wal(str(tmp_path / "wal"), sync="none")
+        payloads = [f"entry-{i}".encode() for i in range(10)]
+        for i, p in enumerate(payloads):
+            w.append(p, ts_us=1000 + i)
+        w.close()
+        got = list(Wal(str(tmp_path / "wal")).replay())
+        assert [p for _, p in got] == payloads
+        assert [t for t, _ in got] == list(range(1000, 1010))
+
+    def test_torn_tail_stops_replay(self, tmp_path):
+        d = str(tmp_path / "wal")
+        w = Wal(d, sync="none")
+        w.append(b"good-1")
+        w.append(b"good-2")
+        w.close()
+        seg = [f for f in sorted(os.listdir(d))][0]
+        with open(os.path.join(d, seg), "ab") as fh:
+            fh.write(b"\x20\x00\x00\x00TORN")  # header promising 32B, truncated
+        assert [p for _, p in Wal(d).replay()] == [b"good-1", b"good-2"]
+
+    def test_corrupt_crc_stops_replay(self, tmp_path):
+        d = str(tmp_path / "wal")
+        w = Wal(d, sync="none")
+        w.append(b"aaaa")
+        w.append(b"bbbb")
+        w.close()
+        seg = os.path.join(d, sorted(os.listdir(d))[0])
+        data = bytearray(open(seg, "rb").read())
+        data[-1] ^= 0xFF  # flip a byte in the last payload
+        open(seg, "wb").write(bytes(data))
+        assert [p for _, p in Wal(d).replay()] == [b"aaaa"]
+
+    def test_rotation_and_truncate(self, tmp_path):
+        d = str(tmp_path / "wal")
+        w = Wal(d, max_segment_bytes=64, sync="none")
+        for i in range(10):
+            w.append(b"x" * 32)
+        w.close()
+        assert len(os.listdir(d)) > 1
+        assert len(list(Wal(d).replay())) == 10
+        w2 = Wal(d)
+        w2.truncate()
+        assert os.listdir(d) == []
+
+
+# ---------------------------------------------------------------------------
+# Governance / estimate / registry
+# ---------------------------------------------------------------------------
+
+class TestGovernance:
+    def test_rate_limit_window(self):
+        g = Governor()
+        g.set_policy("tok", TokenPolicy(max_queries_per_minute=2))
+        g.admit("tok", now=0.0)
+        g.admit("tok", now=1.0)
+        with pytest.raises(RateLimitExceeded):
+            g.admit("tok", now=2.0)
+        g.admit("tok", now=61.0)  # window rolls
+
+    def test_row_cap_is_limit_plan(self, spark):
+        g = Governor()
+        g.set_policy("tok", TokenPolicy(max_rows=5))
+        df = g.cap("tok", spark.range(100))
+        assert df.count() == 5
+        assert "Limit" in df._jdf.queryExecution().optimizedPlan().toString()
+
+    def test_estimate_levels(self, spark):
+        n, level = estimate_rows(spark.range(50))
+        assert (n, level) == (50, "none")
+        n, level = estimate_rows(spark.range(20_000))
+        assert (n, level) == (20_000, "low")
+
+    def test_registry_run_and_list(self, spark):
+        reg = QueryRegistry(spark)
+        rows = reg.run(spark.range(10), sql="SELECT * FROM r")
+        assert len(rows) == 10
+        infos = reg.list()
+        assert len(infos) == 1 and infos[0].status == "done" and infos[0].rows == 10
+
+    def test_registry_cancel_marks_state(self, spark):
+        reg = QueryRegistry(spark)
+        assert reg.cancel("nonexistent") is False
