@@ -574,6 +574,59 @@ def q34_retention_cutoff(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q36_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-based sessionization (30 min) — batch form of the custom
+    stateful-streaming operator (arc_spark.streaming.sessionize; the
+    reference has no streaming engine, SURVEY §2.B streaming row).
+    One shuffle on user_id serves both window passes and the final agg."""
+    from arc_spark.streaming.sessionize import sessionize
+
+    t = load_tables(spark, sf, register_views=False)
+    return (
+        sessionize(t["events"], user_col="user_id", ts_col="ts", gap="30 minutes")
+        .withColumnRenamed("user", "user_id")
+        .withColumn("session_idx", F.col("session_idx").cast("long"))
+    )
+
+
+def q37_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact continuous percentiles per group (SURVEY §2.B approx/percentile
+    row — DuckDB quantile_cont ≡ Spark percentile, same interpolation)."""
+    t = load_tables(spark, sf, register_views=False)
+    return (
+        t["events"]
+        .groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+            F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+        )
+    )
+
+
+def q38_full_outer(spark: SparkSession, sf: str) -> DataFrame:
+    """FULL OUTER join surface (SURVEY §2.B joins row): customers with no
+    orders and orders with no (filtered) customer both survive."""
+    t = load_tables(spark, sf, register_views=False)
+    cust = t["customer"].filter(F.col("c_acctbal") > 9900).select(
+        "c_custkey", "c_name"
+    )
+    per_cust = (
+        t["orders"]
+        .groupBy(F.col("o_custkey"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 30)
+    )
+    return (
+        cust.join(per_cust, cust["c_custkey"] == per_cust["o_custkey"], "full_outer")
+        .select(
+            F.coalesce(F.col("c_custkey"), F.col("o_custkey")).alias("custkey"),
+            F.col("c_name"),
+            F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+        )
+    )
+
+
 def q35_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     """ANN scale path: hyperplane-LSH bucketed top-k (approximate → rows-only)."""
     t = load_tables(spark, sf, register_views=False)
@@ -922,6 +975,44 @@ ORACLES: dict[str, str] = {
         FROM events WHERE ts >= TIMESTAMP '2024-01-20'
         GROUP BY 1
     """,
+    "q36_sessionize": """
+        WITH t AS (
+            SELECT user_id, epoch_us(ts) AS us,
+                   CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                          OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
+        ),
+        s AS (
+            SELECT user_id, us,
+                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+                                    ROWS UNBOUNDED PRECEDING) AS sess
+            FROM t
+        )
+        SELECT user_id, CAST(sess AS BIGINT) AS session_idx,
+               MIN(us) AS session_start_us, MAX(us) AS session_end_us,
+               COUNT(*) AS n_events,
+               MAX(us) - MIN(us) AS duration_us
+        FROM s GROUP BY user_id, sess
+    """,
+    "q37_percentiles": """
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 4) AS p50,
+               round(quantile_cont(value, 0.9), 4) AS p90,
+               round(quantile_cont(value, 0.99), 4) AS p99
+        FROM events GROUP BY event_type
+    """,
+    "q38_full_outer": """
+        SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey,
+               c.c_name,
+               COALESCE(o.n_orders, 0) AS n_orders
+        FROM (SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 9900) c
+        FULL OUTER JOIN (
+            SELECT o_custkey, COUNT(*) AS n_orders
+            FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 30
+        ) o ON c.c_custkey = o.o_custkey
+    """,
 }
 
 
@@ -961,4 +1052,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q33_delete_rewrite": q33_delete_rewrite,
     "q34_retention_cutoff": q34_retention_cutoff,
     "q35_lsh_topk": q35_lsh_topk,
+    "q36_sessionize": q36_sessionize,
+    "q37_percentiles": q37_percentiles,
+    "q38_full_outer": q38_full_outer,
 }
