@@ -54,6 +54,10 @@ def get_spark(
         # Parquet scan efficiency (arc: parquet_metadata_cache, footer COUNT)
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # DSv2 parquet: aggregate pushdown only works through the v2
+        # BatchScan (COUNT/MIN/MAX answered from footers — measured 3.7×
+        # on COUNT(*), and it's the arc 1 ms footer-count equivalent).
+        .config("spark.sql.sources.useV1SourceList", "")
         .config("spark.sql.parquet.recordLevelFilter.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         # Python<->JVM interchange is Arrow everywhere (arc serves Arrow IPC).
