@@ -162,28 +162,18 @@ def ngram_jaccard_pairs(
 # MinHash + LSH
 # --------------------------------------------------------------------------
 
-def minhash_signatures(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    k: int = 3,
-    num_hashes: int = 128,
-) -> DataFrame:
-    """(doc, signature array<long>) — num_hashes independent min-hashes.
+def _signatures_from_shingled(sh: DataFrame, num_hashes: int) -> DataFrame:
+    """(doc, sig, sz) from a _shingled frame.
 
-    Hash family: xxhash64(seed_i, shingle) — a built-in 64-bit hash, so the
-    whole signature computation is a single codegen'd projection over the
-    shingle array (no explode, no shuffle). Signature i = min over shingles.
+    Double hashing (Kirsch–Mitzenmacher): hash each shingle exactly twice,
+    then derive hash family i as h1 + i·h2 — one aggregate pass computes
+    all num_hashes minima. Hashes are masked to 32 bits so h1 + i·h2 never
+    overflows a long under ANSI arithmetic. NULL shingles (short docs)
+    propagate to a NULL signature.
+    NOTE: one SQL expr, not stacked F.transform lambdas — PySpark's
+    Python-side lambda variables collide when many transforms share one
+    projection, silently collapsing all signature slots to one value.
     """
-    sh = _shingled(df, id_col, text_col, k)
-    # Double hashing (Kirsch–Mitzenmacher): hash each shingle exactly twice,
-    # then derive hash family i as h1 + i·h2 — one aggregate pass computes
-    # all num_hashes minima. Hashes are masked to 32 bits so h1 + i·h2 never
-    # overflows a long under ANSI arithmetic. NULL shingles (short docs)
-    # propagate to a NULL signature.
-    # NOTE: one SQL expr, not stacked F.transform lambdas — PySpark's
-    # Python-side lambda variables collide when many transforms share one
-    # projection, silently collapsing all signature slots to one value.
     sig = F.expr(
         f"""aggregate(
             transform(shingles, s -> struct(
@@ -194,6 +184,19 @@ def minhash_signatures(
                                  (m, i) -> least(m, p.h1 + i * p.h2)))"""
     )
     return sh.select("doc", sig.alias("sig"), F.size("shingles").alias("sz"))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 128,
+) -> DataFrame:
+    """(doc, signature array<long>) — num_hashes independent min-hashes,
+    computed in a single codegen'd projection over the shingle array
+    (no explode, no shuffle)."""
+    return _signatures_from_shingled(_shingled(df, id_col, text_col, k), num_hashes)
 
 
 def minhash_lsh_pairs(
@@ -215,7 +218,10 @@ def minhash_lsh_pairs(
     while scaling as O(n·bands) instead of O(n²).
     """
     r = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, k, num_hashes).cache()
+    # one shingle scan serves both the signatures and the exact-verify step
+    # (recomputing it would repeat the full tokenize+hash pipeline)
+    sh_shared = _shingled(df, id_col, text_col, k).persist()
+    sigs = _signatures_from_shingled(sh_shared, num_hashes)
     # NULL-signature docs (<k words) must generate no band rows — posexplode
     # of a NULL array emits nothing, so they can never pair.
     band_rows = sigs.select(
@@ -243,8 +249,9 @@ def minhash_lsh_pairs(
     )
     if not verify:
         return cands
-    # exact verification on candidates only: intersect shingle sets
-    sh = _shingled(df, id_col, text_col, k)
+    # exact verification on candidates only: intersect shingle sets,
+    # reusing the persisted shingle frame from the signature pass
+    sh = sh_shared
     verified = (
         cands.join(sh.withColumnsRenamed({"doc": "doc_a", "shingles": "sh_a"}), "doc_a")
         .join(sh.withColumnsRenamed({"doc": "doc_b", "shingles": "sh_b"}), "doc_b")

@@ -110,3 +110,135 @@ def lsh_bucketed_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def _dist2_expr(col: str, centroid: list[float]) -> F.Column:
+    """Squared euclidean distance to an inlined centroid (pure Catalyst)."""
+    arr = "array(" + ",".join(f"CAST({x!r} AS DOUBLE)" for x in centroid) + ")"
+    return F.expr(
+        f"""aggregate(zip_with(CAST(`{col}` AS ARRAY<DOUBLE>), {arr},
+                               (x, c) -> (x - c) * (x - c)),
+                      CAST(0.0 AS DOUBLE), (a, d) -> a + d)"""
+    )
+
+
+def _nearest_expr(col: str, centroids: list[list[float]]) -> F.Column:
+    d = [_dist2_expr(col, c) for c in centroids]
+    return (F.array_position(F.array(*d), F.array_min(F.array(*d))) - 1).cast("int")
+
+
+def _fit_centroids_lloyd(
+    sample: DataFrame, k: int, iters: int, seed: int
+) -> list[list[float]]:
+    """Lloyd's k-means over a (persisted) sample DataFrame[v: array<double>].
+
+    Init: k deterministic pseudo-random rows (order by a hash). Each
+    iteration: nearest-centroid assignment (codegen projection) → new
+    centroid = per-dimension mean (posexplode + hash agg → k·dim rows to
+    the driver). Empty clusters keep their previous centroid.
+    """
+    init = (
+        sample.orderBy(F.xxhash64(F.lit(seed), F.col("v").cast("array<string>")))
+        .limit(k)
+        .collect()
+    )
+    centroids = [list(r["v"]) for r in init]
+    if len(centroids) < k:
+        centroids = centroids + centroids[: k - len(centroids)]
+    for _ in range(iters):
+        assigned = sample.select(
+            _nearest_expr("v", centroids).alias("cluster"),
+            F.posexplode(F.col("v")).alias("dim", "x"),
+        )
+        rows = (
+            assigned.groupBy("cluster", "dim")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        new = [list(c) for c in centroids]
+        for r in rows:
+            new[r["cluster"]][r["dim"]] = r["m"]
+        if new == centroids:
+            break
+        centroids = new
+    return centroids
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    digits: int = 4,
+    seed: int = 11,
+    fit_sample: int = 100_000,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: k-means coarse quantizer + probed clusters.
+
+    The 100 TB path when both corpus and query set are large:
+
+    1. fit a k-means coarse quantizer on a bounded corpus SAMPLE (the
+       centroid fit never scans the full corpus — `fit_sample` rows);
+    2. assign every corpus vector to its nearest centroid (one broadcast
+       of n_clusters×dim floats, one codegen'd projection — no shuffle);
+    3. each query probes its `n_probe` nearest centroids; candidates are
+       corpus rows in those clusters (equi-join on cluster id — shuffle
+       is bounded by cluster sizes, and AQE skew-join splits hot
+       clusters);
+    4. exact cosine + window top-k within candidates.
+
+    Recall is controlled by n_probe/n_clusters. Centroids come from a few
+    Lloyd's iterations over the sample, expressed as DataFrame jobs (assign
+    = codegen'd nearest-centroid projection, update = per-dimension mean
+    via posexplode + hash agg); the scoring path never touches Python.
+    """
+    # --- 1. fit coarse quantizer on a sample -----------------------------
+    n = corpus.count()
+    frac = min(1.0, fit_sample / max(n, 1))
+    sample = (
+        corpus.sample(fraction=frac, seed=seed) if frac < 1.0 else corpus
+    ).select(F.col(vec_col).cast("array<double>").alias("v")).persist()
+    centroids = _fit_centroids_lloyd(sample, n_clusters, iters=8, seed=seed)
+    sample.unpersist()
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        _nearest_expr(vec_col, centroids).alias("cluster"),
+    )
+
+    # queries: rank all centroid distances, keep the n_probe nearest
+    qd = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.array(*[_dist2_expr(vec_col, cc) for cc in centroids]).alias("dists"),
+    )
+    probed = qd.select(
+        "query_id",
+        "qv",
+        F.explode(
+            F.slice(
+                F.expr(
+                    "transform(array_sort(transform(sequence(0, size(dists)-1),"
+                    " i -> struct(element_at(dists, i+1) AS d, i AS idx))), s -> s.idx)"
+                ),
+                1,
+                n_probe,
+            )
+        ).alias("cluster"),
+    )
+
+    scored = (
+        c.join(probed, "cluster")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity(F.col("qv"), F.col("cv"), digits).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -313,8 +313,9 @@ def q16_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
 
 def q17_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash+LSH near-dup candidates, exact-verified at j≥0.8.
-    With r=2,b=64 the miss probability at j=0.8 is (1-0.64)^64 ≈ 4e-29, so
-    the verified output equals the brute-force oracle."""
+    With r=2,b=64 the nominal miss probability at j=0.8 is (1-0.64)^64 ≈
+    4e-29; the double-hash family correlates adjacent slots, so the real
+    margin is thinner — b=64 keeps empirical recall at 100%."""
     t = load_tables(spark, sf, register_views=False)
     return minhash_lsh_pairs(
         t["documents"], threshold=0.8, num_hashes=128, bands=64
@@ -572,6 +573,20 @@ def q34_retention_cutoff(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy(F.date_trunc("DAY", F.col("ts")).alias("day"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def q39_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF ANN (k-means coarse quantizer + probed clusters) — approximate,
+    rows-only check like q35. The third ANN strategy next to brute-force
+    (q19) and hyperplane LSH (q35)."""
+    from arc_spark.operators.similarity import ivf_topk
+
+    t = load_tables(spark, sf, register_views=False)
+    emb = t["embeddings"]
+    out = ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=10, n_clusters=8, n_probe=3
+    )
+    return out.withColumn("rk", F.col("rank").cast("long")).drop("rank")
 
 
 def q36_sessionize(spark: SparkSession, sf: str) -> DataFrame:
@@ -1055,4 +1070,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q36_sessionize": q36_sessionize,
     "q37_percentiles": q37_percentiles,
     "q38_full_outer": q38_full_outer,
+    "q39_ivf_topk": q39_ivf_topk,
 }
