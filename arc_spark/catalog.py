@@ -143,10 +143,19 @@ class MeasurementCatalog:
         paths = self.paths(db, measurement)
         if not paths:
             return self.spark.createDataFrame([], "time timestamp")
-        reader = self.spark.read.option("basePath", paths[0]) if len(paths) == 1 else self.spark.read
-        if merge_schema:
-            reader = reader.option("mergeSchema", "true")
-        return reader.parquet(*paths)
+        # each tier root is its own partitioned table (hive partition
+        # discovery needs a basePath per root — two roots can't share one),
+        # unioned by name so tiers may differ in schema vintage
+        tiers = []
+        for p in paths:
+            reader = self.spark.read.option("basePath", p)
+            if merge_schema:
+                reader = reader.option("mergeSchema", "true")
+            tiers.append(reader.parquet(p))
+        df = tiers[0]
+        for t in tiers[1:]:
+            df = df.unionByName(t, allowMissingColumns=True)
+        return df
 
     def register(self, db: str, measurement: str, view: str | None = None) -> str:
         name = view or f"{db}_{measurement}"

@@ -95,8 +95,12 @@ def write_measurement(
         pdf = pdf.repartition(target_file_partitions, *[F.col(c) for c in part_cols])
     else:
         pdf = pdf.repartition(*[F.col(c) for c in part_cols])
+    # partition columns FIRST in the sort: FileFormatWriter requires rows
+    # ordered by partition columns and inserts its own (sort-key-destroying)
+    # sort if they aren't a prefix of the actual ordering — with the prefix
+    # in place our (tags..., time) order survives into the files
     (
-        pdf.sortWithinPartitions(*sort_keys)
+        pdf.sortWithinPartitions(*part_cols, *sort_keys)
         .write.mode(mode)
         .option("compression", "zstd")
         .partitionBy(*part_cols)

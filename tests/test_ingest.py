@@ -159,3 +159,46 @@ def test_partition_pruning_from_time_predicate(spark, tmp_path):
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
     assert pruned.count() == 2
+
+
+def test_permuted_time_order_sorted_within_partition(spark, tmp_path):
+    """Adversarial case from the reference's ingest suite (permuted time,
+    arrow_writer_test.go family): out-of-order input must land in the right
+    hour partitions AND be time-sorted within each file."""
+    root = str(tmp_path)
+    base = dt.datetime(2024, 3, 1, 10, 0)
+    offs = [50, 3, 47, 11, 29, 5, 59, 0, 17, 41]  # shuffled minutes
+    rows = [
+        {"m": "cpu", "t": int((base + dt.timedelta(minutes=o)).timestamp() * 1e6),
+         "tags": {"host": "a"}, "fields": {"value": float(o)}}
+        for o in offs
+    ]
+    df = columnar_to_dataframe(spark, rows_to_columnar(rows))
+    out = write_measurement(df, root, "metrics", "cpu", tag_columns=["host"])
+    files = glob.glob(os.path.join(out, "year=*/month=*/day=*/hour=*/*.parquet"))
+    assert files
+    import pyarrow.parquet as pq
+
+    for f in files:
+        tcol = pq.read_table(f, columns=["time"]).column("time").to_pylist()
+        assert tcol == sorted(tcol), f"unsorted times in {f}"
+
+
+def test_backfill_multi_day_spread(spark, tmp_path):
+    """Multi-hour/multi-day backfill batch splits into one partition per
+    distinct hour (reference flushPartitionedData groupByHour)."""
+    root = str(tmp_path)
+    stamps = [
+        dt.datetime(2024, 2, 27, 5), dt.datetime(2024, 2, 28, 23),
+        dt.datetime(2024, 3, 1, 0), dt.datetime(2024, 3, 1, 1),
+    ]
+    rows = [
+        {"m": "cpu", "t": int(s.timestamp() * 1e6),
+         "tags": {"host": "a"}, "fields": {"value": 1.0}}
+        for s in stamps
+    ]
+    df = columnar_to_dataframe(spark, rows_to_columnar(rows))
+    out = write_measurement(df, root, "metrics", "cpu", tag_columns=["host"])
+    hours = sorted(glob.glob(os.path.join(out, "year=*/month=*/day=*/hour=*")))
+    assert len(hours) == 4
+    assert spark.read.parquet(out).count() == 4

@@ -1,0 +1,81 @@
+"""Hot→cold tiering migration (A35) and MQTT ingest bridge (A34)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+from arc_spark.catalog import MeasurementCatalog
+from arc_spark.operators.tiering import migrate_to_cold, tier_report
+from arc_spark.sources.ingest import columnar_to_dataframe, rows_to_columnar
+from arc_spark.sources.mqtt import MqttIngestBridge, MqttSubscription
+from arc_spark.sources.writer import write_measurement
+
+
+def _write_days(spark, root, days):
+    rows = []
+    for day in days:
+        rows.append({
+            "m": "cpu",
+            "t": int(dt.datetime(2024, 3, day, 6).timestamp() * 1e6),
+            "tags": {"host": "a"},
+            "fields": {"value": float(day)},
+        })
+    df = columnar_to_dataframe(spark, rows_to_columnar(rows))
+    write_measurement(df, root, "metrics", "cpu", tag_columns=["host"])
+
+
+class TestTiering:
+    def test_migrate_and_union_read(self, spark, tmp_path):
+        hot, cold = str(tmp_path / "hot"), str(tmp_path / "cold")
+        _write_days(spark, hot, [1, 2, 20])
+        moved = migrate_to_cold(
+            hot, cold, "metrics", "cpu",
+            older_than_days=10, now=dt.datetime(2024, 3, 21),
+        )
+        assert len(moved) == 2  # days 1, 2
+        rep = tier_report(hot, cold, "metrics", "cpu")
+        assert len(rep["cold_only"]) == 2 and len(rep["hot_only"]) == 1
+        assert rep["both"] == []
+        # catalog union read sees all three days
+        cat = MeasurementCatalog(spark, hot, cold_root=cold)
+        assert cat.table("metrics", "cpu").count() == 3
+
+    def test_rerun_is_idempotent(self, spark, tmp_path):
+        hot, cold = str(tmp_path / "h2"), str(tmp_path / "c2")
+        _write_days(spark, hot, [1, 20])
+        kw = dict(older_than_days=10, now=dt.datetime(2024, 3, 21))
+        assert len(migrate_to_cold(hot, cold, "metrics", "cpu", **kw)) == 1
+        assert migrate_to_cold(hot, cold, "metrics", "cpu", **kw) == []
+
+
+class TestMqttBridge:
+    def test_line_protocol_routing(self, spark, tmp_path):
+        root = str(tmp_path)
+        bridge = MqttIngestBridge(spark, root)
+        bridge.subscribe(
+            MqttSubscription("sensors/+/cpu", "iot", "cpu", "line_protocol")
+        )
+        lp = b"cpu,host=edge1 usage=0.42 1700000000000000000\n"
+        n = bridge.handle_message("sensors/rack1/cpu", lp)
+        assert n == 1
+        cat = MeasurementCatalog(spark, root)
+        rows = cat.table("iot", "cpu").collect()
+        assert rows[0]["host"] == "edge1" and rows[0]["usage"] == 0.42
+
+    def test_json_and_topic_filtering(self, spark, tmp_path):
+        root = str(tmp_path)
+        bridge = MqttIngestBridge(spark, root)
+        bridge.subscribe(MqttSubscription("telemetry/#", "iot", "temps", "json"))
+        n = bridge.handle_message(
+            "telemetry/site1", b'{"time": 1700000000000000, "site": "s1", "temp": 21.5}'
+        )
+        assert n == 1
+        assert bridge.handle_message("other/topic", b"{}") == 0
+        assert bridge.stats["messages"] == 2 and bridge.stats["records"] == 1
+
+    def test_bad_payload_counts_error(self, spark, tmp_path):
+        bridge = MqttIngestBridge(spark, str(tmp_path))
+        bridge.subscribe(MqttSubscription("t/#", "iot", "x", "json"))
+        assert bridge.handle_message("t/1", b"not json") == 0
+        assert bridge.stats["errors"] == 1
