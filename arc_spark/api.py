@@ -1,0 +1,199 @@
+"""Service facades: the reference's two HTTP surfaces as engine objects.
+
+- :class:`QueryService` — POST /api/v1/query lifecycle
+  (/root/reference/internal/api/query.go:1396-1935, SURVEY §3.1) minus the
+  wire: governance admit → read-only validation → RBAC table check →
+  catalog-resolved execution under a cancellable job group → row cap →
+  JSON / Arrow IPC / columnar MessagePack serialization. An HTTP layer
+  (any framework) calls ``execute`` per request.
+- :class:`IngestService` — POST /api/v1/write lifecycle (SURVEY §3.3):
+  decode → WAL append (the ACK point — durability is decoupled from
+  flush latency, the reference's central ingest design) → in-memory
+  Arrow buffer → size/age-triggered flush through the hour-partitioned
+  writer. ``recover()`` replays the WAL after a crash.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import SparkSession
+
+from arc_spark.catalog import MeasurementCatalog
+from arc_spark.governance import Governor, QueryRegistry
+from arc_spark.plans.validator import SqlValidationError, extract_tables, validate_read_only
+
+
+class PermissionError_(Exception):
+    pass
+
+
+class QueryService:
+    def __init__(
+        self,
+        spark: SparkSession,
+        catalog: MeasurementCatalog,
+        governor: Governor | None = None,
+        allowed_tables: dict[str, set[str]] | None = None,
+    ):
+        self.spark = spark
+        self.catalog = catalog
+        self.governor = governor or Governor()
+        self.registry = QueryRegistry(spark)
+        # token → set of "db.measurement" (None entry = all); RBAC check is
+        # plan-walk table extraction, not regex (reference A11)
+        self.allowed_tables = allowed_tables or {}
+
+    def _check_rbac(self, token: str, sql: str) -> None:
+        if token not in self.allowed_tables:
+            return  # no policy → allow (reference: admin tokens)
+        allowed = self.allowed_tables[token]
+        for ref in extract_tables(self.spark, sql):
+            name = ".".join(ref)
+            if name not in allowed and ref[-1] not in allowed:
+                raise PermissionError_(f"token lacks access to {name}")
+
+    def register_measurement(self, db: str, measurement: str, view: str | None = None) -> str:
+        return self.catalog.register(db, measurement, view)
+
+    def execute(self, sql: str, token: str = "", fmt: str = "rows"):
+        """Run one query request end-to-end.
+
+        fmt: 'rows' (list of Row), 'json' (typed-JSON chunks iterator),
+        'arrow' (IPC bytes), 'msgpack' (columnar bytes).
+        """
+        self.governor.admit(token)
+        # SHOW intercept — storage listing, no SQL engine (reference A12)
+        stripped = sql.strip().rstrip(";").upper()
+        if stripped == "SHOW DATABASES":
+            return [{"database": d} for d in self.catalog.databases()]
+        if stripped.startswith("SHOW MEASUREMENTS"):
+            db = sql.strip().rstrip(";").split()[-1] if len(sql.split()) > 2 else ""
+            return [{"measurement": m} for m in self.catalog.measurements(db)]
+        validate_read_only(self.spark, sql)
+        self._check_rbac(token, sql)
+        df = self.governor.cap(token, self.spark.sql(sql))
+        if fmt == "rows":
+            return self.registry.run(df, sql=sql, token=token)
+        if fmt == "json":
+            from arc_spark.serving import stream_typed_json
+
+            return self.registry.run(
+                df, sql=sql, token=token, collect=lambda d: list(stream_typed_json(d))
+            )
+        if fmt == "arrow":
+            from arc_spark.serving import to_arrow_ipc
+
+            return self.registry.run(df, sql=sql, token=token, collect=to_arrow_ipc)
+        if fmt == "msgpack":
+            from arc_spark.serving import to_columnar_msgpack
+
+            return self.registry.run(df, sql=sql, token=token, collect=to_columnar_msgpack)
+        raise ValueError(f"unknown fmt {fmt!r}")
+
+
+class IngestService:
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        wal_dir: str | None = None,
+        max_buffer_rows: int = 50_000,
+        max_buffer_age_s: float = 5.0,
+    ):
+        from arc_spark.sources.wal import Wal
+
+        self.spark = spark
+        self.root = root
+        self.wal = Wal(wal_dir) if wal_dir else None
+        self.max_buffer_rows = max_buffer_rows
+        self.max_buffer_age_s = max_buffer_age_s
+        self._buffers: dict[tuple[str, str], list[dict]] = {}
+        self._buffer_rows = 0
+        self._oldest: float | None = None
+        self.stats = {"acked": 0, "flushed": 0, "flushes": 0}
+
+    # -- write path --------------------------------------------------------
+    def write_msgpack(self, db: str, payload: bytes, _wal: bool = True) -> int:
+        """Decode + ack one columnar-msgpack payload. The ACK happens after
+        the WAL fsync, BEFORE any Parquet work (reference arrow_writer.go
+        WriteColumnarRecord → WAL AppendRawWithMeta)."""
+        if _wal and self.wal is not None:
+            self.wal.append(payload)
+        from arc_spark.sources.ingest import decode_msgpack_payload
+
+        batch = decode_msgpack_payload(payload)
+        return self._buffer(db, batch)
+
+    def write_line_protocol(
+        self, db: str, payload: bytes, precision: str = "ns", _wal: bool = True
+    ) -> int:
+        if _wal and self.wal is not None:
+            self.wal.append(payload)
+        from arc_spark.sources.ingest import rows_to_columnar
+        from arc_spark.sources.line_protocol import parse_batch
+
+        rows = parse_batch(payload.decode("utf-8"), precision=precision)
+        if not rows:
+            return 0
+        return self._buffer(db, rows_to_columnar(rows))
+
+    def _buffer(self, db: str, batch: dict) -> int:
+        meas = batch.get("measurement") or "default"
+        if not batch["columns"]:
+            return 0
+        n = len(batch["columns"][next(iter(batch["columns"]))])
+        self._buffers.setdefault((db, meas), []).append(batch)
+        self._buffer_rows += n
+        self.stats["acked"] += n
+        if self._oldest is None:
+            self._oldest = time.monotonic()
+        if (
+            self._buffer_rows >= self.max_buffer_rows
+            or time.monotonic() - self._oldest >= self.max_buffer_age_s
+        ):
+            self.flush()
+        return n
+
+    # -- flush path --------------------------------------------------------
+    def flush(self) -> int:
+        """Merge buffered batches per measurement (schema-evolution-aware)
+        and write through the hour-partitioned sorted writer; then the WAL
+        segments are obsolete and truncated."""
+        from arc_spark.sources.ingest import columnar_to_arrow, merge_batches
+        from arc_spark.sources.writer import write_measurement
+
+        total = 0
+        for (db, meas), batches in list(self._buffers.items()):
+            tables = [columnar_to_arrow(b) for b in batches]
+            merged = merge_batches(tables)
+            tag_cols = sorted(
+                {c for b in batches for c in (b.get("tag_columns") or [])}
+            )
+            df = self.spark.createDataFrame(merged)
+            write_measurement(df, self.root, db, meas, tag_columns=tag_cols)
+            total += merged.num_rows
+        self._buffers.clear()
+        self._buffer_rows = 0
+        self._oldest = None
+        if self.wal is not None:
+            self.wal.truncate()
+        self.stats["flushed"] += total
+        self.stats["flushes"] += 1
+        return total
+
+    # -- crash recovery ----------------------------------------------------
+    def recover(self, db: str = "default") -> int:
+        """Replay WAL payloads written but not yet flushed (startup path,
+        reference wal/recovery.go). Payload kind is sniffed: msgpack maps
+        start with 0x80-0x8f/0xde/0xdf; anything else is line protocol."""
+        if self.wal is None:
+            return 0
+        n = 0
+        for _ts, payload in self.wal.replay():
+            first = payload[:1]
+            if first and (0x80 <= first[0] <= 0x8F or first[0] in (0xDE, 0xDF)):
+                n += self.write_msgpack(db, payload, _wal=False)
+            else:
+                n += self.write_line_protocol(db, payload, _wal=False)
+        return n

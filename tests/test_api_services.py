@@ -1,0 +1,131 @@
+"""QueryService + IngestService end-to-end (the reference's two HTTP
+surfaces as engine objects, SURVEY §3.1 / §3.3)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from arc_spark.api import IngestService, PermissionError_, QueryService
+from arc_spark.catalog import MeasurementCatalog
+from arc_spark.governance import Governor, RateLimitExceeded, TokenPolicy
+from arc_spark.plans.validator import SqlValidationError
+from arc_spark.sources.msgpack_codec import packb
+
+
+def _ingest_some(spark, root):
+    svc = IngestService(spark, root, max_buffer_rows=10_000, max_buffer_age_s=3600)
+    lp = (
+        "cpu,host=a usage=0.5 1700000000000000000\n"
+        "cpu,host=b usage=0.7 1700000060000000000\n"
+    )
+    svc.write_line_protocol("metrics", lp.encode())
+    svc.flush()
+    return svc
+
+
+class TestQueryService:
+    def _service(self, spark, root, **kw):
+        _ingest_some(spark, root)
+        cat = MeasurementCatalog(spark, root)
+        svc = QueryService(spark, cat, **kw)
+        svc.register_measurement("metrics", "cpu", view="cpu")
+        return svc
+
+    def test_select_rows(self, spark, tmp_path):
+        svc = self._service(spark, str(tmp_path))
+        rows = svc.execute("SELECT host, usage FROM cpu ORDER BY host")
+        assert [(r["host"], r["usage"]) for r in rows] == [("a", 0.5), ("b", 0.7)]
+
+    def test_show_intercepts(self, spark, tmp_path):
+        svc = self._service(spark, str(tmp_path))
+        assert svc.execute("SHOW DATABASES") == [{"database": "metrics"}]
+        assert svc.execute("SHOW MEASUREMENTS metrics") == [{"measurement": "cpu"}]
+
+    def test_write_statement_rejected(self, spark, tmp_path):
+        svc = self._service(spark, str(tmp_path))
+        with pytest.raises(SqlValidationError):
+            svc.execute("DROP TABLE cpu")
+        with pytest.raises(SqlValidationError):
+            svc.execute("INSERT INTO cpu VALUES (1)")
+
+    def test_rbac_blocks_unlisted_table(self, spark, tmp_path):
+        svc = self._service(
+            spark, str(tmp_path), allowed_tables={"tok1": {"other_table"}}
+        )
+        with pytest.raises(PermissionError_):
+            svc.execute("SELECT * FROM cpu", token="tok1")
+        # unlisted token: allowed
+        assert len(svc.execute("SELECT * FROM cpu", token="tok2")) == 2
+
+    def test_row_cap_and_rate_limit(self, spark, tmp_path):
+        gov = Governor()
+        gov.set_policy("t", TokenPolicy(max_queries_per_minute=2, max_rows=1))
+        svc = self._service(spark, str(tmp_path), governor=gov)
+        assert len(svc.execute("SELECT * FROM cpu", token="t")) == 1  # capped
+        svc.execute("SELECT * FROM cpu", token="t")
+        with pytest.raises(RateLimitExceeded):
+            svc.execute("SELECT * FROM cpu", token="t")
+
+    def test_serialization_formats(self, spark, tmp_path):
+        import pyarrow as pa
+
+        svc = self._service(spark, str(tmp_path))
+        ipc = svc.execute("SELECT host, usage FROM cpu", fmt="arrow")
+        table = pa.ipc.open_stream(ipc).read_all()
+        assert table.num_rows == 2
+        chunks = svc.execute("SELECT host FROM cpu", fmt="json")
+        assert any('"data"' in c for c in chunks)
+        mp = svc.execute("SELECT host FROM cpu", fmt="msgpack")
+        assert isinstance(mp, bytes) and len(mp) > 0
+
+
+class TestIngestService:
+    def test_msgpack_buffer_and_flush(self, spark, tmp_path):
+        root = str(tmp_path)
+        svc = IngestService(spark, root, max_buffer_rows=10_000, max_buffer_age_s=3600)
+        payload = packb({
+            "m": "temps",
+            "columns": {"time": [1700000000000000, 1700000060000000],
+                        "site": ["s1", "s2"], "temp": [21.5, 22.5]},
+            "tags": ["site"],
+        })
+        assert svc.write_msgpack("iot", payload) == 2
+        assert svc.stats["acked"] == 2 and svc.stats["flushed"] == 0
+        assert svc.flush() == 2
+        cat = MeasurementCatalog(spark, root)
+        assert cat.table("iot", "temps").count() == 2
+
+    def test_row_threshold_triggers_flush(self, spark, tmp_path):
+        svc = IngestService(spark, str(tmp_path), max_buffer_rows=3, max_buffer_age_s=3600)
+        lp = "\n".join(
+            f"cpu,host=h v={i} 17000000{i:02d}000000000" for i in range(4)
+        )
+        svc.write_line_protocol("m", lp.encode())
+        assert svc.stats["flushes"] == 1  # threshold crossed → auto flush
+
+    def test_wal_ack_then_crash_recovery(self, spark, tmp_path):
+        root, wal = str(tmp_path / "data"), str(tmp_path / "wal")
+        svc = IngestService(spark, root, wal_dir=wal, max_buffer_rows=10_000,
+                            max_buffer_age_s=3600)
+        svc.write_line_protocol(
+            "metrics", b"cpu,host=a v=1 1700000000000000000\n"
+        )
+        # crash before flush: buffered rows lost, WAL survives
+        svc2 = IngestService(spark, root, wal_dir=wal, max_buffer_rows=10_000,
+                             max_buffer_age_s=3600)
+        assert svc2.recover("metrics") == 1
+        svc2.flush()
+        cat = MeasurementCatalog(spark, root)
+        assert cat.table("metrics", "cpu").count() == 1
+
+    def test_schema_evolution_across_batches(self, spark, tmp_path):
+        root = str(tmp_path)
+        svc = IngestService(spark, root, max_buffer_rows=10_000, max_buffer_age_s=3600)
+        svc.write_line_protocol("m", b"s temp=20.0 1700000000000000000\n")
+        svc.write_line_protocol("m", b"s temp=21.0,humidity=0.4 1700000060000000000\n")
+        svc.flush()
+        df = MeasurementCatalog(spark, root).table("m", "s")
+        rows = {r["temp"]: r["humidity"] for r in df.collect()}
+        assert rows == {20.0: None, 21.0: 0.4}
