@@ -56,6 +56,36 @@ class QueryService:
     def register_measurement(self, db: str, measurement: str, view: str | None = None) -> str:
         return self.catalog.register(db, measurement, view)
 
+    _IDENT_RE = __import__("re").compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+    def query_measurement(
+        self,
+        db: str,
+        measurement: str,
+        where: str | None = None,
+        order_by: str | None = None,
+        limit: int = 1000,
+        token: str = "",
+    ):
+        """GET /api/v1/query/:measurement shape (reference A13,
+        query.go:3923-4130): a validated filter+order+limit over one
+        measurement. `where` is validated through the read-only plan check
+        (it is spliced into a SELECT, then parsed — injection of a second
+        statement or DML fails validation); `order_by` columns must be bare
+        identifiers, optionally suffixed ' DESC'."""
+        view = self.catalog.register(db, measurement)
+        sql = f"SELECT * FROM {view}"
+        if where:
+            sql += f" WHERE {where}"
+        if order_by:
+            for part in order_by.split(","):
+                col = part.strip().removesuffix(" DESC").removesuffix(" ASC").strip()
+                if not self._IDENT_RE.match(col):
+                    raise SqlValidationError(f"invalid order_by column {col!r}")
+            sql += f" ORDER BY {order_by}"
+        sql += f" LIMIT {int(limit)}"
+        return self.execute(sql, token=token)
+
     def execute(self, sql: str, token: str = "", fmt: str = "rows"):
         """Run one query request end-to-end.
 

@@ -129,3 +129,23 @@ class TestIngestService:
         df = MeasurementCatalog(spark, root).table("m", "s")
         rows = {r["temp"]: r["humidity"] for r in df.collect()}
         assert rows == {20.0: None, 21.0: 0.4}
+
+
+class TestMeasurementEndpoint:
+    def test_where_order_limit(self, spark, tmp_path):
+        root = str(tmp_path)
+        _ingest_some(spark, root)
+        svc = QueryService(spark, MeasurementCatalog(spark, root))
+        rows = svc.query_measurement(
+            "metrics", "cpu", where="usage > 0.4", order_by="usage DESC", limit=1
+        )
+        assert len(rows) == 1 and rows[0]["host"] == "b"
+
+    def test_injection_rejected(self, spark, tmp_path):
+        root = str(tmp_path)
+        _ingest_some(spark, root)
+        svc = QueryService(spark, MeasurementCatalog(spark, root))
+        with pytest.raises(SqlValidationError):
+            svc.query_measurement("metrics", "cpu", where="1=1; DROP TABLE cpu")
+        with pytest.raises(SqlValidationError):
+            svc.query_measurement("metrics", "cpu", order_by="usage; DROP")
