@@ -72,3 +72,39 @@ def normalize_epoch_to_timestamp(col: Column | str) -> Column:
         .when(v >= F.lit(10**11), v * F.lit(1000))  # ms → µs
         .otherwise(v * F.lit(1_000_000))  # s → µs
     )
+
+
+def register_sql_functions(spark) -> None:
+    """Expose the time functions to the SQL surface (QueryService users).
+
+    Spark 4 SQL scalar functions (CREATE TEMPORARY FUNCTION ... RETURN) —
+    the body is inlined into the calling plan by Catalyst, so these cost
+    the same as the DataFrame expressions (no Python UDF involved).
+    Reference: time_bucket rewrite A5 (query.go:369-443) exposed as a real
+    function instead of a string rewrite.
+    """
+    spark.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION time_bucket_us(
+               width_us BIGINT, t TIMESTAMP) RETURNS TIMESTAMP
+           RETURN timestamp_micros((unix_micros(t) div width_us) * width_us)"""
+    )
+    spark.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION interval_us(width STRING)
+           RETURNS BIGINT
+           RETURN CAST(split_part(trim(width), ' ', 1) AS BIGINT) *
+               CASE
+                   WHEN split_part(trim(width), ' ', 2) IN ('us', 'microsecond', 'microseconds') THEN 1
+                   WHEN split_part(trim(width), ' ', 2) IN ('ms', 'millisecond', 'milliseconds') THEN 1000
+                   WHEN split_part(trim(width), ' ', 2) IN ('s', 'sec', 'second', 'seconds') THEN 1000000
+                   WHEN split_part(trim(width), ' ', 2) IN ('m', 'min', 'minute', 'minutes') THEN 60000000
+                   WHEN split_part(trim(width), ' ', 2) IN ('h', 'hour', 'hours') THEN 3600000000
+                   WHEN split_part(trim(width), ' ', 2) IN ('d', 'day', 'days') THEN 86400000000
+                   WHEN split_part(trim(width), ' ', 2) IN ('w', 'week', 'weeks') THEN 604800000000
+               END"""
+    )
+    spark.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION time_bucket(
+               width STRING, t TIMESTAMP) RETURNS TIMESTAMP
+           RETURN timestamp_micros(
+               (unix_micros(t) div interval_us(width)) * interval_us(width))"""
+    )

@@ -67,6 +67,39 @@ def main() -> None:
         total += dt
         print(f"# {name}: {dt:.3f}s rows={n}", file=sys.stderr)
 
+    # ingest microbench: decode+buffer+flush of a 100k-row columnar-msgpack
+    # payload through IngestService (the reference's headline metric is
+    # ingest throughput — BASELINE.md 20.9M rec/s on 12 native workers)
+    import tempfile
+
+    from arc_spark.api import IngestService
+    from arc_spark.sources.msgpack_codec import packb
+
+    n_rows = 100_000
+    payload = packb({
+        "m": "cpu",
+        "columns": {
+            "time": [1700000000000000 + i * 1000 for i in range(n_rows)],
+            "host": [f"h{i % 64}" for i in range(n_rows)],
+            "value": [float(i % 997) for i in range(n_rows)],
+        },
+        "tags": ["host"],
+    })
+    with tempfile.TemporaryDirectory() as td:
+        svc = IngestService(spark, td, max_buffer_rows=10**9, max_buffer_age_s=10**9)
+        t0 = time.perf_counter()
+        svc.write_msgpack("bench", payload)
+        ack_dt = time.perf_counter() - t0
+        svc.flush()
+        dt = time.perf_counter() - t0
+    times["ingest_msgpack_100k"] = round(dt, 4)
+    total += dt
+    print(
+        f"# ingest_msgpack_100k: ack {ack_dt:.3f}s, flushed {dt:.3f}s "
+        f"({n_rows / dt:,.0f} rec/s e2e, {n_rows / ack_dt:,.0f} rec/s to ack)",
+        file=sys.stderr,
+    )
+
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(json.dumps({
         "metric": "workload_total_wall",

@@ -213,3 +213,26 @@ def test_multimodal_stub_raises_without_codec(spark):
     df = blob_table(spark, [(1, "image/png", b"x", 1, 1, None, "png")])
     with pytest.raises(Exception):  # NotImplementedError surfaces as Py4J error
         extract_features(df, deterministic_stub=False).collect()
+
+
+def test_sql_time_bucket_matches_dataframe_expr(spark):
+    """SQL-surface time_bucket (Spark 4 SQL UDF, inlined by Catalyst) must
+    agree with the DataFrame expression (functions/time.py::time_bucket)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from arc_spark.functions.time import register_sql_functions, time_bucket
+
+    register_sql_functions(spark)
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1, 10, 17, 23),), (dt.datetime(2024, 1, 1, 10, 44, 59),)],
+        "t timestamp",
+    )
+    df.createOrReplaceTempView("tb_in")
+    via_sql = [r["b"] for r in spark.sql(
+        "SELECT time_bucket('15 minutes', t) AS b FROM tb_in ORDER BY t").collect()]
+    via_df = [r["b"] for r in df.select(
+        time_bucket("15 minutes", "t").alias("b")).orderBy("b").collect()]
+    assert via_sql == via_df
+    assert via_sql[0] == dt.datetime(2024, 1, 1, 10, 15)
