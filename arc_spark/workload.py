@@ -575,6 +575,26 @@ def q34_retention_cutoff(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q40_comma_cross_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Comma cross-join in the FROM list (§2.B; reference replacement-scan
+    scanner handles it, query.go:2198-2291) + correlated filter."""
+    load_tables(spark, sf, register_views=True)
+    return spark.sql(
+        """SELECT r.r_name, n.n_name
+           FROM region r, nation n
+           WHERE n.n_regionkey = r.r_regionkey AND r.r_name LIKE 'A%'"""
+    )
+
+
+def q41_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash near-dup candidate pairs (hamming ≤ 12 via pigeonhole block
+    join) — rows-only (hash family is engine-specific)."""
+    from arc_spark.operators.dedup import simhash_near_dup_pairs
+
+    t = load_tables(spark, sf, register_views=False)
+    return simhash_near_dup_pairs(t["documents"], max_hamming=12, tables=4)
+
+
 def q39_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     """IVF ANN (k-means coarse quantizer + probed clusters) — approximate,
     rows-only check like q35. The third ANN strategy next to brute-force
@@ -1028,6 +1048,11 @@ ORACLES: dict[str, str] = {
             FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 30
         ) o ON c.c_custkey = o.o_custkey
     """,
+    "q40_comma_cross_join": """
+        SELECT r.r_name, n.n_name
+        FROM region r, nation n
+        WHERE n.n_regionkey = r.r_regionkey AND r.r_name LIKE 'A%'
+    """,
 }
 
 
@@ -1071,4 +1096,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q37_percentiles": q37_percentiles,
     "q38_full_outer": q38_full_outer,
     "q39_ivf_topk": q39_ivf_topk,
+    "q40_comma_cross_join": q40_comma_cross_join,
+    "q41_simhash_pairs": q41_simhash_pairs,
 }
