@@ -72,20 +72,34 @@ def read_parquet_normalized(spark: SparkSession, path: str) -> DataFrame:
     return df
 
 
+_TABLE_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, register_views: bool = True
 ) -> dict[str, DataFrame]:
-    """Load the driver testdata tables; optionally register temp views."""
-    if not os.path.isdir(sf_dir):
-        raise FileNotFoundError(f"testdata dir not found: {sf_dir}")
-    dfs: dict[str, DataFrame] = {}
-    for name in TESTDATA_TABLES:
-        path = os.path.join(sf_dir, f"{name}.parquet")
-        if os.path.exists(path):
-            df = read_parquet_normalized(spark, path)
-            dfs[name] = df
-            if register_views:
-                df.createOrReplaceTempView(name)
+    """Load the driver testdata tables; optionally register temp views.
+
+    Memoized per (session, dir): the testdata is static, DataFrames are
+    immutable plans, and a cold load costs ~600 ms (10 tables × footer
+    probe + reader construction) — which would otherwise dominate every
+    sub-second query's latency. Mirrors the reference keeping one
+    long-lived server process with warm catalog state (SURVEY §7 risk 2).
+    """
+    key = (id(spark._jsparkSession), sf_dir)
+    dfs = _TABLE_CACHE.get(key)
+    if dfs is None:
+        if not os.path.isdir(sf_dir):
+            raise FileNotFoundError(f"testdata dir not found: {sf_dir}")
+        dfs = {}
+        for name in TESTDATA_TABLES:
+            path = os.path.join(sf_dir, f"{name}.parquet")
+            if os.path.exists(path):
+                dfs[name] = read_parquet_normalized(spark, path)
+        _TABLE_CACHE[key] = dfs
+    if register_views:
+        for name, df in dfs.items():
+            df.createOrReplaceTempView(name)
     return dfs
 
 
