@@ -165,23 +165,24 @@ def ngram_jaccard_pairs(
 def _signatures_from_shingled(sh: DataFrame, num_hashes: int) -> DataFrame:
     """(doc, sig, sz) from a _shingled frame.
 
-    Double hashing (Kirsch–Mitzenmacher): hash each shingle exactly twice,
-    then derive hash family i as h1 + i·h2 — one aggregate pass computes
-    all num_hashes minima. Hashes are masked to 32 bits so h1 + i·h2 never
-    overflows a long under ANSI arithmetic. NULL shingles (short docs)
-    propagate to a NULL signature.
+    Hash family i = xxhash64(seed=i, shingle) — genuinely independent
+    slots. num_hashes passes over a LONG array are cheap (longs hash in a
+    few ns; this was only costly when shingles were strings). Do NOT
+    replace this with Kirsch–Mitzenmacher double hashing (h1 + i·h2): for
+    large i the argmin converges to argmin(h2), collapsing the family to
+    ~2 effective functions — it systematically missed true near-dup pairs
+    at j=0.98 (found by the sf0.1 oracle diff; KM's guarantees are for
+    Bloom membership, not minwise independence).
+    NULL shingles (short docs) propagate to a NULL signature.
     NOTE: one SQL expr, not stacked F.transform lambdas — PySpark's
     Python-side lambda variables collide when many transforms share one
     projection, silently collapsing all signature slots to one value.
     """
     sig = F.expr(
-        f"""aggregate(
-            transform(shingles, s -> struct(
-                xxhash64(1, s) & 4294967295 AS h1,
-                xxhash64(2, s) & 4294967295 AS h2)),
-            array_repeat(CAST(9223372036854775807 AS BIGINT), {num_hashes}),
-            (acc, p) -> zip_with(acc, sequence(0, {num_hashes - 1}),
-                                 (m, i) -> least(m, p.h1 + i * p.h2)))"""
+        "array(" + ",".join(
+            f"array_min(transform(shingles, s -> xxhash64({i}, s)))"
+            for i in range(num_hashes)
+        ) + ")"
     )
     return sh.select("doc", sig.alias("sig"), F.size("shingles").alias("sz"))
 
