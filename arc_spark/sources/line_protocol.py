@@ -71,7 +71,10 @@ def _tokenize(line: str) -> tuple[str, str, str | None]:
             cur.append(line[i + 1])
             i += 2
             continue
-        if c == '"':
+        if c == '"' and parts:
+            # quotes delimit STRING FIELD VALUES only; in the measurement/
+            # tag section (before the first unescaped space) a double quote
+            # is an ordinary character per the line-protocol spec
             in_quotes = not in_quotes
             cur.append(c)
             i += 1

@@ -1,0 +1,94 @@
+"""Property-based tests (hypothesis) for the ingest edges: msgpack codec
+roundtrip, line-protocol escaping roundtrip, WAL framing, epoch
+normalization monotonicity."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from arc_spark.sources.ingest import normalize_epoch_us
+from arc_spark.sources.line_protocol import parse_line
+from arc_spark.sources.msgpack_codec import packb, unpackb
+from arc_spark.sources.wal import Wal
+
+# msgpack values our codec supports (arc's wire types, SURVEY §1.2)
+scalars = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-(2**63), max_value=2**63 - 1),
+    st.floats(allow_nan=False, allow_infinity=False),
+    st.text(max_size=64),
+    st.binary(max_size=64),
+)
+values = st.recursive(
+    scalars,
+    lambda children: st.one_of(
+        st.lists(children, max_size=8),
+        st.dictionaries(st.text(max_size=16), children, max_size=8),
+    ),
+    max_leaves=24,
+)
+
+
+class TestMsgpackCodec:
+    @settings(max_examples=200, deadline=None)
+    @given(values)
+    def test_roundtrip(self, v):
+        assert unpackb(packb(v)) == v
+
+    @settings(max_examples=50, deadline=None)
+    @given(st.integers(min_value=0, max_value=2**64 - 1))
+    def test_uint_boundaries(self, n):
+        if n < 2**63:
+            assert unpackb(packb(n)) == n
+
+
+class TestLineProtocolEscaping:
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.text(
+            alphabet=st.characters(blacklist_characters="\\\n", min_codepoint=33),
+            min_size=1, max_size=20,
+        ),
+        st.floats(allow_nan=False, allow_infinity=False, width=32),
+    )
+    def test_tag_value_escaping_roundtrip(self, tag_val, field_val):
+        esc = tag_val.replace(",", r"\,").replace("=", r"\=").replace(" ", r"\ ")
+        line = f"m,host={esc} v={field_val!r} 1700000000000000000"
+        rec = parse_line(line)
+        assert rec["tags"]["host"] == tag_val
+        assert rec["fields"]["v"] == float(repr(field_val))
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.integers(min_value=-(2**62), max_value=2**62 - 1))
+    def test_integer_field_suffix(self, n):
+        rec = parse_line(f"m v={n}i 1700000000000000000")
+        assert rec["fields"]["v"] == n and isinstance(rec["fields"]["v"], int)
+
+
+class TestWalProperties:
+    @settings(max_examples=30, deadline=None)
+    @given(st.lists(st.binary(min_size=0, max_size=512), min_size=1, max_size=20))
+    def test_replay_returns_exactly_appended(self, payloads):
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as d:
+            w = Wal(d, sync="none")
+            for p in payloads:
+                w.append(p)
+            w.close()
+            assert [p for _, p in Wal(d).replay()] == payloads
+
+
+class TestEpochNormalization:
+    @settings(max_examples=200, deadline=None)
+    @given(st.integers(min_value=10**9, max_value=4 * 10**9))
+    def test_all_units_agree(self, sec):
+        """The same instant expressed in s/ms/µs/ns must normalize
+        identically (reference msgpack.go:435-505 magnitude heuristic)."""
+        us = sec * 1_000_000
+        assert normalize_epoch_us(sec) == us
+        assert normalize_epoch_us(sec * 1_000) == us
+        assert normalize_epoch_us(us) == us
+        assert normalize_epoch_us(us * 1_000) == us
