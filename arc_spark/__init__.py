@@ -21,3 +21,4 @@ re-expresses that capability set Spark-first:
 __version__ = "0.1.0"
 
 from arc_spark.session import get_spark  # noqa: F401
+from arc_spark.api import QueryService, IngestService  # noqa: F401

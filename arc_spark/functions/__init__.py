@@ -1,7 +1,11 @@
 """Column-level functions (all JVM-side Catalyst expressions — no Python UDFs
 in the hot path)."""
 
-from arc_spark.functions.time import time_bucket, normalize_epoch_to_timestamp  # noqa: F401
+from arc_spark.functions.time import (  # noqa: F401
+    time_bucket,
+    normalize_epoch_to_timestamp,
+    register_sql_functions,
+)
 from arc_spark.functions.text import (  # noqa: F401
     normalize_ws,
     ws_token_count,

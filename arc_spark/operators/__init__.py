@@ -12,4 +12,9 @@ from arc_spark.operators.dedup import (  # noqa: F401
     embedding_near_dup_pairs,
 )
 from arc_spark.operators.asof import asof_join  # noqa: F401
-from arc_spark.operators.similarity import brute_force_topk, lsh_bucketed_topk  # noqa: F401
+from arc_spark.operators.similarity import (  # noqa: F401
+    brute_force_topk,
+    lsh_bucketed_topk,
+    ivf_topk,
+)
+from arc_spark.operators.tiering import migrate_to_cold, tier_report  # noqa: F401
