@@ -130,7 +130,13 @@ class IngestService:
         wal_dir: str | None = None,
         max_buffer_rows: int = 50_000,
         max_buffer_age_s: float = 5.0,
+        defer_decode: bool = False,
     ):
+        """defer_decode=True moves payload decoding from the ack path to the
+        flush path: write_* returns -1 (count unknown) after only the WAL
+        append + O(1) bookkeeping — the reference's sub-ms ack design taken
+        to its limit (arc also acks before Parquet work but decodes first).
+        Flush-size triggering then counts payloads instead of rows."""
         from arc_spark.sources.wal import Wal
 
         self.spark = spark
@@ -138,7 +144,9 @@ class IngestService:
         self.wal = Wal(wal_dir) if wal_dir else None
         self.max_buffer_rows = max_buffer_rows
         self.max_buffer_age_s = max_buffer_age_s
+        self.defer_decode = defer_decode
         self._buffers: dict[tuple[str, str], list[dict]] = {}
+        self._raw: list[tuple[str, str, bytes]] = []  # (db, kind, payload)
         self._buffer_rows = 0
         self._oldest: float | None = None
         self.stats = {"acked": 0, "flushed": 0, "flushes": 0}
@@ -150,6 +158,8 @@ class IngestService:
         WriteColumnarRecord → WAL AppendRawWithMeta)."""
         if _wal and self.wal is not None:
             self.wal.append(payload)
+        if self.defer_decode:
+            return self._buffer_raw(db, "msgpack", payload)
         from arc_spark.sources.ingest import decode_msgpack_payload
 
         batch = decode_msgpack_payload(payload)
@@ -160,6 +170,8 @@ class IngestService:
     ) -> int:
         if _wal and self.wal is not None:
             self.wal.append(payload)
+        if self.defer_decode:
+            return self._buffer_raw(db, f"lp:{precision}", payload)
         from arc_spark.sources.ingest import rows_to_columnar
         from arc_spark.sources.line_protocol import parse_batch
 
@@ -167,6 +179,39 @@ class IngestService:
         if not rows:
             return 0
         return self._buffer(db, rows_to_columnar(rows))
+
+    def _buffer_raw(self, db: str, kind: str, payload: bytes) -> int:
+        """Deferred-decode ack path: O(1) after the WAL append."""
+        self._raw.append((db, kind, payload))
+        if self._oldest is None:
+            self._oldest = time.monotonic()
+        if (
+            len(self._raw) >= max(self.max_buffer_rows // 1000, 1)
+            or time.monotonic() - self._oldest >= self.max_buffer_age_s
+        ):
+            self.flush()
+        return -1
+
+    def _decode_raw(self) -> None:
+        """Decode deferred payloads into the columnar buffers (flush time)."""
+        from arc_spark.sources.ingest import decode_msgpack_payload, rows_to_columnar
+        from arc_spark.sources.line_protocol import parse_batch
+
+        raw, self._raw = self._raw, []
+        for db, kind, payload in raw:
+            if kind.startswith("lp"):
+                precision = kind.split(":")[1] if ":" in kind else "ns"
+                rows = parse_batch(payload.decode("utf-8"), precision=precision)
+                if not rows:
+                    continue
+                batch = rows_to_columnar(rows)
+            else:
+                batch = decode_msgpack_payload(payload)
+            meas = batch.get("measurement") or "default"
+            if batch["columns"]:
+                n = len(batch["columns"][next(iter(batch["columns"]))])
+                self._buffers.setdefault((db, meas), []).append(batch)
+                self.stats["acked"] += n
 
     def _buffer(self, db: str, batch: dict) -> int:
         meas = batch.get("measurement") or "default"
@@ -193,6 +238,8 @@ class IngestService:
         from arc_spark.sources.ingest import columnar_to_arrow, merge_batches
         from arc_spark.sources.writer import write_measurement
 
+        if self._raw:
+            self._decode_raw()
         total = 0
         for (db, meas), batches in list(self._buffers.items()):
             tables = [columnar_to_arrow(b) for b in batches]

@@ -149,3 +149,32 @@ class TestMeasurementEndpoint:
             svc.query_measurement("metrics", "cpu", where="1=1; DROP TABLE cpu")
         with pytest.raises(SqlValidationError):
             svc.query_measurement("metrics", "cpu", order_by="usage; DROP")
+
+
+class TestDeferredDecode:
+    def test_ack_is_constant_time_and_flush_decodes(self, spark, tmp_path):
+        root, wal = str(tmp_path / "d"), str(tmp_path / "w")
+        svc = IngestService(spark, root, wal_dir=wal, max_buffer_rows=10**9,
+                            max_buffer_age_s=10**9, defer_decode=True)
+        payload = packb({
+            "m": "cpu",
+            "columns": {"time": [1700000000000000], "host": ["a"], "v": [1.0]},
+            "tags": ["host"],
+        })
+        assert svc.write_msgpack("m", payload) == -1  # count unknown at ack
+        assert svc.stats["acked"] == 0
+        assert svc.flush() == 1
+        assert svc.stats["acked"] == 1
+        assert MeasurementCatalog(spark, root).table("m", "cpu").count() == 1
+
+    def test_mixed_formats_decode_at_flush(self, spark, tmp_path):
+        svc = IngestService(spark, str(tmp_path), max_buffer_rows=10**9,
+                            max_buffer_age_s=10**9, defer_decode=True)
+        svc.write_line_protocol("m", b"cpu,host=b v=2 1700000060000000000\n")
+        svc.write_msgpack("m", packb({
+            "m": "cpu",
+            "columns": {"time": [1700000000000000], "host": ["a"], "v": [1.0]},
+            "tags": ["host"],
+        }))
+        assert svc.flush() == 2
+        assert MeasurementCatalog(spark, str(tmp_path)).table("m", "cpu").count() == 2
