@@ -103,22 +103,29 @@ class QueryService:
         validate_read_only(self.spark, sql)
         self._check_rbac(token, sql)
         df = self.governor.cap(token, self.spark.sql(sql))
+        timeout_s = self.governor.timeout_s(token)
         if fmt == "rows":
-            return self.registry.run(df, sql=sql, token=token)
+            return self.registry.run(df, sql=sql, token=token, timeout_s=timeout_s)
         if fmt == "json":
             from arc_spark.serving import stream_typed_json
 
             return self.registry.run(
-                df, sql=sql, token=token, collect=lambda d: list(stream_typed_json(d))
+                df, sql=sql, token=token, timeout_s=timeout_s,
+                collect=lambda d: list(stream_typed_json(d)),
             )
         if fmt == "arrow":
             from arc_spark.serving import to_arrow_ipc
 
-            return self.registry.run(df, sql=sql, token=token, collect=to_arrow_ipc)
+            return self.registry.run(
+                df, sql=sql, token=token, timeout_s=timeout_s, collect=to_arrow_ipc
+            )
         if fmt == "msgpack":
             from arc_spark.serving import to_columnar_msgpack
 
-            return self.registry.run(df, sql=sql, token=token, collect=to_columnar_msgpack)
+            return self.registry.run(
+                df, sql=sql, token=token, timeout_s=timeout_s,
+                collect=to_columnar_msgpack,
+            )
         raise ValueError(f"unknown fmt {fmt!r}")
 
 

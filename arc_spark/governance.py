@@ -68,6 +68,10 @@ class RateLimitExceeded(GovernanceError):
     pass
 
 
+class QueryTimeout(GovernanceError):
+    pass
+
+
 @dataclass
 class TokenPolicy:
     """Per-token limits (reference: per-token governance config)."""
@@ -176,14 +180,30 @@ class QueryRegistry:
         sql: str = "",
         token: str = "",
         collect=lambda d: d.collect(),
+        timeout_s: float | None = None,
     ):
-        """Execute under a registered, cancellable job group."""
+        """Execute under a registered, cancellable job group.
+
+        timeout_s: max duration (governance A37) — a watchdog timer cancels
+        the job group when exceeded, interrupting all of the query's stages
+        (the Spark analogue of the reference's context.WithTimeout around
+        DuckDB, query.go:1804-1814)."""
         qid = uuid.uuid4().hex[:16]
         info = QueryInfo(query_id=qid, sql=sql, token=token, started_at=time.time())
         with self._lock:
             self._queries[qid] = info
         sc = self.spark.sparkContext
         sc.setJobGroup(qid, sql[:200] or qid, interruptOnCancel=True)
+        watchdog: threading.Timer | None = None
+        if timeout_s is not None:
+            def _expire() -> None:
+                if info.status == "running":
+                    info.status = "timeout"
+                    sc.cancelJobGroup(qid)
+
+            watchdog = threading.Timer(timeout_s, _expire)
+            watchdog.daemon = True
+            watchdog.start()
         try:
             result = collect(df)
             if info.status == "running":
@@ -191,11 +211,17 @@ class QueryRegistry:
                 info.rows = len(result) if hasattr(result, "__len__") else None
             return result
         except Exception as exc:
+            if info.status == "timeout":
+                raise QueryTimeout(
+                    f"query {qid} exceeded max duration {timeout_s}s"
+                ) from exc
             if info.status != "cancelled":
                 info.status = "error"
                 info.error = str(exc)[:500]
             raise
         finally:
+            if watchdog is not None:
+                watchdog.cancel()
             info.finished_at = time.time()
             sc.setJobGroup("", "")
 

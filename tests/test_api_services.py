@@ -178,3 +178,33 @@ class TestDeferredDecode:
         }))
         assert svc.flush() == 2
         assert MeasurementCatalog(spark, str(tmp_path)).table("m", "cpu").count() == 2
+
+
+class TestDurationCap:
+    def test_timeout_cancels_job_group(self, spark, tmp_path):
+        import time as _time
+
+        from arc_spark.governance import QueryTimeout
+
+        gov = Governor()
+        gov.set_policy("slow", TokenPolicy(max_duration_s=0.5))
+        root = str(tmp_path)
+        _ingest_some(spark, root)
+        svc = QueryService(spark, MeasurementCatalog(spark, root), governor=gov)
+        svc.register_measurement("metrics", "cpu", view="cpu")
+
+        # a query slowed by a sleeping UDF so the watchdog fires mid-stage
+        spark.udf.register("slow_ident", lambda x: (_time.sleep(2), x)[1])
+        with pytest.raises(QueryTimeout):
+            svc.execute("SELECT slow_ident(host) FROM cpu", token="slow")
+        infos = [i for i in svc.registry.list() if i.token == "slow"]
+        assert infos and infos[-1].status == "timeout"
+
+    def test_fast_query_unaffected(self, spark, tmp_path):
+        gov = Governor()
+        gov.set_policy("t", TokenPolicy(max_duration_s=30))
+        root = str(tmp_path)
+        _ingest_some(spark, root)
+        svc = QueryService(spark, MeasurementCatalog(spark, root), governor=gov)
+        svc.register_measurement("metrics", "cpu", view="cpu")
+        assert len(svc.execute("SELECT * FROM cpu", token="t")) == 2

@@ -1,0 +1,61 @@
+"""Plan-shape regression tests: the perf-critical physical-plan properties
+the engine relies on at scale. A change that silently turns a broadcast
+join into a shuffle, or un-pushes an aggregate, should fail HERE, not in a
+100 TB run."""
+
+from __future__ import annotations
+
+import pytest
+
+from arc_spark.workload import QUERIES
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+class TestPlanShapes:
+    def test_q02_dims_broadcast(self, spark, sf_oracle):
+        """nation/region (dimension tables) must broadcast — never shuffle
+        the fact side for a dim join."""
+        plan = _physical(QUERIES["q02_revenue_by_nation"](spark, sf_oracle))
+        assert "BroadcastHashJoin" in plan
+        assert "BroadcastExchange" in plan
+
+    def test_q03_topk_no_global_sort(self, spark, sf_oracle):
+        """ORDER BY + LIMIT plans TakeOrderedAndProject (per-partition top-k
+        + merge), not a global sort."""
+        plan = _physical(QUERIES["q03_top_orders"](spark, sf_oracle))
+        assert "TakeOrderedAndProject" in plan
+
+    def test_q31_filter_pushed_to_scan(self, spark, sf_oracle):
+        plan = _physical(QUERIES["q31_select_order_limit"](spark, sf_oracle))
+        assert "TakeOrderedAndProject" in plan
+        # the value > 90 predicate must reach the parquet scan
+        assert "PushedFilters: [IsNotNull(value), GreaterThan(value" in plan
+
+    def test_count_star_aggregate_pushdown(self, spark, sf_oracle):
+        """COUNT(*) must be answered from parquet footers through the DSv2
+        scan (PushedAggregation), not a full scan — the arc 1 ms count."""
+        plan = _physical(QUERIES["q32_count_star"](spark, sf_oracle))
+        assert "PushedAggregation: [COUNT(*)]" in plan
+
+    def test_q01_partial_agg_before_shuffle(self, spark, sf_oracle):
+        """Hash aggregation must be partial+final (map-side combine)."""
+        plan = _physical(QUERIES["q01_pricing_summary"](spark, sf_oracle))
+        assert plan.count("HashAggregate") >= 2
+
+    def test_q15_single_shuffle_window(self, spark, sf_oracle):
+        """Last-writer-wins dedup: exactly one exchange (the window's
+        partitionBy) plus the AQE read — no extra repartitions."""
+        plan = _physical(QUERIES["q15_dedup_lww"](spark, sf_oracle))
+        assert "Window" in plan or "WindowGroupLimit" in plan
+
+    def test_shingle_pipeline_not_pushed_into_scan(self, spark, sf_oracle):
+        """The dedup shingle pipeline must NOT appear in the parquet scan's
+        data filters (the predicate-pushdown trap that serialized the whole
+        pipeline onto one input partition)."""
+        plan = _physical(QUERIES["q16_ngram_jaccard"](spark, sf_oracle))
+        for line in plan.splitlines():
+            if "Scan parquet" in line or "BatchScan" in line:
+                assert "xxhash64" not in line, "shingle expr leaked into scan filters"
