@@ -138,6 +138,7 @@ class IngestService:
         max_buffer_rows: int = 50_000,
         max_buffer_age_s: float = 5.0,
         defer_decode: bool = False,
+        direct_flush_max_rows: int = 2_000_000,
     ):
         """defer_decode=True moves payload decoding from the ack path to the
         flush path: write_* returns -1 (count unknown) after only the WAL
@@ -152,6 +153,7 @@ class IngestService:
         self.max_buffer_rows = max_buffer_rows
         self.max_buffer_age_s = max_buffer_age_s
         self.defer_decode = defer_decode
+        self.direct_flush_max_rows = direct_flush_max_rows
         self._buffers: dict[tuple[str, str], list[dict]] = {}
         self._raw: list[tuple[str, str, bytes]] = []  # (db, kind, payload)
         self._buffer_rows = 0
@@ -243,7 +245,10 @@ class IngestService:
         and write through the hour-partitioned sorted writer; then the WAL
         segments are obsolete and truncated."""
         from arc_spark.sources.ingest import columnar_to_arrow, merge_batches
-        from arc_spark.sources.writer import write_measurement
+        from arc_spark.sources.writer import (
+            write_measurement,
+            write_measurement_arrow,
+        )
 
         if self._raw:
             self._decode_raw()
@@ -254,8 +259,16 @@ class IngestService:
             tag_cols = sorted(
                 {c for b in batches for c in (b.get("tag_columns") or [])}
             )
-            df = self.spark.createDataFrame(merged)
-            write_measurement(df, self.root, db, meas, tag_columns=tag_cols)
+            # steady-state flushes write Parquet in-process (the reference's
+            # design — no per-flush Spark job); only backfill-sized batches
+            # pay the distributed shuffle-write
+            if merged.num_rows <= self.direct_flush_max_rows:
+                write_measurement_arrow(
+                    merged, self.root, db, meas, tag_columns=tag_cols
+                )
+            else:
+                df = self.spark.createDataFrame(merged)
+                write_measurement(df, self.root, db, meas, tag_columns=tag_cols)
             total += merged.num_rows
         self._buffers.clear()
         self._buffer_rows = 0

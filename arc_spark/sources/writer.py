@@ -20,7 +20,11 @@ from __future__ import annotations
 
 import json
 import os
+import uuid
 
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -105,6 +109,64 @@ def write_measurement(
         .option("compression", "zstd")
         .partitionBy(*part_cols)
         .parquet(out)
+    )
+    write_manifest(root, db, measurement, tag_columns, sort_keys, dedup_time)
+    return out
+
+
+def write_measurement_arrow(
+    table: pa.Table,
+    root: str,
+    db: str,
+    measurement: str,
+    tag_columns: list[str] | None = None,
+    sort_keys: list[str] | None = None,
+    dedup_time: bool = False,
+) -> str:
+    """Single-process Arrow→Parquet flush fast path.
+
+    The Spark writer above shuffles the micro-batch across the cluster —
+    right for large backfills, but a fixed multi-second job cost on the
+    steady-state small flush. The reference never pays that: its ingest
+    buffer writes Parquet directly from Arrow in-process
+    (arrow_writer.go:552-707, flushPartitionedData :2440-2639). This is the
+    same move on the same layout: derive hour partitions from data time,
+    sort by (partition cols, sort keys), write zstd files into the identical
+    ``year=/month=/day=/hour=`` hive tree. Readers cannot tell which path
+    wrote a file; `IngestService.flush` picks by batch size.
+    """
+    if "time" not in table.column_names:
+        raise ValueError("measurement batches require a 'time' column")
+    tag_columns = tag_columns if tag_columns is not None else []
+    sort_keys = list(sort_keys) if sort_keys else list(tag_columns)
+    if "time" not in sort_keys:
+        sort_keys = sort_keys + ["time"]
+
+    # isAdjustedToUTC=true in the footer so Spark reads TIMESTAMP_LTZ —
+    # schema-identical to Spark-written files in the same tree
+    t_idx = table.column_names.index("time")
+    t = table.column("time").cast(pa.timestamp("us", tz="UTC"))
+    table = table.set_column(t_idx, "time", t)
+
+    part_cols = ["year", "month", "day", "hour"]
+    for name, fn in (("year", pc.year), ("month", pc.month),
+                     ("day", pc.day), ("hour", pc.hour)):
+        table = table.append_column(name, fn(t).cast(pa.int32()))
+    table = table.sort_by([(c, "ascending") for c in part_cols + sort_keys])
+
+    out = measurement_path(root, db, measurement)
+    pads.write_dataset(
+        table,
+        out,
+        format="parquet",
+        partitioning=pads.partitioning(
+            pa.schema([(c, pa.int32()) for c in part_cols]), flavor="hive"
+        ),
+        basename_template=f"part-{uuid.uuid4().hex}-{{i}}.parquet",
+        existing_data_behavior="overwrite_or_ignore",
+        file_options=pads.ParquetFileFormat().make_write_options(
+            compression="zstd"
+        ),
     )
     write_manifest(root, db, measurement, tag_columns, sort_keys, dedup_time)
     return out

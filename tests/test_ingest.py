@@ -142,6 +142,43 @@ def test_write_measurement_hive_layout(spark, tmp_path):
     assert m["sort_keys"] == ["host", "time"]
 
 
+def test_write_measurement_arrow_same_layout(spark, tmp_path):
+    """The in-process Arrow flush fast path must be indistinguishable from
+    the Spark writer: same hive tree, same schema on read (TIMESTAMP_LTZ),
+    same rows — files from both paths coexist in one measurement."""
+    from arc_spark.sources.writer import write_measurement_arrow
+
+    root = str(tmp_path)
+    batch = rows_to_columnar([
+        {"m": "cpu", "t": int(dt.datetime(2024, 3, 1, 10, 5).timestamp() * 1e6),
+         "tags": {"host": "a"}, "fields": {"value": 1.0}},
+        {"m": "cpu", "t": int(dt.datetime(2024, 3, 1, 11, 20).timestamp() * 1e6),
+         "tags": {"host": "a"}, "fields": {"value": 2.0}},
+        {"m": "cpu", "t": int(dt.datetime(2024, 3, 2, 0, 0).timestamp() * 1e6),
+         "tags": {"host": "b"}, "fields": {"value": 3.0}},
+    ])
+    out = write_measurement_arrow(
+        columnar_to_arrow(batch), root, "metrics", "cpu", tag_columns=["host"]
+    )
+    hours = sorted(glob.glob(os.path.join(out, "year=*/month=*/day=*/hour=*")))
+    assert [h.split("cpu/")[1] for h in hours] == [
+        "year=2024/month=3/day=1/hour=10",
+        "year=2024/month=3/day=1/hour=11",
+        "year=2024/month=3/day=2/hour=0",
+    ]
+    # now append the SAME rows through the Spark path: one tree, both writers
+    df = columnar_to_dataframe(spark, batch)
+    write_measurement(df, root, "metrics", "cpu", tag_columns=["host"])
+    back = spark.read.parquet(out)
+    assert back.count() == 6
+    assert dict(back.dtypes)["time"] == "timestamp"
+    assert back.filter("year = 2024 AND day = 1").count() == 4
+    vals = sorted(r["value"] for r in back.filter("hour = 0").collect())
+    assert vals == [3.0, 3.0]
+    m = read_manifest(root, "metrics", "cpu")
+    assert m["sort_keys"] == ["host", "time"]
+
+
 def test_partition_pruning_from_time_predicate(spark, tmp_path):
     """The replacement for the reference's 1205-line pruner (A2): a hive
     layout + partition filter prunes at plan time."""
