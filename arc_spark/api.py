@@ -139,6 +139,7 @@ class IngestService:
         max_buffer_age_s: float = 5.0,
         defer_decode: bool = False,
         direct_flush_max_rows: int = 2_000_000,
+        decimal_config: dict[str, dict[str, tuple[int, int]]] | None = None,
     ):
         """defer_decode=True moves payload decoding from the ack path to the
         flush path: write_* returns -1 (count unknown) after only the WAL
@@ -154,6 +155,10 @@ class IngestService:
         self.max_buffer_age_s = max_buffer_age_s
         self.defer_decode = defer_decode
         self.direct_flush_max_rows = direct_flush_max_rows
+        # per-measurement DECIMAL128 columns, {measurement: {col: (p, s)}} —
+        # the reference's `measurement:col=precision,scale` config
+        # (internal/config/decimal.go:9-60)
+        self.decimal_config = decimal_config or {}
         self._buffers: dict[tuple[str, str], list[dict]] = {}
         self._raw: list[tuple[str, str, bytes]] = []  # (db, kind, payload)
         self._buffer_rows = 0
@@ -254,21 +259,28 @@ class IngestService:
             self._decode_raw()
         total = 0
         for (db, meas), batches in list(self._buffers.items()):
-            tables = [columnar_to_arrow(b) for b in batches]
+            decimals = self.decimal_config.get(meas)
+            tables = [columnar_to_arrow(b, decimal_columns=decimals)
+                      for b in batches]
             merged = merge_batches(tables)
             tag_cols = sorted(
                 {c for b in batches for c in (b.get("tag_columns") or [])}
+            )
+            dec_manifest = (
+                {c: list(ps) for c, ps in decimals.items()} if decimals else None
             )
             # steady-state flushes write Parquet in-process (the reference's
             # design — no per-flush Spark job); only backfill-sized batches
             # pay the distributed shuffle-write
             if merged.num_rows <= self.direct_flush_max_rows:
                 write_measurement_arrow(
-                    merged, self.root, db, meas, tag_columns=tag_cols
+                    merged, self.root, db, meas, tag_columns=tag_cols,
+                    decimals=dec_manifest,
                 )
             else:
                 df = self.spark.createDataFrame(merged)
-                write_measurement(df, self.root, db, meas, tag_columns=tag_cols)
+                write_measurement(df, self.root, db, meas, tag_columns=tag_cols,
+                                  decimals=dec_manifest)
             total += merged.num_rows
         self._buffers.clear()
         self._buffer_rows = 0

@@ -85,9 +85,17 @@ def rows_to_columnar(rows: list[dict]) -> dict:
     return {"measurement": measurement, "columns": columns, "tag_columns": tag_keys}
 
 
-def _infer_arrow_type(name: str, values: list, tag_columns: set[str]) -> pa.DataType:
+def _infer_arrow_type(
+    name: str,
+    values: list,
+    tag_columns: set[str],
+    decimal_columns: dict[str, tuple[int, int]] | None = None,
+) -> pa.DataType:
     if name == "time":
         return pa.timestamp("us")
+    if decimal_columns and name in decimal_columns:
+        p, s = decimal_columns[name]
+        return pa.decimal128(p, s)
     if name in tag_columns:
         return pa.string()
     for v in values:
@@ -105,16 +113,34 @@ def _infer_arrow_type(name: str, values: list, tag_columns: set[str]) -> pa.Data
     return pa.string()  # all-null column defaults to string (nullable)
 
 
-def columnar_to_arrow(batch: dict) -> pa.Table:
-    """Columnar dict batch → typed Arrow table (arc's type system exactly)."""
+def columnar_to_arrow(
+    batch: dict,
+    decimal_columns: dict[str, tuple[int, int]] | None = None,
+) -> pa.Table:
+    """Columnar dict batch → typed Arrow table (arc's type system exactly).
+
+    ``decimal_columns`` maps column → (precision, scale), the per-measurement
+    DECIMAL128 config of the reference (internal/config/decimal.go:9-60,
+    arrow_writer.go:491-497: `measurement:col=precision,scale`). Values may
+    arrive as int/float/string; all are quantized to the configured scale.
+    """
+    import decimal as _dec
+
     cols = batch["columns"]
     tag_set = set(batch.get("tag_columns") or [])
     arrays, names = [], []
     for name, values in cols.items():
-        typ = _infer_arrow_type(name, values, tag_set)
+        typ = _infer_arrow_type(name, values, tag_set, decimal_columns)
         if name == "time":
             values = [v if v is None else int(v) for v in values]
             arrays.append(pa.array(values, type=pa.int64()).cast(pa.timestamp("us")))
+        elif pa.types.is_decimal(typ):
+            q = _dec.Decimal(1).scaleb(-typ.scale)
+            arrays.append(pa.array(
+                [None if v is None else _dec.Decimal(str(v)).quantize(q)
+                 for v in values],
+                type=typ,
+            ))
         elif pa.types.is_int64(typ):
             arrays.append(pa.array([None if v is None else int(v) for v in values], type=typ))
         elif pa.types.is_float64(typ):

@@ -37,13 +37,16 @@ def measurement_path(root: str, db: str, measurement: str) -> str:
 
 def write_manifest(root: str, db: str, measurement: str,
                    tag_columns: list[str], sort_keys: list[str],
-                   dedup_time: bool = False) -> None:
+                   dedup_time: bool = False,
+                   decimals: dict[str, list[int]] | None = None) -> None:
+    """`decimals` maps column → [precision, scale] — the manifest equivalent
+    of the reference's `arc:decimals` parquet-footer KV (arrow_writer.go:505-543)."""
     path = measurement_path(root, db, measurement)
     os.makedirs(path, exist_ok=True)
     with open(os.path.join(path, MANIFEST_NAME), "w") as f:
         json.dump(
             {"tag_columns": tag_columns, "sort_keys": sort_keys,
-             "dedup_time": dedup_time},
+             "dedup_time": dedup_time, "decimals": decimals or {}},
             f,
         )
 
@@ -51,9 +54,12 @@ def write_manifest(root: str, db: str, measurement: str,
 def read_manifest(root: str, db: str, measurement: str) -> dict:
     p = os.path.join(measurement_path(root, db, measurement), MANIFEST_NAME)
     if not os.path.exists(p):
-        return {"tag_columns": [], "sort_keys": [], "dedup_time": False}
+        return {"tag_columns": [], "sort_keys": [], "dedup_time": False,
+                "decimals": {}}
     with open(p) as f:
-        return json.load(f)
+        m = json.load(f)
+    m.setdefault("decimals", {})
+    return m
 
 
 def with_partition_columns(df: DataFrame, time_col: str = "time") -> DataFrame:
@@ -76,6 +82,7 @@ def write_measurement(
     dedup_time: bool = False,
     mode: str = "append",
     target_file_partitions: int | None = None,
+    decimals: dict[str, list[int]] | None = None,
 ) -> str:
     """Write a micro-batch into the measurement's hive layout.
 
@@ -110,7 +117,8 @@ def write_measurement(
         .partitionBy(*part_cols)
         .parquet(out)
     )
-    write_manifest(root, db, measurement, tag_columns, sort_keys, dedup_time)
+    write_manifest(root, db, measurement, tag_columns, sort_keys, dedup_time,
+                   decimals=decimals)
     return out
 
 
@@ -122,6 +130,7 @@ def write_measurement_arrow(
     tag_columns: list[str] | None = None,
     sort_keys: list[str] | None = None,
     dedup_time: bool = False,
+    decimals: dict[str, list[int]] | None = None,
 ) -> str:
     """Single-process Arrow→Parquet flush fast path.
 
@@ -168,5 +177,6 @@ def write_measurement_arrow(
             compression="zstd"
         ),
     )
-    write_manifest(root, db, measurement, tag_columns, sort_keys, dedup_time)
+    write_manifest(root, db, measurement, tag_columns, sort_keys, dedup_time,
+                   decimals=decimals)
     return out

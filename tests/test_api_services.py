@@ -120,6 +120,37 @@ class TestIngestService:
         cat = MeasurementCatalog(spark, root)
         assert cat.table("metrics", "cpu").count() == 1
 
+    def test_decimal128_config_columns(self, spark, tmp_path):
+        """Per-measurement DECIMAL128 config (reference §1.2,
+        internal/config/decimal.go): configured columns land as
+        decimal(p,s) at rest whether values arrive as float, int, or
+        string; the manifest records the config like `arc:decimals`."""
+        from arc_spark.sources.writer import read_manifest
+
+        root = str(tmp_path)
+        svc = IngestService(
+            spark, root, max_buffer_rows=10_000, max_buffer_age_s=3600,
+            decimal_config={"trades": {"price": (18, 4)}},
+        )
+        payload = packb({
+            "m": "trades",
+            "columns": {"time": [1700000000000000, 1700000060000000],
+                        "sym": ["A", "B"],
+                        "price": [19.99, "120.5"],
+                        "qty": [3, 4]},
+            "tags": ["sym"],
+        })
+        svc.write_msgpack("fin", payload)
+        svc.flush()
+        df = MeasurementCatalog(spark, root).table("fin", "trades")
+        assert dict(df.dtypes)["price"] == "decimal(18,4)"
+        assert dict(df.dtypes)["qty"] == "bigint"  # unconfigured: normal widening
+        vals = sorted(str(r["price"]) for r in df.collect())
+        assert vals == ["120.5000", "19.9900"]
+        assert read_manifest(root, "fin", "trades")["decimals"] == {
+            "price": [18, 4]
+        }
+
     def test_schema_evolution_across_batches(self, spark, tmp_path):
         root = str(tmp_path)
         svc = IngestService(spark, root, max_buffer_rows=10_000, max_buffer_age_s=3600)
