@@ -927,8 +927,8 @@ ORACLES: dict[str, str] = {
             FROM documents
         )
         SELECT source, COUNT(*) AS n_docs,
-               SUM(ws_tokens) AS total_ws_tokens,
-               SUM(re_tokens) AS total_re_tokens,
+               CAST(SUM(ws_tokens) AS BIGINT) AS total_ws_tokens,
+               CAST(SUM(re_tokens) AS BIGINT) AS total_re_tokens,
                CAST(SUM(ws_tokens) AS DOUBLE) / COUNT(*) AS avg_ws_tokens
         FROM t GROUP BY source
     """,
@@ -985,11 +985,11 @@ ORACLES: dict[str, str] = {
     "q30_conditional_pivot": f"""
         SELECT user_id % 10 AS user_bucket,
                COUNT(*) AS n_events,
-               SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-               SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
-               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-               SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
-               SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+               CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+               CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
                {_osum("CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END")} AS purchase_value
         FROM events GROUP BY 1
     """,
@@ -1002,7 +1002,7 @@ ORACLES: dict[str, str] = {
     "q33_delete_rewrite": """
         SELECT COUNT(*) FILTER (WHERE NOT (user_id % 97 = 3)) AS n_kept,
                COUNT(*) FILTER (WHERE user_id % 97 = 3) AS n_deleted,
-               SUM(CASE WHEN NOT (user_id % 97 = 3) THEN user_id ELSE 0 END) AS kept_user_id_sum
+               CAST(SUM(CASE WHEN NOT (user_id % 97 = 3) THEN user_id ELSE 0 END) AS BIGINT) AS kept_user_id_sum
         FROM events
     """,
     "q34_retention_cutoff": """
