@@ -19,8 +19,11 @@ import time
 
 from pyspark.sql import SparkSession
 
+import threading
+
 from arc_spark.catalog import MeasurementCatalog
 from arc_spark.governance import Governor, QueryRegistry
+from arc_spark.plans.time_pruning import prune_sql
 from arc_spark.plans.validator import SqlValidationError, extract_tables, validate_read_only
 
 
@@ -43,6 +46,7 @@ class QueryService:
         # token → set of "db.measurement" (None entry = all); RBAC check is
         # plan-walk table extraction, not regex (reference A11)
         self.allowed_tables = allowed_tables or {}
+        self._plan_lock = threading.Lock()
 
     def _check_rbac(self, token: str, sql: str) -> None:
         if token not in self.allowed_tables:
@@ -70,21 +74,50 @@ class QueryService:
         """GET /api/v1/query/:measurement shape (reference A13,
         query.go:3923-4130): a validated filter+order+limit over one
         measurement. `where` is validated through the read-only plan check
-        (it is spliced into a SELECT, then parsed — injection of a second
-        statement or DML fails validation); `order_by` columns must be bare
-        identifiers, optionally suffixed ' DESC'."""
+        (spliced into a SELECT and parsed — a second statement or DML fails
+        validation) but *executed* as a parsed boolean expression on the
+        DataFrame, with ORDER BY / LIMIT applied as plan operations — so a
+        `where` ending in a comment token (`--`) cannot comment out the
+        endpoint row limit. `order_by` columns must be bare identifiers,
+        optionally suffixed ASC/DESC."""
+        from pyspark.sql import functions as F
+
         view = self.catalog.register(db, measurement)
-        sql = f"SELECT * FROM {view}"
+        self.governor.admit(token)
+        val_sql = f"SELECT * FROM {view}" + (f" WHERE {where}" if where else "")
+        validate_read_only(self.spark, val_sql)
+        self._check_rbac(token, val_sql)
+
+        df = self.spark.table(view)
         if where:
-            sql += f" WHERE {where}"
+            try:
+                df = df.filter(F.expr(where))
+                df.schema  # force analysis so a malformed filter fails here
+            except SqlValidationError:
+                raise
+            except Exception as e:
+                raise SqlValidationError(f"invalid where clause: {e}") from None
         if order_by:
+            sort_cols = []
             for part in order_by.split(","):
-                col = part.strip().removesuffix(" DESC").removesuffix(" ASC").strip()
-                if not self._IDENT_RE.match(col):
-                    raise SqlValidationError(f"invalid order_by column {col!r}")
-            sql += f" ORDER BY {order_by}"
-        sql += f" LIMIT {int(limit)}"
-        return self.execute(sql, token=token)
+                tokens = part.strip().split()
+                col = tokens[0] if tokens else ""
+                direction = tokens[1].upper() if len(tokens) > 1 else "ASC"
+                if (
+                    len(tokens) > 2
+                    or direction not in ("ASC", "DESC")
+                    or not self._IDENT_RE.match(col)
+                ):
+                    raise SqlValidationError(f"invalid order_by part {part.strip()!r}")
+                sort_cols.append(F.col(col).desc() if direction == "DESC" else F.col(col).asc())
+            df = df.orderBy(*sort_cols)
+        df = self.governor.cap(token, df.limit(int(limit)))
+        return self.registry.run(
+            df,
+            sql=val_sql + f" LIMIT {int(limit)}",
+            token=token,
+            timeout_s=self.governor.timeout_s(token),
+        )
 
     def execute(self, sql: str, token: str = "", fmt: str = "rows"):
         """Run one query request end-to-end.
@@ -102,7 +135,13 @@ class QueryService:
             return [{"measurement": m} for m in self.catalog.measurements(db)]
         validate_read_only(self.spark, sql)
         self._check_rbac(token, sql)
-        df = self.governor.cap(token, self.spark.sql(sql))
+        # SQL-surface partition pruning (reference A2's flagship behavior):
+        # WHERE time ranges become year/month/day/hour partition predicates
+        # on each measurement scan. The lock scopes the temporary pruned-view
+        # registration so concurrent execute() calls can't observe it.
+        with self._plan_lock:
+            df = prune_sql(self.spark, sql, self.catalog)
+        df = self.governor.cap(token, df)
         timeout_s = self.governor.timeout_s(token)
         if fmt == "rows":
             return self.registry.run(df, sql=sql, token=token, timeout_s=timeout_s)
@@ -163,6 +202,7 @@ class IngestService:
         self._raw: list[tuple[str, str, bytes]] = []  # (db, kind, payload)
         self._buffer_rows = 0
         self._oldest: float | None = None
+        self._recovering = False  # suppresses WAL truncation mid-replay
         self.stats = {"acked": 0, "flushed": 0, "flushes": 0}
 
     # -- write path --------------------------------------------------------
@@ -285,7 +325,11 @@ class IngestService:
         self._buffers.clear()
         self._buffer_rows = 0
         self._oldest = None
-        if self.wal is not None:
+        # During recover() the WAL must survive: a threshold-triggered flush
+        # mid-replay would otherwise delete segments the replay iterator has
+        # not read yet (and orphan still-buffered tail rows). recover()
+        # truncates once, after its own final flush.
+        if self.wal is not None and not self._recovering:
             self.wal.truncate()
         self.stats["flushed"] += total
         self.stats["flushes"] += 1
@@ -295,14 +339,30 @@ class IngestService:
     def recover(self, db: str = "default") -> int:
         """Replay WAL payloads written but not yet flushed (startup path,
         reference wal/recovery.go). Payload kind is sniffed: msgpack maps
-        start with 0x80-0x8f/0xde/0xdf; anything else is line protocol."""
+        start with 0x80-0x8f/0xde/0xdf; anything else is line protocol.
+
+        Returns the number of rows recovered. WAL truncation is suppressed
+        for the whole replay (flush() checks ``_recovering``) so a
+        threshold-triggered flush cannot delete unread segments; one final
+        flush + truncate runs at the end, after which every replayed row is
+        in Parquet. ``defer_decode`` is disabled during replay so row counts
+        are exact (deferred writes return -1)."""
         if self.wal is None:
             return 0
         n = 0
-        for _ts, payload in self.wal.replay():
-            first = payload[:1]
-            if first and (0x80 <= first[0] <= 0x8F or first[0] in (0xDE, 0xDF)):
-                n += self.write_msgpack(db, payload, _wal=False)
-            else:
-                n += self.write_line_protocol(db, payload, _wal=False)
+        self._recovering = True
+        prev_defer = self.defer_decode
+        self.defer_decode = False
+        try:
+            for _ts, payload in self.wal.replay():
+                first = payload[:1]
+                if first and (0x80 <= first[0] <= 0x8F or first[0] in (0xDE, 0xDF)):
+                    n += self.write_msgpack(db, payload, _wal=False)
+                else:
+                    n += self.write_line_protocol(db, payload, _wal=False)
+            self.flush()  # replay fully read; make every replayed row durable
+        finally:
+            self.defer_decode = prev_defer
+            self._recovering = False
+        self.wal.truncate()
         return n

@@ -171,6 +171,29 @@ class MeasurementCatalog:
             df = df.unionByName(t, allowMissingColumns=True)
         return df
 
+    def measurement_for_path(self, path: str) -> tuple[str, str] | None:
+        """Reverse-resolve a scan root path to its (db, measurement).
+
+        Used by SQL-surface pruning (plans/time_pruning.prune_sql) to map
+        the optimized plan's parquet scan roots back to registered
+        measurements. Accepts `file:`-prefixed URIs."""
+        p = path.removeprefix("file://").removeprefix("file:")
+        p = os.path.realpath(p)
+        for root in filter(None, (self.root, self.cold_root)):
+            real_root = os.path.realpath(root)
+            if not p.startswith(real_root + os.sep):
+                continue
+            rel = p[len(real_root) + 1:]
+            parts = rel.split(os.sep)
+            if len(parts) >= 2:
+                db, meas = parts[0], parts[1]
+                if os.path.isdir(os.path.join(root, db, meas)):
+                    return (db, meas)
+        return None
+
+    def views_for(self, db: str, measurement: str) -> set[str]:
+        return set(self._views.get((db, measurement), set()))
+
     def register(self, db: str, measurement: str, view: str | None = None) -> str:
         name = view or f"{db}_{measurement}"
         self.table(db, measurement).createOrReplaceTempView(name)

@@ -126,14 +126,25 @@ def compact_partition_dir(
     )
     out_rows = spark.read.parquet(tmp_dir).count()  # audit before publish
 
-    # publish: move compacted file in, remove inputs, drop tmp + manifest
+    # publish: move compacted file in, remove inputs, drop tmp + manifest.
+    # The planned destination names are recorded in the job manifest BEFORE
+    # any move so recover_incomplete() can roll a half-published job back
+    # (delete outputs while all inputs survive) or forward (finish removing
+    # inputs once any input deletion started) instead of leaving both copies.
     compacted = sorted(glob.glob(os.path.join(tmp_dir, "*.parquet")))
     ts = int(time.time() * 1000)
-    published = []
-    for i, f in enumerate(compacted):
-        dst = os.path.join(part_dir, f"{measurement}_compacted_{ts}_{i}.parquet")
-        shutil.move(f, dst)
-        published.append(dst)
+    published = [
+        os.path.join(part_dir, f"{measurement}_compacted_{ts}_{i}.parquet")
+        for i in range(len(compacted))
+    ]
+    with open(job_manifest, "w") as f:
+        json.dump(
+            {"inputs": inputs, "tmp_dir": tmp_dir, "partition": part_dir,
+             "published": published},
+            f,
+        )
+    for src, dst in zip(compacted, published):
+        shutil.move(src, dst)
     for f in inputs:
         os.remove(f)
         crc = os.path.join(os.path.dirname(f), "." + os.path.basename(f) + ".crc")
@@ -151,13 +162,33 @@ def compact_partition_dir(
 
 
 def recover_incomplete(meas_path: str) -> int:
-    """Sweep partial compactions after a crash: any tmp dir / manifest left
-    behind is rolled back (inputs were only removed after publish, so
-    dropping tmp state restores the pre-compaction view)."""
+    """Sweep partial compactions after a crash.
+
+    Decision per leftover job manifest (reference manifest.go recovery):
+    - every input still present → the publish did not complete input
+      removal; ROLL BACK by deleting any already-moved outputs (named in
+      the manifest's ``published`` list) — readers see the exact
+      pre-compaction file set, no duplicated rows.
+    - any input already removed → output publication finished first (moves
+      strictly precede input removal); ROLL FORWARD by removing the
+      remaining inputs, completing the swap.
+    Tmp dirs and manifests are dropped either way."""
     n = 0
     for m in glob.glob(os.path.join(meas_path, "**/*.compact-manifest.json"), recursive=True):
         with open(m) as f:
             job = json.load(f)
+        inputs = job.get("inputs", [])
+        published = job.get("published", [])
+        if inputs and any(not os.path.exists(f) for f in inputs):
+            # roll forward: outputs are fully published; finish the swap
+            for f in inputs:
+                if os.path.exists(f):
+                    os.remove(f)
+        else:
+            # roll back: delete any outputs that were already moved in
+            for f in published:
+                if os.path.exists(f):
+                    os.remove(f)
         shutil.rmtree(job.get("tmp_dir", ""), ignore_errors=True)
         os.remove(m)
         n += 1

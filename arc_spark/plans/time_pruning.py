@@ -49,6 +49,203 @@ def derived_partition_predicate(
     return pred
 
 
+# ---------------------------------------------------------------------------
+# SQL-surface pruning: derive partition predicates from a query's own
+# time-range filters (reference partition_pruner.go:448-676 — there a regex
+# over the SQL string; here a walk of Catalyst's *optimized* plan, where
+# pushdown has already placed each filter directly above its scan, so OR /
+# NOT / join ambiguity is structural, not guessed).
+# ---------------------------------------------------------------------------
+
+_CMP_NODES = {"GreaterThan", "GreaterThanOrEqual", "LessThan", "LessThanOrEqual", "EqualTo"}
+_TS_TYPES = {"TimestampType$", "TimestampNTZType$"}
+
+
+def _jwalk(p):
+    yield p
+    for i in range(p.children().size()):
+        yield from _jwalk(p.children().apply(i))
+
+
+def _jconjuncts(e):
+    if e.getClass().getSimpleName() == "And":
+        yield from _jconjuncts(e.left())
+        yield from _jconjuncts(e.right())
+    else:
+        yield e
+
+
+def _scan_root_paths(scan_rel) -> list[str]:
+    fi = scan_rel.scan().fileIndex()
+    return [str(fi.rootPaths().apply(i)) for i in range(fi.rootPaths().size())]
+
+
+def _literal_us(lit) -> int | None:
+    if lit.getClass().getSimpleName() != "Literal":
+        return None
+    if lit.dataType().getClass().getSimpleName() not in _TS_TYPES:
+        return None
+    v = lit.value()
+    return int(v) if v is not None else None
+
+
+def plan_time_bounds(df, time_col: str = "time") -> dict[str, tuple[int | None, int | None]]:
+    """Per-scan time bounds from a DataFrame's optimized plan.
+
+    Returns ``{scan_root_path: (lo_us, hi_us)}`` (inclusive epoch-µs bounds,
+    either side may be None) for every parquet scan that sits directly under
+    a Filter whose subtree contains exactly ONE scan — the shape pushdown
+    produces for a pushable per-table predicate. Bounds come only from
+    top-level conjuncts comparing the scan's own ``time`` attribute to a
+    timestamp literal, so predicates under OR/NOT (non-prunable) are never
+    misread. Scans seen without bounds map to (None, None)."""
+    opt = df._jdf.queryExecution().optimizedPlan()
+    out: dict[str, tuple[int | None, int | None]] = {}
+
+    def scans_in(p):
+        return [n for n in _jwalk(p)
+                if n.getClass().getSimpleName() == "DataSourceV2ScanRelation"]
+
+    for node in _jwalk(opt):
+        if node.getClass().getSimpleName() != "Filter":
+            continue
+        scans = scans_in(node)
+        if len(scans) != 1:
+            continue
+        scan = scans[0]
+        time_ids = {
+            scan.output().apply(i).exprId().id()
+            for i in range(scan.output().size())
+            if scan.output().apply(i).name() == time_col
+        }
+        lo = hi = None
+        for c in _jconjuncts(node.condition()):
+            nm = c.getClass().getSimpleName()
+            if nm not in _CMP_NODES:
+                continue
+            l, r = c.left(), c.right()
+
+            def is_time_attr(e):
+                return (e.getClass().getSimpleName() == "AttributeReference"
+                        and e.exprId().id() in time_ids)
+
+            if is_time_attr(l):
+                v = _literal_us(r)
+                if v is None:
+                    continue
+                op = nm
+            elif is_time_attr(r):
+                v = _literal_us(l)
+                if v is None:
+                    continue
+                # mirror: lit < time  ≡  time > lit
+                op = {"GreaterThan": "LessThan", "GreaterThanOrEqual": "LessThanOrEqual",
+                      "LessThan": "GreaterThan", "LessThanOrEqual": "GreaterThanOrEqual",
+                      "EqualTo": "EqualTo"}[nm]
+            else:
+                continue
+            if op in ("GreaterThan", "GreaterThanOrEqual"):
+                b = v + 1 if op == "GreaterThan" else v
+                lo = b if lo is None else max(lo, b)
+            elif op in ("LessThan", "LessThanOrEqual"):
+                b = v - 1 if op == "LessThan" else v
+                hi = b if hi is None else min(hi, b)
+            else:  # EqualTo
+                lo = v if lo is None else max(lo, v)
+                hi = v if hi is None else min(hi, v)
+        for p in _scan_root_paths(scan):
+            out[p] = (lo, hi)
+    # any scan NOT under a single-scan Filter gets (None, None) so callers
+    # know the path was referenced without derivable bounds
+    for scan in scans_in(opt):
+        for p in _scan_root_paths(scan):
+            out.setdefault(p, (None, None))
+    return out
+
+
+def _us_to_local(us: int, tz_name: str, ntz: bool = False) -> dt.datetime:
+    """Epoch-µs → calendar fields as Spark's year()/month()/... see them
+    (session time zone for LTZ; literal fields for NTZ)."""
+    base = dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc) + dt.timedelta(microseconds=us)
+    if ntz:
+        return base.replace(tzinfo=None)
+    try:
+        from zoneinfo import ZoneInfo
+
+        return base.astimezone(ZoneInfo(tz_name)).replace(tzinfo=None)
+    except Exception:
+        return base.replace(tzinfo=None)
+
+
+def prune_sql(spark, sql: str, catalog, time_col: str = "time"):
+    """spark.sql(sql) with SQL-surface partition pruning over registered
+    measurements (the reference's flagship read-path behavior, A2).
+
+    Walks the query's optimized plan for per-scan time bounds, re-registers
+    each affected measurement view with the derived year/month/day/hour
+    predicate applied, re-parses, and restores the views. Returns the
+    (possibly pruned) DataFrame; on any extraction failure returns the plain
+    ``spark.sql(sql)`` plan — pruning is an optimization, never a gate.
+    """
+    df = spark.sql(sql)
+    try:
+        per_path = plan_time_bounds(df, time_col=time_col)
+    except Exception:
+        return df
+    if not per_path:
+        return df
+    # path → (db, measurement); widen bounds per measurement, and drop any
+    # measurement that also appears without bounds (full-scan ref exists)
+    per_meas: dict[tuple[str, str], tuple[int | None, int | None] | None] = {}
+    for path, (lo, hi) in per_path.items():
+        m = catalog.measurement_for_path(path)
+        if m is None:
+            continue
+        if lo is None and hi is None:
+            per_meas[m] = None
+            continue
+        if m in per_meas:
+            prev = per_meas[m]
+            if prev is None:
+                continue
+            plo, phi = prev
+            lo = None if (lo is None or plo is None) else min(lo, plo)
+            hi = None if (hi is None or phi is None) else max(hi, phi)
+            per_meas[m] = (lo, hi) if (lo is not None or hi is not None) else None
+        else:
+            per_meas[m] = (lo, hi)
+    targets = {m: b for m, b in per_meas.items() if b is not None}
+    if not targets:
+        return df
+    tz = spark.conf.get("spark.sql.session.timeZone", "UTC")
+    touched = []
+    try:
+        for (db, meas), (lo, hi) in targets.items():
+            base = catalog.table(db, meas)
+            if not all(c in base.columns for c in PARTITION_COLS):
+                continue
+            ntz = dict(base.dtypes).get(time_col) == "timestamp_ntz"
+            pred = derived_partition_predicate(
+                _us_to_local(lo, tz, ntz) if lo is not None else None,
+                _us_to_local(hi, tz, ntz) if hi is not None else None,
+            )
+            if pred is None:
+                continue
+            pruned = base.filter(pred)
+            names = catalog.views_for(db, meas)
+            if not names:
+                continue
+            for name in names:
+                pruned.createOrReplaceTempView(name)
+            touched.append((db, meas))
+        if not touched:
+            return df
+        return spark.sql(sql)
+    finally:
+        for db, meas in touched:
+            catalog.invalidate(db, meas)
+
+
 def time_range(
     df: DataFrame,
     lo: dt.datetime | None = None,

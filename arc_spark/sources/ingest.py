@@ -74,7 +74,16 @@ def rows_to_columnar(rows: list[dict]) -> dict:
     for k in tag_keys + field_keys:
         columns[k] = []
     for r in rows:
-        t = r.get("t") or r.get("time") or r.get("timestamp")
+        # explicit None chain: a legitimate epoch-0 timestamp is falsy.
+        # time_us is the key parse_line/parse_batch emit (already µs;
+        # normalize_epoch_us is idempotent on µs magnitudes).
+        t = r.get("t")
+        if t is None:
+            t = r.get("time")
+        if t is None:
+            t = r.get("timestamp")
+        if t is None:
+            t = r.get("time_us")
         columns["time"].append(normalize_epoch_us(int(t)) if t is not None else None)
         tags = r.get("tags") or {}
         fields = r.get("fields") or {}

@@ -238,7 +238,8 @@ def lines_to_dataframe(spark, lines_df, precision: str = "ns", measurement: str 
                 if measurement is not None and r["measurement"] != measurement:
                     continue
                 row = {"measurement": r["measurement"],
-                       "time": pd.Timestamp(r["time_us"], unit="us") if r["time_us"] else None}
+                       "time": pd.Timestamp(r["time_us"], unit="us")
+                               if r["time_us"] is not None else None}
                 for c in tag_list:
                     row[c] = r["tags"].get(c)
                 for c in field_list:

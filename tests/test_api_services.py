@@ -239,3 +239,54 @@ class TestDurationCap:
         svc = QueryService(spark, MeasurementCatalog(spark, root), governor=gov)
         svc.register_measurement("metrics", "cpu", view="cpu")
         assert len(svc.execute("SELECT * FROM cpu", token="t")) == 2
+
+
+class TestRecoveryDurability:
+    def test_recover_multi_segment_with_midreplay_flush(self, spark, tmp_path):
+        """Regression (ADVICE high): a threshold-triggered flush mid-replay
+        called wal.truncate(), deleting segments the replay iterator had not
+        read — acked rows permanently lost + FileNotFoundError."""
+        root, wal = str(tmp_path / "d"), str(tmp_path / "w")
+        svc = IngestService(spark, root, wal_dir=wal, max_buffer_rows=10**9,
+                            max_buffer_age_s=10**9)
+        for i in range(10):
+            svc.write_line_protocol(
+                "m", f"cpu,host=h{i} v={i} 17000000{i:02d}000000000\n".encode()
+            )
+            if i % 2 == 1:
+                svc.wal._rotate()
+        assert len(svc.wal._segments()) == 5
+        # crash; tiny buffer on the recovering service → flush fires mid-replay
+        svc2 = IngestService(spark, root, wal_dir=wal, max_buffer_rows=3,
+                             max_buffer_age_s=10**9)
+        assert svc2.recover("m") == 10
+        assert MeasurementCatalog(spark, root).table("m", "cpu").count() == 10
+        # every replayed row is in Parquet; WAL fully truncated at the end
+        assert svc2.wal._segments() == []
+
+    def test_recover_counts_rows_with_defer_decode(self, spark, tmp_path):
+        """Regression (ADVICE low): recover() summed -1 per deferred payload."""
+        root, wal = str(tmp_path / "d"), str(tmp_path / "w")
+        svc = IngestService(spark, root, wal_dir=wal, max_buffer_rows=10**9,
+                            max_buffer_age_s=10**9, defer_decode=True)
+        for i in range(3):
+            svc.write_line_protocol("m", f"cpu v={i} 1700000{i:03d}000000000\n".encode())
+        svc2 = IngestService(spark, root, wal_dir=wal, max_buffer_rows=10**9,
+                             max_buffer_age_s=10**9, defer_decode=True)
+        assert svc2.recover("m") == 3
+        assert svc2.defer_decode is True  # restored after replay
+
+
+class TestWhereCommentBypass:
+    def test_comment_in_where_cannot_drop_limit(self, spark, tmp_path):
+        """Regression (ADVICE medium): `where` ending in `--` commented out
+        the spliced ORDER BY/LIMIT, bypassing the endpoint row limit."""
+        root = str(tmp_path)
+        _ingest_some(spark, root)
+        svc = QueryService(spark, MeasurementCatalog(spark, root))
+        try:
+            rows = svc.query_measurement("metrics", "cpu",
+                                         where="usage > 0.0 --", limit=1)
+        except SqlValidationError:
+            return  # rejecting the clause outright is also safe
+        assert len(rows) == 1

@@ -133,3 +133,43 @@ def test_delete_where_rewrites_only_affected_files(spark, tmp_path):
     back = spark.read.parquet(meas)
     assert back.count() == 2
     assert back.filter("user = 'bob'").count() == 0
+
+
+class TestPublishCrashRecovery:
+    """Regression (ADVICE medium): a crash between publishing the compacted
+    file and removing inputs left BOTH copies with no way to roll back."""
+
+    def _scaffold(self, tmp_path):
+        part = tmp_path / "metrics" / "cpu" / "year=2024" / "month=03" / "day=01" / "hour=10"
+        part.mkdir(parents=True)
+        i1, i2 = part / "a.parquet", part / "b.parquet"
+        i1.write_bytes(b"input-a")
+        i2.write_bytes(b"input-b")
+        pub = part / "cpu_compacted_1_0.parquet"
+        pub.write_bytes(b"compacted")
+        manifest = part.parent / (part.name + ".compact-manifest.json")
+        import json as _json
+        manifest.write_text(_json.dumps({
+            "inputs": [str(i1), str(i2)],
+            "tmp_dir": str(part) + ".compact-tmp-dead",
+            "partition": str(part),
+            "published": [str(pub)],
+        }))
+        return part, i1, i2, pub
+
+    def test_rolls_back_when_inputs_survive(self, tmp_path):
+        # crash after the output move but before any input removal
+        part, i1, i2, pub = self._scaffold(tmp_path)
+        meas = str(tmp_path / "metrics" / "cpu")
+        assert recover_incomplete(meas) >= 1
+        assert i1.exists() and i2.exists()        # pre-compaction view intact
+        assert not pub.exists()                   # duplicate copy removed
+
+    def test_rolls_forward_when_input_removal_started(self, tmp_path):
+        # crash mid input-removal: outputs are fully published by then
+        part, i1, i2, pub = self._scaffold(tmp_path)
+        i1.unlink()
+        meas = str(tmp_path / "metrics" / "cpu")
+        assert recover_incomplete(meas) >= 1
+        assert pub.exists()                       # published output kept
+        assert not i2.exists()                    # swap completed

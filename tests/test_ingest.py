@@ -239,3 +239,23 @@ def test_backfill_multi_day_spread(spark, tmp_path):
     hours = sorted(glob.glob(os.path.join(out, "year=*/month=*/day=*/hour=*")))
     assert len(hours) == 4
     assert spark.read.parquet(out).count() == 4
+
+
+def test_lp_rows_carry_time_through_columnar():
+    """Regression: rows_to_columnar ignored parse_batch's `time_us` key,
+    so the non-deferred LP ingest path stored NULL time for every row."""
+    from arc_spark.sources.line_protocol import parse_batch
+
+    rows = parse_batch("cpu,host=a usage=0.5 1700000000000000000\n")
+    batch = rows_to_columnar(rows)
+    assert batch["columns"]["time"] == [1700000000000000]
+
+
+def test_epoch_zero_timestamp_not_dropped():
+    """Regression (ADVICE low): falsy checks turned a legitimate epoch-0
+    timestamp into NULL."""
+    from arc_spark.sources.line_protocol import parse_line
+
+    batch = rows_to_columnar([{"m": "x", "t": 0, "fields": {"v": 1.0}}])
+    assert batch["columns"]["time"] == [0]
+    assert parse_line("cpu v=1 0", precision="ns")["time_us"] == 0

@@ -79,3 +79,13 @@ def test_distributed_parse(spark):
     assert out.columns == ["measurement", "time", "host", "idle", "value"]
     assert rows[0]["host"] == "a" and rows[0]["value"] == 1.5 and rows[0]["idle"] == 90
     assert rows[2]["idle"] is None  # schema evolution: missing field → null
+
+
+def test_lines_to_dataframe_epoch_zero(spark):
+    """Regression (ADVICE low): distributed LP parse nulled epoch-0 times."""
+    from arc_spark.sources.line_protocol import lines_to_dataframe
+
+    lines = spark.createDataFrame([("cpu v=1 0",), ("cpu v=2 1000000000",)],
+                                  "value string")
+    out = {r["v"]: r["time"] for r in lines_to_dataframe(spark, lines).collect()}
+    assert out[1.0] is not None and out[1.0].year == 1970
