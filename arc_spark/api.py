@@ -179,12 +179,20 @@ class IngestService:
         defer_decode: bool = False,
         direct_flush_max_rows: int = 2_000_000,
         decimal_config: dict[str, dict[str, tuple[int, int]]] | None = None,
+        max_decompressed_bytes: int | None = None,
+        flush_workers: int = 0,
     ):
         """defer_decode=True moves payload decoding from the ack path to the
         flush path: write_* returns -1 (count unknown) after only the WAL
         append + O(1) bookkeeping — the reference's sub-ms ack design taken
         to its limit (arc also acks before Parquet work but decodes first).
-        Flush-size triggering then counts payloads instead of rows."""
+        Flush-size triggering then counts payloads instead of rows.
+
+        flush_workers>0 decouples flush from the ack path (the reference's
+        flushWorker pool, arrow_writer.go:2370-2438): a threshold-crossing
+        write SCHEDULES a flush on a worker thread and returns immediately;
+        the worker also enforces the age trigger without traffic. Call
+        :meth:`drain` (or :meth:`close`) to make everything durable."""
         from arc_spark.sources.wal import Wal
 
         self.spark = spark
@@ -198,64 +206,188 @@ class IngestService:
         # the reference's `measurement:col=precision,scale` config
         # (internal/config/decimal.go:9-60)
         self.decimal_config = decimal_config or {}
+        if max_decompressed_bytes is None:
+            from arc_spark.sources.ingest import MAX_DECOMPRESSED_BYTES
+
+            max_decompressed_bytes = MAX_DECOMPRESSED_BYTES
+        self.max_decompressed_bytes = max_decompressed_bytes
         self._buffers: dict[tuple[str, str], list[dict]] = {}
         self._raw: list[tuple[str, str, bytes]] = []  # (db, kind, payload)
         self._buffer_rows = 0
         self._oldest: float | None = None
         self._recovering = False  # suppresses WAL truncation mid-replay
         self.stats = {"acked": 0, "flushed": 0, "flushes": 0}
+        # _lock: buffers + WAL-append atomicity (a flush snapshot must never
+        # cut the WAL between another writer's append and its buffer insert);
+        # _flush_serial: at most one flush body runs at a time, so a later
+        # flush's WAL truncation cannot outrun an earlier flush's Parquet
+        self._lock = threading.Lock()
+        self._flush_serial = threading.Lock()
+        self._flush_queue = None
+        self._flush_pending = threading.Event()
+        self._flush_error: BaseException | None = None
+        self._stop = False
+        self._workers: list[threading.Thread] = []
+        if flush_workers > 0:
+            import queue
+
+            self._flush_queue = queue.Queue()
+            for i in range(flush_workers):
+                t = threading.Thread(
+                    target=self._flush_worker, name=f"arc-flush-{i}", daemon=True
+                )
+                t.start()
+                self._workers.append(t)
 
     # -- write path --------------------------------------------------------
     def write_msgpack(self, db: str, payload: bytes, _wal: bool = True) -> int:
         """Decode + ack one columnar-msgpack payload. The ACK happens after
         the WAL fsync, BEFORE any Parquet work (reference arrow_writer.go
-        WriteColumnarRecord → WAL AppendRawWithMeta)."""
-        if _wal and self.wal is not None:
-            self.wal.append(payload)
+        WriteColumnarRecord → WAL AppendRawWithMeta).
+
+        gzip/zstd payloads are auto-detected by magic bytes and decompressed
+        (bomb-guarded) BEFORE the WAL append, so WAL replay's format sniff
+        always sees msgpack bytes (reference internal/api/msgpack.go)."""
+        from arc_spark.sources.ingest import maybe_decompress
+
+        payload = maybe_decompress(payload, self.max_decompressed_bytes)
         if self.defer_decode:
-            return self._buffer_raw(db, "msgpack", payload)
+            return self._admit(db, payload if _wal else None,
+                               raw=("msgpack", payload))
         from arc_spark.sources.ingest import decode_msgpack_payload
 
         batch = decode_msgpack_payload(payload)
-        return self._buffer(db, batch)
+        return self._admit(db, payload if _wal else None, batch=batch)
 
     def write_line_protocol(
         self, db: str, payload: bytes, precision: str = "ns", _wal: bool = True
     ) -> int:
-        if _wal and self.wal is not None:
-            self.wal.append(payload)
+        from arc_spark.sources.ingest import maybe_decompress
+
+        payload = maybe_decompress(payload, self.max_decompressed_bytes)
         if self.defer_decode:
-            return self._buffer_raw(db, f"lp:{precision}", payload)
+            return self._admit(db, payload if _wal else None,
+                               raw=(f"lp:{precision}", payload))
         from arc_spark.sources.ingest import rows_to_columnar
         from arc_spark.sources.line_protocol import parse_batch
 
-        rows = parse_batch(payload.decode("utf-8"), precision=precision)
+        # invalid UTF-8 is sanitized (U+FFFD), not fatal — one hostile batch
+        # must not DoS the ingest path (reference internal/ingest/utf8*.go)
+        rows = parse_batch(payload.decode("utf-8", "replace"), precision=precision)
         if not rows:
             return 0
-        return self._buffer(db, rows_to_columnar(rows))
+        return self._admit(db, payload if _wal else None,
+                           batch=rows_to_columnar(rows))
 
-    def _buffer_raw(self, db: str, kind: str, payload: bytes) -> int:
-        """Deferred-decode ack path: O(1) after the WAL append."""
-        self._raw.append((db, kind, payload))
-        if self._oldest is None:
-            self._oldest = time.monotonic()
-        if (
-            len(self._raw) >= max(self.max_buffer_rows // 1000, 1)
-            or time.monotonic() - self._oldest >= self.max_buffer_age_s
-        ):
+    def _admit(
+        self,
+        db: str,
+        wal_payload: bytes | None,
+        batch: dict | None = None,
+        raw: tuple[str, bytes] | None = None,
+    ) -> int:
+        """WAL append + buffer insert, atomically: a concurrent flush
+        snapshot either sees both (entry flushed, WAL cut past it) or
+        neither (entry keeps its WAL backing) — never a WAL entry whose
+        rows are outside every snapshot."""
+        with self._lock:
+            if wal_payload is not None and self.wal is not None:
+                self.wal.append(wal_payload)
+            if raw is not None:
+                self._raw.append((db, *raw))
+                n = -1
+                trip_size = len(self._raw) >= max(self.max_buffer_rows // 1000, 1)
+            else:
+                meas = batch.get("measurement") or "default"
+                if not batch["columns"]:
+                    return 0
+                n = len(batch["columns"][next(iter(batch["columns"]))])
+                self._buffers.setdefault((db, meas), []).append(batch)
+                self._buffer_rows += n
+                self.stats["acked"] += n
+                trip_size = self._buffer_rows >= self.max_buffer_rows
+            if self._oldest is None:
+                self._oldest = time.monotonic()
+            trip = trip_size or (
+                time.monotonic() - self._oldest >= self.max_buffer_age_s
+            )
+        if trip:
+            self._trigger_flush()
+        return n
+
+    def _trigger_flush(self) -> None:
+        if self._flush_queue is None:
             self.flush()
-        return -1
+        elif not self._flush_pending.is_set():
+            self._flush_pending.set()
+            self._flush_queue.put("flush")
 
-    def _decode_raw(self) -> None:
-        """Decode deferred payloads into the columnar buffers (flush time)."""
+    def _flush_worker(self) -> None:
+        import queue as _queue
+
+        poll = min(self.max_buffer_age_s, 1.0)
+        while not self._stop:
+            try:
+                item = self._flush_queue.get(timeout=poll)
+            except _queue.Empty:
+                # age trigger without traffic (reference flush ticker)
+                with self._lock:
+                    aged = (
+                        self._oldest is not None
+                        and time.monotonic() - self._oldest >= self.max_buffer_age_s
+                    )
+                if aged:
+                    try:
+                        self.flush()
+                    except BaseException as e:  # surfaced by drain()
+                        self._flush_error = e
+                continue
+            self._flush_pending.clear()
+            try:
+                if item is not None:
+                    self.flush()
+            except BaseException as e:
+                self._flush_error = e
+            finally:
+                self._flush_queue.task_done()
+            if item is None:
+                break
+
+    def drain(self) -> int:
+        """Wait for scheduled flushes, then flush whatever remains.
+        Raises the first worker-side flush error, if any."""
+        if self._flush_queue is not None:
+            self._flush_queue.join()
+        total = self.flush()
+        if self._flush_error is not None:
+            err, self._flush_error = self._flush_error, None
+            raise err
+        return total
+
+    def close(self) -> None:
+        """Drain and stop the worker threads."""
+        self.drain()
+        self._stop = True
+        if self._flush_queue is not None:
+            for _ in self._workers:
+                self._flush_queue.put(None)
+            for t in self._workers:
+                t.join(timeout=10)
+
+    def _decode_raw_batches(
+        self, raw: list[tuple[str, str, bytes]]
+    ) -> tuple[dict[tuple[str, str], list[dict]], int]:
+        """Decode deferred payloads (flush time) → {(db, meas): [batches]}."""
         from arc_spark.sources.ingest import decode_msgpack_payload, rows_to_columnar
         from arc_spark.sources.line_protocol import parse_batch
 
-        raw, self._raw = self._raw, []
+        out: dict[tuple[str, str], list[dict]] = {}
+        acked = 0
         for db, kind, payload in raw:
             if kind.startswith("lp"):
                 precision = kind.split(":")[1] if ":" in kind else "ns"
-                rows = parse_batch(payload.decode("utf-8"), precision=precision)
+                rows = parse_batch(payload.decode("utf-8", "replace"),
+                                   precision=precision)
                 if not rows:
                     continue
                 batch = rows_to_columnar(rows)
@@ -264,75 +396,77 @@ class IngestService:
             meas = batch.get("measurement") or "default"
             if batch["columns"]:
                 n = len(batch["columns"][next(iter(batch["columns"]))])
-                self._buffers.setdefault((db, meas), []).append(batch)
-                self.stats["acked"] += n
-
-    def _buffer(self, db: str, batch: dict) -> int:
-        meas = batch.get("measurement") or "default"
-        if not batch["columns"]:
-            return 0
-        n = len(batch["columns"][next(iter(batch["columns"]))])
-        self._buffers.setdefault((db, meas), []).append(batch)
-        self._buffer_rows += n
-        self.stats["acked"] += n
-        if self._oldest is None:
-            self._oldest = time.monotonic()
-        if (
-            self._buffer_rows >= self.max_buffer_rows
-            or time.monotonic() - self._oldest >= self.max_buffer_age_s
-        ):
-            self.flush()
-        return n
+                out.setdefault((db, meas), []).append(batch)
+                acked += n
+        return out, acked
 
     # -- flush path --------------------------------------------------------
     def flush(self) -> int:
         """Merge buffered batches per measurement (schema-evolution-aware)
-        and write through the hour-partitioned sorted writer; then the WAL
-        segments are obsolete and truncated."""
+        and write through the hour-partitioned sorted writer; WAL segments
+        sealed before the snapshot are then obsolete and removed.
+
+        The snapshot (buffer swap + WAL rotation) is atomic with respect to
+        writers; Parquet writing happens outside the lock, so the ack path
+        is never blocked by a flush in progress. Only segments BEFORE the
+        rotation cut are truncated — entries appended during the flush keep
+        their WAL backing."""
         from arc_spark.sources.ingest import columnar_to_arrow, merge_batches
         from arc_spark.sources.writer import (
             write_measurement,
             write_measurement_arrow,
         )
 
-        if self._raw:
-            self._decode_raw()
-        total = 0
-        for (db, meas), batches in list(self._buffers.items()):
-            decimals = self.decimal_config.get(meas)
-            tables = [columnar_to_arrow(b, decimal_columns=decimals)
-                      for b in batches]
-            merged = merge_batches(tables)
-            tag_cols = sorted(
-                {c for b in batches for c in (b.get("tag_columns") or [])}
-            )
-            dec_manifest = (
-                {c: list(ps) for c, ps in decimals.items()} if decimals else None
-            )
-            # steady-state flushes write Parquet in-process (the reference's
-            # design — no per-flush Spark job); only backfill-sized batches
-            # pay the distributed shuffle-write
-            if merged.num_rows <= self.direct_flush_max_rows:
-                write_measurement_arrow(
-                    merged, self.root, db, meas, tag_columns=tag_cols,
-                    decimals=dec_manifest,
+        with self._flush_serial:
+            with self._lock:
+                buffers, self._buffers = self._buffers, {}
+                raw, self._raw = self._raw, []
+                self._buffer_rows = 0
+                self._oldest = None
+                cut = None
+                # During recover() the WAL must survive untouched: a
+                # threshold-triggered flush mid-replay would otherwise delete
+                # segments the replay iterator has not read yet. recover()
+                # truncates once, after its own final flush.
+                if self.wal is not None and not self._recovering:
+                    cut = self.wal.rotate()
+            if raw:
+                decoded, acked = self._decode_raw_batches(raw)
+                for key, batches in decoded.items():
+                    buffers.setdefault(key, []).extend(batches)
+                with self._lock:
+                    self.stats["acked"] += acked
+            total = 0
+            for (db, meas), batches in buffers.items():
+                decimals = self.decimal_config.get(meas)
+                tables = [columnar_to_arrow(b, decimal_columns=decimals)
+                          for b in batches]
+                merged = merge_batches(tables)
+                tag_cols = sorted(
+                    {c for b in batches for c in (b.get("tag_columns") or [])}
                 )
-            else:
-                df = self.spark.createDataFrame(merged)
-                write_measurement(df, self.root, db, meas, tag_columns=tag_cols,
-                                  decimals=dec_manifest)
-            total += merged.num_rows
-        self._buffers.clear()
-        self._buffer_rows = 0
-        self._oldest = None
-        # During recover() the WAL must survive: a threshold-triggered flush
-        # mid-replay would otherwise delete segments the replay iterator has
-        # not read yet (and orphan still-buffered tail rows). recover()
-        # truncates once, after its own final flush.
-        if self.wal is not None and not self._recovering:
-            self.wal.truncate()
-        self.stats["flushed"] += total
-        self.stats["flushes"] += 1
+                dec_manifest = (
+                    {c: list(ps) for c, ps in decimals.items()} if decimals else None
+                )
+                # steady-state flushes write Parquet in-process (the
+                # reference's design — no per-flush Spark job); only
+                # backfill-sized batches pay the distributed shuffle-write
+                if merged.num_rows <= self.direct_flush_max_rows:
+                    write_measurement_arrow(
+                        merged, self.root, db, meas, tag_columns=tag_cols,
+                        decimals=dec_manifest,
+                    )
+                else:
+                    df = self.spark.createDataFrame(merged)
+                    write_measurement(df, self.root, db, meas,
+                                      tag_columns=tag_cols,
+                                      decimals=dec_manifest)
+                total += merged.num_rows
+            if cut is not None:
+                self.wal.truncate_upto(cut)
+            with self._lock:
+                self.stats["flushed"] += total
+                self.stats["flushes"] += 1
         return total
 
     # -- crash recovery ----------------------------------------------------
@@ -360,7 +494,12 @@ class IngestService:
                     n += self.write_msgpack(db, payload, _wal=False)
                 else:
                     n += self.write_line_protocol(db, payload, _wal=False)
-            self.flush()  # replay fully read; make every replayed row durable
+            # replay fully read; make every replayed row durable (drain
+            # waits out any worker-scheduled flushes first)
+            if self._flush_queue is not None:
+                self.drain()
+            else:
+                self.flush()
         finally:
             self.defer_decode = prev_defer
             self._recovering = False

@@ -26,6 +26,62 @@ _US_MIN = 10**14
 _MS_MIN = 10**11
 
 
+# ---------------------------------------------------------------------------
+# payload decompression (reference internal/api/msgpack.go: magic-byte
+# auto-detect of gzip/zstd request bodies, with a decompression-bomb guard —
+# decompress_bomb_test.go)
+# ---------------------------------------------------------------------------
+
+GZIP_MAGIC = b"\x1f\x8b"
+ZSTD_MAGIC = b"\x28\xb5\x2f\xfd"
+
+#: default output cap — matches the reference's bounded-reader design:
+#: a tiny compressed body may not expand into arbitrary memory
+MAX_DECOMPRESSED_BYTES = 256 * 1024 * 1024
+
+try:  # zstd support is optional (no codec in the base environment)
+    import zstandard as _zstd  # type: ignore
+except ImportError:
+    _zstd = None
+
+
+class DecompressionBombError(ValueError):
+    pass
+
+
+def maybe_decompress(payload: bytes,
+                     max_decompressed_bytes: int = MAX_DECOMPRESSED_BYTES) -> bytes:
+    """Auto-detect and decompress a gzip/zstd payload by magic bytes.
+
+    Uncompressed payloads pass through untouched. Decompression stops at
+    ``max_decompressed_bytes``; input remaining past the cap raises
+    :class:`DecompressionBombError` instead of allocating further.
+    """
+    if payload[:2] == GZIP_MAGIC:
+        import zlib
+
+        d = zlib.decompressobj(wbits=47)  # gzip container
+        out = d.decompress(payload, max_decompressed_bytes)
+        if d.unconsumed_tail:
+            raise DecompressionBombError(
+                f"gzip payload exceeds {max_decompressed_bytes} bytes decompressed"
+            )
+        return out
+    if payload[:4] == ZSTD_MAGIC:
+        if _zstd is None:
+            raise ValueError(
+                "zstd-compressed payload received but no zstd codec is "
+                "available (pip install zstandard)"
+            )
+        try:
+            return _zstd.ZstdDecompressor().decompress(
+                payload, max_output_size=max_decompressed_bytes
+            )
+        except _zstd.ZstdError as e:
+            raise DecompressionBombError(str(e)) from None
+    return payload
+
+
 def normalize_epoch_us(v: int) -> int:
     """Auto-detect epoch unit by magnitude → microseconds."""
     if v >= _NS_MIN:

@@ -110,7 +110,12 @@ def _pack(obj, out: bytearray) -> None:
 
 def unpackb(data: bytes):
     if _msgpack is not None:
-        return _msgpack.unpackb(data, raw=False, strict_map_key=False)
+        # unicode_errors="replace": invalid UTF-8 in string values becomes
+        # U+FFFD instead of failing the whole batch (reference sanitizes,
+        # internal/ingest/msgpack.go:543-575) — matches the pure-python path
+        return _msgpack.unpackb(
+            data, raw=False, strict_map_key=False, unicode_errors="replace"
+        )
     obj, pos = _unpack(memoryview(data), 0)
     if pos != len(data):
         raise ValueError(f"trailing bytes at {pos}")
@@ -130,7 +135,7 @@ def _unpack(mv: memoryview, pos: int):
         return _unpack_array(mv, pos, b & 0x0F)
     if 0xA0 <= b <= 0xBF:
         n = b & 0x1F
-        return str(mv[pos:pos + n], "utf-8"), pos + n
+        return str(mv[pos:pos + n], "utf-8", "replace"), pos + n
     if b == 0xC0:
         return None, pos
     if b == 0xC2:
@@ -177,13 +182,13 @@ def _unpack(mv: memoryview, pos: int):
         return v, pos + 8
     if b == 0xD9:
         n = mv[pos]
-        return str(mv[pos + 1:pos + 1 + n], "utf-8"), pos + 1 + n
+        return str(mv[pos + 1:pos + 1 + n], "utf-8", "replace"), pos + 1 + n
     if b == 0xDA:
         (n,) = struct.unpack_from(">H", mv, pos)
-        return str(mv[pos + 2:pos + 2 + n], "utf-8"), pos + 2 + n
+        return str(mv[pos + 2:pos + 2 + n], "utf-8", "replace"), pos + 2 + n
     if b == 0xDB:
         (n,) = struct.unpack_from(">I", mv, pos)
-        return str(mv[pos + 4:pos + 4 + n], "utf-8"), pos + 4 + n
+        return str(mv[pos + 4:pos + 4 + n], "utf-8", "replace"), pos + 4 + n
     if b == 0xDC:
         (n,) = struct.unpack_from(">H", mv, pos)
         return _unpack_array(mv, pos + 2, n)

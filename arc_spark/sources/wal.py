@@ -101,6 +101,23 @@ class Wal:
         for seg in self._segments():
             os.remove(seg)
 
+    def rotate(self) -> int:
+        """Seal the active segment; later appends open a new one. Returns
+        the new segment sequence — the cut point for :meth:`truncate_upto`.
+
+        This is how a flush snapshot coordinates with concurrent writers
+        (reference flushWorker design): rotate at snapshot time, flush, then
+        truncate only segments BEFORE the cut — entries appended after the
+        snapshot keep their WAL backing."""
+        self._rotate()
+        return self._seq
+
+    def truncate_upto(self, seq: int) -> None:
+        """Remove segments with sequence < ``seq`` (flushed to Parquet)."""
+        for seg in self._segments():
+            if int(os.path.basename(seg).split(".")[0]) < seq:
+                os.remove(seg)
+
     def replay(self) -> Iterator[tuple[int, bytes]]:
         """Yield (ts_us, payload) for every intact frame across segments.
         A torn/corrupt tail frame ends replay of that segment silently —

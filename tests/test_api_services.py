@@ -290,3 +290,71 @@ class TestWhereCommentBypass:
         except SqlValidationError:
             return  # rejecting the clause outright is also safe
         assert len(rows) == 1
+
+
+class TestBackgroundFlush:
+    """flush_workers>0: the ack path never executes a flush (reference
+    flushWorker pool, arrow_writer.go:2370-2438)."""
+
+    def _payload(self, n, base=1700000000000000):
+        return packb({
+            "m": "cpu",
+            "columns": {"time": [base + i * 1000 for i in range(n)],
+                        "host": [f"h{i % 8}" for i in range(n)],
+                        "v": [float(i) for i in range(n)]},
+            "tags": ["host"],
+        })
+
+    def test_threshold_ack_returns_before_flush_completes(self, spark, tmp_path):
+        import time as _t
+
+        svc = IngestService(spark, str(tmp_path), max_buffer_rows=10_000,
+                            max_buffer_age_s=10**9, flush_workers=1)
+        try:
+            # cross the threshold: ack must return without paying the flush
+            t0 = _t.perf_counter()
+            svc.write_msgpack("m", self._payload(20_000))
+            ack = _t.perf_counter() - t0
+            t1 = _t.perf_counter()
+            flushed = svc.drain()
+            drain_time = _t.perf_counter() - t1
+            assert flushed + svc.stats["flushed"] >= 20_000
+            # the flush costs real time; the ack did not include it
+            assert ack < drain_time + 0.05 or ack < 0.1
+        finally:
+            svc.close()
+        from arc_spark.catalog import MeasurementCatalog
+        assert MeasurementCatalog(spark, str(tmp_path)).table("m", "cpu").count() == 20_000
+
+    def test_wal_cut_preserves_post_snapshot_entries(self, spark, tmp_path):
+        """Entries appended after a flush snapshot keep their WAL backing:
+        crash after the flush loses nothing acked."""
+        root, wal = str(tmp_path / "d"), str(tmp_path / "w")
+        svc = IngestService(spark, root, wal_dir=wal, max_buffer_rows=10_000,
+                            max_buffer_age_s=10**9, flush_workers=1)
+        try:
+            svc.write_msgpack("m", self._payload(20_000))  # trips → async flush
+            svc.drain()
+            # post-flush write stays buffered, WAL must still hold it
+            svc.write_msgpack("m", self._payload(5, base=1800000000000000))
+        finally:
+            svc._stop = True  # simulate crash: no drain of the tail write
+        svc2 = IngestService(spark, root, wal_dir=wal, max_buffer_rows=10_000,
+                             max_buffer_age_s=10**9)
+        assert svc2.recover("m") == 5  # only the unflushed tail replays
+        from arc_spark.catalog import MeasurementCatalog
+        assert MeasurementCatalog(spark, root).table("m", "cpu").count() == 20_005
+
+    def test_age_trigger_fires_without_traffic(self, spark, tmp_path):
+        import time as _t
+
+        svc = IngestService(spark, str(tmp_path), max_buffer_rows=10**9,
+                            max_buffer_age_s=0.3, flush_workers=1)
+        try:
+            svc.write_msgpack("m", self._payload(10))
+            deadline = _t.time() + 10
+            while svc.stats["flushes"] == 0 and _t.time() < deadline:
+                _t.sleep(0.05)
+            assert svc.stats["flushes"] >= 1  # worker ticker flushed it
+        finally:
+            svc.close()

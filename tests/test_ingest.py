@@ -259,3 +259,71 @@ def test_epoch_zero_timestamp_not_dropped():
     batch = rows_to_columnar([{"m": "x", "t": 0, "fields": {"v": 1.0}}])
     assert batch["columns"]["time"] == [0]
     assert parse_line("cpu v=1 0", precision="ns")["time_us"] == 0
+
+
+class TestIngestHardening:
+    """gzip/zstd auto-detect + bomb guard + UTF-8 sanitize (reference
+    internal/api/msgpack.go, decompress_bomb_test.go, ingest/utf8*.go)."""
+
+    def test_gzip_payload_roundtrips(self, spark, tmp_path):
+        import gzip
+
+        from arc_spark.api import IngestService
+        from arc_spark.catalog import MeasurementCatalog
+
+        svc = IngestService(spark, str(tmp_path), max_buffer_rows=10**9,
+                            max_buffer_age_s=10**9)
+        payload = packb({
+            "m": "cpu",
+            "columns": {"time": [1700000000000000], "host": ["a"], "v": [1.0]},
+            "tags": ["host"],
+        })
+        assert svc.write_msgpack("m", gzip.compress(payload)) == 1
+        svc.flush()
+        assert MeasurementCatalog(spark, str(tmp_path)).table("m", "cpu").count() == 1
+
+    def test_gzip_lp_payload(self, spark, tmp_path):
+        import gzip
+
+        from arc_spark.api import IngestService
+
+        svc = IngestService(spark, str(tmp_path), max_buffer_rows=10**9,
+                            max_buffer_age_s=10**9)
+        n = svc.write_line_protocol(
+            "m", gzip.compress(b"cpu,host=a v=1 1700000000000000000\n")
+        )
+        assert n == 1
+
+    def test_decompression_bomb_rejected(self):
+        import gzip
+
+        from arc_spark.sources.ingest import (
+            DecompressionBombError,
+            maybe_decompress,
+        )
+
+        bomb = gzip.compress(b"\x00" * (4 << 20))  # 4 MiB of zeros, ~4 KiB gz
+        with pytest.raises(DecompressionBombError):
+            maybe_decompress(bomb, max_decompressed_bytes=1 << 20)
+        # under the cap: passes through decompressed
+        assert len(maybe_decompress(bomb, max_decompressed_bytes=8 << 20)) == 4 << 20
+
+    def test_uncompressed_passthrough(self):
+        from arc_spark.sources.ingest import maybe_decompress
+
+        raw = packb({"m": "x", "columns": {"time": [1]}, "tags": []})
+        assert maybe_decompress(raw) is raw
+
+    def test_invalid_utf8_sanitized_not_fatal(self):
+        # craft a msgpack fixstr with an invalid UTF-8 byte: 0xA3 'a' 0xFF 'b'
+        bad = b"\x81\xa4host\xa3a\xffb"
+        obj = unpackb(bad)
+        assert obj == {"host": "a�b"}
+
+    def test_invalid_utf8_lp_batch_not_fatal(self, spark, tmp_path):
+        from arc_spark.api import IngestService
+
+        svc = IngestService(spark, str(tmp_path), max_buffer_rows=10**9,
+                            max_buffer_age_s=10**9)
+        payload = b"cpu,host=a\xff v=1 1700000000000000000\n"
+        assert svc.write_line_protocol("m", payload) == 1
