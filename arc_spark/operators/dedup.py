@@ -123,7 +123,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     k: int = 3,
     threshold: float = 0.5,
-    max_posting_list: int | None = None,
+    max_posting_list: int | None = 1000,
 ) -> DataFrame:
     """All document pairs with word-k-gram Jaccard ≥ threshold.
 
@@ -131,7 +131,12 @@ def ngram_jaccard_pairs(
     posting lists → (shuffle on pair) count intersections → join doc sizes.
     ``max_posting_list`` drops ultra-common shingles (stopword shingles),
     which bounds the worst-case pair blow-up at corpus scale — the standard
-    trick from suffix-filtering literature.
+    trick from suffix-filtering literature. It DEFAULTS ON (1000): one hot
+    shingle shared by d documents otherwise contributes d²/2 join rows, the
+    quadratic blow-up that kills this operator on real crawl data. A shingle
+    that common carries ~no similarity signal, and a pair whose overlap is
+    exclusively stopword shingles is below any useful threshold anyway.
+    Pass None to disable (exact semantics for small corpora).
     """
     sh = _shingled(df, id_col, text_col, k)
     sizes = sh.select("doc", F.size("shingles").alias("sz"))
@@ -177,12 +182,16 @@ def _signatures_from_shingled(sh: DataFrame, num_hashes: int) -> DataFrame:
     NOTE: one SQL expr, not stacked F.transform lambdas — PySpark's
     Python-side lambda variables collide when many transforms share one
     projection, silently collapsing all signature slots to one value.
+
+    The slot index is DATA (``transform(sequence(0, n-1), i -> ...)``), not
+    128 unrolled expressions: the generated code is two tight nested loops
+    instead of a multi-thousand-line class, which cuts the one-time codegen
+    /JIT cost of the first execution several-fold while producing bit-
+    identical signatures (xxhash64(i, s) hashes the same INT i either way).
     """
     sig = F.expr(
-        "array(" + ",".join(
-            f"array_min(transform(shingles, s -> xxhash64({i}, s)))"
-            for i in range(num_hashes)
-        ) + ")"
+        f"transform(sequence(0, {num_hashes - 1}),"
+        " i -> array_min(transform(shingles, s -> xxhash64(i, s))))"
     )
     return sh.select("doc", sig.alias("sig"), F.size("shingles").alias("sz"))
 
@@ -220,21 +229,25 @@ def minhash_lsh_pairs(
     """
     r = num_hashes // bands
     # one shingle scan serves both the signatures and the exact-verify step
-    # (recomputing it would repeat the full tokenize+hash pipeline)
-    sh_shared = _shingled(df, id_col, text_col, k).persist()
+    # (recomputing it would repeat the full tokenize+hash pipeline); without
+    # the verify pass there is no second consumer, so skip the persist
+    sh_shared = _shingled(df, id_col, text_col, k)
+    if verify:
+        sh_shared = sh_shared.persist()
     sigs = _signatures_from_shingled(sh_shared, num_hashes)
     # NULL-signature docs (<k words) must generate no band rows — posexplode
     # of a NULL array emits nothing, so they can never pair.
+    # Band index as data (sequence/transform), matching the signature
+    # formulation: small generated code, bit-identical buckets.
+    band_arr = F.expr(
+        f"transform(sequence(0, {bands - 1}), i -> xxhash64("
+        + ",".join(f"element_at(sig, {r} * i + {j + 1})" for j in range(r))
+        + "))"
+    )
     band_rows = sigs.select(
         "doc",
         F.posexplode(
-            F.when(
-                F.col("sig").isNotNull(),
-                F.array(*[
-                    F.xxhash64(*[F.col("sig")[i * r + j] for j in range(r)])
-                    for i in range(bands)
-                ]),
-            )
+            F.when(F.col("sig").isNotNull(), band_arr)
         ).alias("band", "bucket"),
     )
     a, b = band_rows.alias("a"), band_rows.alias("b")
@@ -251,8 +264,12 @@ def minhash_lsh_pairs(
     if not verify:
         return cands
     # exact verification on candidates only: intersect shingle sets,
-    # reusing the persisted shingle frame from the signature pass
+    # reusing the persisted shingle frame from the signature pass.
+    # The candidate side broadcasts: LSH output is bounded by the near-dup
+    # rate (≪ corpus), so both verify joins stream the shingle frame with
+    # no shuffle — the corpus side is never broadcast.
     sh = sh_shared
+    cands = F.broadcast(cands)
     verified = (
         cands.join(sh.withColumnsRenamed({"doc": "doc_a", "shingles": "sh_a"}), "doc_a")
         .join(sh.withColumnsRenamed({"doc": "doc_b", "shingles": "sh_b"}), "doc_b")

