@@ -111,10 +111,21 @@ class MeasurementCatalog:
     of truth, no metadata service required.
     """
 
-    def __init__(self, spark: SparkSession, root: str, cold_root: str | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        cold_root: str | None = None,
+        daily_root: str | None = None,
+    ):
+        """daily_root: the day-compacted tier (operators/compaction.
+        compact_measurement_daily) — ``year=/month=/day=`` partitioned, one
+        file per day, ``hour`` as an in-file column. Unioned into reads like
+        the cold tier."""
         self.spark = spark
         self.root = root
         self.cold_root = cold_root
+        self.daily_root = daily_root
         self._views: dict[tuple[str, str], set[str]] = {}
 
     # -- namespace listing (reference A12) --------------------------------
@@ -139,13 +150,10 @@ class MeasurementCatalog:
     def paths(self, db: str, measurement: str) -> list[str]:
         """All tier paths holding this measurement (hot first)."""
         out = []
-        hot = os.path.join(self.root, db, measurement)
-        if os.path.isdir(hot):
-            out.append(hot)
-        if self.cold_root:
-            cold = os.path.join(self.cold_root, db, measurement)
-            if os.path.isdir(cold):
-                out.append(cold)
+        for base in filter(None, (self.root, self.cold_root, self.daily_root)):
+            p = os.path.join(base, db, measurement)
+            if os.path.isdir(p):
+                out.append(p)
         return out
 
     def table(self, db: str, measurement: str, merge_schema: bool = True) -> DataFrame:
@@ -154,7 +162,15 @@ class MeasurementCatalog:
         'No files found' yields an EMPTY DataFrame, not an error — matching
         the reference (internal/api/query.go:2035-2037).
         """
-        paths = self.paths(db, measurement)
+        def has_parquet(p: str) -> bool:
+            for _dir, _sub, files in os.walk(p):
+                if any(f.endswith(".parquet") for f in files):
+                    return True
+            return False
+
+        # a tier emptied by compaction/tiering (dir skeleton, no files)
+        # cannot be read — skip it, like the reference's empty-glob path
+        paths = [p for p in self.paths(db, measurement) if has_parquet(p)]
         if not paths:
             return self.spark.createDataFrame([], "time timestamp")
         # each tier root is its own partitioned table (hive partition
@@ -179,7 +195,7 @@ class MeasurementCatalog:
         measurements. Accepts `file:`-prefixed URIs."""
         p = path.removeprefix("file://").removeprefix("file:")
         p = os.path.realpath(p)
-        for root in filter(None, (self.root, self.cold_root)):
+        for root in filter(None, (self.root, self.cold_root, self.daily_root)):
             real_root = os.path.realpath(root)
             if not p.startswith(real_root + os.sep):
                 continue

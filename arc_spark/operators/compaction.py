@@ -198,6 +198,135 @@ def recover_incomplete(meas_path: str) -> int:
     return n
 
 
+def day_dirs(meas_path: str) -> list[str]:
+    return sorted(
+        p for p in glob.glob(os.path.join(meas_path, "year=*/month=*/day=*"))
+        if os.path.isdir(p)
+    )
+
+
+def daily_candidates(
+    meas_path: str, min_files: int = 12, min_age_seconds: float = 86400,
+    now: float | None = None,
+) -> list[str]:
+    """Day dirs eligible for the daily tier (reference daily.go:14-52:
+    days ≥24 h old holding ≥12 files — i.e. hourly compaction has already
+    run and the day still has many per-hour files)."""
+    now = now if now is not None else time.time()
+    out = []
+    for d in day_dirs(meas_path):
+        files = glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True)
+        if len(files) < min_files:
+            continue
+        newest = max(os.path.getmtime(f) for f in files)
+        if now - newest >= min_age_seconds:
+            out.append(d)
+    return out
+
+
+def compact_day(
+    spark: SparkSession,
+    root: str,
+    db: str,
+    measurement: str,
+    day_dir: str,
+    daily_root: str,
+    dedup: bool = True,
+) -> dict:
+    """Merge one day's hour files into ONE day-level file in the daily tier.
+
+    Reference: internal/compaction/daily.go:14-52 merges a day's hourly
+    files into a single day file. The hive translation: the daily tier is a
+    separate root partitioned ``year=/month=/day=`` — uniform depth per
+    tier — and ``hour`` travels INSIDE the file as a data column (parquet
+    row-group stats still prune on it). `MeasurementCatalog` unions tiers
+    by name, so reads and the SQL-surface partition pruner keep working:
+    year/month/day prune on the path, hour prunes via row-group stats.
+
+    Crash safety: same manifest protocol as the hourly tier — manifest
+    (inputs + planned output) before any move; recover via
+    :func:`recover_incomplete` on the DAILY tier path rolls back or forward.
+    """
+    manifest = read_manifest(root, db, measurement)
+    tags = manifest.get("tag_columns", [])
+    sort_keys = [c for c in manifest.get("sort_keys", []) if c != "time"] + ["time"]
+
+    inputs = sorted(
+        glob.glob(os.path.join(day_dir, "**", "*.parquet"), recursive=True)
+    )
+    if not inputs:
+        return {"day": day_dir, "inputs": 0, "skipped": True}
+
+    rel = os.path.relpath(day_dir, os.path.join(root, db, measurement))
+    out_day_dir = os.path.join(daily_root, db, measurement, rel)
+    tmp_dir = out_day_dir + f".compact-tmp-{uuid.uuid4().hex[:8]}"
+    job_manifest = out_day_dir + ".compact-manifest.json"
+    os.makedirs(os.path.dirname(out_day_dir), exist_ok=True)
+
+    # read with basePath so hour arrives as a column; keep it as data
+    df = (
+        spark.read.option("mergeSchema", "true")
+        .option("basePath", os.path.join(root, db, measurement))
+        .parquet(day_dir)
+        .drop("year", "month", "day")
+    )
+    df = heal_time_column(df)
+    if dedup:
+        df = dedup_window(df, tags, dedup_time_only=manifest.get("dedup_time", False))
+    ts = int(time.time() * 1000)
+    published = [os.path.join(out_day_dir, f"{measurement}_daily_{ts}_0.parquet")]
+    with open(job_manifest, "w") as f:
+        json.dump({"inputs": inputs, "tmp_dir": tmp_dir, "partition": out_day_dir,
+                   "published": published}, f)
+    (
+        df.sortWithinPartitions(*[k for k in sort_keys if k in df.columns])
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("compression", "zstd")
+        .option("parquet.block.size", str(122880 * 1024))
+        .parquet(tmp_dir)
+    )
+    out_rows = spark.read.parquet(tmp_dir).count()  # audit before publish
+    compacted = sorted(glob.glob(os.path.join(tmp_dir, "*.parquet")))
+    os.makedirs(out_day_dir, exist_ok=True)
+    published = published[: len(compacted)]
+    for src, dst in zip(compacted, published):
+        shutil.move(src, dst)
+    # inputs removed only after publish (recover rolls forward past here)
+    shutil.rmtree(day_dir)
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    os.remove(job_manifest)
+    return {"day": day_dir, "output": published[0] if published else None,
+            "inputs": len(inputs), "rows": out_rows, "skipped": False}
+
+
+def compact_measurement_daily(
+    spark: SparkSession,
+    root: str,
+    db: str,
+    measurement: str,
+    daily_root: str,
+    min_files: int = 12,
+    min_age_seconds: float = 86400,
+    now: float | None = None,
+    catalog=None,
+) -> list[dict]:
+    """Daily-tier pass: merge eligible days into single day files under
+    ``daily_root`` (see :func:`compact_day` for the layout contract)."""
+    meas_path = os.path.join(root, db, measurement)
+    recover_incomplete(os.path.join(daily_root, db, measurement))
+    results = []
+    for d in daily_candidates(meas_path, min_files, min_age_seconds, now):
+        results.append(
+            compact_day(spark, root, db, measurement, d, daily_root)
+        )
+    if results:
+        spark.catalog.refreshByPath(meas_path)
+        if catalog is not None:
+            catalog.invalidate(db, measurement)
+    return results
+
+
 def compact_measurement(
     spark: SparkSession,
     root: str,

@@ -40,6 +40,35 @@ def _partition_day(day_dir: str) -> dt.datetime:
     return dt.datetime(parts["year"], parts["month"], parts["day"])
 
 
+def _file_max_time(path: str, time_col: str = "time"):
+    """max(time) from parquet footer statistics — no data pages read
+    (the reference's per-file retention reads footers the same way,
+    internal/api/retention.go:791-900). None when stats are absent."""
+    import pyarrow.parquet as pq
+
+    try:
+        md = pq.ParquetFile(path).metadata
+    except Exception:
+        return None
+    idx = None
+    for i in range(md.num_columns):
+        if md.schema.column(i).name == time_col:
+            idx = i
+            break
+    if idx is None:
+        return None
+    mx = None
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx).statistics
+        if st is None or not st.has_min_max:
+            return None  # any stats gap → keep the file (conservative)
+        v = st.max
+        mx = v if mx is None else max(mx, v)
+    if hasattr(mx, "tzinfo") and mx.tzinfo is not None:
+        mx = mx.astimezone(dt.timezone.utc).replace(tzinfo=None)
+    return mx
+
+
 def apply_retention(
     root: str,
     db: str,
@@ -47,12 +76,19 @@ def apply_retention(
     retention_days: float,
     buffer_days: float = 1.0,
     now: dt.datetime | None = None,
+    per_file: bool = True,
 ) -> list[str]:
-    """Drop whole day partitions older than the cutoff. Returns removed dirs.
+    """Drop data older than the cutoff. Returns removed paths.
 
-    O(#partitions) directory math — the 100 TB path: no scan, no rewrite,
-    exactly like dropping `day=` prefixes on object storage."""
-    now = now or dt.datetime.utcnow()
+    Two passes, both O(metadata) — the 100 TB path, no data read:
+    1. whole day partitions entirely before the cutoff: directory unlink,
+       like dropping `day=` prefixes on object storage.
+    2. (``per_file``) inside the boundary day that straddles the cutoff:
+       individual files whose footer max(time) < cutoff are removed
+       (reference retention.go:791-900) — without this, a partly-expired
+       day retains every file until the whole day ages out.
+    """
+    now = now or dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
     cutoff = now - dt.timedelta(days=retention_days + buffer_days)
     removed = []
     meas = os.path.join(root, db, measurement)
@@ -62,6 +98,18 @@ def apply_retention(
         if day + dt.timedelta(days=1) <= cutoff:
             shutil.rmtree(day_dir)
             removed.append(day_dir)
+        elif per_file and day <= cutoff:
+            # boundary day: per-file footer max(time) check
+            for f in sorted(glob.glob(os.path.join(day_dir, "**", "*.parquet"),
+                                      recursive=True)):
+                mx = _file_max_time(f)
+                if mx is not None and mx < cutoff:
+                    _remove_with_crc(f)
+                    removed.append(f)
+            # clean now-empty hour dirs so listings stay tidy
+            for hour_dir in sorted(glob.glob(os.path.join(day_dir, "hour=*"))):
+                if not any(e.endswith(".parquet") for e in os.listdir(hour_dir)):
+                    shutil.rmtree(hour_dir)
     return removed
 
 

@@ -38,13 +38,24 @@ def derived_partition_predicate(
     lo: dt.datetime | None = None, hi: dt.datetime | None = None
 ) -> Column | None:
     """Partition-column predicate equivalent to ``lo <= time <= hi``
-    (hour-granular: bounds widen to the containing hour)."""
+    (hour-granular: bounds widen to the containing hour).
+
+    Emits TWO redundant conjuncts: a day-granular one over (year, month,
+    day) and the hour-granular one over all four columns. On the hot tier
+    all four are partition columns and both push as partition filters; on
+    the daily tier (operators/compaction.compact_day) ``hour`` is an
+    in-file column, so the day conjunct still prunes partitions while the
+    hour conjunct degrades gracefully to a row-group-stat filter."""
+    y, m, d = (F.col(c) for c in PARTITION_COLS[:3])
+    day_enc = (y * 100 + m) * 100 + d
     enc = _encoded_col()
     pred: Column | None = None
     if lo is not None:
-        pred = enc >= _encode(lo)
+        day_lo = (lo.year * 100 + lo.month) * 100 + lo.day
+        pred = (day_enc >= day_lo) & (enc >= _encode(lo))
     if hi is not None:
-        p2 = enc <= _encode(hi)
+        day_hi = (hi.year * 100 + hi.month) * 100 + hi.day
+        p2 = (day_enc <= day_hi) & (enc <= _encode(hi))
         pred = p2 if pred is None else (pred & p2)
     return pred
 

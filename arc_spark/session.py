@@ -51,6 +51,12 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Joins: dims broadcast; facts sort-merge/shuffled-hash via AQE.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # µs timestamps at rest (arc's storage type, SURVEY §1.2) — the
+        # default INT96 is deprecated, larger, AND writes no min/max column
+        # statistics, which silently disables row-group skipping on every
+        # time-range scan and per-file footer retention over Spark-written
+        # files
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # Parquet scan efficiency (arc: parquet_metadata_cache, footer COUNT)
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")

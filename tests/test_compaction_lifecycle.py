@@ -173,3 +173,129 @@ class TestPublishCrashRecovery:
         assert recover_incomplete(meas) >= 1
         assert pub.exists()                       # published output kept
         assert not i2.exists()                    # swap completed
+
+
+class TestDailyTier:
+    """Daily compaction (reference daily.go:14-52): a ≥24h-old day holding
+    ≥12 hourly files merges into ONE day-level file in the daily-tier root
+    (year=/month=/day= layout, hour as an in-file column)."""
+
+    def _write_day_of_hours(self, spark, root, day=dt.datetime(2024, 3, 1)):
+        for h in range(12):
+            rows = [
+                {"m": "cpu",
+                 "t": int((day + dt.timedelta(hours=h, minutes=i)).timestamp() * 1e6),
+                 "tags": {"host": f"h{i}"}, "fields": {"value": float(h * 10 + i)}}
+                for i in range(3)
+            ]
+            df = columnar_to_dataframe(spark, rows_to_columnar(rows))
+            write_measurement(df, root, "metrics", "cpu", tag_columns=["host"])
+        return os.path.join(root, "metrics", "cpu")
+
+    def test_day_merges_into_daily_tier(self, spark, tmp_path):
+        import time as _time
+
+        from arc_spark.catalog import MeasurementCatalog
+        from arc_spark.operators.compaction import compact_measurement_daily
+
+        root, daily = str(tmp_path / "hot"), str(tmp_path / "daily")
+        meas = self._write_day_of_hours(spark, root)
+        n_before = spark.read.parquet(meas).count()
+        assert n_before == 36
+
+        results = compact_measurement_daily(
+            spark, root, "metrics", "cpu", daily_root=daily,
+            min_files=12, min_age_seconds=0, now=_time.time() + 90000,
+        )
+        assert len(results) == 1 and not results[0]["skipped"]
+        # one file for the whole day, in the day-partitioned tier
+        day_files = glob.glob(os.path.join(
+            daily, "metrics", "cpu", "year=2024", "month=3", "day=1", "*.parquet"))
+        assert len(day_files) == 1
+        # hot day dir is gone
+        assert not os.path.exists(os.path.join(
+            root, "metrics", "cpu", "year=2024", "month=3", "day=1"))
+
+        # catalog unions tiers transparently; hour survives as a column
+        cat = MeasurementCatalog(spark, root, daily_root=daily)
+        df = cat.table("metrics", "cpu")
+        assert df.count() == 36
+        hours = {r["hour"] for r in df.select("hour").distinct().collect()}
+        assert hours == set(range(12))
+
+    def test_young_or_small_days_not_touched(self, spark, tmp_path):
+        import time as _time
+
+        from arc_spark.operators.compaction import daily_candidates
+
+        root = str(tmp_path / "hot")
+        meas = self._write_day_of_hours(spark, root)
+        # too young
+        assert daily_candidates(meas, min_files=12,
+                                min_age_seconds=86400, now=_time.time()) == []
+        # too few files
+        assert daily_candidates(meas, min_files=50,
+                                min_age_seconds=0, now=_time.time() + 90000) == []
+
+    def test_sql_pruning_covers_daily_tier(self, spark, tmp_path):
+        import time as _time
+
+        from arc_spark.catalog import MeasurementCatalog
+        from arc_spark.operators.compaction import compact_measurement_daily
+        from arc_spark.plans.time_pruning import prune_sql
+
+        root, daily = str(tmp_path / "hot"), str(tmp_path / "daily")
+        self._write_day_of_hours(spark, root, day=dt.datetime(2024, 3, 1))
+        self._write_day_of_hours(spark, root, day=dt.datetime(2024, 3, 2))
+        compact_measurement_daily(spark, root, "metrics", "cpu",
+                                  daily_root=daily, min_files=12,
+                                  min_age_seconds=0, now=_time.time() + 90000)
+        cat = MeasurementCatalog(spark, root, daily_root=daily)
+        cat.register("metrics", "cpu", view="cpu_tiers")
+        df = prune_sql(
+            spark,
+            "SELECT count(*) AS n FROM cpu_tiers "
+            "WHERE time >= TIMESTAMP '2024-03-02 00:00:00'",
+            cat,
+        )
+        assert df.collect()[0]["n"] == 36
+
+
+class TestPerFileRetention:
+    def test_boundary_day_files_dropped_individually(self, spark, tmp_path):
+        """Reference retention.go:791-900: a partly-expired day drops its
+        expired files by footer max(time), keeping the rest."""
+        root = str(tmp_path)
+        day = dt.datetime(2024, 3, 10)
+        for h in (0, 6, 12, 18):
+            rows = [{"m": "cpu",
+                     "t": int((day + dt.timedelta(hours=h)).timestamp() * 1e6),
+                     "tags": {"host": "a"}, "fields": {"value": float(h)}}]
+            df = columnar_to_dataframe(spark, rows_to_columnar(rows))
+            write_measurement(df, root, "metrics", "cpu", tag_columns=["host"])
+        meas = os.path.join(root, "metrics", "cpu")
+
+        # cutoff at 10:00 on the day itself: hours 0 and 6 expire, 12/18 stay
+        removed = apply_retention(
+            root, "metrics", "cpu", retention_days=0, buffer_days=0,
+            now=day + dt.timedelta(hours=10),
+        )
+        files_removed = [r for r in removed if r.endswith(".parquet")]
+        assert len(files_removed) == 2
+        left = spark.read.parquet(meas)
+        assert sorted(r["value"] for r in left.collect()) == [12.0, 18.0]
+        # empty hour dirs were cleaned
+        assert not glob.glob(os.path.join(meas, "**", "hour=0"), recursive=True)
+
+    def test_per_file_off_keeps_boundary_day(self, spark, tmp_path):
+        root = str(tmp_path)
+        day = dt.datetime(2024, 3, 10)
+        rows = [{"m": "cpu", "t": int(day.timestamp() * 1e6),
+                 "tags": {"host": "a"}, "fields": {"value": 1.0}}]
+        df = columnar_to_dataframe(spark, rows_to_columnar(rows))
+        write_measurement(df, root, "metrics", "cpu", tag_columns=["host"])
+        removed = apply_retention(
+            root, "metrics", "cpu", retention_days=0, buffer_days=0,
+            now=day + dt.timedelta(hours=10), per_file=False,
+        )
+        assert removed == []
