@@ -1,0 +1,219 @@
+"""HTTP wire layer over QueryService/IngestService (reference internal/api/
+server.go routes, minus TLS/metrics).
+
+Endpoints (reference names in parens):
+
+- ``POST /api/v1/query``            JSON ``{"sql", "format"}`` → rows as
+  typed JSON, Arrow IPC stream, or columnar MessagePack (query.go:1396).
+- ``GET  /api/v1/query/<measurement>?db=&where=&order_by=&limit=`` —
+  single-measurement endpoint (query.go:3923, A13).
+- ``POST /api/v1/write/msgpack?db=``  raw body → IngestService (msgpack.go).
+- ``POST /api/v1/write/line?db=&precision=`` — line protocol (write.go).
+- ``GET  /api/v1/databases`` / ``GET /api/v1/measurements?db=`` (A12).
+- ``GET  /health`` — unauthenticated liveness.
+
+Auth: ``Authorization: Bearer <token>`` verified against
+:class:`arc_spark.auth.AuthStore` (hashed tokens, SQLite). RBAC reuses the
+engine-side plan-walk check — the store is plugged in as
+``QueryService.allowed_tables``.
+
+stdlib ``ThreadingHTTPServer``: no framework dependency; each request
+handles on its own thread, and Spark jobs launched per request run
+concurrently under the engine's existing governance (rate window, row cap,
+duration watchdog, cancellable job groups).
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+from arc_spark.api import IngestService, PermissionError_, QueryService
+from arc_spark.auth import AuthStore
+from arc_spark.governance import QueryTimeout, RateLimitExceeded
+from arc_spark.plans.validator import SqlValidationError
+
+_FMT_CONTENT_TYPES = {
+    "json": "application/json",
+    "arrow": "application/vnd.apache.arrow.stream",
+    "msgpack": "application/msgpack",
+}
+
+
+class ArcServer:
+    def __init__(
+        self,
+        query_service: QueryService,
+        ingest_service: IngestService | None = None,
+        auth: AuthStore | None = None,
+        host: str = "127.0.0.1",
+        port: int = 0,
+    ):
+        self.query = query_service
+        self.ingest = ingest_service
+        self.auth = auth
+        if auth is not None:
+            # RBAC source becomes the persisted store (reference internal/auth)
+            self.query.allowed_tables = auth.tables_view()
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            daemon_threads = True
+
+            def log_message(self, *a):  # quiet test runs
+                pass
+
+            # -- helpers --------------------------------------------------
+            def _token(self) -> str:
+                h = self.headers.get("Authorization", "")
+                return h.removeprefix("Bearer ").strip() if h.startswith("Bearer ") else ""
+
+            def _reply(self, code: int, body: bytes, ctype: str = "application/json"):
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def _json(self, code: int, obj):
+                # default=str: timestamps/decimals serialize as ISO text
+                # (the typed-JSON streaming path handles types precisely;
+                # this covers the row-dict endpoints)
+                self._reply(code, json.dumps(obj, default=str).encode())
+
+            def _authenticate(self) -> str | None:
+                """Returns the token, or None after sending 401."""
+                token = self._token()
+                if outer.auth is None:
+                    return token  # auth disabled (embedded/test use)
+                if outer.auth.verify(token) is None:
+                    self._json(401, {"error": "invalid or missing token"})
+                    return None
+                return token
+
+            def _run(self, fn):
+                """Engine-error → HTTP-status mapping (reference
+                api/errors.go semantics)."""
+                try:
+                    return True, fn()
+                except SqlValidationError as e:
+                    self._json(400, {"error": str(e)})
+                except PermissionError_ as e:
+                    self._json(403, {"error": str(e)})
+                except RateLimitExceeded as e:
+                    self._json(429, {"error": str(e)})
+                except QueryTimeout as e:
+                    self._json(408, {"error": str(e)})
+                except Exception as e:  # engine-internal
+                    self._json(500, {"error": f"{type(e).__name__}: {e}"})
+                return False, None
+
+            # -- routes ---------------------------------------------------
+            def do_GET(self):
+                url = urlparse(self.path)
+                q = {k: v[0] for k, v in parse_qs(url.query).items()}
+                if url.path == "/health":
+                    return self._json(200, {"status": "ok"})
+                token = self._authenticate()
+                if token is None:
+                    return
+                if url.path == "/api/v1/databases":
+                    return self._json(200, {"databases": outer.query.catalog.databases()})
+                if url.path == "/api/v1/measurements":
+                    return self._json(
+                        200,
+                        {"measurements": outer.query.catalog.measurements(q.get("db", ""))},
+                    )
+                if url.path.startswith("/api/v1/query/"):
+                    measurement = url.path.rsplit("/", 1)[-1]
+                    ok, rows = self._run(lambda: outer.query.query_measurement(
+                        q.get("db", "default"),
+                        measurement,
+                        where=q.get("where"),
+                        order_by=q.get("order_by"),
+                        limit=int(q.get("limit", "1000")),
+                        token=token,
+                    ))
+                    if ok:
+                        self._json(200, {"rows": [r.asDict() for r in rows]})
+                    return
+                self._json(404, {"error": "not found"})
+
+            def do_POST(self):
+                url = urlparse(self.path)
+                q = {k: v[0] for k, v in parse_qs(url.query).items()}
+                token = self._authenticate()
+                if token is None:
+                    return
+                length = int(self.headers.get("Content-Length", "0"))
+                body = self.rfile.read(length) if length else b""
+
+                if url.path == "/api/v1/query":
+                    try:
+                        req = json.loads(body or b"{}")
+                    except json.JSONDecodeError:
+                        return self._json(400, {"error": "body must be JSON"})
+                    sql = req.get("sql") or req.get("query")
+                    if not sql:
+                        return self._json(400, {"error": "missing 'sql'"})
+                    fmt = req.get("format", "json")
+                    if fmt not in ("json", "arrow", "msgpack"):
+                        return self._json(400, {"error": f"unknown format {fmt!r}"})
+                    ok, out = self._run(
+                        lambda: outer.query.execute(sql, token=token, fmt=fmt)
+                    )
+                    if not ok:
+                        return
+                    if fmt == "json":
+                        if isinstance(out, list) and out and isinstance(out[0], dict):
+                            return self._json(200, {"rows": out})  # SHOW intercepts
+                        return self._reply(
+                            200, ("[" + ",".join(out) + "]").encode()
+                            if isinstance(out, list) else json.dumps(out).encode(),
+                        )
+                    return self._reply(200, out, _FMT_CONTENT_TYPES[fmt])
+
+                if url.path == "/api/v1/write/msgpack":
+                    if outer.ingest is None:
+                        return self._json(503, {"error": "ingest disabled"})
+                    ok, n = self._run(
+                        lambda: outer.ingest.write_msgpack(q.get("db", "default"), body)
+                    )
+                    if ok:
+                        self._json(200, {"written": n})
+                    return
+
+                if url.path == "/api/v1/write/line":
+                    if outer.ingest is None:
+                        return self._json(503, {"error": "ingest disabled"})
+                    ok, n = self._run(
+                        lambda: outer.ingest.write_line_protocol(
+                            q.get("db", "default"), body,
+                            precision=q.get("precision", "ns"),
+                        )
+                    )
+                    if ok:
+                        self._json(200, {"written": n})
+                    return
+
+                self._json(404, {"error": "not found"})
+
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        self.port = self._httpd.server_address[1]
+        self._thread: threading.Thread | None = None
+
+    # -- lifecycle ---------------------------------------------------------
+    def start(self) -> "ArcServer":
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, name="arc-http", daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        if self._thread is not None:
+            self._thread.join(timeout=5)
