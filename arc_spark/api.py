@@ -181,6 +181,7 @@ class IngestService:
         decimal_config: dict[str, dict[str, tuple[int, int]]] | None = None,
         max_decompressed_bytes: int | None = None,
         flush_workers: int = 0,
+        distributed_decode_min_bytes: int = 8 * 1024 * 1024,
     ):
         """defer_decode=True moves payload decoding from the ack path to the
         flush path: write_* returns -1 (count unknown) after only the WAL
@@ -211,6 +212,10 @@ class IngestService:
 
             max_decompressed_bytes = MAX_DECOMPRESSED_BYTES
         self.max_decompressed_bytes = max_decompressed_bytes
+        # LP payloads at/above this size decode distributed (mapInPandas)
+        # instead of in driver Python — the backfill path (reference keeps
+        # bulk imports off the hot ingest workers too, internal/api/import*)
+        self.distributed_decode_min_bytes = distributed_decode_min_bytes
         self._buffers: dict[tuple[str, str], list[dict]] = {}
         self._raw: list[tuple[str, str, bytes]] = []  # (db, kind, payload)
         self._buffer_rows = 0
@@ -265,6 +270,15 @@ class IngestService:
         from arc_spark.sources.ingest import maybe_decompress
 
         payload = maybe_decompress(payload, self.max_decompressed_bytes)
+        if (
+            not self.defer_decode
+            and len(payload) >= self.distributed_decode_min_bytes
+        ):
+            # backfill-sized payload: decode + write distributed (mapInPandas
+            # over cluster partitions), synchronous like the reference's bulk
+            # import path — no driver-core decode ceiling, no WAL (durability
+            # = the write completes before the ack)
+            return self._write_line_protocol_distributed(db, payload, precision)
         if self.defer_decode:
             return self._admit(db, payload if _wal else None,
                                raw=(f"lp:{precision}", payload))
@@ -278,6 +292,46 @@ class IngestService:
             return 0
         return self._admit(db, payload if _wal else None,
                            batch=rows_to_columnar(rows))
+
+    def _write_line_protocol_distributed(
+        self, db: str, payload: bytes, precision: str
+    ) -> int:
+        """Bulk LP ingest: byte-chunk the payload at newline boundaries,
+        parse chunks distributed (mapInPandas, column-wise building), write
+        each measurement through the hour-partitioned writer. Returns the
+        payload's line count (every line either parses or fails the job)."""
+        from pyspark.sql import functions as F
+
+        from arc_spark.sources.line_protocol import payload_to_dataframe
+        from arc_spark.sources.writer import write_measurement
+
+        flat, schema_info, n_lines = payload_to_dataframe(
+            self.spark, payload, precision=precision
+        )
+        # session-tz (UTC) LTZ time, matching every other write path's files
+        flat = flat.withColumn("time", F.col("time").cast("timestamp"))
+        measurements = list(schema_info["tags"].keys() | schema_info["fields"].keys())
+        if len(measurements) > 1:
+            flat = flat.persist()  # one parse shared by per-measurement writes
+        try:
+            for meas in measurements:
+                cols = (schema_info["tags"].get(meas, [])
+                        + schema_info["fields"].get(meas, []))
+                sub = flat.filter(F.col("measurement") == meas).select(
+                    "time", *[c for c in cols if c in flat.columns]
+                )
+                write_measurement(
+                    sub, self.root, db, meas,
+                    tag_columns=schema_info["tags"].get(meas, []),
+                )
+        finally:
+            if len(measurements) > 1:
+                flat.unpersist()
+        with self._lock:
+            self.stats["acked"] += n_lines
+            self.stats["flushed"] += n_lines
+            self.stats["flushes"] += 1
+        return n_lines
 
     def _admit(
         self,

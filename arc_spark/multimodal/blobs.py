@@ -8,12 +8,13 @@ Beyond-reference operators (BASELINE.json north star). Design for 100 TB:
   change.
 - decode / feature-extract / resize / frame-sample run as `mapInPandas`
   stages: Arrow-batched, one Python worker per partition, no driver data
-  movement. Real codecs (PIL/torchaudio/ffmpeg) aren't in this container, so
-  the decode kernel is STUBBED: `deterministic_stub=True` produces
-  hash-derived fake outputs with the exact schema/batch shape the real
-  kernel would emit; `deterministic_stub=False` raises NotImplementedError
-  until a codec is wired in. The Spark-side plumbing — schema, partitioning,
-  UDF signature, batch iteration — is real and tested.
+  movement.
+- `deterministic_stub=False` (the REAL path) decodes PNG images and WAV
+  audio with the pure-stdlib codecs in :mod:`arc_spark.multimodal.codecs`
+  — actual pixels/samples, actual dimensions, actual per-channel stats.
+  Video frame-sampling still needs ffmpeg and raises NotImplementedError;
+  `deterministic_stub=True` keeps the hash-derived fake outputs with the
+  exact schema/batch shape for plumbing tests.
 """
 
 from __future__ import annotations
@@ -33,11 +34,27 @@ def blob_table(spark: SparkSession, rows: list[tuple]) -> DataFrame:
     return spark.createDataFrame(rows, BLOB_SCHEMA)
 
 
-def _decode_stub(blob: bytes, media_type: str) -> bytes:
-    raise NotImplementedError(
-        "media codecs are not available in this environment; pass "
-        "deterministic_stub=True or wire a real decoder (PIL/ffmpeg) here"
-    )
+def _real_features(raw: bytes, media_type: str, dim: int) -> list[float]:
+    """Decoded-media feature vector: geometry + per-channel/level stats,
+    zero-padded to `dim`. PNG and WAV are real stdlib decodes; other types
+    need external codecs."""
+    from arc_spark.multimodal.codecs import decode_png, decode_wav, image_stats
+
+    if media_type.startswith("image"):
+        img = decode_png(raw)
+        st = image_stats(img)
+        feats = [img["width"] / 4096.0, img["height"] / 4096.0,
+                 img["channels"] / 4.0]
+        feats += st["mean"] + st["min"] + st["max"]
+    elif media_type.startswith("audio"):
+        a = decode_wav(raw)
+        feats = [a["channels"] / 8.0, a["sample_rate"] / 48000.0,
+                 a["duration_ms"] / 60000.0, a["rms"]]
+    else:
+        raise NotImplementedError(
+            f"no stdlib codec for media_type {media_type!r} (video needs ffmpeg)"
+        )
+    return (feats + [0.0] * dim)[:dim]
 
 
 def extract_features(
@@ -46,22 +63,25 @@ def extract_features(
     dim: int = 16,
     deterministic_stub: bool = True,
 ) -> DataFrame:
-    """blob → feature vector (array<float>). Real path: a vision/audio model
-    over decoded media. Stub path: md5-derived floats (deterministic, unit-
-    testable, identical batch shape)."""
+    """blob → feature vector (array<float>).
+
+    Real path (`deterministic_stub=False`): decode PNG/WAV with the stdlib
+    codecs and emit geometry + channel-stat features. Stub path: md5-derived
+    floats (deterministic, unit-testable, identical batch shape)."""
     import numpy as np
     import pandas as pd
 
-    out_schema = f"blob_id bigint, media_type string, feature array<float>"
-    cols = df.columns
+    out_schema = "blob_id bigint, media_type string, feature array<float>"
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = []
-            for blob in pdf[blob_col]:
+            for blob, mt in zip(pdf[blob_col], pdf["media_type"]):
                 raw = bytes(blob) if blob is not None else b""
                 if not deterministic_stub:
-                    _decode_stub(raw, "")
+                    feats.append([np.float32(x) for x in
+                                  _real_features(raw, mt or "", dim)])
+                    continue
                 h = hashlib.md5(raw).digest()
                 rng = np.frombuffer((h * ((dim * 4) // len(h) + 1))[: dim * 4],
                                     dtype=np.uint32)
@@ -83,18 +103,35 @@ def resize_images(
     blob_col: str = "blob",
     deterministic_stub: bool = True,
 ) -> DataFrame:
-    """Image resize kernel. Stub: passes the blob through and rewrites the
-    metadata (the real kernel decodes + resamples via PIL)."""
+    """Image resize kernel.
+
+    Real path: PNG decode → nearest-neighbor resample → PNG re-encode
+    (stdlib codecs — actual pixels move). Stub: passes the blob through and
+    rewrites the metadata only."""
     import pandas as pd
 
     schema = BLOB_SCHEMA
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not deterministic_stub:
-                for b in pdf[blob_col]:
-                    _decode_stub(bytes(b or b""), "image")
             out = pdf.copy()
+            if not deterministic_stub:
+                from arc_spark.multimodal.codecs import (
+                    decode_png,
+                    encode_png,
+                    resize_nearest,
+                )
+
+                resized = []
+                for b in pdf[blob_col]:
+                    img = resize_nearest(
+                        decode_png(bytes(b or b"")), target_w, target_h
+                    )
+                    resized.append(encode_png(
+                        img["width"], img["height"], img["channels"],
+                        bytes(img["pixels"]),
+                    ))
+                out[blob_col] = resized
             out["width"] = target_w
             out["height"] = target_h
             yield out
@@ -121,7 +158,10 @@ def sample_frames(
             for _, r in pdf.iterrows():
                 dur = int(r["duration_ms"] or 0)
                 if not deterministic_stub:
-                    _decode_stub(bytes(r[blob_col] or b""), "video")
+                    raise NotImplementedError(
+                        "video frame extraction needs ffmpeg; stdlib has no "
+                        "video codec — pass deterministic_stub=True"
+                    )
                 for i, ts in enumerate(range(0, max(dur, 1), every_ms)):
                     marker = hashlib.md5(
                         bytes(r[blob_col] or b"") + ts.to_bytes(8, "big")

@@ -195,7 +195,108 @@ def parse_batch(text: str, precision: str = "ns", default_time_us: int | None = 
     return out
 
 
-def lines_to_dataframe(spark, lines_df, precision: str = "ns", measurement: str | None = None):
+def _infer_lp_schema(recs: list[dict]):
+    """Sampled records → (tag_cols, field_types, per-measurement col map)."""
+    tag_cols: set[str] = set()
+    field_types: dict[str, type] = {}
+    meas_tags: dict[str, set] = {}
+    meas_fields: dict[str, set] = {}
+    for r in recs:
+        tag_cols.update(r["tags"])
+        meas_tags.setdefault(r["measurement"], set()).update(r["tags"])
+        meas_fields.setdefault(r["measurement"], set()).update(r["fields"])
+        for k, v in r["fields"].items():
+            prev = field_types.get(k)
+            if prev is None or (prev is bool and isinstance(v, (int, float))):
+                field_types[k] = type(v)
+            elif prev is int and isinstance(v, float):
+                field_types[k] = float
+    return tag_cols, field_types, meas_tags, meas_fields
+
+
+def payload_to_dataframe(spark, payload: bytes, precision: str = "ns",
+                         chunk_bytes: int | None = None):
+    """Bulk LP payload → (flattened DataFrame, schema info, line count).
+
+    The payload is split into ~``chunk_bytes`` BYTE chunks at newline
+    boundaries on the driver (O(bytes) slicing, no per-line Python), the
+    chunks ship to executors as a tiny binary-column DataFrame, and each
+    chunk parses inside one `mapInPandas` batch with column-wise (not
+    row-dict) building — the per-line Python cost stays, but spread over
+    the cluster with no driver createDataFrame of N rows and no separate
+    schema-inference job (the sample comes straight off the first chunk).
+    """
+    import pandas as pd
+
+    if chunk_bytes is None:
+        # ~2 chunks per core: full parallelism with some stragglers slack
+        target = max(2 * spark.sparkContext.defaultParallelism, 1)
+        chunk_bytes = max(len(payload) // target, 64 * 1024)
+    chunks: list[bytes] = []
+    start, n = 0, len(payload)
+    while start < n:
+        end = min(start + chunk_bytes, n)
+        if end < n:
+            nl = payload.find(b"\n", end)
+            end = n if nl == -1 else nl + 1
+        chunks.append(payload[start:end])
+        start = end
+    sample_lines = [
+        s for s in chunks[0].decode("utf-8", "replace").splitlines()[:1000]
+        if s.strip() and not s.startswith("#")
+    ] if chunks else []
+    recs = [parse_line(s, precision) for s in sample_lines]
+    tag_cols, field_types, meas_tags, meas_fields = _infer_lp_schema(recs)
+    spark_type = {int: "long", float: "double", str: "string", bool: "boolean"}
+    schema = ", ".join(
+        ["measurement string", "time timestamp_ntz"]
+        + [f"`{c}` string" for c in sorted(tag_cols)]
+        + [f"`{c}` {spark_type[t]}" for c, t in sorted(field_types.items())]
+    )
+    tag_list, field_list = sorted(tag_cols), sorted(field_types)
+    n_lines = sum(
+        1 for c in chunks
+        for s in c.decode("utf-8", "replace").splitlines()
+        if s.strip() and not s.startswith("#")
+    )
+
+    def parse_chunks(batches):
+        for pdf in batches:
+            for chunk in pdf["chunk"]:
+                cols: dict[str, list] = {c: [] for c in
+                                         ["measurement"] + tag_list + field_list}
+                times: list = []
+                for s in bytes(chunk).decode("utf-8", "replace").splitlines():
+                    if not s.strip() or s.startswith("#"):
+                        continue
+                    r = parse_line(s, precision)
+                    cols["measurement"].append(r["measurement"])
+                    times.append(r["time_us"])
+                    tags, fields = r["tags"], r["fields"]
+                    for c in tag_list:
+                        cols[c].append(tags.get(c))
+                    for c in field_list:
+                        cols[c].append(fields.get(c))
+                out = pd.DataFrame(cols)
+                out.insert(1, "time", pd.to_datetime(
+                    pd.Series(times, dtype="float64") if not times
+                    else pd.Series(times), unit="us"))
+                yield out[["measurement", "time"] + tag_list + field_list]
+
+    pdf = pd.DataFrame({"chunk": chunks})
+    flat = spark.createDataFrame(pdf).repartition(
+        min(len(chunks), spark.sparkContext.defaultParallelism) or 1
+    ).mapInPandas(parse_chunks, schema=schema)
+    info = {
+        "tags": {m: sorted(s) for m, s in meas_tags.items()},
+        "fields": {m: sorted(s) for m, s in meas_fields.items()},
+    }
+    return flat, info, n_lines
+
+
+def lines_to_dataframe(spark, lines_df, precision: str = "ns",
+                       measurement: str | None = None,
+                       return_schema: bool = False):
     """Distributed LP parse: DataFrame[value: string] → flattened DataFrame.
 
     Tags and fields are flattened to columns (arc stores no maps at rest —
@@ -203,6 +304,11 @@ def lines_to_dataframe(spark, lines_df, precision: str = "ns", measurement: str 
     applied in a single `mapInPandas` pass (Arrow-batched, parallel over
     input partitions — this is the 100 TB-safe path: no driver collect of
     data, one schema-inference sample only).
+
+    return_schema=True additionally returns per-measurement column info
+    ``{"tags": {meas: [...]}, "fields": {meas: [...]}}`` from the sample —
+    the ingest bulk path uses it to write each measurement with only its
+    own columns.
     """
     import pandas as pd
     from pyspark.sql import functions as F  # noqa: F401
@@ -211,16 +317,7 @@ def lines_to_dataframe(spark, lines_df, precision: str = "ns", measurement: str 
     recs = [parse_line(s, precision) for s in sample if s and s.strip() and not s.startswith("#")]
     if measurement is not None:
         recs = [r for r in recs if r["measurement"] == measurement]
-    tag_cols: set[str] = set()
-    field_types: dict[str, type] = {}
-    for r in recs:
-        tag_cols.update(r["tags"])
-        for k, v in r["fields"].items():
-            prev = field_types.get(k)
-            if prev is None or (prev is bool and isinstance(v, (int, float))):
-                field_types[k] = type(v)
-            elif prev is int and isinstance(v, float):
-                field_types[k] = float
+    tag_cols, field_types, meas_tags, meas_fields = _infer_lp_schema(recs)
     spark_type = {int: "long", float: "double", str: "string", bool: "boolean"}
     cols = ["measurement string", "time timestamp_ntz"]
     cols += [f"`{c}` string" for c in sorted(tag_cols)]
@@ -247,4 +344,10 @@ def lines_to_dataframe(spark, lines_df, precision: str = "ns", measurement: str 
                 rows.append(row)
             yield pd.DataFrame(rows, columns=["measurement", "time"] + tag_list + field_list)
 
-    return lines_df.mapInPandas(parse_partition, schema=schema)
+    out = lines_df.mapInPandas(parse_partition, schema=schema)
+    if return_schema:
+        return out, {
+            "tags": {m: sorted(s) for m, s in meas_tags.items()},
+            "fields": {m: sorted(s) for m, s in meas_fields.items()},
+        }
+    return out

@@ -121,6 +121,32 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # bulk LP ingest: backfill-sized payload through the distributed
+    # (mapInPandas) decode path — the lane where decode parallelism matters
+    n_lines = 250_000
+    lp_payload = "\n".join(
+        f"cpu,host=h{i % 64} usage={i % 100},load={i % 7} "
+        f"{1700000000000000000 + i * 10**9}"
+        for i in range(n_lines)
+    ).encode()
+    bulk_samples = []
+    for _ in range(iterations):
+        with tempfile.TemporaryDirectory() as td:
+            svc = IngestService(spark, td, max_buffer_rows=10**9,
+                                max_buffer_age_s=10**9,
+                                distributed_decode_min_bytes=1 << 20)
+            t0 = time.perf_counter()
+            n_written = svc.write_line_protocol("bench", lp_payload)
+            bulk_samples.append(time.perf_counter() - t0)
+    dt = sorted(bulk_samples)[len(bulk_samples) // 2]
+    times["ingest_lp_bulk_250k"] = round(dt, 4)
+    total += dt
+    print(
+        f"# ingest_lp_bulk_250k: {dt:.3f}s distributed decode+write "
+        f"({n_written / dt:,.0f} rec/s)",
+        file=sys.stderr,
+    )
+
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(json.dumps({
         "metric": "workload_total_wall",
