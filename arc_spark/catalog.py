@@ -63,8 +63,10 @@ def read_parquet_normalized(spark: SparkSession, path: str) -> DataFrame:
     ns_cols = _nanos_timestamp_columns(path)
     if not ns_cols:
         return spark.read.parquet(path)
-    # left set for the session: execution of the (lazy) scan must see the
-    # same conf that resolved the schema
+    # arc_spark sessions set this at build (session.py); for a vanilla
+    # session (the driver's) it must be set before the scan resolves, and
+    # execution of the lazy plan must see the same conf — hence set, not
+    # scoped/restored
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in ns_cols:

@@ -54,6 +54,9 @@ class ArcServer:
         self.query = query_service
         self.ingest = ingest_service
         self.auth = auth
+        # request counters for /metrics (reference internal/monitoring)
+        self.metrics: dict[str, int] = {}
+        self._metrics_lock = threading.Lock()
         if auth is not None:
             # RBAC source becomes the persisted store (reference internal/auth)
             self.query.allowed_tables = auth.tables_view()
@@ -70,10 +73,16 @@ class ArcServer:
                 h = self.headers.get("Authorization", "")
                 return h.removeprefix("Bearer ").strip() if h.startswith("Bearer ") else ""
 
-            def _reply(self, code: int, body: bytes, ctype: str = "application/json"):
+            def _reply(self, code: int, body: bytes, ctype: str = "application/json",
+                       extra_headers: dict | None = None):
+                with outer._metrics_lock:
+                    key = f"{self.command} {urlparse(self.path).path} {code}"
+                    outer.metrics[key] = outer.metrics.get(key, 0) + 1
                 self.send_response(code)
                 self.send_header("Content-Type", ctype)
                 self.send_header("Content-Length", str(len(body)))
+                for k, v in (extra_headers or {}).items():
+                    self.send_header(k, v)
                 self.end_headers()
                 self.wfile.write(body)
 
@@ -116,6 +125,46 @@ class ArcServer:
                 q = {k: v[0] for k, v in parse_qs(url.query).items()}
                 if url.path == "/health":
                     return self._json(200, {"status": "ok"})
+                if url.path == "/metrics":
+                    # Prometheus text exposition (reference internal/monitoring):
+                    # engine counters + per-route request counts + query registry
+                    lines = [
+                        "# TYPE arc_http_requests_total counter",
+                    ]
+                    with outer._metrics_lock:
+                        snap = dict(outer.metrics)
+                    for key, n in sorted(snap.items()):
+                        method, path, code = key.split(" ")
+                        lines.append(
+                            f'arc_http_requests_total{{method="{method}",'
+                            f'path="{path}",code="{code}"}} {n}'
+                        )
+                    if outer.ingest is not None:
+                        st = outer.ingest.stats
+                        lines += [
+                            "# TYPE arc_ingest_rows_acked_total counter",
+                            f"arc_ingest_rows_acked_total {st['acked']}",
+                            "# TYPE arc_ingest_rows_flushed_total counter",
+                            f"arc_ingest_rows_flushed_total {st['flushed']}",
+                            "# TYPE arc_ingest_flushes_total counter",
+                            f"arc_ingest_flushes_total {st['flushes']}",
+                        ]
+                    infos = outer.query.registry.list()
+                    by_status: dict[str, int] = {}
+                    total_secs = 0.0
+                    for i in infos:
+                        by_status[i.status] = by_status.get(i.status, 0) + 1
+                        if i.finished_at is not None:
+                            total_secs += i.finished_at - i.started_at
+                    lines.append("# TYPE arc_queries_total counter")
+                    for status, n in sorted(by_status.items()):
+                        lines.append(f'arc_queries_total{{status="{status}"}} {n}')
+                    lines += [
+                        "# TYPE arc_query_seconds_total counter",
+                        f"arc_query_seconds_total {total_secs:.6f}",
+                    ]
+                    return self._reply(200, ("\n".join(lines) + "\n").encode(),
+                                       "text/plain; version=0.0.4")
                 token = self._authenticate()
                 if token is None:
                     return
@@ -161,19 +210,30 @@ class ArcServer:
                     fmt = req.get("format", "json")
                     if fmt not in ("json", "arrow", "msgpack"):
                         return self._json(400, {"error": f"unknown format {fmt!r}"})
+                    import time as _time
+
+                    t0 = _time.perf_counter()
                     ok, out = self._run(
                         lambda: outer.query.execute(sql, token=token, fmt=fmt)
                     )
                     if not ok:
                         return
+                    # the reference reports execution time alongside the
+                    # Arrow payload (query_arrow.go:27-31); HTTP equivalent
+                    exec_hdr = {
+                        "X-Arc-Execution-Time-Ms":
+                            f"{(_time.perf_counter() - t0) * 1000:.1f}"
+                    }
                     if fmt == "json":
                         if isinstance(out, list) and out and isinstance(out[0], dict):
                             return self._json(200, {"rows": out})  # SHOW intercepts
                         return self._reply(
                             200, ("[" + ",".join(out) + "]").encode()
                             if isinstance(out, list) else json.dumps(out).encode(),
+                            extra_headers=exec_hdr,
                         )
-                    return self._reply(200, out, _FMT_CONTENT_TYPES[fmt])
+                    return self._reply(200, out, _FMT_CONTENT_TYPES[fmt],
+                                       extra_headers=exec_hdr)
 
                 if url.path == "/api/v1/write/msgpack":
                     if outer.ingest is None:

@@ -34,7 +34,8 @@ def to_arrow_ipc(df, max_rows_per_batch: int = 10_000) -> bytes:
             writer = pa.ipc.new_stream(sink, batch.schema)
         writer.write_batch(batch)
     if writer is None:  # empty result: still emit a valid schema-only stream
-        writer = pa.ipc.new_stream(sink, pa.schema(pa.Schema.from_pandas(df.limit(0).toPandas())))
+        # Arrow-native schema (a pandas round-trip here loses timestamp tz)
+        writer = pa.ipc.new_stream(sink, df.limit(0).toArrow().schema)
     writer.close()
     return sink.getvalue().to_pybytes()
 

@@ -57,6 +57,10 @@ def get_spark(
         # time-range scan and per-file footer retention over Spark-written
         # files
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        # ns-parquet inputs read as long here, healed to µs by
+        # catalog.read_parquet_normalized — set once at build so no read
+        # helper has to mutate session state mid-flight
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Parquet scan efficiency (arc: parquet_metadata_cache, footer COUNT)
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")

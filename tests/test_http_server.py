@@ -167,3 +167,25 @@ class TestAuthStore:
         p = str(tmp_path / "a.db")
         tok = AuthStore(p).create_token("svc", allowed_tables=["x"])
         assert AuthStore(p).verify(tok)["name"] == "svc"
+
+
+class TestObservability:
+    def test_metrics_endpoint(self, live):
+        port, admin, *_ = live
+        _req(port, "/api/v1/query", "POST", admin,
+             json.dumps({"sql": "SELECT count(*) AS n FROM cpu"}).encode())
+        status, body, headers = _req(port, "/metrics")
+        text = body.decode()
+        assert status == 200
+        assert "arc_http_requests_total" in text
+        assert "arc_ingest_rows_acked_total" in text
+        assert 'arc_queries_total{status="done"}' in text
+        assert "arc_query_seconds_total" in text
+
+    def test_execution_time_header(self, live):
+        port, admin, *_ = live
+        _status, _body, headers = _req(
+            port, "/api/v1/query", "POST", admin,
+            json.dumps({"sql": "SELECT host FROM cpu", "format": "arrow"}).encode(),
+        )
+        assert float(headers["X-Arc-Execution-Time-Ms"]) > 0
