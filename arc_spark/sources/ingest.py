@@ -93,6 +93,26 @@ def normalize_epoch_us(v: int) -> int:
     return v * 1_000_000
 
 
+def _normalize_epoch_us_column(values: list) -> list:
+    """Vectorized :func:`normalize_epoch_us` over a whole column — the
+    ingest ack path runs this on every payload, so a per-element Python
+    loop is measurable at 100k-row batches. Falls back element-wise when
+    the column has NULLs or non-int values."""
+    import numpy as np
+
+    try:
+        v = np.asarray(values, dtype=np.int64)
+    except (ValueError, TypeError, OverflowError):
+        return [normalize_epoch_us(int(t)) if t is not None else None
+                for t in values]
+    out = np.where(
+        v >= _NS_MIN, v // 1000,
+        np.where(v >= _US_MIN, v,
+                 np.where(v >= _MS_MIN, v * 1000, v * 1_000_000)),
+    )
+    return out.tolist()
+
+
 def decode_msgpack_payload(data: bytes) -> dict:
     """Decode an arc wire payload (columnar `{m, columns, tags?}`, row
     `{m, t, fields, tags?}`, or batch `{batch: [rows]}`) into the columnar
@@ -101,8 +121,7 @@ def decode_msgpack_payload(data: bytes) -> dict:
     if isinstance(obj, dict) and "columns" in obj:
         cols = {str(k): list(v) for k, v in obj["columns"].items()}
         if "time" in cols:
-            cols["time"] = [normalize_epoch_us(int(t)) if t is not None else None
-                            for t in cols["time"]]
+            cols["time"] = _normalize_epoch_us_column(cols["time"])
         return {
             "measurement": obj.get("m") or obj.get("measurement"),
             "columns": cols,

@@ -204,11 +204,69 @@ def _unpack(mv: memoryview, pos: int):
     raise ValueError(f"unsupported msgpack byte 0x{b:02x}")
 
 
+# fixed-width numeric markers → (numpy dtype incl. 1-byte marker, width)
+_FIXED_RUNS = {
+    0xCA: (">f4", 5), 0xCB: (">f8", 9),
+    0xCD: (">u2", 3), 0xCE: (">u4", 5), 0xCF: (">u8", 9),
+    0xD1: (">i2", 3), 0xD2: (">i4", 5), 0xD3: (">i8", 9),
+}
+_RUN_MIN = 16  # below this the scalar loop wins
+
+
 def _unpack_array(mv: memoryview, pos: int, n: int):
-    out = []
-    for _ in range(n):
+    """Array decode with a vectorized fast path for numeric runs.
+
+    Telemetry payloads are columnar: a column is one msgpack array whose
+    elements overwhelmingly share one fixed-width marker (all float64, all
+    int64, ...). Runs of the same marker decode in bulk via a strided numpy
+    view (marker byte + big-endian value per element) — ~10× over the
+    per-element loop, which matters because ingest decode is the reference's
+    headline throughput number. Mixed arrays fall back element-wise, so the
+    result is byte-for-byte identical to the scalar decoder's."""
+    import numpy as np
+
+    out: list = []
+    remaining = n
+    while remaining > 0:
+        b = mv[pos]
+        if remaining >= _RUN_MIN:
+            spec = _FIXED_RUNS.get(b)
+            if spec is not None:
+                fmt, width = spec
+                max_run = min(remaining, (len(mv) - pos) // width)
+                raw = np.frombuffer(mv[pos:pos + max_run * width], dtype=np.uint8)
+                markers = raw[::width]
+                brk = np.nonzero(markers != b)[0]
+                run = int(brk[0]) if len(brk) else max_run
+                if run >= _RUN_MIN:
+                    vals = np.frombuffer(
+                        mv[pos:pos + run * width],
+                        dtype=[("m", "u1"), ("v", fmt)],
+                    )["v"]
+                    out.extend(vals.tolist())
+                    pos += run * width
+                    remaining -= run
+                    continue
+            elif b <= 0x7F or b >= 0xE0:
+                # positive/negative fixint runs: the marker IS the value
+                max_run = min(remaining, len(mv) - pos)
+                raw = np.frombuffer(mv[pos:pos + max_run], dtype=np.uint8)
+                if b <= 0x7F:
+                    brk = np.nonzero(raw > 0x7F)[0]
+                else:
+                    brk = np.nonzero(raw < 0xE0)[0]
+                run = int(brk[0]) if len(brk) else max_run
+                if run >= _RUN_MIN:
+                    vals = raw[:run].astype(np.int64)
+                    if b >= 0xE0:
+                        vals -= 256
+                    out.extend(vals.tolist())
+                    pos += run
+                    remaining -= run
+                    continue
         v, pos = _unpack(mv, pos)
         out.append(v)
+        remaining -= 1
     return out, pos
 
 
