@@ -88,15 +88,17 @@ class QueryService:
         validate_read_only(self.spark, val_sql)
         self._check_rbac(token, val_sql)
 
-        df = self.spark.table(view)
-        if where:
-            try:
-                df = df.filter(F.expr(where))
-                df.schema  # force analysis so a malformed filter fails here
-            except SqlValidationError:
-                raise
-            except Exception as e:
-                raise SqlValidationError(f"invalid where clause: {e}") from None
+        # the filter itself goes through prune_sql, so a WHERE time range on
+        # this endpoint gets the derived partition predicate — the
+        # reference's flagship pruned read path (BASELINE's 4.7 ms
+        # time-bucket is this shape)
+        try:
+            with self._plan_lock:
+                df = prune_sql(self.spark, val_sql, self.catalog)
+        except SqlValidationError:
+            raise
+        except Exception as e:
+            raise SqlValidationError(f"invalid where clause: {e}") from None
         if order_by:
             sort_cols = []
             for part in order_by.split(","):

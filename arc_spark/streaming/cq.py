@@ -84,7 +84,7 @@ class ContinuousQuery:
         return start, end
 
     def run_once(self, spark: SparkSession, root: str, now: dt.datetime | None = None) -> dict:
-        now = now or dt.datetime.utcnow()
+        now = now or dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
         bounds = self.window_bounds(now)
         if bounds is None:
             return {"cq": self.name, "ran": False}

@@ -614,13 +614,19 @@ def events_measurement(spark: SparkSession, sf: str):
 
     from arc_spark.catalog import MeasurementCatalog
 
-    key = (id(spark._jsparkSession), os.path.abspath(sf))
+    src = os.path.join(os.path.abspath(sf), "events.parquet")
+    st = os.stat(src)
+    # cache key includes source identity: a regenerated events.parquet
+    # (new driver round) must invalidate the materialized copy, or the
+    # pruned query would silently diverge from its oracle
+    ident = f"{os.path.abspath(sf)}|{st.st_size}|{int(st.st_mtime_ns)}"
+    key = (id(spark._jsparkSession), ident)
     got = _HIVE_EVENTS_CACHE.get(key)
     if got is not None:
         return got
     root = os.path.join(
         tempfile.gettempdir(), "arc_spark_hive",
-        hashlib.md5(os.path.abspath(sf).encode()).hexdigest()[:12],
+        hashlib.md5(ident.encode()).hexdigest()[:12],
     )
     done = os.path.join(root, "_DONE")
     if not os.path.exists(done):

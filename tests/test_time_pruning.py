@@ -5,6 +5,10 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
 from arc_spark.plans.time_pruning import time_range
 from arc_spark.sources.ingest import columnar_to_dataframe, rows_to_columnar
 from arc_spark.sources.writer import write_measurement
@@ -175,3 +179,55 @@ class TestSqlSurfacePruning:
         lo = int(dt.datetime(2024, 3, 3).timestamp() * 1e6)
         for path, (blo, bhi) in bounds.items():
             assert blo in (None, lo) and bhi is None
+
+
+class TestPruneSqlEquivalence:
+    """Property: prune_sql NEVER changes results — only the file set read.
+    Randomized time predicates (op mix, boundary values, OR shapes) compare
+    pruned vs plain execution."""
+
+    @pytest.fixture(scope="class")
+    def fixture_cat(self, spark, tmp_path_factory):
+        from arc_spark.catalog import MeasurementCatalog
+
+        root = str(tmp_path_factory.mktemp("prune_eq"))
+        _write_three_days(spark, root)
+        cat = MeasurementCatalog(spark, root)
+        cat.register("metrics", "cpu", view="cpu_eq")
+        return cat
+
+    @given(
+        day=st.integers(1, 4),
+        hour=st.sampled_from([0, 5, 6, 12, 18, 23]),
+        op=st.sampled_from([">=", ">", "<", "<=", "="]),
+        conj=st.sampled_from(["", " AND value >= 0", " OR value < 0"]),
+    )
+    @settings(max_examples=20, deadline=None)
+    def test_pruned_equals_plain(self, spark, fixture_cat, day, hour, op, conj):
+        from arc_spark.plans.time_pruning import prune_sql
+
+        ts = f"TIMESTAMP '2024-03-{day:02d} {hour:02d}:00:00'"
+        sql = (f"SELECT value FROM cpu_eq WHERE time {op} {ts}{conj} "
+               f"ORDER BY value")
+        pruned = [r["value"] for r in prune_sql(spark, sql, fixture_cat).collect()]
+        plain = [r["value"] for r in spark.sql(sql).collect()]
+        assert pruned == plain
+
+
+def test_measurement_endpoint_time_where_pruned_and_correct(spark, tmp_path):
+    """The REST single-measurement endpoint routes its filter through
+    prune_sql — a time-range `where` reads only matching partitions and
+    returns exactly the filtered rows, with LIMIT still plan-side."""
+    from arc_spark.api import QueryService
+    from arc_spark.catalog import MeasurementCatalog
+
+    _write_three_days(spark, str(tmp_path))
+    cat = MeasurementCatalog(spark, str(tmp_path))
+    svc = QueryService(spark, cat)
+    rows = svc.query_measurement(
+        "metrics", "cpu",
+        where="time >= TIMESTAMP '2024-03-02 00:00:00' AND "
+              "time < TIMESTAMP '2024-03-03 00:00:00'",
+        order_by="value", limit=10,
+    )
+    assert [r["value"] for r in rows] == [200.0, 206.0, 212.0, 218.0]
