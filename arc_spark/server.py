@@ -12,6 +12,21 @@ Endpoints (reference names in parens):
 - ``GET  /api/v1/databases`` / ``GET /api/v1/measurements?db=`` (A12).
 - ``GET  /health`` — unauthenticated liveness.
 
+Management surface (reference admin routes; all require an ADMIN token —
+one stored without a table restriction):
+
+- ``POST /api/v1/query/estimate``        (query.go estimate, A14)
+- ``GET  /api/v1/queries[/active]`` / ``DELETE /api/v1/queries/<id>`` —
+  registry listing + cancellation (query_management.go, A38)
+- ``POST /api/v1/delete``                (delete.go, A26)
+- ``POST /api/v1/retention``             (retention.go, A27)
+- ``POST /api/v1/compaction``            (compaction.go, A20/A23; hourly or
+  daily tier)
+- ``GET/POST /api/v1/auth/tokens``, ``DELETE /api/v1/auth/tokens/<name>``
+  (auth_routes.go)
+- ``POST /api/v1/import/line|tle?db=``   (import.go bulk lanes; LP routes
+  through the distributed decode path)
+
 Auth: ``Authorization: Bearer <token>`` verified against
 :class:`arc_spark.auth.AuthStore` (hashed tokens, SQLite). RBAC reuses the
 engine-side plan-walk check — the store is plugged in as
@@ -102,6 +117,16 @@ class ArcServer:
                     return None
                 return token
 
+            def _require_admin(self, token: str) -> bool:
+                """Management routes need an unrestricted (admin) token."""
+                if outer.auth is None:
+                    return True
+                info = outer.auth.verify(token)
+                if info is None or info["allowed_tables"] is not None:
+                    self._json(403, {"error": "admin token required"})
+                    return False
+                return True
+
             def _run(self, fn):
                 """Engine-error → HTTP-status mapping (reference
                 api/errors.go semantics)."""
@@ -175,6 +200,25 @@ class ArcServer:
                         200,
                         {"measurements": outer.query.catalog.measurements(q.get("db", ""))},
                     )
+                if url.path in ("/api/v1/queries", "/api/v1/queries/active"):
+                    if not self._require_admin(token):
+                        return
+                    infos = outer.query.registry.list()
+                    if url.path.endswith("/active"):
+                        infos = [i for i in infos if i.status == "running"]
+                    return self._json(200, {"queries": [
+                        {"query_id": i.query_id, "sql": i.sql,
+                         "status": i.status, "started_at": i.started_at,
+                         "finished_at": i.finished_at, "rows": i.rows,
+                         "error": i.error}
+                        for i in infos
+                    ]})
+                if url.path == "/api/v1/auth/tokens":
+                    if outer.auth is None:
+                        return self._json(503, {"error": "auth disabled"})
+                    if not self._require_admin(token):
+                        return
+                    return self._json(200, {"tokens": outer.auth.list_tokens()})
                 if url.path.startswith("/api/v1/query/"):
                     measurement = url.path.rsplit("/", 1)[-1]
                     ok, rows = self._run(lambda: outer.query.query_measurement(
@@ -258,6 +302,179 @@ class ArcServer:
                         self._json(200, {"written": n})
                     return
 
+                if url.path == "/api/v1/query/estimate":
+                    try:
+                        req = json.loads(body or b"{}")
+                    except json.JSONDecodeError:
+                        return self._json(400, {"error": "body must be JSON"})
+                    sql = req.get("sql")
+                    if not sql:
+                        return self._json(400, {"error": "missing 'sql'"})
+
+                    def _estimate():
+                        from arc_spark.governance import estimate_rows
+                        from arc_spark.plans.validator import validate_read_only
+
+                        validate_read_only(outer.query.spark, sql)
+                        outer.query._check_rbac(token, sql)
+                        rows, method = estimate_rows(outer.query.spark.sql(sql))
+                        return {"estimated_rows": rows, "method": method}
+
+                    ok, out = self._run(_estimate)
+                    if ok:
+                        self._json(200, out)
+                    return
+
+                if url.path == "/api/v1/auth/tokens":
+                    if outer.auth is None:
+                        return self._json(503, {"error": "auth disabled"})
+                    if not self._require_admin(token):
+                        return
+                    try:
+                        req = json.loads(body or b"{}")
+                    except json.JSONDecodeError:
+                        return self._json(400, {"error": "body must be JSON"})
+                    if not req.get("name"):
+                        return self._json(400, {"error": "missing 'name'"})
+                    ok, tok = self._run(lambda: outer.auth.create_token(
+                        req["name"], req.get("allowed_tables")))
+                    if ok:
+                        self._json(201, {"token": tok, "name": req["name"]})
+                    return
+
+                if url.path in ("/api/v1/delete", "/api/v1/retention",
+                                "/api/v1/compaction"):
+                    if not self._require_admin(token):
+                        return
+                    if outer.ingest is None:
+                        return self._json(503, {"error": "no storage attached"})
+                    try:
+                        req = json.loads(body or b"{}")
+                    except json.JSONDecodeError:
+                        return self._json(400, {"error": "body must be JSON"})
+                    db, meas = req.get("db"), req.get("measurement")
+                    if not db or not meas:
+                        return self._json(400, {"error": "missing db/measurement"})
+                    root = outer.ingest.root
+                    spark = outer.query.spark
+
+                    def _manage():
+                        if url.path.endswith("delete"):
+                            from arc_spark.operators.lifecycle import delete_where
+
+                            if not req.get("predicate"):
+                                raise SqlValidationError("missing 'predicate'")
+                            out = delete_where(
+                                spark, root, db, meas, req["predicate"],
+                                dry_run=bool(req.get("dry_run", False)),
+                            )
+                        elif url.path.endswith("retention"):
+                            from arc_spark.operators.lifecycle import apply_retention
+
+                            out = {"removed": apply_retention(
+                                root, db, meas,
+                                retention_days=float(req.get("retention_days", 30)),
+                                buffer_days=float(req.get("buffer_days", 1)),
+                                per_file=bool(req.get("per_file", True)),
+                            )}
+                        else:
+                            from arc_spark.operators.compaction import (
+                                compact_measurement,
+                                compact_measurement_daily,
+                            )
+
+                            if req.get("tier", "hourly") == "daily":
+                                out = {"results": compact_measurement_daily(
+                                    spark, root, db, meas,
+                                    daily_root=req.get(
+                                        "daily_root",
+                                        outer.query.catalog.daily_root or
+                                        root + "_daily",
+                                    ),
+                                    min_files=int(req.get("min_files", 12)),
+                                    min_age_seconds=float(
+                                        req.get("min_age_seconds", 86400)),
+                                    catalog=outer.query.catalog,
+                                )}
+                            else:
+                                out = {"results": compact_measurement(
+                                    spark, root, db, meas,
+                                    min_files=int(req.get("min_files", 10)),
+                                    min_age_seconds=float(
+                                        req.get("min_age_seconds", 3600)),
+                                    catalog=outer.query.catalog,
+                                )}
+                        outer.query.catalog.invalidate(db, meas)
+                        return out
+
+                    ok, out = self._run(_manage)
+                    if ok:
+                        self._json(200, out)
+                    return
+
+                if url.path == "/api/v1/import/line":
+                    if outer.ingest is None:
+                        return self._json(503, {"error": "ingest disabled"})
+                    if not self._require_admin(token):
+                        return
+                    ok, n = self._run(
+                        lambda: outer.ingest._write_line_protocol_distributed(
+                            q.get("db", "default"), body,
+                            q.get("precision", "ns"),
+                        )
+                    )
+                    if ok:
+                        self._json(200, {"written": n})
+                    return
+
+                if url.path == "/api/v1/import/tle":
+                    if outer.ingest is None:
+                        return self._json(503, {"error": "ingest disabled"})
+                    if not self._require_admin(token):
+                        return
+
+                    def _tle():
+                        from arc_spark.sources.tle import tle_to_df
+                        from arc_spark.sources.writer import write_measurement
+
+                        df = tle_to_df(outer.query.spark,
+                                       body.decode("utf-8", "replace"))
+                        n = df.count()
+                        write_measurement(
+                            df, outer.ingest.root, q.get("db", "default"),
+                            q.get("measurement", "tle"),
+                            tag_columns=["norad_id"],
+                        )
+                        return n
+
+                    ok, n = self._run(_tle)
+                    if ok:
+                        self._json(200, {"written": n})
+                    return
+
+                self._json(404, {"error": "not found"})
+
+            def do_DELETE(self):
+                url = urlparse(self.path)
+                token = self._authenticate()
+                if token is None:
+                    return
+                if url.path.startswith("/api/v1/queries/"):
+                    if not self._require_admin(token):
+                        return
+                    qid = url.path.rsplit("/", 1)[-1]
+                    cancelled = outer.query.registry.cancel(qid)
+                    return self._json(200 if cancelled else 404,
+                                      {"cancelled": cancelled, "query_id": qid})
+                if url.path.startswith("/api/v1/auth/tokens/"):
+                    if outer.auth is None:
+                        return self._json(503, {"error": "auth disabled"})
+                    if not self._require_admin(token):
+                        return
+                    name = url.path.rsplit("/", 1)[-1]
+                    revoked = outer.auth.revoke(name)
+                    return self._json(200 if revoked else 404,
+                                      {"revoked": revoked, "name": name})
                 self._json(404, {"error": "not found"})
 
         self._httpd = ThreadingHTTPServer((host, port), Handler)

@@ -189,3 +189,87 @@ class TestObservability:
             json.dumps({"sql": "SELECT host FROM cpu", "format": "arrow"}).encode(),
         )
         assert float(headers["X-Arc-Execution-Time-Ms"]) > 0
+
+
+class TestManagementRoutes:
+    def test_estimate(self, live):
+        port, admin, *_ = live
+        status, body, _ = _req(
+            port, "/api/v1/query/estimate", "POST", admin,
+            json.dumps({"sql": "SELECT * FROM cpu"}).encode(),
+        )
+        out = json.loads(body)
+        assert status == 200 and out["estimated_rows"] >= 1 and out["method"]
+
+    def test_queries_listing_and_cancel_404(self, live):
+        port, admin, *_ = live
+        _req(port, "/api/v1/query", "POST", admin,
+             json.dumps({"sql": "SELECT count(*) AS n FROM cpu"}).encode())
+        status, body, _ = _req(port, "/api/v1/queries", token=admin)
+        qs = json.loads(body)["queries"]
+        assert status == 200 and any(q["status"] == "done" for q in qs)
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _req(port, "/api/v1/queries/nonexistent", "DELETE", admin)
+        assert e.value.code == 404
+
+    def test_management_requires_admin(self, live):
+        port, _admin, limited, _cat = live
+        for path, method, body in [
+            ("/api/v1/queries", "GET", None),
+            ("/api/v1/delete", "POST", b"{}"),
+            ("/api/v1/auth/tokens", "GET", None),
+        ]:
+            with pytest.raises(urllib.error.HTTPError) as e:
+                _req(port, path, method, limited, body)
+            assert e.value.code == 403, path
+
+    def test_token_lifecycle_over_http(self, live):
+        port, admin, *_ = live
+        status, body, _ = _req(
+            port, "/api/v1/auth/tokens", "POST", admin,
+            json.dumps({"name": "svc2", "allowed_tables": ["cpu"]}).encode(),
+        )
+        assert status == 201
+        tok = json.loads(body)["token"]
+        # new token works for its table
+        status, _, _ = _req(port, "/api/v1/query", "POST", tok,
+                            json.dumps({"sql": "SELECT host FROM cpu"}).encode())
+        assert status == 200
+        # revoke over HTTP → 401 afterwards
+        status, body, _ = _req(port, "/api/v1/auth/tokens/svc2", "DELETE", admin)
+        assert status == 200 and json.loads(body)["revoked"]
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _req(port, "/api/v1/query", "POST", tok,
+                 json.dumps({"sql": "SELECT host FROM cpu"}).encode())
+        assert e.value.code == 401
+
+    def test_delete_endpoint(self, live):
+        port, admin, *_ = live
+        status, body, _ = _req(
+            port, "/api/v1/delete", "POST", admin,
+            json.dumps({"db": "metrics", "measurement": "cpu",
+                        "predicate": "host = 'a'", "dry_run": True}).encode(),
+        )
+        out = json.loads(body)
+        assert status == 200 and out["deleted_rows"] == 1 and out["dry_run"]
+
+    def test_retention_endpoint(self, live):
+        port, admin, *_ = live
+        status, body, _ = _req(
+            port, "/api/v1/retention", "POST", admin,
+            json.dumps({"db": "metrics", "measurement": "cpu",
+                        "retention_days": 36500}).encode(),
+        )
+        assert status == 200 and json.loads(body)["removed"] == []
+
+    def test_import_tle(self, live):
+        port, admin, *_ = live
+        # canonical public ISS element set (valid checksums)
+        tle = (
+            "ISS (ZARYA)\n"
+            "1 25544U 98067A   08264.51782528 -.00002182  00000-0 -11606-4 0  2927\n"
+            "2 25544  51.6416 247.4627 0006703 130.5360 325.0288 15.72125391563537\n"
+        )
+        status, body, _ = _req(port, "/api/v1/import/tle?db=sat", "POST",
+                               admin, tle.encode())
+        assert status == 200 and json.loads(body)["written"] == 1
