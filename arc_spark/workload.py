@@ -668,6 +668,40 @@ def q42_pruned_time_bucket(spark: SparkSession, sf: str) -> DataFrame:
     return prune_sql(spark, sql, cat)
 
 
+def q43_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    """GROUPING SETS over events — the multi-rollup shape BI layers emit
+    (SURVEY §2.B aggregation; complements q29's ROLLUP). One shuffle:
+    Catalyst expands grouping sets map-side, not one scan per set."""
+    load_tables(spark, sf)
+    return spark.sql(f"""
+        SELECT COALESCE(event_type, 'ALL') AS etype,
+               COALESCE(CAST(user_id % 10 AS STRING), 'ALL') AS bucket,
+               COUNT(*) AS n,
+               {_osum('value')} AS total_value
+        FROM events
+        GROUP BY GROUPING SETS ((event_type), (user_id % 10), ())
+    """)
+
+
+def q44_unpivot(spark: SparkSession, sf: str) -> DataFrame:
+    """Wide→long unpivot (stack) + per-metric aggregate — the melt shape
+    feature pipelines use. stack() is a generator expression: one scan,
+    no join, rows expand 3x map-side."""
+    load_tables(spark, sf)
+    return spark.sql(f"""
+        SELECT metric, COUNT(*) AS n,
+               {_osum('val')} AS total
+        FROM (
+            SELECT stack(3,
+                'l_quantity', l_quantity,
+                'l_extendedprice', l_extendedprice,
+                'l_discount', l_discount) AS (metric, val)
+            FROM lineitem
+        )
+        GROUP BY metric
+    """)
+
+
 def q39_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     """IVF ANN (k-means coarse quantizer + probed clusters) — approximate,
     rows-only check like q35. The third ANN strategy next to brute-force
@@ -1135,6 +1169,24 @@ ORACLES: dict[str, str] = {
           AND ts <  TIMESTAMP '2024-01-17 00:00:00'
         GROUP BY 1
     """,
+    "q43_grouping_sets": f"""
+        SELECT COALESCE(event_type, 'ALL') AS etype,
+               COALESCE(CAST(user_id % 10 AS VARCHAR), 'ALL') AS bucket,
+               COUNT(*) AS n,
+               {_osum('value')} AS total_value
+        FROM events
+        GROUP BY GROUPING SETS ((event_type), (user_id % 10), ())
+    """,
+    "q44_unpivot": f"""
+        SELECT metric, COUNT(*) AS n,
+               {_osum('val')} AS total
+        FROM (
+            UNPIVOT lineitem
+            ON l_quantity, l_extendedprice, l_discount
+            INTO NAME metric VALUE val
+        )
+        GROUP BY metric
+    """,
 }
 
 
@@ -1181,4 +1233,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q40_comma_cross_join": q40_comma_cross_join,
     "q41_simhash_pairs": q41_simhash_pairs,
     "q42_pruned_time_bucket": q42_pruned_time_bucket,
+    "q43_grouping_sets": q43_grouping_sets,
+    "q44_unpivot": q44_unpivot,
 }

@@ -231,3 +231,50 @@ def test_measurement_endpoint_time_where_pruned_and_correct(spark, tmp_path):
         order_by="value", limit=10,
     )
     assert [r["value"] for r in rows] == [200.0, 206.0, 212.0, 218.0]
+
+
+def test_concurrent_pruned_queries_are_isolated(spark, tmp_path):
+    """The pruned-view override is scoped by QueryService's plan lock:
+    concurrent executes (pruned ranges + full scans, same view) never see
+    each other's overrides."""
+    import threading
+
+    from arc_spark.api import QueryService
+    from arc_spark.catalog import MeasurementCatalog
+
+    _write_three_days(spark, str(tmp_path))
+    cat = MeasurementCatalog(spark, str(tmp_path))
+    svc = QueryService(spark, cat)
+    svc.register_measurement("metrics", "cpu", view="cpu_conc")
+
+    errors = []
+
+    def pruned(day):
+        try:
+            for _ in range(3):
+                rows = svc.execute(
+                    f"SELECT count(*) AS n FROM cpu_conc "
+                    f"WHERE time >= TIMESTAMP '2024-03-{day:02d} 00:00:00' "
+                    f"AND time < TIMESTAMP '2024-03-{day + 1:02d} 00:00:00'"
+                )
+                if rows[0]["n"] != 4:
+                    errors.append(f"day {day}: {rows[0]['n']}")
+        except Exception as e:  # noqa: BLE001
+            errors.append(repr(e))
+
+    def full():
+        try:
+            for _ in range(3):
+                rows = svc.execute("SELECT count(*) AS n FROM cpu_conc")
+                if rows[0]["n"] != 12:
+                    errors.append(f"full: {rows[0]['n']}")
+        except Exception as e:  # noqa: BLE001
+            errors.append(repr(e))
+
+    threads = [threading.Thread(target=pruned, args=(d,)) for d in (1, 2, 3)]
+    threads += [threading.Thread(target=full) for _ in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errors == []
