@@ -72,6 +72,8 @@ class ArcServer:
         # request counters for /metrics (reference internal/monitoring)
         self.metrics: dict[str, int] = {}
         self._metrics_lock = threading.Lock()
+        # registered continuous queries, name → ContinuousQuery
+        self.cqs: dict = {}
         if auth is not None:
             # RBAC source becomes the persisted store (reference internal/auth)
             self.query.allowed_tables = auth.tables_view()
@@ -219,6 +221,15 @@ class ArcServer:
                     if not self._require_admin(token):
                         return
                     return self._json(200, {"tokens": outer.auth.list_tokens()})
+                if url.path == "/api/v1/continuous_queries":
+                    if not self._require_admin(token):
+                        return
+                    return self._json(200, {"continuous_queries": [
+                        {"name": c.name, "sql": c.sql, "dest_db": c.dest_db,
+                         "dest_measurement": c.dest_measurement,
+                         "interval_seconds": c.interval_seconds}
+                        for c in outer.cqs.values()
+                    ]})
                 if url.path.startswith("/api/v1/query/"):
                     measurement = url.path.rsplit("/", 1)[-1]
                     ok, rows = self._run(lambda: outer.query.query_measurement(
@@ -412,6 +423,81 @@ class ArcServer:
                         self._json(200, out)
                     return
 
+                if url.path == "/api/v1/governance":
+                    # per-token limits (reference internal/api/governance.go);
+                    # keyed by the plaintext token the caller supplies — the
+                    # store only holds hashes, so names cannot resolve back
+                    if not self._require_admin(token):
+                        return
+                    try:
+                        req = json.loads(body or b"{}")
+                    except json.JSONDecodeError:
+                        return self._json(400, {"error": "body must be JSON"})
+                    target = req.get("token")
+                    if not target:
+                        return self._json(400, {"error": "missing 'token'"})
+                    from arc_spark.governance import TokenPolicy
+
+                    outer.query.governor.set_policy(target, TokenPolicy(
+                        max_queries_per_minute=req.get("max_queries_per_minute"),
+                        max_rows=req.get("max_rows"),
+                        max_duration_s=req.get("max_duration_s"),
+                    ))
+                    return self._json(200, {"status": "ok"})
+
+                if url.path == "/api/v1/continuous_queries":
+                    if not self._require_admin(token):
+                        return
+                    if outer.ingest is None:
+                        return self._json(503, {"error": "no storage attached"})
+                    try:
+                        req = json.loads(body or b"{}")
+                    except json.JSONDecodeError:
+                        return self._json(400, {"error": "body must be JSON"})
+                    missing = [k for k in ("name", "sql", "dest_db",
+                                           "dest_measurement", "interval_seconds")
+                               if not req.get(k)]
+                    if missing:
+                        return self._json(400, {"error": f"missing {missing}"})
+                    from arc_spark.plans.validator import validate_read_only
+                    from arc_spark.streaming.cq import ContinuousQuery
+
+                    def _register_cq():
+                        validate_read_only(
+                            outer.query.spark,
+                            req["sql"].format(
+                                start_time="TIMESTAMP '2024-01-01 00:00:00'",
+                                end_time="TIMESTAMP '2024-01-01 01:00:00'",
+                            ),
+                        )
+                        outer.cqs[req["name"]] = ContinuousQuery(
+                            name=req["name"], sql=req["sql"],
+                            dest_db=req["dest_db"],
+                            dest_measurement=req["dest_measurement"],
+                            interval_seconds=int(req["interval_seconds"]),
+                            tag_columns=req.get("tag_columns"),
+                        )
+                        return {"registered": req["name"]}
+
+                    ok, out = self._run(_register_cq)
+                    if ok:
+                        self._json(201, out)
+                    return
+
+                if (url.path.startswith("/api/v1/continuous_queries/")
+                        and url.path.endswith("/run")):
+                    if not self._require_admin(token):
+                        return
+                    name = url.path.rsplit("/", 2)[-2]
+                    cq = outer.cqs.get(name)
+                    if cq is None:
+                        return self._json(404, {"error": f"no CQ {name!r}"})
+                    ok, out = self._run(lambda: cq.run_once(
+                        outer.query.spark, outer.ingest.root))
+                    if ok:
+                        self._json(200, out)
+                    return
+
                 if url.path == "/api/v1/import/line":
                     if outer.ingest is None:
                         return self._json(503, {"error": "ingest disabled"})
@@ -475,6 +561,13 @@ class ArcServer:
                     revoked = outer.auth.revoke(name)
                     return self._json(200 if revoked else 404,
                                       {"revoked": revoked, "name": name})
+                if url.path.startswith("/api/v1/continuous_queries/"):
+                    if not self._require_admin(token):
+                        return
+                    name = url.path.rsplit("/", 1)[-1]
+                    removed = outer.cqs.pop(name, None) is not None
+                    return self._json(200 if removed else 404,
+                                      {"removed": removed, "name": name})
                 self._json(404, {"error": "not found"})
 
         self._httpd = ThreadingHTTPServer((host, port), Handler)

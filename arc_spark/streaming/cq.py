@@ -28,7 +28,8 @@ from arc_spark.sources.writer import write_measurement
 
 def _floor_to(ts: dt.datetime, seconds: int) -> dt.datetime:
     epoch = ts.timestamp()
-    return dt.datetime.utcfromtimestamp(int(epoch // seconds) * seconds)
+    return (dt.datetime.fromtimestamp(int(epoch // seconds) * seconds,
+                                      dt.timezone.utc).replace(tzinfo=None))
 
 
 class ContinuousQuery:

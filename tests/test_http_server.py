@@ -273,3 +273,55 @@ class TestManagementRoutes:
         status, body, _ = _req(port, "/api/v1/import/tle?db=sat", "POST",
                                admin, tle.encode())
         assert status == 200 and json.loads(body)["written"] == 1
+
+
+class TestGovernanceAndCqRoutes:
+    def test_governance_policy_applies(self, live):
+        port, admin, *_ = live
+        # mint a token, give it a 1-row cap, watch the cap bite
+        status, body, _ = _req(
+            port, "/api/v1/auth/tokens", "POST", admin,
+            json.dumps({"name": "capped"}).encode(),
+        )
+        tok = json.loads(body)["token"]
+        status, _, _ = _req(port, "/api/v1/governance", "POST", admin,
+                            json.dumps({"token": tok, "max_rows": 1}).encode())
+        assert status == 200
+        status, body, _ = _req(
+            port, "/api/v1/query", "POST", tok,
+            json.dumps({"sql": "SELECT host FROM cpu", "format": "arrow"}).encode(),
+        )
+        import pyarrow as pa
+
+        assert pa.ipc.open_stream(body).read_all().num_rows == 1
+
+    def test_cq_lifecycle(self, live):
+        port, admin, *_ = live
+        cq = {
+            "name": "cpu_hourly",
+            "sql": ("SELECT COUNT(*) AS n FROM cpu "
+                    "WHERE time >= {start_time} AND time < {end_time}"),
+            "dest_db": "rollups", "dest_measurement": "cpu_hourly",
+            "interval_seconds": 3600,
+        }
+        status, body, _ = _req(port, "/api/v1/continuous_queries", "POST",
+                               admin, json.dumps(cq).encode())
+        assert status == 201
+        status, body, _ = _req(port, "/api/v1/continuous_queries", token=admin)
+        assert [c["name"] for c in json.loads(body)["continuous_queries"]] == ["cpu_hourly"]
+        status, body, _ = _req(
+            port, "/api/v1/continuous_queries/cpu_hourly/run", "POST", admin, b"{}"
+        )
+        assert status == 200 and "ran" in json.loads(body)
+        status, body, _ = _req(port, "/api/v1/continuous_queries/cpu_hourly",
+                               "DELETE", admin)
+        assert status == 200 and json.loads(body)["removed"]
+
+    def test_cq_rejects_non_select(self, live):
+        port, admin, *_ = live
+        cq = {"name": "bad", "sql": "DROP TABLE cpu",
+              "dest_db": "x", "dest_measurement": "y", "interval_seconds": 60}
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _req(port, "/api/v1/continuous_queries", "POST", admin,
+                 json.dumps(cq).encode())
+        assert e.value.code == 400
