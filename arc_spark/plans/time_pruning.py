@@ -13,6 +13,16 @@ The partition tuple is encoded as ``((year*100+month)*100+day)*100+hour``,
 a single monotonic long; range bounds floor/ceil to the containing hour.
 The original row-level ``time`` predicate stays in place — partition
 pruning is a coarse file skip, the row filter is exact.
+
+Two surfaces:
+- :func:`time_range` — DataFrame path: explicit bounds → row filter +
+  derived partition predicate.
+- :func:`prune_sql` — SQL path (the reference's main read path): walk the
+  query's OPTIMIZED plan for per-scan time bounds (pushdown has already
+  placed each filter at its scan, so OR/NOT/join attribution is
+  structural), temporarily re-register affected measurement views with the
+  derived predicate, re-parse, restore. Used by ``QueryService.execute``
+  and ``query_measurement``.
 """
 
 from __future__ import annotations

@@ -42,6 +42,8 @@ BENCH_QUERIES = [
     "q19_embedding_topk",
     "q13_asof_join",
     "q42_pruned_time_bucket",
+    "q43_grouping_sets",
+    "q44_unpivot",
 ]
 
 
