@@ -22,7 +22,7 @@ from pyspark.sql import SparkSession
 import threading
 
 from arc_spark.catalog import MeasurementCatalog
-from arc_spark.governance import Governor, QueryRegistry
+from arc_spark.governance import Governor, QueryRegistry, RateLimitExceeded
 from arc_spark.plans.time_pruning import prune_sql
 from arc_spark.plans.validator import SqlValidationError, extract_tables, validate_read_only
 
@@ -82,20 +82,23 @@ class QueryService:
         optionally suffixed ASC/DESC."""
         from pyspark.sql import functions as F
 
-        view = self.catalog.register(db, measurement)
         self.governor.admit(token)
-        val_sql = f"SELECT * FROM {view}" + (f" WHERE {where}" if where else "")
-        validate_read_only(self.spark, val_sql)
-        self._check_rbac(token, val_sql)
-
-        # the filter itself goes through prune_sql, so a WHERE time range on
-        # this endpoint gets the derived partition predicate — the
-        # reference's flagship pruned read path (BASELINE's 4.7 ms
-        # time-bucket is this shape)
+        # register + parse + prune under the SAME lock as execute()'s
+        # pruning: createOrReplaceTempView here must not interleave with a
+        # concurrent prune override/restore of the same view name
         try:
             with self._plan_lock:
+                view = self.catalog.register(db, measurement)
+                val_sql = (f"SELECT * FROM {view}"
+                           + (f" WHERE {where}" if where else ""))
+                validate_read_only(self.spark, val_sql)
+                self._check_rbac(token, val_sql)
+                # the filter goes through prune_sql, so a WHERE time range
+                # on this endpoint gets the derived partition predicate —
+                # the reference's flagship pruned read path (BASELINE's
+                # 4.7 ms time-bucket is this shape)
                 df = prune_sql(self.spark, val_sql, self.catalog)
-        except SqlValidationError:
+        except (SqlValidationError, PermissionError_, RateLimitExceeded):
             raise
         except Exception as e:
             raise SqlValidationError(f"invalid where clause: {e}") from None
@@ -467,12 +470,6 @@ class IngestService:
         is never blocked by a flush in progress. Only segments BEFORE the
         rotation cut are truncated — entries appended during the flush keep
         their WAL backing."""
-        from arc_spark.sources.ingest import columnar_to_arrow, merge_batches
-        from arc_spark.sources.writer import (
-            write_measurement,
-            write_measurement_arrow,
-        )
-
         with self._flush_serial:
             with self._lock:
                 buffers, self._buffers = self._buffers, {}
@@ -492,37 +489,63 @@ class IngestService:
                     buffers.setdefault(key, []).extend(batches)
                 with self._lock:
                     self.stats["acked"] += acked
-            total = 0
-            for (db, meas), batches in buffers.items():
-                decimals = self.decimal_config.get(meas)
-                tables = [columnar_to_arrow(b, decimal_columns=decimals)
-                          for b in batches]
-                merged = merge_batches(tables)
-                tag_cols = sorted(
-                    {c for b in batches for c in (b.get("tag_columns") or [])}
-                )
-                dec_manifest = (
-                    {c: list(ps) for c, ps in decimals.items()} if decimals else None
-                )
-                # steady-state flushes write Parquet in-process (the
-                # reference's design — no per-flush Spark job); only
-                # backfill-sized batches pay the distributed shuffle-write
-                if merged.num_rows <= self.direct_flush_max_rows:
-                    write_measurement_arrow(
-                        merged, self.root, db, meas, tag_columns=tag_cols,
-                        decimals=dec_manifest,
-                    )
-                else:
-                    df = self.spark.createDataFrame(merged)
-                    write_measurement(df, self.root, db, meas,
-                                      tag_columns=tag_cols,
-                                      decimals=dec_manifest)
-                total += merged.num_rows
+            try:
+                total = self._write_buffers(buffers)
+            except BaseException:
+                # a failed Parquet write must not orphan acked rows: put the
+                # whole snapshot back (oldest-first) so the NEXT flush
+                # retries it. The WAL cut below only happens on success, so
+                # a crash instead of a retry still recovers from the log.
+                with self._lock:
+                    for key, batches in buffers.items():
+                        self._buffers[key] = batches + self._buffers.get(key, [])
+                        self._buffer_rows += sum(
+                            len(b["columns"][next(iter(b["columns"]))])
+                            for b in batches if b["columns"]
+                        )
+                    if self._oldest is None and self._buffers:
+                        self._oldest = time.monotonic()
+                raise
             if cut is not None:
                 self.wal.truncate_upto(cut)
             with self._lock:
                 self.stats["flushed"] += total
                 self.stats["flushes"] += 1
+        return total
+
+    def _write_buffers(self, buffers: dict[tuple[str, str], list[dict]]) -> int:
+        from arc_spark.sources.ingest import columnar_to_arrow, merge_batches
+        from arc_spark.sources.writer import (
+            write_measurement,
+            write_measurement_arrow,
+        )
+
+        total = 0
+        for (db, meas), batches in buffers.items():
+            decimals = self.decimal_config.get(meas)
+            tables = [columnar_to_arrow(b, decimal_columns=decimals)
+                      for b in batches]
+            merged = merge_batches(tables)
+            tag_cols = sorted(
+                {c for b in batches for c in (b.get("tag_columns") or [])}
+            )
+            dec_manifest = (
+                {c: list(ps) for c, ps in decimals.items()} if decimals else None
+            )
+            # steady-state flushes write Parquet in-process (the reference's
+            # design — no per-flush Spark job); only backfill-sized batches
+            # pay the distributed shuffle-write
+            if merged.num_rows <= self.direct_flush_max_rows:
+                write_measurement_arrow(
+                    merged, self.root, db, meas, tag_columns=tag_cols,
+                    decimals=dec_manifest,
+                )
+            else:
+                df = self.spark.createDataFrame(merged)
+                write_measurement(df, self.root, db, meas,
+                                  tag_columns=tag_cols,
+                                  decimals=dec_manifest)
+            total += merged.num_rows
         return total
 
     # -- crash recovery ----------------------------------------------------
@@ -532,11 +555,14 @@ class IngestService:
         start with 0x80-0x8f/0xde/0xdf; anything else is line protocol.
 
         Returns the number of rows recovered. WAL truncation is suppressed
-        for the whole replay (flush() checks ``_recovering``) so a
-        threshold-triggered flush cannot delete unread segments; one final
-        flush + truncate runs at the end, after which every replayed row is
-        in Parquet. ``defer_decode`` is disabled during replay so row counts
-        are exact (deferred writes return -1)."""
+        while the replay iterator is live (flush() checks ``_recovering``)
+        so a threshold-triggered flush cannot delete unread segments. Once
+        the replay is fully read, suppression lifts and one final flush runs
+        under the NORMAL rotate/truncate-upto protocol — so the flushed
+        segments drop, while entries appended concurrently after the final
+        snapshot keep their WAL backing (a full truncate here would destroy
+        them). ``defer_decode`` is disabled during replay so row counts are
+        exact (deferred writes return -1)."""
         if self.wal is None:
             return 0
         n = 0
@@ -550,14 +576,13 @@ class IngestService:
                     n += self.write_msgpack(db, payload, _wal=False)
                 else:
                     n += self.write_line_protocol(db, payload, _wal=False)
-            # replay fully read; make every replayed row durable (drain
-            # waits out any worker-scheduled flushes first)
-            if self._flush_queue is not None:
-                self.drain()
-            else:
-                self.flush()
         finally:
             self.defer_decode = prev_defer
             self._recovering = False
-        self.wal.truncate()
+        # replay fully read; flush with rotation-based truncation (drain
+        # waits out any worker-scheduled flushes first)
+        if self._flush_queue is not None:
+            self.drain()
+        else:
+            self.flush()
         return n

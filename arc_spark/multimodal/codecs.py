@@ -163,7 +163,8 @@ def decode_wav(data: bytes) -> dict:
         samples.frombytes(frames[: (len(frames) // 2) * 2])
         peak = 32768.0
     elif width == 1:
-        samples = array("b", bytes(b - 128 for b in frames))
+        # 8-bit WAV is UNSIGNED (0..255, midpoint 128): center to -128..127
+        samples = [b - 128 for b in frames]
         peak = 128.0
     else:
         raise MediaDecodeError(f"unsupported sample width {width}")

@@ -122,6 +122,24 @@ def plan_time_bounds(df, time_col: str = "time") -> dict[str, tuple[int | None, 
     misread. Scans seen without bounds map to (None, None)."""
     opt = df._jdf.queryExecution().optimizedPlan()
     out: dict[str, tuple[int | None, int | None]] = {}
+    visited_scans: set[int] = set()
+
+    def note(path: str, lo: int | None, hi: int | None) -> None:
+        """Merge one scan reference's bounds into the per-path entry.
+
+        The caller applies ONE predicate per view, so multiple references
+        to the same path (UNION ALL branches, self-joins) must merge as a
+        UNION of their ranges: lo = min of los, hi = max of his, and an
+        unbounded side anywhere makes that side unbounded. Never overwrite
+        — an overwrite would prune one branch's range away from another
+        branch (wrong results, silently)."""
+        if path not in out:
+            out[path] = (lo, hi)
+            return
+        plo, phi = out[path]
+        nlo = None if (lo is None or plo is None) else min(lo, plo)
+        nhi = None if (hi is None or phi is None) else max(hi, phi)
+        out[path] = (nlo, nhi)
 
     def scans_in(p):
         return [n for n in _jwalk(p)
@@ -134,6 +152,7 @@ def plan_time_bounds(df, time_col: str = "time") -> dict[str, tuple[int | None, 
         if len(scans) != 1:
             continue
         scan = scans[0]
+        visited_scans.add(scan.hashCode())
         time_ids = {
             scan.output().apply(i).exprId().id()
             for i in range(scan.output().size())
@@ -175,12 +194,15 @@ def plan_time_bounds(df, time_col: str = "time") -> dict[str, tuple[int | None, 
                 lo = v if lo is None else max(lo, v)
                 hi = v if hi is None else min(hi, v)
         for p in _scan_root_paths(scan):
-            out[p] = (lo, hi)
-    # any scan NOT under a single-scan Filter gets (None, None) so callers
-    # know the path was referenced without derivable bounds
+            note(p, lo, hi)
+    # any scan NOT visited via a single-scan Filter is an unbounded
+    # reference to its path — it must widen the merged entry to
+    # (None, None), not be shadowed by a bounded sibling reference
     for scan in scans_in(opt):
+        if scan.hashCode() in visited_scans:
+            continue
         for p in _scan_root_paths(scan):
-            out.setdefault(p, (None, None))
+            note(p, None, None)
     return out
 
 
@@ -261,6 +283,11 @@ def prune_sql(spark, sql: str, catalog, time_col: str = "time"):
         if not restore:
             return df
         return spark.sql(sql)
+    except Exception:
+        # a dropped view, a failed re-registration, anything — pruning is
+        # an optimization, never a gate: fall back to the plain plan (the
+        # finally below restores whatever was already overridden)
+        return df
     finally:
         for name, base in restore:
             base.createOrReplaceTempView(name)

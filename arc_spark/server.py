@@ -129,6 +129,20 @@ class ArcServer:
                     return False
                 return True
 
+            def _require_writer(self, token: str) -> bool:
+                """Write endpoints refuse table-RESTRICTED tokens: the RBAC
+                model scopes reads by table, and a read-scoped token must
+                not be able to inject rows anywhere (an LP payload names
+                arbitrary measurements). Writes need an unrestricted token
+                (reference: write permission is a separate grant)."""
+                if outer.auth is None:
+                    return True
+                info = outer.auth.verify(token)
+                if info is None or info["allowed_tables"] is not None:
+                    self._json(403, {"error": "write requires an unrestricted token"})
+                    return False
+                return True
+
             def _run(self, fn):
                 """Engine-error → HTTP-status mapping (reference
                 api/errors.go semantics)."""
@@ -153,6 +167,10 @@ class ArcServer:
                 if url.path == "/health":
                     return self._json(200, {"status": "ok"})
                 if url.path == "/metrics":
+                    # authenticated: request patterns, ingest volumes and
+                    # query stats are operational data, not public
+                    if self._authenticate() is None:
+                        return
                     # Prometheus text exposition (reference internal/monitoring):
                     # engine counters + per-route request counts + query registry
                     lines = [
@@ -293,6 +311,8 @@ class ArcServer:
                 if url.path == "/api/v1/write/msgpack":
                     if outer.ingest is None:
                         return self._json(503, {"error": "ingest disabled"})
+                    if not self._require_writer(token):
+                        return
                     ok, n = self._run(
                         lambda: outer.ingest.write_msgpack(q.get("db", "default"), body)
                     )
@@ -303,6 +323,8 @@ class ArcServer:
                 if url.path == "/api/v1/write/line":
                     if outer.ingest is None:
                         return self._json(503, {"error": "ingest disabled"})
+                    if not self._require_writer(token):
+                        return
                     ok, n = self._run(
                         lambda: outer.ingest.write_line_protocol(
                             q.get("db", "default"), body,
@@ -470,12 +492,17 @@ class ArcServer:
                                 end_time="TIMESTAMP '2024-01-01 01:00:00'",
                             ),
                         )
+                        import os as _os
+
                         outer.cqs[req["name"]] = ContinuousQuery(
                             name=req["name"], sql=req["sql"],
                             dest_db=req["dest_db"],
                             dest_measurement=req["dest_measurement"],
                             interval_seconds=int(req["interval_seconds"]),
                             tag_columns=req.get("tag_columns"),
+                            # checkpoints live with the data, never in CWD
+                            checkpoint_dir=_os.path.join(
+                                outer.ingest.root, ".cq_checkpoints"),
                         )
                         return {"registered": req["name"]}
 

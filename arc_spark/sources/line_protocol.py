@@ -220,11 +220,19 @@ def payload_to_dataframe(spark, payload: bytes, precision: str = "ns",
 
     The payload is split into ~``chunk_bytes`` BYTE chunks at newline
     boundaries on the driver (O(bytes) slicing, no per-line Python), the
-    chunks ship to executors as a tiny binary-column DataFrame, and each
-    chunk parses inside one `mapInPandas` batch with column-wise (not
-    row-dict) building — the per-line Python cost stays, but spread over
-    the cluster with no driver createDataFrame of N rows and no separate
-    schema-inference job (the sample comes straight off the first chunk).
+    chunks ship to executors as a tiny binary-column DataFrame, and parse
+    happens in TWO distributed passes over the same chunk frame:
+
+    1. schema pass — each chunk parses and emits only its per-measurement
+       tag/field/type summary (a few rows of metadata per chunk), merged on
+       the driver. EVERY line contributes, so a measurement or field that
+       first appears deep in the payload is never silently dropped (a
+       first-chunk sample cannot promise that).
+    2. data pass — each chunk parses into the full merged schema with
+       column-wise (not row-dict) building.
+
+    The per-line Python cost is paid twice but spread over the cluster; the
+    driver never builds an N-row DataFrame.
     """
     import pandas as pd
 
@@ -241,12 +249,54 @@ def payload_to_dataframe(spark, payload: bytes, precision: str = "ns",
             end = n if nl == -1 else nl + 1
         chunks.append(payload[start:end])
         start = end
-    sample_lines = [
-        s for s in chunks[0].decode("utf-8", "replace").splitlines()[:1000]
-        if s.strip() and not s.startswith("#")
-    ] if chunks else []
-    recs = [parse_line(s, precision) for s in sample_lines]
-    tag_cols, field_types, meas_tags, meas_fields = _infer_lp_schema(recs)
+
+    pdf = pd.DataFrame({"chunk": chunks})
+    chunk_df = spark.createDataFrame(pdf).repartition(
+        min(len(chunks), spark.sparkContext.defaultParallelism) or 1
+    )
+
+    # pass 1: exhaustive distributed schema inference
+    def infer_chunks(batches):
+        import json as _json
+
+        for bpdf in batches:
+            for chunk in bpdf["chunk"]:
+                recs = [
+                    parse_line(s, precision)
+                    for s in bytes(chunk).decode("utf-8", "replace").splitlines()
+                    if s.strip() and not s.startswith("#")
+                ]
+                tc, ft, mt, mf = _infer_lp_schema(recs)
+                yield pd.DataFrame({
+                    "summary": [_json.dumps({
+                        "tags": sorted(tc),
+                        "field_types": {k: t.__name__ for k, t in ft.items()},
+                        "meas_tags": {m: sorted(s) for m, s in mt.items()},
+                        "meas_fields": {m: sorted(s) for m, s in mf.items()},
+                    })]
+                })
+
+    import json as _json
+
+    _RANK = {"bool": 0, "int": 1, "float": 2, "str": 3}
+    _TYPE = {"bool": bool, "int": int, "float": float, "str": str}
+    tag_cols: set[str] = set()
+    field_types: dict[str, type] = {}
+    meas_tags: dict[str, set] = {}
+    meas_fields: dict[str, set] = {}
+    for row in chunk_df.mapInPandas(infer_chunks, "summary string").collect():
+        s = _json.loads(row["summary"])
+        tag_cols.update(s["tags"])
+        for m, ts in s["meas_tags"].items():
+            meas_tags.setdefault(m, set()).update(ts)
+        for m, fs in s["meas_fields"].items():
+            meas_fields.setdefault(m, set()).update(fs)
+        for k, tname in s["field_types"].items():
+            prev = field_types.get(k)
+            if prev is None or _RANK[tname] > _RANK[prev.__name__]:
+                # widen by rank except str never demotes numerics: int<float,
+                # bool<int — same widening _infer_lp_schema applies per chunk
+                field_types[k] = _TYPE[tname]
     spark_type = {int: "long", float: "double", str: "string", bool: "boolean"}
     schema = ", ".join(
         ["measurement string", "time timestamp_ntz"]
@@ -283,10 +333,8 @@ def payload_to_dataframe(spark, payload: bytes, precision: str = "ns",
                     else pd.Series(times), unit="us"))
                 yield out[["measurement", "time"] + tag_list + field_list]
 
-    pdf = pd.DataFrame({"chunk": chunks})
-    flat = spark.createDataFrame(pdf).repartition(
-        min(len(chunks), spark.sparkContext.defaultParallelism) or 1
-    ).mapInPandas(parse_chunks, schema=schema)
+    # pass 2: full parse into the merged schema
+    flat = chunk_df.mapInPandas(parse_chunks, schema=schema)
     info = {
         "tags": {m: sorted(s) for m, s in meas_tags.items()},
         "fields": {m: sorted(s) for m, s in meas_fields.items()},

@@ -409,3 +409,54 @@ class TestDistributedBulkIngest:
         cpu, mem = cat.table("metrics", "cpu"), cat.table("metrics", "mem")
         assert "usage" in cpu.columns and "free" not in cpu.columns
         assert "free" in mem.columns and "usage" not in mem.columns
+
+
+class TestFlushFailureRetry:
+    def test_failed_write_restores_buffers(self, spark, tmp_path, monkeypatch):
+        """Review regression: a failed Parquet write must put the snapshot
+        back so the next flush retries — not orphan acked rows in a
+        swapped-out dict."""
+        svc = IngestService(spark, str(tmp_path), max_buffer_rows=10**9,
+                            max_buffer_age_s=10**9)
+        svc.write_line_protocol("m", b"cpu,host=a v=1 1700000000000000000\n")
+        import arc_spark.sources.writer as writer_mod
+
+        def boom(*a, **k):
+            raise OSError("disk full")
+
+        monkeypatch.setattr(writer_mod, "write_measurement_arrow", boom)
+        with pytest.raises(OSError):
+            svc.flush()
+        monkeypatch.undo()
+        # buffers restored: the retry flushes the same row successfully
+        assert svc.flush() == 1
+        assert MeasurementCatalog(spark, str(tmp_path)).table("m", "cpu").count() == 1
+
+
+class TestBulkLateMeasurement:
+    def test_measurement_first_seen_after_first_chunk(self, spark, tmp_path):
+        """Review regression: schema inference must cover EVERY chunk — a
+        measurement/field appearing only late in the payload was silently
+        dropped while still counted as written."""
+        root = str(tmp_path)
+        svc = IngestService(spark, root, max_buffer_rows=10**9,
+                            max_buffer_age_s=10**9,
+                            distributed_decode_min_bytes=1)
+        # sorted payload: all cpu lines first, mem only at the end; chunking
+        # at 4KB guarantees mem never appears in the first chunk
+        lines = [f"cpu,host=h{i % 4} usage={i} {1700000000000000000 + i * 10**9}"
+                 for i in range(400)]
+        lines += [f"mem,host=h{i % 4} free={i}i,pressure={i / 7} "
+                  f"{1700000000000000000 + i * 10**9}" for i in range(50)]
+        payload = "\n".join(lines).encode()
+        from arc_spark.sources.line_protocol import payload_to_dataframe
+
+        flat, info, n = payload_to_dataframe(spark, payload, chunk_bytes=4096)
+        assert "mem" in info["fields"] and "free" in info["fields"]["mem"]
+        assert n == 450
+        assert svc.write_line_protocol("metrics", payload) == 450
+        cat = MeasurementCatalog(spark, root)
+        assert cat.table("metrics", "cpu").count() == 400
+        mem = cat.table("metrics", "mem")
+        assert mem.count() == 50
+        assert {"free", "pressure"} <= set(mem.columns)

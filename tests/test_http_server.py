@@ -174,7 +174,7 @@ class TestObservability:
         port, admin, *_ = live
         _req(port, "/api/v1/query", "POST", admin,
              json.dumps({"sql": "SELECT count(*) AS n FROM cpu"}).encode())
-        status, body, headers = _req(port, "/metrics")
+        status, body, headers = _req(port, "/metrics", token=admin)
         text = body.decode()
         assert status == 200
         assert "arc_http_requests_total" in text
@@ -325,3 +325,22 @@ class TestGovernanceAndCqRoutes:
             _req(port, "/api/v1/continuous_queries", "POST", admin,
                  json.dumps(cq).encode())
         assert e.value.code == 400
+
+
+class TestReviewRegressions:
+    def test_metrics_requires_auth(self, live):
+        port, *_ = live
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _req(port, "/metrics")
+        assert e.value.code == 401
+
+    def test_restricted_token_cannot_write(self, live):
+        """A read-scoped token must not inject rows anywhere: LP payloads
+        name arbitrary measurements, so writes need an unrestricted token."""
+        port, _admin, limited, _cat = live
+        for path in ("/api/v1/write/line?db=metrics",
+                     "/api/v1/write/msgpack?db=metrics"):
+            with pytest.raises(urllib.error.HTTPError) as e:
+                _req(port, path, "POST", limited,
+                     b"cpu,host=x usage=1 1700000000000000000\n")
+            assert e.value.code == 403, path

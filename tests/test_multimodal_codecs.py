@@ -120,3 +120,20 @@ class TestRealLanes:
         assert row["width"] == 4 and row["height"] == 2
         img = decode_png(bytes(row["blob"]))
         assert (img["width"], img["height"]) == (4, 2)
+
+
+def test_wav_8bit_decodes():
+    """Review regression: 8-bit WAV (unsigned samples) crashed the decoder
+    with a plain ValueError on any negative-amplitude sample."""
+    import io as _io
+    import wave as _wave
+
+    buf = _io.BytesIO()
+    with _wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(1)
+        wf.setframerate(8000)
+        wf.writeframes(bytes([0, 64, 128, 192, 255] * 100))
+    a = decode_wav(buf.getvalue())
+    assert a["channels"] == 1 and a["n_frames"] == 500
+    assert 0.0 < a["rms"] <= 1.0

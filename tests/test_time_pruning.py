@@ -278,3 +278,61 @@ def test_concurrent_pruned_queries_are_isolated(spark, tmp_path):
     for t in threads:
         t.join()
     assert errors == []
+
+
+class TestMultiReferencePruning:
+    """Review regression: multiple references to one measurement (UNION ALL
+    branches, mixed bounded/unbounded) must merge bounds as a UNION — an
+    overwrite would prune one branch's rows away."""
+
+    def test_union_all_disjoint_ranges(self, spark, tmp_path):
+        from arc_spark.catalog import MeasurementCatalog
+        from arc_spark.plans.time_pruning import plan_time_bounds, prune_sql
+
+        _write_three_days(spark, str(tmp_path))
+        cat = MeasurementCatalog(spark, str(tmp_path))
+        cat.register("metrics", "cpu", view="cpu_u")
+        sql = (
+            "SELECT value FROM cpu_u WHERE time < TIMESTAMP '2024-03-02 00:00:00' "
+            "UNION ALL "
+            "SELECT value FROM cpu_u WHERE time >= TIMESTAMP '2024-03-03 00:00:00'"
+        )
+        bounds = plan_time_bounds(spark.sql(sql))
+        # merged entry covers BOTH branches: unbounded below, unbounded above
+        ((_, (lo, hi)),) = bounds.items()
+        assert lo is None and hi is None
+        got = sorted(r["value"] for r in prune_sql(spark, sql, cat).collect())
+        want = sorted(r["value"] for r in spark.sql(sql).collect())
+        assert got == want and len(got) == 8  # days 1 and 3
+
+    def test_bounded_plus_unbounded_reference(self, spark, tmp_path):
+        from arc_spark.catalog import MeasurementCatalog
+        from arc_spark.plans.time_pruning import prune_sql
+
+        _write_three_days(spark, str(tmp_path))
+        cat = MeasurementCatalog(spark, str(tmp_path))
+        cat.register("metrics", "cpu", view="cpu_b")
+        sql = (
+            "SELECT value FROM cpu_b WHERE time >= TIMESTAMP '2024-03-03 00:00:00' "
+            "UNION ALL SELECT value FROM cpu_b"
+        )
+        got = sorted(r["value"] for r in prune_sql(spark, sql, cat).collect())
+        want = sorted(r["value"] for r in spark.sql(sql).collect())
+        assert got == want and len(got) == 16  # 4 (day 3) + 12 (all)
+
+    def test_union_all_overlapping_ranges_stay_pruned(self, spark, tmp_path):
+        from arc_spark.catalog import MeasurementCatalog
+        from arc_spark.plans.time_pruning import plan_time_bounds, prune_sql
+
+        _write_three_days(spark, str(tmp_path))
+        cat = MeasurementCatalog(spark, str(tmp_path))
+        cat.register("metrics", "cpu", view="cpu_o")
+        sql = (
+            "SELECT value FROM cpu_o WHERE time >= TIMESTAMP '2024-03-02 00:00:00' "
+            "UNION ALL "
+            "SELECT value FROM cpu_o WHERE time >= TIMESTAMP '2024-03-03 00:00:00'"
+        )
+        ((_, (lo, hi)),) = plan_time_bounds(spark.sql(sql)).items()
+        assert lo == int(dt.datetime(2024, 3, 2).timestamp() * 1e6) and hi is None
+        got = sorted(r["value"] for r in prune_sql(spark, sql, cat).collect())
+        assert len(got) == 12  # 8 (days 2-3) + 4 (day 3)
