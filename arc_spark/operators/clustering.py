@@ -1,0 +1,113 @@
+"""Duplicate-cluster resolution: connected components + canonical pick.
+
+The training-data dedup flow ends with graph steps the pair generators
+(`operators/dedup.py`) don't cover: near-dup PAIRS must become CLUSTERS
+(a~b and b~c puts a,c in one cluster even when a!~c directly), and each
+cluster keeps one canonical document. The reference engine stops at
+pair/window dedup (arc `internal/compaction/dedup.go:219-233` is
+last-writer-wins within a sort key); this module adds the cluster
+closure step a 100 TB corpus dedup actually ships.
+
+Scale design: min-label propagation over the undirected pair graph.
+Each round is one shuffle (groupBy-min over the neighbor frame) plus a
+join back to labels — all JVM-side, no Python in the loop — and
+converges in O(graph diameter) rounds. Near-dup graphs are shallow
+(clusters are quasi-cliques from a similarity threshold; diameter is
+almost always ≤3–4), so the round count stays tiny even at corpus
+scale; `max_iterations` bounds adversarial chains. Every round
+`localCheckpoint`s the label frame — without that, the iterative plan's
+lineage grows linearly and Catalyst re-analyzes an ever-deeper tree
+(the classic iterative-Spark failure). The edge frame is checkpointed
+ONCE up front: it is reused every round, and recomputing a
+jaccard/LSH pair join per round would dominate the cost.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    id_col: str = "doc_id",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """(node, cluster_id) for every node; cluster_id = min node id in the
+    connected component.
+
+    ``edges`` is an undirected pair list (each pair listed once, either
+    orientation). ``nodes`` optionally supplies the full node universe so
+    isolated documents come back as singleton clusters — a dedup pipeline
+    wants the complete mapping, not just the entangled docs.
+    """
+    e = edges.select(
+        F.col(src_col).cast("long").alias("a"),
+        F.col(dst_col).cast("long").alias("b"),
+    )
+    # symmetrize once; distinct keeps multi-edges from multiplying every
+    # round's neighbor frame
+    e = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct().localCheckpoint(eager=False)
+
+    if nodes is not None:
+        labels = nodes.select(F.col(id_col).cast("long").alias("node"))
+    else:
+        labels = e.select(F.col("a").alias("node")).distinct()
+    labels = labels.select("node", F.col("node").alias("label"))
+
+    for _ in range(max_iterations):
+        # min over {own label} ∪ {labels of neighbors}: one shuffle
+        nbr = e.join(labels, F.col("b") == F.col("node")).select(
+            F.col("a").alias("node"), "label"
+        )
+        cand = (
+            labels.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("label").alias("new_label"))
+        )
+        step = labels.join(cand, "node").localCheckpoint()
+        n_changed = step.filter(F.col("new_label") < F.col("label")).count()
+        labels = step.select("node", F.col("new_label").alias("label"))
+        if n_changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias(id_col), F.col("label").alias("cluster_id")
+    )
+
+
+def canonical_docs(
+    documents: DataFrame,
+    assignments: DataFrame,
+    id_col: str = "doc_id",
+    order_col: str = "n_chars",
+    min_cluster_size: int = 2,
+) -> DataFrame:
+    """One row per non-trivial cluster: size + the canonical document
+    (max ``order_col``, ties broken by min id — deterministic).
+
+    This is the "keep best, drop rest" step after clustering: a single
+    window over cluster_id (one shuffle, already co-partitioned with the
+    size agg)."""
+    from pyspark.sql.window import Window
+
+    joined = assignments.join(documents, id_col)
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col(order_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "size", F.count(F.lit(1)).over(Window.partitionBy("cluster_id"))
+        )
+        .filter((F.col("rn") == 1) & (F.col("size") >= min_cluster_size))
+        .select(
+            "cluster_id",
+            F.col("size").cast("long").alias("size"),
+            F.col(id_col).alias("canonical_doc"),
+            F.col(order_col).cast("long").alias("canonical_chars"),
+        )
+    )

@@ -702,6 +702,32 @@ def q44_unpivot(spark: SparkSession, sf: str) -> DataFrame:
     """)
 
 
+def q45_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup pairs → connected components: the cluster-closure step of
+    corpus dedup (a~b, b~c ⇒ {a,b,c} one cluster even when a!~c). Min-label
+    propagation, O(diameter) shuffle rounds, labels localCheckpoint'ed per
+    round. Oracle: recursive-CTE transitive closure over the same pairs."""
+    from arc_spark.operators.clustering import connected_components
+
+    t = load_tables(spark, sf, register_views=False)
+    docs = t["documents"]
+    pairs = ngram_jaccard_pairs(docs, threshold=0.2, max_posting_list=1000)
+    return connected_components(pairs, nodes=docs.select("doc_id"))
+
+
+def q46_cluster_canonical(spark: SparkSession, sf: str) -> DataFrame:
+    """Keep-best-per-cluster: each non-trivial dup cluster reports its size
+    and canonical doc (max n_chars, ties→min doc_id). One window shuffle on
+    cluster_id after the clustering of q45."""
+    from arc_spark.operators.clustering import canonical_docs, connected_components
+
+    t = load_tables(spark, sf, register_views=False)
+    docs = t["documents"]
+    pairs = ngram_jaccard_pairs(docs, threshold=0.2, max_posting_list=1000)
+    cc = connected_components(pairs, nodes=docs.select("doc_id"))
+    return canonical_docs(docs, cc)
+
+
 def q39_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     """IVF ANN (k-means coarse quantizer + probed clusters) — approximate,
     rows-only check like q35. The third ANN strategy next to brute-force
@@ -1187,6 +1213,37 @@ ORACLES: dict[str, str] = {
         )
         GROUP BY metric
     """,
+    "q45_dup_clusters": f"""
+        WITH RECURSIVE pairs AS ({_JACCARD_PAIRS.format(thr=0.2)}),
+        edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        reach(src, dst) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
+        )
+        SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
+    """,
+    "q46_cluster_canonical": f"""
+        WITH RECURSIVE pairs AS ({_JACCARD_PAIRS.format(thr=0.2)}),
+        edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        reach(src, dst) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
+        ),
+        cc AS (SELECT src AS doc_id, MIN(dst) AS cluster_id
+               FROM reach GROUP BY src),
+        j AS (SELECT c.cluster_id, d.doc_id, d.n_chars,
+                     ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                                        ORDER BY d.n_chars DESC, d.doc_id) AS rn,
+                     COUNT(*) OVER (PARTITION BY c.cluster_id) AS size
+              FROM cc c JOIN documents d USING (doc_id))
+        SELECT cluster_id, size, doc_id AS canonical_doc,
+               n_chars AS canonical_chars
+        FROM j WHERE rn = 1 AND size >= 2
+    """,
 }
 
 
@@ -1235,4 +1292,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q42_pruned_time_bucket": q42_pruned_time_bucket,
     "q43_grouping_sets": q43_grouping_sets,
     "q44_unpivot": q44_unpivot,
+    "q45_dup_clusters": q45_dup_clusters,
+    "q46_cluster_canonical": q46_cluster_canonical,
 }
