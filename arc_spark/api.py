@@ -310,15 +310,15 @@ class IngestService:
         from arc_spark.sources.line_protocol import payload_to_dataframe
         from arc_spark.sources.writer import write_measurement
 
-        flat, schema_info, n_lines = payload_to_dataframe(
+        flat, schema_info, n_lines, cache = payload_to_dataframe(
             self.spark, payload, precision=precision
         )
         # session-tz (UTC) LTZ time, matching every other write path's files
         flat = flat.withColumn("time", F.col("time").cast("timestamp"))
         measurements = list(schema_info["tags"].keys() | schema_info["fields"].keys())
-        if len(measurements) > 1:
-            flat = flat.persist()  # one parse shared by per-measurement writes
         try:
+            # per-measurement writes re-derive from the persisted parse
+            # output (align-only, no re-parse)
             for meas in measurements:
                 cols = (schema_info["tags"].get(meas, [])
                         + schema_info["fields"].get(meas, []))
@@ -330,8 +330,7 @@ class IngestService:
                     tag_columns=schema_info["tags"].get(meas, []),
                 )
         finally:
-            if len(measurements) > 1:
-                flat.unpersist()
+            cache.unpersist()
         with self._lock:
             self.stats["acked"] += n_lines
             self.stats["flushed"] += n_lines

@@ -126,8 +126,65 @@ def _parse_field_value(raw: str):
         raise LineProtocolError(f"bad field value {raw!r}") from e
 
 
+def _time_us(ts_part: str | None, precision: str) -> int | None:
+    if ts_part is None:
+        return None
+    try:
+        raw = int(ts_part)
+    except ValueError as e:
+        raise LineProtocolError(f"bad timestamp {ts_part!r}") from e
+    scale = PRECISION_TO_US.get(precision)
+    if scale is None:
+        raise LineProtocolError(f"bad precision {precision!r}")
+    return int(raw * scale) if scale >= 1 else raw // 1000
+
+
+def _parse_line_simple(line: str, precision: str) -> dict:
+    """Fast path for lines with NO backslash and NO double quote (the
+    overwhelming share of real traffic): plain str.partition/split, no
+    char-at-a-time scanning. Accepts a line only when the full parser
+    would accept it with the identical result; anything suspicious raises
+    and the caller re-parses on the full path for the canonical error."""
+    head, _, rest = line.partition(" ")
+    field_part, _, ts_part = rest.partition(" ")
+    if not head or not field_part:
+        raise LineProtocolError(f"malformed line: {line!r}")
+    head_parts = head.split(",")
+    measurement = head_parts[0]
+    if not measurement:
+        raise LineProtocolError(f"malformed line: {line!r}")
+    tags: dict[str, str] = {}
+    for t in head_parts[1:]:
+        kv = t.split("=")
+        if len(kv) != 2 or not kv[0]:
+            raise LineProtocolError(f"bad tag {t!r} in {line!r}")
+        tags[kv[0]] = kv[1]
+    fields: dict[str, object] = {}
+    for item in field_part.split(","):
+        key, eq, raw = item.partition("=")
+        if not key or not eq:
+            raise LineProtocolError(f"bad field {item!r} in {line!r}")
+        fields[key] = _parse_field_value(raw)
+    return {
+        "measurement": measurement,
+        "tags": tags,
+        "fields": fields,
+        "time_us": _time_us(ts_part or None, precision),
+    }
+
+
 def parse_line(line: str, precision: str = "ns") -> dict:
     """One LP line → {'measurement', 'tags': {..}, 'fields': {..}, 'time_us'}."""
+    if "\\" not in line and '"' not in line:
+        try:
+            return _parse_line_simple(line, precision)
+        except LineProtocolError:
+            pass  # malformed: fall through for the canonical error/accept
+    return _parse_line_full(line, precision)
+
+
+def _parse_line_full(line: str, precision: str = "ns") -> dict:
+    """Escape- and quote-aware parser (the full grammar)."""
     head, field_part, ts_part = _tokenize(line)
 
     head_parts = _split_unescaped(head, ",")
@@ -168,17 +225,8 @@ def parse_line(line: str, precision: str = "ns") -> dict:
     if not fields:
         raise LineProtocolError(f"no fields in {line!r}")
 
-    time_us = None
-    if ts_part is not None:
-        try:
-            raw = int(ts_part)
-        except ValueError as e:
-            raise LineProtocolError(f"bad timestamp {ts_part!r}") from e
-        scale = PRECISION_TO_US.get(precision)
-        if scale is None:
-            raise LineProtocolError(f"bad precision {precision!r}")
-        time_us = int(raw * scale) if scale >= 1 else raw // 1000
-    return {"measurement": measurement, "tags": tags, "fields": fields, "time_us": time_us}
+    return {"measurement": measurement, "tags": tags, "fields": fields,
+            "time_us": _time_us(ts_part, precision)}
 
 
 def parse_batch(text: str, precision: str = "ns", default_time_us: int | None = None) -> list[dict]:
@@ -216,25 +264,29 @@ def _infer_lp_schema(recs: list[dict]):
 
 def payload_to_dataframe(spark, payload: bytes, precision: str = "ns",
                          chunk_bytes: int | None = None):
-    """Bulk LP payload → (flattened DataFrame, schema info, line count).
+    """Bulk LP payload → (flat DataFrame, schema info, line count, cache).
 
     The payload is split into ~``chunk_bytes`` BYTE chunks at newline
     boundaries on the driver (O(bytes) slicing, no per-line Python), the
-    chunks ship to executors as a tiny binary-column DataFrame, and parse
-    happens in TWO distributed passes over the same chunk frame:
+    chunks ship to executors as a tiny binary-column DataFrame, and each
+    chunk parses exactly ONCE, distributed:
 
-    1. schema pass — each chunk parses and emits only its per-measurement
-       tag/field/type summary (a few rows of metadata per chunk), merged on
-       the driver. EVERY line contributes, so a measurement or field that
-       first appears deep in the payload is never silently dropped (a
-       first-chunk sample cannot promise that).
-    2. data pass — each chunk parses into the full merged schema with
-       column-wise (not row-dict) building.
+    1. parse pass — each chunk parses into chunk-local columnar lists,
+       pickled to a binary cell, next to a JSON schema summary (tag/field
+       types per measurement + line count). The pass is persisted
+       (memory-and-disk); collecting just the summaries materializes it.
+       EVERY line contributes to the merged schema, so a measurement or
+       field first appearing deep in the payload is never silently dropped
+       (a first-chunk sample cannot promise that).
+    2. align pass — over the CACHED parse output: unpickle, pad each
+       chunk's columns out to the merged schema. No per-line work.
 
-    The per-line Python cost is paid twice but spread over the cluster; the
-    driver never builds an N-row DataFrame.
+    The returned ``cache`` is the persisted intermediate; the caller
+    unpersists it after consuming the flat frame. The driver never builds
+    an N-row DataFrame and never re-reads the payload.
     """
     import pandas as pd
+    from pyspark import StorageLevel
 
     if chunk_bytes is None:
         # ~2 chunks per core: full parallelism with some stragglers slack
@@ -251,13 +303,14 @@ def payload_to_dataframe(spark, payload: bytes, precision: str = "ns",
         start = end
 
     pdf = pd.DataFrame({"chunk": chunks})
-    chunk_df = spark.createDataFrame(pdf).repartition(
+    chunk_df = spark.createDataFrame(pdf, schema="chunk binary").repartition(
         min(len(chunks), spark.sparkContext.defaultParallelism) or 1
     )
 
-    # pass 1: exhaustive distributed schema inference
-    def infer_chunks(batches):
+    # pass 1: the only parse — columnar chunk payload + schema summary
+    def parse_chunks(batches):
         import json as _json
+        import pickle as _pickle
 
         for bpdf in batches:
             for chunk in bpdf["chunk"]:
@@ -267,16 +320,50 @@ def payload_to_dataframe(spark, payload: bytes, precision: str = "ns",
                     if s.strip() and not s.startswith("#")
                 ]
                 tc, ft, mt, mf = _infer_lp_schema(recs)
+                ms: list = []
+                ts: list = []
+                tags: dict[str, list] = {}
+                fields: dict[str, list] = {}
+                n_rows = 0
+                for r in recs:
+                    ms.append(r["measurement"])
+                    ts.append(r["time_us"])
+                    for c, v in r["tags"].items():
+                        col = tags.get(c)
+                        if col is None:
+                            col = tags[c] = [None] * n_rows
+                        col.append(v)
+                    for c, v in r["fields"].items():
+                        col = fields.get(c)
+                        if col is None:
+                            col = fields[c] = [None] * n_rows
+                        col.append(v)
+                    n_rows += 1
+                    for col in tags.values():
+                        if len(col) < n_rows:
+                            col.append(None)
+                    for col in fields.values():
+                        if len(col) < n_rows:
+                            col.append(None)
                 yield pd.DataFrame({
                     "summary": [_json.dumps({
                         "tags": sorted(tc),
                         "field_types": {k: t.__name__ for k, t in ft.items()},
                         "meas_tags": {m: sorted(s) for m, s in mt.items()},
                         "meas_fields": {m: sorted(s) for m, s in mf.items()},
-                    })]
+                        "n_lines": len(recs),
+                    })],
+                    "blob": [_pickle.dumps(
+                        {"m": ms, "t": ts, "tags": tags, "fields": fields},
+                        protocol=_pickle.HIGHEST_PROTOCOL,
+                    )],
                 })
 
     import json as _json
+
+    parsed = chunk_df.mapInPandas(
+        parse_chunks, "summary string, blob binary"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
     _RANK = {"bool": 0, "int": 1, "float": 2, "str": 3}
     _TYPE = {"bool": bool, "int": int, "float": float, "str": str}
@@ -284,9 +371,11 @@ def payload_to_dataframe(spark, payload: bytes, precision: str = "ns",
     field_types: dict[str, type] = {}
     meas_tags: dict[str, set] = {}
     meas_fields: dict[str, set] = {}
-    for row in chunk_df.mapInPandas(infer_chunks, "summary string").collect():
+    n_lines = 0
+    for row in parsed.select("summary").collect():
         s = _json.loads(row["summary"])
         tag_cols.update(s["tags"])
+        n_lines += s["n_lines"]
         for m, ts in s["meas_tags"].items():
             meas_tags.setdefault(m, set()).update(ts)
         for m, fs in s["meas_fields"].items():
@@ -304,42 +393,32 @@ def payload_to_dataframe(spark, payload: bytes, precision: str = "ns",
         + [f"`{c}` {spark_type[t]}" for c, t in sorted(field_types.items())]
     )
     tag_list, field_list = sorted(tag_cols), sorted(field_types)
-    n_lines = sum(
-        1 for c in chunks
-        for s in c.decode("utf-8", "replace").splitlines()
-        if s.strip() and not s.startswith("#")
-    )
 
-    def parse_chunks(batches):
-        for pdf in batches:
-            for chunk in pdf["chunk"]:
-                cols: dict[str, list] = {c: [] for c in
-                                         ["measurement"] + tag_list + field_list}
-                times: list = []
-                for s in bytes(chunk).decode("utf-8", "replace").splitlines():
-                    if not s.strip() or s.startswith("#"):
-                        continue
-                    r = parse_line(s, precision)
-                    cols["measurement"].append(r["measurement"])
-                    times.append(r["time_us"])
-                    tags, fields = r["tags"], r["fields"]
-                    for c in tag_list:
-                        cols[c].append(tags.get(c))
-                    for c in field_list:
-                        cols[c].append(fields.get(c))
+    # pass 2: align cached chunk columns to the merged schema (no re-parse)
+    def align_chunks(batches):
+        import pickle as _pickle
+
+        for bpdf in batches:
+            for blob in bpdf["blob"]:
+                d = _pickle.loads(bytes(blob))
+                n = len(d["m"])
+                cols: dict[str, list] = {"measurement": d["m"]}
+                for c in tag_list:
+                    cols[c] = d["tags"].get(c) or [None] * n
+                for c in field_list:
+                    cols[c] = d["fields"].get(c) or [None] * n
                 out = pd.DataFrame(cols)
                 out.insert(1, "time", pd.to_datetime(
-                    pd.Series(times, dtype="float64") if not times
-                    else pd.Series(times), unit="us"))
+                    pd.Series(d["t"], dtype="float64") if not d["t"]
+                    else pd.Series(d["t"]), unit="us"))
                 yield out[["measurement", "time"] + tag_list + field_list]
 
-    # pass 2: full parse into the merged schema
-    flat = chunk_df.mapInPandas(parse_chunks, schema=schema)
+    flat = parsed.select("blob").mapInPandas(align_chunks, schema=schema)
     info = {
         "tags": {m: sorted(s) for m, s in meas_tags.items()},
         "fields": {m: sorted(s) for m, s in meas_fields.items()},
     }
-    return flat, info, n_lines
+    return flat, info, n_lines, parsed
 
 
 def lines_to_dataframe(spark, lines_df, precision: str = "ns",

@@ -451,9 +451,11 @@ class TestBulkLateMeasurement:
         payload = "\n".join(lines).encode()
         from arc_spark.sources.line_protocol import payload_to_dataframe
 
-        flat, info, n = payload_to_dataframe(spark, payload, chunk_bytes=4096)
+        flat, info, n, cache = payload_to_dataframe(spark, payload,
+                                                    chunk_bytes=4096)
         assert "mem" in info["fields"] and "free" in info["fields"]["mem"]
         assert n == 450
+        cache.unpersist()
         assert svc.write_line_protocol("metrics", payload) == 450
         cat = MeasurementCatalog(spark, root)
         assert cat.table("metrics", "cpu").count() == 400

@@ -66,6 +66,57 @@ class TestLineProtocolEscaping:
         rec = parse_line(f"m v={n}i 1700000000000000000")
         assert rec["fields"]["v"] == n and isinstance(rec["fields"]["v"], int)
 
+    _token = st.text(
+        alphabet=st.characters(blacklist_characters='\\"\n,= ',
+                               min_codepoint=33),
+        min_size=1, max_size=12,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        _token,
+        st.lists(st.tuples(_token, _token), max_size=3),
+        st.lists(
+            st.tuples(_token, st.one_of(
+                st.floats(allow_nan=False, allow_infinity=False, width=32)
+                  .map(lambda f: repr(f)),
+                st.integers(-(2**62), 2**62 - 1).map(lambda n: f"{n}i"),
+                st.sampled_from(["t", "f", "true", "false"]),
+            )),
+            min_size=1, max_size=3, unique_by=lambda kv: kv[0],
+        ),
+    )
+    def test_fast_path_equals_full_parser(self, meas, tags, fields):
+        """The no-escape fast path must accept exactly what the full parser
+        accepts, with the identical record."""
+        from arc_spark.sources.line_protocol import _parse_line_full
+
+        tag_s = "".join(f",{k}={v}" for k, v in tags)
+        field_s = ",".join(f"{k}={v}" for k, v in fields)
+        line = f"{meas}{tag_s} {field_s} 1700000000000000000"
+        assert parse_line(line) == _parse_line_full(line)
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(alphabet=st.characters(blacklist_characters="\\\n\"",
+                                          max_codepoint=0x7F),
+                   max_size=40))
+    def test_fast_path_rejects_what_full_rejects(self, line):
+        """On arbitrary (escape-free) garbage both paths agree: same record
+        or both raise."""
+        from arc_spark.sources.line_protocol import (
+            LineProtocolError, _parse_line_full,
+        )
+
+        try:
+            got = parse_line(line)
+        except LineProtocolError:
+            got = "ERR"
+        try:
+            want = _parse_line_full(line)
+        except LineProtocolError:
+            want = "ERR"
+        assert got == want
+
 
 class TestWalProperties:
     @settings(max_examples=30, deadline=None)
