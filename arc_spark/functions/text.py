@@ -175,3 +175,35 @@ def quality_score(col: Column | str) -> Column:
     return F.when(n == 0, F.lit(0.0)).otherwise(
         F.round(num.cast("double") / (n * F.lit(10)).cast("double"), 6)
     )
+
+
+# PII redaction: training corpora scrub contact/identity strings before
+# model exposure. Patterns are restricted to the Java-regex ∩ RE2
+# intersection (char classes, bounded repeats, \b) so Spark and a DuckDB
+# oracle redact bit-identically. Application order: email first (its
+# digits must not feed the numeric patterns); SSN/phone shapes are
+# disjoint (3-2-4 vs 3-3-4 digit groups).
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "[PHONE]"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+]
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace email / SSN / dashed-phone / IPv4 literals with typed
+    markers. Pure codegen (chained regexp_replace): linear scan per
+    document, no Python, safe over 100 TB."""
+    c = _c(col)
+    for _, pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+def pii_redaction_sql(expr: str) -> str:
+    """The DuckDB-oracle form of :func:`redact_pii` over SQL ``expr``
+    (RE2 needs the explicit 'g' flag for global replacement)."""
+    for _, pat, repl in PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    return expr

@@ -138,9 +138,29 @@ def ngram_jaccard_pairs(
     exclusively stopword shingles is below any useful threshold anyway.
     Pass None to disable (exact semantics for small corpora).
     """
-    sh = _shingled(df, id_col, text_col, k)
+    from pyspark import StorageLevel
+
+    # Persist the shingled frame: it feeds FOUR branches (both self-join
+    # sides, the hot-shingle count, the size table), so without it the
+    # scan→words→hash pipeline runs 4×. Just as important, the cached
+    # relation is an optimizer BARRIER: the final `jaccard >= t` filter
+    # makes Catalyst infer isnotnull(sz) constraints which would otherwise
+    # be pushed below the exchange into the scan with the whole shingle
+    # lambda pipeline inlined as an interpreted per-row filter (measured:
+    # 13 s -> 1.5 s on 5 k docs at sf0.1). Spill-safe (MEMORY_AND_DISK);
+    # evicted LRU — same lifetime policy as minhash's sh_shared.
+    sh = _shingled(df, id_col, text_col, k).persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.select("doc", F.size("shingles").alias("sz"))
-    posting = sh.select("doc", F.explode("shingles").alias("s"))
+    # explode_OUTER, then drop the null rows: an inner explode lets the
+    # optimizer infer `size(shingles) > 0 AND isnotnull(shingles)` and push
+    # that filter below the repartition exchange into the scan — inlining
+    # the whole words→hash→shingle lambda pipeline into an interpreted
+    # per-row filter that re-evaluates the nested transform per element
+    # (measured 22 s vs 0.5 s on 5 k docs at sf0.1). The outer variant
+    # infers nothing; the post-filter touches only the generated column.
+    posting = sh.select(
+        "doc", F.explode_outer("shingles").alias("s")
+    ).filter(F.col("s").isNotNull())
     if max_posting_list is not None:
         hot = posting.groupBy("s").count().filter(F.col("count") > max_posting_list)
         posting = posting.join(F.broadcast(hot.select("s")), "s", "left_anti")
@@ -244,12 +264,16 @@ def minhash_lsh_pairs(
         + ",".join(f"element_at(sig, {r} * i + {j + 1})" for j in range(r))
         + "))"
     )
+    # outer posexplode + null filter, NOT inner: same inferred-filter
+    # pushdown hazard as the jaccard posting explode above — an inner
+    # generate would re-evaluate the full signature expression inside a
+    # pushed-down filter.
     band_rows = sigs.select(
         "doc",
-        F.posexplode(
+        F.posexplode_outer(
             F.when(F.col("sig").isNotNull(), band_arr)
         ).alias("band", "bucket"),
-    )
+    ).filter(F.col("bucket").isNotNull())
     a, b = band_rows.alias("a"), band_rows.alias("b")
     cands = (
         a.join(

@@ -728,6 +728,40 @@ def q46_cluster_canonical(spark: SparkSession, sf: str) -> DataFrame:
     return canonical_docs(docs, cc)
 
 
+# deterministic PII augmentation: the synthetic corpus carries no real
+# PII, so the redaction differential would be a no-op; appending
+# doc_id-derived email/ip/ssn literals (same SQL in both engines) makes
+# the regexes do real work that the value-hash then verifies.
+_PII_AUG = (
+    "text || ' contact u' || CAST(doc_id AS STRING) || '@ex' || "
+    "CAST(doc_id % 7 AS STRING) || '.com ip 10.' || "
+    "CAST(doc_id % 200 AS STRING) || '.' || CAST(doc_id % 250 AS STRING) || "
+    "'.' || CAST(1 + doc_id % 254 AS STRING) || ' ssn 123-45-' || "
+    "lpad(CAST(doc_id % 10000 AS STRING), 4, '0')"
+)
+
+
+def q47_pii_redact(spark: SparkSession, sf: str) -> DataFrame:
+    """PII scrub over the corpus: typed-marker redaction of emails, SSNs,
+    dashed phones and IPv4s (chained codegen regexp_replace — no Python),
+    reported as per-source change counts and bytes removed."""
+    from arc_spark.functions.text import redact_pii
+
+    t = load_tables(spark, sf, register_views=False)
+    df = (
+        t["documents"]
+        .withColumn("aug", F.expr(_PII_AUG))
+        .withColumn("red", redact_pii(F.col("aug")))
+    )
+    return df.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("red") != F.col("aug"), 1).otherwise(0))
+         .cast("long").alias("docs_changed"),
+        F.sum(F.length("aug") - F.length("red"))
+         .cast("long").alias("chars_removed"),
+    )
+
+
 def q39_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     """IVF ANN (k-means coarse quantizer + probed clusters) — approximate,
     rows-only check like q35. The third ANN strategy next to brute-force
@@ -1244,7 +1278,26 @@ ORACLES: dict[str, str] = {
                n_chars AS canonical_chars
         FROM j WHERE rn = 1 AND size >= 2
     """,
+    "q47_pii_redact": None,  # assembled below (needs pii_redaction_sql)
 }
+
+
+def _q47_oracle() -> str:
+    from arc_spark.functions.text import pii_redaction_sql
+
+    return f"""
+        WITH aug AS (SELECT source, {_PII_AUG} AS aug FROM documents),
+        r AS (SELECT source, aug, {pii_redaction_sql('aug')} AS red FROM aug)
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN red <> aug THEN 1 ELSE 0 END) AS BIGINT)
+                   AS docs_changed,
+               CAST(SUM(length(aug) - length(red)) AS BIGINT)
+                   AS chars_removed
+        FROM r GROUP BY source
+    """
+
+
+ORACLES["q47_pii_redact"] = _q47_oracle()
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1294,4 +1347,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q44_unpivot": q44_unpivot,
     "q45_dup_clusters": q45_dup_clusters,
     "q46_cluster_canonical": q46_cluster_canonical,
+    "q47_pii_redact": q47_pii_redact,
 }

@@ -38,12 +38,15 @@ BENCH_QUERIES = [
     "q15_dedup_lww",
     "q22_token_stats",
     "q21_quality_score",
+    "q16_ngram_jaccard",
     "q17_minhash_lsh",
     "q19_embedding_topk",
     "q13_asof_join",
     "q42_pruned_time_bucket",
     "q43_grouping_sets",
     "q44_unpivot",
+    "q45_dup_clusters",
+    "q47_pii_redact",
 ]
 
 
