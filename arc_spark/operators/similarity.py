@@ -112,56 +112,52 @@ def lsh_bucketed_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
-def _dist2_expr(col: str, centroid: list[float]) -> F.Column:
-    """Squared euclidean distance to an inlined centroid (pure Catalyst)."""
-    arr = "array(" + ",".join(f"CAST({x!r} AS DOUBLE)" for x in centroid) + ")"
-    return F.expr(
-        f"""aggregate(zip_with(CAST(`{col}` AS ARRAY<DOUBLE>), {arr},
-                               (x, c) -> (x - c) * (x - c)),
-                      CAST(0.0 AS DOUBLE), (a, d) -> a + d)"""
-    )
+def _fit_centroids_lloyd(sample: DataFrame, k: int, iters: int, seed: int):
+    """Lloyd's k-means over a bounded sample, fit on the driver in numpy.
 
+    The sample is ALREADY capped (`fit_sample` rows — the collect here is
+    the documented driver bound, fit_sample×dim doubles), so the fit is a
+    dense local problem: vectorized distance via |x|²−2xCᵀ+|c|², argmin,
+    per-cluster means. A distributed fit over a bounded sample would pay
+    2·iters Spark jobs to do what one GEMM loop does in milliseconds —
+    at 100 TB the corpus-side work is the ASSIGNMENT pass, never the fit.
 
-def _nearest_expr(col: str, centroids: list[list[float]]) -> F.Column:
-    d = [_dist2_expr(col, c) for c in centroids]
-    return (F.array_position(F.array(*d), F.array_min(F.array(*d))) - 1).cast("int")
-
-
-def _fit_centroids_lloyd(
-    sample: DataFrame, k: int, iters: int, seed: int
-) -> list[list[float]]:
-    """Lloyd's k-means over a (persisted) sample DataFrame[v: array<double>].
-
-    Init: k deterministic pseudo-random rows (order by a hash). Each
-    iteration: nearest-centroid assignment (codegen projection) → new
-    centroid = per-dimension mean (posexplode + hash agg → k·dim rows to
-    the driver). Empty clusters keep their previous centroid.
+    Init: k rows chosen by xxhash64 of the vector bytes (deterministic and
+    independent of partition/collect order). Empty clusters keep their
+    previous centroid. Returns a k×dim numpy array.
     """
-    init = (
-        sample.orderBy(F.xxhash64(F.lit(seed), F.col("v").cast("array<string>")))
-        .limit(k)
-        .collect()
-    )
-    centroids = [list(r["v"]) for r in init]
-    if len(centroids) < k:
-        centroids = centroids + centroids[: k - len(centroids)]
+    import numpy as np
+
+    X = np.array([list(r["v"]) for r in sample.collect()], dtype=np.float64)
+    if X.size == 0:
+        raise ValueError("cannot fit centroids on an empty sample")
+    # deterministic order-independent init: sort rows by a bytes hash
+    import hashlib
+
+    digests = np.array([
+        int.from_bytes(hashlib.blake2b(row.tobytes(), digest_size=8,
+                                       key=str(seed).encode()).digest(), "big")
+        for row in X
+    ])
+    C = X[np.argsort(digests)[:k]].copy()
+    if len(C) < k:
+        C = np.vstack([C, C[: k - len(C)]])
     for _ in range(iters):
-        assigned = sample.select(
-            _nearest_expr("v", centroids).alias("cluster"),
-            F.posexplode(F.col("v")).alias("dim", "x"),
+        d2 = (
+            (X * X).sum(axis=1)[:, None]
+            - 2.0 * (X @ C.T)
+            + (C * C).sum(axis=1)[None, :]
         )
-        rows = (
-            assigned.groupBy("cluster", "dim")
-            .agg(F.avg("x").alias("m"))
-            .collect()
-        )
-        new = [list(c) for c in centroids]
-        for r in rows:
-            new[r["cluster"]][r["dim"]] = r["m"]
-        if new == centroids:
+        assign = d2.argmin(axis=1)
+        new = C.copy()
+        for c in range(k):
+            members = X[assign == c]
+            if len(members):
+                new[c] = members.mean(axis=0)
+        if np.array_equal(new, C):
             break
-        centroids = new
-    return centroids
+        C = new
+    return C
 
 
 def ivf_topk(
@@ -191,45 +187,66 @@ def ivf_topk(
     4. exact cosine + window top-k within candidates.
 
     Recall is controlled by n_probe/n_clusters. Centroids come from a few
-    Lloyd's iterations over the sample, expressed as DataFrame jobs (assign
-    = codegen'd nearest-centroid projection, update = per-dimension mean
-    via posexplode + hash agg); the scoring path never touches Python.
+    Lloyd's iterations over the driver-bounded sample (numpy); assignment
+    and probing are Arrow-batched GEMMs in mapInPandas with the k×dim
+    centroid matrix shipped in the closure; the candidate scoring path is
+    pure Catalyst.
     """
     # --- 1. fit coarse quantizer on a sample -----------------------------
     n = corpus.count()
     frac = min(1.0, fit_sample / max(n, 1))
     sample = (
         corpus.sample(fraction=frac, seed=seed) if frac < 1.0 else corpus
-    ).select(F.col(vec_col).cast("array<double>").alias("v")).persist()
-    centroids = _fit_centroids_lloyd(sample, n_clusters, iters=8, seed=seed)
-    sample.unpersist()
+    ).select(F.col(vec_col).cast("array<double>").alias("v"))
+    C = _fit_centroids_lloyd(sample, n_clusters, iters=8, seed=seed)
+    c2 = (C * C).sum(axis=1)  # |c|² precomputed once, shipped in closure
 
+    # --- 2./3. assignment + probing: one Arrow-batched GEMM per batch ----
+    # Centroids travel in the UDF closure (k×dim floats — tiny); each batch
+    # computes |x|²−2xCᵀ+|c|² vectorized. No inlined literal expression
+    # trees (a k×dim literal per distance made Catalyst analysis itself
+    # the bottleneck), no per-element interpreted lambdas.
+    def assign_corpus(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.vstack(pdf["cv"].to_numpy()).astype(np.float64)
+            d2 = (V * V).sum(axis=1)[:, None] - 2.0 * (V @ C.T) + c2[None, :]
+            out = pdf[["neighbor_id", "cv"]].copy()
+            out["cluster"] = d2.argmin(axis=1).astype(np.int32)
+            yield out
+
+    c_schema = (
+        "neighbor_id long, cv array<double>, cluster int"
+    )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        _nearest_expr(vec_col, centroids).alias("cluster"),
-    )
+        F.col(id_col).cast("long").alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    ).mapInPandas(assign_corpus, c_schema)
 
-    # queries: rank all centroid distances, keep the n_probe nearest
-    qd = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        F.array(*[_dist2_expr(vec_col, cc) for cc in centroids]).alias("dists"),
-    )
-    probed = qd.select(
-        "query_id",
-        "qv",
-        F.explode(
-            F.slice(
-                F.expr(
-                    "transform(array_sort(transform(sequence(0, size(dists)-1),"
-                    " i -> struct(element_at(dists, i+1) AS d, i AS idx))), s -> s.idx)"
-                ),
-                1,
-                n_probe,
-            )
-        ).alias("cluster"),
-    )
+    def probe_queries(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.vstack(pdf["qv"].to_numpy()).astype(np.float64)
+            d2 = (V * V).sum(axis=1)[:, None] - 2.0 * (V @ C.T) + c2[None, :]
+            near = np.argsort(d2, axis=1, kind="stable")[:, :n_probe]
+            reps = near.shape[1]
+            yield pd.DataFrame({
+                "query_id": pdf["query_id"].to_numpy().repeat(reps),
+                "qv": pdf["qv"].to_numpy().repeat(reps),
+                "cluster": near.reshape(-1).astype(np.int32),
+            })
+
+    probed = queries.select(
+        F.col(id_col).cast("long").alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    ).mapInPandas(probe_queries, "query_id long, qv array<double>, cluster int")
 
     scored = (
         c.join(probed, "cluster")
