@@ -60,17 +60,24 @@ def connected_components(
     labels = labels.select("node", F.col("node").alias("label"))
 
     for _ in range(max_iterations):
-        # min over {own label} ∪ {labels of neighbors}: one shuffle
+        # min over {own label} ∪ {labels of neighbors}, and the old label
+        # for the convergence check, in ONE grouped aggregation (the only
+        # shuffle of the round): own rows are unique per node, so
+        # max(own_label) recovers the previous label without a join back.
         nbr = e.join(labels, F.col("b") == F.col("node")).select(
-            F.col("a").alias("node"), "label"
+            F.col("a").alias("node"), "label", F.lit(False).alias("own")
         )
-        cand = (
-            labels.unionByName(nbr)
+        step = (
+            labels.withColumn("own", F.lit(True))
+            .unionByName(nbr)
             .groupBy("node")
-            .agg(F.min("label").alias("new_label"))
+            .agg(
+                F.min("label").alias("new_label"),
+                F.max(F.when(F.col("own"), F.col("label"))).alias("old_label"),
+            )
+            .localCheckpoint()
         )
-        step = labels.join(cand, "node").localCheckpoint()
-        n_changed = step.filter(F.col("new_label") < F.col("label")).count()
+        n_changed = step.filter(F.col("new_label") < F.col("old_label")).count()
         labels = step.select("node", F.col("new_label").alias("label"))
         if n_changed == 0:
             break

@@ -762,6 +762,51 @@ def q47_pii_redact(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q48_hash_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic train/val/test assignment by md5 bucket: the split a
+    doc lands in is a pure function of doc_id — stable across runs,
+    engines, partitionings, and corpus subsets (how pipelines keep eval
+    sets uncontaminated). Per (split, lang): doc count, token + char
+    budget. Pure codegen, one aggregation shuffle."""
+    from arc_spark.functions.sampling import hash_split
+
+    t = load_tables(spark, sf, register_views=False)
+    per_doc = t["documents"].select(
+        hash_split("doc_id").alias("split"),
+        "lang",
+        ws_token_count("text").alias("ws_tokens"),
+        F.col("n_chars"),
+    )
+    return per_doc.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ws_tokens").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+def q49_mixture_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source mixture sampling: each source gets a deterministic keep
+    rate (here rate = 1.0 for even source ids, 0.25 for odd — a stand-in
+    for a real mixture config). hash-bucket predicate, monotone in rate,
+    so retuning the mixture only adds/removes the marginal docs. Returns
+    the per-source kept counts the pipeline would log."""
+    from arc_spark.functions.sampling import mixture_filter
+
+    t = load_tables(spark, sf, register_views=False)
+    docs = t["documents"]
+    rate = F.when(
+        F.regexp_extract("source", "([0-9]+)$", 1).cast("int") % 2 == 0,
+        F.lit(1.0),
+    ).otherwise(F.lit(0.25))
+    kept = docs.filter(mixture_filter("doc_id", rate))
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").alias("kept_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
 def q39_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     """IVF ANN (k-means coarse quantizer + probed clusters) — approximate,
     rows-only check like q35. The third ANN strategy next to brute-force
@@ -1300,6 +1345,44 @@ def _q47_oracle() -> str:
 ORACLES["q47_pii_redact"] = _q47_oracle()
 
 
+def _q48_q49_oracles() -> dict[str, str]:
+    from arc_spark.functions.sampling import hash_bucket_sql, hash_split_sql
+
+    q48 = f"""
+        WITH t AS (
+            SELECT {hash_split_sql('doc_id')} AS split, lang,
+                   CASE WHEN length({_NORM}) = 0 THEN 0
+                        ELSE length({_NORM}) - length(replace({_NORM}, ' ', '')) + 1
+                   END AS ws_tokens,
+                   n_chars
+            FROM documents
+        )
+        SELECT split, lang, COUNT(*) AS n_docs,
+               CAST(SUM(ws_tokens) AS BIGINT) AS total_tokens,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM t GROUP BY split, lang
+    """
+    q49 = f"""
+        WITH rated AS (
+            SELECT *, CASE WHEN CAST(regexp_extract(source, '([0-9]+)$', 1)
+                                     AS INT) % 2 = 0
+                           THEN 1.0 ELSE 0.25 END AS rate
+            FROM documents
+        )
+        SELECT source, COUNT(*) AS n_kept,
+               CAST(SUM(n_chars) AS BIGINT) AS kept_chars,
+               MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        FROM rated
+        WHERE {hash_bucket_sql('doc_id', salt='mix')}
+              < CAST(rate * 10000 AS BIGINT)
+        GROUP BY source
+    """
+    return {"q48_hash_split": q48, "q49_mixture_sample": q49}
+
+
+ORACLES.update(_q48_q49_oracles())
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -1348,4 +1431,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q45_dup_clusters": q45_dup_clusters,
     "q46_cluster_canonical": q46_cluster_canonical,
     "q47_pii_redact": q47_pii_redact,
+    "q48_hash_split": q48_hash_split,
+    "q49_mixture_sample": q49_mixture_sample,
 }
