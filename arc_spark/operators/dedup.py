@@ -389,6 +389,51 @@ def simhash_near_dup_pairs(
 # embedding near-dup
 # --------------------------------------------------------------------------
 
+def cross_overlap_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    min_shared: int = 5,
+    max_posting_list: int | None = 1000,
+) -> DataFrame:
+    """(left_doc, right_doc, n_shared): pairs across two corpora sharing at
+    least ``min_shared`` word-k-gram shingles — benchmark DECONTAMINATION:
+    ``left`` = training corpus, ``right`` = eval/benchmark set; any hit is
+    a train doc to drop or flag.
+
+    Same inverted-index shape as :func:`ngram_jaccard_pairs` but the join
+    is across two posting lists, so cost is Σ_s |L_s|·|R_s| — the
+    benchmark side is small in practice, making this near-linear in the
+    training corpus. Both shingle frames are persisted (multi-branch use +
+    optimizer barrier, see ngram_jaccard_pairs).
+    """
+    from pyspark import StorageLevel
+
+    sh_l = _shingled(left, id_col, text_col, k).persist(StorageLevel.MEMORY_AND_DISK)
+    sh_r = _shingled(right, id_col, text_col, k).persist(StorageLevel.MEMORY_AND_DISK)
+
+    def _posting(sh: DataFrame) -> DataFrame:
+        return sh.select(
+            "doc", F.explode_outer("shingles").alias("s")
+        ).filter(F.col("s").isNotNull())
+
+    pl, pr = _posting(sh_l), _posting(sh_r)
+    if max_posting_list is not None:
+        hot = pl.groupBy("s").count().filter(F.col("count") > max_posting_list)
+        pl = pl.join(F.broadcast(hot.select("s")), "s", "left_anti")
+    return (
+        pl.alias("l")
+        .join(pr.alias("r"), F.col("l.s") == F.col("r.s"))
+        .groupBy(
+            F.col("l.doc").alias("left_doc"), F.col("r.doc").alias("right_doc")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

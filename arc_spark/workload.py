@@ -807,6 +807,53 @@ def q49_mixture_sample(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q50_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination: training docs (source≠src0) sharing ≥5
+    word-3-gram shingles with the benchmark set (source=src0). Inverted
+    shingle index, cross-corpus join — near-linear in the training corpus
+    because the benchmark side is small."""
+    from arc_spark.operators.dedup import cross_overlap_pairs
+
+    t = load_tables(spark, sf, register_views=False)
+    docs = t["documents"]
+    return cross_overlap_pairs(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        min_shared=5,
+        max_posting_list=None,  # exact (oracle parity); cap at crawl scale
+    ).withColumnsRenamed({"left_doc": "train_doc", "right_doc": "bench_doc"})
+
+
+def q51_token_packing(spark: SparkSession, sf: str) -> DataFrame:
+    """Greedy token-budget packing: per source, docs in doc_id order
+    accumulate into 2000-token shards (shard = floor((cumsum − own)/B);
+    docs never split, so a shard overflows by at most one doc). Windowed
+    per SOURCE, not globally — the global-cumsum formulation funnels the
+    corpus through one sort tail; per-partition packing is the 100 TB
+    shape, with (source, shard) as the unique shard key."""
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf, register_views=False)
+    budget = 2000
+    w = (
+        Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    per_doc = t["documents"].select(
+        "source", "doc_id", ws_token_count("text").alias("tokens")
+    )
+    packed = per_doc.withColumn(
+        "shard",
+        F.floor((F.sum("tokens").over(w) - F.col("tokens")) / budget),
+    )
+    return packed.groupBy("source", "shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tokens").alias("shard_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
 def q39_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     """IVF ANN (k-means coarse quantizer + probed clusters) — approximate,
     rows-only check like q35. The third ANN strategy next to brute-force
@@ -1382,6 +1429,45 @@ def _q48_q49_oracles() -> dict[str, str]:
 
 ORACLES.update(_q48_q49_oracles())
 
+ORACLES["q50_decontaminate"] = f"""
+    WITH norm AS (
+        SELECT doc_id, source, string_split({_LNORM}, ' ') AS w FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, source,
+               unnest(list_transform(generate_series(1, len(w) - 2),
+                                     i -> array_to_string(w[i:i+2], ' '))) AS s
+        FROM norm WHERE len(w) >= 3
+    )
+    SELECT t.doc_id AS train_doc, b.doc_id AS bench_doc,
+           COUNT(*) AS n_shared
+    FROM sh t JOIN sh b ON t.s = b.s
+    WHERE t.source <> 'src0' AND b.source = 'src0'
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 5
+"""
+
+ORACLES["q51_token_packing"] = f"""
+    WITH per_doc AS (
+        SELECT source, doc_id,
+               CASE WHEN length({_NORM}) = 0 THEN 0
+                    ELSE length({_NORM}) - length(replace({_NORM}, ' ', '')) + 1
+               END AS tokens
+        FROM documents
+    ),
+    packed AS (
+        SELECT source, doc_id, tokens,
+               CAST(floor((SUM(tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                             ROWS UNBOUNDED PRECEDING) - tokens)
+                          / 2000) AS BIGINT) AS shard
+        FROM per_doc
+    )
+    SELECT source, shard, COUNT(*) AS n_docs,
+           CAST(SUM(tokens) AS BIGINT) AS shard_tokens,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM packed GROUP BY source, shard
+"""
+
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
@@ -1433,4 +1519,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q47_pii_redact": q47_pii_redact,
     "q48_hash_split": q48_hash_split,
     "q49_mixture_sample": q49_mixture_sample,
+    "q50_decontaminate": q50_decontaminate,
+    "q51_token_packing": q51_token_packing,
 }

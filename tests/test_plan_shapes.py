@@ -59,3 +59,38 @@ class TestPlanShapes:
         for line in plan.splitlines():
             if "Scan parquet" in line or "BatchScan" in line:
                 assert "xxhash64" not in line, "shingle expr leaked into scan filters"
+
+    @pytest.mark.parametrize("name", ["q16_ngram_jaccard", "q17_minhash_lsh",
+                                      "q45_dup_clusters"])
+    def test_no_lambda_pipeline_in_filters(self, spark, sf_oracle, name):
+        """No Filter node may evaluate the hashed-shingle lambda pipeline.
+        Catalyst infers `size(arr) > 0` from an inner explode and
+        isnotnull() constraints from downstream predicates, and pushes
+        them below exchanges with the whole pipeline inlined as an
+        interpreted per-row filter (22 s vs 0.5 s on 5 k docs). The
+        explode_outer + persist-barrier fixes must keep every xxhash64 out
+        of every Filter."""
+        opt = (
+            QUERIES[name](spark, sf_oracle)
+            ._jdf.queryExecution().optimizedPlan().toString()
+        )
+        for line in opt.splitlines():
+            if "Filter" in line:
+                assert "xxhash64" not in line, f"lambda pipeline in filter: {line[:160]}"
+
+    def test_q47_redaction_stays_jvm_side(self, spark, sf_oracle):
+        """PII redaction is chained regexp_replace — any Python eval node
+        here means the codegen path regressed."""
+        plan = _physical(QUERIES["q47_pii_redact"](spark, sf_oracle))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def test_q28_uses_block_gemm(self, spark, sf_oracle):
+        """Embedding near-dup must run the blocked-GEMM path (one
+        applyInPandas group per block pair), not a per-pair lambda fold."""
+        plan = _physical(QUERIES["q28_embedding_near_dup"](spark, sf_oracle))
+        assert "FlatMapGroupsInPandas" in plan
+
+    def test_q48_split_is_pure_codegen(self, spark, sf_oracle):
+        plan = _physical(QUERIES["q48_hash_split"](spark, sf_oracle))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        assert plan.count("HashAggregate") >= 2  # partial+final agg
