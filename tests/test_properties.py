@@ -118,6 +118,61 @@ class TestLineProtocolEscaping:
         assert got == want
 
 
+class TestSamplingProperties:
+    @settings(max_examples=30, deadline=None)
+    @given(st.lists(st.integers(0, 10**9), min_size=1, max_size=40,
+                    unique=True))
+    def test_hash_bucket_matches_duckdb(self, ids):
+        """The DuckDB spelling of the md5 bucket must match the reference
+        computation (hashlib md5 — identical to Spark's md5/conv path,
+        which the q48/q49 oracle tests pin end-to-end)."""
+        import duckdb
+
+        from arc_spark.functions.sampling import hash_bucket_sql
+
+        con = duckdb.connect()
+        sql = hash_bucket_sql("?")
+        import hashlib
+        for i in ids:
+            want = int(hashlib.md5(f"split{i}".encode()).hexdigest()[:8], 16) % 10000
+            got = con.execute(f"SELECT {sql}", [i]).fetchone()[0]
+            assert got == want, i
+
+    def test_mixture_monotone_in_rate(self, spark):
+        """Raising the rate must only ADD rows (hash-threshold property):
+        the kept set at rate r1 ⊆ kept set at r2 for r1 ≤ r2."""
+        from pyspark.sql import functions as F
+
+        from arc_spark.functions.sampling import mixture_filter
+
+        df = spark.range(2000).withColumnRenamed("id", "doc_id")
+        prev: set = set()
+        for r in (0.1, 0.3, 0.7, 1.0):
+            kept = {
+                row["doc_id"]
+                for row in df.filter(
+                    mixture_filter("doc_id", F.lit(r))
+                ).collect()
+            }
+            assert prev <= kept, f"rate {r} lost rows"
+            prev = kept
+        assert prev == set(range(2000))  # rate 1.0 keeps everything
+
+    def test_hash_split_total_and_stable(self, spark):
+        """Every row gets exactly one split; assignment is unchanged when
+        computed over a subset (no dependence on partitioning/corpus)."""
+        from arc_spark.functions.sampling import hash_split
+
+        df = spark.range(1000).withColumnRenamed("id", "doc_id")
+        full = {r["doc_id"]: r["s"] for r in
+                df.select("doc_id", hash_split("doc_id").alias("s")).collect()}
+        assert set(full.values()) <= {"train", "val", "test"}
+        sub = {r["doc_id"]: r["s"] for r in
+               df.filter("doc_id % 7 = 0").repartition(13)
+                 .select("doc_id", hash_split("doc_id").alias("s")).collect()}
+        assert all(full[k] == v for k, v in sub.items())
+
+
 class TestWalProperties:
     @settings(max_examples=30, deadline=None)
     @given(st.lists(st.binary(min_size=0, max_size=512), min_size=1, max_size=20))
