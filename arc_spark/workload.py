@@ -854,6 +854,62 @@ def q51_token_packing(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q52_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal feature extraction through the REAL stdlib codecs
+    (rows-only: PNG/WAV codecs are not SQL-expressible). Deterministic
+    blobs derived from each document's md5 — even doc_ids become 8×8
+    grayscale PNGs, odd ones 8 kHz mono WAVs — then the Arrow-batched
+    decode lane (`multimodal.blobs.extract_features`,
+    deterministic_stub=False) emits geometry/level features, aggregated
+    per media type. Exercises schema, batch shape, partitioning, and both
+    decoders distributed."""
+    import pandas as pd
+
+    from arc_spark.multimodal.blobs import extract_features
+
+    t = load_tables(spark, sf, register_views=False)
+
+    def synth(batches):
+        import hashlib
+        import io
+        import wave
+
+        from arc_spark.multimodal.codecs import encode_png
+
+        for pdf in batches:
+            ids, types, blobs = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                seed = hashlib.md5(str(text).encode()).digest()
+                if doc_id % 2 == 0:
+                    pixels = (seed * 4)[:64]
+                    ids.append(doc_id)
+                    types.append("image/png")
+                    blobs.append(encode_png(8, 8, 1, pixels))
+                else:
+                    buf = io.BytesIO()
+                    with wave.open(buf, "wb") as wf:
+                        wf.setnchannels(1)
+                        wf.setsampwidth(2)
+                        wf.setframerate(8000)
+                        wf.writeframes((seed * 50)[:800])
+                    ids.append(doc_id)
+                    types.append("audio/wav")
+                    blobs.append(buf.getvalue())
+            yield pd.DataFrame(
+                {"blob_id": ids, "media_type": types, "blob": blobs}
+            )
+
+    blobs = t["documents"].select("doc_id", "text").mapInPandas(
+        synth, "blob_id bigint, media_type string, blob binary"
+    )
+    feats = extract_features(blobs, deterministic_stub=False)
+    return feats.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n_blobs"),
+        F.round(F.avg(F.element_at("feature", 1)), 4).alias("avg_f0"),
+        F.round(F.avg(F.element_at("feature", 4)), 4).alias("avg_f3"),
+    )
+
+
 def q39_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     """IVF ANN (k-means coarse quantizer + probed clusters) — approximate,
     rows-only check like q35. The third ANN strategy next to brute-force
@@ -1521,4 +1577,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q49_mixture_sample": q49_mixture_sample,
     "q50_decontaminate": q50_decontaminate,
     "q51_token_packing": q51_token_packing,
+    "q52_multimodal_features": q52_multimodal_features,
 }

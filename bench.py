@@ -47,6 +47,9 @@ BENCH_QUERIES = [
     "q44_unpivot",
     "q45_dup_clusters",
     "q47_pii_redact",
+    "q48_hash_split",
+    "q50_decontaminate",
+    "q51_token_packing",
 ]
 
 
