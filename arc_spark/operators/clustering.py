@@ -41,7 +41,9 @@ def connected_components(
     ``edges`` is an undirected pair list (each pair listed once, either
     orientation). ``nodes`` optionally supplies the full node universe so
     isolated documents come back as singleton clusters — a dedup pipeline
-    wants the complete mapping, not just the entangled docs.
+    wants the complete mapping, not just the entangled docs. Edge
+    endpoints missing from ``nodes`` still participate and appear in the
+    output (they join the label frame on their first round).
     """
     e = edges.select(
         F.col(src_col).cast("long").alias("a"),
@@ -77,7 +79,13 @@ def connected_components(
             )
             .localCheckpoint()
         )
-        n_changed = step.filter(F.col("new_label") < F.col("old_label")).count()
+        # NULL old_label = a node seen for the first time this round (an
+        # edge endpoint outside `nodes`): it must count as changed, or the
+        # loop could declare convergence before its label has propagated
+        n_changed = step.filter(
+            (F.col("new_label") < F.col("old_label"))
+            | F.col("old_label").isNull()
+        ).count()
         labels = step.select("node", F.col("new_label").alias("label"))
         if n_changed == 0:
             break

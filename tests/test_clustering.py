@@ -37,6 +37,18 @@ class TestConnectedComponents:
         got = _cc_map(connected_components(edges, nodes=nodes))
         assert got == {i: i for i in range(5)}
 
+    def test_edge_endpoints_outside_node_universe(self, spark):
+        """A chain whose middle hops are NOT in `nodes` must still merge
+        the ends: first-seen nodes count as changed (NULL old_label), so
+        convergence cannot be declared before their labels propagate."""
+        edges = spark.createDataFrame(
+            [(1, 100), (100, 101), (101, 2)], "doc_a long, doc_b long"
+        )
+        nodes = spark.createDataFrame([(1,), (2,), (50,)], "doc_id long")
+        got = _cc_map(connected_components(edges, nodes=nodes))
+        assert got[1] == got[2] == 1 and got[50] == 50
+        assert got[100] == got[101] == 1  # outsiders appear in the output
+
     def test_max_iterations_bounds_rounds(self, spark):
         # a chain longer than max_iterations: must return (partially
         # propagated), not loop forever
