@@ -60,6 +60,11 @@ def read_parquet_normalized(spark: SparkSession, path: str) -> DataFrame:
     normalization arc applies at ingest."""
     from pyspark.sql import functions as F
 
+    # naive parquet timestamps (isAdjustedToUTC=false — pandas/pyarrow's
+    # default) must resolve as TIMESTAMP, not TIMESTAMP_NTZ: the stored µs
+    # load verbatim under both, but NTZ rejects unix_micros / tz arithmetic.
+    # Set before the scan resolves (same vanilla-session note as below).
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     ns_cols = _nanos_timestamp_columns(path)
     if not ns_cols:
         return spark.read.parquet(path)

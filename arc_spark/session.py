@@ -61,6 +61,10 @@ def get_spark(
         # catalog.read_parquet_normalized — set once at build so no read
         # helper has to mutate session state mid-flight
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # naive (isAdjustedToUTC=false) parquet timestamps are arc TIMESTAMP
+        # (µs since epoch, session tz UTC), not TIMESTAMP_NTZ — µs values
+        # load verbatim either way, but NTZ breaks unix_micros/tz arithmetic
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         # Parquet scan efficiency (arc: parquet_metadata_cache, footer COUNT)
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
