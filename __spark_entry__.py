@@ -23,23 +23,40 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: revenue by region/nation
     (multi-way join + broadcast dims + exact-decimal aggregation)."""
+    from arc_spark.session import ensure_parquet_confs
     from arc_spark.workload import q02_revenue_by_nation
 
+    ensure_parquet_confs(spark)
     return q02_revenue_by_nation(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Each callable first applies the arc parquet-read confs to the caller's
+    (possibly vanilla) session — this is the sanctioned driver-entry place
+    to set them; reader helpers only verify (catalog.read_parquet_normalized).
+    """
+    from arc_spark.session import ensure_parquet_confs
     from arc_spark.workload import QUERIES
 
-    return dict(QUERIES)
+    def with_confs(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            ensure_parquet_confs(spark)
+            return fn(spark, sf_dir)
+
+        return run
+
+    return {name: with_confs(fn) for name, fn in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-dialect oracle SQL for every SQL-expressible query.
 
     Omitted keys (rows-only check): q18_simhash, q27_approx_distinct,
-    q35_lsh_topk — hash-family / sketch outputs are engine-specific.
+    q35_lsh_topk, q53_ivf_topk, q54_simhash_pairs — hash-family / sketch /
+    approximate-ANN outputs are engine-specific — and
+    q52_multimodal_features, whose PNG/WAV decode is not SQL-expressible.
     """
     from arc_spark.workload import ORACLES
 

@@ -15,6 +15,7 @@
 
 from __future__ import annotations
 
+import re
 import time
 
 from pyspark.sql import SparkSession
@@ -27,8 +28,13 @@ from arc_spark.plans.time_pruning import prune_sql
 from arc_spark.plans.validator import SqlValidationError, extract_tables, validate_read_only
 
 
-class PermissionError_(Exception):
-    pass
+class AccessDeniedError(Exception):
+    """RBAC denial (reference A11). Distinct from builtin PermissionError,
+    which the engine reserves for OS-level filesystem failures."""
+
+
+# backwards-compat alias for pre-r3 importers
+PermissionError_ = AccessDeniedError
 
 
 class QueryService:
@@ -55,12 +61,12 @@ class QueryService:
         for ref in extract_tables(self.spark, sql):
             name = ".".join(ref)
             if name not in allowed and ref[-1] not in allowed:
-                raise PermissionError_(f"token lacks access to {name}")
+                raise AccessDeniedError(f"token lacks access to {name}")
 
     def register_measurement(self, db: str, measurement: str, view: str | None = None) -> str:
         return self.catalog.register(db, measurement, view)
 
-    _IDENT_RE = __import__("re").compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+    _IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 
     def query_measurement(
         self,
@@ -98,7 +104,7 @@ class QueryService:
                 # the reference's flagship pruned read path (BASELINE's
                 # 4.7 ms time-bucket is this shape)
                 df = prune_sql(self.spark, val_sql, self.catalog)
-        except (SqlValidationError, PermissionError_, RateLimitExceeded):
+        except (SqlValidationError, AccessDeniedError, RateLimitExceeded):
             raise
         except Exception as e:
             raise SqlValidationError(f"invalid where clause: {e}") from None

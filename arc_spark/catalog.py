@@ -54,25 +54,36 @@ def _nanos_timestamp_columns(path: str) -> list[str]:
     return [f.name for f in schema if str(f.type) == "timestamp[ns]"]
 
 
+def _require_conf(spark: SparkSession, key: str, want: str) -> None:
+    got = spark.conf.get(key, None)
+    if got is None or got.lower() != want:
+        raise RuntimeError(
+            f"session conf {key}={got!r}, need {want!r}: build the session "
+            "with arc_spark.session.get_spark or call "
+            "arc_spark.session.ensure_parquet_confs(spark) before resolving "
+            "any plan (a reader helper must not flip session-global confs "
+            "under already-resolved lazy plans)"
+        )
+
+
 def read_parquet_normalized(spark: SparkSession, path: str) -> DataFrame:
     """spark.read.parquet with ns-timestamp healing: ns columns are read as
     long (legacy conf) and floor-converted to µs timestamps — the same
-    normalization arc applies at ingest."""
+    normalization arc applies at ingest.
+
+    Requires (and verifies, loudly) the two parquet confs that
+    session.get_spark sets at build and session.ensure_parquet_confs sets
+    at driver entry: naive timestamps must resolve as TIMESTAMP (not NTZ)
+    and ns columns as long. Verified here instead of set here — mutating
+    session-global conf inside a reader flips how unrelated, already-built
+    lazy plans execute."""
     from pyspark.sql import functions as F
 
-    # naive parquet timestamps (isAdjustedToUTC=false — pandas/pyarrow's
-    # default) must resolve as TIMESTAMP, not TIMESTAMP_NTZ: the stored µs
-    # load verbatim under both, but NTZ rejects unix_micros / tz arithmetic.
-    # Set before the scan resolves (same vanilla-session note as below).
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    _require_conf(spark, "spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     ns_cols = _nanos_timestamp_columns(path)
     if not ns_cols:
         return spark.read.parquet(path)
-    # arc_spark sessions set this at build (session.py); for a vanilla
-    # session (the driver's) it must be set before the scan resolves, and
-    # execution of the lazy plan must see the same conf — hence set, not
-    # scoped/restored
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    _require_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in ns_cols:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))

@@ -21,6 +21,7 @@ from __future__ import annotations
 import threading
 import time
 import uuid
+from collections import deque
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -80,19 +81,18 @@ class TokenPolicy:
     max_duration_s: float | None = None
 
 
-@dataclass
-class _TokenState:
-    window_start: float = 0.0
-    count: int = 0
-
-
 class Governor:
     """Enforces TokenPolicy per auth token: sliding one-minute rate window
-    + row-cap injection. `admit` raises; `cap` rewrites the plan."""
+    + row-cap injection. `admit` raises; `cap` rewrites the plan.
+
+    The window is genuinely sliding (a deque of admit timestamps pruned to
+    the trailing 60 s), not a fixed bucket: a fixed bucket admits a 2×
+    burst straddling the reset boundary. Memory is bounded at
+    max_queries_per_minute timestamps per token."""
 
     def __init__(self):
         self._policies: dict[str, TokenPolicy] = {}
-        self._state: dict[str, _TokenState] = {}
+        self._admits: dict[str, deque[float]] = {}
         self._lock = threading.Lock()
 
     def set_policy(self, token: str, policy: TokenPolicy) -> None:
@@ -104,14 +104,14 @@ class Governor:
             return
         t = now if now is not None else time.monotonic()
         with self._lock:
-            st = self._state.setdefault(token, _TokenState(window_start=t))
-            if t - st.window_start >= 60.0:
-                st.window_start, st.count = t, 0
-            if st.count >= pol.max_queries_per_minute:
+            q = self._admits.setdefault(token, deque())
+            while q and t - q[0] >= 60.0:
+                q.popleft()
+            if len(q) >= pol.max_queries_per_minute:
                 raise RateLimitExceeded(
                     f"rate limit {pol.max_queries_per_minute}/min exceeded"
                 )
-            st.count += 1
+            q.append(t)
 
     def cap(self, token: str, df: DataFrame) -> DataFrame:
         """Row-cap the plan. LIMIT participates in planning (Catalyst turns

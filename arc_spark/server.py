@@ -45,7 +45,7 @@ import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
-from arc_spark.api import IngestService, PermissionError_, QueryService
+from arc_spark.api import IngestService, AccessDeniedError, QueryService
 from arc_spark.auth import AuthStore
 from arc_spark.governance import QueryTimeout, RateLimitExceeded
 from arc_spark.plans.validator import SqlValidationError
@@ -150,7 +150,7 @@ class ArcServer:
                     return True, fn()
                 except SqlValidationError as e:
                     self._json(400, {"error": str(e)})
-                except PermissionError_ as e:
+                except AccessDeniedError as e:
                     self._json(403, {"error": str(e)})
                 except RateLimitExceeded as e:
                     self._json(429, {"error": str(e)})

@@ -26,6 +26,21 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8)))
 
 
+def ensure_parquet_confs(spark: SparkSession) -> None:
+    """Set the two parquet-read confs arc's data model requires on an
+    externally-built (vanilla) session — the driver's, for example.
+
+    ``get_spark`` sets both at build; this is the one sanctioned place to
+    set them on someone else's session, called at driver entry
+    (``__spark_entry__``) BEFORE any plan is resolved. Reader helpers no
+    longer mutate session state mid-flight (they verify instead): a lazy
+    plan resolved under one conf value and executed under another would
+    silently change how timestamps decode.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+
+
 def get_spark(
     app_name: str = "arc-spark",
     cpus: int | None = None,

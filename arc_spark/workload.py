@@ -589,9 +589,11 @@ def q40_comma_cross_join(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def q41_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+def q54_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash near-dup candidate pairs (hamming ≤ 12 via pigeonhole block
-    join) — rows-only (hash family is engine-specific)."""
+    join) — rows-only (hash family is engine-specific). Renumbered from
+    q41 so every oracle-eligible lane sorts within the driver's 50-query
+    correctness cap; rows-only lanes yield the slots."""
     from arc_spark.operators.dedup import simhash_near_dup_pairs
 
     t = load_tables(spark, sf, register_views=False)
@@ -910,10 +912,11 @@ def q52_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def q39_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+def q53_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     """IVF ANN (k-means coarse quantizer + probed clusters) — approximate,
     rows-only check like q35. The third ANN strategy next to brute-force
-    (q19) and hyperplane LSH (q35)."""
+    (q19) and hyperplane LSH (q35). Renumbered from q39 so every
+    oracle-eligible lane sorts within the driver's 50-query cap."""
     from arc_spark.operators.similarity import ivf_topk
 
     t = load_tables(spark, sf, register_views=False)
@@ -1564,9 +1567,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q36_sessionize": q36_sessionize,
     "q37_percentiles": q37_percentiles,
     "q38_full_outer": q38_full_outer,
-    "q39_ivf_topk": q39_ivf_topk,
     "q40_comma_cross_join": q40_comma_cross_join,
-    "q41_simhash_pairs": q41_simhash_pairs,
     "q42_pruned_time_bucket": q42_pruned_time_bucket,
     "q43_grouping_sets": q43_grouping_sets,
     "q44_unpivot": q44_unpivot,
@@ -1578,4 +1579,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q50_decontaminate": q50_decontaminate,
     "q51_token_packing": q51_token_packing,
     "q52_multimodal_features": q52_multimodal_features,
+    # rows-only lanes renumbered past the driver's 50-query correctness cap
+    # (q39→q53, q41→q54): every oracle-eligible query gets a driver row
+    "q53_ivf_topk": q53_ivf_topk,
+    "q54_simhash_pairs": q54_simhash_pairs,
 }

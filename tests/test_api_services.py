@@ -7,7 +7,7 @@ import datetime as dt
 
 import pytest
 
-from arc_spark.api import IngestService, PermissionError_, QueryService
+from arc_spark.api import IngestService, AccessDeniedError, QueryService
 from arc_spark.catalog import MeasurementCatalog
 from arc_spark.governance import Governor, RateLimitExceeded, TokenPolicy
 from arc_spark.plans.validator import SqlValidationError
@@ -54,7 +54,7 @@ class TestQueryService:
         svc = self._service(
             spark, str(tmp_path), allowed_tables={"tok1": {"other_table"}}
         )
-        with pytest.raises(PermissionError_):
+        with pytest.raises(AccessDeniedError):
             svc.execute("SELECT * FROM cpu", token="tok1")
         # unlisted token: allowed
         assert len(svc.execute("SELECT * FROM cpu", token="tok2")) == 2

@@ -238,6 +238,17 @@ class TestGovernance:
             g.admit("tok", now=2.0)
         g.admit("tok", now=61.0)  # window rolls
 
+    def test_rate_limit_window_slides_no_boundary_burst(self):
+        # a fixed bucket resets at t=60 and would admit a fresh burst;
+        # the sliding window still counts the admit at t=59
+        g = Governor()
+        g.set_policy("tok", TokenPolicy(max_queries_per_minute=2))
+        g.admit("tok", now=0.0)
+        g.admit("tok", now=59.0)
+        g.admit("tok", now=60.5)  # t=0 aged out, t=59 still counted
+        with pytest.raises(RateLimitExceeded):
+            g.admit("tok", now=61.0)  # {59.0, 60.5} fill the window
+
     def test_row_cap_is_limit_plan(self, spark):
         g = Governor()
         g.set_policy("tok", TokenPolicy(max_rows=5))
