@@ -23,6 +23,8 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
+from arc_spark.storage import backend_for
+
 TESTDATA_TABLES = [
     "region",
     "nation",
@@ -148,29 +150,27 @@ class MeasurementCatalog:
 
     # -- namespace listing (reference A12) --------------------------------
     def databases(self) -> list[str]:
-        if not os.path.isdir(self.root):
+        bk = backend_for(self.root)
+        if not bk.isdir(self.root):
             return []
-        return sorted(
-            d for d in os.listdir(self.root)
-            if os.path.isdir(os.path.join(self.root, d)) and not d.startswith(".")
-        )
+        return bk.list_dirs(self.root)
 
     def measurements(self, db: str) -> list[str]:
-        base = os.path.join(self.root, db)
-        if not os.path.isdir(base):
+        bk = backend_for(self.root)
+        base = bk.join(self.root, db)
+        if not bk.isdir(base):
             return []
-        return sorted(
-            d for d in os.listdir(base)
-            if os.path.isdir(os.path.join(base, d)) and not d.startswith(".")
-        )
+        return bk.list_dirs(base)
 
     # -- resolution (reference A1/A4) --------------------------------------
     def paths(self, db: str, measurement: str) -> list[str]:
-        """All tier paths holding this measurement (hot first)."""
+        """All tier paths holding this measurement (hot first). Tiers may
+        live on different backends (hot local, cold object-store)."""
         out = []
         for base in filter(None, (self.root, self.cold_root, self.daily_root)):
-            p = os.path.join(base, db, measurement)
-            if os.path.isdir(p):
+            bk = backend_for(base)
+            p = bk.join(base, db, measurement)
+            if bk.isdir(p):
                 out.append(p)
         return out
 
@@ -181,10 +181,7 @@ class MeasurementCatalog:
         the reference (internal/api/query.go:2035-2037).
         """
         def has_parquet(p: str) -> bool:
-            for _dir, _sub, files in os.walk(p):
-                if any(f.endswith(".parquet") for f in files):
-                    return True
-            return False
+            return bool(backend_for(p).find_files(p, suffix=".parquet"))
 
         # a tier emptied by compaction/tiering (dir skeleton, no files)
         # cannot be read — skip it, like the reference's empty-glob path
@@ -196,10 +193,11 @@ class MeasurementCatalog:
         # unioned by name so tiers may differ in schema vintage
         tiers = []
         for p in paths:
-            reader = self.spark.read.option("basePath", p)
+            url = backend_for(p).spark_url(p)
+            reader = self.spark.read.option("basePath", url)
             if merge_schema:
                 reader = reader.option("mergeSchema", "true")
-            tiers.append(reader.parquet(p))
+            tiers.append(reader.parquet(url))
         df = tiers[0]
         for t in tiers[1:]:
             df = df.unionByName(t, allowMissingColumns=True)
@@ -210,18 +208,24 @@ class MeasurementCatalog:
 
         Used by SQL-surface pruning (plans/time_pruning.prune_sql) to map
         the optimized plan's parquet scan roots back to registered
-        measurements. Accepts `file:`-prefixed URIs."""
-        p = path.removeprefix("file://").removeprefix("file:")
-        p = os.path.realpath(p)
+        measurements. Accepts whatever URI form Spark reports for the scan
+        (`file:`-prefixed local paths, object-store URLs)."""
         for root in filter(None, (self.root, self.cold_root, self.daily_root)):
-            real_root = os.path.realpath(root)
-            if not p.startswith(real_root + os.sep):
+            bk = backend_for(root)
+            logical = bk.from_spark_url(path)
+            if bk.scheme is None:
+                # tolerate symlinked local roots
+                logical = os.path.realpath(logical)
+                norm_root = os.path.realpath(root)
+            else:
+                norm_root = root
+            if not logical.startswith(norm_root.rstrip("/") + "/"):
                 continue
-            rel = p[len(real_root) + 1:]
-            parts = rel.split(os.sep)
+            rel = logical[len(norm_root.rstrip("/")) + 1:]
+            parts = rel.split("/")
             if len(parts) >= 2:
                 db, meas = parts[0], parts[1]
-                if os.path.isdir(os.path.join(root, db, meas)):
+                if bk.isdir(bk.join(root, db, meas)):
                     return (db, meas)
         return None
 

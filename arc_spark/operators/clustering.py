@@ -34,6 +34,7 @@ def connected_components(
     dst_col: str = "doc_b",
     id_col: str = "doc_id",
     max_iterations: int = 50,
+    unique_edges: bool = False,
 ) -> DataFrame:
     """(node, cluster_id) for every node; cluster_id = min node id in the
     connected component.
@@ -44,16 +45,22 @@ def connected_components(
     wants the complete mapping, not just the entangled docs. Edge
     endpoints missing from ``nodes`` still participate and appear in the
     output (they join the label frame on their first round).
+
+    ``unique_edges=True`` skips the edge-dedup shuffle: every near-dup
+    pair generator in :mod:`arc_spark.operators.dedup` emits each pair
+    exactly once as (a<b), so symmetrizing cannot create duplicates.
+    Leave False for arbitrary edge lists (multi-edges would multiply the
+    neighbor frame every round).
     """
     e = edges.select(
         F.col(src_col).cast("long").alias("a"),
         F.col(dst_col).cast("long").alias("b"),
     )
-    # symmetrize once; distinct keeps multi-edges from multiplying every
-    # round's neighbor frame
-    e = e.unionByName(
-        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).distinct().localCheckpoint(eager=False)
+    # symmetrize once
+    e = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    if not unique_edges:
+        e = e.distinct()
+    e = e.localCheckpoint(eager=False)
 
     if nodes is not None:
         labels = nodes.select(F.col(id_col).cast("long").alias("node"))
@@ -61,7 +68,9 @@ def connected_components(
         labels = e.select(F.col("a").alias("node")).distinct()
     labels = labels.select("node", F.col("node").alias("label"))
 
-    for _ in range(max_iterations):
+    from pyspark.sql import Observation
+
+    for i in range(max_iterations):
         # min over {own label} ∪ {labels of neighbors}, and the old label
         # for the convergence check, in ONE grouped aggregation (the only
         # shuffle of the round): own rows are unique per node, so
@@ -69,6 +78,13 @@ def connected_components(
         nbr = e.join(labels, F.col("b") == F.col("node")).select(
             F.col("a").alias("node"), "label", F.lit(False).alias("own")
         )
+        # NULL old_label = a node seen for the first time this round (an
+        # edge endpoint outside `nodes`): it must count as changed, or the
+        # loop could declare convergence before its label has propagated.
+        # The convergence count rides the checkpoint materialization as an
+        # observed metric — ONE Spark job per round, not checkpoint+count
+        # (halved the per-round stage overhead at sf0.1).
+        obs = Observation(f"cc_round_{i}")
         step = (
             labels.withColumn("own", F.lit(True))
             .unionByName(nbr)
@@ -77,17 +93,20 @@ def connected_components(
                 F.min("label").alias("new_label"),
                 F.max(F.when(F.col("own"), F.col("label"))).alias("old_label"),
             )
+            .observe(
+                obs,
+                F.count(
+                    F.when(
+                        (F.col("new_label") < F.col("old_label"))
+                        | F.col("old_label").isNull(),
+                        1,
+                    )
+                ).alias("n_changed"),
+            )
             .localCheckpoint()
         )
-        # NULL old_label = a node seen for the first time this round (an
-        # edge endpoint outside `nodes`): it must count as changed, or the
-        # loop could declare convergence before its label has propagated
-        n_changed = step.filter(
-            (F.col("new_label") < F.col("old_label"))
-            | F.col("old_label").isNull()
-        ).count()
         labels = step.select("node", F.col("new_label").alias("label"))
-        if n_changed == 0:
+        if obs.get["n_changed"] == 0:
             break
     return labels.select(
         F.col("node").alias(id_col), F.col("label").alias("cluster_id")

@@ -14,14 +14,17 @@ dedup with a window, sort, coalesce(1), write to a temp dir, fsync-rename
 into place, delete sources. The window shuffle is per-partition-dir (hour or
 day of one measurement), so memory is bounded by partition size regardless
 of total table size.
+
+All file operations flow through :mod:`arc_spark.storage` backends
+(reference internal/storage/backend.go): the measurement root — and the
+daily tier's root independently — may be local or an object-store prefix.
+On stores without rename, publish moves degrade to copy+delete inside the
+same write-audit-publish manifest protocol, which is what makes the swap
+crash-safe there too.
 """
 
 from __future__ import annotations
 
-import glob
-import json
-import os
-import shutil
 import time
 import uuid
 
@@ -29,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from arc_spark.sources.writer import read_manifest
+from arc_spark.storage import backend_for
 
 
 def heal_time_column(df: DataFrame, col: str = "time") -> DataFrame:
@@ -61,9 +65,8 @@ def dedup_window(df: DataFrame, tag_columns: list[str], dedup_time_only: bool = 
 
 def partition_dirs(meas_path: str) -> list[str]:
     """All leaf hive partition dirs (hour level) under a measurement."""
-    return sorted(
-        p for p in glob.glob(os.path.join(meas_path, "year=*/month=*/day=*/hour=*"))
-        if os.path.isdir(p)
+    return backend_for(meas_path).partition_dirs(
+        meas_path, ["year=", "month=", "day=", "hour="]
     )
 
 
@@ -72,13 +75,14 @@ def compaction_candidates(
     now: float | None = None,
 ) -> list[str]:
     """Partition dirs eligible for compaction (reference tier policy)."""
+    bk = backend_for(meas_path)
     now = now if now is not None else time.time()
     out = []
     for d in partition_dirs(meas_path):
-        files = [f for f in glob.glob(os.path.join(d, "*.parquet"))]
+        files = bk.list_files(d, suffix=".parquet")
         if len(files) < min_files:
             continue
-        newest = max(os.path.getmtime(f) for f in files)
+        newest = max(bk.mtime(f) for f in files)
         if now - newest >= min_age_seconds:
             out.append(d)
     return out
@@ -99,20 +103,23 @@ def compact_partition_dir(
     is renamed in last. On restart, stale tmp dirs / manifests are swept by
     :func:`recover_incomplete`.
     """
+    bk = backend_for(root)
     manifest = read_manifest(root, db, measurement)
     tags = manifest.get("tag_columns", [])
     sort_keys = [c for c in manifest.get("sort_keys", []) if c != "time"] + ["time"]
 
-    inputs = sorted(glob.glob(os.path.join(part_dir, "*.parquet")))
+    inputs = bk.list_files(part_dir, suffix=".parquet")
     if len(inputs) <= 1:
         return {"partition": part_dir, "inputs": len(inputs), "skipped": True}
 
     tmp_dir = part_dir + f".compact-tmp-{uuid.uuid4().hex[:8]}"
     job_manifest = part_dir + ".compact-manifest.json"
-    with open(job_manifest, "w") as f:
-        json.dump({"inputs": inputs, "tmp_dir": tmp_dir, "partition": part_dir}, f)
+    bk.write_json(job_manifest,
+                  {"inputs": inputs, "tmp_dir": tmp_dir, "partition": part_dir})
 
-    df = spark.read.option("mergeSchema", "true").parquet(*inputs)
+    df = spark.read.option("mergeSchema", "true").parquet(
+        *[bk.spark_url(f) for f in inputs]
+    )
     df = heal_time_column(df)
     if dedup:
         df = dedup_window(df, tags, dedup_time_only=manifest.get("dedup_time", False))
@@ -122,36 +129,31 @@ def compact_partition_dir(
         .write.mode("overwrite")
         .option("compression", "zstd")
         .option("parquet.block.size", str(122880 * 1024))
-        .parquet(tmp_dir)
+        .parquet(bk.spark_url(tmp_dir))
     )
-    out_rows = spark.read.parquet(tmp_dir).count()  # audit before publish
+    out_rows = spark.read.parquet(bk.spark_url(tmp_dir)).count()  # audit before publish
 
     # publish: move compacted file in, remove inputs, drop tmp + manifest.
     # The planned destination names are recorded in the job manifest BEFORE
     # any move so recover_incomplete() can roll a half-published job back
     # (delete outputs while all inputs survive) or forward (finish removing
     # inputs once any input deletion started) instead of leaving both copies.
-    compacted = sorted(glob.glob(os.path.join(tmp_dir, "*.parquet")))
+    compacted = bk.list_files(tmp_dir, suffix=".parquet")
     ts = int(time.time() * 1000)
     published = [
-        os.path.join(part_dir, f"{measurement}_compacted_{ts}_{i}.parquet")
+        bk.join(part_dir, f"{measurement}_compacted_{ts}_{i}.parquet")
         for i in range(len(compacted))
     ]
-    with open(job_manifest, "w") as f:
-        json.dump(
-            {"inputs": inputs, "tmp_dir": tmp_dir, "partition": part_dir,
-             "published": published},
-            f,
-        )
+    bk.write_json(job_manifest,
+                  {"inputs": inputs, "tmp_dir": tmp_dir, "partition": part_dir,
+                   "published": published})
     for src, dst in zip(compacted, published):
-        shutil.move(src, dst)
+        bk.move_file(src, dst)
     for f in inputs:
-        os.remove(f)
-        crc = os.path.join(os.path.dirname(f), "." + os.path.basename(f) + ".crc")
-        if os.path.exists(crc):
-            os.remove(crc)
-    shutil.rmtree(tmp_dir, ignore_errors=True)
-    os.remove(job_manifest)
+        bk.remove_file(f)
+        bk.remove_crc_sidecar(f)
+    bk.remove_tree(tmp_dir, ignore_errors=True)
+    bk.remove_file(job_manifest)
     return {
         "partition": part_dir,
         "inputs": len(inputs),
@@ -173,35 +175,34 @@ def recover_incomplete(meas_path: str) -> int:
       strictly precede input removal); ROLL FORWARD by removing the
       remaining inputs, completing the swap.
     Tmp dirs and manifests are dropped either way."""
+    bk = backend_for(meas_path)
     n = 0
-    for m in glob.glob(os.path.join(meas_path, "**/*.compact-manifest.json"), recursive=True):
-        with open(m) as f:
-            job = json.load(f)
+    for m in bk.find_files(meas_path, suffix=".compact-manifest.json"):
+        job = bk.read_json(m)
         inputs = job.get("inputs", [])
         published = job.get("published", [])
-        if inputs and any(not os.path.exists(f) for f in inputs):
+        if inputs and any(not bk.exists(f) for f in inputs):
             # roll forward: outputs are fully published; finish the swap
             for f in inputs:
-                if os.path.exists(f):
-                    os.remove(f)
+                bk.remove_file_if_exists(f)
         else:
             # roll back: delete any outputs that were already moved in
             for f in published:
-                if os.path.exists(f):
-                    os.remove(f)
-        shutil.rmtree(job.get("tmp_dir", ""), ignore_errors=True)
-        os.remove(m)
+                bk.remove_file_if_exists(f)
+        tmp = job.get("tmp_dir", "")
+        if tmp:
+            bk.remove_tree(tmp, ignore_errors=True)
+        bk.remove_file(m)
         n += 1
-    for d in glob.glob(os.path.join(meas_path, "**/*.compact-tmp-*"), recursive=True):
-        shutil.rmtree(d, ignore_errors=True)
+    for d in bk.find_dirs(meas_path, ".compact-tmp-"):
+        bk.remove_tree(d, ignore_errors=True)
         n += 1
     return n
 
 
 def day_dirs(meas_path: str) -> list[str]:
-    return sorted(
-        p for p in glob.glob(os.path.join(meas_path, "year=*/month=*/day=*"))
-        if os.path.isdir(p)
+    return backend_for(meas_path).partition_dirs(
+        meas_path, ["year=", "month=", "day="]
     )
 
 
@@ -212,13 +213,14 @@ def daily_candidates(
     """Day dirs eligible for the daily tier (reference daily.go:14-52:
     days ≥24 h old holding ≥12 files — i.e. hourly compaction has already
     run and the day still has many per-hour files)."""
+    bk = backend_for(meas_path)
     now = now if now is not None else time.time()
     out = []
     for d in day_dirs(meas_path):
-        files = glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True)
+        files = bk.find_files(d, suffix=".parquet")
         if len(files) < min_files:
             continue
-        newest = max(os.path.getmtime(f) for f in files)
+        newest = max(bk.mtime(f) for f in files)
         if now - newest >= min_age_seconds:
             out.append(d)
     return out
@@ -243,59 +245,64 @@ def compact_day(
     by name, so reads and the SQL-surface partition pruner keep working:
     year/month/day prune on the path, hour prunes via row-group stats.
 
+    The hot root and the daily root may live on DIFFERENT backends (e.g.
+    hot local disk, daily tier on S3) — the rewrite reads from one and
+    publishes to the other through Spark; only metadata ops touch each
+    side's own filesystem.
+
     Crash safety: same manifest protocol as the hourly tier — manifest
     (inputs + planned output) before any move; recover via
     :func:`recover_incomplete` on the DAILY tier path rolls back or forward.
     """
+    src_bk = backend_for(root)
+    dst_bk = backend_for(daily_root)
     manifest = read_manifest(root, db, measurement)
     tags = manifest.get("tag_columns", [])
     sort_keys = [c for c in manifest.get("sort_keys", []) if c != "time"] + ["time"]
 
-    inputs = sorted(
-        glob.glob(os.path.join(day_dir, "**", "*.parquet"), recursive=True)
-    )
+    inputs = src_bk.find_files(day_dir, suffix=".parquet")
     if not inputs:
         return {"day": day_dir, "inputs": 0, "skipped": True}
 
-    rel = os.path.relpath(day_dir, os.path.join(root, db, measurement))
-    out_day_dir = os.path.join(daily_root, db, measurement, rel)
+    rel = src_bk.relpath(day_dir, src_bk.join(root, db, measurement))
+    out_day_dir = dst_bk.join(daily_root, db, measurement, rel)
     tmp_dir = out_day_dir + f".compact-tmp-{uuid.uuid4().hex[:8]}"
     job_manifest = out_day_dir + ".compact-manifest.json"
-    os.makedirs(os.path.dirname(out_day_dir), exist_ok=True)
+    dst_bk.mkdirs(dst_bk.dirname(out_day_dir))
 
     # read with basePath so hour arrives as a column; keep it as data
     df = (
         spark.read.option("mergeSchema", "true")
-        .option("basePath", os.path.join(root, db, measurement))
-        .parquet(day_dir)
+        .option("basePath", src_bk.spark_url(src_bk.join(root, db, measurement)))
+        .parquet(src_bk.spark_url(day_dir))
         .drop("year", "month", "day")
     )
     df = heal_time_column(df)
     if dedup:
         df = dedup_window(df, tags, dedup_time_only=manifest.get("dedup_time", False))
     ts = int(time.time() * 1000)
-    published = [os.path.join(out_day_dir, f"{measurement}_daily_{ts}_0.parquet")]
-    with open(job_manifest, "w") as f:
-        json.dump({"inputs": inputs, "tmp_dir": tmp_dir, "partition": out_day_dir,
-                   "published": published}, f)
+    published = [dst_bk.join(out_day_dir, f"{measurement}_daily_{ts}_0.parquet")]
+    dst_bk.write_json(job_manifest,
+                      {"inputs": inputs, "tmp_dir": tmp_dir,
+                       "partition": out_day_dir, "published": published})
     (
         df.sortWithinPartitions(*[k for k in sort_keys if k in df.columns])
         .coalesce(1)
         .write.mode("overwrite")
         .option("compression", "zstd")
         .option("parquet.block.size", str(122880 * 1024))
-        .parquet(tmp_dir)
+        .parquet(dst_bk.spark_url(tmp_dir))
     )
-    out_rows = spark.read.parquet(tmp_dir).count()  # audit before publish
-    compacted = sorted(glob.glob(os.path.join(tmp_dir, "*.parquet")))
-    os.makedirs(out_day_dir, exist_ok=True)
+    out_rows = spark.read.parquet(dst_bk.spark_url(tmp_dir)).count()  # audit before publish
+    compacted = dst_bk.list_files(tmp_dir, suffix=".parquet")
+    dst_bk.mkdirs(out_day_dir)
     published = published[: len(compacted)]
     for src, dst in zip(compacted, published):
-        shutil.move(src, dst)
+        dst_bk.move_file(src, dst)
     # inputs removed only after publish (recover rolls forward past here)
-    shutil.rmtree(day_dir)
-    shutil.rmtree(tmp_dir, ignore_errors=True)
-    os.remove(job_manifest)
+    src_bk.remove_tree(day_dir)
+    dst_bk.remove_tree(tmp_dir, ignore_errors=True)
+    dst_bk.remove_file(job_manifest)
     return {"day": day_dir, "output": published[0] if published else None,
             "inputs": len(inputs), "rows": out_rows, "skipped": False}
 
@@ -313,15 +320,17 @@ def compact_measurement_daily(
 ) -> list[dict]:
     """Daily-tier pass: merge eligible days into single day files under
     ``daily_root`` (see :func:`compact_day` for the layout contract)."""
-    meas_path = os.path.join(root, db, measurement)
-    recover_incomplete(os.path.join(daily_root, db, measurement))
+    src_bk = backend_for(root)
+    dst_bk = backend_for(daily_root)
+    meas_path = src_bk.join(root, db, measurement)
+    recover_incomplete(dst_bk.join(daily_root, db, measurement))
     results = []
     for d in daily_candidates(meas_path, min_files, min_age_seconds, now):
         results.append(
             compact_day(spark, root, db, measurement, d, daily_root)
         )
     if results:
-        spark.catalog.refreshByPath(meas_path)
+        spark.catalog.refreshByPath(src_bk.spark_url(meas_path))
         if catalog is not None:
             catalog.invalidate(db, measurement)
     return results
@@ -342,13 +351,14 @@ def compact_measurement(
     Pass the `MeasurementCatalog` that owns this measurement's views so they
     are re-resolved after the file swap (temp views pin their file listing;
     see MeasurementCatalog.invalidate)."""
-    meas_path = os.path.join(root, db, measurement)
+    bk = backend_for(root)
+    meas_path = bk.join(root, db, measurement)
     recover_incomplete(meas_path)
     results = []
     for d in compaction_candidates(meas_path, min_files, min_age_seconds, now):
         results.append(compact_partition_dir(spark, root, db, measurement, d))
     if results:
-        spark.catalog.refreshByPath(meas_path)
+        spark.catalog.refreshByPath(bk.spark_url(meas_path))
         if catalog is not None:
             catalog.invalidate(db, measurement)
     return results

@@ -7,47 +7,40 @@ Reference:
   no file content ever read.
 - predicate delete (A26, /root/reference/internal/api/delete.go:531-870):
   find files containing matches, rewrite each keeping NOT(pred), swap.
+
+All file operations flow through :mod:`arc_spark.storage` backends
+(reference internal/storage/backend.go) so retention and delete run
+unchanged against an object-store measurement root: partition-prefix
+deletes become prefix LIST+DELETE batches, footer probes are ranged GETs
+through ``pyarrow.fs``.
 """
 
 from __future__ import annotations
 
 import datetime as dt
-import glob
-import os
-import shutil
 import uuid
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-
-def _remove_with_crc(path: str) -> None:
-    """Remove a file plus Hadoop local-FS '.name.crc' sidecar — a stale crc
-    next to a rewritten file fails reads with ChecksumException."""
-    if os.path.exists(path):
-        os.remove(path)
-    crc = os.path.join(os.path.dirname(path), "." + os.path.basename(path) + ".crc")
-    if os.path.exists(crc):
-        os.remove(crc)
+from arc_spark.storage import backend_for
 
 
 def _partition_day(day_dir: str) -> dt.datetime:
     parts = {}
-    for seg in day_dir.split(os.sep):
+    for seg in day_dir.split("/"):
         if "=" in seg:
             k, v = seg.split("=", 1)
             parts[k] = int(v)
     return dt.datetime(parts["year"], parts["month"], parts["day"])
 
 
-def _file_max_time(path: str, time_col: str = "time"):
+def _file_max_time(bk, path: str, time_col: str = "time"):
     """max(time) from parquet footer statistics — no data pages read
     (the reference's per-file retention reads footers the same way,
     internal/api/retention.go:791-900). None when stats are absent."""
-    import pyarrow.parquet as pq
-
     try:
-        md = pq.ParquetFile(path).metadata
+        md = bk.parquet_metadata(path)
     except Exception:
         return None
     idx = None
@@ -88,35 +81,37 @@ def apply_retention(
        (reference retention.go:791-900) — without this, a partly-expired
        day retains every file until the whole day ages out.
     """
+    bk = backend_for(root)
     now = now or dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
     cutoff = now - dt.timedelta(days=retention_days + buffer_days)
     removed = []
-    meas = os.path.join(root, db, measurement)
-    for day_dir in sorted(glob.glob(os.path.join(meas, "year=*/month=*/day=*"))):
+    meas = bk.join(root, db, measurement)
+    for day_dir in bk.partition_dirs(meas, ["year=", "month=", "day="]):
         day = _partition_day(day_dir)
         # a whole day is droppable only if its last instant is before cutoff
         if day + dt.timedelta(days=1) <= cutoff:
-            shutil.rmtree(day_dir)
+            bk.remove_tree(day_dir)
             removed.append(day_dir)
         elif per_file and day <= cutoff:
             # boundary day: per-file footer max(time) check
-            for f in sorted(glob.glob(os.path.join(day_dir, "**", "*.parquet"),
-                                      recursive=True)):
-                mx = _file_max_time(f)
+            for f in bk.find_files(day_dir, suffix=".parquet"):
+                mx = _file_max_time(bk, f)
                 if mx is not None and mx < cutoff:
-                    _remove_with_crc(f)
+                    bk.remove_file(f)
+                    bk.remove_crc_sidecar(f)
                     removed.append(f)
             # clean now-empty hour dirs so listings stay tidy
-            for hour_dir in sorted(glob.glob(os.path.join(day_dir, "hour=*"))):
-                if not any(e.endswith(".parquet") for e in os.listdir(hour_dir)):
-                    shutil.rmtree(hour_dir)
+            for hour_dir in bk.partition_dirs(day_dir, ["hour="]):
+                if not bk.list_files(hour_dir, suffix=".parquet"):
+                    bk.remove_tree(hour_dir, ignore_errors=True)
     return removed
 
 
 def count_matching(spark: SparkSession, meas_path: str, predicate_sql: str) -> int:
     """DELETE dry-run: how many rows would go (reference estimate step,
     delete.go:635)."""
-    df = spark.read.option("mergeSchema", "true").parquet(meas_path)
+    url = backend_for(meas_path).spark_url(meas_path)
+    df = spark.read.option("mergeSchema", "true").parquet(url)
     return df.filter(F.expr(predicate_sql)).count()
 
 
@@ -136,10 +131,11 @@ def delete_where(
     independently — untouched files are never rewritten, so cost scales with
     the match footprint, not table size (same contract as the reference).
     """
-    meas_path = os.path.join(root, db, measurement)
-    df = spark.read.option("mergeSchema", "true").parquet(meas_path)
+    bk = backend_for(root)
+    meas_path = bk.join(root, db, measurement)
+    df = spark.read.option("mergeSchema", "true").parquet(bk.spark_url(meas_path))
     affected = [
-        r[0].replace("file://", "").replace("file:", "")
+        bk.from_spark_url(r[0])
         for r in df.filter(F.expr(predicate_sql))
         .select(F.input_file_name()).distinct().collect()
     ]
@@ -148,13 +144,17 @@ def delete_where(
         return {"files": len(affected), "deleted_rows": matched, "dry_run": dry_run}
 
     for fpath in affected:
-        keep = spark.read.parquet(fpath).filter(~F.expr(predicate_sql))
+        keep = spark.read.parquet(bk.spark_url(fpath)).filter(~F.expr(predicate_sql))
         tmp = fpath + f".delete-tmp-{uuid.uuid4().hex[:8]}"
-        keep.coalesce(1).write.mode("overwrite").option("compression", "zstd").parquet(tmp)
-        outs = glob.glob(os.path.join(tmp, "*.parquet"))
-        _remove_with_crc(fpath)
+        (
+            keep.coalesce(1).write.mode("overwrite")
+            .option("compression", "zstd").parquet(bk.spark_url(tmp))
+        )
+        outs = bk.list_files(tmp, suffix=".parquet")
+        bk.remove_file(fpath)
+        bk.remove_crc_sidecar(fpath)
         if outs:
-            shutil.move(outs[0], fpath)
-        shutil.rmtree(tmp, ignore_errors=True)
-    spark.catalog.refreshByPath(meas_path)
+            bk.move_file(outs[0], fpath)
+        bk.remove_tree(tmp, ignore_errors=True)
+    spark.catalog.refreshByPath(bk.spark_url(meas_path))
     return {"files": len(affected), "deleted_rows": matched, "dry_run": False}

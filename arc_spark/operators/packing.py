@@ -1,0 +1,89 @@
+"""Token-budget shard packing for training-data pipelines.
+
+Greedy sequential packing — docs in id order accumulate into shards of
+``budget`` tokens (docs never split, so a shard overflows by at most one
+doc) — is inherently a running sum. The naive formulations both die at
+100 TB:
+
+- global cumsum: one total-order sort, the whole corpus through one task;
+- per-source window (round-2 q51): ``Window.partitionBy(source)`` puts an
+  ENTIRE source through one task's sort — a 3-source corpus uses 3 tasks.
+
+The scale shape here is HIERARCHICAL packing with offset reconciliation:
+
+1. hash-bucket docs within source (``doc_id % n_buckets``) — parallelism
+   becomes sources × n_buckets, independent of corpus size;
+2. local cumsum within (source, bucket) ordered by doc_id → local shard;
+3. a TINY aggregation (one row per (source, bucket)) counts each bucket's
+   shards; a running total over buckets yields each bucket's global shard
+   offset — broadcast back;
+4. global shard id = bucket offset + local shard — dense per source.
+
+Step 2's window partitions by (source, bucket): no single-partition or
+per-source-serial window anywhere in the plan (locked by
+tests/test_plan_shapes.py). Step 3 shuffles ~sources × n_buckets rows —
+metadata-sized. Equivalent semantics: docs still pack in doc_id order
+within a bucket; shard numbering is deterministic and dense per source.
+The packing differs from the strictly-sequential single-scan assignment
+only in which neighbor-docs share a shard — the training-relevant
+contracts (every doc exactly once, shards ≈ budget tokens, deterministic,
+reproducible split keys) all hold, and the same formulation is expressible
+in ANSI SQL for the DuckDB oracle.
+
+Reference scope note: the arc reference has no packing operator; this is
+part of the beyond-reference LLM-pipeline family (SURVEY §6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_token_shards(
+    per_doc: DataFrame,
+    budget: int = 2000,
+    n_buckets: int = 8,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Assign every doc a (source, shard) with ≈``budget`` tokens per shard.
+
+    Input: one row per doc with (source, doc_id, tokens). Output adds
+    ``bucket`` and a per-source-dense ``shard``. Size ``n_buckets`` so a
+    single (source, bucket) slice fits one task comfortably — at 100 TB
+    with ~1e9 docs/source, n_buckets=4096 keeps slices in the low
+    hundreds of MB; locally 8 exercises the same plan.
+    """
+    local_w = (
+        Window.partitionBy(source_col, "bucket")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = per_doc.withColumn(
+        "bucket", (F.col(id_col) % n_buckets).cast("long")
+    ).withColumn(
+        "local_shard",
+        F.floor((F.sum(tokens_col).over(local_w) - F.col(tokens_col)) / budget),
+    )
+    # one row per (source, bucket): how many shards the bucket produced
+    counts = local.groupBy(source_col, "bucket").agg(
+        (F.max("local_shard") + 1).alias("n_shards")
+    )
+    # running shard total over earlier buckets = this bucket's offset.
+    # The window partitions by source over ≤ n_buckets rows per source —
+    # metadata-sized by construction, so the serial scan is free.
+    off_w = (
+        Window.partitionBy(source_col)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn(
+        "offset", F.coalesce(F.sum("n_shards").over(off_w), F.lit(0))
+    ).select(source_col, "bucket", "offset")
+    return (
+        local.join(F.broadcast(offsets), [source_col, "bucket"])
+        .withColumn("shard", (F.col("offset") + F.col("local_shard")).cast("long"))
+        .drop("offset", "local_shard")
+    )

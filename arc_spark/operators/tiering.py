@@ -7,43 +7,34 @@ MeasurementCatalog` already unions hot ∪ cold paths per measurement
 (reference A4 buildMultiTierReadParquet), so a migrated partition is
 invisible to queries except for storage latency.
 
-In a cloud deployment "cold" is an object-store storage class and this
-becomes a lifecycle policy; the explicit move keeps local/self-hosted
-parity with the reference. Moves are directory renames when hot and cold
-share a filesystem, copy+delete otherwise, and a partition is only deleted
-from hot after its cold copy is complete (crash leaves a duplicate, never
-a loss — and the catalog's union read with day-level dedup by filename
-tolerates the duplicate window).
+The hot and cold roots may live on DIFFERENT storage backends
+(:mod:`arc_spark.storage`; reference internal/storage/backend.go) — the
+canonical deployment tiers local NVMe to an object store. Same-backend
+moves try a rename first (free on local/HDFS); cross-backend or
+no-rename stores take the copy-verify-delete path, and a partition is
+only deleted from hot after its cold copy holds every hot file (crash
+leaves a duplicate, never a loss — the catalog's union read tolerates
+the duplicate window).
 """
 
 from __future__ import annotations
 
 import datetime as dt
-import os
-import shutil
+
+import pyarrow.fs as pafs
+
+from arc_spark.storage import backend_for
 
 
 def _day_dirs(meas_path: str) -> list[str]:
     """All year=/month=/day= directories under a measurement path."""
-    out = []
-    for y in sorted(os.listdir(meas_path)) if os.path.isdir(meas_path) else []:
-        if not y.startswith("year="):
-            continue
-        ydir = os.path.join(meas_path, y)
-        for m in sorted(os.listdir(ydir)):
-            if not m.startswith("month="):
-                continue
-            mdir = os.path.join(ydir, m)
-            for d in sorted(os.listdir(mdir)):
-                if d.startswith("day="):
-                    out.append(os.path.join(mdir, d))
-    return out
+    return backend_for(meas_path).partition_dirs(
+        meas_path, ["year=", "month=", "day="]
+    )
 
 
 def _dir_day(day_dir: str) -> dt.datetime:
-    parts = dict(
-        p.split("=") for p in day_dir.split(os.sep) if "=" in p
-    )
+    parts = dict(p.split("=") for p in day_dir.split("/") if "=" in p)
     return dt.datetime(int(parts["year"]), int(parts["month"]), int(parts["day"]))
 
 
@@ -61,39 +52,51 @@ def migrate_to_cold(
     partially-migrated day (both copies exist) is completed by deleting
     the hot copy only when the cold copy holds every hot file.
     """
+    hot_bk = backend_for(root)
+    cold_bk = backend_for(cold_root)
+    same_backend = hot_bk is cold_bk
     now = now or dt.datetime.now()
     cutoff = now - dt.timedelta(days=older_than_days)
-    hot_meas = os.path.join(root, db, measurement)
-    cold_meas = os.path.join(cold_root, db, measurement)
+    hot_meas = hot_bk.join(root, db, measurement)
+    cold_meas = cold_bk.join(cold_root, db, measurement)
     moved: list[str] = []
     for day_dir in _day_dirs(hot_meas):
         if _dir_day(day_dir) >= cutoff:
             continue
-        rel = os.path.relpath(day_dir, hot_meas)
-        dest = os.path.join(cold_meas, rel)
-        os.makedirs(os.path.dirname(dest), exist_ok=True)
-        if not os.path.exists(dest):
-            try:
-                os.rename(day_dir, dest)  # same-fs fast path
-                moved.append(rel)
-                continue
-            except OSError:
-                shutil.copytree(day_dir, dest)
+        rel = hot_bk.relpath(day_dir, hot_meas)
+        dest = cold_bk.join(cold_meas, rel)
+        cold_bk.mkdirs(cold_bk.dirname(dest))
+        if not cold_bk.exists(dest):
+            if same_backend:
+                try:
+                    hot_bk.move_dir(day_dir, dest)  # rename fast path
+                    moved.append(rel)
+                    continue
+                except OSError:
+                    pass
+            pafs.copy_files(
+                hot_bk.fs_path(day_dir),
+                cold_bk.fs_path(dest),
+                source_filesystem=hot_bk.fs,
+                destination_filesystem=cold_bk.fs,
+            )
         # copy exists (from this run or a crashed prior one): verify + drop hot
-        hot_files = set(os.listdir(day_dir))
-        cold_files = set(os.listdir(dest))
+        hot_files = {hot_bk.basename(f) for f in hot_bk.find_files(day_dir)}
+        cold_files = {cold_bk.basename(f) for f in cold_bk.find_files(dest)}
         if hot_files <= cold_files:
-            shutil.rmtree(day_dir)
+            hot_bk.remove_tree(day_dir)
             moved.append(rel)
     return moved
 
 
 def tier_report(root: str, cold_root: str, db: str, measurement: str) -> dict:
     """Which day partitions live on which tier (reference tiering metadata)."""
-    hot = {os.path.relpath(p, os.path.join(root, db, measurement))
-           for p in _day_dirs(os.path.join(root, db, measurement))}
-    cold = {os.path.relpath(p, os.path.join(cold_root, db, measurement))
-            for p in _day_dirs(os.path.join(cold_root, db, measurement))}
+    hot_bk = backend_for(root)
+    cold_bk = backend_for(cold_root)
+    hot_meas = hot_bk.join(root, db, measurement)
+    cold_meas = cold_bk.join(cold_root, db, measurement)
+    hot = {hot_bk.relpath(p, hot_meas) for p in _day_dirs(hot_meas)}
+    cold = {cold_bk.relpath(p, cold_meas) for p in _day_dirs(cold_meas)}
     return {
         "hot_only": sorted(hot - cold),
         "cold_only": sorted(cold - hot),

@@ -18,8 +18,6 @@ reference, arrow_writer.go:505-543) lives in a per-measurement JSON manifest
 
 from __future__ import annotations
 
-import json
-import os
 import uuid
 
 import pyarrow as pa
@@ -28,11 +26,13 @@ import pyarrow.dataset as pads
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from arc_spark.storage import backend_for
+
 MANIFEST_NAME = "_arc_manifest.json"
 
 
 def measurement_path(root: str, db: str, measurement: str) -> str:
-    return os.path.join(root, db, measurement)
+    return backend_for(root).join(root, db, measurement)
 
 
 def write_manifest(root: str, db: str, measurement: str,
@@ -41,23 +41,23 @@ def write_manifest(root: str, db: str, measurement: str,
                    decimals: dict[str, list[int]] | None = None) -> None:
     """`decimals` maps column → [precision, scale] — the manifest equivalent
     of the reference's `arc:decimals` parquet-footer KV (arrow_writer.go:505-543)."""
+    bk = backend_for(root)
     path = measurement_path(root, db, measurement)
-    os.makedirs(path, exist_ok=True)
-    with open(os.path.join(path, MANIFEST_NAME), "w") as f:
-        json.dump(
-            {"tag_columns": tag_columns, "sort_keys": sort_keys,
-             "dedup_time": dedup_time, "decimals": decimals or {}},
-            f,
-        )
+    bk.mkdirs(path)
+    bk.write_json(
+        bk.join(path, MANIFEST_NAME),
+        {"tag_columns": tag_columns, "sort_keys": sort_keys,
+         "dedup_time": dedup_time, "decimals": decimals or {}},
+    )
 
 
 def read_manifest(root: str, db: str, measurement: str) -> dict:
-    p = os.path.join(measurement_path(root, db, measurement), MANIFEST_NAME)
-    if not os.path.exists(p):
+    bk = backend_for(root)
+    p = bk.join(measurement_path(root, db, measurement), MANIFEST_NAME)
+    if not bk.isfile(p):
         return {"tag_columns": [], "sort_keys": [], "dedup_time": False,
                 "decimals": {}}
-    with open(p) as f:
-        m = json.load(f)
+    m = bk.read_json(p)
     m.setdefault("decimals", {})
     return m
 
@@ -99,6 +99,7 @@ def write_measurement(
     if "time" not in sort_keys:
         sort_keys = sort_keys + ["time"]  # time always last (reference)
 
+    bk = backend_for(root)
     out = measurement_path(root, db, measurement)
     part_cols = ["year", "month", "day", "hour"]
     pdf = with_partition_columns(df)
@@ -115,7 +116,7 @@ def write_measurement(
         .write.mode(mode)
         .option("compression", "zstd")
         .partitionBy(*part_cols)
-        .parquet(out)
+        .parquet(bk.spark_url(out))
     )
     write_manifest(root, db, measurement, tag_columns, sort_keys, dedup_time,
                    decimals=decimals)
@@ -163,10 +164,12 @@ def write_measurement_arrow(
         table = table.append_column(name, fn(t).cast(pa.int32()))
     table = table.sort_by([(c, "ascending") for c in part_cols + sort_keys])
 
+    bk = backend_for(root)
     out = measurement_path(root, db, measurement)
     pads.write_dataset(
         table,
-        out,
+        bk.fs_path(out),
+        filesystem=bk.fs,
         format="parquet",
         partitioning=pads.partitioning(
             pa.schema([(c, pa.int32()) for c in part_cols]), flavor="hive"

@@ -714,7 +714,8 @@ def q45_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     t = load_tables(spark, sf, register_views=False)
     docs = t["documents"]
     pairs = ngram_jaccard_pairs(docs, threshold=0.2, max_posting_list=1000)
-    return connected_components(pairs, nodes=docs.select("doc_id"))
+    return connected_components(pairs, nodes=docs.select("doc_id"),
+                                unique_edges=True)
 
 
 def q46_cluster_canonical(spark: SparkSession, sf: str) -> DataFrame:
@@ -726,7 +727,8 @@ def q46_cluster_canonical(spark: SparkSession, sf: str) -> DataFrame:
     t = load_tables(spark, sf, register_views=False)
     docs = t["documents"]
     pairs = ngram_jaccard_pairs(docs, threshold=0.2, max_posting_list=1000)
-    cc = connected_components(pairs, nodes=docs.select("doc_id"))
+    cc = connected_components(pairs, nodes=docs.select("doc_id"),
+                              unique_edges=True)
     return canonical_docs(docs, cc)
 
 
@@ -827,27 +829,18 @@ def q50_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q51_token_packing(spark: SparkSession, sf: str) -> DataFrame:
-    """Greedy token-budget packing: per source, docs in doc_id order
-    accumulate into 2000-token shards (shard = floor((cumsum − own)/B);
-    docs never split, so a shard overflows by at most one doc). Windowed
-    per SOURCE, not globally — the global-cumsum formulation funnels the
-    corpus through one sort tail; per-partition packing is the 100 TB
-    shape, with (source, shard) as the unique shard key."""
-    from pyspark.sql.window import Window
+    """Hierarchical greedy token-budget packing into 2000-token shards
+    (operators/packing.pack_token_shards): hash-bucket within source,
+    local cumsum per (source, bucket), offsets reconciled via a
+    metadata-sized running total. No per-source serial window — the
+    round-2 formulation's scale-killer shape (one task per source)."""
+    from arc_spark.operators.packing import pack_token_shards
 
     t = load_tables(spark, sf, register_views=False)
-    budget = 2000
-    w = (
-        Window.partitionBy("source").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     per_doc = t["documents"].select(
         "source", "doc_id", ws_token_count("text").alias("tokens")
     )
-    packed = per_doc.withColumn(
-        "shard",
-        F.floor((F.sum("tokens").over(w) - F.col("tokens")) / budget),
-    )
+    packed = pack_token_shards(per_doc, budget=2000, n_buckets=8)
     return packed.groupBy("source", "shard").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("tokens").alias("shard_tokens"),
@@ -1508,18 +1501,36 @@ ORACLES["q50_decontaminate"] = f"""
 
 ORACLES["q51_token_packing"] = f"""
     WITH per_doc AS (
-        SELECT source, doc_id,
+        SELECT source, doc_id, doc_id % 8 AS bucket,
                CASE WHEN length({_NORM}) = 0 THEN 0
                     ELSE length({_NORM}) - length(replace({_NORM}, ' ', '')) + 1
                END AS tokens
         FROM documents
     ),
-    packed AS (
-        SELECT source, doc_id, tokens,
-               CAST(floor((SUM(tokens) OVER (PARTITION BY source ORDER BY doc_id
+    local AS (
+        SELECT source, bucket, doc_id, tokens,
+               CAST(floor((SUM(tokens) OVER (PARTITION BY source, bucket
+                                             ORDER BY doc_id
                                              ROWS UNBOUNDED PRECEDING) - tokens)
-                          / 2000) AS BIGINT) AS shard
+                          / 2000) AS BIGINT) AS local_shard
         FROM per_doc
+    ),
+    counts AS (
+        SELECT source, bucket, MAX(local_shard) + 1 AS n_shards
+        FROM local GROUP BY source, bucket
+    ),
+    offsets AS (
+        SELECT source, bucket,
+               COALESCE(SUM(n_shards) OVER (PARTITION BY source ORDER BY bucket
+                                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND 1 PRECEDING), 0) AS off
+        FROM counts
+    ),
+    packed AS (
+        SELECT l.source, l.doc_id, l.tokens,
+               CAST(o.off + l.local_shard AS BIGINT) AS shard
+        FROM local l
+        JOIN offsets o ON l.source = o.source AND l.bucket = o.bucket
     )
     SELECT source, shard, COUNT(*) AS n_docs,
            CAST(SUM(tokens) AS BIGINT) AS shard_tokens,

@@ -51,6 +51,25 @@ class TestPlanShapes:
         plan = _physical(QUERIES["q15_dedup_lww"](spark, sf_oracle))
         assert "Window" in plan or "WindowGroupLimit" in plan
 
+    def test_q51_no_per_source_serial_window(self, spark, sf_oracle):
+        """Hierarchical token packing: the per-doc cumsum window must
+        partition by (source, bucket) — never by source alone (one task
+        per source = the 100 TB scale-killer) and never SinglePartition.
+        The only source-partitioned window allowed is the offset
+        reconciliation over the metadata-sized counts frame (its input is
+        an aggregate, ≤ n_buckets rows per source)."""
+        plan = _physical(QUERIES["q51_token_packing"](spark, sf_oracle))
+        assert "SinglePartition" not in plan
+        # the doc-level cumsum shuffles on BOTH source and bucket
+        assert "hashpartitioning(source" in plan
+        doc_exchanges = [
+            ln for ln in plan.splitlines()
+            if "Exchange hashpartitioning(source" in ln and "bucket" in ln
+        ]
+        assert doc_exchanges, f"no (source, bucket) exchange:\n{plan}"
+        # the offsets side reaches the join as a broadcast, not a shuffle
+        assert "BroadcastExchange" in plan
+
     def test_shingle_pipeline_not_pushed_into_scan(self, spark, sf_oracle):
         """The dedup shingle pipeline must NOT appear in the parquet scan's
         data filters (the predicate-pushdown trap that serialized the whole

