@@ -26,6 +26,9 @@ one stored without a table restriction):
   (auth_routes.go)
 - ``POST /api/v1/import/line|tle?db=``   (import.go bulk lanes; LP routes
   through the distributed decode path)
+- ``POST /api/v1/import/csv|parquet?db=&measurement=&tags=&time_column=``
+  (import_inprocess.go:35-1166; body = raw file, staged then imported via
+  the distributed reader with Catalyst-side time coercion)
 
 Auth: ``Authorization: Bearer <token>`` verified against
 :class:`arc_spark.auth.AuthStore` (hashed tokens, SQLite). RBAC reuses the
@@ -538,6 +541,69 @@ class ArcServer:
                     )
                     if ok:
                         self._json(200, {"written": n})
+                    return
+
+                if url.path in ("/api/v1/import/csv", "/api/v1/import/parquet"):
+                    # reference internal/api/import_inprocess.go:35-1166 —
+                    # CSV/Parquet bulk import over HTTP. The body is the raw
+                    # file; it is staged to a temp file and imported through
+                    # the distributed reader (schema inference + time
+                    # coercion all Catalyst-side), then written into the
+                    # measurement tree. Query params: db, measurement,
+                    # time_column, time_format, delimiter, header, tags.
+                    if outer.ingest is None:
+                        return self._json(503, {"error": "ingest disabled"})
+                    if not self._require_admin(token):
+                        return
+
+                    def _bulk():
+                        import os
+                        import tempfile
+
+                        from arc_spark.sources.bulk_import import (
+                            import_csv,
+                            import_parquet,
+                            import_result,
+                        )
+                        from arc_spark.sources.writer import write_measurement
+
+                        kind = url.path.rsplit("/", 1)[-1]
+                        suffix = ".csv" if kind == "csv" else ".parquet"
+                        fd, tmp = tempfile.mkstemp(
+                            prefix="arc-import-", suffix=suffix
+                        )
+                        try:
+                            with os.fdopen(fd, "wb") as f:
+                                f.write(body)
+                            if kind == "csv":
+                                df = import_csv(
+                                    outer.query.spark, tmp,
+                                    time_column=q.get("time_column", "time"),
+                                    time_format=q.get("time_format", ""),
+                                    delimiter=q.get("delimiter", ","),
+                                    header=q.get("header", "true").lower()
+                                    != "false",
+                                )
+                            else:
+                                df = import_parquet(
+                                    outer.query.spark, tmp,
+                                    time_column=q.get("time_column", "time"),
+                                    time_format=q.get("time_format", ""),
+                                )
+                            tags = [t for t in q.get("tags", "").split(",") if t]
+                            res = import_result(df)
+                            write_measurement(
+                                df, outer.ingest.root, q.get("db", "default"),
+                                q.get("measurement", "imported"),
+                                tag_columns=tags,
+                            )
+                            return res
+                        finally:
+                            os.unlink(tmp)
+
+                    ok, out = self._run(_bulk)
+                    if ok:
+                        self._json(200, out)
                     return
 
                 if url.path == "/api/v1/import/tle":

@@ -274,6 +274,72 @@ class TestManagementRoutes:
                                admin, tle.encode())
         assert status == 200 and json.loads(body)["written"] == 1
 
+    def test_import_csv_roundtrip(self, live, spark):
+        """POST a raw CSV body, then query the rows back through /query
+        (reference import_inprocess.go CSV lane)."""
+        port, admin, _limited, cat = live
+        csv = (
+            "time,host,usage\n"
+            "2024-01-15T10:00:00,web1,0.25\n"
+            "2024-01-15T11:00:00,web2,0.75\n"
+        ).encode()
+        status, body, _ = _req(
+            port,
+            "/api/v1/import/csv?db=metrics&measurement=csvimp&tags=host",
+            "POST", admin, csv,
+        )
+        assert status == 200
+        res = json.loads(body)
+        assert res["rows_imported"] == 2
+        assert "host" in res["columns"] and "time" in res["columns"]
+        cat.register("metrics", "csvimp", view="csvimp")
+        status, body, _ = _req(
+            port, "/api/v1/query", "POST", admin,
+            json.dumps({"sql": "SELECT host, usage FROM csvimp ORDER BY host"}).encode(),
+        )
+        assert status == 200
+        text = body.decode()
+        assert "web1" in text and "0.75" in text
+
+    def test_import_parquet_roundtrip(self, live, spark):
+        """POST a raw Parquet body (epoch-ms time column, auto-coerced)."""
+        import io
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        port, admin, _limited, cat = live
+        table = pa.table({
+            "time": pa.array([1705312800000, 1705316400000], pa.int64()),
+            "host": pa.array(["db1", "db2"]),
+            "value": pa.array([1.5, 2.5]),
+        })
+        buf = io.BytesIO()
+        pq.write_table(table, buf)
+        status, body, _ = _req(
+            port,
+            "/api/v1/import/parquet?db=metrics&measurement=pqimp&tags=host",
+            "POST", admin, buf.getvalue(),
+        )
+        assert status == 200
+        res = json.loads(body)
+        assert res["rows_imported"] == 2
+        # epoch-ms magnitudes detected → µs timestamps
+        assert res["time_range_min_us"] == 1705312800000 * 1000
+        cat.register("metrics", "pqimp", view="pqimp")
+        status, body, _ = _req(
+            port, "/api/v1/query", "POST", admin,
+            json.dumps({"sql": "SELECT host, value FROM pqimp ORDER BY host"}).encode(),
+        )
+        assert status == 200 and "db1" in body.decode()
+
+    def test_import_csv_requires_admin(self, live):
+        port, _admin, limited, _cat = live
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _req(port, "/api/v1/import/csv?db=metrics&measurement=x",
+                 "POST", limited, b"time,v\n2024-01-01,1\n")
+        assert e.value.code == 403
+
 
 class TestGovernanceAndCqRoutes:
     def test_governance_policy_applies(self, live):
