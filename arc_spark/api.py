@@ -193,6 +193,7 @@ class IngestService:
         max_decompressed_bytes: int | None = None,
         flush_workers: int = 0,
         distributed_decode_min_bytes: int = 8 * 1024 * 1024,
+        max_pending_rows: int | None = None,
     ):
         """defer_decode=True moves payload decoding from the ack path to the
         flush path: write_* returns -1 (count unknown) after only the WAL
@@ -204,7 +205,13 @@ class IngestService:
         flushWorker pool, arrow_writer.go:2370-2438): a threshold-crossing
         write SCHEDULES a flush on a worker thread and returns immediately;
         the worker also enforces the age trigger without traffic. Call
-        :meth:`drain` (or :meth:`close`) to make everything durable."""
+        :meth:`drain` (or :meth:`close`) to make everything durable.
+
+        max_pending_rows bounds ingest memory: when buffered + in-flight
+        rows reach it, write_* blocks until a flush completes — ack rate
+        converges to flush rate instead of accumulating unbounded heap
+        (the reference's bounded flush queue). Default 4× max_buffer_rows;
+        pass 0/None semantics via a huge value if unbounded is wanted."""
         from arc_spark.sources.wal import Wal
 
         self.spark = spark
@@ -230,6 +237,11 @@ class IngestService:
         self._buffers: dict[tuple[str, str], list[dict]] = {}
         self._raw: list[tuple[str, str, bytes]] = []  # (db, kind, payload)
         self._buffer_rows = 0
+        self._flushing_rows = 0  # snapshot rows still being written
+        self.max_pending_rows = (
+            max_pending_rows if max_pending_rows is not None
+            else 4 * max_buffer_rows
+        )
         self._oldest: float | None = None
         self._recovering = False  # suppresses WAL truncation mid-replay
         self.stats = {"acked": 0, "flushed": 0, "flushes": 0}
@@ -238,6 +250,9 @@ class IngestService:
         # _flush_serial: at most one flush body runs at a time, so a later
         # flush's WAL truncation cannot outrun an earlier flush's Parquet
         self._lock = threading.Lock()
+        # signaled when a flush finishes (or rolls back): backpressured
+        # writers re-check the pending-row level
+        self._space = threading.Condition(self._lock)
         self._flush_serial = threading.Lock()
         self._flush_queue = None
         self._flush_pending = threading.Event()
@@ -353,7 +368,26 @@ class IngestService:
         """WAL append + buffer insert, atomically: a concurrent flush
         snapshot either sees both (entry flushed, WAL cut past it) or
         neither (entry keeps its WAL backing) — never a WAL entry whose
-        rows are outside every snapshot."""
+        rows are outside every snapshot.
+
+        Backpressure first: while buffered + in-flight rows are at
+        max_pending_rows, block (triggering flushes) until a flush drains
+        space — ingest cannot outrun the writer into unbounded heap."""
+        while True:
+            with self._lock:
+                over = (
+                    self._buffer_rows + self._flushing_rows
+                    >= self.max_pending_rows
+                    and self._flush_error is None
+                )
+            if not over:
+                break
+            self._trigger_flush()  # sync mode flushes inline; workers: schedule
+            with self._space:
+                if (self._buffer_rows + self._flushing_rows
+                        >= self.max_pending_rows
+                        and self._flush_error is None):
+                    self._space.wait(timeout=0.1)
         with self._lock:
             if wal_payload is not None and self.wal is not None:
                 self.wal.append(wal_payload)
@@ -479,6 +513,8 @@ class IngestService:
             with self._lock:
                 buffers, self._buffers = self._buffers, {}
                 raw, self._raw = self._raw, []
+                snap_rows = self._buffer_rows
+                self._flushing_rows += snap_rows
                 self._buffer_rows = 0
                 self._oldest = None
                 cut = None
@@ -510,12 +546,16 @@ class IngestService:
                         )
                     if self._oldest is None and self._buffers:
                         self._oldest = time.monotonic()
+                    self._flushing_rows -= snap_rows
+                    self._space.notify_all()
                 raise
             if cut is not None:
                 self.wal.truncate_upto(cut)
             with self._lock:
                 self.stats["flushed"] += total
                 self.stats["flushes"] += 1
+                self._flushing_rows -= snap_rows
+                self._space.notify_all()
         return total
 
     def _write_buffers(self, buffers: dict[tuple[str, str], list[dict]]) -> int:
@@ -530,7 +570,6 @@ class IngestService:
             decimals = self.decimal_config.get(meas)
             tables = [columnar_to_arrow(b, decimal_columns=decimals)
                       for b in batches]
-            merged = merge_batches(tables)
             tag_cols = sorted(
                 {c for b in batches for c in (b.get("tag_columns") or [])}
             )
@@ -538,19 +577,59 @@ class IngestService:
                 {c: list(ps) for c, ps in decimals.items()} if decimals else None
             )
             # steady-state flushes write Parquet in-process (the reference's
-            # design — no per-flush Spark job); only backfill-sized batches
-            # pay the distributed shuffle-write
-            if merged.num_rows <= self.direct_flush_max_rows:
+            # design — no per-flush Spark job). A backlog bigger than one
+            # trigger unit is CHUNKED and the chunks written concurrently
+            # (sort + parquet encode release the GIL): drain after a burst
+            # pays N× the per-chunk cost / parallelism, not one giant
+            # single-threaded sort. Only a single payload beyond
+            # direct_flush_max_rows takes the distributed Spark write.
+            # half the trigger size: a steady-state snapshot (one trigger
+            # unit, plus whatever accumulated while the previous flush ran)
+            # splits across ≥2 concurrent chunk writers
+            chunk_rows = max(min(self.max_buffer_rows, 2_000_000) // 2, 50_000)
+            chunks: list[list] = [[]]
+            acc = 0
+            big: list = []
+            for t in tables:
+                if t.num_rows > self.direct_flush_max_rows:
+                    big.append(t)
+                    continue
+                if acc + t.num_rows > chunk_rows and chunks[-1]:
+                    chunks.append([])
+                    acc = 0
+                chunks[-1].append(t)
+                acc += t.num_rows
+            chunks = [c for c in chunks if c]
+
+            def _write_chunk(group: list) -> int:
+                merged = merge_batches(group)
                 write_measurement_arrow(
                     merged, self.root, db, meas, tag_columns=tag_cols,
-                    decimals=dec_manifest,
+                    decimals=dec_manifest, manifest=False,
                 )
+                return merged.num_rows
+
+            if chunks:
+                from arc_spark.sources.writer import write_manifest
+
+                # once per flush, atomically — not per concurrent chunk
+                write_manifest(self.root, db, meas, tag_cols,
+                               (tag_cols or []) + ["time"],
+                               decimals=dec_manifest)
+            if len(chunks) <= 1:
+                total += sum(_write_chunk(c) for c in chunks)
             else:
-                df = self.spark.createDataFrame(merged)
+                from concurrent.futures import ThreadPoolExecutor
+
+                workers = min(len(chunks), 4)
+                with ThreadPoolExecutor(max_workers=workers) as ex:
+                    total += sum(ex.map(_write_chunk, chunks))
+            for t in big:
+                df = self.spark.createDataFrame(t)
                 write_measurement(df, self.root, db, meas,
                                   tag_columns=tag_cols,
                                   decimals=dec_manifest)
-            total += merged.num_rows
+                total += t.num_rows
         return total
 
     # -- crash recovery ----------------------------------------------------

@@ -93,30 +93,54 @@ def normalize_epoch_us(v: int) -> int:
     return v * 1_000_000
 
 
-def _normalize_epoch_us_column(values: list) -> list:
+def _normalize_epoch_us_column(values):
     """Vectorized :func:`normalize_epoch_us` over a whole column — the
     ingest ack path runs this on every payload, so a per-element Python
-    loop is measurable at 100k-row batches. Falls back element-wise when
-    the column has NULLs or non-int values."""
+    loop is measurable at 100k-row batches. numpy input stays numpy
+    (zero-object fast path); lists fall back element-wise when the column
+    has NULLs or non-int values."""
     import numpy as np
 
-    try:
-        v = np.asarray(values, dtype=np.int64)
-    except (ValueError, TypeError, OverflowError):
-        return [normalize_epoch_us(int(t)) if t is not None else None
-                for t in values]
+    if isinstance(values, np.ndarray):
+        v = values.astype(np.int64, copy=False)
+    else:
+        try:
+            v = np.asarray(values, dtype=np.int64)
+        except (ValueError, TypeError, OverflowError):
+            return [normalize_epoch_us(int(t)) if t is not None else None
+                    for t in values]
     out = np.where(
         v >= _NS_MIN, v // 1000,
         np.where(v >= _US_MIN, v,
                  np.where(v >= _MS_MIN, v * 1000, v * 1_000_000)),
     )
-    return out.tolist()
+    return out if isinstance(values, np.ndarray) else out.tolist()
 
 
 def decode_msgpack_payload(data: bytes) -> dict:
     """Decode an arc wire payload (columnar `{m, columns, tags?}`, row
     `{m, t, fields, tags?}`, or batch `{batch: [rows]}`) into the columnar
-    form {measurement, columns: {name: list}, tag_columns: [..]}."""
+    form {measurement, columns: {name: values}, tag_columns: [..]}.
+
+    Columnar payloads take the zero-object fast path
+    (:func:`arc_spark.sources.msgpack_codec.unpack_columnar`): homogeneous
+    numeric columns arrive as numpy arrays and string columns as Arrow
+    StringArrays — no per-cell Python objects between the wire and the
+    Arrow flush. Row/batch payloads use the generic decoder.
+    """
+    from arc_spark.sources.msgpack_codec import unpack_columnar
+
+    fast = unpack_columnar(data)
+    if fast is not None:
+        cols = fast["columns"]
+        if "time" in cols:
+            t = cols["time"]
+            if isinstance(t, pa.Array):
+                # numeric-string epochs: the generic path accepts them via
+                # per-element int() — match it
+                t = t.to_pylist()
+            cols["time"] = _normalize_epoch_us_column(t)
+        return fast
     obj = unpackb(data)
     if isinstance(obj, dict) and "columns" in obj:
         cols = {str(k): list(v) for k, v in obj["columns"].items()}
@@ -171,10 +195,12 @@ def rows_to_columnar(rows: list[dict]) -> dict:
 
 def _infer_arrow_type(
     name: str,
-    values: list,
+    values,
     tag_columns: set[str],
     decimal_columns: dict[str, tuple[int, int]] | None = None,
 ) -> pa.DataType:
+    import numpy as np
+
     if name == "time":
         return pa.timestamp("us")
     if decimal_columns and name in decimal_columns:
@@ -182,6 +208,17 @@ def _infer_arrow_type(
         return pa.decimal128(p, s)
     if name in tag_columns:
         return pa.string()
+    # fast-path columns carry their type already
+    if isinstance(values, pa.Array):
+        return values.type
+    if isinstance(values, np.ndarray):
+        if values.dtype.kind == "f":
+            return pa.float64()
+        if values.dtype.kind in ("i", "u"):
+            return pa.int64()
+        if values.dtype.kind == "b":
+            return pa.bool_()
+        raise TypeError(f"unsupported ingest dtype {values.dtype} in column {name!r}")
     for v in values:
         if v is None:
             continue
@@ -210,21 +247,36 @@ def columnar_to_arrow(
     """
     import decimal as _dec
 
+    import numpy as np
+
     cols = batch["columns"]
     tag_set = set(batch.get("tag_columns") or [])
     arrays, names = [], []
     for name, values in cols.items():
         typ = _infer_arrow_type(name, values, tag_set, decimal_columns)
+        fast = isinstance(values, (np.ndarray, pa.Array))
         if name == "time":
-            values = [v if v is None else int(v) for v in values]
-            arrays.append(pa.array(values, type=pa.int64()).cast(pa.timestamp("us")))
+            if fast:
+                arr = pa.array(np.asarray(values, dtype=np.int64))
+            else:
+                arr = pa.array([v if v is None else int(v) for v in values],
+                               type=pa.int64())
+            arrays.append(arr.cast(pa.timestamp("us")))
         elif pa.types.is_decimal(typ):
+            vals = values.tolist() if isinstance(values, np.ndarray) else (
+                values.to_pylist() if isinstance(values, pa.Array) else values
+            )
             q = _dec.Decimal(1).scaleb(-typ.scale)
             arrays.append(pa.array(
                 [None if v is None else _dec.Decimal(str(v)).quantize(q)
-                 for v in values],
+                 for v in vals],
                 type=typ,
             ))
+        elif fast:
+            # zero-object path: ndarray → pa.array (one C call); a numeric
+            # ndarray for a tag column casts to the declared string type
+            arr = values if isinstance(values, pa.Array) else pa.array(values)
+            arrays.append(arr if arr.type == typ else arr.cast(typ))
         elif pa.types.is_int64(typ):
             arrays.append(pa.array([None if v is None else int(v) for v in values], type=typ))
         elif pa.types.is_float64(typ):

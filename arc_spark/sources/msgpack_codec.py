@@ -277,3 +277,202 @@ def _unpack_map(mv: memoryview, pos: int, n: int):
         v, pos = _unpack(mv, pos)
         out[k] = v
     return out, pos
+
+
+# --------------------------------------------------------------------------
+# columnar zero-object fast path
+# --------------------------------------------------------------------------
+#
+# The ingest hot path decodes columnar payloads {m, columns: {name: [...]},
+# tags: [...]} where each column is overwhelmingly ONE msgpack type (all
+# int64 timestamps, all float64 values, all short strings). Decoding those
+# through the generic path materializes one Python object per cell — the
+# measured ceiling of sustained ingest (VERDICT r2). This path decodes:
+#
+# - homogeneous fixed-width numeric columns → a numpy array via ONE strided
+#   frombuffer (no per-cell objects at all);
+# - homogeneous fixstr/str8 columns → a pyarrow StringArray built from an
+#   offsets buffer + the raw UTF-8 bytes (marker bytes masked out with
+#   numpy); the only Python loop is over header POSITIONS (ints), and no
+#   str objects are created;
+# - anything else → the generic decoder, element-wise (byte-identical
+#   semantics).
+#
+# The reference gets its 20.9M rec/s from native per-worker decoders
+# (internal/ingest/msgpack.go); this is the vectorized-Python equivalent,
+# and numpy/pyarrow calls release the GIL so concurrent writers scale.
+
+def unpack_columnar(data: bytes):
+    """Decode a columnar wire payload without per-cell Python objects.
+
+    Returns ``{measurement, columns: {name: ndarray|pa.Array|list},
+    tag_columns}`` — or ``None`` when the payload is not the columnar map
+    shape (caller falls back to :func:`unpackb`). Numeric columns come
+    back as native-endian numpy arrays, string columns as pyarrow
+    StringArrays; mixed/exotic columns as plain lists like the generic
+    decoder would produce.
+    """
+    mv = memoryview(data)
+    try:
+        b = mv[0]
+    except IndexError:
+        return None
+    pos = 1
+    if 0x80 <= b <= 0x8F:
+        n_keys = b & 0x0F
+    elif b == 0xDE:
+        (n_keys,) = struct.unpack_from(">H", mv, 1)
+        pos = 3
+    else:
+        return None
+    measurement = None
+    columns = None
+    tag_columns: list = []
+    for _ in range(n_keys):
+        k, pos = _unpack(mv, pos)
+        if k == "columns":
+            cols, pos = _unpack_columns_map(mv, pos)
+            if cols is None:
+                return None
+            columns = cols
+        elif k in ("m", "measurement"):
+            measurement, pos = _unpack(mv, pos)
+        elif k in ("tags", "tag_columns"):
+            v, pos = _unpack(mv, pos)
+            tag_columns = list(v or [])
+        else:
+            _, pos = _unpack(mv, pos)
+    if columns is None:
+        return None
+    if pos != len(data):
+        raise ValueError(f"trailing bytes at {pos}")
+    return {
+        "measurement": measurement,
+        "columns": columns,
+        "tag_columns": tag_columns,
+    }
+
+
+def _unpack_columns_map(mv: memoryview, pos: int):
+    b = mv[pos]
+    pos += 1
+    if 0x80 <= b <= 0x8F:
+        n = b & 0x0F
+    elif b == 0xDE:
+        (n,) = struct.unpack_from(">H", mv, pos)
+        pos += 2
+    elif b == 0xDF:
+        (n,) = struct.unpack_from(">I", mv, pos)
+        pos += 4
+    else:
+        return None, pos
+    cols = {}
+    for _ in range(n):
+        k, pos = _unpack(mv, pos)
+        v, pos = _decode_column(mv, pos)
+        cols[str(k)] = v
+    return cols, pos
+
+
+def _decode_column(mv: memoryview, pos: int):
+    """One column array: numpy / StringArray fast paths, generic fallback."""
+    import numpy as np
+
+    b = mv[pos]
+    if 0x90 <= b <= 0x9F:
+        n = b & 0x0F
+        pos += 1
+    elif b == 0xDC:
+        (n,) = struct.unpack_from(">H", mv, pos + 1)
+        pos += 3
+    elif b == 0xDD:
+        (n,) = struct.unpack_from(">I", mv, pos + 1)
+        pos += 5
+    else:
+        return _unpack(mv, pos)
+    if n < _RUN_MIN:
+        return _unpack_array(mv, pos, n)
+    m = mv[pos]
+    spec = _FIXED_RUNS.get(m)
+    if spec is not None:
+        fmt, width = spec
+        if len(mv) - pos >= n * width:
+            raw = np.frombuffer(
+                mv[pos:pos + n * width], dtype=[("m", "u1"), ("v", fmt)]
+            )
+            if (raw["m"] == m).all():
+                # native-endian copy; uint64 values stay uint64 like the
+                # scalar decoder's ints (Arrow will widen/cast downstream)
+                vals = raw["v"].astype(raw["v"].dtype.newbyteorder("="))
+                return vals, pos + n * width
+    if (0xA0 <= m <= 0xBF) or m == 0xD9:
+        got = _decode_str_column(mv, pos, n)
+        if got is not None:
+            return got
+    return _unpack_array(mv, pos, n)
+
+
+def _decode_str_column(mv: memoryview, pos: int, n: int):
+    """All-fixstr/str8 column → pa.StringArray from (offsets, data) buffers.
+
+    The Python loop walks header positions only (one bytes index + int add
+    + list append per cell — no str objects); headers are then masked out
+    of the raw region with one numpy fancy-index, and the value bytes are
+    validated as UTF-8 in one shot. Returns None (→ generic fallback) on
+    any non-str element or invalid UTF-8 (the generic path sanitizes)."""
+    import numpy as np
+    import pyarrow as pa
+
+    buf = mv.obj if isinstance(mv.obj, bytes) else bytes(mv)
+    end = len(buf)
+    lens: list[int] = []
+    append = lens.append
+    str8_idx: list[int] = []
+    p = pos
+    try:
+        for i in range(n):
+            h = buf[p]
+            if 0xA0 <= h <= 0xBF:
+                ln = h & 0x1F
+                p += 1 + ln
+            elif h == 0xD9:
+                ln = buf[p + 1]
+                str8_idx.append(i)
+                p += 2 + ln
+            else:
+                return None
+            append(ln)
+    except IndexError:
+        return None
+    if p > end:
+        return None
+    lens_a = np.asarray(lens, dtype=np.int64)
+    total = int(lens_a.sum())
+    if total >= 2**31:
+        return None  # would overflow 32-bit string offsets
+    # header (marker) positions relative to the region start: running sum
+    # of header+value widths — headers masked out leaves the value bytes
+    hdr = np.ones(n, dtype=np.int64)
+    if str8_idx:
+        hdr[str8_idx] = 2
+    markers = np.empty(n, dtype=np.int64)
+    markers[0] = 0
+    if n > 1:
+        np.cumsum((hdr + lens_a)[:-1], out=markers[1:])
+    region = np.frombuffer(mv[pos:p], dtype=np.uint8)
+    mask = np.ones(p - pos, dtype=bool)
+    mask[markers] = False
+    if str8_idx:
+        mask[markers[np.asarray(str8_idx)] + 1] = False
+    data_bytes = region[mask].tobytes()
+    try:
+        data_bytes.decode("utf-8")
+    except UnicodeDecodeError:
+        return None  # generic path applies U+FFFD sanitization
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens_a, out=offsets[1:])
+    arr = pa.StringArray.from_buffers(
+        n, pa.py_buffer(offsets.astype(np.int32).tobytes()),
+        pa.py_buffer(data_bytes),
+    )
+    return arr, p

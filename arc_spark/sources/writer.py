@@ -44,11 +44,16 @@ def write_manifest(root: str, db: str, measurement: str,
     bk = backend_for(root)
     path = measurement_path(root, db, measurement)
     bk.mkdirs(path)
+    # atomic publish: readers (read_manifest, compaction) must never see a
+    # torn JSON — local rename is atomic, object-store PUT-then-move leaves
+    # either the old or the new object visible
+    tmp = bk.join(path, f".{MANIFEST_NAME}.tmp-{uuid.uuid4().hex[:8]}")
     bk.write_json(
-        bk.join(path, MANIFEST_NAME),
+        tmp,
         {"tag_columns": tag_columns, "sort_keys": sort_keys,
          "dedup_time": dedup_time, "decimals": decimals or {}},
     )
+    bk.move_file(tmp, bk.join(path, MANIFEST_NAME))
 
 
 def read_manifest(root: str, db: str, measurement: str) -> dict:
@@ -132,6 +137,7 @@ def write_measurement_arrow(
     sort_keys: list[str] | None = None,
     dedup_time: bool = False,
     decimals: dict[str, list[int]] | None = None,
+    manifest: bool = True,
 ) -> str:
     """Single-process Arrow→Parquet flush fast path.
 
@@ -180,6 +186,9 @@ def write_measurement_arrow(
             compression="zstd"
         ),
     )
-    write_manifest(root, db, measurement, tag_columns, sort_keys, dedup_time,
-                   decimals=decimals)
+    # manifest=False lets a chunk-parallel flush write the (identical)
+    # manifest once instead of per chunk
+    if manifest:
+        write_manifest(root, db, measurement, tag_columns, sort_keys,
+                       dedup_time, decimals=decimals)
     return out
