@@ -239,10 +239,15 @@ class MeasurementCatalog:
         return name
 
     def invalidate(self, db: str, measurement: str) -> None:
-        """Re-resolve all views over a measurement after its file set changed
-        (compaction/delete/retention). A temp view pins the file listing it
-        was created with — `refreshByPath` does NOT reach it — so the views
-        are re-registered from a fresh scan. Mirrors the reference's
-        post-compaction cache invalidation (internal/api/query.go:1049-1053)."""
+        """Re-resolve reads over a measurement after its file set changed
+        (compaction/delete/retention/restore). Two caches need clearing:
+        the session's shared FileStatusCache (refreshByPath — or a plain
+        ``spark.read`` over the same path serves the stale listing), and
+        every temp view, which pins the file listing it was created with
+        and must be re-registered from a fresh scan. Mirrors the
+        reference's post-compaction cache invalidation
+        (internal/api/query.go:1049-1053)."""
+        for p in self.paths(db, measurement):
+            self.spark.catalog.refreshByPath(backend_for(p).spark_url(p))
         for name in self._views.get((db, measurement), set()):
             self.table(db, measurement).createOrReplaceTempView(name)

@@ -22,6 +22,8 @@ one stored without a table restriction):
 - ``POST /api/v1/retention``             (retention.go, A27)
 - ``POST /api/v1/compaction``            (compaction.go, A20/A23; hourly or
   daily tier)
+- ``POST /api/v1/backup|restore``        (internal/backup/manager.go; tree
+  copy + manifest, partial restore via partition prefix)
 - ``GET/POST /api/v1/auth/tokens``, ``DELETE /api/v1/auth/tokens/<name>``
   (auth_routes.go)
 - ``POST /api/v1/import/line|tle?db=``   (import.go bulk lanes; LP routes
@@ -376,6 +378,48 @@ class ArcServer:
                         req["name"], req.get("allowed_tables")))
                     if ok:
                         self._json(201, {"token": tok, "name": req["name"]})
+                    return
+
+                if url.path in ("/api/v1/backup", "/api/v1/restore"):
+                    # reference internal/backup/manager.go CreateBackup /
+                    # RestoreBackup over the admin API
+                    if not self._require_admin(token):
+                        return
+                    if outer.ingest is None:
+                        return self._json(503, {"error": "no storage attached"})
+                    try:
+                        req = json.loads(body or b"{}")
+                    except json.JSONDecodeError:
+                        return self._json(400, {"error": "body must be JSON"})
+                    if not req.get("backup_root"):
+                        return self._json(400, {"error": "missing backup_root"})
+
+                    def _bk():
+                        from arc_spark.operators.backup import (
+                            create_backup,
+                            restore_backup,
+                        )
+
+                        if url.path.endswith("backup"):
+                            return create_backup(
+                                outer.ingest.root, req["backup_root"],
+                                db=req.get("db"),
+                                measurement=req.get("measurement"),
+                            )
+                        if not req.get("backup_id"):
+                            raise SqlValidationError("missing 'backup_id'")
+                        return restore_backup(
+                            req["backup_root"], req["backup_id"],
+                            outer.ingest.root, db=req.get("db"),
+                            measurement=req.get("measurement"),
+                            prefix=req.get("prefix"),
+                            overwrite=bool(req.get("overwrite", False)),
+                            catalog=outer.query.catalog,
+                        )
+
+                    ok, out = self._run(_bk)
+                    if ok:
+                        self._json(200, out)
                     return
 
                 if url.path in ("/api/v1/delete", "/api/v1/retention",

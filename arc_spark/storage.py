@@ -143,6 +143,10 @@ class StorageBackend:
     def isfile(self, path: str) -> bool:
         return self._info(path).type == pafs.FileType.File
 
+    def size(self, path: str) -> int:
+        """File size in bytes (0 when unknown)."""
+        return self._info(path).size or 0
+
     def mtime(self, path: str) -> float:
         """POSIX mtime; 0.0 when the backend carries no timestamp (callers
         treat that as arbitrarily old — conservative for age gates)."""

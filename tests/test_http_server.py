@@ -333,6 +333,25 @@ class TestManagementRoutes:
         )
         assert status == 200 and "db1" in body.decode()
 
+    def test_backup_restore_over_http(self, live, tmp_path):
+        port, admin, *_ = live
+        bdir = str(tmp_path / "http-backups")
+        status, body, _ = _req(
+            port, "/api/v1/backup", "POST", admin,
+            json.dumps({"backup_root": bdir}).encode())
+        assert status == 200
+        man = json.loads(body)
+        assert man["total_files"] > 0 and "metrics" in man["databases"]
+        status, body, _ = _req(
+            port, "/api/v1/restore", "POST", admin,
+            json.dumps({"backup_root": bdir,
+                        "backup_id": man["backup_id"]}).encode())
+        assert status == 200
+        # live tree untouched → everything skipped, nothing clobbered
+        res = json.loads(body)
+        assert res["restored_files"] == 0
+        assert res["skipped_files"] == man["total_files"]
+
     def test_import_csv_requires_admin(self, live):
         port, _admin, limited, _cat = live
         with pytest.raises(urllib.error.HTTPError) as e:
