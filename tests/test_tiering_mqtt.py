@@ -5,6 +5,8 @@ from __future__ import annotations
 import datetime as dt
 import os
 
+import pytest
+
 from arc_spark.catalog import MeasurementCatalog
 from arc_spark.operators.tiering import migrate_to_cold, tier_report
 from arc_spark.sources.ingest import columnar_to_dataframe, rows_to_columnar
@@ -79,3 +81,79 @@ class TestMqttBridge:
         bridge.subscribe(MqttSubscription("t/#", "iot", "x", "json"))
         assert bridge.handle_message("t/1", b"not json") == 0
         assert bridge.stats["errors"] == 1
+
+    def test_attach_paho_wiring_with_stub_client(self, spark, tmp_path,
+                                                 monkeypatch):
+        """Execute attach_paho's REAL code (client build, on_message
+        wiring, connect, per-subscription subscribe) against a stub paho
+        module — the attach path runs even where no broker exists."""
+        import sys
+        import types
+
+        calls = {"connect": None, "subscribed": []}
+
+        class _StubClient:
+            def __init__(self, **kwargs):
+                self.on_message = None
+
+            def connect(self, host, port):
+                calls["connect"] = (host, port)
+
+            def subscribe(self, topic):
+                calls["subscribed"].append(topic)
+
+        stub_mqtt = types.ModuleType("paho.mqtt.client")
+        stub_mqtt.Client = _StubClient
+        stub_paho = types.ModuleType("paho")
+        stub_paho_mqtt = types.ModuleType("paho.mqtt")
+        monkeypatch.setitem(sys.modules, "paho", stub_paho)
+        monkeypatch.setitem(sys.modules, "paho.mqtt", stub_paho_mqtt)
+        monkeypatch.setitem(sys.modules, "paho.mqtt.client", stub_mqtt)
+
+        bridge = MqttIngestBridge(spark, str(tmp_path))
+        bridge.subscribe(
+            MqttSubscription("sensors/+/cpu", "iot", "cpu", "line_protocol"))
+        client = bridge.attach_paho("broker.local", 1884)
+        assert calls["connect"] == ("broker.local", 1884)
+        assert calls["subscribed"] == ["sensors/+/cpu"]
+        # the wired callback routes through handle_message end-to-end
+        msg = types.SimpleNamespace(
+            topic="sensors/a/cpu",
+            payload=b"cpu,host=a usage=0.5 1700000000000000000\n",
+        )
+        client.on_message(client, None, msg)
+        assert bridge.stats["records"] == 1
+
+    def test_live_broker_smoke(self, spark, tmp_path):
+        """Full e2e against a real local MQTT broker — runs only where
+        paho-mqtt AND a broker at localhost:1883 are available (CI with a
+        mosquitto sidecar); skip-marked otherwise."""
+        import socket
+        import time
+
+        pytest.importorskip("paho.mqtt.client")
+        try:
+            socket.create_connection(("127.0.0.1", 1883), timeout=0.5).close()
+        except OSError:
+            pytest.skip("no MQTT broker on localhost:1883")
+
+        import paho.mqtt.client as mqtt
+
+        bridge = MqttIngestBridge(spark, str(tmp_path))
+        bridge.subscribe(
+            MqttSubscription("arc-smoke/#", "iot", "cpu", "line_protocol"))
+        client = bridge.attach_paho("127.0.0.1", 1883)
+        client.loop_start()
+        try:
+            pub = mqtt.Client()
+            pub.connect("127.0.0.1", 1883)
+            pub.publish("arc-smoke/t1",
+                        b"cpu,host=a usage=0.5 1700000000000000000\n")
+            pub.disconnect()
+            deadline = time.time() + 10
+            while bridge.stats["records"] < 1 and time.time() < deadline:
+                time.sleep(0.1)
+            assert bridge.stats["records"] >= 1
+        finally:
+            client.loop_stop()
+            client.disconnect()
