@@ -66,6 +66,22 @@ class QueryService:
     def register_measurement(self, db: str, measurement: str, view: str | None = None) -> str:
         return self.catalog.register(db, measurement, view)
 
+    def _scope_to_db(self, db: str, sql: str) -> None:
+        """Header-database scoping (reference x-arc-database): reject
+        multi-part table refs, and bind each unqualified ref that names a
+        measurement of ``db`` to that measurement (bare-name view).
+        Runs under ``_plan_lock`` so the view binding is not observable by
+        a concurrently-scoped request for a different database."""
+        measurements = set(self.catalog.measurements(db))
+        for ref in extract_tables(self.spark, sql):
+            if len(ref) >= 2:
+                raise SqlValidationError(
+                    "cross-database queries (db.table) not allowed when "
+                    "the request is scoped to a database"
+                )
+            if ref[0] in measurements:
+                self.catalog.register(db, ref[0], view=ref[0])
+
     _IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 
     def query_measurement(
@@ -130,20 +146,38 @@ class QueryService:
             timeout_s=self.governor.timeout_s(token),
         )
 
-    def execute(self, sql: str, token: str = "", fmt: str = "rows"):
+    # SHOW TABLES is an alias for SHOW MEASUREMENTS; the db in FROM may be
+    # quoted (reference query.go:50-58 showTablesPattern)
+    _SHOW_TABLES_RE = re.compile(
+        r"(?is)^\s*SHOW\s+(?:TABLES|MEASUREMENTS)"
+        r"(?:\s+(?:FROM\s+)?[\"'`]?([\w.-]+)[\"'`]?)?\s*;?\s*$"
+    )
+
+    def execute(self, sql: str, token: str = "", fmt: str = "rows",
+                db: str | None = None):
         """Run one query request end-to-end.
 
         fmt: 'rows' (list of Row), 'json' (typed-JSON chunks iterator),
         'arrow' (IPC bytes), 'msgpack' (columnar bytes).
+
+        ``db`` scopes the request to one database (the reference's
+        ``x-arc-database`` header, query.go:1484-1495): unqualified table
+        names resolve to that database's measurements, SHOW MEASUREMENTS
+        defaults to it, and cross-database ``db.table`` references are
+        rejected — detected on the PARSED plan's table refs, not by string
+        scanning (no literal/comment-masking regexes to get wrong).
         """
         self.governor.admit(token)
+        if db is not None and not self._IDENT_RE.match(db):
+            raise SqlValidationError(f"invalid database name {db!r}")
         # SHOW intercept — storage listing, no SQL engine (reference A12)
         stripped = sql.strip().rstrip(";").upper()
         if stripped == "SHOW DATABASES":
             return [{"database": d} for d in self.catalog.databases()]
-        if stripped.startswith("SHOW MEASUREMENTS"):
-            db = sql.strip().rstrip(";").split()[-1] if len(sql.split()) > 2 else ""
-            return [{"measurement": m} for m in self.catalog.measurements(db)]
+        m = self._SHOW_TABLES_RE.match(sql)
+        if m:
+            target = m.group(1) or db or ""
+            return [{"measurement": x} for x in self.catalog.measurements(target)]
         validate_read_only(self.spark, sql)
         self._check_rbac(token, sql)
         # SQL-surface partition pruning (reference A2's flagship behavior):
@@ -151,6 +185,8 @@ class QueryService:
         # on each measurement scan. The lock scopes the temporary pruned-view
         # registration so concurrent execute() calls can't observe it.
         with self._plan_lock:
+            if db is not None:
+                self._scope_to_db(db, sql)
             df = prune_sql(self.spark, sql, self.catalog)
         df = self.governor.cap(token, df)
         timeout_s = self.governor.timeout_s(token)

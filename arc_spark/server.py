@@ -288,11 +288,15 @@ class ArcServer:
                     fmt = req.get("format", "json")
                     if fmt not in ("json", "arrow", "msgpack"):
                         return self._json(400, {"error": f"unknown format {fmt!r}"})
+                    # x-arc-database scopes the request to one database
+                    # (reference query.go:1484-1495)
+                    header_db = self.headers.get("x-arc-database") or None
                     import time as _time
 
                     t0 = _time.perf_counter()
                     ok, out = self._run(
-                        lambda: outer.query.execute(sql, token=token, fmt=fmt)
+                        lambda: outer.query.execute(sql, token=token, fmt=fmt,
+                                                    db=header_db)
                     )
                     if not ok:
                         return

@@ -333,6 +333,41 @@ class TestManagementRoutes:
         )
         assert status == 200 and "db1" in body.decode()
 
+    def test_show_tables_alias_and_from_db(self, live):
+        port, admin, *_ = live
+        for sql in ("SHOW TABLES FROM metrics", "SHOW MEASUREMENTS FROM metrics",
+                    'SHOW TABLES FROM "metrics"'):
+            status, body, _ = _req(port, "/api/v1/query", "POST", admin,
+                                   json.dumps({"sql": sql}).encode())
+            assert status == 200
+            assert json.loads(body)["rows"] == [{"measurement": "cpu"}], sql
+
+    def test_x_arc_database_header_scoping(self, live):
+        port, admin, *_ = live
+        # header scopes SHOW MEASUREMENTS and binds the bare measurement name
+        status, body, _ = _req(port, "/api/v1/query", "POST", admin,
+                               json.dumps({"sql": "SHOW TABLES"}).encode(),
+                               headers={"x-arc-database": "metrics"})
+        assert status == 200
+        assert json.loads(body)["rows"] == [{"measurement": "cpu"}]
+        status, body, _ = _req(
+            port, "/api/v1/query", "POST", admin,
+            json.dumps({"sql": "SELECT COUNT(*) AS n FROM cpu"}).encode(),
+            headers={"x-arc-database": "metrics"})
+        assert status == 200 and '"n"' in body.decode()
+        # cross-database syntax is rejected under a scoped request
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _req(port, "/api/v1/query", "POST", admin,
+                 json.dumps({"sql": "SELECT * FROM otherdb.cpu"}).encode(),
+                 headers={"x-arc-database": "metrics"})
+        assert e.value.code == 400
+        # invalid header database name rejected
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _req(port, "/api/v1/query", "POST", admin,
+                 json.dumps({"sql": "SELECT 1"}).encode(),
+                 headers={"x-arc-database": "bad;name"})
+        assert e.value.code == 400
+
     def test_backup_restore_over_http(self, live, tmp_path):
         port, admin, *_ = live
         bdir = str(tmp_path / "http-backups")
