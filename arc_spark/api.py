@@ -358,36 +358,77 @@ class IngestService:
     def _write_line_protocol_distributed(
         self, db: str, payload: bytes, precision: str
     ) -> int:
-        """Bulk LP ingest: byte-chunk the payload at newline boundaries,
-        parse chunks distributed (mapInPandas, column-wise building), write
-        each measurement through the hour-partitioned writer. Returns the
-        payload's line count (every line either parses or fails the job)."""
-        from pyspark.sql import functions as F
+        """Bulk LP ingest, fused parse+write: byte-chunk the payload at
+        newline boundaries, then ONE shuffle-free Spark job in which each
+        task parses its chunks AND writes the resulting hour-partitioned
+        Parquet directly from the executor (in-process Arrow writer — the
+        reference's per-worker independent files,
+        internal/ingest/arrow_writer.go). No persist barrier, no align
+        pass, no write shuffle: wall-clock is one map stage.
 
-        from arc_spark.sources.line_protocol import payload_to_dataframe
-        from arc_spark.sources.writer import write_measurement
+        Tradeoffs vs the former two-pass plan (still available as
+        ``line_protocol.payload_to_dataframe``): concurrent tasks produce
+        one file per (chunk, hour) instead of one per hour — exactly the
+        small-file shape hourly compaction (A20) exists to merge — and a
+        field whose lexical TYPE differs across chunks (``1i`` vs ``1.5``)
+        yields per-file schema conflicts instead of a widened global
+        schema; LP typing is per-line deterministic, so any consistently
+        typed source is unaffected (the reference likewise rejects
+        cross-batch type drift, import_inprocess.go).
 
-        flat, schema_info, n_lines, cache = payload_to_dataframe(
-            self.spark, payload, precision=precision
+        Returns the payload's line count (every line either parses or
+        fails the job)."""
+        import json as _json
+
+        import pandas as pd
+
+        from arc_spark.sources.line_protocol import chunk_payload
+
+        target = max(2 * self.spark.sparkContext.defaultParallelism, 1)
+        chunks = chunk_payload(payload, max(len(payload) // target, 64 * 1024))
+        chunk_df = self.spark.createDataFrame(
+            pd.DataFrame({"chunk": chunks}), schema="chunk binary"
+        ).repartition(
+            min(len(chunks), self.spark.sparkContext.defaultParallelism) or 1
         )
-        # session-tz (UTC) LTZ time, matching every other write path's files
-        flat = flat.withColumn("time", F.col("time").cast("timestamp"))
-        measurements = list(schema_info["tags"].keys() | schema_info["fields"].keys())
-        try:
-            # per-measurement writes re-derive from the persisted parse
-            # output (align-only, no re-parse)
-            for meas in measurements:
-                cols = (schema_info["tags"].get(meas, [])
-                        + schema_info["fields"].get(meas, []))
-                sub = flat.filter(F.col("measurement") == meas).select(
-                    "time", *[c for c in cols if c in flat.columns]
-                )
-                write_measurement(
-                    sub, self.root, db, meas,
-                    tag_columns=schema_info["tags"].get(meas, []),
-                )
-        finally:
-            cache.unpersist()
+        root, precision_ = self.root, precision
+
+        def parse_write(batches):
+            from arc_spark.sources.ingest import columnar_to_arrow
+            from arc_spark.sources.line_protocol import parse_chunk_columnar
+            from arc_spark.sources.writer import write_measurement_arrow
+
+            for bpdf in batches:
+                for chunk in bpdf["chunk"]:
+                    per_meas = parse_chunk_columnar(bytes(chunk), precision_)
+                    out = {"measurement": [], "n": [], "tags": []}
+                    for meas, batch in per_meas.items():
+                        table = columnar_to_arrow(batch)
+                        write_measurement_arrow(
+                            table, root, db, meas,
+                            tag_columns=batch["tag_columns"],
+                            manifest=False,
+                        )
+                        out["measurement"].append(meas)
+                        out["n"].append(table.num_rows)
+                        out["tags"].append(_json.dumps(batch["tag_columns"]))
+                    yield pd.DataFrame(out)
+
+        results = chunk_df.mapInPandas(
+            parse_write, "measurement string, n long, tags string"
+        ).collect()
+
+        from arc_spark.sources.writer import write_manifest
+
+        n_lines = 0
+        meas_tags: dict[str, set] = {}
+        for r in results:
+            n_lines += r["n"]
+            meas_tags.setdefault(r["measurement"], set()).update(
+                _json.loads(r["tags"]))
+        for meas, tags in meas_tags.items():
+            tag_list = sorted(tags)
+            write_manifest(root, db, meas, tag_list, tag_list + ["time"])
         with self._lock:
             self.stats["acked"] += n_lines
             self.stats["flushed"] += n_lines

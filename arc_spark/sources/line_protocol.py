@@ -262,6 +262,58 @@ def _infer_lp_schema(recs: list[dict]):
     return tag_cols, field_types, meas_tags, meas_fields
 
 
+def chunk_payload(payload: bytes, chunk_bytes: int) -> list[bytes]:
+    """Split a payload into ~chunk_bytes pieces at newline boundaries —
+    O(bytes) driver work, no per-line scan."""
+    chunks: list[bytes] = []
+    start, n = 0, len(payload)
+    while start < n:
+        end = min(start + chunk_bytes, n)
+        if end < n:
+            nl = payload.find(b"\n", end)
+            end = n if nl == -1 else nl + 1
+        chunks.append(payload[start:end])
+        start = end
+    return chunks
+
+
+def parse_chunk_columnar(chunk: bytes, precision: str) -> dict[str, dict]:
+    """One byte chunk → per-measurement columnar batches (null-padded).
+
+    Returns {measurement: {"columns": {name: list}, "tag_columns": [...]}}
+    — the ingest columnar shape, ready for ``columnar_to_arrow``."""
+    per_meas: dict[str, dict] = {}
+    for s in chunk.decode("utf-8", "replace").splitlines():
+        if not s.strip() or s.startswith("#"):
+            continue
+        r = parse_line(s, precision)
+        st = per_meas.get(r["measurement"])
+        if st is None:
+            st = per_meas[r["measurement"]] = {
+                "time": [], "tags": {}, "fields": {}, "n": 0}
+        st["time"].append(r["time_us"])
+        for group in ("tags", "fields"):
+            cols = st[group]
+            for c, v in r[group].items():
+                col = cols.get(c)
+                if col is None:
+                    col = cols[c] = [None] * st["n"]
+                col.append(v)
+        st["n"] += 1
+        for cols in (st["tags"], st["fields"]):
+            for col in cols.values():
+                if len(col) < st["n"]:
+                    col.append(None)
+    out = {}
+    for meas, st in per_meas.items():
+        columns = {"time": st["time"]}
+        columns.update(st["tags"])
+        columns.update(st["fields"])
+        out[meas] = {"columns": columns,
+                     "tag_columns": sorted(st["tags"])}
+    return out
+
+
 def payload_to_dataframe(spark, payload: bytes, precision: str = "ns",
                          chunk_bytes: int | None = None):
     """Bulk LP payload → (flat DataFrame, schema info, line count, cache).
@@ -292,15 +344,7 @@ def payload_to_dataframe(spark, payload: bytes, precision: str = "ns",
         # ~2 chunks per core: full parallelism with some stragglers slack
         target = max(2 * spark.sparkContext.defaultParallelism, 1)
         chunk_bytes = max(len(payload) // target, 64 * 1024)
-    chunks: list[bytes] = []
-    start, n = 0, len(payload)
-    while start < n:
-        end = min(start + chunk_bytes, n)
-        if end < n:
-            nl = payload.find(b"\n", end)
-            end = n if nl == -1 else nl + 1
-        chunks.append(payload[start:end])
-        start = end
+    chunks = chunk_payload(payload, chunk_bytes)
 
     pdf = pd.DataFrame({"chunk": chunks})
     chunk_df = spark.createDataFrame(pdf, schema="chunk binary").repartition(
