@@ -147,6 +147,10 @@ class MeasurementCatalog:
         self.cold_root = cold_root
         self.daily_root = daily_root
         self._views: dict[tuple[str, str], set[str]] = {}
+        #: bumped whenever the view universe changes (register/invalidate);
+        #: consumers keying caches on (sql, epoch) — QueryService's pruned-
+        #: plan cache — drop stale plans without tracking individual views
+        self.epoch = 0
 
     # -- namespace listing (reference A12) --------------------------------
     def databases(self) -> list[str]:
@@ -236,6 +240,7 @@ class MeasurementCatalog:
         name = view or f"{db}_{measurement}"
         self.table(db, measurement).createOrReplaceTempView(name)
         self._views.setdefault((db, measurement), set()).add(name)
+        self.epoch += 1
         return name
 
     def invalidate(self, db: str, measurement: str) -> None:
@@ -251,3 +256,4 @@ class MeasurementCatalog:
             self.spark.catalog.refreshByPath(backend_for(p).spark_url(p))
         for name in self._views.get((db, measurement), set()):
             self.table(db, measurement).createOrReplaceTempView(name)
+        self.epoch += 1

@@ -229,7 +229,38 @@ def prune_sql(spark, sql: str, catalog, time_col: str = "time"):
     predicate applied, re-parses, and restores the views. Returns the
     (possibly pruned) DataFrame; on any extraction failure returns the plain
     ``spark.sql(sql)`` plan — pruning is an optimization, never a gate.
+
+    Repeat queries hit a pruned-plan LRU (the reference's A9 SQL transform
+    cache, internal/api/query.go): the parse → bound-extract →
+    re-register → re-parse pipeline runs once per (sql, catalog state).
+    The key includes ``catalog.epoch``, bumped on every view registration
+    or invalidation (compaction, retention, delete, restore all call
+    ``invalidate``), so a cached plan over a replaced view can never be
+    served. DataFrames are immutable logical plans — re-executing one is
+    exactly re-running the query.
     """
+    epoch = getattr(catalog, "epoch", None)
+    if epoch is None:
+        return _prune_sql_uncached(spark, sql, catalog, time_col)
+    cache = getattr(catalog, "_prune_plan_cache", None)
+    if cache is None:
+        from collections import OrderedDict
+
+        cache = catalog._prune_plan_cache = OrderedDict()
+    tz = spark.conf.get("spark.sql.session.timeZone", "UTC")
+    key = (sql, time_col, epoch, tz)
+    hit = cache.get(key)
+    if hit is not None:
+        cache.move_to_end(key)
+        return hit
+    df = _prune_sql_uncached(spark, sql, catalog, time_col)
+    cache[key] = df
+    while len(cache) > 256:
+        cache.popitem(last=False)
+    return df
+
+
+def _prune_sql_uncached(spark, sql: str, catalog, time_col: str = "time"):
     df = spark.sql(sql)
     try:
         per_path = plan_time_bounds(df, time_col=time_col)

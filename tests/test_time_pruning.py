@@ -160,6 +160,26 @@ class TestSqlSurfacePruning:
         )
         assert [r["value"] for r in rows] == [206.0, 212.0]
 
+    def test_pruned_plan_cache_hits_and_invalidates(self, spark, tmp_path):
+        """A9 SQL-transform-cache equivalent: identical SQL over unchanged
+        catalog state returns the CACHED plan (no re-parse); any view
+        registration/invalidation bumps the epoch and drops it."""
+        from arc_spark.plans.time_pruning import prune_sql
+
+        cat = self._catalog(spark, tmp_path)
+        sql = ("SELECT value FROM cpu "
+               "WHERE time >= TIMESTAMP '2024-03-02 00:00:00' "
+               "AND time <= TIMESTAMP '2024-03-02 23:59:59'")
+        d1 = prune_sql(spark, sql, cat)
+        d2 = prune_sql(spark, sql, cat)
+        assert d1 is d2
+        # results are correct on the cached plan
+        assert sorted(r["value"] for r in d2.collect()) == [200.0, 206.0, 212.0, 218.0]
+        cat.invalidate("metrics", "cpu")
+        d3 = prune_sql(spark, sql, cat)
+        assert d3 is not d2
+        assert sorted(r["value"] for r in d3.collect()) == [200.0, 206.0, 212.0, 218.0]
+
     def test_join_prunes_only_filtered_side(self, spark, tmp_path):
         from arc_spark.catalog import MeasurementCatalog
         from arc_spark.plans.time_pruning import plan_time_bounds
