@@ -44,6 +44,94 @@ class TestMsgpackCodec:
             assert unpackb(packb(n)) == n
 
 
+def _column_values(values):
+    """Normalize a decoded column (list | ndarray | pa.Array) to a list."""
+    import numpy as np
+    import pyarrow as pa
+
+    if isinstance(values, pa.Array):
+        return values.to_pylist()
+    if isinstance(values, np.ndarray):
+        return values.tolist()
+    return list(values)
+
+
+class TestColumnarFastPathEquivalence:
+    """The zero-object columnar decoder must be semantically identical to
+    the generic decoder on EVERY payload it accepts — same values, same
+    column order, same measurement/tags — across homogeneous runs, mixed
+    types, unicode, nulls, and run-breaking type switches."""
+
+    _cell = st.one_of(
+        st.none(),
+        st.booleans(),
+        st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        st.floats(allow_nan=False, allow_infinity=False, width=64),
+        st.text(max_size=40),
+    )
+
+    @given(
+        cols=st.dictionaries(
+            st.text(
+                alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd")),
+                min_size=1, max_size=8,
+            ),
+            st.one_of(
+                st.lists(st.integers(min_value=-(2**63), max_value=2**63 - 1),
+                         min_size=0, max_size=60),
+                st.lists(st.floats(allow_nan=False, allow_infinity=False,
+                                   width=64), min_size=0, max_size=60),
+                st.lists(st.text(max_size=20), min_size=0, max_size=60),
+                st.lists(_cell, min_size=0, max_size=60),
+            ),
+            min_size=1, max_size=4,
+        )
+    )
+    @settings(max_examples=120, deadline=None)
+    def test_fast_decode_equals_generic(self, cols):
+        from arc_spark.sources.msgpack_codec import unpack_columnar
+
+        payload = packb({"m": "x", "columns": cols, "tags": []})
+        fast = unpack_columnar(payload)
+        generic = unpackb(payload)
+        assert fast is not None
+        assert fast["measurement"] == "x"
+        assert set(fast["columns"]) == set(map(str, generic["columns"]))
+        for k, v in generic["columns"].items():
+            got = _column_values(fast["columns"][str(k)])
+            assert got == v, (k, got[:5], v[:5])
+
+    @given(st.binary(min_size=0, max_size=200))
+    @settings(max_examples=120, deadline=None)
+    def test_fast_decoder_never_diverges_on_garbage(self, blob):
+        """Arbitrary bytes: unpack_columnar either returns None, raises like
+        the generic decoder would, or agrees with it — never silently
+        returns a DIFFERENT successful decode."""
+        from arc_spark.sources.msgpack_codec import unpack_columnar
+
+        try:
+            fast = unpack_columnar(blob)
+        except Exception:
+            fast = "raised"
+        try:
+            generic = unpackb(blob)
+        except Exception:
+            generic = "raised"
+        if fast in (None, "raised") or generic == "raised":
+            return
+        assert isinstance(generic, dict) and "columns" in generic
+        for k, v in generic["columns"].items():
+            assert _column_values(fast["columns"][str(k)]) == list(v)
+
+    def test_str8_and_long_string_columns(self):
+        from arc_spark.sources.msgpack_codec import unpack_columnar
+
+        cols = {"s": ["x" * 40, "", "日本語テキスト", "y" * 31, "z" * 200]}
+        payload = packb({"m": "x", "columns": cols, "tags": []})
+        fast = unpack_columnar(payload)
+        assert _column_values(fast["columns"]["s"]) == cols["s"]
+
+
 class TestLineProtocolEscaping:
     @settings(max_examples=200, deadline=None)
     @given(
