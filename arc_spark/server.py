@@ -26,8 +26,15 @@ one stored without a table restriction):
   copy + manifest, partial restore via partition prefix)
 - ``GET/POST /api/v1/auth/tokens``, ``DELETE /api/v1/auth/tokens/<name>``
   (auth_routes.go)
-- ``POST /api/v1/import/line|tle?db=``   (import.go bulk lanes; LP routes
+- ``POST /api/v1/import/line|lp|tle?db=`` (import.go bulk lanes; LP routes
   through the distributed decode path)
+- ``POST /api/v1/query/arrow|msgpack``   (dedicated wire-format routes,
+  query_arrow.go / query_msgpack.go)
+- database management (databases.go): ``GET/POST /api/v1/databases``,
+  ``GET /api/v1/databases/<name>[/measurements]``,
+  ``DELETE /api/v1/databases/<name>?confirm=true``
+- LP operational routes: ``POST /api/v1/write/line-protocol`` (alias),
+  ``POST .../flush``, ``GET .../stats``, ``GET .../health``
 - ``POST /api/v1/import/csv|parquet?db=&measurement=&tags=&time_column=``
   (import_inprocess.go:35-1166; body = raw file, staged then imported via
   the distributed reader with Catalyst-side time coercion)
@@ -225,6 +232,32 @@ class ArcServer:
                         200,
                         {"measurements": outer.query.catalog.measurements(q.get("db", ""))},
                     )
+                if (url.path.startswith("/api/v1/databases/")
+                        and url.path.endswith("/measurements")):
+                    name = url.path.rsplit("/", 2)[-2]
+                    return self._json(
+                        200,
+                        {"measurements": outer.query.catalog.measurements(name)},
+                    )
+                if url.path.startswith("/api/v1/databases/"):
+                    # GET /api/v1/databases/<name> (reference databases.go
+                    # handleGet: existence + measurement count)
+                    name = url.path.rsplit("/", 1)[-1]
+                    if name not in outer.query.catalog.databases():
+                        return self._json(404,
+                                          {"error": f"database {name!r} not found"})
+                    meas = outer.query.catalog.measurements(name)
+                    return self._json(200, {"database": name,
+                                            "measurement_count": len(meas),
+                                            "measurements": meas})
+                if url.path == "/api/v1/write/line-protocol/health":
+                    if outer.ingest is None:
+                        return self._json(503, {"error": "ingest disabled"})
+                    return self._json(200, {"status": "ok"})
+                if url.path == "/api/v1/write/line-protocol/stats":
+                    if outer.ingest is None:
+                        return self._json(503, {"error": "ingest disabled"})
+                    return self._json(200, dict(outer.ingest.stats))
                 if url.path in ("/api/v1/queries", "/api/v1/queries/active"):
                     if not self._require_admin(token):
                         return
@@ -277,7 +310,8 @@ class ArcServer:
                 length = int(self.headers.get("Content-Length", "0"))
                 body = self.rfile.read(length) if length else b""
 
-                if url.path == "/api/v1/query":
+                if url.path in ("/api/v1/query", "/api/v1/query/arrow",
+                                "/api/v1/query/msgpack"):
                     try:
                         req = json.loads(body or b"{}")
                     except json.JSONDecodeError:
@@ -285,7 +319,15 @@ class ArcServer:
                     sql = req.get("sql") or req.get("query")
                     if not sql:
                         return self._json(400, {"error": "missing 'sql'"})
-                    fmt = req.get("format", "json")
+                    # dedicated wire-format routes (reference query_arrow.go /
+                    # query_msgpack.go) fix the format; /query takes it from
+                    # the body
+                    if url.path.endswith("/arrow"):
+                        fmt = "arrow"
+                    elif url.path.endswith("/msgpack"):
+                        fmt = "msgpack"
+                    else:
+                        fmt = req.get("format", "json")
                     if fmt not in ("json", "arrow", "msgpack"):
                         return self._json(400, {"error": f"unknown format {fmt!r}"})
                     # x-arc-database scopes the request to one database
@@ -329,7 +371,40 @@ class ArcServer:
                         self._json(200, {"written": n})
                     return
 
-                if url.path == "/api/v1/write/line":
+                if url.path == "/api/v1/databases":
+                    # create database = create the namespace prefix
+                    # (reference databases.go handleCreate)
+                    if not self._require_admin(token):
+                        return
+                    try:
+                        req = json.loads(body or b"{}")
+                    except json.JSONDecodeError:
+                        return self._json(400, {"error": "body must be JSON"})
+                    name = req.get("name") or req.get("database")
+                    if not name or not outer.query._IDENT_RE.match(name):
+                        return self._json(400, {"error": "invalid database name"})
+                    from arc_spark.storage import backend_for
+
+                    root = outer.query.catalog.root
+                    bk = backend_for(root)
+                    if bk.isdir(bk.join(root, name)):
+                        return self._json(409,
+                                          {"error": f"database {name!r} exists"})
+                    bk.mkdirs(bk.join(root, name))
+                    return self._json(201, {"created": name})
+
+                if url.path == "/api/v1/write/line-protocol/flush":
+                    if outer.ingest is None:
+                        return self._json(503, {"error": "ingest disabled"})
+                    if not self._require_admin(token):
+                        return
+                    ok, n = self._run(outer.ingest.flush)
+                    if ok:
+                        self._json(200, {"flushed_rows": n})
+                    return
+
+                if url.path in ("/api/v1/write/line",
+                                "/api/v1/write/line-protocol"):
                     if outer.ingest is None:
                         return self._json(503, {"error": "ingest disabled"})
                     if not self._require_writer(token):
@@ -576,7 +651,7 @@ class ArcServer:
                         self._json(200, out)
                     return
 
-                if url.path == "/api/v1/import/line":
+                if url.path in ("/api/v1/import/line", "/api/v1/import/lp"):
                     if outer.ingest is None:
                         return self._json(503, {"error": "ingest disabled"})
                     if not self._require_admin(token):
@@ -683,9 +758,40 @@ class ArcServer:
 
             def do_DELETE(self):
                 url = urlparse(self.path)
+                q = {k: v[0] for k, v in parse_qs(url.query).items()}
                 token = self._authenticate()
                 if token is None:
                     return
+                if url.path.startswith("/api/v1/databases/"):
+                    # reference databases.go handleDelete: admin +
+                    # ?confirm=true + existence check; removes the whole
+                    # database prefix through the storage backend
+                    if not self._require_admin(token):
+                        return
+                    name = url.path.rsplit("/", 1)[-1]
+                    if q.get("confirm") != "true":
+                        return self._json(400, {
+                            "error": "confirmation required: add ?confirm=true"
+                        })
+                    cat = outer.query.catalog
+                    if name not in cat.databases():
+                        return self._json(404,
+                                          {"error": f"database {name!r} not found"})
+                    from arc_spark.storage import backend_for
+
+                    removed = []
+                    for tier in filter(None, (cat.root, cat.cold_root,
+                                              cat.daily_root)):
+                        bk = backend_for(tier)
+                        p = bk.join(tier, name)
+                        if bk.isdir(p):
+                            bk.remove_tree(p)
+                            removed.append(p)
+                    for meas in list(cat._views):
+                        if meas[0] == name:
+                            cat.invalidate(*meas)
+                    return self._json(200, {"deleted": name,
+                                            "tiers_removed": len(removed)})
                 if url.path.startswith("/api/v1/queries/"):
                     if not self._require_admin(token):
                         return

@@ -368,6 +368,73 @@ class TestManagementRoutes:
                  headers={"x-arc-database": "bad;name"})
         assert e.value.code == 400
 
+    def test_database_management_routes(self, live):
+        port, admin, limited, _cat = live
+        # create
+        status, body, _ = _req(port, "/api/v1/databases", "POST", admin,
+                               json.dumps({"name": "newdb"}).encode())
+        assert status == 201
+        # get info
+        status, body, _ = _req(port, "/api/v1/databases/newdb", token=admin)
+        assert status == 200
+        assert json.loads(body)["measurement_count"] == 0
+        # per-db measurement listing route
+        status, body, _ = _req(port, "/api/v1/databases/metrics/measurements",
+                               token=admin)
+        assert status == 200 and json.loads(body)["measurements"] == ["cpu"]
+        # duplicate create → 409
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _req(port, "/api/v1/databases", "POST", admin,
+                 json.dumps({"name": "newdb"}).encode())
+        assert e.value.code == 409
+        # delete requires confirm
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _req(port, "/api/v1/databases/newdb", "DELETE", admin)
+        assert e.value.code == 400
+        status, body, _ = _req(port, "/api/v1/databases/newdb?confirm=true",
+                               "DELETE", admin)
+        assert status == 200 and json.loads(body)["deleted"] == "newdb"
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _req(port, "/api/v1/databases/newdb", token=admin)
+        assert e.value.code == 404
+        # non-admin cannot create
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _req(port, "/api/v1/databases", "POST", limited,
+                 json.dumps({"name": "x"}).encode())
+        assert e.value.code == 403
+
+    def test_dedicated_wire_format_routes(self, live):
+        import pyarrow as pa
+
+        port, admin, *_ = live
+        status, body, headers = _req(
+            port, "/api/v1/query/arrow", "POST", admin,
+            json.dumps({"sql": "SELECT host FROM cpu"}).encode())
+        assert status == 200
+        assert headers["Content-Type"] == "application/vnd.apache.arrow.stream"
+        table = pa.ipc.open_stream(body).read_all()
+        assert sorted(table.column("host").to_pylist()) == ["a", "b"]
+        status, body, headers = _req(
+            port, "/api/v1/query/msgpack", "POST", admin,
+            json.dumps({"sql": "SELECT host FROM cpu"}).encode())
+        assert status == 200 and headers["Content-Type"] == "application/msgpack"
+
+    def test_line_protocol_operational_routes(self, live):
+        port, admin, *_ = live
+        status, body, _ = _req(
+            port, "/api/v1/write/line-protocol?db=metrics", "POST", admin,
+            b"cpu,host=c usage=0.9 1700000120000000000\n")
+        assert status == 200
+        status, body, _ = _req(port, "/api/v1/write/line-protocol/stats",
+                               token=admin)
+        assert status == 200 and "acked" in json.loads(body)
+        status, body, _ = _req(port, "/api/v1/write/line-protocol/flush",
+                               "POST", admin)
+        assert status == 200
+        status, body, _ = _req(port, "/api/v1/write/line-protocol/health",
+                               token=admin)
+        assert status == 200 and json.loads(body)["status"] == "ok"
+
     def test_backup_restore_over_http(self, live, tmp_path):
         port, admin, *_ = live
         bdir = str(tmp_path / "http-backups")
