@@ -77,10 +77,13 @@ class ArcServer:
         auth: AuthStore | None = None,
         host: str = "127.0.0.1",
         port: int = 0,
+        mqtt_bridge=None,
     ):
         self.query = query_service
         self.ingest = ingest_service
         self.auth = auth
+        # optional sources.mqtt.MqttIngestBridge for /api/v1/mqtt/* routes
+        self.mqtt = mqtt_bridge
         # request counters for /metrics (reference internal/monitoring)
         self.metrics: dict[str, int] = {}
         self._metrics_lock = threading.Lock()
@@ -250,6 +253,16 @@ class ArcServer:
                     return self._json(200, {"database": name,
                                             "measurement_count": len(meas),
                                             "measurements": meas})
+                if url.path in ("/api/v1/mqtt/health", "/api/v1/mqtt/stats"):
+                    # reference internal/mqtt health/stats surface
+                    if outer.mqtt is None:
+                        return self._json(503, {"error": "mqtt bridge not attached"})
+                    if url.path.endswith("health"):
+                        return self._json(200, {
+                            "status": "ok",
+                            "subscriptions": len(outer.mqtt.subscriptions),
+                        })
+                    return self._json(200, dict(outer.mqtt.stats))
                 if url.path == "/api/v1/write/line-protocol/health":
                     if outer.ingest is None:
                         return self._json(503, {"error": "ingest disabled"})

@@ -435,6 +435,39 @@ class TestManagementRoutes:
                                token=admin)
         assert status == 200 and json.loads(body)["status"] == "ok"
 
+    def test_mqtt_routes(self, spark, tmp_path):
+        from arc_spark.sources.mqtt import MqttIngestBridge, MqttSubscription
+
+        root = str(tmp_path / "mq")
+        ingest = IngestService(spark, root)
+        cat = MeasurementCatalog(spark, root)
+        auth = AuthStore(str(tmp_path / "a.db"))
+        admin = auth.create_token("admin")
+        bridge = MqttIngestBridge(spark, root)
+        bridge.subscribe(MqttSubscription("t/#", "iot", "x", "line_protocol"))
+        server = ArcServer(QueryService(spark, cat), ingest, auth,
+                           mqtt_bridge=bridge).start()
+        try:
+            status, body, _ = _req(server.port, "/api/v1/mqtt/health",
+                                   token=admin)
+            assert status == 200
+            assert json.loads(body)["subscriptions"] == 1
+            bridge.handle_message("t/1",
+                                  b"x f=1 1700000000000000000\n")
+            status, body, _ = _req(server.port, "/api/v1/mqtt/stats",
+                                   token=admin)
+            assert status == 200 and json.loads(body)["messages"] == 1
+        finally:
+            server.stop()
+        # without a bridge the routes 503
+        server2 = ArcServer(QueryService(spark, cat), ingest, auth).start()
+        try:
+            with pytest.raises(urllib.error.HTTPError) as e:
+                _req(server2.port, "/api/v1/mqtt/stats", token=admin)
+            assert e.value.code == 503
+        finally:
+            server2.stop()
+
     def test_backup_restore_over_http(self, live, tmp_path):
         port, admin, *_ = live
         bdir = str(tmp_path / "http-backups")
