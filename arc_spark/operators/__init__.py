@@ -1,5 +1,6 @@
 """DataFrame-level operators: dedup family, similarity search, as-of join,
-compaction, lifecycle (retention / predicate delete)."""
+compaction, lifecycle (retention / predicate delete), backup/restore,
+duplicate-cluster closure, token packing."""
 
 from arc_spark.operators.dedup import (  # noqa: F401
     dedup_exact,
@@ -18,3 +19,15 @@ from arc_spark.operators.similarity import (  # noqa: F401
     ivf_topk,
 )
 from arc_spark.operators.tiering import migrate_to_cold, tier_report  # noqa: F401
+from arc_spark.operators.backup import (  # noqa: F401
+    create_backup,
+    list_backups,
+    restore_backup,
+    verify_backup,
+)
+from arc_spark.operators.clustering import (  # noqa: F401
+    canonical_docs,
+    connected_components,
+)
+from arc_spark.operators.lifecycle import apply_retention, delete_where  # noqa: F401
+from arc_spark.operators.packing import pack_token_shards  # noqa: F401
