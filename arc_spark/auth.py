@@ -1,11 +1,18 @@
 """Token auth + RBAC persistence (reference internal/auth/: hashed API
-tokens in SQLite, per-token allowed-table lists).
+tokens in SQLite, per-token allowed-table lists, expiry, rotation,
+last-used tracking).
 
 Tokens are stored as SHA-256 hashes — the plaintext is returned exactly
-once at creation and never persisted (reference auth/token.go). The
-allowed-tables set rides in the same row as JSON; ``None`` means
-unrestricted (admin), matching ``QueryService``'s RBAC semantics where an
-absent policy allows all tables.
+once at creation/rotation and never persisted (reference auth/auth.go
+generateToken/CreateToken). The allowed-tables set rides in the same row
+as JSON; ``None`` means unrestricted (admin), matching ``QueryService``'s
+RBAC semantics where an absent policy allows all tables. ``expires_at``
+mirrors the reference's nullable ExpiresAt (auth.go:72): an expired token
+verifies as None exactly like a revoked one. ``rotate`` re-mints the
+secret in place, keeping name/permissions (the reference's rotate path);
+``last_used_at`` is stamped on successful verification (auth.go
+recordLastUsed — ours writes through; the reference batches, an
+optimization that matters at its request rates, not at ours).
 
 ``AuthStore.tables_view()`` adapts the store to the mapping protocol
 ``QueryService.allowed_tables`` expects (``token in m`` / ``m[token]``),
@@ -43,23 +50,37 @@ class AuthStore:
                        revoked INTEGER NOT NULL DEFAULT 0
                    )"""
             )
+            # additive migration for pre-expiry stores (NULL = no expiry /
+            # never used)
+            cols = {r[1] for r in self._db.execute("PRAGMA table_info(tokens)")}
+            if "expires_at" not in cols:
+                self._db.execute(
+                    "ALTER TABLE tokens ADD COLUMN expires_at REAL")
+            if "last_used_at" not in cols:
+                self._db.execute(
+                    "ALTER TABLE tokens ADD COLUMN last_used_at REAL")
             self._db.commit()
 
     # -- management --------------------------------------------------------
     def create_token(
-        self, name: str, allowed_tables: list[str] | None = None
+        self,
+        name: str,
+        allowed_tables: list[str] | None = None,
+        expires_at: float | None = None,
     ) -> str:
-        """Mint a token; returns the plaintext ONCE. Raises on name reuse."""
+        """Mint a token; returns the plaintext ONCE. Raises on name reuse.
+        ``expires_at`` is a unix timestamp; None = never expires."""
         token = secrets.token_hex(24)
         with self._lock:
             self._db.execute(
-                "INSERT INTO tokens (token_hash, name, allowed_tables, created_at)"
-                " VALUES (?, ?, ?, ?)",
+                "INSERT INTO tokens (token_hash, name, allowed_tables,"
+                " created_at, expires_at) VALUES (?, ?, ?, ?, ?)",
                 (
                     _hash(token),
                     name,
                     json.dumps(sorted(allowed_tables)) if allowed_tables is not None else None,
                     time.time(),
+                    expires_at,
                 ),
             )
             self._db.commit()
@@ -73,31 +94,55 @@ class AuthStore:
             self._db.commit()
             return cur.rowcount > 0
 
+    def rotate(self, name: str) -> str | None:
+        """Re-mint the secret for a live token in place: same name, same
+        permissions, same expiry; the OLD plaintext stops verifying
+        immediately. Returns the new plaintext once, or None for an
+        unknown/revoked name (reference token rotation)."""
+        token = secrets.token_hex(24)
+        with self._lock:
+            cur = self._db.execute(
+                "UPDATE tokens SET token_hash = ? WHERE name = ? AND revoked = 0",
+                (_hash(token), name),
+            )
+            self._db.commit()
+            return token if cur.rowcount > 0 else None
+
     def list_tokens(self) -> list[dict]:
         with self._lock:
             rows = self._db.execute(
-                "SELECT name, allowed_tables, created_at, revoked FROM tokens"
+                "SELECT name, allowed_tables, created_at, revoked,"
+                " expires_at, last_used_at FROM tokens"
             ).fetchall()
         return [
             {"name": n, "allowed_tables": json.loads(a) if a else None,
-             "created_at": c, "revoked": bool(r)}
-            for n, a, c, r in rows
+             "created_at": c, "revoked": bool(r), "expires_at": e,
+             "last_used_at": lu}
+            for n, a, c, r, e, lu in rows
         ]
 
     # -- verification ------------------------------------------------------
-    def verify(self, token: str) -> dict | None:
-        """(name, allowed set | None) for a live token, else None."""
+    def verify(self, token: str, now: float | None = None) -> dict | None:
+        """(name, allowed set | None) for a live, unexpired token, else
+        None. Stamps ``last_used_at`` on success."""
         if not token:
             return None
+        t = now if now is not None else time.time()
         with self._lock:
             row = self._db.execute(
-                "SELECT name, allowed_tables FROM tokens"
+                "SELECT name, allowed_tables, expires_at FROM tokens"
                 " WHERE token_hash = ? AND revoked = 0",
                 (_hash(token),),
             ).fetchone()
-        if row is None:
-            return None
-        name, allowed = row
+            if row is None:
+                return None
+            name, allowed, expires_at = row
+            if expires_at is not None and t >= expires_at:
+                return None
+            self._db.execute(
+                "UPDATE tokens SET last_used_at = ? WHERE name = ?", (t, name)
+            )
+            self._db.commit()
         return {
             "name": name,
             "allowed_tables": set(json.loads(allowed)) if allowed else None,

@@ -406,6 +406,19 @@ class ArcServer:
                     bk.mkdirs(bk.join(root, name))
                     return self._json(201, {"created": name})
 
+                if (url.path.startswith("/api/v1/auth/tokens/")
+                        and url.path.endswith("/rotate")):
+                    # re-mint a token's secret in place (reference rotate)
+                    if outer.auth is None:
+                        return self._json(503, {"error": "auth disabled"})
+                    if not self._require_admin(token):
+                        return
+                    name = url.path.rsplit("/", 2)[-2]
+                    new = outer.auth.rotate(name)
+                    if new is None:
+                        return self._json(404, {"error": f"no token {name!r}"})
+                    return self._json(200, {"name": name, "token": new})
+
                 if url.path == "/api/v1/write/line-protocol/flush":
                     if outer.ingest is None:
                         return self._json(503, {"error": "ingest disabled"})

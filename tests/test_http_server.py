@@ -243,6 +243,44 @@ class TestManagementRoutes:
                  json.dumps({"sql": "SELECT host FROM cpu"}).encode())
         assert e.value.code == 401
 
+    def test_token_rotation_over_http(self, live):
+        port, admin, *_ = live
+        status, body, _ = _req(
+            port, "/api/v1/auth/tokens", "POST", admin,
+            json.dumps({"name": "rotme", "allowed_tables": ["cpu"]}).encode())
+        old_tok = json.loads(body)["token"]
+        status, body, _ = _req(port, "/api/v1/auth/tokens/rotme/rotate",
+                               "POST", admin)
+        assert status == 200
+        new_tok = json.loads(body)["token"]
+        assert new_tok != old_tok
+        # old secret dead, new secret live with the same permissions
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _req(port, "/api/v1/query", "POST", old_tok,
+                 json.dumps({"sql": "SELECT host FROM cpu"}).encode())
+        assert e.value.code == 401
+        status, _, _ = _req(port, "/api/v1/query", "POST", new_tok,
+                            json.dumps({"sql": "SELECT host FROM cpu"}).encode())
+        assert status == 200
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _req(port, "/api/v1/auth/tokens/ghost/rotate", "POST", admin)
+        assert e.value.code == 404
+
+    def test_token_expiry(self, tmp_path):
+        import time as _t
+
+        from arc_spark.auth import AuthStore
+
+        auth = AuthStore(str(tmp_path / "exp.db"))
+        tok = auth.create_token("shortlived", expires_at=_t.time() + 3600)
+        assert auth.verify(tok)["name"] == "shortlived"
+        # expired → verifies as None, like revoked (reference ExpiresAt)
+        assert auth.verify(tok, now=_t.time() + 7200) is None
+        # last_used stamped on the successful verification
+        info = {t["name"]: t for t in auth.list_tokens()}
+        assert info["shortlived"]["last_used_at"] is not None
+        assert info["shortlived"]["expires_at"] is not None
+
     def test_delete_endpoint(self, live):
         port, admin, *_ = live
         status, body, _ = _req(
