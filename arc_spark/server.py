@@ -54,6 +54,7 @@ from __future__ import annotations
 
 import json
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
@@ -87,6 +88,11 @@ class ArcServer:
         # request counters for /metrics (reference internal/monitoring)
         self.metrics: dict[str, int] = {}
         self._metrics_lock = threading.Lock()
+        # recent-request ring for /api/v1/logs (reference's log endpoint
+        # serves its in-process ring buffer; ours records request lines)
+        from collections import deque
+
+        self.logs: "deque[dict]" = deque(maxlen=1000)
         # registered continuous queries, name → ContinuousQuery
         self.cqs: dict = {}
         if auth is not None:
@@ -108,8 +114,13 @@ class ArcServer:
             def _reply(self, code: int, body: bytes, ctype: str = "application/json",
                        extra_headers: dict | None = None):
                 with outer._metrics_lock:
-                    key = f"{self.command} {urlparse(self.path).path} {code}"
+                    path = urlparse(self.path).path
+                    key = f"{self.command} {path} {code}"
                     outer.metrics[key] = outer.metrics.get(key, 0) + 1
+                    outer.logs.append({
+                        "ts": time.time(), "method": self.command,
+                        "path": path, "status": code,
+                    })
                 self.send_response(code)
                 self.send_header("Content-Type", ctype)
                 self.send_header("Content-Length", str(len(body)))
@@ -253,6 +264,37 @@ class ArcServer:
                     return self._json(200, {"database": name,
                                             "measurement_count": len(meas),
                                             "measurements": meas})
+                if url.path == "/api/v1/logs":
+                    # recent-request ring buffer (reference /api/v1/logs)
+                    try:
+                        limit = int(q.get("limit", "100"))
+                    except ValueError:
+                        return self._json(400, {"error": "bad limit"})
+                    with outer._metrics_lock:
+                        entries = list(outer.logs)[-max(limit, 0):]
+                    return self._json(200, {"logs": entries})
+                if url.path == "/api/v1/metrics":
+                    # JSON counters view (reference /api/v1/metrics; the
+                    # Prometheus exposition lives at /metrics)
+                    with outer._metrics_lock:
+                        snap = dict(outer.metrics)
+                    body_obj = {"http_requests": snap}
+                    if outer.ingest is not None:
+                        body_obj["ingest"] = dict(outer.ingest.stats)
+                    return self._json(200, body_obj)
+                if url.path == "/api/v1/metrics/memory":
+                    # driver process + JVM heap view (reference
+                    # /api/v1/metrics/memory)
+                    import resource
+
+                    rt = outer.query.spark._jvm.java.lang.Runtime.getRuntime()
+                    return self._json(200, {
+                        "driver_max_rss_kb":
+                            resource.getrusage(resource.RUSAGE_SELF).ru_maxrss,
+                        "jvm_total_bytes": rt.totalMemory(),
+                        "jvm_free_bytes": rt.freeMemory(),
+                        "jvm_max_bytes": rt.maxMemory(),
+                    })
                 if url.path in ("/api/v1/mqtt/health", "/api/v1/mqtt/stats"):
                     # reference internal/mqtt health/stats surface
                     if outer.mqtt is None:

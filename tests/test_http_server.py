@@ -473,6 +473,25 @@ class TestManagementRoutes:
                                token=admin)
         assert status == 200 and json.loads(body)["status"] == "ok"
 
+    def test_logs_and_json_metrics_routes(self, live):
+        port, admin, *_ = live
+        # generate a request, then read it back from the ring
+        _req(port, "/api/v1/databases", token=admin)
+        status, body, _ = _req(port, "/api/v1/logs?limit=5", token=admin)
+        assert status == 200
+        logs = json.loads(body)["logs"]
+        assert logs and {"ts", "method", "path", "status"} <= set(logs[-1])
+        status, body, _ = _req(port, "/api/v1/metrics", token=admin)
+        assert status == 200
+        m = json.loads(body)
+        assert any(k.startswith("GET /api/v1/databases")
+                   for k in m["http_requests"])
+        assert "acked" in m["ingest"]
+        status, body, _ = _req(port, "/api/v1/metrics/memory", token=admin)
+        assert status == 200
+        mem = json.loads(body)
+        assert mem["jvm_total_bytes"] > 0 and mem["driver_max_rss_kb"] > 0
+
     def test_mqtt_routes(self, spark, tmp_path):
         from arc_spark.sources.mqtt import MqttIngestBridge, MqttSubscription
 
