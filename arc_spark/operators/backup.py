@@ -81,10 +81,20 @@ def create_backup(
                 continue
             files = _measurement_files(src, meas_path)
             dest_meas = dst.join(backup_root, backup_id, d, m)
-            for rel, _size in files.items():
-                dest_file = dst.join(dest_meas, rel)
-                dst.mkdirs(dst.dirname(dest_file))
-                dst.write_bytes(dest_file, src.read_bytes(src.join(meas_path, rel)))
+            dst.mkdirs(dest_meas)
+            # one threaded tree copy per measurement (pyarrow C++ streams,
+            # parallel) — NOT a per-file driver loop; the inventory LIST
+            # above already paid the metadata pass. Staging/tmp artifacts
+            # excluded from the manifest may ride along; verify/restore
+            # only ever consult manifest-listed files.
+            import pyarrow.fs as pafs
+
+            pafs.copy_files(
+                src.fs_path(meas_path),
+                dst.fs_path(dest_meas),
+                source_filesystem=src.fs,
+                destination_filesystem=dst.fs,
+            )
             databases.setdefault(d, {})[m] = {"files": files}
             total_files += len(files)
             total_bytes += sum(files.values())
@@ -163,20 +173,34 @@ def restore_backup(
         for m, info in meas.items():
             if measurement and m != measurement:
                 continue
+            src_meas = src.join(backup_root, backup_id, d, m)
+            dst_meas = dst.join(root, d, m)
+            if prefix is None and not dst.isdir(dst_meas):
+                # whole-measurement restore into an empty slot: one
+                # threaded tree copy, no per-file loop
+                import pyarrow.fs as pafs
+
+                dst.mkdirs(dst_meas)
+                pafs.copy_files(
+                    src.fs_path(src_meas), dst.fs_path(dst_meas),
+                    source_filesystem=src.fs, destination_filesystem=dst.fs,
+                )
+                restored += len(info["files"])
+                touched.append((d, m))
+                continue
+            # selective path (prefix subset / merge into live files):
+            # per-file checks are the point — non-clobber semantics
             any_restored = False
             for rel in info["files"]:
                 is_meas_manifest = rel.startswith("_arc_manifest")
                 if prefix and not rel.startswith(prefix) and not is_meas_manifest:
                     continue
-                dest = dst.join(root, d, m, rel)
+                dest = dst.join(dst_meas, rel)
                 if not overwrite and dst.isfile(dest):
                     skipped += 1
                     continue
                 dst.mkdirs(dst.dirname(dest))
-                dst.write_bytes(
-                    dest,
-                    src.read_bytes(src.join(backup_root, backup_id, d, m, rel)),
-                )
+                dst.write_bytes(dest, src.read_bytes(src.join(src_meas, rel)))
                 restored += 1
                 any_restored = True
             if any_restored:
