@@ -92,8 +92,10 @@ def get_spark(
         # Python<->JVM interchange is Arrow everywhere (arc serves Arrow IPC).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
-        # Quieter local runs
+        # Quieter local runs; no \r console-progress spam in captured
+        # harness output (bench/driver artifacts stay diffable)
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.extraJavaOptions", "-Dlog4j2.level=error -XX:+UseG1GC")
     )
     for k, v in (extra_conf or {}).items():

@@ -344,7 +344,14 @@ _LOCAL: StorageBackend | None = None
 
 def register_scheme(scheme: str, backend: StorageBackend) -> None:
     """Install a backend for ``scheme://`` roots (tests register ``mock``;
-    a deployment could register a custom store the same way)."""
+    a deployment could register a custom store the same way).
+
+    Registration is PER-PROCESS: code that runs on executors (the fused
+    bulk-LP writer) resolves its own backend there, so only schemes that
+    auto-resolve — local paths, ``file:``, ``s3://``/``s3a://`` — work
+    inside executor-side writes. Custom registered schemes cover the
+    driver-side metadata plane (catalog, compaction, retention, tiering,
+    backup), which is where every lifecycle operator runs."""
     _REGISTRY[scheme] = backend
 
 
