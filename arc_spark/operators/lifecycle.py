@@ -143,7 +143,7 @@ def delete_where(
     if dry_run or not affected:
         return {"files": len(affected), "deleted_rows": matched, "dry_run": dry_run}
 
-    for fpath in affected:
+    def _rewrite(fpath: str) -> None:
         keep = spark.read.parquet(bk.spark_url(fpath)).filter(~F.expr(predicate_sql))
         tmp = fpath + f".delete-tmp-{uuid.uuid4().hex[:8]}"
         (
@@ -156,5 +156,17 @@ def delete_where(
         if outs:
             bk.move_file(outs[0], fpath)
         bk.remove_tree(tmp, ignore_errors=True)
+
+    # affected files are independent single-file rewrites — run them as
+    # concurrent Spark jobs (FIFO scheduler interleaves fine) instead of
+    # one job per file serially; a wide GDPR delete is bounded by the
+    # slowest few files, not the file count
+    if len(affected) == 1:
+        _rewrite(affected[0])
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(len(affected), 8)) as ex:
+            list(ex.map(_rewrite, affected))
     spark.catalog.refreshByPath(bk.spark_url(meas_path))
     return {"files": len(affected), "deleted_rows": matched, "dry_run": False}
