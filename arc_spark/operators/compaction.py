@@ -35,6 +35,20 @@ from arc_spark.sources.writer import read_manifest
 from arc_spark.storage import backend_for
 
 
+def _run_jobs(thunks: list) -> list:
+    """Run independent per-partition compaction jobs concurrently (each is
+    one small Spark job over one partition dir + its own manifest/swap;
+    nothing shared). A backlogged measurement's compaction pass is bounded
+    by its slowest partitions, not the partition count. Order of results
+    matches the input order."""
+    if len(thunks) <= 1:
+        return [t() for t in thunks]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(len(thunks), 4)) as ex:
+        return list(ex.map(lambda t: t(), thunks))
+
+
 def heal_time_column(df: DataFrame, col: str = "time") -> DataFrame:
     """COALESCE(TRY_CAST(time AS TIMESTAMP), epoch-int interpretation) —
     heals string/int time columns (reference dedup.go:238-259)."""
@@ -324,11 +338,11 @@ def compact_measurement_daily(
     dst_bk = backend_for(daily_root)
     meas_path = src_bk.join(root, db, measurement)
     recover_incomplete(dst_bk.join(daily_root, db, measurement))
-    results = []
-    for d in daily_candidates(meas_path, min_files, min_age_seconds, now):
-        results.append(
-            compact_day(spark, root, db, measurement, d, daily_root)
-        )
+    cands = daily_candidates(meas_path, min_files, min_age_seconds, now)
+    results = _run_jobs(
+        [lambda d=d: compact_day(spark, root, db, measurement, d, daily_root)
+         for d in cands]
+    )
     if results:
         spark.catalog.refreshByPath(src_bk.spark_url(meas_path))
         if catalog is not None:
@@ -354,9 +368,11 @@ def compact_measurement(
     bk = backend_for(root)
     meas_path = bk.join(root, db, measurement)
     recover_incomplete(meas_path)
-    results = []
-    for d in compaction_candidates(meas_path, min_files, min_age_seconds, now):
-        results.append(compact_partition_dir(spark, root, db, measurement, d))
+    cands = compaction_candidates(meas_path, min_files, min_age_seconds, now)
+    results = _run_jobs(
+        [lambda d=d: compact_partition_dir(spark, root, db, measurement, d)
+         for d in cands]
+    )
     if results:
         spark.catalog.refreshByPath(bk.spark_url(meas_path))
         if catalog is not None:
