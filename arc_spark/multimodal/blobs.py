@@ -36,11 +36,23 @@ def blob_table(spark: SparkSession, rows: list[tuple]) -> DataFrame:
 
 def _real_features(raw: bytes, media_type: str, dim: int) -> list[float]:
     """Decoded-media feature vector: geometry + per-channel/level stats,
-    zero-padded to `dim`. PNG and WAV are real stdlib decodes; other types
-    need external codecs."""
-    from arc_spark.multimodal.codecs import decode_png, decode_wav, image_stats
+    zero-padded to `dim`. PNG, animated GIF, and WAV are real stdlib
+    decodes; other video containers need external codecs."""
+    from arc_spark.multimodal.codecs import (
+        decode_gif,
+        decode_png,
+        decode_wav,
+        image_stats,
+    )
 
-    if media_type.startswith("image"):
+    if media_type in ("image/gif", "video/gif"):
+        g = decode_gif(raw)
+        mid = g["frames"][len(g["frames"]) // 2]["pixels"]
+        st = image_stats({"channels": 3, "pixels": mid})
+        feats = [g["width"] / 4096.0, g["height"] / 4096.0,
+                 g["n_frames"] / 1000.0, g["duration_ms"] / 60000.0]
+        feats += st["mean"] + st["min"] + st["max"]
+    elif media_type.startswith("image"):
         img = decode_png(raw)
         st = image_stats(img)
         feats = [img["width"] / 4096.0, img["height"] / 4096.0,
@@ -52,7 +64,8 @@ def _real_features(raw: bytes, media_type: str, dim: int) -> list[float]:
                  a["duration_ms"] / 60000.0, a["rms"]]
     else:
         raise NotImplementedError(
-            f"no stdlib codec for media_type {media_type!r} (video needs ffmpeg)"
+            f"no stdlib codec for media_type {media_type!r} "
+            "(non-GIF video needs ffmpeg)"
         )
     return (feats + [0.0] * dim)[:dim]
 
@@ -145,23 +158,55 @@ def sample_frames(
     blob_col: str = "blob",
     deterministic_stub: bool = True,
 ) -> DataFrame:
-    """Video → one row per sampled frame (blob_id, frame_idx, frame_ts_ms,
-    frame binary). Stub emits deterministic slice markers; real kernel uses
-    ffmpeg. Shows the row-expanding (1→N) mapInPandas shape."""
+    """Multi-frame media → one row per sampled frame (blob_id, frame_idx,
+    frame_ts_ms, frame binary). The row-expanding (1→N) mapInPandas shape.
+
+    Real kernel (`deterministic_stub=False`): animated GIF decodes with
+    the pure-stdlib codec — the visible canvas nearest each sample
+    timestamp is re-encoded as a PNG frame. Non-GIF video containers
+    (mp4/webm/…) still need ffmpeg and raise honestly. Stub kernel emits
+    deterministic slice markers using the `duration_ms` column (no
+    decode), keeping the plumbing testable for any container."""
     import pandas as pd
 
     schema = "blob_id bigint, frame_idx int, frame_ts_ms bigint, frame binary"
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from arc_spark.multimodal.codecs import decode_gif, encode_png
+
         for pdf in batches:
             rows = {"blob_id": [], "frame_idx": [], "frame_ts_ms": [], "frame": []}
             for _, r in pdf.iterrows():
-                dur = int(r["duration_ms"] or 0)
                 if not deterministic_stub:
-                    raise NotImplementedError(
-                        "video frame extraction needs ffmpeg; stdlib has no "
-                        "video codec — pass deterministic_stub=True"
-                    )
+                    raw = bytes(r[blob_col] or b"")
+                    mt = str(r.get("media_type") or "")
+                    if raw[:6] not in (b"GIF87a", b"GIF89a"):
+                        raise NotImplementedError(
+                            f"frame extraction for {mt or 'unknown'} needs "
+                            "ffmpeg; animated GIF is the stdlib-decodable "
+                            "container"
+                        )
+                    g = decode_gif(raw)
+                    # cumulative end-time per frame; zero-delay frames get
+                    # the GIF-player floor of 10ms so sampling advances
+                    ends = []
+                    t = 0
+                    for fr in g["frames"]:
+                        t += max(fr["delay_ms"], 10)
+                        ends.append(t)
+                    fi = 0
+                    for i, ts in enumerate(range(0, max(ends[-1], 1), every_ms)):
+                        while fi < len(ends) - 1 and ends[fi] <= ts:
+                            fi += 1
+                        rows["blob_id"].append(r["blob_id"])
+                        rows["frame_idx"].append(i)
+                        rows["frame_ts_ms"].append(ts)
+                        rows["frame"].append(encode_png(
+                            g["width"], g["height"], 3,
+                            g["frames"][fi]["pixels"],
+                        ))
+                    continue
+                dur = int(r["duration_ms"] or 0)
                 for i, ts in enumerate(range(0, max(dur, 1), every_ms)):
                     marker = hashlib.md5(
                         bytes(r[blob_col] or b"") + ts.to_bytes(8, "big")

@@ -177,3 +177,245 @@ def decode_wav(data: bytes) -> dict:
         "duration_ms": int(n * 1000 / rate) if rate else 0,
         "rms": rms,
     }
+
+
+# ---------------------------------------------------------------------------
+# GIF (87a/89a) — the pure-stdlib "video" lane: animated GIF is the one
+# multi-frame container decodable without ffmpeg/PIL, so frame sampling
+# runs a REAL decoder (LZW + canvas composition) instead of a stub.
+# Spec: GIF89a (W3C/CompuServe); LZW variant with variable code width
+# 3..12 bits, clear/EOI codes, and frame disposal semantics.
+# ---------------------------------------------------------------------------
+
+GIF_MAGICS = (b"GIF87a", b"GIF89a")
+
+
+def _gif_lzw_decode(min_code_size: int, data: bytes, expected: int) -> bytearray:
+    """GIF-variant LZW → index stream (caps at `expected` pixels)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    # bit reader, LSB-first
+    bitpos = 0
+    nbits = len(data) * 8
+
+    def read(width: int) -> int:
+        nonlocal bitpos
+        if bitpos + width > nbits:
+            return eoi  # truncated stream → stop
+        byte0 = bitpos >> 3
+        val = int.from_bytes(data[byte0:byte0 + 3], "little")
+        val = (val >> (bitpos & 7)) & ((1 << width) - 1)
+        bitpos += width
+        return val
+
+    width = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    prev: bytes | None = None
+    while len(out) < expected:
+        code = read(width)
+        if code == clear:
+            table = table[: clear + 2]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code < len(table) and code not in (clear, eoi):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise MediaDecodeError(f"bad LZW code {code}")
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return out
+
+
+def _deinterlace(indices: bytearray, w: int, h: int) -> bytearray:
+    """GIF 4-pass interlace → sequential rows."""
+    out = bytearray(len(indices))
+    src = 0
+    for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+        for row in range(start, h, step):
+            out[row * w:(row + 1) * w] = indices[src:src + w]
+            src += w
+    return out
+
+
+def decode_gif(data: bytes) -> dict:
+    """GIF bytes → {width, height, n_frames, duration_ms, frames}.
+
+    Each frame is {pixels (RGB bytes, full canvas), delay_ms}: frames are
+    COMPOSED onto the logical screen with GIF disposal semantics (1/none =
+    draw over, 2 = restore background; 3/previous treated as draw-over —
+    vanishingly rare and sampling-irrelevant), transparency honored during
+    composition. This is what a video frame-sampler needs: the visible
+    canvas at each frame time, not raw sub-rectangles."""
+    if data[:6] not in GIF_MAGICS:
+        raise MediaDecodeError("not a GIF")
+    try:
+        w, h, flags, bg, _ar = struct.unpack_from("<HHBBB", data, 6)
+        pos = 13
+        gct = None
+        if flags & 0x80:
+            n = 2 << (flags & 0x07)
+            gct = data[pos:pos + 3 * n]
+            pos += 3 * n
+        canvas = bytearray(w * h * 3)
+        if gct and bg * 3 + 3 <= len(gct):
+            canvas[:] = gct[bg * 3:bg * 3 + 3] * (w * h)
+        frames: list[dict] = []
+        delay_ms = 0
+        transparent: int | None = None
+        disposal = 0
+        prev_disposal_bg = False
+        while pos < len(data):
+            block = data[pos]
+            pos += 1
+            if block == 0x3B:  # trailer
+                break
+            if block == 0x21:  # extension
+                label = data[pos]
+                pos += 1
+                if label == 0xF9:  # graphic control
+                    size = data[pos]
+                    gflags, delay_cs, tindex = struct.unpack_from(
+                        "<BHB", data, pos + 1)
+                    delay_ms = delay_cs * 10
+                    transparent = tindex if gflags & 0x01 else None
+                    disposal = (gflags >> 2) & 0x07
+                    pos += 1 + size
+                else:  # skip any other extension's sub-blocks
+                    pass
+                while data[pos] != 0:
+                    pos += 1 + data[pos]
+                pos += 1
+                continue
+            if block != 0x2C:
+                raise MediaDecodeError(f"unexpected GIF block 0x{block:02x}")
+            fx, fy, fw, fh, lflags = struct.unpack_from("<HHHHB", data, pos)
+            pos += 9
+            table = gct
+            if lflags & 0x80:
+                n = 2 << (lflags & 0x07)
+                table = data[pos:pos + 3 * n]
+                pos += 3 * n
+            if table is None:
+                raise MediaDecodeError("GIF frame without a color table")
+            min_code = data[pos]
+            pos += 1
+            lzw = bytearray()
+            while data[pos] != 0:
+                ln = data[pos]
+                lzw += data[pos + 1:pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            indices = _gif_lzw_decode(min_code, bytes(lzw), fw * fh)
+            if len(indices) < fw * fh:
+                raise MediaDecodeError("GIF frame pixel data truncated")
+            if lflags & 0x40:
+                indices = _deinterlace(indices, fw, fh)
+            if prev_disposal_bg and gct is not None:
+                canvas[:] = (gct[bg * 3:bg * 3 + 3] or b"\0\0\0") * (w * h)
+            # compose the sub-rectangle onto the canvas
+            for row in range(fh):
+                cy = fy + row
+                if cy >= h:
+                    break
+                base = (cy * w + fx) * 3
+                for col in range(min(fw, w - fx)):
+                    idx = indices[row * fw + col]
+                    if transparent is not None and idx == transparent:
+                        continue
+                    off = idx * 3
+                    canvas[base + col * 3:base + col * 3 + 3] = table[off:off + 3]
+            frames.append({"pixels": bytes(canvas), "delay_ms": delay_ms})
+            prev_disposal_bg = disposal == 2
+            delay_ms = 0
+            transparent = None
+            disposal = 0
+    except (struct.error, IndexError) as e:
+        raise MediaDecodeError(f"bad GIF: {e}") from None
+    if not frames:
+        raise MediaDecodeError("GIF with no image data")
+    return {
+        "width": w,
+        "height": h,
+        "n_frames": len(frames),
+        "duration_ms": sum(f["delay_ms"] for f in frames),
+        "frames": frames,
+    }
+
+
+def encode_gif(width: int, height: int, frames: list[dict],
+               palette: bytes | None = None, interlace_first: bool = False) -> bytes:
+    """Minimal GIF89a encoder for fixtures and resized output.
+
+    ``frames``: [{indices: bytes (palette indices, w*h), delay_ms}];
+    ``palette``: RGB triples (padded to a power of two, default 256-gray).
+    Uses the classic clear-code-heavy LZW form (every code literal,
+    periodic clears) — valid GIF, zero compression machinery.
+    ``interlace_first`` writes frame 0 with the interlace flag (row-permuted)
+    so decoder interlace handling is testable."""
+    if palette is None:
+        palette = bytes(v for i in range(256) for v in (i, i, i))
+    n_colors = max(2, len(palette) // 3)
+    depth = max(2, (n_colors - 1).bit_length())
+    size = 1 << depth
+    pal = palette.ljust(size * 3, b"\x00")[: size * 3]
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, height, 0x80 | (depth - 1), 0, 0)
+    out += pal
+    min_code = depth
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    for fi, fr in enumerate(frames):
+        out += b"\x21\xf9\x04"
+        out += struct.pack("<BHB", 0, max(fr.get("delay_ms", 0), 0) // 10, 0)
+        out += b"\x00"
+        ilace = interlace_first and fi == 0
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height,
+                                     0x40 if ilace else 0)
+        indices = fr["indices"]
+        if ilace:
+            rows = []
+            for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+                for row in range(start, height, step):
+                    rows.append(indices[row * width:(row + 1) * width])
+            indices = b"".join(rows)
+        out.append(min_code)
+        # literal LZW: width is min_code+1 the whole time thanks to clears
+        bits = bytearray()
+        acc = 0
+        nacc = 0
+        cw = min_code + 1
+
+        def emit(code: int):
+            nonlocal acc, nacc
+            acc |= code << nacc
+            nacc += cw
+            while nacc >= 8:
+                bits.append(acc & 0xFF)
+                acc >>= 8
+                nacc -= 8
+
+        emit(clear)
+        for i, idx in enumerate(indices):
+            emit(idx)
+            # re-clear before the table could force a width bump
+            if i % (clear - 2) == clear - 3:
+                emit(clear)
+        emit(eoi)
+        if nacc:
+            bits.append(acc & 0xFF)
+        for i in range(0, len(bits), 255):
+            chunk = bits[i:i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)

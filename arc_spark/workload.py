@@ -851,13 +851,13 @@ def q51_token_packing(spark: SparkSession, sf: str) -> DataFrame:
 
 def q52_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     """Multimodal feature extraction through the REAL stdlib codecs
-    (rows-only: PNG/WAV codecs are not SQL-expressible). Deterministic
-    blobs derived from each document's md5 — even doc_ids become 8×8
-    grayscale PNGs, odd ones 8 kHz mono WAVs — then the Arrow-batched
-    decode lane (`multimodal.blobs.extract_features`,
-    deterministic_stub=False) emits geometry/level features, aggregated
-    per media type. Exercises schema, batch shape, partitioning, and both
-    decoders distributed."""
+    (rows-only: PNG/GIF/WAV codecs are not SQL-expressible). Deterministic
+    blobs derived from each document's md5 — doc_id%3==0 becomes an 8×8
+    grayscale PNG, %3==1 an 8 kHz mono WAV, %3==2 a 2-frame animated GIF —
+    then the Arrow-batched decode lane
+    (`multimodal.blobs.extract_features`, deterministic_stub=False) emits
+    geometry/level features, aggregated per media type. Exercises schema,
+    batch shape, partitioning, and all three decoders distributed."""
     import pandas as pd
 
     from arc_spark.multimodal.blobs import extract_features
@@ -869,27 +869,32 @@ def q52_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
         import io
         import wave
 
-        from arc_spark.multimodal.codecs import encode_png
+        from arc_spark.multimodal.codecs import encode_gif, encode_png
 
         for pdf in batches:
             ids, types, blobs = [], [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 seed = hashlib.md5(str(text).encode()).digest()
-                if doc_id % 2 == 0:
+                ids.append(doc_id)
+                if doc_id % 3 == 0:
                     pixels = (seed * 4)[:64]
-                    ids.append(doc_id)
                     types.append("image/png")
                     blobs.append(encode_png(8, 8, 1, pixels))
-                else:
+                elif doc_id % 3 == 1:
                     buf = io.BytesIO()
                     with wave.open(buf, "wb") as wf:
                         wf.setnchannels(1)
                         wf.setsampwidth(2)
                         wf.setframerate(8000)
                         wf.writeframes((seed * 50)[:800])
-                    ids.append(doc_id)
                     types.append("audio/wav")
                     blobs.append(buf.getvalue())
+                else:
+                    types.append("image/gif")
+                    blobs.append(encode_gif(4, 4, [
+                        {"indices": (seed * 1)[:16], "delay_ms": 40},
+                        {"indices": (seed[::-1] * 1)[:16], "delay_ms": 60},
+                    ]))
             yield pd.DataFrame(
                 {"blob_id": ids, "media_type": types, "blob": blobs}
             )
