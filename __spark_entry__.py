@@ -53,8 +53,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-dialect oracle SQL for every SQL-expressible query.
 
-    Omitted keys (rows-only check): q18_simhash, q27_approx_distinct,
-    q35_lsh_topk, q53_ivf_topk, q54_simhash_pairs — hash-family / sketch /
+    Omitted keys (rows-only check): q27_approx_distinct, q35_lsh_topk,
+    q53_ivf_topk, q54_simhash_pairs, q55_simhash — hash-family / sketch /
     approximate-ANN outputs are engine-specific — and
     q52_multimodal_features, whose PNG/WAV decode is not SQL-expressible.
     """

@@ -1,6 +1,6 @@
 """DataFrame-level operators: dedup family, similarity search, as-of join,
 compaction, lifecycle (retention / predicate delete), backup/restore,
-duplicate-cluster closure, token packing."""
+duplicate-cluster closure, repetition-quality gates, token packing."""
 
 from arc_spark.operators.dedup import (  # noqa: F401
     dedup_exact,
@@ -15,9 +15,11 @@ from arc_spark.operators.dedup import (  # noqa: F401
 from arc_spark.operators.asof import asof_join  # noqa: F401
 from arc_spark.operators.similarity import (  # noqa: F401
     brute_force_topk,
+    kmeans_assign,
     lsh_bucketed_topk,
     ivf_topk,
 )
+from arc_spark.operators.quality import repetition_profile  # noqa: F401
 from arc_spark.operators.tiering import migrate_to_cold, tier_report  # noqa: F401
 from arc_spark.operators.backup import (  # noqa: F401
     create_backup,

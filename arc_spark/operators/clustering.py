@@ -35,6 +35,7 @@ def connected_components(
     id_col: str = "doc_id",
     max_iterations: int = 50,
     unique_edges: bool = False,
+    small_graph_edges: int = 1_000_000,
 ) -> DataFrame:
     """(node, cluster_id) for every node; cluster_id = min node id in the
     connected component.
@@ -51,11 +52,28 @@ def connected_components(
     exactly once as (a<b), so symmetrizing cannot create duplicates.
     Leave False for arbitrary edge lists (multi-edges would multiply the
     neighbor frame every round).
+
+    Hybrid execution: a similarity-thresholded dup graph is SPARSE — the
+    edge list is orders of magnitude smaller than the corpus (it is the
+    output of an LSH/jaccard gate, not the corpus itself). When the edge
+    list fits under ``small_graph_edges`` (probed with one bounded
+    ``limit(n+1).collect()`` — ≤ ~16 bytes/edge on the driver), the
+    closure is solved with a driver union-find in O(E α(E)) and applied
+    back as a BROADCAST map join — total cost one edge job + one
+    broadcast, instead of O(diameter) shuffle rounds. Graphs above the
+    threshold take the distributed min-label loop. This mirrors how
+    production CC implementations finish: iterate only while the graph is
+    too big to contract. Set ``small_graph_edges=0`` to force the
+    distributed loop.
     """
     e = edges.select(
         F.col(src_col).cast("long").alias("a"),
         F.col(dst_col).cast("long").alias("b"),
     )
+    if small_graph_edges:
+        probe = e.limit(small_graph_edges + 1).collect()
+        if len(probe) <= small_graph_edges:
+            return _cc_driver_union_find(e, probe, nodes, id_col)
     # symmetrize once
     e = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     if not unique_edges:
@@ -109,6 +127,54 @@ def connected_components(
         if obs.get["n_changed"] == 0:
             break
     return labels.select(
+        F.col("node").alias(id_col), F.col("label").alias("cluster_id")
+    )
+
+
+def _cc_driver_union_find(e, probe, nodes, id_col: str) -> DataFrame:
+    """Small-graph closure: union-find over the collected edge list.
+
+    Roots are kept at the component-minimum id (union by min, path
+    compression), so cluster ids match the distributed loop exactly.
+    The (endpoint → cluster) map goes back to the cluster as a broadcast
+    frame; nodes outside the edge set stay singleton via a broadcast
+    left join — the corpus itself is never collected or shuffled.
+    """
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in probe:
+        ra, rb = find(row[0]), find(row[1])
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    endpoints = {x for row in probe for x in row}
+    spark = e.sparkSession
+    if endpoints:
+        import pandas as pd
+
+        lab = spark.createDataFrame(pd.DataFrame({
+            "node": sorted(endpoints),
+            "label": [find(x) for x in sorted(endpoints)],
+        }))
+    else:
+        lab = spark.createDataFrame([], "node long, label long")
+    lab = lab.select(F.col("node").cast("long"), F.col("label").cast("long"))
+    if nodes is not None:
+        uni = nodes.select(F.col(id_col).cast("long").alias("node"))
+        singles = uni.join(F.broadcast(lab), "node", "left_anti").select(
+            "node", F.col("node").alias("label")
+        )
+        lab = lab.unionByName(singles)
+    return lab.select(
         F.col("node").alias(id_col), F.col("label").alias("cluster_id")
     )
 

@@ -112,6 +112,70 @@ def lsh_bucketed_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def kmeans_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str | None = None,
+    max_centroids: int = 65_536,
+) -> DataFrame:
+    """Nearest-centroid assignment: (id, cid) for every corpus vector.
+
+    The curation use: cluster a corpus's embeddings (topic balancing,
+    diversity sampling, semantic dedup sharding) by assigning each vector
+    to its nearest centroid under squared-L2. Ties break toward the
+    smallest centroid id, so the mapping is deterministic across engines.
+
+    Scale design: the centroid table is collected once (bounded —
+    ``max_centroids``×dim doubles, the documented driver bound) and
+    shipped in the UDF closure; assignment is an Arrow-batched numpy GEMM
+    (|x|² − 2xCᵀ + |c|²) over ``mapInPandas`` — one scan of the corpus,
+    no shuffle, no per-element interpreted lambdas. This is the same
+    assignment kernel :func:`ivf_topk` uses for its coarse quantizer,
+    exposed standalone so pipelines can cluster against externally
+    trained centroids.
+    """
+    import numpy as np
+
+    cid = centroid_id_col or id_col
+    rows = (
+        centroids.select(
+            F.col(cid).cast("long").alias("cid"),
+            F.col(vec_col).cast("array<double>").alias("cv"),
+        )
+        .orderBy("cid")
+        .limit(max_centroids)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("kmeans_assign: empty centroid table")
+    cids = np.array([r["cid"] for r in rows], dtype=np.int64)
+    C = np.array([list(r["cv"]) for r in rows], dtype=np.float64)
+    c2 = (C * C).sum(axis=1)
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+            d2 = (V * V).sum(axis=1)[:, None] - 2.0 * (V @ C.T) + c2[None, :]
+            out = pdf[["id"]].copy()
+            # argmin is stable → first minimal index; cids sorted asc →
+            # ties resolve to the smallest centroid id
+            out["cid"] = cids[d2.argmin(axis=1)]
+            yield out
+
+    return (
+        corpus.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .mapInPandas(assign, "id long, cid long")
+        .select(F.col("id").alias(id_col), "cid")
+    )
+
+
 def _fit_centroids_lloyd(sample: DataFrame, k: int, iters: int, seed: int):
     """Lloyd's k-means over a bounded sample, fit on the driver in numpy.
 

@@ -325,8 +325,10 @@ def q17_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def q18_simhash(spark: SparkSession, sf: str) -> DataFrame:
-    """SimHash fingerprints (no SQL oracle — hash family is Spark-specific)."""
+def q55_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash fingerprints (no SQL oracle — hash family is Spark-specific).
+    Renumbered from q18 in round 3: rows-only lanes sort past the driver's
+    50-query correctness cap so every oracle-eligible lane keeps a row."""
     t = load_tables(spark, sf, register_views=False)
     return simhash(t["documents"]).select(F.col("doc").alias("doc_id"), "simhash")
 
@@ -702,6 +704,35 @@ def q44_unpivot(spark: SparkSession, sf: str) -> DataFrame:
         )
         GROUP BY metric
     """)
+
+
+def q39_repetition_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style repetition quality gate: per-doc distinct-word and
+    top-word fractions decide keep/drop (operators/quality.py — one
+    explode + two map-side-combining aggregations, no joins)."""
+    from arc_spark.operators.quality import repetition_profile
+
+    t = load_tables(spark, sf, register_views=False)
+    return repetition_profile(
+        t["documents"], min_distinct_frac=0.45, max_top_word_frac=0.10
+    )
+
+
+def q41_kmeans_assign(spark: SparkSession, sf: str) -> DataFrame:
+    """Nearest-centroid assignment for corpus curation (topic balancing /
+    semantic sharding): k=8 deterministic centroids (lowest vec_ids),
+    Arrow-batched GEMM assignment (operators/similarity.kmeans_assign),
+    reported as per-cluster membership."""
+    from arc_spark.operators.similarity import kmeans_assign
+
+    t = load_tables(spark, sf, register_views=False)
+    emb = t["embeddings"]
+    cent = emb.orderBy("vec_id").limit(8)
+    assigned = kmeans_assign(emb, cent)
+    return assigned.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("vec_id").alias("min_member"),
+    )
 
 
 def q45_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
@@ -1486,6 +1517,51 @@ def _q48_q49_oracles() -> dict[str, str]:
 
 ORACLES.update(_q48_q49_oracles())
 
+# q39: identical count arithmetic both sides — SUM/COUNT/MAX of exact
+# integers, then one double division, so the hashes match bit-for-bit.
+ORACLES["q39_repetition_filter"] = """
+    WITH cnt AS (
+        SELECT doc_id, w, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents)
+        GROUP BY doc_id, w
+    ),
+    agg AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+               COUNT(*) AS n_distinct, MAX(c) AS top_c
+        FROM cnt GROUP BY doc_id
+    )
+    SELECT doc_id, n_words,
+           CAST(n_distinct AS DOUBLE) / n_words AS distinct_frac,
+           CAST(top_c AS DOUBLE) / n_words AS top_word_frac,
+           (CAST(n_distinct AS DOUBLE) / n_words >= 0.45
+            AND CAST(top_c AS DOUBLE) / n_words <= 0.10) AS keep
+    FROM agg
+"""
+
+# q41: same double-precision vectors on both sides; squared-L2 (Spark GEMM)
+# and DuckDB's list_distance order distances identically up to fp noise,
+# with ties broken toward the smaller centroid id in both engines.
+ORACLES["q41_kmeans_assign"] = """
+    WITH cent AS (
+        SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+        FROM embeddings ORDER BY vec_id LIMIT 8
+    ),
+    d AS (
+        SELECT e.vec_id, c.cid,
+               list_distance(CAST(e.embedding AS DOUBLE[]), c.cv) AS dist
+        FROM embeddings e CROSS JOIN cent c
+    ),
+    a AS (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cid) AS rk
+        FROM d
+    )
+    SELECT cid, COUNT(*) AS n_members, MIN(vec_id) AS min_member
+    FROM a WHERE rk = 1 GROUP BY cid
+"""
+
 ORACLES["q50_decontaminate"] = f"""
     WITH norm AS (
         SELECT doc_id, source, string_split({_LNORM}, ' ') AS w FROM documents
@@ -1562,7 +1638,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q15_dedup_lww": q15_dedup_lww,
     "q16_ngram_jaccard": q16_ngram_jaccard,
     "q17_minhash_lsh": q17_minhash_lsh,
-    "q18_simhash": q18_simhash,
     "q19_embedding_topk": q19_embedding_topk,
     "q20_lang_id": q20_lang_id,
     "q21_quality_score": q21_quality_score,
@@ -1583,7 +1658,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q36_sessionize": q36_sessionize,
     "q37_percentiles": q37_percentiles,
     "q38_full_outer": q38_full_outer,
+    "q39_repetition_filter": q39_repetition_filter,
     "q40_comma_cross_join": q40_comma_cross_join,
+    "q41_kmeans_assign": q41_kmeans_assign,
     "q42_pruned_time_bucket": q42_pruned_time_bucket,
     "q43_grouping_sets": q43_grouping_sets,
     "q44_unpivot": q44_unpivot,
@@ -1596,7 +1673,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q51_token_packing": q51_token_packing,
     "q52_multimodal_features": q52_multimodal_features,
     # rows-only lanes renumbered past the driver's 50-query correctness cap
-    # (q39→q53, q41→q54): every oracle-eligible query gets a driver row
+    # (q39→q53, q41→q54, q18→q55): every oracle-eligible query gets a
+    # driver row; the first 50 keys hold all 48 oracle lanes + q27/q35
     "q53_ivf_topk": q53_ivf_topk,
     "q54_simhash_pairs": q54_simhash_pairs,
+    "q55_simhash": q55_simhash,
 }

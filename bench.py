@@ -45,6 +45,8 @@ BENCH_QUERIES = [
     "q42_pruned_time_bucket",
     "q43_grouping_sets",
     "q44_unpivot",
+    "q39_repetition_filter",
+    "q41_kmeans_assign",
     "q45_dup_clusters",
     "q47_pii_redact",
     "q48_hash_split",

@@ -1,0 +1,78 @@
+"""Repetition-based quality gates (operators/quality) and the standalone
+nearest-centroid assignment (operators/similarity.kmeans_assign)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from arc_spark.operators.quality import repetition_profile
+from arc_spark.operators.similarity import kmeans_assign
+
+
+class TestRepetitionProfile:
+    def test_metrics_exact(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, "a b c d"),            # fully distinct
+                (2, "spam spam spam eggs"),  # top word 3/4
+                (3, "x"),                  # single word
+            ],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r for r in repetition_profile(docs).collect()}
+        assert rows[1]["n_words"] == 4
+        assert rows[1]["distinct_frac"] == 1.0
+        assert rows[1]["top_word_frac"] == 0.25
+        assert rows[2]["distinct_frac"] == 0.5
+        assert rows[2]["top_word_frac"] == 0.75
+        assert rows[3]["n_words"] == 1 and rows[3]["top_word_frac"] == 1.0
+
+    def test_gates(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "a b c d e f g h i j"), (2, "a a a a a a a a a b")],
+            "doc_id long, text string",
+        )
+        out = repetition_profile(docs, min_distinct_frac=0.5,
+                                 max_top_word_frac=0.2)
+        keep = {r["doc_id"]: r["keep"] for r in out.collect()}
+        assert keep == {1: True, 2: False}
+
+    def test_no_join_no_window_in_plan(self, spark):
+        # one explode + two aggs: the plan must not contain a join or a
+        # window — that is the whole point of deriving n_words from the
+        # (doc, word) counts instead of a second scan
+        docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        plan = repetition_profile(docs)._jdf.queryExecution().optimizedPlan().toString()
+        assert "Join" not in plan and "Window" not in plan
+
+
+class TestKmeansAssign:
+    def test_assignment_and_tie_break(self, spark):
+        # centroids at 0 and 10; point 7 → 10, point 2 → 0; point 5 is
+        # equidistant → smaller centroid id wins
+        cent = spark.createDataFrame(
+            [(0, [0.0]), (10, [10.0])], "vec_id long, embedding array<double>"
+        )
+        pts = spark.createDataFrame(
+            [(100, [2.0]), (101, [7.0]), (102, [5.0])],
+            "vec_id long, embedding array<double>",
+        )
+        got = {r["vec_id"]: r["cid"] for r in kmeans_assign(pts, cent).collect()}
+        assert got == {100: 0, 101: 10, 102: 0}
+
+    def test_empty_centroids_raise(self, spark):
+        cent = spark.createDataFrame([], "vec_id long, embedding array<double>")
+        pts = spark.createDataFrame([(1, [1.0])],
+                                    "vec_id long, embedding array<double>")
+        with pytest.raises(ValueError):
+            kmeans_assign(pts, cent)
+
+    def test_float32_corpus(self, spark):
+        # the real embeddings table carries float32 vectors; the cast to
+        # double must happen inside the operator
+        cent = spark.createDataFrame([(1, [0.5, 0.5])],
+                                     "vec_id long, embedding array<float>")
+        pts = spark.createDataFrame([(7, [0.1, 0.9])],
+                                    "vec_id long, embedding array<float>")
+        assert kmeans_assign(pts, cent).collect()[0]["cid"] == 1
