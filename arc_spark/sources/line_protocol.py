@@ -277,11 +277,178 @@ def chunk_payload(payload: bytes, chunk_bytes: int) -> list[bytes]:
     return chunks
 
 
+def _vec_group(hp, fp, ts, scale):
+    """Vector-parse ONE uniform single-measurement group.
+
+    ``hp``/``fp`` are the pre-split head (measurement,tags) and field
+    ListArrays, ``ts`` the timestamp string array (or None). Returns the
+    columnar batch dict, or None when the group's shape is not uniform
+    enough for columnwise ops (the caller then falls back to the generic
+    per-line parser). All heavy work is pyarrow.compute kernels — no
+    per-line Python.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n = len(hp)
+    # --- timestamp ------------------------------------------------------
+    if ts is not None:
+        try:
+            tsi = pc.cast(ts, pa.int64())
+        except pa.ArrowInvalid:
+            return None
+        if pc.min(tsi).as_py() is not None and pc.min(tsi).as_py() < 0:
+            return None  # floor-vs-truncate division differs pre-1970
+        try:
+            time_arr = (
+                pc.divide(tsi, 1000) if scale < 1
+                else pc.multiply_checked(tsi, int(scale))
+            )
+        except pa.ArrowInvalid:
+            return None
+    else:
+        # plain list, not pa.nulls: columnar_to_arrow's Arrow fast path
+        # assumes a null-free time buffer (np.asarray zero-copy)
+        time_arr = [None] * n
+
+    # --- measurement,tag=value,... --------------------------------------
+    hl = pc.unique(pc.list_value_length(hp))
+    if len(hl) != 1:
+        return None
+    n_tags = hl[0].as_py() - 1
+    columns: dict[str, object] = {"time": time_arr}
+    tag_names: list[str] = []
+    for i in range(1, n_tags + 1):
+        kv = pc.split_pattern(pc.list_element(hp, i), "=")
+        if pc.unique(pc.list_value_length(kv)).to_pylist() != [2]:
+            return None
+        keys = pc.unique(pc.list_element(kv, 0))
+        if len(keys) != 1 or keys[0].as_py() == "":
+            return None
+        name = keys[0].as_py()
+        if name in columns:
+            return None
+        tag_names.append(name)
+        columns[name] = pc.list_element(kv, 1)
+
+    # --- field=value,... -------------------------------------------------
+    fl = pc.unique(pc.list_value_length(fp))
+    if len(fl) != 1:
+        return None
+    for j in range(fl[0].as_py()):
+        kv = pc.split_pattern(pc.list_element(fp, j), "=")
+        if pc.unique(pc.list_value_length(kv)).to_pylist() != [2]:
+            return None
+        keys = pc.unique(pc.list_element(kv, 0))
+        if len(keys) != 1 or keys[0].as_py() == "":
+            return None
+        name = keys[0].as_py()
+        if name in columns:
+            return None
+        raw = pc.list_element(kv, 1)
+        if pc.min(pc.utf8_length(raw)).as_py() == 0:
+            return None  # empty value: the generic path raises
+        # column-wide typing: all-int (i/u suffix), all-bool, else float —
+        # mixed columns fall back (the generic path type-checks per value)
+        int_suffix = pc.or_(pc.ends_with(raw, "i"), pc.ends_with(raw, "u"))
+        if pc.any(int_suffix).as_py():
+            if not pc.all(int_suffix).as_py():
+                return None
+            body = pc.utf8_slice_codeunits(raw, 0, stop=-1)
+            try:
+                columns[name] = pc.cast(body, pa.int64())
+            except pa.ArrowInvalid:
+                return None
+            continue
+        is_t = pc.is_in(raw, value_set=pa.array(sorted(_BOOL_TRUE)))
+        is_f = pc.is_in(raw, value_set=pa.array(sorted(_BOOL_FALSE)))
+        if pc.any(pc.or_(is_t, is_f)).as_py():
+            if not pc.all(pc.or_(is_t, is_f)).as_py():
+                return None
+            columns[name] = is_t
+            continue
+        try:
+            columns[name] = pc.cast(raw, pa.float64())
+        except pa.ArrowInvalid:
+            return None
+    return {"columns": columns, "tag_columns": sorted(tag_names)}
+
+
+def parse_chunk_vectorized(chunk: bytes, precision: str):
+    """Columnwise chunk parse for the dominant wire shape, or None.
+
+    The generic parser (:func:`parse_chunk_columnar`'s loop) is
+    interpreted Python per line — the ingest throughput ceiling. Real
+    telemetry is overwhelmingly homogeneous: no escapes, no quoted
+    strings, per-measurement stable tag/field key sets. This path parses
+    that shape with pyarrow.compute kernels (split, slice, cast — C++,
+    one call per COLUMN instead of per line) and bails out with None on
+    the first sign of anything irregular, so the caller's per-line parser
+    remains the single source of truth for semantics; a property test
+    fuzzes the two paths for byte-equivalence.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    scale = PRECISION_TO_US.get(precision)
+    if scale is None:
+        raise LineProtocolError(f"bad precision {precision!r}")
+    try:
+        text = chunk.decode("utf-8")
+    except UnicodeDecodeError:
+        return None  # generic path applies lossy decode + sanitize
+    if "\\" in text or '"' in text or "\r" in text:
+        return None
+    lines = pc.list_flatten(pc.split_pattern(pa.array([text]), "\n"))
+    trimmed = pc.utf8_trim_whitespace(lines)
+    keep = pc.and_(
+        pc.not_equal(trimmed, ""), pc.invert(pc.starts_with(lines, "#"))
+    )
+    lines = pc.filter(lines, keep)
+    if len(lines) == 0:
+        return {}
+    if not pc.all(pc.equal(lines, pc.filter(trimmed, keep))).as_py():
+        return None  # stray whitespace: generic path decides (it errors)
+
+    # split ONCE; every later stage works on the extracted sections
+    parts = pc.split_pattern(lines, " ")
+    parts_len = pc.unique(pc.list_value_length(parts))
+    if len(parts_len) != 1 or parts_len[0].as_py() not in (2, 3):
+        return None
+    has_ts = parts_len[0].as_py() == 3
+    hp = pc.split_pattern(pc.list_element(parts, 0), ",")
+    fp = pc.split_pattern(pc.list_element(parts, 1), ",")
+    ts = pc.list_element(parts, 2) if has_ts else None
+
+    meas = pc.list_element(hp, 0)
+    uniq = pc.unique(meas)
+    if len(uniq) > 64 or "" in uniq.to_pylist():
+        return None
+    out: dict[str, dict] = {}
+    for m in uniq.to_pylist():
+        if len(uniq) == 1:
+            g_hp, g_fp, g_ts = hp, fp, ts
+        else:
+            mask = pc.equal(meas, m)
+            g_hp, g_fp = pc.filter(hp, mask), pc.filter(fp, mask)
+            g_ts = pc.filter(ts, mask) if has_ts else None
+        batch = _vec_group(g_hp, g_fp, g_ts, scale)
+        if batch is None:
+            return None
+        out[m] = batch
+    return out
+
+
 def parse_chunk_columnar(chunk: bytes, precision: str) -> dict[str, dict]:
     """One byte chunk → per-measurement columnar batches (null-padded).
 
     Returns {measurement: {"columns": {name: list}, "tag_columns": [...]}}
-    — the ingest columnar shape, ready for ``columnar_to_arrow``."""
+    — the ingest columnar shape, ready for ``columnar_to_arrow``. Uniform
+    chunks take :func:`parse_chunk_vectorized`; anything irregular falls
+    through to the per-line loop below (identical output either way)."""
+    fast = parse_chunk_vectorized(chunk, precision)
+    if fast is not None:
+        return fast
     per_meas: dict[str, dict] = {}
     for s in chunk.decode("utf-8", "replace").splitlines():
         if not s.strip() or s.startswith("#"):

@@ -319,3 +319,115 @@ def test_hot_shingle_cap_bounds_candidate_pairs(spark):
     pruned = posting.join(F.broadcast(hot.select("s")), "s", "left_anti")
     mx = pruned.groupBy("s").count().agg(F.max("count")).collect()[0][0]
     assert mx <= 10
+
+
+class TestLpVectorizedEquivalence:
+    """parse_chunk_vectorized must agree with the generic per-line parser
+    on EVERY chunk it accepts (same values, same column order, same
+    per-measurement grouping), and must decline (return None) rather than
+    guess on anything irregular — the generic path stays the single
+    source of truth for semantics and errors."""
+
+    _name = st.text(alphabet="abcdefgh", min_size=1, max_size=5)
+    _tagval = st.text(alphabet="xyz0123", min_size=0, max_size=5)
+
+    @staticmethod
+    def _canon(d):
+        import pyarrow as pa
+
+        out = {}
+        for m, b in d.items():
+            cols = {
+                k: (v.to_pylist() if isinstance(v, pa.Array) else list(v))
+                for k, v in b["columns"].items()
+            }
+            out[m] = (list(b["columns"].keys()), cols, tuple(b["tag_columns"]))
+        return out
+
+    @given(
+        meas=st.lists(_name, min_size=1, max_size=2, unique=True),
+        tag_keys=st.lists(_name, min_size=0, max_size=2, unique=True),
+        field_specs=st.lists(
+            st.tuples(_name, st.sampled_from(["f", "i", "b"])),
+            min_size=1, max_size=3, unique_by=lambda t: t[0],
+        ),
+        n=st.integers(min_value=1, max_value=8),
+        precision=st.sampled_from(["ns", "us", "ms", "s"]),
+        with_ts=st.booleans(),
+        data=st.data(),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_uniform_payloads_take_fast_path_and_match(
+        self, meas, tag_keys, field_specs, n, precision, with_ts, data
+    ):
+        from arc_spark.sources import line_protocol as lp
+
+        lines = []
+        for i in range(n):
+            m = meas[i % len(meas)]
+            head = ",".join(
+                [m] + [f"{k}={data.draw(self._tagval)}" for k in tag_keys]
+            )
+            fields = []
+            for fname, kind in field_specs:
+                if kind == "f":
+                    v = repr(
+                        data.draw(st.floats(allow_nan=False,
+                                            allow_infinity=False,
+                                            width=32)))
+                elif kind == "i":
+                    v = str(data.draw(st.integers(-(2**40), 2**40))) + "i"
+                else:
+                    v = data.draw(st.sampled_from(["t", "true", "f", "False"]))
+                fields.append(f"{fname}={v}")
+            ts = f" {1700000000000 + i}" if with_ts else ""
+            lines.append(f"{head} {','.join(fields)}{ts}")
+        chunk = "\n".join(lines).encode()
+
+        fast = lp.parse_chunk_vectorized(chunk, precision)
+        orig = lp.parse_chunk_vectorized
+        lp.parse_chunk_vectorized = lambda *a, **k: None
+        try:
+            gen = lp.parse_chunk_columnar(chunk, precision)
+        finally:
+            lp.parse_chunk_vectorized = orig
+        # tag/field name collisions (incl. a tag named "time") legitimately
+        # decline; everything else must take the fast path
+        names = set(tag_keys) | {f for f, _ in field_specs}
+        collides = (
+            "time" in names
+            or len(names) != len(tag_keys) + len(field_specs)
+        )
+        if not collides:
+            assert fast is not None, "uniform payload fell off the fast path"
+        if fast is not None:
+            assert self._canon(fast) == self._canon(gen)
+
+    @given(
+        payload=st.text(
+            alphabet='abc,= "\\\n#01.iu\t', min_size=0, max_size=200
+        ),
+        precision=st.sampled_from(["ns", "us", "ms", "s"]),
+    )
+    @settings(max_examples=120, deadline=None)
+    def test_arbitrary_garbage_never_diverges(self, payload, precision):
+        """On arbitrary input the fast path either declines, or produces
+        exactly the generic result; it must never raise a non-LP error
+        and never accept what the generic parser rejects."""
+        from arc_spark.sources import line_protocol as lp
+
+        chunk = payload.encode()
+        fast = lp.parse_chunk_vectorized(chunk, precision)
+        if fast is None:
+            return
+        orig = lp.parse_chunk_vectorized
+        lp.parse_chunk_vectorized = lambda *a, **k: None
+        try:
+            try:
+                gen = lp.parse_chunk_columnar(chunk, precision)
+            except lp.LineProtocolError:
+                raise AssertionError(
+                    "fast path accepted a chunk the generic parser rejects")
+        finally:
+            lp.parse_chunk_vectorized = orig
+        assert self._canon(fast) == self._canon(gen)
