@@ -89,16 +89,55 @@ def stream_typed_json(df, flush_rows: int = 1000) -> Iterator[str]:
 
 def to_columnar_msgpack(df, max_rows_per_batch: int = 10_000) -> bytes:
     """Columnar MessagePack: one list per column (one type-switch per column,
-    not per row — the reference's A33 design point)."""
-    frames = []
+    not per row — the reference's A33 design point).
+
+    The envelope ``{"frames": [{"columns": {...}, "n": k}, ...],
+    "column_order": [...]}`` is assembled by hand so each column array can
+    take :func:`pack_array_vectorized` — numpy bulk encode straight from
+    the Arrow buffers; only columns that decline (nulls, long strings)
+    pay the per-value packer. Byte layout differs from the naive
+    ``packb`` only in numeric width choices — same decoded values.
+    """
+    from arc_spark.sources.msgpack_codec import _pack, pack_array_vectorized
+
     names = df.columns
-    for batch in _arrow_batches(df, max_rows_per_batch):
-        cols = {}
+    batches = list(_arrow_batches(df, max_rows_per_batch))
+    out = bytearray()
+    out.append(0x82)  # 2-key map
+    _pack("frames", out)
+    _append_msgpack_array_header(len(batches), out)
+    for batch in batches:
+        out.append(0x82)
+        _pack("columns", out)
+        _pack_map_header(len(names), out)
         for i, name in enumerate(names):
+            _pack(name, out)
             arr = batch.column(i)
             if pa.types.is_timestamp(arr.type):
-                cols[name] = arr.cast(pa.int64()).to_pylist()  # epoch µs
-            else:
-                cols[name] = arr.to_pylist()
-        frames.append({"columns": cols, "n": batch.num_rows})
-    return packb({"frames": frames, "column_order": names})
+                arr = arr.cast(pa.int64())  # epoch µs
+            if not pack_array_vectorized(arr, out):
+                _pack(arr.to_pylist(), out)
+        _pack("n", out)
+        _pack(batch.num_rows, out)
+    _pack("column_order", out)
+    _pack(list(names), out)
+    return bytes(out)
+
+
+def _pack_map_header(n: int, out: bytearray) -> None:
+    import struct
+
+    if n <= 15:
+        out.append(0x80 | n)
+    elif n <= 0xFFFF:
+        out.append(0xDE)
+        out += struct.pack(">H", n)
+    else:
+        out.append(0xDF)
+        out += struct.pack(">I", n)
+
+
+def _append_msgpack_array_header(n: int, out: bytearray) -> None:
+    from arc_spark.sources.msgpack_codec import _append_array_header
+
+    _append_array_header(n, out)

@@ -104,6 +104,99 @@ def _pack(obj, out: bytearray) -> None:
         raise TypeError(f"cannot msgpack-encode {type(obj)}")
 
 
+def _append_array_header(n: int, out: bytearray) -> None:
+    if n <= 15:
+        out.append(0x90 | n)
+    elif n <= 0xFFFF:
+        out.append(0xDC)
+        out += struct.pack(">H", n)
+    else:
+        out.append(0xDD)
+        out += struct.pack(">I", n)
+
+
+def pack_array_vectorized(arr, out: bytearray) -> bool:
+    """Append a pyarrow Array as one msgpack array — bulk, no per-value
+    Python — or return False appending NOTHING (caller then uses the
+    generic per-value ``_pack``).
+
+    Numeric columns emit fixed-width encodings (0xd3 int64 / 0xcb float64)
+    rather than the generic path's per-value minimal ints: the bytes are
+    larger but equally valid msgpack, decode to identical values, and the
+    homogeneous marker runs are exactly what the columnar ingest decoder's
+    run detector turns back into one strided numpy read. Short strings
+    (≤31 bytes, fixstr) interleave header bytes and utf-8 payload with
+    offset arithmetic — one fancy-index store per class of byte. Columns
+    with nulls, long strings, or exotic types decline.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    if not isinstance(arr, (pa.Array, pa.ChunkedArray)):
+        return False
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if arr.null_count:
+        return False
+    t = arr.type
+    n = len(arr)
+    if pa.types.is_timestamp(t):
+        arr, t = arr.cast(pa.int64()), pa.int64()
+    if pa.types.is_integer(t):
+        vals = arr.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        _append_array_header(n, out)
+        rec = np.empty(n, dtype=[("m", "u1"), ("v", ">i8")])
+        rec["m"], rec["v"] = 0xD3, vals
+        out += rec.tobytes()
+        return True
+    if pa.types.is_floating(t):
+        vals = arr.cast(pa.float64()).to_numpy(zero_copy_only=False)
+        _append_array_header(n, out)
+        rec = np.empty(n, dtype=[("m", "u1"), ("v", ">f8")])
+        rec["m"], rec["v"] = 0xCB, vals
+        out += rec.tobytes()
+        return True
+    if pa.types.is_boolean(t):
+        vals = arr.to_numpy(zero_copy_only=False)
+        _append_array_header(n, out)
+        out += np.where(vals, np.uint8(0xC3), np.uint8(0xC2)).tobytes()
+        return True
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        if n == 0:
+            _append_array_header(n, out)
+            return True
+        off_buf, data_buf = arr.buffers()[1], arr.buffers()[2]
+        odt = np.int64 if pa.types.is_large_string(t) else np.int32
+        offs = np.frombuffer(off_buf, dtype=odt, count=n + 1,
+                             offset=arr.offset * np.dtype(odt).itemsize)
+        lens = np.diff(offs).astype(np.int64)
+        if lens.max(initial=0) > 0xFF:
+            return False  # beyond str8: generic path
+        _append_array_header(n, out)
+        total = int(offs[-1] - offs[0])
+        # header width per string: 1 byte (fixstr ≤31) or 2 (0xd9 + len)
+        hdr_len = np.where(lens <= 31, np.int64(1), np.int64(2))
+        hdr_before = np.concatenate(([0], np.cumsum(hdr_len)))
+        buf = np.empty(total + int(hdr_before[-1]), dtype=np.uint8)
+        # header positions: each string's start shifted by all PRECEDING
+        # header bytes
+        starts = (offs[:-1] - offs[0]).astype(np.int64) + hdr_before[:-1]
+        fix = lens <= 31
+        buf[starts[fix]] = (0xA0 | lens[fix]).astype(np.uint8)
+        buf[starts[~fix]] = 0xD9
+        buf[starts[~fix] + 1] = lens[~fix].astype(np.uint8)
+        if total:
+            data = np.frombuffer(data_buf, dtype=np.uint8,
+                                 count=total, offset=int(offs[0]))
+            # each payload byte shifts by the header bytes up to AND
+            # INCLUDING its own string's header
+            shift = np.repeat(hdr_before[1:], lens)
+            buf[np.arange(total, dtype=np.int64) + shift] = data
+        out += buf.tobytes()
+        return True
+    return False
+
+
 # --------------------------------------------------------------------------
 # decode
 # --------------------------------------------------------------------------

@@ -93,6 +93,29 @@ def main() -> None:
               f"(min {min(samples):.3f}, max {max(samples):.3f}) rows={n}",
               file=sys.stderr)
 
+    # result-serving lanes: full events table (BASELINE.md's SELECT LIMIT
+    # table serves 100k-1M rows per wire format; events at sf0.1 is 100k
+    # rows) through the reference's two binary formats — measures the
+    # Spark collect + encode path end to end
+    from arc_spark.catalog import read_parquet_normalized
+    from arc_spark.serving import to_arrow_ipc, to_columnar_msgpack
+
+    ev = read_parquet_normalized(
+        spark, os.path.join(sf_dir, "events.parquet"))
+    n_serve = ev.count()
+    for lane, enc in (("serve_arrow_events", to_arrow_ipc),
+                      ("serve_msgpack_events", to_columnar_msgpack)):
+        samples = []
+        for _ in range(iterations):
+            t0 = time.perf_counter()
+            nbytes = len(enc(ev))
+            samples.append(time.perf_counter() - t0)
+        dt = sorted(samples)[len(samples) // 2]
+        times[lane] = round(dt, 4)
+        total += dt
+        print(f"# {lane}: p50 {dt:.3f}s ({n_serve / dt / 1e6:.2f}M rows/s, "
+              f"{nbytes / 1e6:.1f} MB)", file=sys.stderr)
+
     # ingest microbench: decode+buffer+flush of a 100k-row columnar-msgpack
     # payload through IngestService (the reference's headline metric is
     # ingest throughput — BASELINE.md 20.9M rec/s on 12 native workers)

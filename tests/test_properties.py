@@ -431,3 +431,56 @@ class TestLpVectorizedEquivalence:
         finally:
             lp.parse_chunk_vectorized = orig
         assert self._canon(fast) == self._canon(gen)
+
+
+class TestPackArrayVectorized:
+    """The bulk Arrow-column msgpack encoder must decode to exactly the
+    values the generic per-value packer produces, or decline and append
+    NOTHING. Byte layouts may differ (fixed-width numerics); values may
+    not."""
+
+    @given(
+        vals=st.one_of(
+            st.lists(st.integers(-(2**63), 2**63 - 1), max_size=40),
+            st.lists(st.floats(allow_nan=False, width=64), max_size=40),
+            st.lists(st.booleans(), max_size=40),
+            st.lists(st.text(max_size=300), max_size=40),
+            st.lists(st.one_of(st.none(), st.integers(-100, 100)),
+                     max_size=40),
+        ),
+        slice_from=st.integers(0, 5),
+    )
+    @settings(max_examples=150, deadline=None)
+    def test_decode_equivalence_or_clean_decline(self, vals, slice_from):
+        import pyarrow as pa
+
+        from arc_spark.sources.msgpack_codec import (
+            _pack, pack_array_vectorized, unpackb,
+        )
+
+        arr = pa.array(vals)
+        if slice_from and slice_from < len(arr):
+            arr = arr.slice(slice_from)  # nonzero offset exercises buffers
+        out = bytearray()
+        took = pack_array_vectorized(arr, out)
+        if not took:
+            assert out == bytearray(), "decline must append nothing"
+            return
+        ref = bytearray()
+        _pack(arr.to_pylist(), ref)
+        assert unpackb(bytes(out)) == unpackb(bytes(ref))
+
+    def test_timestamp_and_chunked(self):
+        import pyarrow as pa
+
+        from arc_spark.sources.msgpack_codec import (
+            pack_array_vectorized, unpackb,
+        )
+
+        ts = pa.chunked_array([
+            pa.array([1, 2], type=pa.timestamp("us")),
+            pa.array([3], type=pa.timestamp("us")),
+        ])
+        out = bytearray()
+        assert pack_array_vectorized(ts, out)
+        assert unpackb(bytes(out)) == [1, 2, 3]
