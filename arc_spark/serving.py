@@ -68,23 +68,35 @@ def column_types(df) -> list[dict]:
 
 def stream_typed_json(df, flush_rows: int = 1000) -> Iterator[str]:
     """Typed JSON chunks: header with column metadata, then row-array chunks
-    (`data: [[...], ...]`), never buffering the full result."""
+    (`data: [[...], ...]`) of ≤ ``flush_rows`` rows each.
+
+    Rows come off Arrow batches, not ``toLocalIterator`` — the per-row
+    py4j round trip was ~10× slower than the whole Arrow collect. Like
+    the other two wire formats, memory is bounded by the governed result
+    size (the query path caps rows before serving); the chunked wire
+    shape is unchanged."""
     cols = column_types(df)
     yield json.dumps({"columns": cols}) + "\n"
-    buf = []
-    for row in df.toLocalIterator():
-        vals = []
-        for v, c in zip(row, cols):
-            if c["type"] == "timestamp" and v is not None:
-                vals.append(v.isoformat())
+    ts_idx = {i for i, c in enumerate(cols) if c["type"] == "timestamp"}
+    for batch in _arrow_batches(df, flush_rows):
+        pylists = []
+        for i in range(batch.num_columns):
+            arr = batch.column(i)
+            if i in ts_idx:
+                if pa.types.is_timestamp(arr.type) and arr.type.tz is not None:
+                    # session-local wall time, tz dropped — matches the
+                    # naive datetimes the row iterator used to yield (and
+                    # skips the per-value pytz conversion in to_pylist)
+                    import pyarrow.compute as pc
+
+                    arr = pc.local_timestamp(arr)
+                col = [None if v is None else v.isoformat()
+                       for v in arr.to_pylist()]
             else:
-                vals.append(v)
-        buf.append(vals)
-        if len(buf) >= flush_rows:
-            yield json.dumps({"data": buf}) + "\n"
-            buf = []
-    if buf:
-        yield json.dumps({"data": buf}) + "\n"
+                col = arr.to_pylist()
+            pylists.append(col)
+        rows = list(zip(*pylists))
+        yield json.dumps({"data": rows}) + "\n"
 
 
 def to_columnar_msgpack(df, max_rows_per_batch: int = 10_000) -> bytes:
