@@ -128,6 +128,53 @@ def write_measurement(
     return out
 
 
+def _sort_for_flush(table: pa.Table, part_cols: list[str],
+                    sort_keys: list[str]) -> pa.Table:
+    """Sort by (partition cols, sort keys) — the flush hot loop.
+
+    The partition columns are all functions of `time`, so the composite
+    key collapses to (hour-epoch, *sort keys, …): a numpy lexsort over
+    primitive key vectors + one `take` runs ~2× faster than Arrow's
+    ``sort_by`` (the reference's radix time-sort is the same move,
+    RELEASE_NOTES_2026.06.2 "flush time-sort"). String keys sort by
+    rank-remapped dictionary codes (lexicographic, identical order).
+    Null-bearing or exotic key columns fall back to ``sort_by``.
+    """
+    import numpy as np
+
+    keys: list = []  # np.lexsort: LAST array is the primary key
+    try:
+        for name in reversed(sort_keys):
+            col = table.column(name).combine_chunks()
+            if col.null_count:
+                raise TypeError
+            if pa.types.is_timestamp(col.type):
+                keys.append(col.cast(pa.int64()).to_numpy())
+            elif pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+                enc = pc.dictionary_encode(col)
+                dic = enc.dictionary.to_numpy(zero_copy_only=False)
+                order = np.argsort(dic)
+                rank = np.empty(len(order), dtype=np.int64)
+                rank[order] = np.arange(len(order))
+                keys.append(rank[enc.indices.to_numpy()])
+            elif (pa.types.is_integer(col.type)
+                  or pa.types.is_floating(col.type)
+                  or pa.types.is_boolean(col.type)):
+                keys.append(col.to_numpy(zero_copy_only=False))
+            else:
+                raise TypeError
+        # hour-epoch stands in for (year, month, day, hour)
+        keys.append(table.column("time").cast(pa.int64()).to_numpy()
+                    // 3_600_000_000)
+    except (TypeError, pa.ArrowInvalid):
+        return table.sort_by(
+            [(c, "ascending") for c in part_cols + sort_keys])
+    perm = np.lexsort(tuple(keys))
+    if (perm == np.arange(len(perm))).all():
+        return table  # already sorted: skip the take copy
+    return table.take(pa.array(perm))
+
+
 def write_measurement_arrow(
     table: pa.Table,
     root: str,
@@ -168,7 +215,7 @@ def write_measurement_arrow(
     for name, fn in (("year", pc.year), ("month", pc.month),
                      ("day", pc.day), ("hour", pc.hour)):
         table = table.append_column(name, fn(t).cast(pa.int32()))
-    table = table.sort_by([(c, "ascending") for c in part_cols + sort_keys])
+    table = _sort_for_flush(table, part_cols, sort_keys)
 
     bk = backend_for(root)
     out = measurement_path(root, db, measurement)
