@@ -33,3 +33,4 @@ from arc_spark.operators.clustering import (  # noqa: F401
 )
 from arc_spark.operators.lifecycle import apply_retention, delete_where  # noqa: F401
 from arc_spark.operators.packing import pack_token_shards  # noqa: F401
+from arc_spark.operators.reconciliation import Reconciler  # noqa: F401

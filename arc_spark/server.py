@@ -38,6 +38,17 @@ one stored without a table restriction):
 - ``POST /api/v1/import/csv|parquet?db=&measurement=&tags=&time_column=``
   (import_inprocess.go:35-1166; body = raw file, staged then imported via
   the distributed reader with Catalyst-side time coercion)
+- ``GET /api/v1/audit[?event_type=&actor=&database=&since=&until=&limit=
+  &offset=]`` and ``GET /api/v1/audit/stats`` — audit trail
+  (internal/audit; requires an attached :class:`AuditLogger`)
+- ``GET /api/v1/breaker`` — circuit-breaker state/stats
+  (internal/circuitbreaker; engine failures open it, user errors don't;
+  open circuit → 503 + Retry-After on engine routes)
+- ``POST /api/v1/metrics/memory/trim`` — throttled JVM GC hint
+  (internal/memtrim + internal/throttle; 429 + Retry-After inside the
+  debounce window)
+- ``POST /api/v1/reconcile?dry_run=`` / ``GET /api/v1/reconcile/runs`` —
+  storage reconciliation sweeps (internal/reconciliation)
 
 Auth: ``Authorization: Bearer <token>`` verified against
 :class:`arc_spark.auth.AuthStore` (hashed tokens, SQLite). RBAC reuses the
@@ -59,9 +70,11 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
 from arc_spark.api import IngestService, AccessDeniedError, QueryService
+from arc_spark.audit import AuditLogger
 from arc_spark.auth import AuthStore
 from arc_spark.governance import QueryTimeout, RateLimitExceeded
 from arc_spark.plans.validator import SqlValidationError
+from arc_spark.resilience import CircuitBreaker, CircuitOpenError, Debouncer
 
 _FMT_CONTENT_TYPES = {
     "json": "application/json",
@@ -79,10 +92,24 @@ class ArcServer:
         host: str = "127.0.0.1",
         port: int = 0,
         mqtt_bridge=None,
+        audit: AuditLogger | None = None,
+        breaker: CircuitBreaker | None = None,
+        reconciler=None,
     ):
         self.query = query_service
         self.ingest = ingest_service
         self.auth = auth
+        # optional audit trail (reference internal/audit middleware)
+        self.audit = audit
+        # optional engine-fault circuit breaker (internal/circuitbreaker):
+        # guards engine calls; user errors (400/403/429) don't trip it
+        self.breaker = breaker
+        # memtrim throttle (internal/memtrim + internal/throttle): at most
+        # one JVM GC hint per interval regardless of how often the trim
+        # route is hit
+        self.memtrim = Debouncer(30.0)
+        # optional operators.reconciliation.Reconciler for /api/v1/reconcile
+        self.reconciler = reconciler
         # optional sources.mqtt.MqttIngestBridge for /api/v1/mqtt/* routes
         self.mqtt = mqtt_bridge
         # request counters for /metrics (reference internal/monitoring)
@@ -106,6 +133,13 @@ class ArcServer:
             def log_message(self, *a):  # quiet test runs
                 pass
 
+            def parse_request(self):
+                # request start time for audit duration_ms (middleware.go
+                # stamps start before the handler runs)
+                self._t0 = time.time()
+                self._actor = "anonymous"
+                return super().parse_request()
+
             # -- helpers --------------------------------------------------
             def _token(self) -> str:
                 h = self.headers.get("Authorization", "")
@@ -121,6 +155,22 @@ class ArcServer:
                         "ts": time.time(), "method": self.command,
                         "path": path, "status": code,
                     })
+                if outer.audit is not None:
+                    q = {k: v[0] for k, v in
+                         parse_qs(urlparse(self.path).query).items()}
+                    outer.audit.record_request(
+                        method=self.command, path=path, status_code=code,
+                        actor=getattr(self, "_actor", "anonymous"),
+                        database=(self.headers.get("x-arc-database")
+                                  or q.get("db", "")),
+                        measurement=(self.headers.get("x-arc-measurement")
+                                     or q.get("measurement", "")),
+                        ip_address=self.client_address[0],
+                        user_agent=self.headers.get("User-Agent", ""),
+                        duration_ms=int(
+                            (time.time() - getattr(self, "_t0", time.time()))
+                            * 1000),
+                    )
                 self.send_response(code)
                 self.send_header("Content-Type", ctype)
                 self.send_header("Content-Length", str(len(body)))
@@ -140,9 +190,11 @@ class ArcServer:
                 token = self._token()
                 if outer.auth is None:
                     return token  # auth disabled (embedded/test use)
-                if outer.auth.verify(token) is None:
+                info = outer.auth.verify(token)
+                if info is None:
                     self._json(401, {"error": "invalid or missing token"})
                     return None
+                self._actor = info["name"]  # audit actor (middleware.go)
                 return token
 
             def _require_admin(self, token: str) -> bool:
@@ -171,9 +223,34 @@ class ArcServer:
 
             def _run(self, fn):
                 """Engine-error → HTTP-status mapping (reference
-                api/errors.go semantics)."""
+                api/errors.go semantics). When a breaker is attached,
+                engine-internal failures and timeouts trip it; USER errors
+                (validation/RBAC/rate) deliberately do not — a client
+                sending bad SQL must not be able to open the circuit for
+                everyone else."""
+                cb = outer.breaker
                 try:
-                    return True, fn()
+                    if cb is not None:
+                        cb.allow()  # raises CircuitOpenError when open
+                    try:
+                        result = fn()
+                    except (SqlValidationError, AccessDeniedError,
+                            RateLimitExceeded):
+                        if cb is not None:
+                            cb.record(True)
+                        raise
+                    except Exception:
+                        if cb is not None:
+                            cb.record(False)
+                        raise
+                    if cb is not None:
+                        cb.record(True)
+                    return True, result
+                except CircuitOpenError as e:
+                    self._reply(
+                        503, json.dumps({"error": str(e)}).encode(),
+                        extra_headers={"Retry-After": str(
+                            max(1, int(cb.remaining() + 0.999)))})
                 except SqlValidationError as e:
                     self._json(400, {"error": str(e)})
                 except AccessDeniedError as e:
@@ -295,6 +372,54 @@ class ArcServer:
                         "jvm_free_bytes": rt.freeMemory(),
                         "jvm_max_bytes": rt.maxMemory(),
                     })
+                if url.path == "/api/v1/audit":
+                    # audit trail query (reference audit.go Query; admin —
+                    # the trail names actors and databases)
+                    if outer.audit is None:
+                        return self._json(503, {"error": "audit disabled"})
+                    if not self._require_admin(token):
+                        return
+                    outer.audit.flush()  # serve a read-your-writes view
+                    try:
+                        entries = outer.audit.query(
+                            event_type=q.get("event_type", ""),
+                            actor=q.get("actor", ""),
+                            database=q.get("database", ""),
+                            since=float(q["since"]) if "since" in q else None,
+                            until=float(q["until"]) if "until" in q else None,
+                            limit=int(q.get("limit", "100")),
+                            offset=int(q.get("offset", "0")),
+                        )
+                    except ValueError:
+                        return self._json(400, {"error": "bad filter value"})
+                    return self._json(200, {"entries": entries,
+                                            "dropped": outer.audit.dropped})
+                if url.path == "/api/v1/audit/stats":
+                    if outer.audit is None:
+                        return self._json(503, {"error": "audit disabled"})
+                    if not self._require_admin(token):
+                        return
+                    outer.audit.flush()
+                    since = None
+                    try:
+                        since = float(q["since"]) if "since" in q else None
+                    except ValueError:
+                        return self._json(400, {"error": "bad since"})
+                    return self._json(200, {"stats": outer.audit.stats(since)})
+                if url.path == "/api/v1/reconcile/runs":
+                    if outer.reconciler is None:
+                        return self._json(503, {"error": "reconciler disabled"})
+                    if not self._require_admin(token):
+                        return
+                    return self._json(200, {
+                        "running": outer.reconciler.is_running(),
+                        "runs": outer.reconciler.recent_runs()})
+                if url.path == "/api/v1/breaker":
+                    if outer.breaker is None:
+                        return self._json(503, {"error": "breaker disabled"})
+                    if not self._require_admin(token):
+                        return
+                    return self._json(200, outer.breaker.stats())
                 if url.path in ("/api/v1/mqtt/health", "/api/v1/mqtt/stats"):
                     # reference internal/mqtt health/stats surface
                     if outer.mqtt is None:
@@ -414,6 +539,38 @@ class ArcServer:
                     return self._reply(200, out, _FMT_CONTENT_TYPES[fmt],
                                        extra_headers=exec_hdr)
 
+                if url.path == "/api/v1/reconcile":
+                    # storage reconciliation sweep (internal/reconciliation
+                    # handleReconcile; dry_run defaults TRUE like the
+                    # reference's conservative gate)
+                    if outer.reconciler is None:
+                        return self._json(503, {"error": "reconciler disabled"})
+                    if not self._require_admin(token):
+                        return
+                    dry = q.get("dry_run", "true").lower() != "false"
+
+                    def _reconcile():
+                        return outer.reconciler.reconcile(dry_run=dry)
+
+                    ok, summary = self._run(_reconcile)
+                    if ok:
+                        self._json(200, summary)
+                    return
+                if url.path == "/api/v1/metrics/memory/trim":
+                    # memtrim analogue (reference internal/memtrim trims the
+                    # native allocator after cache churn, debounced by
+                    # internal/throttle): here the managed heap is the JVM's,
+                    # so the trim is a GC hint — throttled process-wide
+                    if not self._require_admin(token):
+                        return
+                    if not outer.memtrim.try_acquire():
+                        return self._reply(
+                            429,
+                            json.dumps({"error": "trim throttled"}).encode(),
+                            extra_headers={"Retry-After": str(
+                                max(1, int(outer.memtrim.remaining() + 0.999)))})
+                    outer.query.spark._jvm.java.lang.System.gc()
+                    return self._json(200, {"status": "trimmed"})
                 if url.path == "/api/v1/write/msgpack":
                     if outer.ingest is None:
                         return self._json(503, {"error": "ingest disabled"})
