@@ -270,6 +270,12 @@ class StorageBackend:
     def read_json(self, path: str) -> dict:
         return json.loads(self.read_bytes(path).decode("utf-8"))
 
+    def read_range(self, path: str, offset: int, length: int) -> bytes:
+        """Random-access slice read (bulk-LP staged payloads)."""
+        with self.fs.open_input_file(self.fs_path(path)) as f:
+            f.seek(offset)
+            return f.read(length)
+
     def write_json(self, path: str, obj: dict) -> None:
         self.write_bytes(path, json.dumps(obj).encode("utf-8"))
 

@@ -228,6 +228,32 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # backfill-scale LP lane: 1M lines (~49 MB) — per-task overhead
+    # amortizes and the fused path approaches its parse+write asymptote
+    n_lines_1m = 1_000_000
+    lp_1m = "\n".join(
+        f"cpu,host=h{i % 64} usage={i % 100},load={i % 7} "
+        f"{1700000000000000000 + i * 10**9}"
+        for i in range(n_lines_1m)
+    ).encode()
+    bulk_samples = []
+    for _ in range(iterations):
+        with tempfile.TemporaryDirectory() as td:
+            svc = IngestService(spark, td, max_buffer_rows=10**9,
+                                max_buffer_age_s=10**9,
+                                distributed_decode_min_bytes=1 << 20)
+            t0 = time.perf_counter()
+            n_written = svc.write_line_protocol("bench", lp_1m)
+            bulk_samples.append(time.perf_counter() - t0)
+    dt = sorted(bulk_samples)[len(bulk_samples) // 2]
+    times["ingest_lp_bulk_1m"] = round(dt, 4)
+    total += dt
+    print(
+        f"# ingest_lp_bulk_1m: {dt:.3f}s distributed decode+write "
+        f"({n_written / dt:,.0f} rec/s)",
+        file=sys.stderr,
+    )
+
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(json.dumps({
         "metric": "workload_total_wall",
