@@ -19,6 +19,13 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# cap native BLAS pools before any JVM/worker starts (see
+# arc_spark.session.pin_worker_blas_threads: N workers × N-thread OpenBLAS
+# pools oversubscribe the box N-fold; measured 2.3× on concurrent GEMM)
+from arc_spark.session import pin_worker_blas_threads  # noqa: E402
+
+pin_worker_blas_threads()
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: revenue by region/nation

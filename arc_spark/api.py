@@ -431,13 +431,12 @@ class IngestService:
         root, precision_ = self.root, precision
 
         def parse_write(batches):
-            import pyarrow as _pa
-
-            # each concurrent worker gets ONE arrow thread: N workers ×
+            # each concurrent worker gets ONE native thread: N workers ×
             # a default per-process pool of N threads oversubscribes the
             # box N-fold (measured: parse p50 503 ms vs 71 ms at 25 tasks)
-            _pa.set_cpu_count(1)
-            _pa.set_io_thread_count(1)
+            from arc_spark.functions.threads import pin_math_threads
+
+            pin_math_threads()
             from arc_spark.sources.ingest import columnar_to_arrow
             from arc_spark.sources.line_protocol import parse_chunk_columnar
             from arc_spark.sources.writer import write_measurement_arrow

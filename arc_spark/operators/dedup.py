@@ -498,6 +498,9 @@ def embedding_near_dup_pairs(
         import numpy as np
         import pandas as pd
 
+        from arc_spark.functions.threads import pin_math_threads
+
+        pin_math_threads()
         empty = pd.DataFrame({
             "id_a": np.array([], dtype=np.int64),
             "id_b": np.array([], dtype=np.int64),

@@ -155,6 +155,9 @@ def kmeans_assign(
     c2 = (C * C).sum(axis=1)
 
     def assign(batches):
+        from arc_spark.functions.threads import pin_math_threads
+
+        pin_math_threads(budget)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -166,12 +169,15 @@ def kmeans_assign(
             out["cid"] = cids[d2.argmin(axis=1)]
             yield out
 
+    src = corpus.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    from arc_spark.functions.threads import task_thread_budget
+
+    budget = task_thread_budget(src)
     return (
-        corpus.select(
-            F.col(id_col).cast("long").alias("id"),
-            F.col(vec_col).cast("array<double>").alias("v"),
-        )
-        .mapInPandas(assign, "id long, cid long")
+        src.mapInPandas(assign, "id long, cid long")
         .select(F.col("id").alias(id_col), "cid")
     )
 
@@ -273,6 +279,10 @@ def ivf_topk(
     def assign_corpus(batches):
         import numpy as np
 
+        from arc_spark.functions.threads import pin_math_threads
+
+        pin_math_threads(c_budget)
+
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -285,14 +295,22 @@ def ivf_topk(
     c_schema = (
         "neighbor_id long, cv array<double>, cluster int"
     )
-    c = corpus.select(
+    c_src = corpus.select(
         F.col(id_col).cast("long").alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
-    ).mapInPandas(assign_corpus, c_schema)
+    )
+    from arc_spark.functions.threads import task_thread_budget
+
+    c_budget = task_thread_budget(c_src)
+    c = c_src.mapInPandas(assign_corpus, c_schema)
 
     def probe_queries(batches):
         import numpy as np
         import pandas as pd
+
+        from arc_spark.functions.threads import pin_math_threads
+
+        pin_math_threads(q_budget)
 
         for pdf in batches:
             if len(pdf) == 0:
@@ -307,10 +325,13 @@ def ivf_topk(
                 "cluster": near.reshape(-1).astype(np.int32),
             })
 
-    probed = queries.select(
+    q_src = queries.select(
         F.col(id_col).cast("long").alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
-    ).mapInPandas(probe_queries, "query_id long, qv array<double>, cluster int")
+    )
+    q_budget = task_thread_budget(q_src)
+    probed = q_src.mapInPandas(
+        probe_queries, "query_id long, qv array<double>, cluster int")
 
     scored = (
         c.join(probed, "cluster")
