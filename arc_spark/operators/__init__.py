@@ -34,3 +34,7 @@ from arc_spark.operators.clustering import (  # noqa: F401
 from arc_spark.operators.lifecycle import apply_retention, delete_where  # noqa: F401
 from arc_spark.operators.packing import pack_token_shards  # noqa: F401
 from arc_spark.operators.reconciliation import Reconciler  # noqa: F401
+from arc_spark.operators.dedup import (  # noqa: F401
+    duplicated_window_fraction,
+    semantic_dedup,
+)

@@ -540,3 +540,175 @@ def embedding_near_dup_pairs(
         .groupBy("bi", "bj")
         .applyInPandas(score, "id_a long, id_b long, cosine double")
     )
+
+
+# --------------------------------------------------------------------------
+# duplicated-window fraction (exact-substring dedup measure)
+# --------------------------------------------------------------------------
+
+def duplicated_window_fraction(
+    df: DataFrame,
+    window: int = 5,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    digits: int = 4,
+) -> DataFrame:
+    """Per-document duplicated-substring measure: the fraction of a doc's
+    length-``window`` token windows that also occur in ≥ ``min_docs``
+    distinct documents.
+
+    This is the Spark-shaped version of exact-substring training-data
+    dedup (Lee et al., "Deduplicating Training Data Makes Language Models
+    Better"): a corpus-wide suffix array is replaced by fixed-length
+    window fingerprints — every length-w token window is a candidate
+    duplicated span, and a doc whose windows are mostly shared verbatim
+    with other docs is boilerplate/copy. Output: (doc_id, n_windows,
+    dup_windows, dup_frac).
+
+    Scale shape: one explode (windows), one groupBy on the window string
+    (inverted index — map-side combine applies), one shuffle join back.
+    No pairs are ever materialized, so cost is linear in total windows;
+    at 100 TB hash the window string (xxhash64) instead of carrying text
+    into the shuffle — kept as the raw string here for cross-engine
+    oracle parity. The computed-array explode uses explode_outer + an
+    isNotNull filter (the optimizer would otherwise clone the whole
+    lambda pipeline below the exchange as a per-row filter)."""
+    norm = f"lower(regexp_replace(trim({text_col}), '\\\\s+', ' '))"
+    # repartition first: corpora often arrive as few large files and the
+    # window build is a CPU-bound projection (same rationale as
+    # _shingled); without it 5k docs window on ONE core
+    n = df.sparkSession.sparkContext.defaultParallelism
+    base = df.repartition(n).select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(f"split({norm}, ' ')").alias("w"),
+    ).filter(F.size("w") >= window)
+    wins = base.select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(1, size(w) - {window - 1}), "
+            f"i -> array_join(slice(w, i, {window}), ' '))"
+        ).alias("wins"),
+    )
+    from pyspark import StorageLevel
+
+    # persist: ex feeds BOTH the count branch and the join back — without
+    # the barrier the split→transform pipeline runs twice and the
+    # optimizer pushes inferred not-null constraints into the scan with
+    # the lambda pipeline inlined (the ngram_jaccard lesson)
+    ex = (
+        wins.select("doc_id", F.explode_outer("wins").alias("s"))
+        .filter(F.col("s").isNotNull())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    counts = ex.groupBy("s").agg(F.countDistinct("doc_id").alias("nd"))
+    return (
+        ex.join(counts, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.when(F.col("nd") >= min_docs, 1).otherwise(0))
+            .alias("dup_windows"),
+        )
+        .withColumn(
+            "dup_frac",
+            F.round(F.col("dup_windows") / F.col("n_windows"), digits),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# semantic dedup (SemDeDup-style: cluster, then cosine-prune in-cluster)
+# --------------------------------------------------------------------------
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    digits: int = 4,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): assign each
+    embedding to its nearest centroid, then inside every cluster drop any
+    vector that has a LOWER-id neighbor with cosine ≥ ``threshold``.
+    Output: (vec_id, cid, kept).
+
+    The greedy-by-id rule ("similar to any earlier vector → drop") is
+    deterministic and engine-portable — no dependence on which duplicates
+    were dropped before. Scale shape: nearest-centroid assignment is one
+    corpus scan (broadcast centroids, Arrow-batched GEMM —
+    :func:`arc_spark.operators.similarity.kmeans_assign`); pairwise
+    scoring happens only WITHIN clusters (applyInPandas per cid, one
+    dense GEMM each), so cost is Σ|cluster|² — the number of centroids is
+    the knob that bounds cluster size, exactly the SemDeDup design."""
+    import numpy as np
+
+    cid_col = id_col
+    rows = (
+        centroids.select(
+            F.col(cid_col).cast("long").alias("cid"),
+            F.col(vec_col).cast("array<double>").alias("cv"),
+        )
+        .orderBy("cid")
+        .collect()
+    )
+    if not rows:
+        raise ValueError("semantic_dedup: empty centroid table")
+    cids = np.array([r["cid"] for r in rows], dtype=np.int64)
+    C = np.array([list(r["cv"]) for r in rows], dtype=np.float64)
+    c2 = (C * C).sum(axis=1)
+    scale = 10 ** digits
+
+    src = embeddings.select(
+        F.col(id_col).cast("long").alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    from arc_spark.functions.threads import task_thread_budget
+
+    budget = task_thread_budget(src)
+
+    # FUSED assign+carry: one Python scan emits (vid, cid, v) so the
+    # cluster key is born next to the vector — no join back to the
+    # corpus (a second scan plus a shuffle) just to reunite them
+    def assign(batches):
+        from arc_spark.functions.threads import pin_math_threads
+
+        pin_math_threads(budget)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+            d2 = (V * V).sum(axis=1)[:, None] - 2.0 * (V @ C.T) + c2[None, :]
+            out = pdf[["vid", "v"]].copy()
+            out["cid"] = cids[d2.argmin(axis=1)]
+            yield out
+
+    assigned = src.mapInPandas(
+        assign, "vid long, v array<double>, cid long")
+
+    def prune(key, pdf):
+        import pandas as pd
+
+        from arc_spark.functions.threads import pin_math_threads
+
+        pin_math_threads()
+        pdf = pdf.sort_values("vid")
+        ids = pdf["vid"].to_numpy()
+        A = np.vstack(pdf["v"].to_numpy())
+        norms = np.sqrt((A * A).sum(axis=1))
+        S = (A @ A.T) / np.outer(norms, norms)
+        # round half-away-from-zero to match round(x, digits) in SQL
+        S = np.sign(S) * np.floor(np.abs(S) * scale + 0.5) / scale
+        sim = S >= threshold
+        # kept[i] ⟺ no j<i with sim(i,j); ids are sorted asc so the
+        # strictly-lower triangle is exactly the lower-id neighbors
+        dropped = np.tril(sim, k=-1).any(axis=1)
+        return pd.DataFrame({
+            "vec_id": ids,
+            "cid": np.full(len(ids), key[0], dtype=np.int64),
+            "kept": ~dropped,
+        })
+
+    return assigned.groupBy("cid").applyInPandas(
+        prune, "vec_id long, cid long, kept boolean")

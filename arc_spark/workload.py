@@ -880,6 +880,76 @@ def q51_token_packing(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q56_window_dupfrac(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-substring dedup measure (Lee et al. 2022, Spark-shaped):
+    per-doc fraction of 5-token windows shared verbatim with >=2 distinct
+    docs (operators/dedup.duplicated_window_fraction — inverted index on
+    the window string, no pair materialization). Returns the flagged tail
+    (any duplicated window at all) with its stats."""
+    from arc_spark.operators.dedup import duplicated_window_fraction
+
+    t = load_tables(spark, sf, register_views=False)
+    out = duplicated_window_fraction(t["documents"], window=5)
+    return out.filter(F.col("dup_windows") > 0)
+
+
+def q57_url_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    """URL canonicalization for by-page dedup: deterministic synthetic
+    URLs (the corpus carries none) normalized by
+    functions/text.normalize_url — case, default ports, www, tracking
+    params, param order, fragments — then grouped to show the dedup
+    effect (many raw variants -> one canonical page)."""
+    from arc_spark.functions.text import normalize_url_df
+
+    t = load_tables(spark, sf, register_views=False)
+    urls = t["documents"].select(F.expr(_Q57_URL_SQL).alias("url"))
+    return (
+        normalize_url_df(urls, "url", "canon")
+        .groupBy("canon")
+        .agg(F.count(F.lit(1)).alias("n_variants"))
+    )
+
+
+def q58_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (cluster + in-cluster cosine prune,
+    operators/dedup.semantic_dedup): deterministic centroids (8 lowest
+    vec_ids), drop any vector with a lower-id in-cluster neighbor at
+    cosine >= 0.45; per-cluster keep/drop accounting."""
+    from arc_spark.operators.dedup import semantic_dedup
+
+    t = load_tables(spark, sf, register_views=False)
+    emb = t["embeddings"]
+    cent = emb.orderBy("vec_id").limit(8)
+    out = semantic_dedup(emb, cent, threshold=0.45)
+    return out.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(F.col("kept"), 1).otherwise(0))
+        .cast("long").alias("n_kept"),
+        F.min(F.when(~F.col("kept"), F.col("vec_id"))).alias("first_dropped"),
+    )
+
+
+# deterministic messy-URL construction shared by q57 and its oracle —
+# exercises every normalization rule: mixed case, www, default and
+# explicit ports, tracking params, unsorted params, fragments
+_Q57_URL_SQL = (
+    "CASE WHEN doc_id % 4 = 0 THEN "
+    "'HTTPS://WWW.Example' || CAST(doc_id % 5 AS STRING) || "
+    "'.COM:443/a/' || CAST(doc_id % 7 AS STRING) || "
+    "'?utm_source=feed&b=' || CAST(doc_id % 3 AS STRING) || "
+    "'&a=1#frag' "
+    "WHEN doc_id % 4 = 1 THEN "
+    "'https://example' || CAST(doc_id % 5 AS STRING) || "
+    "'.com/a/' || CAST(doc_id % 7 AS STRING) || "
+    "'?a=1&b=' || CAST(doc_id % 3 AS STRING) || '&gclid=xyz' "
+    "WHEN doc_id % 4 = 2 THEN "
+    "'http://Example' || CAST(doc_id % 5 AS STRING) || "
+    "'.com:8080' || '?z=' || CAST(doc_id % 2 AS STRING) "
+    "ELSE 'http://www.example' || CAST(doc_id % 5 AS STRING) || "
+    "'.com:80/a/' || CAST(doc_id % 7 AS STRING) || '/' END"
+)
+
+
 def q52_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     """Multimodal feature extraction through the REAL stdlib codecs
     (rows-only: PNG/GIF/WAV codecs are not SQL-expressible). Deterministic
@@ -1620,6 +1690,83 @@ ORACLES["q51_token_packing"] = f"""
 """
 
 
+
+ORACLES["q56_window_dupfrac"] = """
+    WITH norm AS (
+        SELECT doc_id,
+               string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')),
+                            ' ') AS w
+        FROM documents
+    ),
+    wins AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(w) - 4),
+                                     i -> array_to_string(w[i:i+4], ' '))) AS s
+        FROM norm WHERE len(w) >= 5
+    ),
+    counts AS (SELECT s, COUNT(DISTINCT doc_id) AS nd FROM wins GROUP BY s)
+    SELECT w.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(SUM(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS dup_windows,
+           ROUND(CAST(SUM(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 4) AS dup_frac
+    FROM wins w JOIN counts c USING (s)
+    GROUP BY w.doc_id
+    HAVING SUM(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) > 0
+"""
+
+
+def _q57_oracle() -> str:
+    from arc_spark.functions.text import normalize_url_sql
+
+    return f"""
+    WITH u AS (SELECT {_Q57_URL_SQL} AS url FROM documents)
+    SELECT {normalize_url_sql("url", "duckdb")} AS canon,
+           CAST(COUNT(*) AS BIGINT) AS n_variants
+    FROM u GROUP BY 1
+"""
+
+
+ORACLES["q57_url_normalize"] = _q57_oracle()
+
+ORACLES["q58_semantic_dedup"] = """
+    WITH cent AS (
+        SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+        FROM embeddings ORDER BY vec_id LIMIT 8
+    ),
+    d AS (
+        SELECT e.vec_id, c.cid,
+               list_distance(CAST(e.embedding AS DOUBLE[]), c.cv) AS dist
+        FROM embeddings e CROSS JOIN cent c
+    ),
+    a AS (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cid) AS rk
+        FROM d
+    ),
+    m AS (
+        SELECT e.vec_id, a.cid, CAST(e.embedding AS DOUBLE[]) AS v
+        FROM embeddings e JOIN a ON e.vec_id = a.vec_id AND a.rk = 1
+    ),
+    dropped AS (
+        SELECT DISTINCT hi.vec_id
+        FROM m lo JOIN m hi
+          ON lo.cid = hi.cid AND lo.vec_id < hi.vec_id
+        WHERE ROUND(list_cosine_similarity(lo.v, hi.v), 4) >= 0.45
+    )
+    SELECT m.cid,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN dr.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           MIN(CASE WHEN dr.vec_id IS NOT NULL THEN m.vec_id END)
+               AS first_dropped
+    FROM m LEFT JOIN dropped dr ON m.vec_id = dr.vec_id
+    GROUP BY m.cid
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -1678,4 +1825,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q53_ivf_topk": q53_ivf_topk,
     "q54_simhash_pairs": q54_simhash_pairs,
     "q55_simhash": q55_simhash,
+    # beyond-cap oracle lanes (pytest-differential-verified; the driver's
+    # 50-row board is already fully oracle-covered)
+    "q56_window_dupfrac": q56_window_dupfrac,
+    "q57_url_normalize": q57_url_normalize,
+    "q58_semantic_dedup": q58_semantic_dedup,
 }

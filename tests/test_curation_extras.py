@@ -1,0 +1,146 @@
+"""Unit tests for the round-3 corpus-curation additions: windowed
+exact-substring dup fraction, URL canonicalization, and SemDeDup-style
+semantic dedup (q56/q57/q58's operators)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from arc_spark.functions.text import (
+    normalize_url,
+    normalize_url_df,
+    normalize_url_sql,
+)
+from arc_spark.operators.dedup import (
+    duplicated_window_fraction,
+    semantic_dedup,
+)
+
+
+class TestDuplicatedWindowFraction:
+    def test_shared_window_counts(self, spark):
+        # docs 1/2 share the exact 5-token run "a b c d e"; doc 3 shares
+        # nothing
+        docs = spark.createDataFrame(
+            [
+                (1, "a b c d e x y"),
+                (2, "z a b c d e"),
+                (3, "p q r s t u v"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r.asDict()
+               for r in duplicated_window_fraction(docs, window=5).collect()}
+        # doc1: windows = [a b c d e, b c d e x, c d e x y] → 1 of 3 dup
+        assert out[1]["n_windows"] == 3
+        assert out[1]["dup_windows"] == 1
+        assert out[1]["dup_frac"] == pytest.approx(0.3333)
+        # doc2: [z a b c d, a b c d e] → 1 of 2
+        assert out[2]["dup_windows"] == 1
+        assert out[2]["dup_frac"] == 0.5
+        assert out[3]["dup_windows"] == 0
+
+    def test_short_docs_excluded(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "a b c"), (2, "a b c d e f")], "doc_id long, text string")
+        out = duplicated_window_fraction(docs, window=5).collect()
+        assert {r["doc_id"] for r in out} == {2}
+
+    def test_whitespace_and_case_normalized(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "A  B\tC d e"), (2, "a b c d e")],
+            "doc_id long, text string")
+        out = {r["doc_id"]: r["dup_frac"]
+               for r in duplicated_window_fraction(docs, window=5).collect()}
+        assert out[1] == 1.0 and out[2] == 1.0
+
+    def test_within_doc_repeat_not_duplicated(self, spark):
+        # the same window twice in ONE doc is min_docs=2-distinct-docs? No:
+        # count DISTINCT docs is 1 → not duplicated
+        docs = spark.createDataFrame(
+            [(1, "a b c d e a b c d e")], "doc_id long, text string")
+        out = duplicated_window_fraction(docs, window=5).collect()[0]
+        assert out["dup_windows"] == 0
+
+
+_URL_CASES = [
+    # (raw, canonical)
+    ("HTTPS://WWW.Example.COM:443/a/b?utm_source=x&b=2&a=1#frag",
+     "https://example.com/a/b?a=1&b=2"),
+    ("http://example.com:80/", "http://example.com/"),
+    ("http://example.com:8080/x?z=1", "http://example.com:8080/x?z=1"),
+    ("https://example.com", "https://example.com/"),
+    ("https://example.com/?gclid=abc&fbclid=def&ref=h", "https://example.com/"),
+    ("http://www.sub.example.com/p", "http://sub.example.com/p"),
+    ("https://example.com/p?b=2&a=1&b=1", "https://example.com/p?a=1&b=1&b=2"),
+]
+
+
+class TestNormalizeUrl:
+    def test_spark_expr(self, spark):
+        df = spark.createDataFrame([(u,) for u, _ in _URL_CASES], "url string")
+        got = [r["c"] for r in df.select(normalize_url("url").alias("c")).collect()]
+        assert got == [c for _, c in _URL_CASES]
+
+    def test_staged_frame_matches(self, spark):
+        df = spark.createDataFrame([(u,) for u, _ in _URL_CASES], "url string")
+        got = [r["canon"] for r in normalize_url_df(df, "url").collect()]
+        assert got == [c for _, c in _URL_CASES]
+
+    def test_duckdb_dialect_parity(self):
+        con = duckdb.connect()
+        expr = normalize_url_sql("url", "duckdb")
+        for raw, want in _URL_CASES:
+            got = con.execute(
+                f"SELECT {expr} FROM (SELECT ? AS url)", [raw]).fetchone()[0]
+            assert got == want, raw
+
+    def test_rejects_column_objects(self):
+        with pytest.raises(TypeError):
+            normalize_url(F.col("url"))
+
+    def test_unknown_dialect(self):
+        with pytest.raises(ValueError):
+            normalize_url_sql("url", "mysql")
+
+
+class TestSemanticDedup:
+    def _emb(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>")
+
+    def test_identical_vectors_pruned_keep_lowest_id(self, spark):
+        emb = self._emb(spark, [
+            (1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0]),
+            (4, [0.0, 1.0]), (5, [0.0, 1.0]),
+        ])
+        cent = self._emb(spark, [(1, [1.0, 0.0]), (3, [0.0, 1.0])])
+        out = {r["vec_id"]: r.asDict()
+               for r in semantic_dedup(emb, cent, threshold=0.99).collect()}
+        assert out[1]["kept"] and not out[2]["kept"]
+        assert out[3]["kept"] and not out[4]["kept"] and not out[5]["kept"]
+        assert out[2]["cid"] == 1 and out[5]["cid"] == 3
+
+    def test_cross_cluster_similarity_ignored(self, spark):
+        # identical vectors in DIFFERENT clusters are never compared —
+        # force the split with centroids equal to each vector
+        emb = self._emb(spark, [(1, [1.0, 0.0]), (2, [0.99, 0.01])])
+        cent = self._emb(spark, [(1, [1.0, 0.0]), (2, [0.99, 0.01])])
+        out = {r["vec_id"]: r["kept"]
+               for r in semantic_dedup(emb, cent, threshold=0.5).collect()}
+        # each lands in its own cluster → both kept despite cosine ≈ 1
+        assert out == {1: True, 2: True}
+
+    def test_below_threshold_kept(self, spark):
+        emb = self._emb(spark, [(1, [1.0, 0.0]), (2, [0.7, 0.7])])
+        cent = self._emb(spark, [(1, [1.0, 0.0])])
+        out = {r["vec_id"]: r["kept"]
+               for r in semantic_dedup(emb, cent, threshold=0.99).collect()}
+        assert out == {1: True, 2: True}
+
+    def test_empty_centroids_raises(self, spark):
+        emb = self._emb(spark, [(1, [1.0, 0.0])])
+        with pytest.raises(ValueError):
+            semantic_dedup(emb, emb.limit(0))
