@@ -950,6 +950,90 @@ _Q57_URL_SQL = (
 )
 
 
+def q59_range_window(spark: SparkSession, sf: str) -> DataFrame:
+    """RANGE-frame window (SURVEY §2.B window row, frame variant): per
+    event_type, trailing-1-hour event count and value sum ordered by
+    event time. RANGE frames are the time-series idiom arc users write
+    constantly (moving aggregates); the frame bound is numeric epoch
+    seconds so both engines frame identically. Decimal-cast sum: a
+    double sum over a sliding frame accumulates in engine-specific order."""
+    t = load_tables(spark, sf, register_views=False)
+    ev = t["events"].select(
+        "event_id", "event_type", "value",
+        # integer division, not cast: a double→int cast ROUNDS in DuckDB
+        # but truncates in Spark — frames would disagree on .5+ seconds
+        F.expr("unix_micros(ts) div 1000000").alias("sec"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("sec")
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).over(w), 4
+        ).cast("double").alias("sum_1h"),
+    )
+
+
+def q60_json_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """JSON path extraction over a string column (events.props carries
+    JSON — the reference's users query DuckDB's JSON functions the same
+    way). get_json_object ≡ json_extract; aggregated per event_type."""
+    t = load_tables(spark, sf, register_views=False)
+    return (
+        t["events"]
+        .select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+def q61_stats_aggs(spark: SparkSession, sf: str) -> DataFrame:
+    """Statistical aggregates (SURVEY §2.B agg row, correlation family):
+    corr / covar_samp / stddev_samp / var_samp per group — identical
+    definitions in both engines, rounded to stabilize the last float bit."""
+    t = load_tables(spark, sf, register_views=False)
+    li = t["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qp"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2)
+        .alias("covar_qp"),
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
+    )
+
+
+def q62_array_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Collected-array aggregation (SURVEY §2.B agg surface): per order
+    priority, the sorted distinct status set as a join-stable string and
+    the first/last order date."""
+    t = load_tables(spark, sf, register_views=False)
+    return (
+        t["orders"]
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.array_join(
+                F.array_sort(F.collect_set("o_orderstatus")), ","
+            ).alias("statuses"),
+            F.min("o_orderdate").cast("string").alias("first_date"),
+            F.max("o_orderdate").cast("string").alias("last_date"),
+        )
+    )
+
+
 def q52_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     """Multimodal feature extraction through the REAL stdlib codecs
     (rows-only: PNG/GIF/WAV codecs are not SQL-expressible). Deterministic
@@ -1767,6 +1851,54 @@ ORACLES["q58_semantic_dedup"] = """
 """
 
 
+
+ORACLES["q59_range_window"] = """
+    WITH ev AS (
+        SELECT event_id, event_type, value,
+               epoch_us(ts) // 1000000 AS sec
+        FROM events
+    )
+    SELECT event_id, event_type,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))) OVER w, 4) AS DOUBLE)
+               AS sum_1h
+    FROM ev
+    WINDOW w AS (PARTITION BY event_type ORDER BY sec
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+"""
+
+ORACLES["q60_json_extract"] = """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS sum_k,
+           CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS min_k,
+           CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS max_k
+    FROM events GROUP BY event_type
+"""
+
+ORACLES["q61_stats_aggs"] = """
+    SELECT l_returnflag,
+           ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qp,
+           ROUND(stddev_samp(l_quantity), 4) AS sd_qty,
+           ROUND(var_samp(l_discount), 6) AS var_disc
+    FROM lineitem GROUP BY l_returnflag
+"""
+
+ORACLES["q62_array_agg"] = """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',')
+               AS statuses,
+           CAST(MIN(o_orderdate) AS VARCHAR) AS first_date,
+           CAST(MAX(o_orderdate) AS VARCHAR) AS last_date
+    FROM orders GROUP BY o_orderpriority
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -1830,4 +1962,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q56_window_dupfrac": q56_window_dupfrac,
     "q57_url_normalize": q57_url_normalize,
     "q58_semantic_dedup": q58_semantic_dedup,
+    "q59_range_window": q59_range_window,
+    "q60_json_extract": q60_json_extract,
+    "q61_stats_aggs": q61_stats_aggs,
+    "q62_array_agg": q62_array_agg,
 }
