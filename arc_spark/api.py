@@ -270,6 +270,13 @@ class IngestService:
         # instead of in driver Python — the backfill path (reference keeps
         # bulk imports off the hot ingest workers too, internal/api/import*)
         self.distributed_decode_min_bytes = distributed_decode_min_bytes
+        # optional hook fired with the set of (db, measurement) keys after
+        # files land — the wire layer points it at catalog.invalidate so a
+        # registered view NEVER serves a stale file listing after a flush
+        # (Spark's FileStatusCache pins the listing a view was created
+        # with; the reference invalidates its query cache after writes the
+        # same way, internal/api/query.go:1049-1053)
+        self.on_measurements_written = None
         self._buffers: dict[tuple[str, str], list[dict]] = {}
         self._raw: list[tuple[str, str, bytes]] = []  # (db, kind, payload)
         self._buffer_rows = 0
@@ -486,6 +493,7 @@ class IngestService:
             self.stats["acked"] += n_lines
             self.stats["flushed"] += n_lines
             self.stats["flushes"] += 1
+        self._notify_written({(db, meas) for meas in meas_tags})
         return n_lines
 
     def _admit(
@@ -686,7 +694,19 @@ class IngestService:
                 self.stats["flushes"] += 1
                 self._flushing_rows -= snap_rows
                 self._space.notify_all()
+            self._notify_written(set(buffers))
         return total
+
+    def _notify_written(self, keys: set) -> None:
+        """Fire on_measurements_written; an observer failure must never
+        fail (or retry) a flush whose data already landed."""
+        cb = self.on_measurements_written
+        if cb is None or not keys:
+            return
+        try:
+            cb(keys)
+        except Exception:
+            pass
 
     def _write_buffers(self, buffers: dict[tuple[str, str], list[dict]]) -> int:
         from arc_spark.sources.ingest import columnar_to_arrow, merge_batches

@@ -238,9 +238,16 @@ class MeasurementCatalog:
 
     def register(self, db: str, measurement: str, view: str | None = None) -> str:
         name = view or f"{db}_{measurement}"
+        # idempotent re-register keeps the epoch (and with it the
+        # pruned-plan cache): the single-measurement REST endpoint
+        # registers its view on EVERY request, and an epoch bump per
+        # request would make the A9 plan cache miss 100% of the time.
+        # A genuinely new (measurement, view) binding still bumps.
+        already = name in self._views.get((db, measurement), set())
         self.table(db, measurement).createOrReplaceTempView(name)
-        self._views.setdefault((db, measurement), set()).add(name)
-        self.epoch += 1
+        if not already:
+            self._views.setdefault((db, measurement), set()).add(name)
+            self.epoch += 1
         return name
 
     def invalidate(self, db: str, measurement: str) -> None:

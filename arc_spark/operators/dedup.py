@@ -150,7 +150,6 @@ def ngram_jaccard_pairs(
     # 13 s -> 1.5 s on 5 k docs at sf0.1). Spill-safe (MEMORY_AND_DISK);
     # evicted LRU — same lifetime policy as minhash's sh_shared.
     sh = _shingled(df, id_col, text_col, k).persist(StorageLevel.MEMORY_AND_DISK)
-    sizes = sh.select("doc", F.size("shingles").alias("sz"))
     # explode_OUTER, then drop the null rows: an inner explode lets the
     # optimizer infer `size(shingles) > 0 AND isnotnull(shingles)` and push
     # that filter below the repartition exchange into the scan — inlining
@@ -158,8 +157,15 @@ def ngram_jaccard_pairs(
     # per-row filter that re-evaluates the nested transform per element
     # (measured 22 s vs 0.5 s on 5 k docs at sf0.1). The outer variant
     # infers nothing; the post-filter touches only the generated column.
+    # the doc's shingle count RIDES the posting list (doc, s, sz): the
+    # intersection agg then has both set sizes in hand and Jaccard needs
+    # no join back to a per-doc size table — that join costs a shuffle of
+    # the pair aggregate at any scale (the size table is corpus-sized at
+    # 100 TB, so broadcasting it is not an option); two extra ints per
+    # posting row is noise next to the pair shuffle it replaces
     posting = sh.select(
-        "doc", F.explode_outer("shingles").alias("s")
+        "doc", F.size("shingles").alias("sz"),
+        F.explode_outer("shingles").alias("s"),
     ).filter(F.col("s").isNotNull())
     if max_posting_list is not None:
         hot = posting.groupBy("s").count().filter(F.col("count") > max_posting_list)
@@ -168,12 +174,14 @@ def ngram_jaccard_pairs(
     inter = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
         .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.min(F.col("a.sz")).alias("sz_a"),
+            F.min(F.col("b.sz")).alias("sz_b"),
+        )
     )
     return (
-        inter.join(sizes.withColumnsRenamed({"doc": "doc_a", "sz": "sz_a"}), "doc_a")
-        .join(sizes.withColumnsRenamed({"doc": "doc_b", "sz": "sz_b"}), "doc_b")
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.col("inter").cast("double")
             / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),

@@ -247,12 +247,17 @@ def prune_sql(spark, sql: str, catalog, time_col: str = "time"):
         from collections import OrderedDict
 
         cache = catalog._prune_plan_cache = OrderedDict()
+    stats = getattr(catalog, "_prune_cache_stats", None)
+    if stats is None:
+        stats = catalog._prune_cache_stats = {"hits": 0, "misses": 0}
     tz = spark.conf.get("spark.sql.session.timeZone", "UTC")
     key = (sql, time_col, epoch, tz)
     hit = cache.get(key)
     if hit is not None:
         cache.move_to_end(key)
+        stats["hits"] += 1
         return hit
+    stats["misses"] += 1
     df = _prune_sql_uncached(spark, sql, catalog, time_col)
     cache[key] = df
     while len(cache) > 256:

@@ -49,6 +49,14 @@ one stored without a table restriction):
   debounce window)
 - ``POST /api/v1/reconcile?dry_run=`` / ``GET /api/v1/reconcile/runs`` —
   storage reconciliation sweeps (internal/reconciliation)
+- ``GET /ready`` — readiness (SparkSession answering), vs /health liveness
+- ``POST /api/v2/write?bucket=&precision=`` — InfluxDB-v2-compatible LP
+  write, 204 on success (reference /api/v2/write; Telegraf-compatible)
+- ``GET /api/v1/write/msgpack/spec`` — columnar-msgpack wire spec doc
+- ``GET /api/v1/cache/stats`` / ``POST /api/v1/cache/invalidate`` —
+  pruned-plan (A9) cache observability + drop
+- ``POST /api/v1/continuous_queries/<name>/pause|resume`` — CQ lifecycle
+  verbs; paused CQs are skipped by scheduler ticks and refuse /run
 
 Auth: ``Authorization: Bearer <token>`` verified against
 :class:`arc_spark.auth.AuthStore` (hashed tokens, SQLite). RBAC reuses the
@@ -125,6 +133,9 @@ class ArcServer:
         if auth is not None:
             # RBAC source becomes the persisted store (reference internal/auth)
             self.query.allowed_tables = auth.tables_view()
+        if ingest_service is not None:
+            # flushed files must be visible to registered views immediately
+            ingest_service.on_measurements_written = self._invalidate_written
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -269,6 +280,32 @@ class ArcServer:
                 q = {k: v[0] for k, v in parse_qs(url.query).items()}
                 if url.path == "/health":
                     return self._json(200, {"status": "ok"})
+                if url.path in ("/ready", "/api/v1/ready"):
+                    # readiness (reference /ready): the engine is ready when
+                    # its SparkSession answers — liveness (/health) is not
+                    # enough for a load balancer to route queries
+                    try:
+                        outer.query.spark.sparkContext.applicationId
+                        return self._json(200, {"status": "ready"})
+                    except Exception:
+                        return self._json(503, {"status": "not ready"})
+                if url.path == "/api/v1/write/msgpack/spec":
+                    # the columnar MessagePack wire spec (reference
+                    # /api/v1/write/msgpack/spec serves its protocol doc)
+                    return self._json(200, {
+                        "format": "columnar",
+                        "fields": {
+                            "m": "measurement name (string, required)",
+                            "columns": "map column -> array of values; "
+                                       "'time' required (int64 epoch)",
+                            "tags": "list of column names treated as tags",
+                        },
+                        "time_units": "auto-normalized: s/ms/us/ns by "
+                                      "magnitude; stored as microseconds",
+                        "compression": ["none", "gzip", "zstd"],
+                        "batch_alternative":
+                            "list of row maps also accepted (row form)",
+                    })
                 if url.path == "/metrics":
                     # authenticated: request patterns, ingest volumes and
                     # query stats are operational data, not public
@@ -406,6 +443,20 @@ class ArcServer:
                     except ValueError:
                         return self._json(400, {"error": "bad since"})
                     return self._json(200, {"stats": outer.audit.stats(since)})
+                if url.path == "/api/v1/cache/stats":
+                    # pruned-plan cache observability (reference
+                    # /cache/stats over its SQL transform cache, A9)
+                    if not self._require_admin(token):
+                        return
+                    cat = outer.query.catalog
+                    cache = getattr(cat, "_prune_plan_cache", None) or {}
+                    stats = getattr(cat, "_prune_cache_stats", None) or {
+                        "hits": 0, "misses": 0}
+                    return self._json(200, {
+                        "entries": len(cache), "capacity": 256,
+                        "hits": stats["hits"], "misses": stats["misses"],
+                        "epoch": getattr(cat, "epoch", None),
+                    })
                 if url.path == "/api/v1/reconcile/runs":
                     if outer.reconciler is None:
                         return self._json(503, {"error": "reconciler disabled"})
@@ -582,6 +633,35 @@ class ArcServer:
                     if ok:
                         self._json(200, {"written": n})
                     return
+
+                if url.path == "/api/v2/write":
+                    # InfluxDB-v2-compatible line-protocol write (reference
+                    # /api/v2/write): ?bucket= maps to the database,
+                    # ?precision= passes through, 204 on success (the v2
+                    # contract clients like Telegraf expect)
+                    if outer.ingest is None:
+                        return self._json(503, {"error": "ingest disabled"})
+                    if not self._require_writer(token):
+                        return
+                    bucket = q.get("bucket") or q.get("db", "default")
+                    ok, n = self._run(
+                        lambda: outer.ingest.write_line_protocol(
+                            bucket, body, precision=q.get("precision", "ns"))
+                    )
+                    if ok:
+                        self._reply(204, b"")
+                    return
+
+                if url.path == "/api/v1/cache/invalidate":
+                    # drop the pruned-plan cache (reference /cache/invalidate)
+                    if not self._require_admin(token):
+                        return
+                    cat = outer.query.catalog
+                    cache = getattr(cat, "_prune_plan_cache", None)
+                    n = len(cache) if cache else 0
+                    if cache:
+                        cache.clear()
+                    return self._json(200, {"invalidated": n})
 
                 if url.path == "/api/v1/databases":
                     # create database = create the namespace prefix
@@ -870,11 +950,27 @@ class ArcServer:
                     cq = outer.cqs.get(name)
                     if cq is None:
                         return self._json(404, {"error": f"no CQ {name!r}"})
+                    if cq.paused:
+                        return self._json(409, {"error": f"CQ {name!r} is paused"})
                     ok, out = self._run(lambda: cq.run_once(
                         outer.query.spark, outer.ingest.root))
                     if ok:
                         self._json(200, out)
                     return
+
+                if (url.path.startswith("/api/v1/continuous_queries/")
+                        and url.path.endswith(("/pause", "/resume"))):
+                    # CQ lifecycle verbs (reference cq routes /:id/pause,
+                    # /:id/start): a paused CQ is skipped by scheduler
+                    # ticks and refuses manual /run
+                    if not self._require_admin(token):
+                        return
+                    name = url.path.rsplit("/", 2)[-2]
+                    cq = outer.cqs.get(name)
+                    if cq is None:
+                        return self._json(404, {"error": f"no CQ {name!r}"})
+                    cq.paused = url.path.endswith("/pause")
+                    return self._json(200, {"name": name, "paused": cq.paused})
 
                 if url.path in ("/api/v1/import/line", "/api/v1/import/lp"):
                     if outer.ingest is None:
@@ -1047,6 +1143,13 @@ class ArcServer:
         self._thread: threading.Thread | None = None
 
     # -- lifecycle ---------------------------------------------------------
+    def _invalidate_written(self, keys) -> None:
+        for db, meas in keys:
+            try:
+                self.query.catalog.invalidate(db, meas)
+            except Exception:
+                pass  # measurement may not be registered/known yet
+
     def start(self) -> "ArcServer":
         self._thread = threading.Thread(
             target=self._httpd.serve_forever, name="arc-http", daemon=True

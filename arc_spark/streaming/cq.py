@@ -54,6 +54,9 @@ class ContinuousQuery:
         self.dest_db = dest_db
         self.dest_measurement = dest_measurement
         self.interval_seconds = interval_seconds
+        # operational pause (reference cq routes /:id/pause, /:id/start):
+        # a paused CQ is skipped by the scheduler tick and /run
+        self.paused = False
         self.tag_columns = tag_columns or []
         self.checkpoint_dir = checkpoint_dir
 
@@ -126,7 +129,8 @@ class CQScheduler:
         self.queries[cq.name] = cq
 
     def tick(self, now: dt.datetime | None = None) -> list[dict]:
-        return [cq.run_once(self.spark, self.root, now) for cq in self.queries.values()]
+        return [cq.run_once(self.spark, self.root, now)
+                for cq in self.queries.values() if not cq.paused]
 
 
 def streaming_window_agg(

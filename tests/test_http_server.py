@@ -621,3 +621,80 @@ class TestReviewRegressions:
                 _req(port, path, "POST", limited,
                      b"cpu,host=x usage=1 1700000000000000000\n")
             assert e.value.code == 403, path
+
+
+class TestOperationalRoutes:
+    """Round-3 surface: /ready, InfluxDB-v2 write, msgpack spec,
+    plan-cache stats/invalidate, CQ pause/resume."""
+
+    def test_ready(self, live):
+        port, *_ = live
+        status, body, _ = _req(port, "/ready")
+        assert status == 200 and json.loads(body)["status"] == "ready"
+
+    def test_v2_write_compat(self, live):
+        port, admin, *_ = live
+        import urllib.request
+
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/api/v2/write?bucket=metrics&precision=ns",
+            data=b"cpu,host=v2 usage=0.9 1700000120000000000\n",
+            method="POST")
+        req.add_header("Authorization", f"Bearer {admin}")
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            assert resp.status == 204  # the v2 contract (Telegraf checks it)
+        _req(port, "/api/v1/write/line-protocol/flush", "POST", admin, b"{}")
+        status, body, _ = _req(
+            port, "/api/v1/query", "POST", admin,
+            json.dumps({"sql": "SELECT host FROM cpu WHERE host = 'v2'"}).encode())
+        assert status == 200 and "v2" in body.decode()
+
+    def test_msgpack_spec(self, live):
+        port, *_ = live
+        status, body, _ = _req(port, "/api/v1/write/msgpack/spec")
+        spec = json.loads(body)
+        assert spec["format"] == "columnar" and "zstd" in spec["compression"]
+
+    def test_cache_stats_and_invalidate(self, live):
+        port, admin, *_ = live
+        # the single-measurement REST endpoint routes through prune_sql:
+        # two identical calls → second is a cache hit
+        for _ in range(2):
+            _req(port, "/api/v1/query/cpu?db=metrics&limit=5", token=admin)
+        status, body, _ = _req(port, "/api/v1/cache/stats", token=admin)
+        stats = json.loads(body)
+        assert status == 200 and stats["entries"] >= 1 and stats["hits"] >= 1
+        status, body, _ = _req(port, "/api/v1/cache/invalidate", "POST",
+                               admin, b"")
+        assert json.loads(body)["invalidated"] >= 1
+        status, body, _ = _req(port, "/api/v1/cache/stats", token=admin)
+        assert json.loads(body)["entries"] == 0
+
+    def test_cq_pause_resume(self, live):
+        port, admin, *_ = live
+        cq = {
+            "name": "pausable",
+            "sql": ("SELECT COUNT(*) AS n FROM cpu "
+                    "WHERE time >= {start_time} AND time < {end_time}"),
+            "dest_db": "rollups", "dest_measurement": "p1",
+            "interval_seconds": 3600,
+        }
+        status, *_ = _req(port, "/api/v1/continuous_queries", "POST",
+                          admin, json.dumps(cq).encode())
+        assert status == 201
+        status, body, _ = _req(
+            port, "/api/v1/continuous_queries/pausable/pause", "POST",
+            admin, b"")
+        assert json.loads(body)["paused"] is True
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _req(port, "/api/v1/continuous_queries/pausable/run", "POST",
+                 admin, b"{}")
+        assert e.value.code == 409
+        status, body, _ = _req(
+            port, "/api/v1/continuous_queries/pausable/resume", "POST",
+            admin, b"")
+        assert json.loads(body)["paused"] is False
+        status, body, _ = _req(
+            port, "/api/v1/continuous_queries/pausable/run", "POST",
+            admin, b"{}")
+        assert status == 200
