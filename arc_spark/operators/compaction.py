@@ -109,13 +109,22 @@ def compact_partition_dir(
     measurement: str,
     part_dir: str,
     dedup: bool = True,
+    max_files_per_batch: int = 30,
 ) -> dict:
-    """Compact one hive partition dir: N files → 1, sorted + deduped.
+    """Compact one hive partition dir: N files → ⌈N/batch⌉, sorted + deduped.
 
     Crash safety (reference manifest.go): a manifest naming inputs+output is
     written BEFORE any replace; output goes to a `.compact-tmp` sibling and
     is renamed in last. On restart, stale tmp dirs / manifests are swept by
     :func:`recover_incomplete`.
+
+    ``max_files_per_batch`` (reference 2026.09.1 tunable, clamped to
+    [2, 500]) bounds the files merged by one job: a partition with
+    thousands of small files compacts as independent batches, each with
+    its own manifest + tmp dir + output file, so per-job memory stays
+    bounded and a crash loses at most one batch. Dedup applies WITHIN a
+    batch (the reference's semantics — successive compaction passes
+    shrink the file count until cross-file duplicates meet in one batch).
     """
     bk = backend_for(root)
     manifest = read_manifest(root, db, measurement)
@@ -126,8 +135,44 @@ def compact_partition_dir(
     if len(inputs) <= 1:
         return {"partition": part_dir, "inputs": len(inputs), "skipped": True}
 
-    tmp_dir = part_dir + f".compact-tmp-{uuid.uuid4().hex[:8]}"
-    job_manifest = part_dir + ".compact-manifest.json"
+    batch = max(2, min(int(max_files_per_batch), 500))
+    total_rows, total_outputs = 0, 0
+    for bi in range(0, len(inputs), batch):
+        rows, outs = _compact_file_batch(
+            spark, bk, part_dir, measurement, inputs[bi:bi + batch],
+            tags, sort_keys, manifest.get("dedup_time", False), dedup,
+        )
+        total_rows += rows
+        total_outputs += outs
+    return {
+        "partition": part_dir,
+        "inputs": len(inputs),
+        "outputs": total_outputs,
+        "rows": total_rows,
+        "skipped": False,
+    }
+
+
+def _compact_file_batch(
+    spark: SparkSession,
+    bk,
+    part_dir: str,
+    measurement: str,
+    inputs: list[str],
+    tags: list,
+    sort_keys: list,
+    dedup_time_only: bool,
+    dedup: bool,
+) -> tuple[int, int]:
+    """One crash-safe merge of ``inputs`` → one output file (manifest →
+    write tmp → audit → publish → remove inputs)."""
+    if len(inputs) <= 1:
+        return 0, 0
+    job_id = uuid.uuid4().hex[:8]
+    tmp_dir = part_dir + f".compact-tmp-{job_id}"
+    # per-batch manifest; the name keeps the .compact-manifest.json suffix
+    # recover_incomplete() sweeps on
+    job_manifest = part_dir + f".{job_id}.compact-manifest.json"
     bk.write_json(job_manifest,
                   {"inputs": inputs, "tmp_dir": tmp_dir, "partition": part_dir})
 
@@ -136,7 +181,7 @@ def compact_partition_dir(
     )
     df = heal_time_column(df)
     if dedup:
-        df = dedup_window(df, tags, dedup_time_only=manifest.get("dedup_time", False))
+        df = dedup_window(df, tags, dedup_time_only=dedup_time_only)
     (
         df.sortWithinPartitions(*[k for k in sort_keys if k in df.columns])
         .coalesce(1)
@@ -155,7 +200,7 @@ def compact_partition_dir(
     compacted = bk.list_files(tmp_dir, suffix=".parquet")
     ts = int(time.time() * 1000)
     published = [
-        bk.join(part_dir, f"{measurement}_compacted_{ts}_{i}.parquet")
+        bk.join(part_dir, f"{measurement}_compacted_{ts}_{job_id}_{i}.parquet")
         for i in range(len(compacted))
     ]
     bk.write_json(job_manifest,
@@ -168,13 +213,7 @@ def compact_partition_dir(
         bk.remove_crc_sidecar(f)
     bk.remove_tree(tmp_dir, ignore_errors=True)
     bk.remove_file(job_manifest)
-    return {
-        "partition": part_dir,
-        "inputs": len(inputs),
-        "outputs": len(published),
-        "rows": out_rows,
-        "skipped": False,
-    }
+    return out_rows, len(published)
 
 
 def recover_incomplete(meas_path: str) -> int:
@@ -359,6 +398,7 @@ def compact_measurement(
     min_age_seconds: float = 3600,
     now: float | None = None,
     catalog=None,
+    max_files_per_batch: int = 30,
 ) -> list[dict]:
     """Hourly-tier compaction pass over one measurement.
 
@@ -370,7 +410,9 @@ def compact_measurement(
     recover_incomplete(meas_path)
     cands = compaction_candidates(meas_path, min_files, min_age_seconds, now)
     results = _run_jobs(
-        [lambda d=d: compact_partition_dir(spark, root, db, measurement, d)
+        [lambda d=d: compact_partition_dir(
+            spark, root, db, measurement, d,
+            max_files_per_batch=max_files_per_batch)
          for d in cands]
     )
     if results:

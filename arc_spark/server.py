@@ -866,6 +866,8 @@ class ArcServer:
                                     min_files=int(req.get("min_files", 10)),
                                     min_age_seconds=float(
                                         req.get("min_age_seconds", 3600)),
+                                    max_files_per_batch=int(
+                                        req.get("max_files_per_batch", 30)),
                                     catalog=outer.query.catalog,
                                 )}
                         outer.query.catalog.invalidate(db, meas)

@@ -299,3 +299,43 @@ class TestPerFileRetention:
             now=day + dt.timedelta(hours=10), per_file=False,
         )
         assert removed == []
+
+
+def test_compaction_batched(spark, tmp_path):
+    """max_files_per_batch (reference 2026.09.1 tunable): a partition with
+    more files than the batch cap compacts as independent bounded jobs,
+    each with its own output file; no rows lost, dedup within batch."""
+    from arc_spark.operators.compaction import compact_partition_dir
+
+    root = str(tmp_path)
+    meas = _write_batches(spark, root, n_batches=7, with_dups=False)
+    hour_dir = glob.glob(os.path.join(meas, "year=*/month=*/day=*/hour=*"))[0]
+    assert len(glob.glob(os.path.join(hour_dir, "*.parquet"))) == 7
+
+    out = compact_partition_dir(spark, root, "metrics", "cpu", hour_dir,
+                                max_files_per_batch=3)
+    # batches of [3, 3, 1]: two merged outputs, the leftover single file
+    # stays as-is (already "compacted enough")
+    assert out["inputs"] == 7 and out["outputs"] == 2
+    assert len(glob.glob(os.path.join(hour_dir, "*.parquet"))) == 3
+    back = spark.read.parquet(meas)
+    assert back.count() == 7  # every distinct row survived
+    # no leftover job state
+    assert glob.glob(os.path.join(meas, "**/*compact-manifest*"),
+                     recursive=True) == []
+    assert glob.glob(os.path.join(meas, "**/*compact-tmp*"),
+                     recursive=True) == []
+
+
+def test_compaction_batch_clamped(spark, tmp_path):
+    """A degenerate batch size clamps to 2 rather than crashing (the
+    reference validates range [2, 500])."""
+    from arc_spark.operators.compaction import compact_partition_dir
+
+    root = str(tmp_path)
+    meas = _write_batches(spark, root, n_batches=4, with_dups=False)
+    hour_dir = glob.glob(os.path.join(meas, "year=*/month=*/day=*/hour=*"))[0]
+    out = compact_partition_dir(spark, root, "metrics", "cpu", hour_dir,
+                                max_files_per_batch=0)
+    assert out["outputs"] == 2  # pairs of 2
+    assert spark.read.parquet(meas).count() == 4
