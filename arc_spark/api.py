@@ -281,6 +281,13 @@ class IngestService:
         self._raw: list[tuple[str, str, bytes]] = []  # (db, kind, payload)
         self._buffer_rows = 0
         self._flushing_rows = 0  # snapshot rows still being written
+        # deferred-decode payloads can't be counted in ROWS before a flush
+        # decodes them, so the raw path carries its own BYTE-based bound —
+        # without it sustained deferred ingest acks into unbounded heap
+        # (found when a 3 s defer lane "acked" 30× the flush rate)
+        self._raw_bytes = 0
+        self._flushing_raw_bytes = 0
+        self.max_pending_raw_bytes = 256 << 20
         self.max_pending_rows = (
             max_pending_rows if max_pending_rows is not None
             else 4 * max_buffer_rows
@@ -514,16 +521,20 @@ class IngestService:
         while True:
             with self._lock:
                 over = (
-                    self._buffer_rows + self._flushing_rows
-                    >= self.max_pending_rows
+                    (self._buffer_rows + self._flushing_rows
+                     >= self.max_pending_rows
+                     or self._raw_bytes + self._flushing_raw_bytes
+                     >= self.max_pending_raw_bytes)
                     and self._flush_error is None
                 )
             if not over:
                 break
             self._trigger_flush()  # sync mode flushes inline; workers: schedule
             with self._space:
-                if (self._buffer_rows + self._flushing_rows
-                        >= self.max_pending_rows
+                if ((self._buffer_rows + self._flushing_rows
+                     >= self.max_pending_rows
+                     or self._raw_bytes + self._flushing_raw_bytes
+                     >= self.max_pending_raw_bytes)
                         and self._flush_error is None):
                     self._space.wait(timeout=0.1)
         with self._lock:
@@ -531,6 +542,7 @@ class IngestService:
                 self.wal.append(wal_payload)
             if raw is not None:
                 self._raw.append((db, *raw))
+                self._raw_bytes += len(raw[1])
                 n = -1
                 trip_size = len(self._raw) >= max(self.max_buffer_rows // 1000, 1)
             else:
@@ -652,8 +664,11 @@ class IngestService:
                 buffers, self._buffers = self._buffers, {}
                 raw, self._raw = self._raw, []
                 snap_rows = self._buffer_rows
+                snap_raw_bytes = self._raw_bytes
                 self._flushing_rows += snap_rows
+                self._flushing_raw_bytes += snap_raw_bytes
                 self._buffer_rows = 0
+                self._raw_bytes = 0
                 self._oldest = None
                 cut = None
                 # During recover() the WAL must survive untouched: a
@@ -662,13 +677,15 @@ class IngestService:
                 # truncates once, after its own final flush.
                 if self.wal is not None and not self._recovering:
                     cut = self.wal.rotate()
-            if raw:
-                decoded, acked = self._decode_raw_batches(raw)
-                for key, batches in decoded.items():
-                    buffers.setdefault(key, []).extend(batches)
-                with self._lock:
-                    self.stats["acked"] += acked
+            decoded_merged = False
             try:
+                if raw:
+                    decoded, acked = self._decode_raw_batches(raw)
+                    for key, batches in decoded.items():
+                        buffers.setdefault(key, []).extend(batches)
+                    decoded_merged = True
+                    with self._lock:
+                        self.stats["acked"] += acked
                 total = self._write_buffers(buffers)
             except BaseException:
                 # a failed Parquet write must not orphan acked rows: put the
@@ -682,9 +699,20 @@ class IngestService:
                             len(b["columns"][next(iter(b["columns"]))])
                             for b in batches if b["columns"]
                         )
+                    if raw and not decoded_merged:
+                        # decode itself failed: nothing from `raw` reached
+                        # `buffers`, so the payloads re-queue unchanged —
+                        # otherwise the rows exist only in the WAL until a
+                        # restart replays them
+                        self._raw = raw + self._raw
+                        self._raw_bytes += snap_raw_bytes
                     if self._oldest is None and self._buffers:
                         self._oldest = time.monotonic()
                     self._flushing_rows -= snap_rows
+                    # the in-flight share always drops by the FULL snapshot:
+                    # decoded raw re-queues as row batches, undecoded raw
+                    # re-queued (and re-counted) into _raw_bytes above
+                    self._flushing_raw_bytes -= snap_raw_bytes
                     self._space.notify_all()
                 raise
             if cut is not None:
@@ -693,6 +721,7 @@ class IngestService:
                 self.stats["flushed"] += total
                 self.stats["flushes"] += 1
                 self._flushing_rows -= snap_rows
+                self._flushing_raw_bytes -= snap_raw_bytes
                 self._space.notify_all()
             self._notify_written(set(buffers))
         return total

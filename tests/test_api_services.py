@@ -462,3 +462,32 @@ class TestBulkLateMeasurement:
         mem = cat.table("metrics", "mem")
         assert mem.count() == 50
         assert {"free", "pressure"} <= set(mem.columns)
+
+
+def test_deferred_decode_backpressure_bounded(spark, tmp_path):
+    """Deferred-decode payloads can't be row-counted before a flush, so
+    the raw path carries a BYTE-based pending bound: sustained deferred
+    ingest must converge to the flush rate, not ack into unbounded heap
+    (regression: raw entries added 0 to the row-based pending gauge, so
+    a defer lane 'acked' ~30x what was flushed)."""
+    from arc_spark.api import IngestService
+    from arc_spark.sources.msgpack_codec import packb
+
+    n = 20_000
+    payload = packb({"m": "cpu", "columns": {
+        "time": [1700000000000000 + i for i in range(n)],
+        "host": [f"h{i % 8}" for i in range(n)],
+        "value": [float(i) for i in range(n)]}, "tags": ["host"]})
+    svc = IngestService(spark, str(tmp_path), max_buffer_rows=10**9,
+                        max_buffer_age_s=10**9, defer_decode=True)
+    svc.max_pending_raw_bytes = len(payload) * 2  # tiny bound: ~2 payloads
+    for _ in range(10):
+        svc.write_msgpack("bench", payload)
+        # pending never exceeds bound + the payload just admitted
+        assert (svc._raw_bytes + svc._flushing_raw_bytes
+                <= svc.max_pending_raw_bytes + len(payload))
+    svc.flush()
+    assert svc.stats["flushed"] == 10 * n
+    assert svc._raw_bytes == 0 and svc._flushing_raw_bytes == 0
+    back = spark.read.parquet(str(tmp_path / "bench" / "cpu"))
+    assert back.count() == 10 * n
