@@ -17,5 +17,19 @@ from arc_spark.functions.text import (  # noqa: F401
     lang_scores,
     lang_id,
     quality_score,
+    normalize_url,
+    normalize_url_df,
+    normalize_url_sql,
+    redact_pii,
+)
+from arc_spark.functions.sampling import (  # noqa: F401
+    hash_bucket,
+    hash_split,
+    mixture_filter,
+    stratified_cap,
+)
+from arc_spark.functions.threads import (  # noqa: F401
+    pin_math_threads,
+    task_thread_budget,
 )
 from arc_spark.functions.vector import dot, l2_norm, cosine_similarity  # noqa: F401

@@ -98,3 +98,43 @@ def mixture_filter(col: Column | str, rate: Column,
     monotone in rate, so raising a source's rate only ADDS documents —
     downsampled corpora stay supersets/subsets across mixture tweaks."""
     return hash_bucket(col, buckets, salt) < (rate * buckets).cast("long")
+
+
+def stratified_cap(df, per_group_k: int, group_col: str = "source",
+                   id_col: str = "doc_id", salt: str = "cap"):
+    """Deterministic per-group cap: at most ``per_group_k`` rows per
+    ``group_col`` value, chosen by hash order — the "cap each source at
+    N documents" curation step, reproducible across engines/runs/retries
+    (no RNG; the same trick as :func:`hash_split`).
+
+    Selection key is ``(md5(salt || id), id)``: the hash spreads
+    uniformly (an id-ordered cap would bias toward old documents) and the
+    id tiebreak keeps the pick total. One window shuffle on the group
+    column; group cardinality is the skew knob — for a corpus with few
+    huge sources this is the same shuffle shape any per-source operator
+    has, and the window's TOP-K never materializes more than the
+    partition it ranks."""
+    from pyspark.sql import Window
+
+    key = F.md5(F.concat(F.lit(salt), _c(id_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(key.asc(), _c(id_col).asc())
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= per_group_k)
+        .drop("__rk")
+    )
+
+
+def stratified_cap_sql(per_group_k: int, group_col: str = "source",
+                       id_col: str = "doc_id", salt: str = "cap",
+                       table: str = "documents") -> str:
+    """DuckDB-oracle form of :func:`stratified_cap` (same key, same
+    tiebreak)."""
+    return f"""
+    SELECT * EXCLUDE (__rk) FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY {group_col}
+            ORDER BY md5('{salt}' || CAST({id_col} AS VARCHAR)), {id_col}
+        ) AS __rk FROM {table}
+    ) WHERE __rk <= {per_group_k}
+"""

@@ -1034,6 +1034,49 @@ def q62_array_agg(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q63_stratified_cap(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source corpus capping (functions/sampling.stratified_cap):
+    deterministic hash-ordered top-K per source — 'cap each source at N
+    docs' without an RNG, stable across engines/runs. Reported as the
+    per-source survivor count + lowest surviving doc."""
+    from arc_spark.functions.sampling import stratified_cap
+
+    t = load_tables(spark, sf, register_views=False)
+    capped = stratified_cap(t["documents"], per_group_k=100)
+    return capped.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.min("doc_id").alias("min_doc"),
+        F.sum("n_chars").alias("kept_chars"),
+    )
+
+
+def q64_corpus_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Dataset-card summary per source: doc count, token totals,
+    length distribution, language mix, exact-dup rate — the one-scan
+    aggregate a curation pipeline publishes next to every corpus drop.
+    Single groupBy (map-side combining), plus a distinct-fingerprint
+    subaggregate for the dup rate."""
+    t = load_tables(spark, sf, register_views=False)
+    docs = t["documents"].select(
+        "source", "lang", "n_chars",
+        F.expr(f"size(split({_SPARK_NORM}, ' '))").alias("tokens"),
+        F.md5(F.expr(_SPARK_NORM)).alias("fp"),
+    )
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("fp").alias("n_unique"),
+        F.sum("tokens").alias("total_tokens"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+
+
+# Spark-dialect normalized text (the DuckDB oracles use _NORM/_LNORM which
+# carry DuckDB's explicit 'g' regexp flag)
+_SPARK_NORM = "lower(regexp_replace(trim(text), '\\\\s+', ' '))"
+
+
 def q52_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     """Multimodal feature extraction through the REAL stdlib codecs
     (rows-only: PNG/GIF/WAV codecs are not SQL-expressible). Deterministic
@@ -1899,6 +1942,38 @@ ORACLES["q62_array_agg"] = """
 """
 
 
+
+def _q63_oracle() -> str:
+    from arc_spark.functions.sampling import stratified_cap_sql
+
+    return f"""
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+           MIN(doc_id) AS min_doc,
+           CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+    FROM ({stratified_cap_sql(100)}) GROUP BY source
+"""
+
+
+ORACLES["q63_stratified_cap"] = _q63_oracle()
+
+ORACLES["q64_corpus_stats"] = f"""
+    WITH d AS (
+        SELECT source, lang, n_chars,
+               len(string_split({_LNORM}, ' ')) AS tokens,
+               md5({_LNORM}) AS fp
+        FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_unique,
+           CAST(SUM(tokens) AS BIGINT) AS total_tokens,
+           ROUND(AVG(n_chars), 2) AS avg_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM d GROUP BY source
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -1966,4 +2041,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q60_json_extract": q60_json_extract,
     "q61_stats_aggs": q61_stats_aggs,
     "q62_array_agg": q62_array_agg,
+    "q63_stratified_cap": q63_stratified_cap,
+    "q64_corpus_stats": q64_corpus_stats,
 }

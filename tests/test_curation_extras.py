@@ -144,3 +144,45 @@ class TestSemanticDedup:
         emb = self._emb(spark, [(1, [1.0, 0.0])])
         with pytest.raises(ValueError):
             semantic_dedup(emb, emb.limit(0))
+
+
+class TestStratifiedCap:
+    def test_caps_each_group(self, spark):
+        from arc_spark.functions.sampling import stratified_cap
+
+        rows = [(i, "a" if i < 50 else "b") for i in range(80)]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        out = stratified_cap(df, per_group_k=10)
+        by = {r["source"] for r in out.collect()}
+        counts = {s: 0 for s in by}
+        for r in out.collect():
+            counts[r["source"]] += 1
+        assert counts == {"a": 10, "b": 10}
+
+    def test_under_cap_group_kept_whole(self, spark):
+        from arc_spark.functions.sampling import stratified_cap
+
+        df = spark.createDataFrame(
+            [(1, "a"), (2, "a"), (3, "b")], "doc_id long, source string")
+        out = stratified_cap(df, per_group_k=10)
+        assert out.count() == 3
+
+    def test_deterministic_across_runs(self, spark):
+        from arc_spark.functions.sampling import stratified_cap
+
+        df = spark.createDataFrame(
+            [(i, "s") for i in range(100)], "doc_id long, source string")
+        a = sorted(r["doc_id"] for r in stratified_cap(df, 7).collect())
+        b = sorted(r["doc_id"] for r in
+                   stratified_cap(df.repartition(8), 7).collect())
+        assert a == b  # partitioning must not change the selection
+
+    def test_salt_changes_selection(self, spark):
+        from arc_spark.functions.sampling import stratified_cap
+
+        df = spark.createDataFrame(
+            [(i, "s") for i in range(200)], "doc_id long, source string")
+        a = sorted(r["doc_id"] for r in stratified_cap(df, 20).collect())
+        b = sorted(r["doc_id"] for r in
+                   stratified_cap(df, 20, salt="other").collect())
+        assert a != b
