@@ -186,3 +186,50 @@ class TestStratifiedCap:
         b = sorted(r["doc_id"] for r in
                    stratified_cap(df, 20, salt="other").collect())
         assert a != b
+
+
+class TestPrefixFilterJaccard:
+    """AllPairs/PPJoin prefix filtering must be EXACT: identical output
+    to the naive posting self-join at any threshold, on corpora with
+    heavy overlap and with the hot-shingle cap active."""
+
+    def _docs(self, spark):
+        base = "the quick brown fox jumps over the lazy dog again and again"
+        rows = [
+            (1, base),
+            (2, base + " tail"),
+            (3, base.replace("quick", "slow")),
+            (4, "completely different words entirely here nothing shared"),
+            (5, base),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    @pytest.mark.parametrize("threshold", [0.3, 0.6, 0.9])
+    def test_matches_naive(self, spark, threshold):
+        from arc_spark.operators.dedup import ngram_jaccard_pairs
+
+        docs = self._docs(spark)
+        naive = {(r["doc_a"], r["doc_b"], round(r["jaccard"], 6))
+                 for r in ngram_jaccard_pairs(
+                     docs, threshold=threshold, prefix_filter=False).collect()}
+        pref = {(r["doc_a"], r["doc_b"], round(r["jaccard"], 6))
+                for r in ngram_jaccard_pairs(
+                    docs, threshold=threshold, prefix_filter=True).collect()}
+        assert pref == naive and naive  # non-empty, identical
+
+    def test_matches_with_hot_cap(self, spark):
+        from arc_spark.operators.dedup import ngram_jaccard_pairs
+
+        # every doc shares a hot run, so the cap bites and the capped
+        # intersection must stay identical on both paths
+        rows = [(i, "common shared run here " + f"unique{i} word{i} tok{i}")
+                for i in range(12)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        kw = dict(threshold=0.3, max_posting_list=5)
+        naive = {(r["doc_a"], r["doc_b"], round(r["jaccard"], 6))
+                 for r in ngram_jaccard_pairs(
+                     docs, prefix_filter=False, **kw).collect()}
+        pref = {(r["doc_a"], r["doc_b"], round(r["jaccard"], 6))
+                for r in ngram_jaccard_pairs(
+                    docs, prefix_filter=True, **kw).collect()}
+        assert pref == naive
