@@ -24,3 +24,4 @@ from arc_spark.session import get_spark  # noqa: F401
 from arc_spark.api import QueryService, IngestService  # noqa: F401
 from arc_spark.audit import AuditLogger  # noqa: F401
 from arc_spark.resilience import CircuitBreaker, Debouncer  # noqa: F401
+from arc_spark.scheduler import MaintenanceScheduler  # noqa: F401

@@ -57,6 +57,9 @@ one stored without a table restriction):
   pruned-plan (A9) cache observability + drop
 - ``POST /api/v1/continuous_queries/<name>/pause|resume`` — CQ lifecycle
   verbs; paused CQs are skipped by scheduler ticks and refuse /run
+- ``GET /api/v1/scheduler/status`` / ``POST /api/v1/scheduler/jobs/
+  <name>/run`` — background maintenance scheduler (internal/scheduler:
+  per-job interval + jitter, failure isolation, manual TriggerNow)
 
 Auth: ``Authorization: Bearer <token>`` verified against
 :class:`arc_spark.auth.AuthStore` (hashed tokens, SQLite). RBAC reuses the
@@ -103,6 +106,7 @@ class ArcServer:
         audit: AuditLogger | None = None,
         breaker: CircuitBreaker | None = None,
         reconciler=None,
+        scheduler=None,
     ):
         self.query = query_service
         self.ingest = ingest_service
@@ -118,6 +122,8 @@ class ArcServer:
         self.memtrim = Debouncer(30.0)
         # optional operators.reconciliation.Reconciler for /api/v1/reconcile
         self.reconciler = reconciler
+        # optional scheduler.MaintenanceScheduler for /api/v1/scheduler/*
+        self.scheduler = scheduler
         # optional sources.mqtt.MqttIngestBridge for /api/v1/mqtt/* routes
         self.mqtt = mqtt_bridge
         # request counters for /metrics (reference internal/monitoring)
@@ -457,6 +463,13 @@ class ArcServer:
                         "hits": stats["hits"], "misses": stats["misses"],
                         "epoch": getattr(cat, "epoch", None),
                     })
+                if url.path == "/api/v1/scheduler/status":
+                    # background maintenance jobs (internal/scheduler Status)
+                    if outer.scheduler is None:
+                        return self._json(503, {"error": "scheduler disabled"})
+                    if not self._require_admin(token):
+                        return
+                    return self._json(200, {"jobs": outer.scheduler.status()})
                 if url.path == "/api/v1/reconcile/runs":
                     if outer.reconciler is None:
                         return self._json(503, {"error": "reconciler disabled"})
@@ -590,6 +603,22 @@ class ArcServer:
                     return self._reply(200, out, _FMT_CONTENT_TYPES[fmt],
                                        extra_headers=exec_hdr)
 
+                if (url.path.startswith("/api/v1/scheduler/jobs/")
+                        and url.path.endswith("/run")):
+                    # manual trigger (internal/scheduler TriggerNow)
+                    if outer.scheduler is None:
+                        return self._json(503, {"error": "scheduler disabled"})
+                    if not self._require_admin(token):
+                        return
+                    name = url.path.rsplit("/", 2)[-2]
+                    if not any(j["name"] == name
+                               for j in outer.scheduler.status()):
+                        return self._json(404, {"error": f"no job {name!r}"})
+                    ok, out = self._run(
+                        lambda: outer.scheduler.trigger_now(name))
+                    if ok:
+                        self._json(200, {"job": name, "result": out})
+                    return
                 if url.path == "/api/v1/reconcile":
                     # storage reconciliation sweep (internal/reconciliation
                     # handleReconcile; dry_run defaults TRUE like the
