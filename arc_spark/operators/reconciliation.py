@@ -108,11 +108,15 @@ class Reconciler:
 
     def __init__(self, root: str, grace_window_s: float = 86400.0,
                  max_deletions: int = 10_000,
-                 delete_stray_data: bool = False):
+                 delete_stray_data: bool = False,
+                 audit=None):
         self.root = root
         self.grace_window_s = grace_window_s
         self.max_deletions = max_deletions
         self.delete_stray_data = delete_stray_data
+        # optional arc_spark.audit.AuditLogger — runs are audit-trailed
+        # like the reference's emitAudit (reconciler.go:747)
+        self.audit = audit
         self._lock = threading.Lock()
         self._running = False
         self._history: list[Run] = []
@@ -146,6 +150,17 @@ class Reconciler:
             run.finished_at = time.time()
             with self._lock:
                 self._running = False
+            if self.audit is not None:
+                self.audit.log_event({
+                    "event_type": f"reconcile.{run.status}",
+                    "actor": "reconciler", "method": "JOB",
+                    "path": self.root,
+                    "duration_ms": int(
+                        (run.finished_at - run.started_at) * 1000),
+                    "detail": {"run_id": run.id, "dry_run": run.dry_run,
+                               "deleted": run.deleted,
+                               "found": run.found},
+                })
         return run.summary()
 
     def _aged_out(self, bk, path: str, now: float, run: Run) -> bool:

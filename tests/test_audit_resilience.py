@@ -501,3 +501,20 @@ class TestHttpAuditBreaker:
         assert json.loads(body)["dry_run"] is False
         status, body, _ = _req(port, "/api/v1/reconcile/runs", token=admin)
         assert len(json.loads(body)["runs"]) == 2
+
+
+def test_reconciler_audit_trail(tmp_path):
+    """Runs land in the audit trail like the reference's emitAudit."""
+    from arc_spark.audit import AuditLogger
+    from arc_spark.operators.reconciliation import Reconciler
+
+    log = AuditLogger(str(tmp_path / "a.db"))
+    _mk_measurement(tmp_path)
+    rec = Reconciler(str(tmp_path), audit=log)
+    rec.reconcile(dry_run=True)
+    log.flush()
+    entries = log.query(event_type="reconcile.completed")
+    assert len(entries) == 1
+    detail = json.loads(entries[0]["detail"])
+    assert detail["dry_run"] is True and detail["deleted"] == 0
+    log.stop()
