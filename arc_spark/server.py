@@ -128,6 +128,9 @@ class ArcServer:
         self.mqtt = mqtt_bridge
         # request counters for /metrics (reference internal/monitoring)
         self.metrics: dict[str, int] = {}
+        # per-endpoint latency accumulators (reference
+        # /api/v1/metrics/endpoints): "METHOD path" -> [n, sum_ms, max_ms]
+        self.endpoint_ms: dict[str, list] = {}
         self._metrics_lock = threading.Lock()
         # recent-request ring for /api/v1/logs (reference's log endpoint
         # serves its in-process ring buffer; ours records request lines)
@@ -164,10 +167,16 @@ class ArcServer:
 
             def _reply(self, code: int, body: bytes, ctype: str = "application/json",
                        extra_headers: dict | None = None):
+                dur_ms = (time.time() - getattr(self, "_t0", time.time())) * 1000
                 with outer._metrics_lock:
                     path = urlparse(self.path).path
                     key = f"{self.command} {path} {code}"
                     outer.metrics[key] = outer.metrics.get(key, 0) + 1
+                    ep = outer.endpoint_ms.setdefault(
+                        f"{self.command} {path}", [0, 0.0, 0.0])
+                    ep[0] += 1
+                    ep[1] += dur_ms
+                    ep[2] = max(ep[2], dur_ms)
                     outer.logs.append({
                         "ts": time.time(), "method": self.command,
                         "path": path, "status": code,
@@ -184,9 +193,7 @@ class ArcServer:
                                      or q.get("measurement", "")),
                         ip_address=self.client_address[0],
                         user_agent=self.headers.get("User-Agent", ""),
-                        duration_ms=int(
-                            (time.time() - getattr(self, "_t0", time.time()))
-                            * 1000),
+                        duration_ms=int(dur_ms),
                     )
                 self.send_response(code)
                 self.send_header("Content-Type", ctype)
@@ -393,6 +400,16 @@ class ArcServer:
                     with outer._metrics_lock:
                         entries = list(outer.logs)[-max(limit, 0):]
                     return self._json(200, {"logs": entries})
+                if url.path == "/api/v1/metrics/endpoints":
+                    # per-endpoint latency summary (reference
+                    # /api/v1/metrics/endpoints)
+                    with outer._metrics_lock:
+                        snap = {k: list(v) for k, v in outer.endpoint_ms.items()}
+                    return self._json(200, {"endpoints": {
+                        k: {"count": n, "avg_ms": round(s_ / n, 2) if n else 0,
+                            "max_ms": round(mx, 2)}
+                        for k, (n, s_, mx) in sorted(snap.items())
+                    }})
                 if url.path == "/api/v1/metrics":
                     # JSON counters view (reference /api/v1/metrics; the
                     # Prometheus exposition lives at /metrics)

@@ -166,3 +166,27 @@ class TestSchedulerRoutes:
         with pytest.raises(urllib.error.HTTPError) as e:
             _req(port, "/api/v1/scheduler/jobs/ghost/run", "POST", admin, b"")
         assert e.value.code == 404
+
+
+class TestEndpointMetrics:
+    def test_endpoint_latency_summary(self, spark, tmp_path):
+        from arc_spark.api import QueryService
+        from arc_spark.auth import AuthStore
+        from arc_spark.catalog import MeasurementCatalog
+        from arc_spark.server import ArcServer
+
+        cat = MeasurementCatalog(spark, str(tmp_path / "data"))
+        auth = AuthStore(str(tmp_path / "auth.db"))
+        admin = auth.create_token("admin")
+        server = ArcServer(QueryService(spark, cat), None, auth).start()
+        try:
+            for _ in range(3):
+                _req(server.port, "/health")
+            status, body = _req(server.port, "/api/v1/metrics/endpoints",
+                                token=admin)
+            eps = json.loads(body)["endpoints"]
+            assert eps["GET /health"]["count"] == 3
+            assert eps["GET /health"]["avg_ms"] >= 0
+            assert eps["GET /health"]["max_ms"] >= eps["GET /health"]["avg_ms"]
+        finally:
+            server.stop()
