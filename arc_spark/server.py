@@ -131,6 +131,9 @@ class ArcServer:
         # per-endpoint latency accumulators (reference
         # /api/v1/metrics/endpoints): "METHOD path" -> [n, sum_ms, max_ms]
         self.endpoint_ms: dict[str, list] = {}
+        # per-lane import counters (reference /api/v1/import/stats,
+        # /api/v1/write/tle/stats): kind -> {files, rows}
+        self.import_stats: dict[str, dict] = {}
         self._metrics_lock = threading.Lock()
         # recent-request ring for /api/v1/logs (reference's log endpoint
         # serves its in-process ring buffer; ours records request lines)
@@ -511,6 +514,23 @@ class ArcServer:
                             "subscriptions": len(outer.mqtt.subscriptions),
                         })
                     return self._json(200, dict(outer.mqtt.stats))
+                if url.path == "/api/v1/import/stats":
+                    # per-lane import totals (reference /api/v1/import/stats)
+                    # snapshot UNDER the lock, reply OUTSIDE it: _reply
+                    # itself takes _metrics_lock for the request counters
+                    with outer._metrics_lock:
+                        snap = {k: dict(v)
+                                for k, v in outer.import_stats.items()}
+                    return self._json(200, {"imports": snap})
+                if url.path == "/api/v1/write/tle/stats":
+                    with outer._metrics_lock:
+                        st = dict(outer.import_stats.get(
+                            "tle", {"files": 0, "rows": 0}))
+                    return self._json(200, st)
+                if url.path == "/api/v1/write/msgpack/stats":
+                    if outer.ingest is None:
+                        return self._json(503, {"error": "ingest disabled"})
+                    return self._json(200, dict(outer.ingest.stats))
                 if url.path == "/api/v1/write/line-protocol/health":
                     if outer.ingest is None:
                         return self._json(503, {"error": "ingest disabled"})
@@ -1032,6 +1052,7 @@ class ArcServer:
                         )
                     )
                     if ok:
+                        outer._count_import("lp", n)
                         self._json(200, {"written": n})
                     return
 
@@ -1095,6 +1116,8 @@ class ArcServer:
 
                     ok, out = self._run(_bulk)
                     if ok:
+                        outer._count_import(url.path.rsplit("/", 1)[-1],
+                                            out.get("rows_imported", 0))
                         self._json(200, out)
                     return
 
@@ -1120,6 +1143,7 @@ class ArcServer:
 
                     ok, n = self._run(_tle)
                     if ok:
+                        outer._count_import("tle", n)
                         self._json(200, {"written": n})
                     return
 
@@ -1191,6 +1215,12 @@ class ArcServer:
         self._thread: threading.Thread | None = None
 
     # -- lifecycle ---------------------------------------------------------
+    def _count_import(self, kind: str, rows: int) -> None:
+        with self._metrics_lock:
+            st = self.import_stats.setdefault(kind, {"files": 0, "rows": 0})
+            st["files"] += 1
+            st["rows"] += int(rows)
+
     def _invalidate_written(self, keys) -> None:
         for db, meas in keys:
             try:

@@ -126,12 +126,12 @@ class TestMaintenanceScheduler:
         assert out["dry_run"] is True
 
 
-def _req(port, path, method="GET", token=None, body=None):
+def _req(port, path, method="GET", token=None, body=None, timeout=180):
     req = urllib.request.Request(
         f"http://127.0.0.1:{port}{path}", data=body, method=method)
     if token:
         req.add_header("Authorization", f"Bearer {token}")
-    with urllib.request.urlopen(req, timeout=60) as resp:
+    with urllib.request.urlopen(req, timeout=timeout) as resp:
         return resp.status, resp.read()
 
 
@@ -188,5 +188,44 @@ class TestEndpointMetrics:
             assert eps["GET /health"]["count"] == 3
             assert eps["GET /health"]["avg_ms"] >= 0
             assert eps["GET /health"]["max_ms"] >= eps["GET /health"]["avg_ms"]
+        finally:
+            server.stop()
+
+
+class TestImportStats:
+    def test_import_and_stats_routes(self, spark, tmp_path):
+        from arc_spark.api import IngestService, QueryService
+        from arc_spark.auth import AuthStore
+        from arc_spark.catalog import MeasurementCatalog
+        from arc_spark.server import ArcServer
+
+        root = str(tmp_path / "data")
+        ingest = IngestService(spark, root, max_buffer_rows=10**9,
+                               max_buffer_age_s=10**9)
+        cat = MeasurementCatalog(spark, root)
+        auth = AuthStore(str(tmp_path / "auth.db"))
+        admin = auth.create_token("admin")
+        server = ArcServer(QueryService(spark, cat), ingest, auth).start()
+        try:
+            _req(server.port, "/api/v1/import/lp?db=metrics", "POST", admin,
+                 b"cpu,host=a usage=1 1700000000000000000\n"
+                 b"cpu,host=b usage=2 1700000060000000000\n")
+            _req(server.port, "/api/v1/import/tle?db=sat", "POST", admin,
+                 b"ISS (ZARYA)\n"
+                 b"1 25544U 98067A   08264.51782528 -.00002182  00000-0"
+                 b" -11606-4 0  2927\n"
+                 b"2 25544  51.6416 247.4627 0006703 130.5360 325.0288"
+                 b" 15.72125391563537\n")
+            status, body = _req(server.port, "/api/v1/import/stats",
+                                token=admin)
+            st = json.loads(body)["imports"]
+            assert st["lp"] == {"files": 1, "rows": 2}
+            assert st["tle"]["rows"] == 1
+            status, body = _req(server.port, "/api/v1/write/tle/stats",
+                                token=admin)
+            assert json.loads(body)["rows"] == 1
+            status, body = _req(server.port, "/api/v1/write/msgpack/stats",
+                                token=admin)
+            assert json.loads(body)["acked"] >= 2  # lp import counts acked
         finally:
             server.stop()
