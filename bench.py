@@ -292,6 +292,30 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # burst-drain lane (arc's 20.9M rec/s headline is a saturated native
+    # server; this is the closest Spark-shape analogue): 12M rows accepted
+    # deferred, then ONE distributed flush — staged file + executor-side
+    # decode+write. Timed end-to-end from first write to rows-on-disk.
+    burst_payloads = sus_payloads
+    with tempfile.TemporaryDirectory() as td:
+        svc = IngestService(spark, td, max_buffer_rows=10**9,
+                            max_buffer_age_s=10**9, defer_decode=True)
+        svc.max_pending_raw_bytes = 1 << 30
+        svc.distributed_flush_min_bytes = 32 << 20
+        t0 = time.perf_counter()
+        for j in range(1200):
+            svc.write_msgpack("bench", burst_payloads[j % 8])
+        n_burst = svc.flush()
+        burst_dt = time.perf_counter() - t0
+        svc.close()
+    times["ingest_msgpack_burst_12m"] = round(burst_dt, 4)
+    total += burst_dt
+    print(
+        f"# ingest_msgpack_burst_12m: {burst_dt:.3f}s accept+distributed "
+        f"drain ({n_burst / burst_dt / 1e6:.1f}M rec/s e2e)",
+        file=sys.stderr,
+    )
+
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(json.dumps({
         "metric": "workload_total_wall",

@@ -491,3 +491,64 @@ def test_deferred_decode_backpressure_bounded(spark, tmp_path):
     assert svc._raw_bytes == 0 and svc._flushing_raw_bytes == 0
     back = spark.read.parquet(str(tmp_path / "bench" / "cpu"))
     assert back.count() == 10 * n
+
+
+class TestDistributedFlush:
+    def _payload(self, n=5_000, base=0, meas="cpu"):
+        from arc_spark.sources.msgpack_codec import packb
+
+        return packb({"m": meas, "columns": {
+            "time": [1700000000000000 + (base + i) * 1000 for i in range(n)],
+            "host": [f"h{i % 8}" for i in range(n)],
+            "value": [float(i) for i in range(n)]}, "tags": ["host"]})
+
+    def test_large_deferred_backlog_drains_distributed(self, spark, tmp_path):
+        """A deferred-msgpack backlog over the threshold decodes+writes on
+        executors; rows, stats, manifest, and catalog notification all
+        match the in-process path."""
+        from arc_spark.api import IngestService
+        from arc_spark.sources.writer import read_manifest
+
+        svc = IngestService(spark, str(tmp_path), max_buffer_rows=10**9,
+                            max_buffer_age_s=10**9, defer_decode=True)
+        svc.distributed_flush_min_bytes = 1 << 10  # force the path
+        seen = []
+        svc.on_measurements_written = lambda keys: seen.append(sorted(keys))
+        for j in range(4):
+            svc.write_msgpack("bench", self._payload(base=j * 5_000))
+        n = svc.flush()
+        assert n == 20_000
+        assert svc.stats["flushed"] == 20_000 and svc.stats["acked"] == 20_000
+        assert svc._raw_bytes == 0 and svc._flushing_raw_bytes == 0
+        back = spark.read.parquet(str(tmp_path / "bench" / "cpu"))
+        assert back.count() == 20_000
+        assert read_manifest(str(tmp_path), "bench", "cpu")["tag_columns"] == ["host"]
+        assert ("bench", "cpu") in [k for batch in seen for k in batch]
+
+    def test_mixed_measurements_and_small_lp_coexist(self, spark, tmp_path):
+        from arc_spark.api import IngestService
+
+        svc = IngestService(spark, str(tmp_path), max_buffer_rows=10**9,
+                            max_buffer_age_s=10**9, defer_decode=True)
+        svc.distributed_flush_min_bytes = 1 << 10
+        svc.write_msgpack("bench", self._payload(meas="cpu"))
+        svc.write_msgpack("bench", self._payload(meas="mem"))
+        # a deferred LP payload rides the same flush through the
+        # in-process decode
+        svc.write_line_protocol(
+            "bench", b"disk,host=z used=1 1700000000000000000\n")
+        n = svc.flush()
+        assert n == 10_001
+        for meas, want in (("cpu", 5_000), ("mem", 5_000), ("disk", 1)):
+            assert spark.read.parquet(
+                str(tmp_path / "bench" / meas)).count() == want
+
+    def test_threshold_none_disables(self, spark, tmp_path):
+        from arc_spark.api import IngestService
+
+        svc = IngestService(spark, str(tmp_path), max_buffer_rows=10**9,
+                            max_buffer_age_s=10**9, defer_decode=True)
+        svc.distributed_flush_min_bytes = None
+        svc.write_msgpack("bench", self._payload())
+        assert svc.flush() == 5_000
+        assert spark.read.parquet(str(tmp_path / "bench" / "cpu")).count() == 5_000
