@@ -510,16 +510,17 @@ class IngestService:
         self._notify_written({(db, meas) for meas in meas_tags})
         return n_lines
 
-    def _drain_msgpack_distributed(
-        self, db: str, payloads: list[bytes]
+    def _drain_raw_distributed(
+        self, db: str, entries: list[tuple[str, bytes]]
     ) -> int:
-        """Distributed drain of a deferred-msgpack backlog: payloads are
-        STAGED as one concatenated file (payload boundaries are natural
-        split points — no byte-splitting problem), and executor tasks
-        decode their payload group and write hour-partitioned Parquet
-        directly (the fused shape of the bulk-LP path). Breaks the
-        driver's one-process decode ceiling: measured 13M rec/s warm on
-        a 12M-row backlog vs ~3.5M for the in-process flush workers.
+        """Distributed drain of a deferred-payload backlog ((kind, bytes)
+        pairs — msgpack or line protocol): payloads are STAGED as one
+        concatenated file (payload boundaries are natural split points —
+        no byte-splitting problem), and executor tasks decode their
+        payload group and write hour-partitioned Parquet directly (the
+        fused shape of the bulk-LP path). Breaks the driver's one-process
+        decode ceiling: measured 13M rec/s warm on a 12M-row msgpack
+        backlog vs ~3.5M for the in-process flush workers.
 
         Same constraints as the fused LP writer: the root must be
         executor-resolvable (local/file/s3), per-task schema merging, and
@@ -536,16 +537,16 @@ class IngestService:
         from arc_spark.storage import backend_for
 
         bk = backend_for(self.root)
-        staging = bk.join(self.root, ".msgpack-staging")
+        staging = bk.join(self.root, ".raw-staging")
         bk.mkdirs(staging)
         staged = bk.join(staging, f"{_uuid.uuid4().hex}.bin")
-        offs: list[tuple[int, int]] = []
+        offs: list[tuple[int, int, str]] = []
         pos = 0
         # stream payloads straight to the staging file: concatenating a
         # multi-hundred-MB bytes object first costs two full copies
         with bk.fs.open_output_stream(bk.fs_path(staged)) as f:
-            for p in payloads:
-                offs.append((pos, len(p)))
+            for kind, p in entries:
+                offs.append((pos, len(p), kind))
                 f.write(p)
                 pos += len(p)
         par = self.spark.sparkContext.defaultParallelism
@@ -565,6 +566,7 @@ class IngestService:
                 columnar_to_arrow,
                 decode_msgpack_payload,
             )
+            from arc_spark.sources.line_protocol import parse_chunk_columnar
             from arc_spark.sources.writer import write_measurement_arrow
             from arc_spark.storage import backend_for as _bf
 
@@ -572,8 +574,17 @@ class IngestService:
             for bpdf in batches:
                 for i in bpdf["id"]:
                     by_meas: dict[str, list] = {}
-                    for off, ln in groups[int(i)]:
-                        b = decode_msgpack_payload(ebk.read_range(staged, off, ln))
+                    for off, ln, kind in groups[int(i)]:
+                        payload = ebk.read_range(staged, off, ln)
+                        if kind.startswith("lp"):
+                            precision = (kind.split(":")[1]
+                                         if ":" in kind else "ns")
+                            for meas, b in parse_chunk_columnar(
+                                    payload, precision).items():
+                                if b["columns"]:
+                                    by_meas.setdefault(meas, []).append(b)
+                            continue
+                        b = decode_msgpack_payload(payload)
                         if b["columns"]:
                             by_meas.setdefault(
                                 b.get("measurement") or "default", []
@@ -769,27 +780,25 @@ class IngestService:
     def _maybe_drain_distributed(
         self, raw: list[tuple[str, str, bytes]]
     ) -> tuple[list[tuple[str, str, bytes]], int]:
-        """Split per-db msgpack groups whose byte total crosses the
-        distributed-flush threshold and drain them via
-        :meth:`_drain_msgpack_distributed`. Returns (remaining raw,
-        rows written distributed)."""
+        """Split per-db deferred-payload groups (msgpack AND line
+        protocol) whose byte total crosses the distributed-flush
+        threshold and drain them via :meth:`_drain_raw_distributed`.
+        Returns (remaining raw, rows written distributed)."""
         if self.distributed_flush_min_bytes is None:
             return raw, 0
-        by_db: dict[str, list[bytes]] = {}
+        by_db: dict[str, list[tuple[str, bytes]]] = {}
         for db, kind, payload in raw:
-            if kind == "msgpack":
-                by_db.setdefault(db, []).append(payload)
+            by_db.setdefault(db, []).append((kind, payload))
         dist_dbs = {
-            db for db, ps in by_db.items()
-            if sum(len(p) for p in ps) >= self.distributed_flush_min_bytes
+            db for db, es in by_db.items()
+            if sum(len(p) for _, p in es) >= self.distributed_flush_min_bytes
         }
         if not dist_dbs:
             return raw, 0
         rows = 0
         for db in dist_dbs:
-            rows += self._drain_msgpack_distributed(db, by_db[db])
-        remaining = [e for e in raw
-                     if not (e[1] == "msgpack" and e[0] in dist_dbs)]
+            rows += self._drain_raw_distributed(db, by_db[db])
+        remaining = [e for e in raw if e[0] not in dist_dbs]
         return remaining, rows
 
     # -- flush path --------------------------------------------------------

@@ -552,3 +552,23 @@ class TestDistributedFlush:
         svc.write_msgpack("bench", self._payload())
         assert svc.flush() == 5_000
         assert spark.read.parquet(str(tmp_path / "bench" / "cpu")).count() == 5_000
+
+    def test_deferred_lp_backlog_drains_distributed(self, spark, tmp_path):
+        """Deferred LINE-PROTOCOL backlogs over the threshold also drain
+        on executors (parse_chunk_columnar per payload in-task)."""
+        from arc_spark.api import IngestService
+
+        svc = IngestService(spark, str(tmp_path), max_buffer_rows=10**9,
+                            max_buffer_age_s=10**9, defer_decode=True)
+        svc.distributed_flush_min_bytes = 1 << 10
+        for j in range(3):
+            lp = "\n".join(
+                f"cpu,host=h{i % 4} usage={i} "
+                f"{1700000000000000000 + (j * 500 + i) * 10**9}"
+                for i in range(500)).encode()
+            svc.write_line_protocol("bench", lp)
+        n = svc.flush()
+        assert n == 1500
+        back = spark.read.parquet(str(tmp_path / "bench" / "cpu"))
+        assert back.count() == 1500
+        assert back.select("host").distinct().count() == 4
