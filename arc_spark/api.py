@@ -553,7 +553,14 @@ class IngestService:
         # cores/2 cap: same per-Python-task overhead finding as the bulk
         # LP path (full-width fan-out contends with the decode itself)
         n_tasks = max(1, min(max(4, par // 2), len(offs)))
-        groups = [offs[i::n_tasks] for i in range(n_tasks)]
+        # CONTIGUOUS groups, not round-robin: payloads were written in
+        # order, so each group is one contiguous byte range — the task
+        # issues a single range read and slices payloads in memory
+        # (1 GET per task on object stores instead of hundreds)
+        per = (len(offs) + n_tasks - 1) // n_tasks
+        groups = [offs[i * per:(i + 1) * per] for i in range(n_tasks)]
+        groups = [g for g in groups if g]
+        n_tasks = len(groups)
         root, decimal_config = self.root, self.decimal_config
 
         def decode_write(batches):
@@ -573,9 +580,13 @@ class IngestService:
             ebk = _bf(staged)
             for bpdf in batches:
                 for i in bpdf["id"]:
+                    grp = groups[int(i)]
+                    base = grp[0][0]
+                    span = grp[-1][0] + grp[-1][1] - base
+                    blob = ebk.read_range(staged, base, span)
                     by_meas: dict[str, list] = {}
-                    for off, ln, kind in groups[int(i)]:
-                        payload = ebk.read_range(staged, off, ln)
+                    for off, ln, kind in grp:
+                        payload = blob[off - base:off - base + ln]
                         if kind.startswith("lp"):
                             precision = (kind.split(":")[1]
                                          if ":" in kind else "ns")
