@@ -845,8 +845,9 @@ class IngestService:
             dist_rows = 0
             try:
                 if raw:
-                    # large deferred-msgpack backlogs drain distributed
-                    # (executors decode+write); the rest decodes in-process
+                    # large deferred backlogs (msgpack or LP) drain
+                    # distributed (executors decode+write); the rest
+                    # decodes in-process
                     raw, dist_rows = self._maybe_drain_distributed(raw)
                     if dist_rows:
                         # distributed rows are durably written NOW —
