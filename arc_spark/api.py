@@ -327,6 +327,14 @@ class IngestService:
                 t.start()
                 self._workers.append(t)
 
+    def _dec_manifest(self, measurement: str) -> dict[str, list[int]] | None:
+        """decimal_config entry for a measurement in manifest shape
+        ({col: [precision, scale]}), or None — every manifest write site
+        must use this so no publish path drops decimal metadata."""
+        decimals = self.decimal_config.get(measurement)
+        return ({c: list(ps) for c, ps in decimals.items()}
+                if decimals else None)
+
     # -- write path --------------------------------------------------------
     def write_msgpack(self, db: str, payload: bytes, _wal: bool = True) -> int:
         """Decode + ack one columnar-msgpack payload. The ACK happens after
@@ -502,7 +510,8 @@ class IngestService:
                 _json.loads(r["tags"]))
         for meas, tags in meas_tags.items():
             tag_list = sorted(tags)
-            write_manifest(root, db, meas, tag_list, tag_list + ["time"])
+            write_manifest(root, db, meas, tag_list, tag_list + ["time"],
+                           decimals=self._dec_manifest(meas))
         with self._lock:
             self.stats["acked"] += n_lines
             self.stats["flushed"] += n_lines
@@ -639,7 +648,12 @@ class IngestService:
                 _json.loads(r["tags"]))
         for meas, tags in meas_tags.items():
             tag_list = sorted(tags)
-            write_manifest(root, db, meas, tag_list, tag_list + ["time"])
+            # carry decimal metadata: the drained tasks applied
+            # decimal_config to the data, so the manifest must say so —
+            # otherwise this atomic replace silently drops decimals the
+            # in-process flush recorded
+            write_manifest(root, db, meas, tag_list, tag_list + ["time"],
+                           decimals=self._dec_manifest(meas))
         self._notify_written({(db, m) for m in meas_tags})
         return n_rows
 
@@ -765,22 +779,28 @@ class IngestService:
     def _decode_raw_batches(
         self, raw: list[tuple[str, str, bytes]]
     ) -> tuple[dict[tuple[str, str], list[dict]], int]:
-        """Decode deferred payloads (flush time) → {(db, meas): [batches]}."""
-        from arc_spark.sources.ingest import decode_msgpack_payload, rows_to_columnar
-        from arc_spark.sources.line_protocol import parse_batch
+        """Decode deferred payloads (flush time) → {(db, meas): [batches]}.
+
+        LP payloads split PER MEASUREMENT via ``parse_chunk_columnar`` —
+        the same grouping the distributed drain applies — so where a
+        deferred stream lands never depends on whether the backlog
+        crossed ``distributed_flush_min_bytes``."""
+        from arc_spark.sources.ingest import decode_msgpack_payload
+        from arc_spark.sources.line_protocol import parse_chunk_columnar
 
         out: dict[tuple[str, str], list[dict]] = {}
         acked = 0
         for db, kind, payload in raw:
             if kind.startswith("lp"):
                 precision = kind.split(":")[1] if ":" in kind else "ns"
-                rows = parse_batch(payload.decode("utf-8", "replace"),
-                                   precision=precision)
-                if not rows:
-                    continue
-                batch = rows_to_columnar(rows)
-            else:
-                batch = decode_msgpack_payload(payload)
+                for meas, batch in parse_chunk_columnar(
+                        payload, precision).items():
+                    if batch["columns"]:
+                        n = len(batch["columns"][next(iter(batch["columns"]))])
+                        out.setdefault((db, meas), []).append(batch)
+                        acked += n
+                continue
+            batch = decode_msgpack_payload(payload)
             meas = batch.get("measurement") or "default"
             if batch["columns"]:
                 n = len(batch["columns"][next(iter(batch["columns"]))])

@@ -135,7 +135,10 @@ class AuditLogger:
         try:
             self._q.put_nowait(event)
         except queue.Full:
-            self.dropped += 1
+            # under the same cv-lock discipline as _pending: GIL-safe
+            # today, but the class is lock-disciplined everywhere else
+            with self._pending_cv:
+                self.dropped += 1
             return
         with self._pending_cv:
             self._pending += 1

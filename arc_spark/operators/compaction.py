@@ -122,9 +122,15 @@ def compact_partition_dir(
     [2, 500]) bounds the files merged by one job: a partition with
     thousands of small files compacts as independent batches, each with
     its own manifest + tmp dir + output file, so per-job memory stays
-    bounded and a crash loses at most one batch. Dedup applies WITHIN a
-    batch (the reference's semantics — successive compaction passes
-    shrink the file count until cross-file duplicates meet in one batch).
+    bounded and a crash loses at most one batch. Batches run as
+    SUCCESSIVE PASSES until one file remains: a single pass leaves
+    ⌈N/batch⌉ outputs, and if that lands below the scheduler's
+    ``min_files`` the partition is never revisited — cross-batch
+    duplicates (e.g. at-least-once ingest replays, whose collapse relies
+    on this LWW dedup) would survive forever. Each follow-up pass merges
+    the previous pass's outputs, so duplicates meet within
+    log_batch(N) passes while every individual job still touches at
+    most ``batch`` files.
     """
     bk = backend_for(root)
     manifest = read_manifest(root, db, measurement)
@@ -136,19 +142,30 @@ def compact_partition_dir(
         return {"partition": part_dir, "inputs": len(inputs), "skipped": True}
 
     batch = max(2, min(int(max_files_per_batch), 500))
-    total_rows, total_outputs = 0, 0
-    for bi in range(0, len(inputs), batch):
-        rows, outs = _compact_file_batch(
-            spark, bk, part_dir, measurement, inputs[bi:bi + batch],
-            tags, sort_keys, manifest.get("dedup_time", False), dedup,
-        )
-        total_rows += rows
-        total_outputs += outs
+    current = inputs
+    rows = 0
+    while len(current) > 1:
+        nxt: list[str] = []
+        rows = 0
+        for bi in range(0, len(current), batch):
+            group = current[bi:bi + batch]
+            if len(group) == 1:
+                nxt.extend(group)  # odd tail file: carried to next pass
+                continue
+            r, outs = _compact_file_batch(
+                spark, bk, part_dir, measurement, group,
+                tags, sort_keys, manifest.get("dedup_time", False), dedup,
+            )
+            rows += r
+            nxt.extend(outs)
+        if len(nxt) >= len(current):
+            break  # defensive: no progress
+        current = nxt
     return {
         "partition": part_dir,
         "inputs": len(inputs),
-        "outputs": total_outputs,
-        "rows": total_rows,
+        "outputs": len(current),
+        "rows": rows,
         "skipped": False,
     }
 
@@ -163,11 +180,12 @@ def _compact_file_batch(
     sort_keys: list,
     dedup_time_only: bool,
     dedup: bool,
-) -> tuple[int, int]:
+) -> tuple[int, list[str]]:
     """One crash-safe merge of ``inputs`` → one output file (manifest →
-    write tmp → audit → publish → remove inputs)."""
+    write tmp → audit → publish → remove inputs). Returns (rows,
+    published file paths) so a follow-up pass can merge batch outputs."""
     if len(inputs) <= 1:
-        return 0, 0
+        return 0, []
     job_id = uuid.uuid4().hex[:8]
     tmp_dir = part_dir + f".compact-tmp-{job_id}"
     # per-batch manifest; the name keeps the .compact-manifest.json suffix
@@ -213,7 +231,7 @@ def _compact_file_batch(
         bk.remove_crc_sidecar(f)
     bk.remove_tree(tmp_dir, ignore_errors=True)
     bk.remove_file(job_manifest)
-    return out_rows, len(published)
+    return out_rows, published
 
 
 def recover_incomplete(meas_path: str) -> int:

@@ -256,3 +256,16 @@ class Reconciler:
                     run.note("staging", d)
                     if self._aged_out(bk, d, now, run):
                         self._delete(bk, d, run, is_dir=True)
+        # 4) staged ingest payload files: the bulk-LP and distributed-drain
+        #    paths stage payloads under root-level dot dirs and remove them
+        #    in a finally — a driver crash mid-job leaks them (hundreds of
+        #    MB), and list_dirs skips dot-prefixed dirs so the walk above
+        #    never sees them. Sweep them under the same grace window.
+        for dirname in (".lp-staging", ".raw-staging"):
+            sdir = bk.join(self.root, dirname)
+            if not bk.isdir(sdir):
+                continue
+            for f in bk.find_files(sdir):
+                run.note("staging", f)
+                if self._aged_out(bk, f, now, run):
+                    self._delete(bk, f, run)

@@ -151,6 +151,17 @@ class CircuitBreaker:
             if self._failures >= self.max_failures:
                 self._transition(OPEN)
 
+    def record_neutral(self) -> None:
+        """Release a half-open probe slot without counting toward
+        successes OR failures. For USER errors (bad SQL, RBAC denial,
+        rate limit): the engine was never exercised, so the outcome says
+        nothing about its health — a few 400s from one client must not
+        close the circuit while the engine is still down, nor reset the
+        consecutive-failure count while closed."""
+        with self._lock:
+            if self._state == HALF_OPEN and self._half_open_inflight > 0:
+                self._half_open_inflight -= 1
+
     # -- public API -----------------------------------------------------
     def execute(self, fn):
         """Run ``fn`` under breaker protection. The breaker observes the

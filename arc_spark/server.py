@@ -264,7 +264,10 @@ class ArcServer:
                     except (SqlValidationError, AccessDeniedError,
                             RateLimitExceeded):
                         if cb is not None:
-                            cb.record(True)
+                            # neutral, not success: in half-open a user
+                            # error must release the probe slot without
+                            # counting toward closing the circuit
+                            cb.record_neutral()
                         raise
                     except Exception:
                         if cb is not None:

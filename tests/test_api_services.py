@@ -210,6 +210,26 @@ class TestDeferredDecode:
         assert svc.flush() == 2
         assert MeasurementCatalog(spark, str(tmp_path)).table("m", "cpu").count() == 2
 
+    def test_deferred_multi_measurement_lp_splits_in_process(self, spark, tmp_path):
+        """A deferred LP payload mixing measurements must split per
+        measurement in the IN-PROCESS decode lane exactly like the
+        distributed drain does (r3 advice: the old lane attributed every
+        row to the first line's measurement, so where rows landed
+        depended on backlog size)."""
+        svc = IngestService(spark, str(tmp_path), max_buffer_rows=10**9,
+                            max_buffer_age_s=10**9, defer_decode=True)
+        # stays WELL below distributed_flush_min_bytes → in-process lane
+        svc.write_line_protocol(
+            "m",
+            b"cpu,host=a usage=1 1700000000000000000\n"
+            b"mem,host=a used=7 1700000001000000000\n"
+            b"cpu,host=b usage=2 1700000002000000000\n",
+        )
+        assert svc.flush() == 3
+        cat = MeasurementCatalog(spark, str(tmp_path))
+        assert cat.table("m", "cpu").count() == 2
+        assert cat.table("m", "mem").count() == 1
+
 
 class TestDurationCap:
     def test_timeout_cancels_job_group(self, spark, tmp_path):

