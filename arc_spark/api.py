@@ -477,41 +477,54 @@ class IngestService:
                     off, ln = ranges[int(i)]
                     chunk = ebk.read_range(staged, off, ln)
                     per_meas = parse_chunk_columnar(chunk, precision_)
-                    out = {"measurement": [], "n": [], "tags": []}
+                    out = {"measurement": [], "n": [], "tags": [],
+                           "files": []}
                     for meas, batch in per_meas.items():
                         table = columnar_to_arrow(batch)
+                        wl: list[str] = []
                         write_measurement_arrow(
                             table, root, db, meas,
                             tag_columns=batch["tag_columns"],
-                            manifest=False,
+                            manifest=False, written_out=wl,
                         )
                         out["measurement"].append(meas)
                         out["n"].append(table.num_rows)
                         out["tags"].append(_json.dumps(batch["tag_columns"]))
+                        out["files"].append(_json.dumps(wl))
                     yield pd.DataFrame(out)
 
         try:
             results = (
                 self.spark.range(0, len(ranges), 1, len(ranges))
                 .mapInPandas(parse_write,
-                             "measurement string, n long, tags string")
+                             "measurement string, n long, tags string, "
+                             "files string")
                 .collect()
             )
         finally:
             bk.remove_file_if_exists(staged)
 
-        from arc_spark.sources.writer import write_manifest
+        from arc_spark import snapshots
+        from arc_spark.sources.writer import measurement_path, write_manifest
 
         n_lines = 0
         meas_tags: dict[str, set] = {}
+        meas_files: dict[str, list] = {}
         for r in results:
             n_lines += r["n"]
             meas_tags.setdefault(r["measurement"], set()).update(
                 _json.loads(r["tags"]))
+            meas_files.setdefault(r["measurement"], []).extend(
+                _json.loads(r["files"]))
         for meas, tags in meas_tags.items():
             tag_list = sorted(tags)
             write_manifest(root, db, meas, tag_list, tag_list + ["time"],
                            decimals=self._dec_manifest(meas))
+            # ONE snapshot commit per measurement: the whole distributed
+            # write becomes visible atomically (files were invisible to
+            # snapshot readers until now)
+            snapshots.commit(measurement_path(root, db, meas),
+                             add=meas_files.get(meas, []))
         with self._lock:
             self.stats["acked"] += n_lines
             self.stats["flushed"] += n_lines
@@ -609,7 +622,8 @@ class IngestService:
                             by_meas.setdefault(
                                 b.get("measurement") or "default", []
                             ).append(b)
-                    out = {"measurement": [], "n": [], "tags": []}
+                    out = {"measurement": [], "n": [], "tags": [],
+                           "files": []}
                     for meas, bl in by_meas.items():
                         decs = decimal_config.get(meas)
                         tbl = _pa.concat_tables(
@@ -619,33 +633,40 @@ class IngestService:
                         )
                         tags = sorted({c for x in bl
                                        for c in (x.get("tag_columns") or [])})
+                        wl: list[str] = []
                         write_measurement_arrow(
                             tbl, root, db, meas, tag_columns=tags,
-                            manifest=False,
+                            manifest=False, written_out=wl,
                         )
                         out["measurement"].append(meas)
                         out["n"].append(tbl.num_rows)
                         out["tags"].append(_json.dumps(tags))
+                        out["files"].append(_json.dumps(wl))
                     yield pd.DataFrame(out)
 
         try:
             results = (
                 self.spark.range(0, n_tasks, 1, n_tasks)
                 .mapInPandas(decode_write,
-                             "measurement string, n long, tags string")
+                             "measurement string, n long, tags string, "
+                             "files string")
                 .collect()
             )
         finally:
             bk.remove_file_if_exists(staged)
 
-        from arc_spark.sources.writer import write_manifest
+        from arc_spark import snapshots
+        from arc_spark.sources.writer import measurement_path, write_manifest
 
         n_rows = 0
         meas_tags: dict[str, set] = {}
+        meas_files: dict[str, list] = {}
         for r in results:
             n_rows += r["n"]
             meas_tags.setdefault(r["measurement"], set()).update(
                 _json.loads(r["tags"]))
+            meas_files.setdefault(r["measurement"], []).extend(
+                _json.loads(r["files"]))
         for meas, tags in meas_tags.items():
             tag_list = sorted(tags)
             # carry decimal metadata: the drained tasks applied
@@ -654,6 +675,11 @@ class IngestService:
             # in-process flush recorded
             write_manifest(root, db, meas, tag_list, tag_list + ["time"],
                            decimals=self._dec_manifest(meas))
+            # atomic visibility: all of this drain's files for the
+            # measurement publish in one snapshot swap; a crash mid-drain
+            # left them invisible and the WAL retains the payloads
+            snapshots.commit(measurement_path(root, db, meas),
+                             add=meas_files.get(meas, []))
         self._notify_written({(db, m) for m in meas_tags})
         return n_rows
 
@@ -982,11 +1008,14 @@ class IngestService:
                 acc += t.num_rows
             chunks = [c for c in chunks if c]
 
+            written: list[str] = []  # list.extend is GIL-atomic per chunk
+
             def _write_chunk(group: list) -> int:
                 merged = merge_batches(group)
                 write_measurement_arrow(
                     merged, self.root, db, meas, tag_columns=tag_cols,
                     decimals=dec_manifest, manifest=False,
+                    written_out=written,
                 )
                 return merged.num_rows
 
@@ -1005,6 +1034,16 @@ class IngestService:
                 workers = min(len(chunks), 4)
                 with ThreadPoolExecutor(max_workers=workers) as ex:
                     total += sum(ex.map(_write_chunk, chunks))
+            if written:
+                # ONE snapshot commit per measurement per flush: readers
+                # see the whole flush or none of it (reference Raft-
+                # manifest atomicity; a crash before this line leaves the
+                # chunk files invisible and the WAL replays the rows)
+                from arc_spark import snapshots
+                from arc_spark.sources.writer import measurement_path
+
+                snapshots.commit(
+                    measurement_path(self.root, db, meas), add=written)
             for t in big:
                 df = self.spark.createDataFrame(t)
                 write_measurement(df, self.root, db, meas,

@@ -183,25 +183,40 @@ class MeasurementCatalog:
 
         'No files found' yields an EMPTY DataFrame, not an error — matching
         the reference (internal/api/query.go:2035-2037).
-        """
-        def has_parquet(p: str) -> bool:
-            return bool(backend_for(p).find_files(p, suffix=".parquet"))
 
-        # a tier emptied by compaction/tiering (dir skeleton, no files)
-        # cannot be read — skip it, like the reference's empty-glob path
-        paths = [p for p in self.paths(db, measurement) if has_parquet(p)]
-        if not paths:
-            return self.spark.createDataFrame([], "time timestamp")
+        Snapshot-managed tiers (arc_spark.snapshots) resolve the COMMITTED
+        file list instead of globbing the directory: a crashed flush's
+        stray files are invisible until their commit, the reference's
+        Raft-manifest / Iceberg ReplaceDataFiles atomicity. The explicit
+        file list still carries ``basePath``, so hive partition columns
+        and Catalyst partition pruning behave exactly as a directory scan.
+        Unmanaged trees keep the glob path.
+        """
+        from arc_spark import snapshots
+
         # each tier root is its own partitioned table (hive partition
         # discovery needs a basePath per root — two roots can't share one),
         # unioned by name so tiers may differ in schema vintage
         tiers = []
-        for p in paths:
-            url = backend_for(p).spark_url(p)
-            reader = self.spark.read.option("basePath", url)
+        for p in self.paths(db, measurement):
+            bk = backend_for(p)
+            files = snapshots.data_files(p, bk=bk)
+            if files is None:
+                # unmanaged: directory glob; a tier emptied by compaction/
+                # tiering (dir skeleton, no files) cannot be read — skip
+                if not bk.find_files(p, suffix=".parquet"):
+                    continue
+                sources = [bk.spark_url(p)]
+            elif not files:
+                continue  # managed but empty snapshot
+            else:
+                sources = [bk.spark_url(f) for f in files]
+            reader = self.spark.read.option("basePath", bk.spark_url(p))
             if merge_schema:
                 reader = reader.option("mergeSchema", "true")
-            tiers.append(reader.parquet(url))
+            tiers.append(reader.parquet(*sources))
+        if not tiers:
+            return self.spark.createDataFrame([], "time timestamp")
         df = tiers[0]
         for t in tiers[1:]:
             df = df.unionByName(t, allowMissingColumns=True)

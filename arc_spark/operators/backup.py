@@ -38,13 +38,22 @@ MANIFEST_PREFIX = "_arc_backup_"
 
 
 def _measurement_files(bk, meas_path: str) -> dict[str, int]:
-    """relpath → size for every data/manifest file under a measurement."""
+    """relpath → size for every data/manifest file under a measurement.
+
+    Snapshot versions (_arc_snapshots/) are deliberately NOT inventoried:
+    they travel inside whole-tree copies (a full restore lands a
+    consistent manifest), but a selective restore must never merge
+    backup-time versions into a live tree — restored files are committed
+    as a fresh snapshot version instead."""
     out = {}
     for f in bk.find_files(meas_path):
         name = bk.basename(f)
         if name.startswith(MANIFEST_PREFIX) or ".compact-tmp" in f:
             continue
-        out[bk.relpath(f, meas_path)] = bk.size(f)
+        rel = bk.relpath(f, meas_path).replace("\\", "/")
+        if rel.startswith("_arc_snapshots/"):
+            continue
+        out[rel] = bk.size(f)
     return out
 
 
@@ -191,8 +200,16 @@ def restore_backup(
             # selective path (prefix subset / merge into live files):
             # per-file checks are the point — non-clobber semantics
             any_restored = False
+            restored_data: list[str] = []
             for rel in info["files"]:
                 is_meas_manifest = rel.startswith("_arc_manifest")
+                if rel.replace("\\", "/").startswith("_arc_snapshots/"):
+                    # never merge backup-time snapshot versions into a
+                    # LIVE tree: a higher backed-up version number would
+                    # silently rewind the current snapshot. (Inventories
+                    # exclude these; this guards older manifests.)
+                    # Restored data files are committed below instead.
+                    continue
                 if prefix and not rel.startswith(prefix) and not is_meas_manifest:
                     continue
                 dest = dst.join(dst_meas, rel)
@@ -203,7 +220,16 @@ def restore_backup(
                 dst.write_bytes(dest, src.read_bytes(src.join(src_meas, rel)))
                 restored += 1
                 any_restored = True
+                if rel.endswith(".parquet"):
+                    restored_data.append(rel)
             if any_restored:
+                if restored_data:
+                    from arc_spark import snapshots
+
+                    # publish the restored files in one commit so
+                    # snapshot readers see the partial restore (on an
+                    # unmanaged tree this bootstraps from the glob)
+                    snapshots.commit(dst_meas, add=restored_data, bk=dst)
                 touched.append((d, m))
     if catalog is not None:
         for d, m in touched:

@@ -88,12 +88,21 @@ def compaction_candidates(
     meas_path: str, min_files: int = 10, min_age_seconds: float = 3600,
     now: float | None = None,
 ) -> list[str]:
-    """Partition dirs eligible for compaction (reference tier policy)."""
+    """Partition dirs eligible for compaction (reference tier policy).
+    On a snapshot-managed tree only COMMITTED files count — deferred-
+    deletion orphans must not keep a fully-compacted partition eligible."""
+    from arc_spark import snapshots
+
     bk = backend_for(meas_path)
     now = now if now is not None else time.time()
+    cur = snapshots.current(meas_path, bk=bk)
+    committed = ({bk.join(meas_path, r) for r in cur[1]}
+                 if cur is not None else None)
     out = []
     for d in partition_dirs(meas_path):
         files = bk.list_files(d, suffix=".parquet")
+        if committed is not None:
+            files = [f for f in files if f in committed]
         if len(files) < min_files:
             continue
         newest = max(bk.mtime(f) for f in files)
@@ -110,8 +119,17 @@ def compact_partition_dir(
     part_dir: str,
     dedup: bool = True,
     max_files_per_batch: int = 30,
+    defer_input_deletion: bool = False,
 ) -> dict:
     """Compact one hive partition dir: N files → ⌈N/batch⌉, sorted + deduped.
+
+    ``defer_input_deletion`` (snapshot-managed trees only): skip the
+    physical removal of replaced inputs — the snapshot commit already made
+    them invisible, so an in-flight query that resolved the PREVIOUS
+    snapshot can finish reading them (no missing-file race). The orphans
+    are the reconciler's ``orphan_data`` class, swept once aged. This is
+    the lakehouse deletion discipline (Iceberg expire-snapshots); prompt
+    deletion (default) matches the reference's immediate swap.
 
     Crash safety (reference manifest.go): a manifest naming inputs+output is
     written BEFORE any replace; output goes to a `.compact-tmp` sibling and
@@ -133,11 +151,21 @@ def compact_partition_dir(
     most ``batch`` files.
     """
     bk = backend_for(root)
+    meas_path = bk.join(root, db, measurement)
     manifest = read_manifest(root, db, measurement)
     tags = manifest.get("tag_columns", [])
     sort_keys = [c for c in manifest.get("sort_keys", []) if c != "time"] + ["time"]
 
     inputs = bk.list_files(part_dir, suffix=".parquet")
+    # on a snapshot-managed tree, compact only COMMITTED files: an orphan
+    # (crash-leaked, reader-invisible) merged in would resurrect rows the
+    # visible state never had — orphans are the reconciler's to sweep
+    from arc_spark import snapshots
+
+    cur = snapshots.current(meas_path, bk=bk)
+    if cur is not None:
+        committed = {bk.join(meas_path, r) for r in cur[1]}
+        inputs = [f for f in inputs if f in committed]
     if len(inputs) <= 1:
         return {"partition": part_dir, "inputs": len(inputs), "skipped": True}
 
@@ -155,6 +183,8 @@ def compact_partition_dir(
             r, outs = _compact_file_batch(
                 spark, bk, part_dir, measurement, group,
                 tags, sort_keys, manifest.get("dedup_time", False), dedup,
+                meas_path=meas_path,
+                defer_input_deletion=defer_input_deletion,
             )
             rows += r
             nxt.extend(outs)
@@ -180,10 +210,20 @@ def _compact_file_batch(
     sort_keys: list,
     dedup_time_only: bool,
     dedup: bool,
+    meas_path: str | None = None,
+    defer_input_deletion: bool = False,
 ) -> tuple[int, list[str]]:
     """One crash-safe merge of ``inputs`` → one output file (manifest →
-    write tmp → audit → publish → remove inputs). Returns (rows,
-    published file paths) so a follow-up pass can merge batch outputs."""
+    write tmp → audit → publish → snapshot commit → remove inputs).
+    Returns (rows, published file paths) so a follow-up pass can merge
+    batch outputs.
+
+    The snapshot commit (arc_spark.snapshots) swaps inputs for outputs in
+    ONE atomic publish — the reference's ReplaceDataFiles
+    (internal/iceberg/exporter.go): a reader resolves either the
+    pre-compaction or post-compaction file set, never both or neither.
+    Crash before the commit → recover_incomplete rolls BACK (outputs were
+    never visible); crash after → rolls FORWARD (inputs already invisible)."""
     if len(inputs) <= 1:
         return 0, []
     job_id = uuid.uuid4().hex[:8]
@@ -221,14 +261,21 @@ def _compact_file_batch(
         bk.join(part_dir, f"{measurement}_compacted_{ts}_{job_id}_{i}.parquet")
         for i in range(len(compacted))
     ]
+    meas_path = meas_path or bk.dirname(
+        bk.dirname(bk.dirname(bk.dirname(part_dir))))
+    commits = [{"tree": meas_path, "add": published, "remove": inputs}]
     bk.write_json(job_manifest,
                   {"inputs": inputs, "tmp_dir": tmp_dir, "partition": part_dir,
-                   "published": published})
+                   "published": published, "commits": commits})
     for src, dst in zip(compacted, published):
         bk.move_file(src, dst)
-    for f in inputs:
-        bk.remove_file(f)
-        bk.remove_crc_sidecar(f)
+    from arc_spark import snapshots
+
+    snapshots.commit(meas_path, add=published, remove=inputs, bk=bk)
+    if not defer_input_deletion:
+        for f in inputs:
+            bk.remove_file(f)
+            bk.remove_crc_sidecar(f)
     bk.remove_tree(tmp_dir, ignore_errors=True)
     bk.remove_file(job_manifest)
     return out_rows, published
@@ -237,25 +284,49 @@ def _compact_file_batch(
 def recover_incomplete(meas_path: str) -> int:
     """Sweep partial compactions after a crash.
 
-    Decision per leftover job manifest (reference manifest.go recovery):
-    - every input still present → the publish did not complete input
-      removal; ROLL BACK by deleting any already-moved outputs (named in
-      the manifest's ``published`` list) — readers see the exact
-      pre-compaction file set, no duplicated rows.
-    - any input already removed → output publication finished first (moves
-      strictly precede input removal); ROLL FORWARD by removing the
-      remaining inputs, completing the swap.
+    Decision per leftover job manifest (reference manifest.go recovery).
+    On a SNAPSHOT-MANAGED tree the commit is the pivot: outputs present
+    in the current snapshot → the swap became visible, ROLL FORWARD
+    (apply any remaining recorded commits — cross-tree jobs like the
+    daily tier record two — then finish removing inputs); outputs not in
+    the snapshot → readers never saw them, ROLL BACK by deleting them.
+    On an unmanaged tree the legacy rule applies:
+    - every input still present → publish did not complete input removal;
+      ROLL BACK (readers see the exact pre-compaction file set).
+    - any input already removed → moves strictly precede input removal,
+      so publication finished; ROLL FORWARD.
     Tmp dirs and manifests are dropped either way."""
+    from arc_spark import snapshots
+
     bk = backend_for(meas_path)
     n = 0
     for m in bk.find_files(meas_path, suffix=".compact-manifest.json"):
         job = bk.read_json(m)
         inputs = job.get("inputs", [])
         published = job.get("published", [])
-        if inputs and any(not bk.exists(f) for f in inputs):
-            # roll forward: outputs are fully published; finish the swap
+        commits = job.get("commits")
+        forward = None
+        if commits and published:
+            dst_tree = commits[0].get("tree", "")
+            committed = (snapshots.contains(dst_tree, published[0])
+                         if dst_tree else None)
+            if committed is not None:
+                forward = committed
+        if forward is None:
+            # inputs may live on another tree/backend (daily-tier jobs)
+            forward = bool(inputs) and any(
+                not backend_for(f).exists(f) for f in inputs)
+        if forward:
+            # outputs are visible (or input removal already began):
+            # finish the swap — re-apply commits (idempotent set ops on
+            # the snapshot) then remove surviving inputs
+            for c in commits or []:
+                tree = c.get("tree", "")
+                if tree:
+                    snapshots.commit(tree, add=c.get("add", []),
+                                     remove=c.get("remove", []))
             for f in inputs:
-                bk.remove_file_if_exists(f)
+                backend_for(f).remove_file_if_exists(f)
         else:
             # roll back: delete any outputs that were already moved in
             for f in published:
@@ -284,11 +355,18 @@ def daily_candidates(
     """Day dirs eligible for the daily tier (reference daily.go:14-52:
     days ≥24 h old holding ≥12 files — i.e. hourly compaction has already
     run and the day still has many per-hour files)."""
+    from arc_spark import snapshots
+
     bk = backend_for(meas_path)
     now = now if now is not None else time.time()
+    cur = snapshots.current(meas_path, bk=bk)
+    committed = ({bk.join(meas_path, r) for r in cur[1]}
+                 if cur is not None else None)
     out = []
     for d in day_dirs(meas_path):
         files = bk.find_files(d, suffix=".parquet")
+        if committed is not None:
+            files = [f for f in files if f in committed]
         if len(files) < min_files:
             continue
         newest = max(bk.mtime(f) for f in files)
@@ -332,6 +410,13 @@ def compact_day(
     sort_keys = [c for c in manifest.get("sort_keys", []) if c != "time"] + ["time"]
 
     inputs = src_bk.find_files(day_dir, suffix=".parquet")
+    src_meas_path = src_bk.join(root, db, measurement)
+    from arc_spark import snapshots
+
+    cur = snapshots.current(src_meas_path, bk=src_bk)
+    if cur is not None:
+        committed = {src_bk.join(src_meas_path, r) for r in cur[1]}
+        inputs = [f for f in inputs if f in committed]
     if not inputs:
         return {"day": day_dir, "inputs": 0, "skipped": True}
 
@@ -341,11 +426,13 @@ def compact_day(
     job_manifest = out_day_dir + ".compact-manifest.json"
     dst_bk.mkdirs(dst_bk.dirname(out_day_dir))
 
-    # read with basePath so hour arrives as a column; keep it as data
+    # read the COMMITTED input files explicitly (never a dir glob that
+    # could merge in reader-invisible orphans), with basePath so hour
+    # arrives as a column; keep it as data
     df = (
         spark.read.option("mergeSchema", "true")
-        .option("basePath", src_bk.spark_url(src_bk.join(root, db, measurement)))
-        .parquet(src_bk.spark_url(day_dir))
+        .option("basePath", src_bk.spark_url(src_meas_path))
+        .parquet(*[src_bk.spark_url(f) for f in inputs])
         .drop("year", "month", "day")
     )
     df = heal_time_column(df)
@@ -353,9 +440,21 @@ def compact_day(
         df = dedup_window(df, tags, dedup_time_only=manifest.get("dedup_time", False))
     ts = int(time.time() * 1000)
     published = [dst_bk.join(out_day_dir, f"{measurement}_daily_{ts}_0.parquet")]
+    dst_meas = dst_bk.join(daily_root, db, measurement)
+    src_meas = src_meas_path
+    # two trees change: the daily tier gains the merged file, the hot tier
+    # loses the day's files. Recorded in the job manifest so
+    # recover_incomplete can re-apply BOTH on roll-forward — otherwise a
+    # crash between the two commits would leave the hot snapshot pointing
+    # at deleted files.
+    commits = [
+        {"tree": dst_meas, "add": published, "remove": []},
+        {"tree": src_meas, "add": [], "remove": inputs},
+    ]
     dst_bk.write_json(job_manifest,
                       {"inputs": inputs, "tmp_dir": tmp_dir,
-                       "partition": out_day_dir, "published": published})
+                       "partition": out_day_dir, "published": published,
+                       "commits": commits})
     (
         df.sortWithinPartitions(*[k for k in sort_keys if k in df.columns])
         .coalesce(1)
@@ -370,7 +469,15 @@ def compact_day(
     published = published[: len(compacted)]
     for src, dst in zip(compacted, published):
         dst_bk.move_file(src, dst)
-    # inputs removed only after publish (recover rolls forward past here)
+    # snapshot swap: daily gains the merged file, hot drops the day —
+    # committed in that order so the worst crash window shows the day
+    # twice (union read, transient, healed by recovery) rather than not
+    # at all. Inputs removed only after both commits (recover rolls
+    # forward past here).
+    from arc_spark import snapshots
+
+    snapshots.commit(dst_meas, add=published, bk=dst_bk)
+    snapshots.commit(src_meas, remove=inputs, bk=src_bk)
     src_bk.remove_tree(day_dir)
     dst_bk.remove_tree(tmp_dir, ignore_errors=True)
     dst_bk.remove_file(job_manifest)
@@ -417,6 +524,7 @@ def compact_measurement(
     now: float | None = None,
     catalog=None,
     max_files_per_batch: int = 30,
+    defer_input_deletion: bool = False,
 ) -> list[dict]:
     """Hourly-tier compaction pass over one measurement.
 
@@ -430,7 +538,8 @@ def compact_measurement(
     results = _run_jobs(
         [lambda d=d: compact_partition_dir(
             spark, root, db, measurement, d,
-            max_files_per_batch=max_files_per_batch)
+            max_files_per_batch=max_files_per_batch,
+            defer_input_deletion=defer_input_deletion)
          for d in cands]
     )
     if results:

@@ -81,37 +81,74 @@ def apply_retention(
        (reference retention.go:791-900) — without this, a partly-expired
        day retains every file until the whole day ages out.
     """
+    from arc_spark import snapshots
+
     bk = backend_for(root)
     now = now or dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
     cutoff = now - dt.timedelta(days=retention_days + buffer_days)
     removed = []
+    doomed_files: list[str] = []
+    doomed_days: list[str] = []
+    boundary_cleanup: list[str] = []
     meas = bk.join(root, db, measurement)
     for day_dir in bk.partition_dirs(meas, ["year=", "month=", "day="]):
         day = _partition_day(day_dir)
         # a whole day is droppable only if its last instant is before cutoff
         if day + dt.timedelta(days=1) <= cutoff:
-            bk.remove_tree(day_dir)
+            doomed_files.extend(bk.find_files(day_dir, suffix=".parquet"))
+            doomed_days.append(day_dir)
             removed.append(day_dir)
         elif per_file and day <= cutoff:
             # boundary day: per-file footer max(time) check
             for f in bk.find_files(day_dir, suffix=".parquet"):
                 mx = _file_max_time(bk, f)
                 if mx is not None and mx < cutoff:
-                    bk.remove_file(f)
-                    bk.remove_crc_sidecar(f)
+                    doomed_files.append(f)
                     removed.append(f)
-            # clean now-empty hour dirs so listings stay tidy
-            for hour_dir in bk.partition_dirs(day_dir, ["hour="]):
-                if not bk.list_files(hour_dir, suffix=".parquet"):
-                    bk.remove_tree(hour_dir, ignore_errors=True)
+            boundary_cleanup.append(day_dir)
+    if not doomed_files and not doomed_days:
+        return removed
+    # ONE snapshot commit BEFORE any physical delete: the whole retention
+    # pass becomes invisible atomically; a crash mid-delete leaves
+    # invisible orphans (reconciler's orphan_data class), never a
+    # snapshot pointing at missing files
+    snapshots.commit(meas, remove=doomed_files, bk=bk)
+    for f in doomed_files:
+        if not any(f.startswith(d.rstrip("/") + "/") for d in doomed_days):
+            bk.remove_file_if_exists(f)
+            bk.remove_crc_sidecar(f)
+    for d in doomed_days:
+        bk.remove_tree(d, ignore_errors=True)
+    # clean now-empty hour dirs so listings stay tidy
+    for day_dir in boundary_cleanup:
+        for hour_dir in bk.partition_dirs(day_dir, ["hour="]):
+            if not bk.list_files(hour_dir, suffix=".parquet"):
+                bk.remove_tree(hour_dir, ignore_errors=True)
     return removed
+
+
+def _read_live(spark: SparkSession, bk, meas_path: str):
+    """Scan the measurement's LIVE file set: the committed snapshot on a
+    managed tree (orphans invisible, exactly what readers see), the
+    directory glob otherwise. Returns None when there is nothing to read."""
+    from arc_spark import snapshots
+
+    files = snapshots.data_files(meas_path, bk=bk)
+    if files is None:
+        return spark.read.option("mergeSchema", "true").parquet(
+            bk.spark_url(meas_path))
+    if not files:
+        return None
+    return spark.read.option("mergeSchema", "true").parquet(
+        *[bk.spark_url(f) for f in files])
 
 
 def count_matching(spark: SparkSession, meas_path: str, predicate_sql: str) -> int:
     """DELETE dry-run: how many rows would go (reference estimate step,
     delete.go:635)."""
-    url = backend_for(meas_path).spark_url(meas_path)
-    df = spark.read.option("mergeSchema", "true").parquet(url)
+    df = _read_live(spark, backend_for(meas_path), meas_path)
+    if df is None:
+        return 0
     return df.filter(F.expr(predicate_sql)).count()
 
 
@@ -133,7 +170,9 @@ def delete_where(
     """
     bk = backend_for(root)
     meas_path = bk.join(root, db, measurement)
-    df = spark.read.option("mergeSchema", "true").parquet(bk.spark_url(meas_path))
+    df = _read_live(spark, bk, meas_path)
+    if df is None:
+        return {"files": 0, "deleted_rows": 0, "dry_run": dry_run}
     affected = [
         bk.from_spark_url(r[0])
         for r in df.filter(F.expr(predicate_sql))
@@ -143,7 +182,12 @@ def delete_where(
     if dry_run or not affected:
         return {"files": len(affected), "deleted_rows": matched, "dry_run": dry_run}
 
-    def _rewrite(fpath: str) -> None:
+    def _rewrite(fpath: str) -> tuple[str, str | None]:
+        """Rewrite keep-rows to a NEW sibling file; old file untouched.
+        Returns (old, new-or-None). The visibility swap happens in ONE
+        snapshot commit after every rewrite lands — the whole predicate
+        delete becomes visible atomically (crash before the commit leaves
+        only invisible orphan rewrites)."""
         keep = spark.read.parquet(bk.spark_url(fpath)).filter(~F.expr(predicate_sql))
         tmp = fpath + f".delete-tmp-{uuid.uuid4().hex[:8]}"
         (
@@ -151,22 +195,35 @@ def delete_where(
             .option("compression", "zstd").parquet(bk.spark_url(tmp))
         )
         outs = bk.list_files(tmp, suffix=".parquet")
-        bk.remove_file(fpath)
-        bk.remove_crc_sidecar(fpath)
+        new_path = None
         if outs:
-            bk.move_file(outs[0], fpath)
+            stem = fpath[:-len(".parquet")] if fpath.endswith(".parquet") else fpath
+            new_path = f"{stem}_del{uuid.uuid4().hex[:8]}.parquet"
+            bk.move_file(outs[0], new_path)
         bk.remove_tree(tmp, ignore_errors=True)
+        return fpath, new_path
 
     # affected files are independent single-file rewrites — run them as
     # concurrent Spark jobs (FIFO scheduler interleaves fine) instead of
     # one job per file serially; a wide GDPR delete is bounded by the
     # slowest few files, not the file count
     if len(affected) == 1:
-        _rewrite(affected[0])
+        swaps = [_rewrite(affected[0])]
     else:
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=min(len(affected), 8)) as ex:
-            list(ex.map(_rewrite, affected))
+            swaps = list(ex.map(_rewrite, affected))
+    from arc_spark import snapshots
+
+    snapshots.commit(
+        meas_path,
+        add=[n for _, n in swaps if n],
+        remove=[o for o, _ in swaps],
+        bk=bk,
+    )
+    for old, _ in swaps:
+        bk.remove_file_if_exists(old)
+        bk.remove_crc_sidecar(old)
     spark.catalog.refreshByPath(bk.spark_url(meas_path))
     return {"files": len(affected), "deleted_rows": matched, "dry_run": False}

@@ -24,10 +24,22 @@ is NOT canonical state:
   partition directory. Reported always; deleted only when
   ``delete_stray_data=True`` (reference: orphan-storage sweep is the
   risky half and runs only after the safe sweep succeeds).
+- ``orphan_data``  — on a SNAPSHOT-MANAGED measurement
+  (:mod:`arc_spark.snapshots`): in-layout parquet NOT in the current
+  snapshot. These are precisely the invisible leftovers of a crash
+  between "files written" and "commit" (or after a commit that removed
+  them but before their physical delete) — readers cannot see them, so
+  deleting aged ones is safe; still gated on ``delete_stray_data``.
 - ``suspect_data`` — zero-byte or footer-unreadable parquet inside valid
-  partitions. REPORT-ONLY: the reconciler never auto-deletes in-layout
-  data files (blast-radius principle, reconciler.go's per-run cap
-  rationale taken one step further for a manifest-less mode).
+  partitions (and in the snapshot, when managed). REPORT-ONLY: the
+  reconciler never auto-deletes reader-visible data files (blast-radius
+  principle, reconciler.go's per-run cap rationale taken one step
+  further).
+- ``missing_data`` — committed snapshot entries whose file is GONE
+  (out-of-band loss: dead disk, manual rm). Reads fail loudly until
+  repaired; a non-dry-run sweep heals the snapshot by committing the
+  removals (the reference's manifest-vs-walk diff repair, diff.go) —
+  after which the loss is visible as missing rows, not errors.
 
 Safety rails from the reference, kept:
 
@@ -194,6 +206,8 @@ class Reconciler:
         now = time.time()
         if not bk.isdir(self.root):
             return
+        from arc_spark import snapshots
+
         for db in bk.list_dirs(self.root):
             for meas in bk.list_dirs(bk.join(self.root, db)):
                 meas_path = bk.join(self.root, db, meas)
@@ -209,6 +223,11 @@ class Reconciler:
                     if not run.dry_run:
                         run.recovered_jobs += recover_incomplete(meas_path)
 
+                # current committed file set (None → unmanaged tree)
+                cur = snapshots.current(meas_path, bk=bk)
+                snap_set = set(cur[1]) if cur is not None else None
+                seen_rels: set[str] = set()
+
                 # 2) walk every file once, classify the rest
                 for f in bk.find_files(meas_path):
                     rel = bk.relpath(f, self.root)
@@ -220,6 +239,14 @@ class Reconciler:
                         continue  # handled above
                     if name == "_arc_manifest.json":
                         continue  # canonical measurement metadata
+                    if snapshots.SNAP_DIR in parts:
+                        # snapshot versions are canonical metadata (commit
+                        # prunes history); their tmp files are staging
+                        if ".json.tmp-" in name:
+                            run.note("staging", f)
+                            if self._aged_out(bk, f, now, run):
+                                self._delete(bk, f, run)
+                        continue
                     if "._arc_manifest.json.tmp-" in name:
                         run.note("staging", f)
                         if self._aged_out(bk, f, now, run):
@@ -231,9 +258,20 @@ class Reconciler:
                             self._delete(bk, f, run)
                         continue
                     if name.endswith(".parquet"):
+                        seen_rels.add("/".join(parts[2:]))
                         # rel is db/measurement/<segments...>/<file>
                         if not _in_valid_partition(parts):
                             run.note("stray_data", f)
+                            if (self.delete_stray_data
+                                    and self._aged_out(bk, f, now, run)):
+                                self._delete(bk, f, run)
+                            continue
+                        if (snap_set is not None
+                                and "/".join(parts[2:]) not in snap_set):
+                            # managed tree, in-layout, NOT committed: the
+                            # precise orphan class — invisible to readers,
+                            # safe to sweep once aged (still opt-in)
+                            run.note("orphan_data", f)
                             if (self.delete_stray_data
                                     and self._aged_out(bk, f, now, run)):
                                 self._delete(bk, f, run)
@@ -243,7 +281,7 @@ class Reconciler:
                         except Exception:
                             bad = True
                         if bad:
-                            # report-only: in-layout data is never auto-deleted
+                            # report-only: visible data is never auto-deleted
                             run.note("suspect_data", f)
                         continue
                     # unknown file type outside the conventions
@@ -256,6 +294,16 @@ class Reconciler:
                     run.note("staging", d)
                     if self._aged_out(bk, d, now, run):
                         self._delete(bk, d, run, is_dir=True)
+                # 4) snapshot entries whose files are GONE (out-of-band
+                #    loss): heal the manifest so reads recover — the
+                #    manifest-vs-walk diff repair, computed from the walk
+                #    above (no extra stat calls)
+                if snap_set is not None:
+                    missing = sorted(snap_set - seen_rels)
+                    for rel_m in missing:
+                        run.note("missing_data", bk.join(meas_path, rel_m))
+                    if missing and not run.dry_run:
+                        snapshots.commit(meas_path, remove=missing, bk=bk)
         # 4) staged ingest payload files: the bulk-LP and distributed-drain
         #    paths stage payloads under root-level dot dirs and remove them
         #    in a finally — a driver crash mid-job leaks them (hundreds of

@@ -1239,7 +1239,12 @@ class ArcServer:
         return self
 
     def stop(self) -> None:
-        self._httpd.shutdown()
+        # shutdown() handshakes with a RUNNING serve_forever loop and
+        # blocks forever otherwise — a built-but-never-started server
+        # (config boot aborted, tests) must still stop cleanly
+        if self._thread is not None:
+            self._httpd.shutdown()
         self._httpd.server_close()
         if self._thread is not None:
             self._thread.join(timeout=5)
+            self._thread = None

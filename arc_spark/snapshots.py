@@ -1,0 +1,200 @@
+"""Snapshot-manifest commit layer: atomic data-file visibility.
+
+The reference gets multi-file atomicity from its Raft-replicated file
+manifest plus the Iceberg exporter's ``ReplaceDataFiles`` swap
+(/root/reference/internal/iceberg/exporter.go,
+internal/compaction/manifest.go): readers resolve a committed *file
+list*, never a directory glob, so a crash between "files written" and
+"commit" can only leave invisible stray files — never a partial flush a
+query can see.
+
+This module is the Spark-native equivalent. Per measurement directory
+(one per tier — hot, cold, daily each commit their own):
+
+- ``<meas>/_arc_snapshots/v{N}.json`` — immutable, versioned file lists
+  (paths relative to the measurement dir, so backup/restore and tier
+  moves keep manifests valid). The CURRENT snapshot is simply the
+  highest version present; publishing one is a single tmp→rename, which
+  is atomic on local filesystems and either-old-or-new on object stores.
+- writers call :func:`commit` with ``add=written_files`` /
+  ``remove=replaced_files`` AFTER the data files are durably written and
+  BEFORE any replaced file is deleted. Crash before commit → readers
+  keep the old snapshot (stray new files are invisible); crash after
+  commit → readers see the new snapshot (stale old files are invisible).
+  The reconciler classifies aged unlisted files as ``orphan_data``.
+- readers (:meth:`arc_spark.catalog.MeasurementCatalog.table`) resolve
+  the current snapshot into an explicit file list for
+  ``spark.read.parquet(*files)`` with ``basePath`` — hive partition
+  columns and Catalyst partition pruning work exactly as they do for a
+  directory scan, because the file index is just pre-resolved.
+
+Adoption is incremental: a tree without ``_arc_snapshots`` is
+*unmanaged* and reads fall back to the directory glob. The FIRST commit
+on such a tree bootstraps from a glob of the live files, so existing
+data stays visible. All engine write paths (flush, distributed drains,
+compaction, delete, retention, tiering, restore) commit; ad-hoc files
+dropped into a managed tree by hand are invisible until a commit or
+snapshot removal — which is the point.
+
+Concurrency: commits to one measurement dir serialize on an in-process
+lock (the engine is single-process, like the reference's standalone
+backend mode; multi-writer coordination is what the reference's Raft
+layer does and is out of scope — SURVEY A39 collapse). The version scan
++ rename is still ordered so a concurrent *reader* always sees a fully
+written snapshot.
+
+At 100 TB: a snapshot is one JSON object of relative paths — ~100 bytes
+per file. A measurement with 1M files costs a ~100 MB manifest; the
+reference's manifest and Iceberg's avro manifests carry the same
+information. Reads pay one small GET instead of a recursive LIST (on
+object stores the snapshot is *cheaper* than the glob it replaces).
+"""
+
+from __future__ import annotations
+
+import threading
+import uuid
+
+from arc_spark.storage import backend_for
+
+SNAP_DIR = "_arc_snapshots"
+KEEP_VERSIONS = 10
+
+_locks: dict[str, threading.Lock] = {}
+_locks_guard = threading.Lock()
+
+
+def _lock_for(meas_path: str) -> threading.Lock:
+    with _locks_guard:
+        lk = _locks.get(meas_path)
+        if lk is None:
+            lk = _locks[meas_path] = threading.Lock()
+        return lk
+
+
+def _snap_dir(bk, meas_path: str) -> str:
+    return bk.join(meas_path, SNAP_DIR)
+
+
+def _versions(bk, meas_path: str) -> list[tuple[int, str]]:
+    d = _snap_dir(bk, meas_path)
+    if not bk.isdir(d):
+        return []
+    out = []
+    for f in bk.list_files(d, suffix=".json"):
+        name = bk.basename(f)
+        if name.startswith("v") and name.endswith(".json"):
+            body = name[1:-5]
+            if body.isdigit():
+                out.append((int(body), f))
+    out.sort()
+    return out
+
+
+def is_managed(meas_path: str, bk=None) -> bool:
+    bk = bk or backend_for(meas_path)
+    return bool(_versions(bk, meas_path))
+
+
+def current(meas_path: str, bk=None) -> tuple[int, list[str]] | None:
+    """(version, relative file list) of the current snapshot, or None for
+    an unmanaged tree. A torn/unreadable latest version falls back to the
+    previous one (rename is atomic locally; on an object store a reader
+    racing the PUT may see the key before the body — the prior snapshot
+    is always complete)."""
+    bk = bk or backend_for(meas_path)
+    for ver, path in reversed(_versions(bk, meas_path)):
+        try:
+            snap = bk.read_json(path)
+            return ver, list(snap["files"])
+        except Exception:
+            continue
+    return None
+
+
+def data_files(meas_path: str, bk=None) -> list[str] | None:
+    """Absolute paths of the current snapshot's data files; None when the
+    tree is unmanaged (caller falls back to the directory glob)."""
+    bk = bk or backend_for(meas_path)
+    cur = current(meas_path, bk=bk)
+    if cur is None:
+        return None
+    _, rels = cur
+    return [bk.join(meas_path, r) for r in rels]
+
+
+def _is_live_data_file(rel: str) -> bool:
+    """True for committed-shape data files: .parquet, inside the tree,
+    not under any tmp/staging/dot directory."""
+    if not rel.endswith(".parquet"):
+        return False
+    parts = rel.replace("\\", "/").split("/")
+    for p in parts[:-1]:
+        if p.startswith(".") or p.startswith("_"):
+            return False
+        if ".compact-tmp-" in p or ".delete-tmp-" in p:
+            return False
+    name = parts[-1]
+    return ".delete-tmp-" not in name and not name.startswith(".")
+
+
+def live_glob(meas_path: str, bk=None) -> list[str]:
+    """The unmanaged view: every live .parquet under the tree (tmp dirs,
+    staging, dot/underscore dirs excluded) as RELATIVE paths."""
+    bk = bk or backend_for(meas_path)
+    if not bk.isdir(meas_path):
+        return []
+    out = []
+    for f in bk.find_files(meas_path, suffix=".parquet"):
+        rel = bk.relpath(f, meas_path).replace("\\", "/")
+        if _is_live_data_file(rel):
+            out.append(rel)
+    return out
+
+
+def _rel(bk, meas_path: str, path: str) -> str:
+    p = path.replace("\\", "/")
+    base = meas_path.rstrip("/") + "/"
+    if p.startswith(base):
+        return p[len(base):]
+    return p  # already relative
+
+
+def commit(meas_path: str, add=(), remove=(), bk=None) -> int:
+    """Publish the next snapshot = current ∪ add − remove. Returns the new
+    version. On an unmanaged tree the base is a glob of live files (which
+    already includes just-written adds), so the first commit adopts
+    everything in place.
+
+    Contract for writers: call AFTER the added files are fully written
+    and BEFORE any removed file is physically deleted."""
+    bk = bk or backend_for(meas_path)
+    with _lock_for(meas_path):
+        cur = current(meas_path, bk=bk)
+        if cur is None:
+            ver, files = 0, set(live_glob(meas_path, bk=bk))
+        else:
+            ver, lst = cur
+            files = set(lst)
+        files.update(_rel(bk, meas_path, p) for p in add)
+        files.difference_update(_rel(bk, meas_path, p) for p in remove)
+        new_ver = ver + 1
+        d = _snap_dir(bk, meas_path)
+        bk.mkdirs(d)
+        tmp = bk.join(d, f".v{new_ver:012d}.json.tmp-{uuid.uuid4().hex[:8]}")
+        bk.write_json(tmp, {"version": new_ver, "files": sorted(files)})
+        bk.move_file(tmp, bk.join(d, f"v{new_ver:012d}.json"))
+        # prune history beyond KEEP_VERSIONS (never the one just written)
+        vers = _versions(bk, meas_path)
+        for _, path in vers[:-KEEP_VERSIONS]:
+            bk.remove_file_if_exists(path)
+        return new_ver
+
+
+def contains(meas_path: str, path: str, bk=None) -> bool | None:
+    """Is ``path`` in the current snapshot? None when unmanaged."""
+    bk = bk or backend_for(meas_path)
+    cur = current(meas_path, bk=bk)
+    if cur is None:
+        return None
+    return _rel(bk, meas_path, path) in set(cur[1])

@@ -104,6 +104,8 @@ def write_measurement(
     if "time" not in sort_keys:
         sort_keys = sort_keys + ["time"]  # time always last (reference)
 
+    from arc_spark import snapshots
+
     bk = backend_for(root)
     out = measurement_path(root, db, measurement)
     part_cols = ["year", "month", "day", "hour"]
@@ -112,6 +114,11 @@ def write_measurement(
         pdf = pdf.repartition(target_file_partitions, *[F.col(c) for c in part_cols])
     else:
         pdf = pdf.repartition(*[F.col(c) for c in part_cols])
+    # snapshot diff base: Spark's committer doesn't report written files,
+    # so the commit adds (after − before). On an unmanaged tree the first
+    # commit bootstraps from a glob, which already includes this write.
+    managed = snapshots.is_managed(out, bk=bk)
+    before = set(snapshots.live_glob(out, bk=bk)) if managed else set()
     # partition columns FIRST in the sort: FileFormatWriter requires rows
     # ordered by partition columns and inserts its own (sort-key-destroying)
     # sort if they aren't a prefix of the actual ordering — with the prefix
@@ -125,6 +132,12 @@ def write_measurement(
     )
     write_manifest(root, db, measurement, tag_columns, sort_keys, dedup_time,
                    decimals=decimals)
+    if managed:
+        added = [f for f in snapshots.live_glob(out, bk=bk)
+                 if f not in before]
+        snapshots.commit(out, add=added, bk=bk)
+    else:
+        snapshots.commit(out, bk=bk)  # bootstrap: adopt the live tree
     return out
 
 
@@ -185,6 +198,7 @@ def write_measurement_arrow(
     dedup_time: bool = False,
     decimals: dict[str, list[int]] | None = None,
     manifest: bool = True,
+    written_out: list[str] | None = None,
 ) -> str:
     """Single-process Arrow→Parquet flush fast path.
 
@@ -219,6 +233,18 @@ def write_measurement_arrow(
 
     bk = backend_for(root)
     out = measurement_path(root, db, measurement)
+    # exact written-file capture (no listing): the visitor sees each file
+    # as the dataset writer closes it — these are what the snapshot commit
+    # publishes (arc_spark.snapshots; the reference's manifest records the
+    # flushed file set the same way, internal/compaction/manifest.go)
+    written_rel: list[str] = []
+    out_fs_prefix = bk.fs_path(out).rstrip("/") + "/"
+
+    def _visit(written_file) -> None:
+        p = written_file.path
+        rel = p[len(out_fs_prefix):] if p.startswith(out_fs_prefix) else p
+        written_rel.append(rel.lstrip("/"))
+
     pads.write_dataset(
         table,
         bk.fs_path(out),
@@ -232,10 +258,18 @@ def write_measurement_arrow(
         file_options=pads.ParquetFileFormat().make_write_options(
             compression="zstd"
         ),
+        file_visitor=_visit,
     )
+    if written_out is not None:
+        written_out.extend(written_rel)
     # manifest=False lets a chunk-parallel flush write the (identical)
-    # manifest once instead of per chunk
+    # manifest once — and commit the snapshot once — instead of per chunk
+    # (the fused executor paths likewise ship written_out back for ONE
+    # driver-side commit per measurement)
     if manifest:
+        from arc_spark import snapshots
+
         write_manifest(root, db, measurement, tag_columns, sort_keys,
                        dedup_time, decimals=decimals)
+        snapshots.commit(out, add=written_rel, bk=bk)
     return out

@@ -65,14 +65,18 @@ class TestBackupRestore:
         bdir = str(tmp_path / "backups")
         man = create_backup(tree, bdir, db="db0", measurement="cpu")
         bk = storage.backend_for(tree)
-        # lose day=16 only
+        # lose day=16 only — OUT OF BAND (disk loss, not an engine op)
         day16 = [d for d in bk.partition_dirs(
             bk.join(tree, "db0", "cpu"), ["year=", "month=", "day="])
             if "day=16" in d]
         assert day16
         bk.remove_tree(day16[0])
         cat = MeasurementCatalog(spark, tree)
-        assert cat.table("db0", "cpu").count() == 120
+        # the tree is snapshot-managed: losing committed files out of band
+        # is LOUD (the snapshot still lists them), not silently absent —
+        # restore (below) or a reconciler repair is the recovery path
+        with pytest.raises(Exception):
+            cat.table("db0", "cpu").count()
 
         res = restore_backup(bdir, man["backup_id"], tree,
                              prefix="year=2024/month=1/day=16", catalog=cat)
@@ -80,6 +84,7 @@ class TestBackupRestore:
         assert cat.table("db0", "cpu").count() == 240
         # day-15 data files excluded by prefix; only the measurement's
         # _arc_manifest.json (always in scope, already live) was skipped
+        # (backup-time snapshot versions are never merged into a live tree)
         assert res["skipped_files"] == 1
 
     def test_restore_is_idempotent_and_nonclobbering(self, spark, tree, tmp_path):

@@ -1,0 +1,405 @@
+"""Snapshot-manifest commit layer: atomic data-file visibility
+(arc_spark.snapshots; reference internal/iceberg/exporter.go
+ReplaceDataFiles + internal/compaction/manifest.go semantics).
+
+The contract under test: readers resolve the COMMITTED file list, so a
+crash between "files written" and "commit" can only leave invisible
+stray files — never a partial flush, partial compaction, partial delete,
+or partial retention a query can see."""
+
+from __future__ import annotations
+
+import datetime as dt
+import glob
+import os
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from arc_spark import snapshots
+from arc_spark.catalog import MeasurementCatalog
+from arc_spark.sources.writer import write_measurement, write_measurement_arrow
+from arc_spark.storage import backend_for
+
+
+def _df(spark, n=60, day=15, value0=0, t_off=0):
+    return spark.range(n).select(
+        F.timestamp_micros(
+            F.lit(int(dt.datetime(2024, 1, day).timestamp() * 1_000_000))
+            + (F.col("id") % 3) * 3_600_000_000 + F.col("id")
+            + F.lit(t_off)
+        ).alias("time"),
+        (F.col("id") % 3).cast("string").alias("host"),
+        (F.col("id") + value0).cast("double").alias("value"),
+    )
+
+
+def _arrow(spark, n=10, hour=0, t0=1_705_300_000_000_000):
+    import pyarrow as pa
+
+    return pa.table({
+        "time": pa.array([t0 + hour * 3_600_000_000 + i for i in range(n)],
+                         pa.timestamp("us")),
+        "host": pa.array([f"h{i % 2}" for i in range(n)]),
+        "value": pa.array([float(i) for i in range(n)]),
+    })
+
+
+class TestSnapshotPrimitives:
+    def test_bootstrap_adopts_live_tree(self, tmp_path):
+        root = str(tmp_path)
+        os.makedirs(f"{root}/year=2024/month=1/day=1/hour=0")
+        open(f"{root}/year=2024/month=1/day=1/hour=0/a.parquet", "w").close()
+        assert snapshots.data_files(root) is None  # unmanaged
+        v = snapshots.commit(root)
+        assert v == 1
+        files = snapshots.data_files(root)
+        assert files == [f"{root}/year=2024/month=1/day=1/hour=0/a.parquet"]
+
+    def test_add_remove_and_versions(self, tmp_path):
+        root = str(tmp_path)
+        snapshots.commit(root, add=["p1/a.parquet", "p1/b.parquet"])
+        v = snapshots.commit(root, add=["p2/c.parquet"],
+                             remove=["p1/a.parquet"])
+        assert v == 2
+        _, rels = snapshots.current(root)
+        assert rels == ["p1/b.parquet", "p2/c.parquet"]
+
+    def test_history_pruned(self, tmp_path):
+        root = str(tmp_path)
+        for i in range(snapshots.KEEP_VERSIONS + 5):
+            snapshots.commit(root, add=[f"f{i}.parquet"])
+        vers = [v for v, _ in snapshots._versions(backend_for(root), root)]
+        assert len(vers) == snapshots.KEEP_VERSIONS
+        assert max(vers) == snapshots.KEEP_VERSIONS + 5
+
+    def test_staging_and_tmp_dirs_never_adopted(self, tmp_path):
+        root = str(tmp_path)
+        for rel in ("year=2024/month=1/day=1/hour=0/ok.parquet",
+                    "year=2024/month=1/day=1/hour=0.compact-tmp-x/t.parquet",
+                    ".lp-staging/x.parquet",
+                    "_spark_metadata/y.parquet"):
+            p = os.path.join(root, rel)
+            os.makedirs(os.path.dirname(p), exist_ok=True)
+            open(p, "w").close()
+        snapshots.commit(root)
+        assert snapshots.data_files(root) == [
+            f"{root}/year=2024/month=1/day=1/hour=0/ok.parquet"]
+
+    def test_concurrent_commits_serialize(self, tmp_path):
+        root = str(tmp_path)
+        errs = []
+
+        def add(i):
+            try:
+                snapshots.commit(root, add=[f"f{i}.parquet"])
+            except Exception as e:  # pragma: no cover
+                errs.append(e)
+
+        ts = [threading.Thread(target=add, args=(i,)) for i in range(16)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert errs == []
+        _, rels = snapshots.current(root)
+        assert len(rels) == 16  # no lost update
+
+
+class TestCrashInjection:
+    """Kill between 'data files written' and 'commit': readers never see
+    the partial state (VERDICT r3 item 1's done-criterion)."""
+
+    def test_uncommitted_flush_is_invisible(self, spark, tmp_path):
+        root = str(tmp_path)
+        write_measurement(_df(spark), root, "m", "cpu", tag_columns=["host"])
+        cat = MeasurementCatalog(spark, root)
+        assert cat.table("m", "cpu").count() == 60
+        # a crashed flush: files land, commit never runs
+        write_measurement_arrow(_arrow(spark, n=25), root, "m", "cpu",
+                                tag_columns=["host"], manifest=False)
+        assert cat.table("m", "cpu").count() == 60  # invisible
+        # the same write, committed, becomes visible atomically
+        write_measurement_arrow(_arrow(spark, n=25, hour=1), root, "m", "cpu",
+                                tag_columns=["host"])
+        assert cat.table("m", "cpu").count() == 85
+
+    def test_ingest_flush_crash_then_retry_no_duplicates(self, spark, tmp_path,
+                                                         monkeypatch):
+        """Crash INSIDE the flush commit: rows were acked (WAL), chunk
+        files were written, the commit raised. The snapshot still shows
+        the old state; the retry re-writes and commits — the crashed
+        chunk files stay invisible forever (no duplicate rows), exactly
+        the atomicity the glob world could not give."""
+        from arc_spark.api import IngestService
+        from arc_spark.sources.msgpack_codec import packb
+
+        root = str(tmp_path / "data")
+        svc = IngestService(spark, root, wal_dir=str(tmp_path / "wal"),
+                            max_buffer_rows=10**9, max_buffer_age_s=10**9)
+        payload = packb({
+            "m": "cpu",
+            "columns": {
+                "time": [1_705_300_000_000_000 + i for i in range(500)],
+                "host": [f"h{i % 3}" for i in range(500)],
+                "v": [float(i) for i in range(500)],
+            },
+            "tags": ["host"],
+        })
+        svc.write_msgpack("m", payload)
+        svc.flush()
+        cat = MeasurementCatalog(spark, root)
+        assert cat.table("m", "cpu").count() == 500
+
+        svc.write_msgpack("m", payload)  # LWW-duplicate rows, new batch
+        real_commit = snapshots.commit
+        calls = {"n": 0}
+
+        def boom(*a, **k):
+            calls["n"] += 1
+            raise OSError("simulated crash during commit")
+
+        monkeypatch.setattr(snapshots, "commit", boom)
+        with pytest.raises(OSError):
+            svc.flush()
+        monkeypatch.setattr(snapshots, "commit", real_commit)
+        assert calls["n"] == 1
+        # reader still sees EXACTLY the old state
+        assert cat.table("m", "cpu").count() == 500
+        # retry: buffers were restored; now it lands atomically
+        svc.flush()
+        assert cat.table("m", "cpu").count() == 1000
+        # the crashed chunk's files exist on disk but are orphans
+        all_files = glob.glob(f"{root}/m/cpu/year=*/**/*.parquet",
+                              recursive=True)
+        committed = set(snapshots.data_files(f"{root}/m/cpu"))
+        assert len(all_files) > len(committed)
+
+    def test_compaction_crash_before_commit_rolls_back(self, spark, tmp_path,
+                                                       monkeypatch):
+        from arc_spark.operators.compaction import (
+            compact_partition_dir,
+            recover_incomplete,
+        )
+
+        root = str(tmp_path)
+        for i in range(3):
+            write_measurement(_df(spark, n=20, value0=i * 100), root, "m",
+                              "cpu", tag_columns=["host"])
+        meas = f"{root}/m/cpu"
+        cat = MeasurementCatalog(spark, root)
+        before = sorted(r["value"] for r in cat.table("m", "cpu").collect())
+        hour_dir = glob.glob(f"{meas}/year=*/month=*/day=*/hour=*")[0]
+
+        def boom(*a, **k):
+            raise OSError("crash before snapshot commit")
+
+        monkeypatch.setattr(snapshots, "commit", boom)
+        with pytest.raises(OSError):
+            compact_partition_dir(spark, root, "m", "cpu", hour_dir)
+        monkeypatch.undo()
+        # reader state unchanged (outputs were never committed)
+        assert sorted(r["value"]
+                      for r in cat.table("m", "cpu").collect()) == before
+        # recovery rolls BACK: outputs deleted, inputs intact
+        recover_incomplete(meas)
+        assert glob.glob(f"{meas}/**/*compact*", recursive=True) == []
+        assert sorted(r["value"]
+                      for r in cat.table("m", "cpu").collect()) == before
+
+    def test_compaction_crash_after_commit_rolls_forward(self, spark, tmp_path,
+                                                         monkeypatch):
+        from arc_spark.operators import compaction
+        from arc_spark.operators.compaction import (
+            compact_partition_dir,
+            recover_incomplete,
+        )
+        from arc_spark.storage import StorageBackend
+
+        root = str(tmp_path)
+        for i in range(3):
+            # disjoint (host, time) keys: dedup keeps every row, so row
+            # count is invariant across the swap
+            write_measurement(_df(spark, n=20, value0=i * 100, t_off=i * 7),
+                              root, "m", "cpu", tag_columns=["host"])
+        meas = f"{root}/m/cpu"
+        cat = MeasurementCatalog(spark, root)
+        before = cat.table("m", "cpu").count()
+        hour_dir = glob.glob(f"{meas}/year=*/month=*/day=*/hour=*")[0]
+
+        # crash DURING input removal (after the snapshot commit)
+        real_remove = StorageBackend.remove_file
+
+        def boom(self, path):
+            if path.endswith(".parquet") and "_compacted_" not in path:
+                raise OSError("crash mid input removal")
+            return real_remove(self, path)
+
+        monkeypatch.setattr(StorageBackend, "remove_file", boom)
+        with pytest.raises(OSError):
+            compact_partition_dir(spark, root, "m", "cpu", hour_dir)
+        monkeypatch.undo()
+        # the commit happened: readers already see the compacted state
+        assert cat.table("m", "cpu").count() == before
+        committed_here = [f for f in snapshots.data_files(meas)
+                          if f.startswith(hour_dir)]
+        assert len(committed_here) == 1
+        # recovery rolls FORWARD: surviving inputs removed, data intact
+        recover_incomplete(meas)
+        assert glob.glob(f"{meas}/**/*compact-manifest*", recursive=True) == []
+        leftovers = [f for f in glob.glob(f"{hour_dir}/*.parquet")
+                     if "_compacted_" not in f]
+        assert leftovers == []
+        assert cat.table("m", "cpu").count() == before
+
+    def test_delete_where_crash_before_commit_keeps_rows(self, spark, tmp_path,
+                                                         monkeypatch):
+        from arc_spark.operators.lifecycle import delete_where
+
+        root = str(tmp_path)
+        write_measurement(_df(spark), root, "m", "cpu", tag_columns=["host"])
+        cat = MeasurementCatalog(spark, root)
+        assert cat.table("m", "cpu").count() == 60
+
+        def boom(*a, **k):
+            raise OSError("crash before delete commit")
+
+        monkeypatch.setattr(snapshots, "commit", boom)
+        with pytest.raises(OSError):
+            delete_where(spark, root, "m", "cpu", "value < 30")
+        monkeypatch.undo()
+        # nothing deleted from the visible state; rewrites are orphans
+        assert cat.table("m", "cpu").count() == 60
+        # and the same delete, retried, applies atomically
+        out = delete_where(spark, root, "m", "cpu", "value < 30")
+        assert out["deleted_rows"] == 30
+        spark.catalog.clearCache()
+        assert cat.table("m", "cpu").count() == 30
+
+    def test_retention_commit_precedes_physical_delete(self, spark, tmp_path,
+                                                       monkeypatch):
+        from arc_spark.operators.lifecycle import apply_retention
+
+        root = str(tmp_path)
+        write_measurement(_df(spark, day=1), root, "m", "cpu",
+                          tag_columns=["host"])
+        write_measurement(_df(spark, day=20), root, "m", "cpu",
+                          tag_columns=["host"])
+        cat = MeasurementCatalog(spark, root)
+        assert cat.table("m", "cpu").count() == 120
+
+        # crash right after the snapshot commit, before physical deletes
+        from arc_spark.storage import StorageBackend
+
+        def boom(self, path, ignore_errors=False):
+            raise OSError("crash before physical delete")
+
+        monkeypatch.setattr(StorageBackend, "remove_tree", boom)
+        with pytest.raises(OSError):
+            apply_retention(root, "m", "cpu", retention_days=5,
+                            buffer_days=0,
+                            now=dt.datetime(2024, 1, 21))
+        monkeypatch.undo()
+        # day=1 is already invisible (commit-first), files still on disk
+        assert cat.table("m", "cpu").count() == 60
+        day1 = glob.glob(f"{root}/m/cpu/year=2024/month=1/day=1/**/*.parquet",
+                         recursive=True)
+        assert day1  # orphaned, reconciler's to sweep
+
+
+class TestOrphanReconciliation:
+    def test_orphans_classified_and_swept(self, spark, tmp_path):
+        import time as _time
+
+        from arc_spark.operators.reconciliation import Reconciler
+
+        root = str(tmp_path)
+        write_measurement(_df(spark), root, "m", "cpu", tag_columns=["host"])
+        # crashed flush: uncommitted files
+        write_measurement_arrow(_arrow(spark), root, "m", "cpu",
+                                tag_columns=["host"], manifest=False)
+        rec = Reconciler(root, grace_window_s=3600)
+        out = rec.reconcile(dry_run=False)
+        assert out["found"]["orphan_data"] >= 1
+        assert out["deleted"] == 0  # aged + opt-in required
+        # age them out and opt in
+        old = _time.time() - 7200
+        for kind, paths in out["samples"].items():
+            if kind == "orphan_data":
+                for p in paths:
+                    os.utime(p, (old, old))
+        out2 = Reconciler(root, grace_window_s=3600,
+                          delete_stray_data=True).reconcile(dry_run=False)
+        assert out2["deleted"] >= 1
+        cat = MeasurementCatalog(spark, root)
+        assert cat.table("m", "cpu").count() == 60
+
+    def test_missing_committed_files_healed(self, spark, tmp_path):
+        from arc_spark.operators.reconciliation import Reconciler
+
+        root = str(tmp_path)
+        write_measurement(_df(spark, day=1), root, "m", "cpu",
+                          tag_columns=["host"])
+        write_measurement(_df(spark, day=2), root, "m", "cpu",
+                          tag_columns=["host"])
+        bk = backend_for(root)
+        day1 = [d for d in bk.partition_dirs(
+            f"{root}/m/cpu", ["year=", "month=", "day="]) if "day=1" in d
+            and "day=2" not in d]
+        bk.remove_tree(day1[0])  # out-of-band loss
+        cat = MeasurementCatalog(spark, root)
+        with pytest.raises(Exception):
+            cat.table("m", "cpu").count()  # loss is loud
+        out = Reconciler(root).reconcile(dry_run=False)
+        assert out["found"]["missing_data"] >= 1
+        cat.invalidate("m", "cpu")
+        assert cat.table("m", "cpu").count() == 60  # healed: day=2 only
+
+
+class TestCompactionQueryIsolation:
+    def test_queries_stable_during_compaction(self, spark, tmp_path):
+        """VERDICT item 10: a query workload running WHILE compaction
+        rewrites the same measurement must never see wrong or partial
+        results. With defer_input_deletion the old snapshot's files
+        outlive the swap, so every resolve-then-read races safely."""
+        from arc_spark.operators.compaction import compact_measurement
+
+        root = str(tmp_path)
+        for i in range(8):
+            write_measurement(_df(spark, n=30, value0=0), root, "m", "cpu",
+                              tag_columns=["host"])
+        cat = MeasurementCatalog(spark, root)
+        # 8 identical batches, 10 rows per hour dir × 3 hour dirs. The
+        # atomic unit is one partition-dir swap (the reference's
+        # compaction granularity), so each hour contributes either 80
+        # (uncompacted) or 10 (compacted, LWW-deduped) rows — any mix is
+        # a consistent state; anything else is a torn read.
+        valid = {a + b + c
+                 for a in (80, 10) for b in (80, 10) for c in (80, 10)}
+        errors: list = []
+        stop = threading.Event()
+
+        def reader():
+            try:
+                while not stop.is_set():
+                    n = cat.table("m", "cpu").count()
+                    if n not in valid:
+                        errors.append(f"torn read: {n}")
+                        return
+            except Exception as e:
+                errors.append(repr(e))
+
+        threads = [threading.Thread(target=reader) for _ in range(3)]
+        for t in threads:
+            t.start()
+        try:
+            compact_measurement(spark, root, "m", "cpu", min_files=2,
+                                min_age_seconds=0, catalog=cat,
+                                defer_input_deletion=True)
+        finally:
+            stop.set()
+            for t in threads:
+                t.join()
+        assert errors == []
+        assert cat.table("m", "cpu").count() == 30

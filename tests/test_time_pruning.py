@@ -117,11 +117,17 @@ class TestSqlSurfacePruning:
             "WHERE time >= TIMESTAMP '2024-03-02 00:00:00' "
             "AND time < TIMESTAMP '2024-03-03 00:00:00'"
         )
-        (path, (lo, hi)), = plan_time_bounds(df).items()
-        assert path.endswith("/metrics/cpu")
-        assert lo == int(dt.datetime(2024, 3, 2).timestamp() * 1e6)
-        # strict upper bound backs off 1µs — the 03-03 00:00 hour is excluded
-        assert hi == int(dt.datetime(2024, 3, 3).timestamp() * 1e6) - 1
+        bounds = plan_time_bounds(df)
+        # a snapshot-managed view scans an explicit file list, so the scan
+        # reports one root path per committed file — all under the
+        # measurement, all carrying the same extracted bounds
+        assert bounds
+        for path, (lo, hi) in bounds.items():
+            assert "/metrics/cpu" in path
+            assert lo == int(dt.datetime(2024, 3, 2).timestamp() * 1e6)
+            # strict upper bound backs off 1µs — the 03-03 00:00 hour is
+            # excluded
+            assert hi == int(dt.datetime(2024, 3, 3).timestamp() * 1e6) - 1
 
     def test_sql_query_gets_partition_filters(self, spark, tmp_path):
         from arc_spark.plans.time_pruning import prune_sql
@@ -144,7 +150,8 @@ class TestSqlSurfacePruning:
         sql = ("SELECT count(*) AS n FROM cpu "
                "WHERE time >= TIMESTAMP '2024-03-03 00:00:00' OR value < 150")
         bounds = list(plan_time_bounds(spark.sql(sql)).values())
-        assert bounds == [(None, None)]  # not derivable → full scan
+        # not derivable → full scan (one entry per committed file)
+        assert bounds and all(b == (None, None) for b in bounds)
         n = prune_sql(spark, sql, cat).collect()[0]["n"]
         assert n == spark.sql(sql).collect()[0]["n"] == 8
 
@@ -318,9 +325,10 @@ class TestMultiReferencePruning:
             "SELECT value FROM cpu_u WHERE time >= TIMESTAMP '2024-03-03 00:00:00'"
         )
         bounds = plan_time_bounds(spark.sql(sql))
-        # merged entry covers BOTH branches: unbounded below, unbounded above
-        ((_, (lo, hi)),) = bounds.items()
-        assert lo is None and hi is None
+        # merged entries cover BOTH branches: unbounded below AND above
+        # (one entry per committed file on a snapshot-managed view)
+        assert bounds
+        assert all(b == (None, None) for b in bounds.values())
         got = sorted(r["value"] for r in prune_sql(spark, sql, cat).collect())
         want = sorted(r["value"] for r in spark.sql(sql).collect())
         assert got == want and len(got) == 8  # days 1 and 3
@@ -352,7 +360,10 @@ class TestMultiReferencePruning:
             "UNION ALL "
             "SELECT value FROM cpu_o WHERE time >= TIMESTAMP '2024-03-03 00:00:00'"
         )
-        ((_, (lo, hi)),) = plan_time_bounds(spark.sql(sql)).items()
-        assert lo == int(dt.datetime(2024, 3, 2).timestamp() * 1e6) and hi is None
+        bounds = plan_time_bounds(spark.sql(sql))
+        assert bounds
+        for lo, hi in bounds.values():
+            assert lo == int(dt.datetime(2024, 3, 2).timestamp() * 1e6)
+            assert hi is None
         got = sorted(r["value"] for r in prune_sql(spark, sql, cat).collect())
         assert len(got) == 12  # 8 (days 2-3) + 4 (day 3)
