@@ -1072,6 +1072,91 @@ def q64_corpus_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_DECIMAL_MEAS_CACHE: dict[int, tuple[str, object]] = {}
+_DECIMAL_N = 5000
+
+
+def _decimal_price_str(i: int) -> str:
+    """Deterministic DECIMAL(38,10) literal whose value a float64 CANNOT
+    hold exactly (integer part > 2^53 with 10 fractional digits): the
+    end-to-end hash only matches the oracle if the decimal path is real."""
+    return f"{10**14 + i * 7}.{i % 10**7:07d}500"
+
+
+def decimal_measurement(spark: SparkSession):
+    """Ingest a decimal-configured measurement ONCE per session through the
+    real msgpack write path (values as strings → quantized DECIMAL128 at
+    ingest — reference internal/config/decimal.go + arrow_writer.go
+    decimal columns; scripts/test-decimal128.sh is the reference's e2e)."""
+    import tempfile
+
+    from arc_spark.api import IngestService
+    from arc_spark.catalog import MeasurementCatalog
+    from arc_spark.sources.msgpack_codec import packb
+
+    key = id(spark._jsparkSession)
+    got = _DECIMAL_MEAS_CACHE.get(key)
+    if got is not None:
+        return got
+    root = tempfile.mkdtemp(prefix="arc_spark_decimal_")
+    svc = IngestService(
+        spark, root, max_buffer_rows=10**9, max_buffer_age_s=10**9,
+        decimal_config={"prices": {"price": (38, 10)}},
+    )
+    payload = packb({
+        "m": "prices",
+        "columns": {
+            "time": [1_700_000_000_000_000 + i * 1000
+                     for i in range(_DECIMAL_N)],
+            "host": [f"h{i % 5}" for i in range(_DECIMAL_N)],
+            "price": [_decimal_price_str(i) for i in range(_DECIMAL_N)],
+        },
+        "tags": ["host"],
+    })
+    svc.write_msgpack("bench", payload)
+    svc.flush()
+    cat = MeasurementCatalog(spark, root)
+    _DECIMAL_MEAS_CACHE[key] = (root, cat)
+    return root, cat
+
+
+def q67_decimal128_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """DECIMAL128 end-to-end: ingest (decimal-configured measurement,
+    string values → decimal128 parquet) → read back → EXACT decimal
+    aggregation, totals emitted as strings so a single ULP of float
+    error would hash-mismatch the DuckDB DECIMAL oracle."""
+    _, cat = decimal_measurement(spark)
+    df = cat.table("bench", "prices")
+    return (
+        df.groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("price").cast("string").alias("total_price"),
+            F.min("price").cast("string").alias("min_price"),
+            F.max("price").cast("string").alias("max_price"),
+        )
+    )
+
+
+# the oracle rebuilds the identical value set arithmetically — DuckDB sums
+# true DECIMAL(38,10), so both sides are exact or the hash differs
+ORACLES_Q67 = f"""
+    WITH src AS (
+        SELECT CAST(i AS BIGINT) AS i,
+               'h' || CAST(i % 5 AS VARCHAR) AS host,
+               CAST(CAST(100000000000000 + i * 7 AS VARCHAR) || '.' ||
+                    printf('%07d', CAST(i % 10000000 AS INT)) || '500'
+                    AS DECIMAL(38,10)) AS price
+        FROM range({_DECIMAL_N}) t(i)
+    )
+    SELECT host, COUNT(*) AS n,
+           CAST(SUM(price) AS VARCHAR) AS total_price,
+           CAST(MIN(price) AS VARCHAR) AS min_price,
+           CAST(MAX(price) AS VARCHAR) AS max_price
+    FROM src GROUP BY host
+"""
+
+
 # Spark-dialect normalized text (the DuckDB oracles use _NORM/_LNORM which
 # carry DuckDB's explicit 'g' regexp flag)
 _SPARK_NORM = "lower(regexp_replace(trim(text), '\\\\s+', ' '))"
@@ -1857,7 +1942,7 @@ def _q57_oracle() -> str:
 
 ORACLES["q57_url_normalize"] = _q57_oracle()
 
-ORACLES["q58_semantic_dedup"] = """
+ORACLES["q27_semantic_dedup"] = """
     WITH cent AS (
         SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
         FROM embeddings ORDER BY vec_id LIMIT 8
@@ -1895,7 +1980,7 @@ ORACLES["q58_semantic_dedup"] = """
 
 
 
-ORACLES["q59_range_window"] = """
+ORACLES["q35_range_window"] = """
     WITH ev AS (
         SELECT event_id, event_type, value,
                epoch_us(ts) // 1000000 AS sec
@@ -2000,7 +2085,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q24_recursive_cte": q24_recursive_cte,
     "q25_lateral_topk": q25_lateral_topk,
     "q26_multitier_union": q26_multitier_union,
-    "q27_approx_distinct": q27_approx_distinct,
+    # r3 verdict rotation: the q27/q35 slots (inside the driver's 50-key
+    # alphabetical correctness cap) now carry ORACLE lanes (SemDeDup,
+    # RANGE window frames); the rows-only approx-distinct / LSH-topk
+    # lanes moved past the cap as q65/q66 — the driver board is 50/50
+    # oracle-eligible
+    "q27_semantic_dedup": q58_semantic_dedup,
     "q28_embedding_near_dup": q28_embedding_near_dup,
     "q29_rollup": q29_rollup,
     "q30_conditional_pivot": q30_conditional_pivot,
@@ -2008,7 +2098,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q32_count_star": q32_count_star,
     "q33_delete_rewrite": q33_delete_rewrite,
     "q34_retention_cutoff": q34_retention_cutoff,
-    "q35_lsh_topk": q35_lsh_topk,
+    "q35_range_window": q59_range_window,
     "q36_sessionize": q36_sessionize,
     "q37_percentiles": q37_percentiles,
     "q38_full_outer": q38_full_outer,
@@ -2036,11 +2126,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # 50-row board is already fully oracle-covered)
     "q56_window_dupfrac": q56_window_dupfrac,
     "q57_url_normalize": q57_url_normalize,
-    "q58_semantic_dedup": q58_semantic_dedup,
-    "q59_range_window": q59_range_window,
     "q60_json_extract": q60_json_extract,
     "q61_stats_aggs": q61_stats_aggs,
     "q62_array_agg": q62_array_agg,
     "q63_stratified_cap": q63_stratified_cap,
     "q64_corpus_stats": q64_corpus_stats,
+    # rows-only lanes rotated out of the driver cap (r3 verdict item 3)
+    "q65_approx_distinct": q27_approx_distinct,
+    "q66_lsh_topk": q35_lsh_topk,
+    # DECIMAL128 ingest→query e2e (r3 verdict item 7)
+    "q67_decimal128_roundtrip": q67_decimal128_roundtrip,
 }
+ORACLES["q67_decimal128_roundtrip"] = ORACLES_Q67

@@ -278,3 +278,122 @@ class TestReconcilerOverMockRoot:
         assert not bk.isfile(bk.join(meas, "stray.parquet"))
         # canonical data untouched and still queryable
         assert spark.read.parquet(bk.spark_url(meas)).count() == 200
+
+
+# --------------------------------------------------------------------------
+# Real object-store smoke (r3 verdict Missing #5): a LIVE MinIO/S3 endpoint
+# validates the semantics the SubTreeFileSystem seam cannot — no-rename
+# moves (copy+delete under move_file), list-after-write visibility, and the
+# snapshot layer's tmp→"rename" publish on an object store.
+#
+# Gated on MINIO_URL (e.g. http://127.0.0.1:9000); credentials default to
+# minioadmin/minioadmin (MINIO_ACCESS_KEY / MINIO_SECRET_KEY override).
+# Skips cleanly when no endpoint is configured — this container ships none.
+# --------------------------------------------------------------------------
+
+_MINIO_URL = os.environ.get("MINIO_URL", "")
+
+
+@pytest.mark.skipif(not _MINIO_URL, reason="MINIO_URL not set — no live "
+                    "MinIO/S3 endpoint in this environment")
+class TestLiveMinio:
+    @pytest.fixture()
+    def s3_root(self):
+        import uuid
+
+        fs = pafs.S3FileSystem(
+            endpoint_override=_MINIO_URL,
+            access_key=os.environ.get("MINIO_ACCESS_KEY", "minioadmin"),
+            secret_key=os.environ.get("MINIO_SECRET_KEY", "minioadmin"),
+            allow_bucket_creation=True,
+            allow_bucket_deletion=True,
+        )
+        bucket = f"arc-e2e-{uuid.uuid4().hex[:10]}"
+        fs.create_dir(bucket)
+        bk = storage.StorageBackend(fs, scheme="s3e2e",
+                                    spark_prefix="s3a://")
+        storage.register_scheme("s3e2e", bk)
+        try:
+            yield f"s3e2e://{bucket}/warehouse"
+        finally:
+            storage.unregister_scheme("s3e2e")
+            try:
+                fs.delete_dir_contents(bucket)
+                fs.delete_dir(bucket)
+            except Exception:
+                pass
+
+    def test_write_snapshot_retention_backup(self, spark, s3_root):
+        """Arrow-direct write → snapshot resolve → retention (commit before
+        delete) → backup/restore round trip, all over live S3 semantics."""
+        import pyarrow as pa
+
+        from arc_spark import snapshots
+        from arc_spark.operators.backup import create_backup, restore_backup
+        from arc_spark.storage import backend_for
+
+        bk = backend_for(s3_root)
+        t0 = int(dt.datetime(2024, 1, 15).timestamp() * 1_000_000)
+        t_old = int(dt.datetime(2023, 11, 1).timestamp() * 1_000_000)
+        for base in (t0, t_old):
+            table = pa.table({
+                "time": pa.array([base + i for i in range(50)],
+                                 pa.timestamp("us")),
+                "host": pa.array([f"h{i % 2}" for i in range(50)]),
+                "value": pa.array([float(i) for i in range(50)]),
+            })
+            write_measurement_arrow(table, s3_root, "db0", "cpu",
+                                    tag_columns=["host"])
+        meas = bk.join(s3_root, "db0", "cpu")
+        # list-after-write: the committed snapshot resolves both flushes
+        files = snapshots.data_files(meas, bk=bk)
+        assert files and len(files) == 2
+        assert read_manifest(s3_root, "db0", "cpu")["tag_columns"] == ["host"]
+
+        # retention drops the 2023 day via commit-then-delete
+        removed = apply_retention(s3_root, "db0", "cpu", retention_days=30,
+                                  buffer_days=0,
+                                  now=dt.datetime(2024, 1, 20))
+        assert removed
+        assert len(snapshots.data_files(meas, bk=bk)) == 1
+
+        # backup to the same store, restore into a second prefix
+        bdir = s3_root.rsplit("/", 1)[0] + "/backups"
+        man = create_backup(s3_root, bdir)
+        assert man["total_files"] >= 2  # data + measurement manifest
+        restored_root = s3_root.rsplit("/", 1)[0] + "/restored"
+        res = restore_backup(bdir, man["backup_id"], restored_root)
+        assert res["restored_files"] == man["total_files"]
+        rmeas = bk.join(restored_root, "db0", "cpu")
+        assert len(snapshots.data_files(rmeas, bk=bk) or
+                   bk.find_files(rmeas, suffix=".parquet")) == 1
+
+    def test_compaction_over_live_s3(self, spark, s3_root):
+        """Hourly compaction's manifest→publish→commit→delete protocol over
+        real no-rename object semantics. Requires the Spark side to read
+        s3a:// (hadoop-aws); skipped when the connector is absent."""
+        import pyarrow as pa
+
+        from arc_spark.storage import backend_for
+
+        bk = backend_for(s3_root)
+        t0 = int(dt.datetime(2024, 1, 15).timestamp() * 1_000_000)
+        for j in range(3):
+            table = pa.table({
+                "time": pa.array([t0 + j * 100 + i for i in range(30)],
+                                 pa.timestamp("us")),
+                "host": pa.array([f"h{i % 2}" for i in range(30)]),
+                "value": pa.array([float(i + j) for i in range(30)]),
+            })
+            write_measurement_arrow(table, s3_root, "db0", "cpu",
+                                    tag_columns=["host"])
+        meas = bk.join(s3_root, "db0", "cpu")
+        try:
+            spark.read.parquet(bk.spark_url(meas)).count()
+        except Exception:
+            pytest.skip("Spark s3a connector (hadoop-aws) not on classpath")
+        out = compact_measurement(spark, s3_root, "db0", "cpu",
+                                  min_files=2, min_age_seconds=0)
+        assert out and not out[0]["skipped"]
+        assert spark.read.parquet(bk.spark_url(meas)).count() == 90
+        assert recover_incomplete(meas) == 0  # nothing left behind
