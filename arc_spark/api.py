@@ -232,10 +232,13 @@ class IngestService:
         max_pending_rows: int | None = None,
     ):
         """defer_decode=True moves payload decoding from the ack path to the
-        flush path: write_* returns -1 (count unknown) after only the WAL
-        append + O(1) bookkeeping — the reference's sub-ms ack design taken
-        to its limit (arc also acks before Parquet work but decodes first).
-        Flush-size triggering then counts payloads instead of rows.
+        flush path — the reference's sub-ms ack design taken to its limit
+        (arc also acks before Parquet work but decodes first). The ack
+        still RETURNS AN EXACT COUNT: a header-only msgpack walk
+        (msgpack_codec.count_rows, ~2µs) or a vectorized LP line count
+        (line_protocol.count_lines, ~39M lines/s) — -1 only when the
+        payload structure defeats the walk. Flush-size triggering counts
+        payloads instead of rows.
 
         flush_workers>0 decouples flush from the ack path (the reference's
         flushWorker pool, arrow_writer.go:2370-2438): a threshold-crossing
@@ -285,7 +288,9 @@ class IngestService:
         # same way, internal/api/query.go:1049-1053)
         self.on_measurements_written = None
         self._buffers: dict[tuple[str, str], list[dict]] = {}
-        self._raw: list[tuple[str, str, bytes]] = []  # (db, kind, payload)
+        # (db, kind, payload, n_acked) — n_acked = rows counted at ack via
+        # the header/byte walk, or -1 when the count was not determinable
+        self._raw: list[tuple[str, str, bytes, int]] = []
         self._buffer_rows = 0
         self._flushing_rows = 0  # snapshot rows still being written
         # deferred-decode payloads can't be counted in ROWS before a flush
@@ -348,8 +353,16 @@ class IngestService:
 
         payload = maybe_decompress(payload, self.max_decompressed_bytes)
         if self.defer_decode:
+            # EXACT count at ack without decoding: a header-only walk
+            # (array/column-length headers, ~2µs regardless of payload
+            # size) — the deferred profile acks with real counts, closing
+            # the -1 semantic gap vs the synchronous path
+            from arc_spark.sources.msgpack_codec import count_rows
+
+            n = count_rows(payload)
             return self._admit(db, payload if _wal else None,
-                               raw=("msgpack", payload))
+                               raw=("msgpack", payload,
+                                    -1 if n is None else n))
         from arc_spark.sources.ingest import decode_msgpack_payload
 
         batch = decode_msgpack_payload(payload)
@@ -371,8 +384,13 @@ class IngestService:
             # = the write completes before the ack)
             return self._write_line_protocol_distributed(db, payload, precision)
         if self.defer_decode:
+            from arc_spark.sources.line_protocol import count_lines
+
+            # exact line count at ~39M lines/s (vectorized byte pass) —
+            # parse still deferred to the flush path
             return self._admit(db, payload if _wal else None,
-                               raw=(f"lp:{precision}", payload))
+                               raw=(f"lp:{precision}", payload,
+                                    count_lines(payload)))
         from arc_spark.sources.ingest import rows_to_columnar
         from arc_spark.sources.line_protocol import parse_batch
 
@@ -688,7 +706,7 @@ class IngestService:
         db: str,
         wal_payload: bytes | None,
         batch: dict | None = None,
-        raw: tuple[str, bytes] | None = None,
+        raw: tuple[str, bytes, int] | None = None,
     ) -> int:
         """WAL append + buffer insert, atomically: a concurrent flush
         snapshot either sees both (entry flushed, WAL cut past it) or
@@ -723,7 +741,11 @@ class IngestService:
             if raw is not None:
                 self._raw.append((db, *raw))
                 self._raw_bytes += len(raw[1])
-                n = -1
+                n = raw[2]
+                if n >= 0:
+                    # counted at ack (header/byte walk, no decode); the
+                    # flush-time decode reconciles any delta
+                    self.stats["acked"] += n
                 trip_size = len(self._raw) >= max(self.max_buffer_rows // 1000, 1)
             else:
                 meas = batch.get("measurement") or "default"
@@ -803,20 +825,25 @@ class IngestService:
                 t.join(timeout=10)
 
     def _decode_raw_batches(
-        self, raw: list[tuple[str, str, bytes]]
+        self, raw: list[tuple[str, str, bytes, int]]
     ) -> tuple[dict[tuple[str, str], list[dict]], int]:
         """Decode deferred payloads (flush time) → {(db, meas): [batches]}.
 
         LP payloads split PER MEASUREMENT via ``parse_chunk_columnar`` —
         the same grouping the distributed drain applies — so where a
         deferred stream lands never depends on whether the backlog
-        crossed ``distributed_flush_min_bytes``."""
+        crossed ``distributed_flush_min_bytes``.
+
+        Returns the ACKED DELTA: actual decoded rows minus what the ack
+        path already counted per entry (header-walk counts are exact in
+        practice; the delta self-corrects any divergence)."""
         from arc_spark.sources.ingest import decode_msgpack_payload
         from arc_spark.sources.line_protocol import parse_chunk_columnar
 
         out: dict[tuple[str, str], list[dict]] = {}
-        acked = 0
-        for db, kind, payload in raw:
+        delta = 0
+        for db, kind, payload, n_pre in raw:
+            actual = 0
             if kind.startswith("lp"):
                 precision = kind.split(":")[1] if ":" in kind else "ns"
                 for meas, batch in parse_chunk_columnar(
@@ -824,39 +851,46 @@ class IngestService:
                     if batch["columns"]:
                         n = len(batch["columns"][next(iter(batch["columns"]))])
                         out.setdefault((db, meas), []).append(batch)
-                        acked += n
-                continue
-            batch = decode_msgpack_payload(payload)
-            meas = batch.get("measurement") or "default"
-            if batch["columns"]:
-                n = len(batch["columns"][next(iter(batch["columns"]))])
-                out.setdefault((db, meas), []).append(batch)
-                acked += n
-        return out, acked
+                        actual += n
+            else:
+                batch = decode_msgpack_payload(payload)
+                meas = batch.get("measurement") or "default"
+                if batch["columns"]:
+                    actual = len(
+                        batch["columns"][next(iter(batch["columns"]))])
+                    out.setdefault((db, meas), []).append(batch)
+            delta += actual - (n_pre if n_pre >= 0 else 0)
+        return out, delta
 
     def _maybe_drain_distributed(
-        self, raw: list[tuple[str, str, bytes]]
-    ) -> tuple[list[tuple[str, str, bytes]], int]:
+        self, raw: list[tuple[str, str, bytes, int]]
+    ) -> tuple[list[tuple[str, str, bytes, int]], int, int]:
         """Split per-db deferred-payload groups (msgpack AND line
         protocol) whose byte total crosses the distributed-flush
         threshold and drain them via :meth:`_drain_raw_distributed`.
-        Returns (remaining raw, rows written distributed)."""
+        Returns (remaining raw, rows written distributed, rows of those
+        already counted at ack — the caller adds only the difference to
+        the acked stat)."""
         if self.distributed_flush_min_bytes is None:
-            return raw, 0
+            return raw, 0, 0
         by_db: dict[str, list[tuple[str, bytes]]] = {}
-        for db, kind, payload in raw:
+        pre_by_db: dict[str, int] = {}
+        for db, kind, payload, n_pre in raw:
             by_db.setdefault(db, []).append((kind, payload))
+            pre_by_db[db] = pre_by_db.get(db, 0) + max(n_pre, 0)
         dist_dbs = {
             db for db, es in by_db.items()
             if sum(len(p) for _, p in es) >= self.distributed_flush_min_bytes
         }
         if not dist_dbs:
-            return raw, 0
+            return raw, 0, 0
         rows = 0
+        pre_counted = 0
         for db in dist_dbs:
             rows += self._drain_raw_distributed(db, by_db[db])
+            pre_counted += pre_by_db.get(db, 0)
         remaining = [e for e in raw if e[0] not in dist_dbs]
-        return remaining, rows
+        return remaining, rows, pre_counted
 
     # -- flush path --------------------------------------------------------
     def flush(self) -> int:
@@ -894,22 +928,25 @@ class IngestService:
                     # large deferred backlogs (msgpack or LP) drain
                     # distributed (executors decode+write); the rest
                     # decodes in-process
-                    raw, dist_rows = self._maybe_drain_distributed(raw)
+                    raw, dist_rows, dist_pre = \
+                        self._maybe_drain_distributed(raw)
                     if dist_rows:
                         # distributed rows are durably written NOW —
                         # account them immediately so a later buffer-write
-                        # failure can't lose them from the flushed count
+                        # failure can't lose them from the flushed count.
+                        # Ack-time header counts already covered dist_pre
+                        # of these rows; add only the difference.
                         with self._lock:
-                            self.stats["acked"] += dist_rows
+                            self.stats["acked"] += dist_rows - dist_pre
                             self.stats["flushed"] += dist_rows
-                    acked = 0
+                    acked_delta = 0
                     if raw:
-                        decoded, acked = self._decode_raw_batches(raw)
+                        decoded, acked_delta = self._decode_raw_batches(raw)
                         for key, batches in decoded.items():
                             buffers.setdefault(key, []).extend(batches)
                     decoded_merged = True
                     with self._lock:
-                        self.stats["acked"] += acked
+                        self.stats["acked"] += acked_delta
                 total = self._write_buffers(buffers)
             except BaseException:
                 # a failed Parquet write must not orphan acked rows: put the
@@ -933,7 +970,7 @@ class IngestService:
                         # the in-process decode then failed, so durably
                         # written groups are never re-run
                         self._raw = list(raw) + self._raw
-                        self._raw_bytes += sum(len(p) for _, _, p in raw)
+                        self._raw_bytes += sum(len(p) for _, _, p, _ in raw)
                     if self._oldest is None and self._buffers:
                         self._oldest = time.monotonic()
                     self._flushing_rows -= snap_rows
@@ -1065,8 +1102,9 @@ class IngestService:
         under the NORMAL rotate/truncate-upto protocol — so the flushed
         segments drop, while entries appended concurrently after the final
         snapshot keep their WAL backing (a full truncate here would destroy
-        them). ``defer_decode`` is disabled during replay so row counts are
-        exact (deferred writes return -1)."""
+        them). ``defer_decode`` is disabled during replay so the returned
+        count reflects DECODED rows exactly (the deferred header-walk count
+        is exact in practice but returns -1 on undeterminable payloads)."""
         if self.wal is None:
             return 0
         n = 0

@@ -569,3 +569,117 @@ def _decode_str_column(mv: memoryview, pos: int, n: int):
         pa.py_buffer(data_bytes),
     )
     return arr, p
+
+
+# --------------------------------------------------------------------------
+# header-only row counting (ack-path; no value decode)
+# --------------------------------------------------------------------------
+
+def _skip(mv: memoryview, pos: int) -> int:
+    """Advance past one msgpack value without materializing it."""
+    b = mv[pos]
+    pos += 1
+    if b <= 0x7F or b >= 0xE0 or b in (0xC0, 0xC2, 0xC3):
+        return pos
+    if 0xA0 <= b <= 0xBF:
+        return pos + (b & 0x1F)
+    if 0x80 <= b <= 0x8F:
+        for _ in range(2 * (b & 0x0F)):
+            pos = _skip(mv, pos)
+        return pos
+    if 0x90 <= b <= 0x9F:
+        for _ in range(b & 0x0F):
+            pos = _skip(mv, pos)
+        return pos
+    if b in (0xCC, 0xD0):
+        return pos + 1
+    if b in (0xCD, 0xD1):
+        return pos + 2
+    if b in (0xCE, 0xD2, 0xCA):
+        return pos + 4
+    if b in (0xCF, 0xD3, 0xCB):
+        return pos + 8
+    if b in (0xC4, 0xD9):
+        return pos + 1 + mv[pos]
+    if b in (0xC5, 0xDA):
+        return pos + 2 + int.from_bytes(mv[pos:pos + 2], "big")
+    if b in (0xC6, 0xDB):
+        return pos + 4 + int.from_bytes(mv[pos:pos + 4], "big")
+    if b in (0xDC, 0xDE):
+        n = int.from_bytes(mv[pos:pos + 2], "big")
+        pos += 2
+        k = 2 * n if b == 0xDE else n
+        for _ in range(k):
+            pos = _skip(mv, pos)
+        return pos
+    if b in (0xDD, 0xDF):
+        n = int.from_bytes(mv[pos:pos + 4], "big")
+        pos += 4
+        k = 2 * n if b == 0xDF else n
+        for _ in range(k):
+            pos = _skip(mv, pos)
+        return pos
+    raise ValueError(f"unsupported msgpack tag 0x{b:02x}")
+
+
+def _array_len_at(mv: memoryview, pos: int) -> int | None:
+    b = mv[pos]
+    if 0x90 <= b <= 0x9F:
+        return b & 0x0F
+    if b == 0xDC:
+        return int.from_bytes(mv[pos + 1:pos + 3], "big")
+    if b == 0xDD:
+        return int.from_bytes(mv[pos + 1:pos + 5], "big")
+    return None
+
+
+def count_rows(data: bytes) -> int | None:
+    """Row count of a wire payload from HEADERS ONLY — the deferred-decode
+    ack path's exact count without paying the decode (reference acks carry
+    counts; this keeps them while decode stays off the hot path).
+
+    - row-batch array → array-header length;
+    - columnar ``{m, columns: {...}, tags}`` → first column's array length
+      (only the small scalar keys before ``columns`` are skipped);
+    - ``{batch: [rows]}`` → batch array length;
+    - any other map → 1 (single row record).
+    Returns None when the walk cannot determine the count (caller treats
+    it as unknown; the flush-time decode reconciles stats)."""
+    if not data:
+        return None
+    try:
+        mv = memoryview(data)
+        n_arr = _array_len_at(mv, 0)
+        if n_arr is not None:
+            return n_arr
+        b = mv[0]
+        if 0x80 <= b <= 0x8F:
+            n_keys, pos = b & 0x0F, 1
+        elif b == 0xDE:
+            n_keys, pos = int.from_bytes(mv[1:3], "big"), 3
+        elif b == 0xDF:
+            n_keys, pos = int.from_bytes(mv[1:5], "big"), 5
+        else:
+            return None
+        for _ in range(n_keys):
+            key, pos = _unpack(mv, pos)
+            if key == "columns":
+                kb = mv[pos]
+                if 0x80 <= kb <= 0x8F:
+                    m, pos = kb & 0x0F, pos + 1
+                elif kb == 0xDE:
+                    m, pos = int.from_bytes(mv[pos + 1:pos + 3], "big"), pos + 3
+                elif kb == 0xDF:
+                    m, pos = int.from_bytes(mv[pos + 1:pos + 5], "big"), pos + 5
+                else:
+                    return None
+                if m == 0:
+                    return 0
+                pos = _skip(mv, pos)  # first column name
+                return _array_len_at(mv, pos)
+            if key == "batch":
+                return _array_len_at(mv, pos)
+            pos = _skip(mv, pos)
+        return 1  # single row record map
+    except (IndexError, ValueError):
+        return None

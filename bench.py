@@ -239,14 +239,19 @@ def main() -> None:
         for t in threads:
             t.join()
         acked = sum(counts)
+        ack_wall = time.perf_counter() - t0
         svc.drain()
         e2e_wall = time.perf_counter() - t0
         svc.close()
     sustained_defer_rec_s = round(acked / e2e_wall)
+    # the ack side now carries EXACT counts (header-walk, no decode) —
+    # this is the default profile's client-visible ack rate
+    sustained_defer_ack_rec_s = round(acked / ack_wall)
     print(
         f"# ingest_sustained_defer_3s: {sustained_defer_rec_s / 1e6:.2f}M "
-        f"rec/s drained e2e ({acked:,} rows, 8 writers, 2 flush workers, "
-        "deferred decode)",
+        f"rec/s drained e2e, {sustained_defer_ack_rec_s / 1e6:.2f}M rec/s "
+        f"acked-with-exact-counts ({acked:,} rows, 8 writers, 2 flush "
+        "workers, deferred decode)",
         file=sys.stderr,
     )
 
@@ -334,6 +339,7 @@ def main() -> None:
         "iterations": iterations,
         "ingest_sustained_rec_s": sustained_rec_s,
         "ingest_sustained_defer_rec_s": sustained_defer_rec_s,
+        "ingest_sustained_defer_ack_rec_s": sustained_defer_ack_rec_s,
         # the DEFAULT deployment profile (config.py: defer_decode=True,
         # flush_workers=2) — its sustained e2e number is the headline
         "ingest_default_profile_rec_s": sustained_defer_rec_s,

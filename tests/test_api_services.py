@@ -183,7 +183,10 @@ class TestMeasurementEndpoint:
 
 
 class TestDeferredDecode:
-    def test_ack_is_constant_time_and_flush_decodes(self, spark, tmp_path):
+    def test_ack_counts_without_decode_and_flush_decodes(self, spark, tmp_path):
+        """Deferred ack returns the EXACT row count from a header-only
+        walk (no decode); the decode happens at flush and must not
+        double-count the acked stat."""
         root, wal = str(tmp_path / "d"), str(tmp_path / "w")
         svc = IngestService(spark, root, wal_dir=wal, max_buffer_rows=10**9,
                             max_buffer_age_s=10**9, defer_decode=True)
@@ -192,11 +195,23 @@ class TestDeferredDecode:
             "columns": {"time": [1700000000000000], "host": ["a"], "v": [1.0]},
             "tags": ["host"],
         })
-        assert svc.write_msgpack("m", payload) == -1  # count unknown at ack
-        assert svc.stats["acked"] == 0
-        assert svc.flush() == 1
+        assert svc.write_msgpack("m", payload) == 1  # counted at ack
         assert svc.stats["acked"] == 1
+        assert svc.flush() == 1
+        assert svc.stats["acked"] == 1  # flush reconciles, not re-adds
         assert MeasurementCatalog(spark, root).table("m", "cpu").count() == 1
+
+    def test_deferred_lp_ack_counts_lines(self, spark, tmp_path):
+        svc = IngestService(spark, str(tmp_path), max_buffer_rows=10**9,
+                            max_buffer_age_s=10**9, defer_decode=True)
+        n = svc.write_line_protocol(
+            "m",
+            b"# comment\ncpu,host=a v=1 1700000000000000000\n\n"
+            b"cpu,host=b v=2 1700000001000000000\n",
+        )
+        assert n == 2 and svc.stats["acked"] == 2
+        assert svc.flush() == 2
+        assert svc.stats["acked"] == 2
 
     def test_mixed_formats_decode_at_flush(self, spark, tmp_path):
         svc = IngestService(spark, str(tmp_path), max_buffer_rows=10**9,

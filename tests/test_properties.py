@@ -484,3 +484,65 @@ class TestPackArrayVectorized:
         out = bytearray()
         assert pack_array_vectorized(ts, out)
         assert unpackb(bytes(out)) == [1, 2, 3]
+
+
+class TestAckCountEquivalence:
+    """count_rows / count_lines (the deferred ack path's header/byte-walk
+    counters) must agree with what the full decode yields."""
+
+    @given(st.lists(st.tuples(
+        st.integers(0, 10**15),
+        st.floats(allow_nan=False, allow_infinity=False),
+        st.text(max_size=8)), min_size=0, max_size=50))
+    @settings(max_examples=60, deadline=None)
+    def test_columnar_count_matches_decode(self, rows):
+        from arc_spark.sources.ingest import decode_msgpack_payload
+        from arc_spark.sources.msgpack_codec import count_rows
+
+        payload = packb({
+            "m": "cpu",
+            "columns": {
+                "time": [t for t, _, _ in rows],
+                "v": [v for _, v, _ in rows],
+                "s": [s for _, _, s in rows],
+            },
+            "tags": [],
+        })
+        got = count_rows(payload)
+        decoded = decode_msgpack_payload(payload)
+        want = (len(decoded["columns"]["time"])
+                if decoded["columns"] else 0)
+        assert got == want
+
+    @given(st.lists(st.dictionaries(
+        st.sampled_from(["a", "b", "c"]),
+        st.floats(allow_nan=False, allow_infinity=False),
+        min_size=1, max_size=3), min_size=1, max_size=30))
+    @settings(max_examples=40, deadline=None)
+    def test_batch_count_matches_decode(self, fields_list):
+        from arc_spark.sources.msgpack_codec import count_rows
+
+        rows = [{"m": "cpu", "t": 1700000000000000 + i, "fields": f}
+                for i, f in enumerate(fields_list)]
+        assert count_rows(packb({"batch": rows})) == len(rows)
+        assert count_rows(packb(rows)) == len(rows)
+
+    @given(st.lists(st.sampled_from([
+        "cpu,host=a v=1 1700000000000000000",
+        "mem,host=b used=2 1700000001000000000",
+        "# a comment",
+        "   ",
+        "",
+        "\t# indented comment",
+        "disk free=9",
+    ]), min_size=0, max_size=60),
+        st.sampled_from(["\n", "\r\n"]),
+        st.booleans())
+    @settings(max_examples=80, deadline=None)
+    def test_lp_count_matches_parse_batch(self, lines, sep, trailing):
+        from arc_spark.sources.line_protocol import count_lines, parse_batch
+
+        text = sep.join(lines) + (sep if trailing and lines else "")
+        payload = text.encode()
+        want = len(parse_batch(text))
+        assert count_lines(payload) == want
