@@ -46,8 +46,9 @@ def _serve(args) -> int:
             print(f"recovered {recovered} rows from WAL", flush=True)
     engine["scheduler"].start()
     server.start()
-    print(f"arc_spark serving on http://{cfg['server']['host']}:{server.port} "
-          f"(root={cfg['storage']['local_path']})", flush=True)
+    scheme = "https" if server.tls else "http"
+    print(f"arc_spark serving on {scheme}://{cfg['server']['host']}:"
+          f"{server.port} (root={cfg['storage']['local_path']})", flush=True)
     done.wait()
     shutdown(engine)
     print("shutdown complete", flush=True)

@@ -29,7 +29,13 @@ import os
 from typing import Any
 
 DEFAULTS: dict[str, dict[str, Any]] = {
-    "server": {"host": "127.0.0.1", "port": 8000},
+    "server": {
+        "host": "127.0.0.1",
+        "port": 8000,
+        "tls_enabled": False,
+        "tls_cert_file": "",
+        "tls_key_file": "",
+    },
     "log": {"level": "info"},
     "spark": {
         "master": "",            # "" → local[cpus]
@@ -37,10 +43,19 @@ DEFAULTS: dict[str, dict[str, Any]] = {
         "shuffle_partitions": 0,  # 0 → cpus
     },
     "storage": {
-        "backend": "local",
+        "backend": "local",      # "local" or "s3"
         "local_path": "./data/arc",
         "cold_path": "",         # second tier root ("" = none)
         "daily_path": "",        # day-compacted tier root ("" = none)
+        # S3/MinIO (when backend = "s3") — reference arc.toml [storage];
+        # credentials via env ARC_STORAGE_S3_ACCESS_KEY / _SECRET_KEY
+        "s3_bucket": "",
+        "s3_prefix": "arc",
+        "s3_region": "",
+        "s3_endpoint": "",       # empty for AWS; host:port for MinIO
+        "s3_use_ssl": False,
+        "s3_access_key": "",
+        "s3_secret_key": "",
     },
     "ingest": {
         "max_buffer_size": 50_000,
@@ -177,6 +192,41 @@ def parse_decimal_columns(entries: list[str]) -> dict[str, dict[str, tuple[int, 
     return out
 
 
+def resolve_storage_root(st: dict) -> str:
+    """[storage] section → the engine's root path. ``backend="s3"``
+    constructs a configured :class:`pyarrow.fs.S3FileSystem` (endpoint
+    override for MinIO, region, creds from config or the
+    ``ARC_STORAGE_S3_*`` env vars the reference documents) and registers
+    it for the ``s3://`` scheme so every backend_for() hit — driver AND
+    executor side — resolves to the configured store."""
+    if st["backend"] != "s3":
+        return st["local_path"]
+    if not st["s3_bucket"]:
+        raise ValueError('storage.backend="s3" requires storage.s3_bucket')
+    import pyarrow.fs as pafs
+
+    from arc_spark import storage as _storage
+
+    kw: dict = {}
+    if st["s3_endpoint"]:
+        scheme_pfx = "https://" if st["s3_use_ssl"] else "http://"
+        ep = st["s3_endpoint"]
+        kw["endpoint_override"] = (
+            ep if "://" in ep else scheme_pfx + ep)
+    if st["s3_region"]:
+        kw["region"] = st["s3_region"]
+    access = st["s3_access_key"] or os.environ.get("ARC_STORAGE_S3_ACCESS_KEY", "")
+    secret = st["s3_secret_key"] or os.environ.get("ARC_STORAGE_S3_SECRET_KEY", "")
+    if access:
+        kw["access_key"] = access
+        kw["secret_key"] = secret
+    _storage.register_scheme(
+        "s3", _storage.StorageBackend(
+            pafs.S3FileSystem(**kw), scheme="s3", spark_prefix="s3a://"))
+    prefix = st["s3_prefix"].strip("/")
+    return f"s3://{st['s3_bucket']}" + (f"/{prefix}" if prefix else "")
+
+
 def build_engine(cfg: dict, spark=None) -> dict:
     """Config → fully wired engine components (not yet serving).
 
@@ -199,7 +249,7 @@ def build_engine(cfg: dict, spark=None) -> dict:
         )
 
     st = cfg["storage"]
-    root = st["local_path"]
+    root = resolve_storage_root(st)
     catalog = MeasurementCatalog(
         spark, root,
         cold_root=st["cold_path"] or None,
@@ -210,8 +260,15 @@ def build_engine(cfg: dict, spark=None) -> dict:
     ing = cfg["ingest"]
     wal_dir = None
     if ing["wal_enabled"]:
-        wal_dir = ing["wal_path"] or os.path.join(
-            os.path.dirname(os.path.abspath(root)) or ".", "wal")
+        if ing["wal_path"]:
+            wal_dir = ing["wal_path"]
+        elif "://" in root:
+            # object-store root: the WAL is a LOCAL fsync log by design
+            # (the reference's WAL lives on node-local disk too)
+            wal_dir = os.path.abspath("./wal")
+        else:
+            wal_dir = os.path.join(
+                os.path.dirname(os.path.abspath(root)) or ".", "wal")
     ingest = IngestService(
         spark, root,
         wal_dir=wal_dir,
@@ -307,11 +364,16 @@ def build_engine(cfg: dict, spark=None) -> dict:
             "reconciliation", lambda: reconciler.reconcile(dry_run=False),
             rec_cfg["interval_s"])
 
+    srv = cfg["server"]
+    if srv["tls_enabled"] and not srv["tls_cert_file"]:
+        raise ValueError("server.tls_enabled requires server.tls_cert_file")
     server = ArcServer(
         query, ingest, auth=auth,
-        host=cfg["server"]["host"], port=cfg["server"]["port"],
+        host=srv["host"], port=srv["port"],
         audit=audit, breaker=breaker, reconciler=reconciler,
         scheduler=scheduler,
+        tls_cert=srv["tls_cert_file"] if srv["tls_enabled"] else None,
+        tls_key=srv["tls_key_file"] or None,
     )
     return {
         "server": server, "spark": spark, "catalog": catalog,

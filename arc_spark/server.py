@@ -107,6 +107,8 @@ class ArcServer:
         breaker: CircuitBreaker | None = None,
         reconciler=None,
         scheduler=None,
+        tls_cert: str | None = None,
+        tls_key: str | None = None,
     ):
         self.query = query_service
         self.ingest = ingest_service
@@ -1214,6 +1216,17 @@ class ArcServer:
                 self._json(404, {"error": "not found"})
 
         self._httpd = ThreadingHTTPServer((host, port), Handler)
+        # TLS termination (reference server TLS options, arc.toml [server]
+        # tls_enabled/tls_cert_file/tls_key_file): wrap the listening
+        # socket; per-connection handshakes happen in the handler threads
+        self.tls = bool(tls_cert)
+        if tls_cert:
+            import ssl
+
+            ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+            ctx.load_cert_chain(certfile=tls_cert, keyfile=tls_key or None)
+            self._httpd.socket = ctx.wrap_socket(
+                self._httpd.socket, server_side=True)
         self.port = self._httpd.server_address[1]
         self._thread: threading.Thread | None = None
 

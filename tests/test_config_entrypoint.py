@@ -202,3 +202,90 @@ class TestSigtermSubprocess:
         finally:
             if proc.poll() is None:
                 proc.kill()
+
+
+class TestTls:
+    @pytest.fixture()
+    def certpair(self, tmp_path):
+        cert, key = tmp_path / "cert.pem", tmp_path / "key.pem"
+        r = subprocess.run(
+            ["openssl", "req", "-x509", "-newkey", "rsa:2048", "-nodes",
+             "-keyout", str(key), "-out", str(cert), "-days", "1",
+             "-subj", "/CN=localhost",
+             "-addext", "subjectAltName=DNS:localhost,IP:127.0.0.1"],
+            capture_output=True)
+        if r.returncode != 0:
+            pytest.skip(f"openssl cert generation failed: {r.stderr[:200]}")
+        return str(cert), str(key)
+
+    def test_https_serving(self, spark, tmp_path, certpair):
+        """TLS termination on the wire layer (reference [server]
+        tls_enabled/tls_cert_file/tls_key_file): the same routes serve
+        over https, and the client can pin the server cert."""
+        import ssl
+
+        cert, key = certpair
+        cfg = load_config(None, env={
+            "ARC_STORAGE_LOCAL_PATH": str(tmp_path / "data"),
+            "ARC_SERVER_PORT": "0",
+            "ARC_SERVER_TLS_ENABLED": "true",
+            "ARC_SERVER_TLS_CERT_FILE": cert,
+            "ARC_SERVER_TLS_KEY_FILE": key,
+        })
+        engine = build_engine(cfg, spark=spark)
+        server = engine["server"].start()
+        try:
+            assert server.tls
+            ctx = ssl.create_default_context(cafile=cert)
+            ctx.check_hostname = False  # self-signed; cert IS the pin
+            url = f"https://127.0.0.1:{server.port}/health"
+            with urllib.request.urlopen(url, timeout=10, context=ctx) as r:
+                assert json.load(r)["status"] == "ok"
+            # plain-HTTP client against the TLS port fails the handshake
+            with pytest.raises(Exception):
+                urllib.request.urlopen(
+                    f"http://127.0.0.1:{server.port}/health", timeout=5)
+        finally:
+            shutdown(engine)
+
+    def test_tls_enabled_requires_cert(self, tmp_path):
+        cfg = load_config(None, env={
+            "ARC_STORAGE_LOCAL_PATH": str(tmp_path / "data"),
+            "ARC_SERVER_TLS_ENABLED": "true",
+        })
+        with pytest.raises(ValueError):
+            build_engine(cfg, spark=object())
+
+
+class TestS3StorageConfig:
+    def test_s3_backend_resolves_and_registers(self):
+        from arc_spark import storage
+        from arc_spark.config import resolve_storage_root
+
+        st = dict(DEFAULTS["storage"])
+        st.update(backend="s3", s3_bucket="mybucket", s3_prefix="arc",
+                  s3_endpoint="minio.local:9000", s3_region="us-east-1",
+                  s3_access_key="ak", s3_secret_key="sk")
+        try:
+            root = resolve_storage_root(st)
+            assert root == "s3://mybucket/arc"
+            bk = storage.backend_for(root)
+            assert bk.scheme == "s3" and bk.spark_prefix == "s3a://"
+            assert bk.spark_url(root) == "s3a://mybucket/arc"
+        finally:
+            storage.unregister_scheme("s3")
+
+    def test_s3_requires_bucket(self):
+        from arc_spark.config import resolve_storage_root
+
+        st = dict(DEFAULTS["storage"])
+        st["backend"] = "s3"
+        with pytest.raises(ValueError):
+            resolve_storage_root(st)
+
+    def test_local_backend_passthrough(self):
+        from arc_spark.config import resolve_storage_root
+
+        st = dict(DEFAULTS["storage"])
+        st["local_path"] = "/data/x"
+        assert resolve_storage_root(st) == "/data/x"
