@@ -226,6 +226,7 @@ class IngestService:
         defer_decode: bool = False,
         direct_flush_max_rows: int = 2_000_000,
         decimal_config: dict[str, dict[str, tuple[int, int]]] | None = None,
+        sort_keys_config: dict[str, list[str]] | None = None,
         max_decompressed_bytes: int | None = None,
         flush_workers: int = 0,
         distributed_decode_min_bytes: int = 8 * 1024 * 1024,
@@ -264,6 +265,11 @@ class IngestService:
         # the reference's `measurement:col=precision,scale` config
         # (internal/config/decimal.go:9-60)
         self.decimal_config = decimal_config or {}
+        # per-measurement sort-key override, {measurement: [col, ...]} —
+        # the reference's `measurement:col1,col2` [ingest] sort_keys
+        # (internal/config/sort_keys.go:9-60); `time` is appended by the
+        # writer, and absent measurements sort by (tags..., time)
+        self.sort_keys_config = sort_keys_config or {}
         if max_decompressed_bytes is None:
             from arc_spark.sources.ingest import MAX_DECOMPRESSED_BYTES
 
@@ -339,6 +345,13 @@ class IngestService:
         decimals = self.decimal_config.get(measurement)
         return ({c: list(ps) for c, ps in decimals.items()}
                 if decimals else None)
+
+    def _manifest_sort_keys(self, measurement: str,
+                            tag_list: list[str]) -> list[str]:
+        keys = list(self.sort_keys_config.get(measurement) or tag_list)
+        if "time" not in keys:
+            keys.append("time")
+        return keys
 
     # -- write path --------------------------------------------------------
     def write_msgpack(self, db: str, payload: bytes, _wal: bool = True) -> int:
@@ -476,6 +489,7 @@ class IngestService:
         staged = bk.join(staging, f"{_uuid.uuid4().hex}.lp")
         bk.write_bytes(staged, payload)
         root, precision_ = self.root, precision
+        sort_keys_cfg = self.sort_keys_config
 
         def parse_write(batches):
             # each concurrent worker gets ONE native thread: N workers ×
@@ -503,6 +517,7 @@ class IngestService:
                         write_measurement_arrow(
                             table, root, db, meas,
                             tag_columns=batch["tag_columns"],
+                            sort_keys=sort_keys_cfg.get(meas),
                             manifest=False, written_out=wl,
                         )
                         out["measurement"].append(meas)
@@ -536,7 +551,8 @@ class IngestService:
                 _json.loads(r["files"]))
         for meas, tags in meas_tags.items():
             tag_list = sorted(tags)
-            write_manifest(root, db, meas, tag_list, tag_list + ["time"],
+            write_manifest(root, db, meas, tag_list,
+                           self._manifest_sort_keys(meas, tag_list),
                            decimals=self._dec_manifest(meas))
             # ONE snapshot commit per measurement: the whole distributed
             # write becomes visible atomically (files were invisible to
@@ -602,6 +618,7 @@ class IngestService:
         groups = [g for g in groups if g]
         n_tasks = len(groups)
         root, decimal_config = self.root, self.decimal_config
+        sort_keys_cfg = self.sort_keys_config
 
         def decode_write(batches):
             from arc_spark.functions.threads import pin_math_threads
@@ -654,6 +671,7 @@ class IngestService:
                         wl: list[str] = []
                         write_measurement_arrow(
                             tbl, root, db, meas, tag_columns=tags,
+                            sort_keys=sort_keys_cfg.get(meas),
                             manifest=False, written_out=wl,
                         )
                         out["measurement"].append(meas)
@@ -691,7 +709,8 @@ class IngestService:
             # decimal_config to the data, so the manifest must say so —
             # otherwise this atomic replace silently drops decimals the
             # in-process flush recorded
-            write_manifest(root, db, meas, tag_list, tag_list + ["time"],
+            write_manifest(root, db, meas, tag_list,
+                           self._manifest_sort_keys(meas, tag_list),
                            decimals=self._dec_manifest(meas))
             # atomic visibility: all of this drain's files for the
             # measurement publish in one snapshot swap; a crash mid-drain
@@ -1020,6 +1039,7 @@ class IngestService:
             dec_manifest = (
                 {c: list(ps) for c, ps in decimals.items()} if decimals else None
             )
+            sort_keys = self.sort_keys_config.get(meas)  # None → tags+time
             # steady-state flushes write Parquet in-process (the reference's
             # design — no per-flush Spark job). A backlog bigger than one
             # trigger unit is CHUNKED and the chunks written concurrently
@@ -1051,8 +1071,8 @@ class IngestService:
                 merged = merge_batches(group)
                 write_measurement_arrow(
                     merged, self.root, db, meas, tag_columns=tag_cols,
-                    decimals=dec_manifest, manifest=False,
-                    written_out=written,
+                    sort_keys=sort_keys, decimals=dec_manifest,
+                    manifest=False, written_out=written,
                 )
                 return merged.num_rows
 
@@ -1060,9 +1080,11 @@ class IngestService:
                 from arc_spark.sources.writer import write_manifest
 
                 # once per flush, atomically — not per concurrent chunk
+                manifest_keys = list(sort_keys) if sort_keys else (tag_cols or [])
+                if "time" not in manifest_keys:
+                    manifest_keys = manifest_keys + ["time"]
                 write_manifest(self.root, db, meas, tag_cols,
-                               (tag_cols or []) + ["time"],
-                               decimals=dec_manifest)
+                               manifest_keys, decimals=dec_manifest)
             if len(chunks) <= 1:
                 total += sum(_write_chunk(c) for c in chunks)
             else:
@@ -1085,6 +1107,7 @@ class IngestService:
                 df = self.spark.createDataFrame(t)
                 write_measurement(df, self.root, db, meas,
                                   tag_columns=tag_cols,
+                                  sort_keys=sort_keys,
                                   decimals=dec_manifest)
                 total += t.num_rows
         return total

@@ -68,6 +68,15 @@ DEFAULTS: dict[str, dict[str, Any]] = {
         "wal_enabled": True,
         "wal_path": "",          # "" → <local_path>/../wal
         "decimal_columns": [],   # ["measurement:col=precision,scale", ...]
+        "sort_keys": [],         # ["measurement:col1,col2", ...] — time
+                                 # appended automatically (sort_keys.go)
+    },
+    "query": {
+        # deployment-wide limits for tokens without an explicit policy
+        # (0 = unlimited); per-token policies override
+        "max_rows": 0,
+        "timeout_s": 0.0,
+        "queries_per_minute": 0,
     },
     "compaction": {
         "enabled": True,
@@ -192,6 +201,22 @@ def parse_decimal_columns(entries: list[str]) -> dict[str, dict[str, tuple[int, 
     return out
 
 
+def parse_sort_keys(entries: list[str]) -> dict[str, list[str]]:
+    """``measurement:col1,col2`` → {measurement: [col1, col2]} (reference
+    internal/config/sort_keys.go; ``time`` is appended by the writer)."""
+    out: dict[str, list[str]] = {}
+    for entry in entries:
+        meas, _, cols = entry.partition(":")
+        meas = meas.strip()
+        col_list = [c.strip() for c in cols.split(",") if c.strip()]
+        if not meas or not col_list:
+            raise ValueError(
+                f"invalid sort_keys entry: {entry!r} "
+                "(expected 'measurement:col1,col2')")
+        out[meas] = col_list
+    return out
+
+
 def resolve_storage_root(st: dict) -> str:
     """[storage] section → the engine's root path. ``backend="s3"``
     constructs a configured :class:`pyarrow.fs.S3FileSystem` (endpoint
@@ -255,7 +280,18 @@ def build_engine(cfg: dict, spark=None) -> dict:
         cold_root=st["cold_path"] or None,
         daily_root=st["daily_path"] or None,
     )
-    query = QueryService(spark, catalog, governor=Governor())
+    qc = cfg["query"]
+    default_policy = None
+    if qc["max_rows"] or qc["timeout_s"] or qc["queries_per_minute"]:
+        from arc_spark.governance import TokenPolicy
+
+        default_policy = TokenPolicy(
+            max_queries_per_minute=qc["queries_per_minute"] or None,
+            max_rows=qc["max_rows"] or None,
+            max_duration_s=qc["timeout_s"] or None,
+        )
+    query = QueryService(spark, catalog,
+                         governor=Governor(default_policy=default_policy))
 
     ing = cfg["ingest"]
     wal_dir = None
@@ -277,6 +313,7 @@ def build_engine(cfg: dict, spark=None) -> dict:
         defer_decode=ing["defer_decode"],
         flush_workers=ing["flush_workers"],
         decimal_config=parse_decimal_columns(ing["decimal_columns"]),
+        sort_keys_config=parse_sort_keys(ing["sort_keys"]),
     )
 
     auth = None

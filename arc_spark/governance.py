@@ -90,16 +90,23 @@ class Governor:
     burst straddling the reset boundary. Memory is bounded at
     max_queries_per_minute timestamps per token."""
 
-    def __init__(self):
+    def __init__(self, default_policy: TokenPolicy | None = None):
+        """``default_policy`` applies to tokens WITHOUT an explicit
+        policy (the reference's deployment-wide [query] limits; per-token
+        policies still override it)."""
         self._policies: dict[str, TokenPolicy] = {}
         self._admits: dict[str, deque[float]] = {}
+        self._default = default_policy
         self._lock = threading.Lock()
 
     def set_policy(self, token: str, policy: TokenPolicy) -> None:
         self._policies[token] = policy
 
+    def _policy(self, token: str) -> TokenPolicy | None:
+        return self._policies.get(token, self._default)
+
     def admit(self, token: str, now: float | None = None) -> None:
-        pol = self._policies.get(token)
+        pol = self._policy(token)
         if pol is None or pol.max_queries_per_minute is None:
             return
         t = now if now is not None else time.monotonic()
@@ -117,13 +124,13 @@ class Governor:
         """Row-cap the plan. LIMIT participates in planning (Catalyst turns
         it into CollectLimit / limit pushdown) rather than truncating a
         fully-computed result."""
-        pol = self._policies.get(token)
+        pol = self._policy(token)
         if pol is None or pol.max_rows is None:
             return df
         return df.limit(pol.max_rows)
 
     def timeout_s(self, token: str) -> float | None:
-        pol = self._policies.get(token)
+        pol = self._policy(token)
         return pol.max_duration_s if pol else None
 
 

@@ -44,10 +44,17 @@ layer does and is out of scope — SURVEY A39 collapse). The version scan
 written snapshot.
 
 At 100 TB: a snapshot is one JSON object of relative paths — ~100 bytes
-per file. A measurement with 1M files costs a ~100 MB manifest; the
-reference's manifest and Iceberg's avro manifests carry the same
-information. Reads pay one small GET instead of a recursive LIST (on
-object stores the snapshot is *cheaper* than the glob it replaces).
+per file. Reads pay one small GET instead of a recursive LIST (on object
+stores the snapshot is *cheaper* than the glob it replaces). Commits are
+read-modify-write of the full list, which is exactly Iceberg's
+manifest-list rewrite; the cost is bounded because compaction bounds the
+live file count (hourly tier merges every multi-file partition to one
+file — a measurement in steady state carries ~one file per
+partition-hour plus the current ingest head). If a deployment needed
+sub-second commits over millions of uncompacted files, the upgrade path
+is a Delta-style delta log (commit appends only the add/remove sets;
+readers fold deltas since the last full snapshot) — the read/commit API
+here would not change.
 """
 
 from __future__ import annotations

@@ -289,3 +289,77 @@ class TestS3StorageConfig:
         st = dict(DEFAULTS["storage"])
         st["local_path"] = "/data/x"
         assert resolve_storage_root(st) == "/data/x"
+
+
+class TestSortKeysConfig:
+    def test_parse(self):
+        from arc_spark.config import parse_sort_keys
+
+        out = parse_sort_keys(["cpu:host,region", "mem:host"])
+        assert out == {"cpu": ["host", "region"], "mem": ["host"]}
+        with pytest.raises(ValueError):
+            parse_sort_keys(["nocolon"])
+        with pytest.raises(ValueError):
+            parse_sort_keys(["m:"])
+
+    def test_ingest_honors_configured_sort_keys(self, spark, tmp_path):
+        """Reference [ingest] sort_keys 'measurement:col1,col2'
+        (internal/config/sort_keys.go): flushed files sort by the
+        configured keys (value DESC within a host here would break), and
+        the measurement manifest records them for compaction."""
+        import pyarrow.parquet as pq
+
+        from arc_spark.api import IngestService
+        from arc_spark.sources.msgpack_codec import packb
+        from arc_spark.sources.writer import read_manifest
+
+        svc = IngestService(
+            spark, str(tmp_path), max_buffer_rows=10**9,
+            max_buffer_age_s=10**9,
+            sort_keys_config={"cpu": ["value", "host"]},
+        )
+        payload = packb({
+            "m": "cpu",
+            "columns": {
+                "time": [1_700_000_000_000_000 + i for i in range(100)],
+                "host": [f"h{(i * 7) % 5}" for i in range(100)],
+                "value": [float((i * 13) % 17) for i in range(100)],
+            },
+            "tags": ["host"],
+        })
+        svc.write_msgpack("m", payload)
+        svc.flush()
+        man = read_manifest(str(tmp_path), "m", "cpu")
+        assert man["sort_keys"] == ["value", "host", "time"]
+        import glob as _g
+
+        f = _g.glob(str(tmp_path / "m" / "cpu" / "**" / "*.parquet"),
+                    recursive=True)[0]
+        vals = pq.read_table(f, columns=["value"])["value"].to_pylist()
+        assert vals == sorted(vals)  # value is the primary sort key
+
+
+class TestDefaultQueryPolicy:
+    def test_default_policy_caps_unknown_tokens(self, spark, tmp_path):
+        from arc_spark.governance import Governor, RateLimitExceeded, TokenPolicy
+
+        g = Governor(default_policy=TokenPolicy(
+            max_queries_per_minute=2, max_rows=5, max_duration_s=9.0))
+        g.admit("anon")
+        g.admit("anon")
+        with pytest.raises(RateLimitExceeded):
+            g.admit("anon")
+        df = spark.range(100)
+        assert g.cap("other", df).count() == 5
+        assert g.timeout_s("x") == 9.0
+        # explicit per-token policy overrides the default
+        g.set_policy("vip", TokenPolicy(max_rows=50))
+        assert g.cap("vip", spark.range(100)).count() == 50
+
+    def test_config_builds_default_policy(self):
+        cfg = load_config(None, env={
+            "ARC_QUERY_MAX_ROWS": "7",
+            "ARC_QUERY_QUERIES_PER_MINUTE": "100",
+        })
+        assert cfg["query"]["max_rows"] == 7
+        assert cfg["query"]["queries_per_minute"] == 100
