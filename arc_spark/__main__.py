@@ -34,6 +34,16 @@ def _serve(args) -> int:
     signal.signal(signal.SIGINT, _on_signal)
 
     cfg = load_config(args.config)
+    mt = cfg["maintenance"]
+    if mt["cleanup_spark_temp_on_boot"]:
+        # crashed-run temp sweep BEFORE the session boots (the reference
+        # sweeps DuckDB spill files before opening the database)
+        from arc_spark.session import cleanup_orphaned_spark_temp
+
+        swept = cleanup_orphaned_spark_temp(
+            min_age_s=mt["spark_temp_max_age_hours"] * 3600)
+        if swept:
+            print(f"swept {swept} orphaned Spark temp dirs", flush=True)
     engine = build_engine(cfg)
     server = engine["server"]
 

@@ -78,6 +78,19 @@ DEFAULTS: dict[str, dict[str, Any]] = {
         "timeout_s": 0.0,
         "queries_per_minute": 0,
     },
+    "metrics": {
+        # in-memory time-series rings (internal/metrics/timeseries.go)
+        "timeseries_enabled": True,
+        "timeseries_interval_s": 10.0,
+        "timeseries_retention_minutes": 60,
+    },
+    "maintenance": {
+        # crashed-run Spark temp-dir sweep at serve boot (the reference
+        # sweeps DuckDB spill files before opening the database,
+        # internal/database/spill_cleanup.go)
+        "cleanup_spark_temp_on_boot": True,
+        "spark_temp_max_age_hours": 24.0,
+    },
     "compaction": {
         "enabled": True,
         "interval_s": 300,
@@ -412,11 +425,21 @@ def build_engine(cfg: dict, spark=None) -> dict:
         tls_cert=srv["tls_cert_file"] if srv["tls_enabled"] else None,
         tls_key=srv["tls_key_file"] or None,
     )
+    timeseries = None
+    if cfg["metrics"]["timeseries_enabled"]:
+        from arc_spark.metrics import TimeSeriesCollector
+
+        timeseries = TimeSeriesCollector(
+            server=server, ingest=ingest, catalog=catalog,
+            interval_s=cfg["metrics"]["timeseries_interval_s"],
+            retention_minutes=cfg["metrics"]["timeseries_retention_minutes"],
+        ).start()
+        server.timeseries = timeseries
     return {
         "server": server, "spark": spark, "catalog": catalog,
         "query": query, "ingest": ingest, "scheduler": scheduler,
         "auth": auth, "audit": audit, "breaker": breaker,
-        "reconciler": reconciler,
+        "reconciler": reconciler, "timeseries": timeseries,
     }
 
 
@@ -429,6 +452,12 @@ def shutdown(engine: dict) -> None:
     if server is not None:
         try:
             server.stop()
+        except Exception:
+            pass
+    ts = engine.get("timeseries")
+    if ts is not None:
+        try:
+            ts.stop()
         except Exception:
             pass
     scheduler = engine.get("scheduler")

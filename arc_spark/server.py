@@ -109,6 +109,7 @@ class ArcServer:
         scheduler=None,
         tls_cert: str | None = None,
         tls_key: str | None = None,
+        timeseries=None,
     ):
         self.query = query_service
         self.ingest = ingest_service
@@ -126,6 +127,9 @@ class ArcServer:
         self.reconciler = reconciler
         # optional scheduler.MaintenanceScheduler for /api/v1/scheduler/*
         self.scheduler = scheduler
+        # optional metrics.TimeSeriesCollector for
+        # /api/v1/metrics/timeseries/<type>
+        self.timeseries = timeseries
         # optional sources.mqtt.MqttIngestBridge for /api/v1/mqtt/* routes
         self.mqtt = mqtt_bridge
         # request counters for /metrics (reference internal/monitoring)
@@ -418,6 +422,35 @@ class ArcServer:
                             "max_ms": round(mx, 2)}
                         for k, (n, s_, mx) in sorted(snap.items())
                     }})
+                if url.path.startswith("/api/v1/metrics/timeseries/"):
+                    # ring-buffer time-series metrics (reference
+                    # server.go:183 timeseriesMetricsHandler over
+                    # internal/metrics/timeseries.go)
+                    if outer.timeseries is None:
+                        return self._json(404, {
+                            "error": "time-series collector not enabled"})
+                    mtype = url.path.rsplit("/", 1)[-1]
+                    try:
+                        dm = int(q.get("duration_minutes", "30"))
+                    except ValueError:
+                        return self._json(400, {"error": "bad duration_minutes"})
+                    try:
+                        pts = outer.timeseries.get(mtype, dm)
+                    except ValueError as e:
+                        return self._json(400, {
+                            "error": str(e),
+                            "valid_types": list(
+                                outer.timeseries.VALID_TYPES)})
+                    import datetime as _dt
+
+                    return self._json(200, {
+                        "timestamp": _dt.datetime.now(
+                            _dt.timezone.utc).isoformat(),
+                        "type": mtype,
+                        "duration_minutes": max(1, min(dm, 1440)),
+                        "points_count": len(pts),
+                        "data": pts,
+                    })
                 if url.path == "/api/v1/metrics":
                     # JSON counters view (reference /api/v1/metrics; the
                     # Prometheus exposition lives at /metrics)

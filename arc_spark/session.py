@@ -22,6 +22,41 @@ import os
 from pyspark.sql import SparkSession
 
 
+def cleanup_orphaned_spark_temp(tmp_dir: str | None = None,
+                                min_age_s: float = 86_400.0) -> int:
+    """Sweep leftover Spark/JVM temp dirs from crashed runs (reference
+    internal/database/spill_cleanup.go CleanupOrphanedSpillFiles: DuckDB
+    unlinks its spill files on graceful shutdown, but kill -9 leaks them
+    forever; same story for Spark's ``spark-*`` / ``blockmgr-*`` local
+    dirs). Age-gated so a CONCURRENT session's dirs are never touched
+    (the reference uses the same coarse safety net); called by the serve
+    entrypoint before the session boots, best-effort per dir. Returns
+    the number of dirs removed."""
+    import shutil
+    import tempfile
+    import time
+
+    base = tmp_dir or os.environ.get("SPARK_LOCAL_DIRS") or tempfile.gettempdir()
+    removed = 0
+    now = time.time()
+    try:
+        names = os.listdir(base)
+    except OSError:
+        return 0
+    for name in names:
+        if not (name.startswith("spark-") or name.startswith("blockmgr-")):
+            continue
+        p = os.path.join(base, name)
+        try:
+            if not os.path.isdir(p) or now - os.path.getmtime(p) < min_age_s:
+                continue
+            shutil.rmtree(p, ignore_errors=True)
+            removed += 1
+        except OSError:
+            continue
+    return removed
+
+
 def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8)))
 

@@ -363,3 +363,74 @@ class TestDefaultQueryPolicy:
         })
         assert cfg["query"]["max_rows"] == 7
         assert cfg["query"]["queries_per_minute"] == 100
+
+
+class TestTimeSeriesMetrics:
+    def test_collector_rings_and_types(self, spark, tmp_path):
+        from arc_spark.api import IngestService
+        from arc_spark.metrics import TimeSeriesCollector
+
+        svc = IngestService(spark, str(tmp_path), max_buffer_rows=10**9,
+                            max_buffer_age_s=10**9)
+        col = TimeSeriesCollector(ingest=svc, interval_s=0.05,
+                                  retention_minutes=1)
+        col.collect_once()
+        svc.write_line_protocol(
+            "m", b"cpu,host=a v=1 1700000000000000000\n")
+        col.collect_once()
+        sysp = col.get("system", 30)
+        app = col.get("application", 30)
+        assert len(sysp) == 2 and sysp[-1]["values"]["threads"] >= 1
+        assert app[-1]["values"]["ingest_rows_acked_total"] == 1
+        assert app[0]["values"]["ingest_rows_acked_total"] == 0
+        with pytest.raises(ValueError):
+            col.get("bogus", 30)
+        # ring is bounded: retention 1 min / interval (floored at 0.1s)
+        assert col.system._points.maxlen == 600
+
+    def test_http_route(self, spark, tmp_path):
+        cfg = load_config(None, env={
+            "ARC_STORAGE_LOCAL_PATH": str(tmp_path / "data"),
+            "ARC_SERVER_PORT": "0",
+            "ARC_METRICS_TIMESERIES_INTERVAL_S": "3600",
+        })
+        engine = build_engine(cfg, spark=spark)
+        server = engine["server"].start()
+        try:
+            base = f"http://127.0.0.1:{server.port}"
+            with urllib.request.urlopen(
+                    base + "/api/v1/metrics/timeseries/system?"
+                    "duration_minutes=5", timeout=10) as r:
+                out = json.load(r)
+            assert out["type"] == "system" and out["points_count"] >= 1
+            assert "memory_rss_mb" in out["data"][0]["values"]
+            with pytest.raises(urllib.error.HTTPError) as e:
+                urllib.request.urlopen(
+                    base + "/api/v1/metrics/timeseries/nope", timeout=10)
+            assert e.value.code == 400
+        finally:
+            shutdown(engine)
+
+
+class TestSparkTempSweep:
+    def test_aged_dirs_swept_young_kept(self, tmp_path):
+        import time as _time
+
+        from arc_spark.session import cleanup_orphaned_spark_temp
+
+        aged = tmp_path / "spark-deadbeef"
+        aged.mkdir()
+        (aged / "x").write_text("junk")
+        os.utime(aged, (1, 1))
+        aged2 = tmp_path / "blockmgr-cafe"
+        aged2.mkdir()
+        os.utime(aged2, (1, 1))
+        young = tmp_path / "spark-live"
+        young.mkdir()
+        other = tmp_path / "unrelated-dir"
+        other.mkdir()
+        os.utime(other, (1, 1))
+        n = cleanup_orphaned_spark_temp(str(tmp_path), min_age_s=3600)
+        assert n == 2
+        assert not aged.exists() and not aged2.exists()
+        assert young.exists() and other.exists()
