@@ -84,6 +84,18 @@ DEFAULTS: dict[str, dict[str, Any]] = {
         "timeseries_interval_s": 10.0,
         "timeseries_retention_minutes": 60,
     },
+    "edge_sync": {
+        # hub side: accept file uploads + reconcile (internal/edgesync)
+        "hub_enabled": False,
+        "hub_index_db": "",      # "" → in-memory
+        # spoke side: replicate committed files to a hub on an interval
+        "spoke_enabled": False,
+        "spoke_hub_url": "",
+        "spoke_hub_token": "",   # or env ARC_EDGE_SYNC_SPOKE_TOKEN
+        "spoke_id": "spoke",
+        "spoke_interval_s": 60.0,
+        "spoke_ledger_db": "",   # "" → ./edge_ledger.db
+    },
     "maintenance": {
         # crashed-run Spark temp-dir sweep at serve boot (the reference
         # sweeps DuckDB spill files before opening the database,
@@ -425,6 +437,40 @@ def build_engine(cfg: dict, spark=None) -> dict:
         tls_cert=srv["tls_cert_file"] if srv["tls_enabled"] else None,
         tls_key=srv["tls_key_file"] or None,
     )
+    es = cfg["edge_sync"]
+    if es["hub_enabled"]:
+        from arc_spark.sources.edgesync import HubIndex, HubReceiver
+
+        server.edge_receiver = HubReceiver(
+            root, index=HubIndex(es["hub_index_db"] or ":memory:"),
+            catalog=catalog)
+    if es["spoke_enabled"]:
+        if not es["spoke_hub_url"]:
+            raise ValueError(
+                "edge_sync.spoke_enabled requires edge_sync.spoke_hub_url")
+        from arc_spark.sources.edgesync import (
+            HttpTransport,
+            SpokeAgent,
+            SyncLedger,
+        )
+
+        token = (es["spoke_hub_token"]
+                 or os.environ.get("ARC_EDGE_SYNC_SPOKE_TOKEN", ""))
+        agent = SpokeAgent(
+            root,
+            SyncLedger(es["spoke_ledger_db"] or "./edge_ledger.db"),
+            HttpTransport(es["spoke_hub_url"], token=token,
+                          spoke_id=es["spoke_id"]),
+            hub_id=es["spoke_hub_url"],
+        )
+
+        def _edge_tick(agent=agent):
+            found = agent.discover()
+            out = agent.run()
+            out["discovered"] = found
+            return out
+
+        scheduler.add_job("edge_sync", _edge_tick, es["spoke_interval_s"])
     timeseries = None
     if cfg["metrics"]["timeseries_enabled"]:
         from arc_spark.metrics import TimeSeriesCollector

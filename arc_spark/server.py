@@ -130,6 +130,8 @@ class ArcServer:
         # optional metrics.TimeSeriesCollector for
         # /api/v1/metrics/timeseries/<type>
         self.timeseries = timeseries
+        # optional sources.edgesync.HubReceiver for /api/v1/edge/*
+        self.edge_receiver = None
         # optional sources.mqtt.MqttIngestBridge for /api/v1/mqtt/* routes
         self.mqtt = mqtt_bridge
         # request counters for /metrics (reference internal/monitoring)
@@ -412,6 +414,15 @@ class ArcServer:
                     with outer._metrics_lock:
                         entries = list(outer.logs)[-max(limit, 0):]
                     return self._json(200, {"logs": entries})
+                if url.path == "/api/v1/edge/status":
+                    # hub-side edge-sync observability (edgesync
+                    # registry.go spoke activity + hubindex size)
+                    if outer.edge_receiver is None:
+                        return self._json(503, {"error": "edge sync disabled"})
+                    return self._json(200, {
+                        "indexed_files": outer.edge_receiver.index.count(),
+                        "spokes": outer.edge_receiver.activity,
+                    })
                 if url.path == "/api/v1/metrics/endpoints":
                     # per-endpoint latency summary (reference
                     # /api/v1/metrics/endpoints)
@@ -678,6 +689,44 @@ class ArcServer:
                     return self._reply(200, out, _FMT_CONTENT_TYPES[fmt],
                                        extra_headers=exec_hdr)
 
+                if url.path == "/api/v1/edge/reconcile":
+                    # hub-side "which of these do you have?" (reference
+                    # edgesync reconcile.go; capped batch, spoke pages)
+                    if outer.edge_receiver is None:
+                        return self._json(503, {"error": "edge sync disabled"})
+                    if not self._require_writer(token):
+                        return
+                    from arc_spark.sources.edgesync import ReconcileTooLarge
+
+                    try:
+                        req = json.loads(body or b"{}")
+                        out = outer.edge_receiver.reconcile(
+                            req.get("entries") or [])
+                    except ReconcileTooLarge as e:
+                        return self._json(413, {"error": str(e)})
+                    except (ValueError, KeyError, TypeError) as e:
+                        return self._json(400, {"error": str(e)})
+                    return self._json(200, out)
+                if url.path == "/api/v1/edge/upload":
+                    # hub-side verified file receive (edgesync receive.go:
+                    # stage → verify sha → promote → commit); 409 on an
+                    # immutability conflict, 400 on a digest mismatch
+                    if outer.edge_receiver is None:
+                        return self._json(503, {"error": "edge sync disabled"})
+                    if not self._require_writer(token):
+                        return
+                    from arc_spark.sources.edgesync import SyncConflict
+
+                    path, sha = q.get("path", ""), q.get("sha256", "")
+                    spoke = self.headers.get("X-Arc-Spoke-Id", "")
+                    try:
+                        out = outer.edge_receiver.receive(
+                            path, sha, body, spoke_id=spoke)
+                    except SyncConflict as e:
+                        return self._json(409, {"error": str(e)})
+                    except ValueError as e:
+                        return self._json(400, {"error": str(e)})
+                    return self._json(200, out)
                 if (url.path.startswith("/api/v1/scheduler/jobs/")
                         and url.path.endswith("/run")):
                     # manual trigger (internal/scheduler TriggerNow)

@@ -1,0 +1,284 @@
+"""File-level edge→hub replication (reference internal/edgesync/:
+ledger, agent, receiver, reconcile, hub index — the file-unit sync that
+replaced the payload spool as the reference's edge architecture)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+from pyspark.sql import functions as F
+
+from arc_spark import snapshots
+from arc_spark.catalog import MeasurementCatalog
+from arc_spark.sources.edgesync import (
+    HubIndex,
+    HubReceiver,
+    MemoryTransport,
+    ReconcileTooLarge,
+    SpokeAgent,
+    SyncConflict,
+    SyncLedger,
+    validate_sync_path,
+)
+from arc_spark.sources.writer import write_measurement, write_measurement_arrow
+
+
+def _df(spark, n=60, day=15, t_off=0):
+    return spark.range(n).select(
+        F.timestamp_micros(
+            F.lit(int(dt.datetime(2024, 1, day).timestamp() * 1_000_000))
+            + (F.col("id") % 3) * 3_600_000_000 + F.col("id") + F.lit(t_off)
+        ).alias("time"),
+        (F.col("id") % 3).cast("string").alias("host"),
+        F.col("id").cast("double").alias("value"),
+    )
+
+
+def _spoke(spark, tmp_path, n_batches=2):
+    root = str(tmp_path / "spoke")
+    for i in range(n_batches):
+        write_measurement(_df(spark, t_off=i * 7), root, "metrics", "cpu",
+                          tag_columns=["host"])
+    return root
+
+
+class TestPathValidation:
+    @pytest.mark.parametrize("ok", [
+        "db/cpu/year=2024/month=1/day=1/hour=0/a.parquet",
+        "db/cpu/a.parquet",
+    ])
+    def test_valid(self, ok):
+        validate_sync_path(ok)
+
+    @pytest.mark.parametrize("bad", [
+        "/abs/db/cpu/a.parquet", "db/cpu/../../etc/passwd.parquet",
+        ".hidden/cpu/a.parquet", "db/.sync-staging/a.parquet",
+        "db/cpu/a.txt", "short.parquet", "db//cpu/a.parquet",
+    ])
+    def test_invalid(self, bad):
+        with pytest.raises(ValueError):
+            validate_sync_path(bad)
+
+
+class TestLedger:
+    def test_track_states_and_stats(self, tmp_path):
+        led = SyncLedger(str(tmp_path / "l.db"))
+        assert led.track("hub", "db/m/a.parquet", "aa", 10)
+        assert not led.track("hub", "db/m/a.parquet", "aa", 10)  # idempotent
+        led.track("hub", "db/m/b.parquet", "bb", 20)
+        assert len(led.pending("hub")) == 2
+        led.mark_inflight("hub", "db/m/a.parquet")
+        assert len(led.pending("hub")) == 1
+        # crash: in-flight goes back to pending
+        assert led.recover_inflight() == 1
+        assert len(led.pending("hub")) == 2
+        led.mark_synced("hub", "db/m/a.parquet")
+        st = led.stats("hub")
+        assert st["synced"]["files"] == 1 and st["pending"]["files"] == 1
+
+    def test_mark_failed_retries_then_terminal(self, tmp_path):
+        led = SyncLedger(str(tmp_path / "l.db"))
+        led.track("hub", "db/m/a.parquet", "aa", 10)
+        for _ in range(3):
+            led.mark_inflight("hub", "db/m/a.parquet")
+            led.mark_failed("hub", "db/m/a.parquet", "boom", max_attempts=3)
+        st = led.stats("hub")
+        assert st.get("failed", {}).get("files") == 1
+        assert led.pending("hub") == []
+
+
+class TestEndToEnd:
+    def test_full_sync_and_idempotent_rerun(self, spark, tmp_path):
+        spoke_root = _spoke(spark, tmp_path)
+        hub_root = str(tmp_path / "hub")
+        recv = HubReceiver(hub_root)
+        agent = SpokeAgent(spoke_root, SyncLedger(), MemoryTransport(recv),
+                           hub_id="hub-1")
+        n = agent.discover()
+        assert n > 0
+        out = agent.run()
+        assert out["sent"] == n and out["failed"] == 0
+        # hub holds identical bytes, committed into its snapshots
+        hub = MeasurementCatalog(spark, hub_root)
+        spoke = MeasurementCatalog(spark, spoke_root)
+        assert (hub.table("metrics", "cpu").count()
+                == spoke.table("metrics", "cpu").count() == 120)
+        assert snapshots.data_files(f"{hub_root}/metrics/cpu") is not None
+        # re-run: discovery finds nothing new, reconcile says all present
+        assert agent.discover() == 0
+        out2 = agent.run()
+        assert out2["sent"] == 0 and out2["already_present"] == 0
+
+    def test_only_committed_files_replicate(self, spark, tmp_path):
+        """A crash-leaked orphan (written, never committed) must not be
+        shipped — discovery reads the spoke snapshot, like readers do."""
+        import pyarrow as pa
+
+        spoke_root = _spoke(spark, tmp_path, n_batches=1)
+        table = pa.table({
+            "time": pa.array([1_705_300_000_000_000], pa.timestamp("us")),
+            "host": pa.array(["h0"]), "value": pa.array([1.0]),
+        })
+        write_measurement_arrow(table, spoke_root, "metrics", "cpu",
+                                tag_columns=["host"], manifest=False)
+        recv = HubReceiver(str(tmp_path / "hub"))
+        agent = SpokeAgent(spoke_root, SyncLedger(), MemoryTransport(recv))
+        agent.discover()
+        agent.run()
+        committed = len(snapshots.data_files(f"{spoke_root}/metrics/cpu"))
+        assert recv.index.count() == committed  # orphan not shipped
+
+    def test_interrupted_transfer_resumes(self, spark, tmp_path):
+        spoke_root = _spoke(spark, tmp_path)
+        recv = HubReceiver(str(tmp_path / "hub"))
+
+        class FlakyTransport(MemoryTransport):
+            def __init__(self, r):
+                super().__init__(r)
+                self.calls = 0
+
+            def upload(self, path, sha256, data):
+                self.calls += 1
+                if self.calls == 1:
+                    raise OSError("network blip")
+                return super().upload(path, sha256, data)
+
+        tr = FlakyTransport(recv)
+        led = SyncLedger(str(tmp_path / "ledger.db"))
+        agent = SpokeAgent(spoke_root, led, tr, hub_id="hub-1")
+        n = agent.discover()
+        # the failure requeues as pending and the SAME run's loop retries
+        # it — one run converges despite the blip
+        out1 = agent.run()
+        assert out1["failed"] == 1 and out1["sent"] == n
+        out2 = agent.run()
+        assert out2["sent"] == 0 and out2["failed"] == 0
+        assert led.stats("hub-1")["synced"]["files"] == n
+
+    def test_conflict_never_overwrites(self, tmp_path):
+        recv = HubReceiver(str(tmp_path / "hub"))
+        path = "db/cpu/year=2024/month=1/day=1/hour=0/a.parquet"
+        data1, data2 = b"PARQUET-ONE", b"PARQUET-TWO"
+        recv.receive(path, hashlib.sha256(data1).hexdigest(), data1)
+        with pytest.raises(SyncConflict):
+            recv.receive(path, hashlib.sha256(data2).hexdigest(), data2)
+        # reconcile reports the conflict, not "missing"
+        out = recv.reconcile(
+            [{"path": path, "sha256": hashlib.sha256(data2).hexdigest()}])
+        assert out["conflicts"] == [path] and out["missing"] == []
+
+    def test_digest_mismatch_rejected_nothing_visible(self, tmp_path):
+        recv = HubReceiver(str(tmp_path / "hub"))
+        path = "db/cpu/year=2024/month=1/day=1/hour=0/a.parquet"
+        with pytest.raises(ValueError):
+            recv.receive(path, "0" * 64, b"payload")
+        assert recv.index.count() == 0
+        import glob as _g
+
+        assert _g.glob(str(tmp_path / "hub" / "db" / "**" / "*.parquet"),
+                       recursive=True) == []
+
+    def test_reconcile_batch_cap(self, tmp_path):
+        recv = HubReceiver(str(tmp_path / "hub"), max_reconcile=5)
+        entries = [{"path": f"db/m/f{i}.parquet", "sha256": "a" * 64}
+                   for i in range(6)]
+        with pytest.raises(ReconcileTooLarge):
+            recv.reconcile(entries)
+        # the agent pages under the cap instead
+        out = recv.reconcile(entries[:5])
+        assert len(out["missing"]) == 5
+
+    def test_hub_index_lookup_batching(self, tmp_path):
+        idx = HubIndex()
+        for i in range(1200):
+            idx.record(f"db/m/f{i}.parquet", f"{i:064d}", 1)
+        got = idx.lookup([f"db/m/f{i}.parquet" for i in range(1200)])
+        assert len(got) == 1200 and got["db/m/f7.parquet"] == f"{7:064d}"
+
+
+class TestHttpTransport:
+    def test_routes_end_to_end(self, spark, tmp_path):
+        from arc_spark.api import QueryService
+        from arc_spark.server import ArcServer
+        from arc_spark.sources.edgesync import HttpTransport
+
+        spoke_root = _spoke(spark, tmp_path, n_batches=1)
+        hub_root = str(tmp_path / "hub")
+        cat = MeasurementCatalog(spark, hub_root)
+        srv = ArcServer(QueryService(spark, cat), port=0)
+        srv.edge_receiver = HubReceiver(hub_root, catalog=cat)
+        srv.start()
+        try:
+            base = f"http://127.0.0.1:{srv.port}"
+            tr = HttpTransport(base, spoke_id="edge-7")
+            agent = SpokeAgent(spoke_root, SyncLedger(), tr, hub_id="hub")
+            agent.discover()
+            out = agent.run()
+            assert out["sent"] > 0 and out["failed"] == 0
+            # status route reflects the transfer, attributed to the spoke
+            with urllib.request.urlopen(base + "/api/v1/edge/status",
+                                        timeout=10) as r:
+                st = json.load(r)
+            assert st["indexed_files"] == out["sent"]
+            assert st["spokes"]["edge-7"]["files"] == out["sent"]
+            # hub data queryable
+            assert cat.table("metrics", "cpu").count() == 60
+            # oversized reconcile → 413
+            srv.edge_receiver.max_reconcile = 1
+            req = urllib.request.Request(
+                base + "/api/v1/edge/reconcile",
+                data=json.dumps({"entries": [
+                    {"path": "db/m/a.parquet", "sha256": "a" * 64},
+                    {"path": "db/m/b.parquet", "sha256": "b" * 64},
+                ]}).encode(),
+                headers={"Content-Type": "application/json"}, method="POST")
+            with pytest.raises(urllib.error.HTTPError) as e:
+                urllib.request.urlopen(req, timeout=10)
+            assert e.value.code == 413
+        finally:
+            srv.stop()
+
+
+class TestConfigWiring:
+    def test_hub_and_spoke_from_config(self, spark, tmp_path):
+        """Two engines from config alone: a hub serving /api/v1/edge/*
+        and a spoke whose scheduler job replicates into it."""
+        from arc_spark.config import build_engine, load_config, shutdown
+
+        hub_cfg = load_config(None, env={
+            "ARC_STORAGE_LOCAL_PATH": str(tmp_path / "hub"),
+            "ARC_SERVER_PORT": "0",
+            "ARC_EDGE_SYNC_HUB_ENABLED": "true",
+            "ARC_METRICS_TIMESERIES_ENABLED": "false",
+        })
+        hub = build_engine(hub_cfg, spark=spark)
+        hub["server"].start()
+        spoke_root = str(tmp_path / "spoke")
+        write_measurement(_df(spark), spoke_root, "metrics", "cpu",
+                          tag_columns=["host"])
+        spoke_cfg = load_config(None, env={
+            "ARC_STORAGE_LOCAL_PATH": spoke_root,
+            "ARC_SERVER_PORT": "0",
+            "ARC_EDGE_SYNC_SPOKE_ENABLED": "true",
+            "ARC_EDGE_SYNC_SPOKE_HUB_URL":
+                f"http://127.0.0.1:{hub['server'].port}",
+            "ARC_EDGE_SYNC_SPOKE_LEDGER_DB": str(tmp_path / "ledger.db"),
+            "ARC_METRICS_TIMESERIES_ENABLED": "false",
+        })
+        spoke = build_engine(spoke_cfg, spark=spark)
+        try:
+            # fire the scheduler job synchronously (TriggerNow semantics)
+            jobs = {j["name"]: j for j in spoke["scheduler"].status()}
+            assert "edge_sync" in jobs
+            out = spoke["scheduler"].trigger_now("edge_sync")
+            assert out["sent"] > 0 and out["failed"] == 0
+            hub_cat = hub["catalog"]
+            assert hub_cat.table("metrics", "cpu").count() == 60
+        finally:
+            shutdown(spoke)
+            shutdown(hub)
