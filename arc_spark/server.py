@@ -484,6 +484,49 @@ class ArcServer:
                         "jvm_free_bytes": rt.freeMemory(),
                         "jvm_max_bytes": rt.maxMemory(),
                     })
+                if url.path == "/api/v1/metrics/query-pool":
+                    # in-flight/recent query pool stats (reference
+                    # /api/v1/metrics/query-pool over the registry)
+                    infos = outer.query.registry.list()
+                    by_status: dict[str, int] = {}
+                    for i in infos:
+                        by_status[i.status] = by_status.get(i.status, 0) + 1
+                    return self._json(200, {
+                        "total_tracked": len(infos),
+                        "by_status": by_status,
+                        "running": by_status.get("running", 0),
+                    })
+                if url.path == "/api/v1/debug/memstats":
+                    # memory attribution for support cases (reference
+                    # internal/api/debug.go handleMemstats: Go heap vs
+                    # native heap vs process RSS; here Python heap vs JVM
+                    # heap vs process RSS) — admin, like the reference
+                    if not self._require_admin(token):
+                        return
+                    import gc
+                    import resource
+                    import sys as _sys
+
+                    rt = outer.query.spark._jvm.java.lang.Runtime.getRuntime()
+                    alloc = (_sys.getallocatedblocks()
+                             if hasattr(_sys, "getallocatedblocks") else None)
+                    return self._json(200, {
+                        "process": {
+                            "max_rss_kb": resource.getrusage(
+                                resource.RUSAGE_SELF).ru_maxrss,
+                        },
+                        "python": {
+                            "allocated_blocks": alloc,
+                            "gc_objects": len(gc.get_objects()),
+                            "gc_counts": gc.get_count(),
+                        },
+                        "jvm": {
+                            "total_bytes": rt.totalMemory(),
+                            "free_bytes": rt.freeMemory(),
+                            "max_bytes": rt.maxMemory(),
+                            "used_bytes": rt.totalMemory() - rt.freeMemory(),
+                        },
+                    })
                 if url.path == "/api/v1/audit":
                     # audit trail query (reference audit.go Query; admin —
                     # the trail names actors and databases)

@@ -698,3 +698,21 @@ class TestOperationalRoutes:
             port, "/api/v1/continuous_queries/pausable/run", "POST",
             admin, b"{}")
         assert status == 200
+
+
+def test_query_pool_and_memstats_routes(live):
+    """query-pool stats + debug memstats (reference
+    /api/v1/metrics/query-pool, /api/v1/debug/memstats)."""
+    port, admin, *_ = live
+    status, body, _ = _req(
+        port, "/api/v1/query", "POST", admin,
+        json.dumps({"sql": "SELECT count(*) AS n FROM cpu"}).encode())
+    assert status == 200
+    status, body, _ = _req(port, "/api/v1/metrics/query-pool", token=admin)
+    pool = json.loads(body)
+    assert status == 200 and pool["total_tracked"] >= 1
+    assert pool["by_status"].get("done", 0) >= 1
+    status, body, _ = _req(port, "/api/v1/debug/memstats", token=admin)
+    ms = json.loads(body)
+    assert status == 200
+    assert ms["jvm"]["used_bytes"] > 0 and ms["process"]["max_rss_kb"] > 0
