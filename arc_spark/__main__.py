@@ -66,11 +66,20 @@ def _serve(args) -> int:
 
 
 def _check_config(args) -> int:
-    from arc_spark.config import load_config, parse_decimal_columns
+    from arc_spark.config import load_config, parse_decimal_columns, parse_sort_keys
 
     cfg = load_config(args.config)
     parse_decimal_columns(cfg["ingest"]["decimal_columns"])  # validate
-    json.dump(cfg, sys.stdout, indent=2, default=str)
+    parse_sort_keys(cfg["ingest"]["sort_keys"])
+    # never print credentials (the reference redacts secrets from config
+    # dumps for the same reason)
+    redacted = json.loads(json.dumps(cfg, default=str))
+    for section in redacted.values():
+        if isinstance(section, dict):
+            for k in section:
+                if ("secret" in k or "token" in k) and section[k]:
+                    section[k] = "***"
+    json.dump(redacted, sys.stdout, indent=2)
     print()
     return 0
 
