@@ -312,7 +312,12 @@ class IngestService:
         )
         self._oldest: float | None = None
         self._recovering = False  # suppresses WAL truncation mid-replay
-        self.stats = {"acked": 0, "flushed": 0, "flushes": 0}
+        # parse_dropped: lines the deferred LP ack counted optimistically
+        # that then failed to parse at flush — the ack itself stays
+        # optimistic (count_lines is a header walk, not a parse), but the
+        # drop is observable here rather than silent
+        self.stats = {"acked": 0, "flushed": 0, "flushes": 0,
+                      "parse_dropped": 0}
         # _lock: buffers + WAL-append atomicity (a flush snapshot must never
         # cut the WAL between another writer's append and its buffer insert);
         # _flush_serial: at most one flush body runs at a time, so a later
@@ -845,7 +850,7 @@ class IngestService:
 
     def _decode_raw_batches(
         self, raw: list[tuple[str, str, bytes, int]]
-    ) -> tuple[dict[tuple[str, str], list[dict]], int]:
+    ) -> tuple[dict[tuple[str, str], list[dict]], int, int]:
         """Decode deferred payloads (flush time) → {(db, meas): [batches]}.
 
         LP payloads split PER MEASUREMENT via ``parse_chunk_columnar`` —
@@ -853,14 +858,19 @@ class IngestService:
         deferred stream lands never depends on whether the backlog
         crossed ``distributed_flush_min_bytes``.
 
-        Returns the ACKED DELTA: actual decoded rows minus what the ack
-        path already counted per entry (header-walk counts are exact in
-        practice; the delta self-corrects any divergence)."""
+        Returns (batches, ACKED DELTA, DROPPED): the delta is actual
+        decoded rows minus what the ack path already counted per entry
+        (header-walk counts are exact in practice; the delta self-corrects
+        any divergence); dropped is the non-negative per-payload sum of
+        ack-counted lines that failed to parse — the client-visible
+        deferred ack is OPTIMISTIC on malformed input (documented in the
+        README), and this counter makes the drop observable."""
         from arc_spark.sources.ingest import decode_msgpack_payload
         from arc_spark.sources.line_protocol import parse_chunk_columnar
 
         out: dict[tuple[str, str], list[dict]] = {}
         delta = 0
+        dropped = 0
         for db, kind, payload, n_pre in raw:
             actual = 0
             if kind.startswith("lp"):
@@ -878,8 +888,11 @@ class IngestService:
                     actual = len(
                         batch["columns"][next(iter(batch["columns"]))])
                     out.setdefault((db, meas), []).append(batch)
-            delta += actual - (n_pre if n_pre >= 0 else 0)
-        return out, delta
+            pre = n_pre if n_pre >= 0 else 0
+            delta += actual - pre
+            if actual < pre:
+                dropped += pre - actual
+        return out, delta, dropped
 
     def _maybe_drain_distributed(
         self, raw: list[tuple[str, str, bytes, int]]
@@ -959,13 +972,16 @@ class IngestService:
                             self.stats["acked"] += dist_rows - dist_pre
                             self.stats["flushed"] += dist_rows
                     acked_delta = 0
+                    parse_dropped = 0
                     if raw:
-                        decoded, acked_delta = self._decode_raw_batches(raw)
+                        decoded, acked_delta, parse_dropped = \
+                            self._decode_raw_batches(raw)
                         for key, batches in decoded.items():
                             buffers.setdefault(key, []).extend(batches)
                     decoded_merged = True
                     with self._lock:
                         self.stats["acked"] += acked_delta
+                        self.stats["parse_dropped"] += parse_dropped
                 total = self._write_buffers(buffers)
             except BaseException:
                 # a failed Parquet write must not orphan acked rows: put the

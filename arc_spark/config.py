@@ -166,16 +166,60 @@ def _coerce(raw: str, like: Any) -> Any:
     return raw
 
 
+def _check_file_value(section: str, key: str, value: Any, like: Any) -> Any:
+    """Validate a toml-file value for a KNOWN key against the default's
+    type, so ``port = "8000"`` or a scalar where a list is expected fails
+    at load with a clear message instead of deep inside build_engine
+    (reference config Load → validate ordering). String values are run
+    through the same coercion as env overrides (a quoted int/bool/list is
+    a common toml mistake and has one obvious meaning)."""
+    where = f"[{section}] {key}"
+
+    def coerced() -> Any:
+        try:
+            return _coerce(value, like)
+        except ValueError as exc:
+            raise ValueError(f"{where}: {exc}") from None
+
+    if isinstance(like, bool):
+        if isinstance(value, bool):
+            return value
+        if isinstance(value, str):
+            return coerced()
+        raise ValueError(f"{where}: expected a boolean, got {value!r}")
+    if isinstance(like, int):
+        if isinstance(value, bool) or not isinstance(value, (int, str)):
+            raise ValueError(f"{where}: expected an integer, got {value!r}")
+        return coerced() if isinstance(value, str) else value
+    if isinstance(like, float):
+        if isinstance(value, bool) or not isinstance(value, (int, float, str)):
+            raise ValueError(f"{where}: expected a number, got {value!r}")
+        return coerced() if isinstance(value, str) else float(value)
+    if isinstance(like, list):
+        if isinstance(value, list):
+            return value
+        if isinstance(value, str):
+            return coerced()  # ";"-split, same as env
+        raise ValueError(f"{where}: expected a list, got {value!r}")
+    if not isinstance(value, str):
+        raise ValueError(f"{where}: expected a string, got {value!r}")
+    return value
+
+
 def load_config(path: str | None = None,
                 env: dict[str, str] | None = None) -> dict:
     """Defaults ← toml file ← ``ARC_<SECTION>_<KEY>`` env overrides.
 
-    Unknown sections/keys in the file are kept verbatim (forward compat,
-    like the reference tolerating enterprise sections it does not use).
-    Env overrides only apply to keys with a known default (their type
-    drives the coercion; lists split on ``;``)."""
+    File values for KNOWN keys are type-checked/coerced against the
+    defaults (a bad type raises at load, and unknown keys inside known
+    sections log a warning — likely misspellings). Unknown SECTIONS are
+    kept verbatim (forward compat, like the reference tolerating
+    enterprise sections it does not use). Env overrides only apply to
+    keys with a known default (their type drives the coercion; lists
+    split on ``;``)."""
     cfg = copy.deepcopy(DEFAULTS)
     if path:
+        import logging
         import tomllib
 
         with open(path, "rb") as fh:
@@ -185,7 +229,17 @@ def load_config(path: str | None = None,
                 cfg.setdefault("_top", {})[section] = vals
                 continue
             dst = cfg.setdefault(section, {})
-            dst.update(vals)
+            known = DEFAULTS.get(section)
+            for key, value in vals.items():
+                if known is not None and key in known:
+                    dst[key] = _check_file_value(
+                        section, key, value, known[key])
+                else:
+                    if known is not None:
+                        logging.getLogger("arc_spark.config").warning(
+                            "%s: unknown key [%s] %s (kept verbatim; "
+                            "check spelling)", path, section, key)
+                    dst[key] = value
     env = os.environ if env is None else env
     for section, vals in DEFAULTS.items():
         for key, default in vals.items():

@@ -84,6 +84,11 @@ def validate_sync_path(path: str) -> None:
     parts = p.split("/")
     if (p.startswith("/") or len(parts) < 3 or not p.endswith(".parquet")
             or any(seg in ("", ".", "..") or seg.startswith(".")
+                   for seg in parts)
+            # in-flight compaction/delete artifacts use a SUFFIX marker
+            # ('hour=03.compact-tmp-<id>'), so the dot-prefix rule above
+            # does not catch them; same rules as snapshots._is_live_data_file
+            or any(".compact-tmp-" in seg or ".delete-tmp-" in seg
                    for seg in parts)):
         raise ValueError(f"not a syncable path: {path!r}")
 
@@ -244,6 +249,16 @@ class HubReceiver:
         self.catalog = catalog
         self.max_reconcile = max_reconcile
         self.activity: dict[str, dict] = {}  # spoke_id → counters
+        # receive() runs under ThreadingHTTPServer: without per-path
+        # serialization two concurrent uploads of the same path could both
+        # pass the conflict check and the later move would overwrite the
+        # earlier's committed bytes
+        self._path_locks: dict[str, threading.Lock] = {}
+        self._locks_guard = threading.Lock()
+
+    def _path_lock(self, path: str) -> threading.Lock:
+        with self._locks_guard:
+            return self._path_locks.setdefault(path, threading.Lock())
 
     def reconcile(self, entries: list[dict]) -> dict:
         """{"missing": [...], "present": [...], "conflicts": [...]} for
@@ -275,34 +290,35 @@ class HubReceiver:
         DIFFERENT sha at an indexed path raises :class:`SyncConflict`
         (immutable files; never overwrite)."""
         validate_sync_path(path)
-        got = self.index.lookup([path]).get(path)
-        if got is not None:
-            if got == sha256:
-                return {"status": "already_present", "path": path}
-            raise SyncConflict(f"{path}: hub holds {got[:12]}…, "
-                               f"spoke sent {sha256[:12]}…")
         digest = hashlib.sha256(data).hexdigest()
         if digest != sha256:
             raise ValueError(
                 f"sha256 mismatch for {path}: claimed {sha256[:12]}…, "
                 f"got {digest[:12]}…")
-        bk = backend_for(self.root)
-        staging = bk.join(self.root, STAGING_PREFIX)
-        bk.mkdirs(staging)
-        staged = bk.join(staging, f"{uuid.uuid4().hex}.parquet")
-        bk.write_bytes(staged, data)
-        final = bk.join(self.root, path)
-        bk.mkdirs(bk.dirname(final))
-        bk.move_file(staged, final)
-        # reader visibility via the snapshot commit (standalone's stand-in
-        # for the reference's Raft-manifest RegisterFile)
-        parts = path.replace("\\", "/").split("/")
-        db, meas = parts[0], parts[1]
-        from arc_spark import snapshots
+        with self._path_lock(path):
+            got = self.index.lookup([path]).get(path)
+            if got is not None:
+                if got == sha256:
+                    return {"status": "already_present", "path": path}
+                raise SyncConflict(f"{path}: hub holds {got[:12]}…, "
+                                   f"spoke sent {sha256[:12]}…")
+            bk = backend_for(self.root)
+            staging = bk.join(self.root, STAGING_PREFIX)
+            bk.mkdirs(staging)
+            staged = bk.join(staging, f"{uuid.uuid4().hex}.parquet")
+            bk.write_bytes(staged, data)
+            final = bk.join(self.root, path)
+            bk.mkdirs(bk.dirname(final))
+            bk.move_file(staged, final)
+            # reader visibility via the snapshot commit (standalone's
+            # stand-in for the reference's Raft-manifest RegisterFile)
+            parts = path.replace("\\", "/").split("/")
+            db, meas = parts[0], parts[1]
+            from arc_spark import snapshots
 
-        meas_path = bk.join(self.root, db, meas)
-        snapshots.commit(meas_path, add=[final], bk=bk)
-        self.index.record(path, sha256, len(data), spoke_id)
+            meas_path = bk.join(self.root, db, meas)
+            snapshots.commit(meas_path, add=[final], bk=bk)
+            self.index.record(path, sha256, len(data), spoke_id)
         if self.catalog is not None:
             try:
                 self.catalog.invalidate(db, meas)
@@ -404,8 +420,11 @@ class SpokeAgent:
                 meas_path = bk.join(self.root, db, meas)
                 files = snapshots.data_files(meas_path, bk=bk)
                 if files is None:
-                    files = [f for f in bk.find_files(meas_path,
-                                                      suffix=".parquet")]
+                    # unmanaged tree: live_glob applies the same
+                    # tmp/staging exclusions as committed snapshots, so a
+                    # mid-write compaction output is never hashed/shipped
+                    files = [bk.join(meas_path, r)
+                             for r in snapshots.live_glob(meas_path, bk=bk)]
                 for f in files:
                     rel = f"{db}/{meas}/" + bk.relpath(f, meas_path).replace(
                         "\\", "/")

@@ -445,7 +445,14 @@ def parse_chunk_columnar(chunk: bytes, precision: str) -> dict[str, dict]:
     Returns {measurement: {"columns": {name: list}, "tag_columns": [...]}}
     — the ingest columnar shape, ready for ``columnar_to_arrow``. Uniform
     chunks take :func:`parse_chunk_vectorized`; anything irregular falls
-    through to the per-line loop below (identical output either way)."""
+    through to the per-line loop below (identical output either way).
+
+    Malformed lines are SKIPPED, not fatal: every caller is post-ack
+    (deferred flush / distributed drain), where raising would wedge the
+    flush retry loop on one poison line. The drop is observable — the
+    ack/flush delta reconciles stats and IngestService surfaces it as
+    ``parse_dropped`` (the synchronous ack path uses :func:`parse_batch`,
+    which still rejects the whole payload at ack time)."""
     fast = parse_chunk_vectorized(chunk, precision)
     if fast is not None:
         return fast
@@ -453,7 +460,10 @@ def parse_chunk_columnar(chunk: bytes, precision: str) -> dict[str, dict]:
     for s in chunk.decode("utf-8", "replace").splitlines():
         if not s.strip() or s.startswith("#"):
             continue
-        r = parse_line(s, precision)
+        try:
+            r = parse_line(s, precision)
+        except LineProtocolError:
+            continue  # post-ack: drop + count, never wedge the flush
         st = per_meas.get(r["measurement"])
         if st is None:
             st = per_meas[r["measurement"]] = {

@@ -681,5 +681,8 @@ def count_rows(data: bytes) -> int | None:
                 return _array_len_at(mv, pos)
             pos = _skip(mv, pos)
         return 1  # single row record map
-    except (IndexError, ValueError):
+    except (IndexError, ValueError, RecursionError):
+        # RecursionError: _skip recurses per nested container, so a payload
+        # of ~1000 nested array headers must degrade to "count unknown",
+        # not crash the deferred ack path
         return None

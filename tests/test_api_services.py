@@ -213,6 +213,23 @@ class TestDeferredDecode:
         assert svc.flush() == 2
         assert svc.stats["acked"] == 2
 
+    def test_deferred_lp_drops_are_observable(self, spark, tmp_path):
+        """The deferred LP ack is documented as OPTIMISTIC (counts
+        newlines); a line that fails to parse at flush must surface in
+        stats['parse_dropped'] rather than vanish (round-4 advice)."""
+        svc = IngestService(spark, str(tmp_path), max_buffer_rows=10**9,
+                            max_buffer_age_s=10**9, defer_decode=True)
+        n = svc.write_line_protocol(
+            "m",
+            b"cpu,host=a v=1 1700000000000000000\n"
+            b"this is not line protocol at all\n"
+            b"cpu,host=b v=2 1700000001000000000\n",
+        )
+        assert n == 3  # optimistic ack
+        assert svc.flush() == 2  # only the parseable rows land
+        assert svc.stats["acked"] == 2  # delta self-corrected
+        assert svc.stats["parse_dropped"] == 1  # the drop is observable
+
     def test_mixed_formats_decode_at_flush(self, spark, tmp_path):
         svc = IngestService(spark, str(tmp_path), max_buffer_rows=10**9,
                             max_buffer_age_s=10**9, defer_decode=True)

@@ -67,6 +67,41 @@ class TestLoadConfig:
         with pytest.raises(ValueError):
             load_config(None, env={"ARC_AUTH_ENABLED": "maybe"})
 
+    def test_file_values_type_checked(self, tmp_path):
+        """File values for known keys fail at LOAD on a type mismatch
+        (round-4 advice: port = "8000" or a scalar where a list is
+        expected used to load silently and explode inside build_engine)."""
+        # quoted scalars coerce like env overrides — common toml mistake
+        p = tmp_path / "a.toml"
+        p.write_text('[server]\nport = "9001"\n'
+                     '[ingest]\ndefer_decode = "false"\n'
+                     'decimal_columns = "m:a=10,2;m:b=38,0"\n')
+        cfg = load_config(str(p), env={})
+        assert cfg["server"]["port"] == 9001
+        assert cfg["ingest"]["defer_decode"] is False
+        assert cfg["ingest"]["decimal_columns"] == ["m:a=10,2", "m:b=38,0"]
+        # genuinely wrong types raise with the section/key in the message
+        for body in ('[server]\nport = [8000]\n',
+                     '[server]\nport = "not-a-port"\n',
+                     '[ingest]\ndefer_decode = 3\n',
+                     '[ingest]\ndecimal_columns = 7\n',
+                     '[compaction]\nmin_age_hours = "soon"\n'):
+            (tmp_path / "b.toml").write_text(body)
+            with pytest.raises(ValueError) as exc:
+                load_config(str(tmp_path / "b.toml"), env={})
+            assert "[" in str(exc.value)  # names the offending key
+
+    def test_unknown_key_in_known_section_warns(self, tmp_path, caplog):
+        import logging
+
+        p = tmp_path / "a.toml"
+        p.write_text("[server]\nprot = 9001\n")  # misspelled 'port'
+        with caplog.at_level(logging.WARNING, logger="arc_spark.config"):
+            cfg = load_config(str(p), env={})
+        assert cfg["server"]["port"] == 8000  # default untouched
+        assert cfg["server"]["prot"] == 9001  # kept verbatim
+        assert any("prot" in r.message for r in caplog.records)
+
     def test_every_default_is_coercible(self):
         # the env scheme covers every key: coercion round-trips defaults
         for section, vals in DEFAULTS.items():

@@ -59,6 +59,10 @@ class TestPathValidation:
         "/abs/db/cpu/a.parquet", "db/cpu/../../etc/passwd.parquet",
         ".hidden/cpu/a.parquet", "db/.sync-staging/a.parquet",
         "db/cpu/a.txt", "short.parquet", "db//cpu/a.parquet",
+        # in-flight compaction/delete artifacts use a SUFFIX marker, so
+        # the dot-prefix rule alone does not catch them (round-4 advice)
+        "db/cpu/hour=03.compact-tmp-ab12/a.parquet",
+        "db/cpu/x.delete-tmp-99.parquet",
     ])
     def test_invalid(self, bad):
         with pytest.raises(ValueError):
@@ -171,6 +175,55 @@ class TestEndToEnd:
         out = recv.reconcile(
             [{"path": path, "sha256": hashlib.sha256(data2).hexdigest()}])
         assert out["conflicts"] == [path] and out["missing"] == []
+
+    def test_concurrent_same_path_receive_is_serialized(self, tmp_path):
+        """Two concurrent uploads of the same path with DIFFERENT bytes:
+        exactly one promotes; the loser gets SyncConflict (or sees
+        already_present for identical bytes) and the file on disk always
+        matches the indexed sha (round-4 advice: check-then-act race under
+        ThreadingHTTPServer)."""
+        import concurrent.futures as cf
+
+        recv = HubReceiver(str(tmp_path / "hub"))
+        path = "db/cpu/year=2024/month=1/day=1/hour=0/a.parquet"
+        payloads = [b"PARQUET-%d" % i for i in range(8)]
+
+        def send(data):
+            try:
+                return recv.receive(
+                    path, hashlib.sha256(data).hexdigest(), data), data
+            except SyncConflict:
+                return None, data
+
+        with cf.ThreadPoolExecutor(8) as ex:
+            results = list(ex.map(send, payloads))
+        winners = [d for r, d in results if r is not None]
+        assert len(winners) == 1
+        on_disk = (tmp_path / "hub" / path).read_bytes()
+        assert on_disk == winners[0]
+        indexed = recv.index.lookup([path])[path]
+        assert indexed == hashlib.sha256(on_disk).hexdigest()
+
+    def test_unmanaged_glob_skips_compaction_tmp(self, spark, tmp_path):
+        """On a snapshot-less tree the discovery fallback must apply the
+        same tmp exclusions as committed reads — an in-flight compaction
+        output ('hour=X.compact-tmp-<id>/') is never hashed or shipped
+        (round-4 advice)."""
+        spoke_root = str(tmp_path / "spoke")
+        base = tmp_path / "spoke" / "metrics" / "cpu"
+        good = base / "year=2024" / "month=1" / "day=1" / "hour=0"
+        good.mkdir(parents=True)
+        (good / "data.parquet").write_bytes(b"GOOD")
+        tmpdir = base / "year=2024" / "month=1" / "day=1" / \
+            "hour=0.compact-tmp-abc123"
+        tmpdir.mkdir(parents=True)
+        (tmpdir / "partial.parquet").write_bytes(b"MID-WRITE")
+        assert snapshots.data_files(str(base)) is None  # unmanaged
+        agent = SpokeAgent(spoke_root, SyncLedger(),
+                           MemoryTransport(HubReceiver(str(tmp_path / "hub"))))
+        rels = agent._committed_files()
+        assert rels == ["metrics/cpu/year=2024/month=1/day=1/hour=0/"
+                        "data.parquet"]
 
     def test_digest_mismatch_rejected_nothing_visible(self, tmp_path):
         recv = HubReceiver(str(tmp_path / "hub"))

@@ -514,6 +514,20 @@ class TestAckCountEquivalence:
                 if decoded["columns"] else 0)
         assert got == want
 
+    def test_deeply_nested_payload_degrades_to_unknown(self):
+        """A map value of ~4000 nested array headers (repeated 0x91)
+        makes _skip recurse past the interpreter limit; count_rows must
+        yield the documented 'count unknown' None, not a RecursionError
+        escaping into the deferred ack path (round-4 advice)."""
+        import sys
+
+        from arc_spark.sources.msgpack_codec import count_rows
+
+        depth = sys.getrecursionlimit() + 3000
+        bomb = b"\x91" * depth + b"\xc0"  # [[[...nil...]]]
+        # {"x": <bomb>} — the header walk must _skip the nested value
+        assert count_rows(b"\x81\xa1x" + bomb) is None
+
     @given(st.lists(st.dictionaries(
         st.sampled_from(["a", "b", "c"]),
         st.floats(allow_nan=False, allow_infinity=False),
