@@ -1157,6 +1157,42 @@ ORACLES_Q67 = f"""
 """
 
 
+def q68_range_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Bucketized range (interval) join: every view in the 10 minutes
+    BEFORE each purchase, with no equi key — the pure range shape whose
+    naive form Spark plans as BroadcastNestedLoopJoin. The operator
+    (`operators/rangejoin.py`) buckets left rows by ⌊ts/w⌋ and explodes
+    each right row to its ≤2 candidate buckets, so the join is one hash
+    shuffle per side (plan-locked: no nested loop). Oracle: the ANSI
+    theta form ``v.ts BETWEEN p.ts - 10min AND p.ts``."""
+    from arc_spark.operators.rangejoin import range_join
+
+    t = load_tables(spark, sf, register_views=False)
+    ev = t["events"]
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "ts")
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "ts")
+    out = range_join(purchases, views, left_ts="ts", right_ts="ts",
+                     lower_us=-600_000_000, upper_us=0)
+    return out.select(
+        "purchase_id", "view_id",
+        F.unix_micros("ts").alias("purchase_ts_us"),
+        F.unix_micros("ts_r").alias("view_ts_us"),
+    )
+
+
+ORACLES_Q68 = """
+    SELECT p.event_id AS purchase_id, v.event_id AS view_id,
+           epoch_us(p.ts) AS purchase_ts_us, epoch_us(v.ts) AS view_ts_us
+    FROM (SELECT event_id, make_timestamp(epoch_us(ts)) AS ts
+          FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT event_id, make_timestamp(epoch_us(ts)) AS ts
+          FROM events WHERE event_type = 'view') v
+      ON v.ts BETWEEN p.ts - INTERVAL 600 SECOND AND p.ts
+"""
+
+
 # Spark-dialect normalized text (the DuckDB oracles use _NORM/_LNORM which
 # carry DuckDB's explicit 'g' regexp flag)
 _SPARK_NORM = "lower(regexp_replace(trim(text), '\\\\s+', ' '))"
@@ -2136,5 +2172,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q66_lsh_topk": q35_lsh_topk,
     # DECIMAL128 ingest→query e2e (r3 verdict item 7)
     "q67_decimal128_roundtrip": q67_decimal128_roundtrip,
+    # bucketized interval join (r4 verdict item 3: wire rangejoin.py)
+    "q68_range_join": q68_range_join,
 }
 ORACLES["q67_decimal128_roundtrip"] = ORACLES_Q67
+ORACLES["q68_range_join"] = ORACLES_Q68
