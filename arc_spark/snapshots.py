@@ -36,12 +36,18 @@ compaction, delete, retention, tiering, restore) commit; ad-hoc files
 dropped into a managed tree by hand are invisible until a commit or
 snapshot removal — which is the point.
 
-Concurrency: commits to one measurement dir serialize on an in-process
-lock (the engine is single-process, like the reference's standalone
-backend mode; multi-writer coordination is what the reference's Raft
-layer does and is out of scope — SURVEY A39 collapse). The version scan
-+ rename is still ordered so a concurrent *reader* always sees a fully
-written snapshot.
+Concurrency: threads in one process serialize on an in-process lock;
+across PROCESSES, :func:`commit` is a version compare-and-swap — the
+``vN+1`` file is published with a fail-if-exists primitive (hard-link
+EEXIST on local filesystems), and a loser rereads the winner's snapshot
+and reapplies its own add/remove sets. That makes the A24 collapse
+("compaction as a separate Spark job") actually safe: an out-of-process
+lifecycle job and a serving engine committing concurrently lose neither
+side's files — the role the reference's Raft RegisterFile ordering
+plays (internal/compaction/manifest.go). Object stores without a
+conditional create degrade to documented single-writer mode. A
+concurrent *reader* always sees a fully written snapshot (the body is
+complete before the link/rename publishes it).
 
 At 100 TB: a snapshot is one JSON object of relative paths — ~100 bytes
 per file. Reads pay one small GET instead of a recursive LIST (on object
@@ -60,12 +66,17 @@ here would not change.
 from __future__ import annotations
 
 import threading
+import time
 import uuid
 
 from arc_spark.storage import backend_for
 
 SNAP_DIR = "_arc_snapshots"
 KEEP_VERSIONS = 10
+# prune only version files older than this: a racing out-of-process
+# committer's read→CAS window is sub-second, so its just-read current
+# version can never be deleted out from under it
+PRUNE_MIN_AGE_S = 60.0
 
 _locks: dict[str, threading.Lock] = {}
 _locks_guard = threading.Lock()
@@ -167,35 +178,70 @@ def _rel(bk, meas_path: str, path: str) -> str:
     return p  # already relative
 
 
-def commit(meas_path: str, add=(), remove=(), bk=None) -> int:
+class CommitContention(RuntimeError):
+    """CAS retries exhausted — pathological multi-writer contention on one
+    measurement (dozens of out-of-process commits inside one call's
+    window). The operation is safe to retry; nothing was published."""
+
+
+def commit(meas_path: str, add=(), remove=(), bk=None,
+           max_retries: int = 64) -> int:
     """Publish the next snapshot = current ∪ add − remove. Returns the new
     version. On an unmanaged tree the base is a glob of live files (which
     already includes just-written adds), so the first commit adopts
     everything in place.
 
     Contract for writers: call AFTER the added files are fully written
-    and BEFORE any removed file is physically deleted."""
+    and BEFORE any removed file is physically deleted.
+
+    Multi-process safety (the A24 collapse's precondition — compaction /
+    retention / delete may run as SEPARATE Spark jobs against a serving
+    engine): the version file is published with a compare-and-swap —
+    ``move_file_excl`` fails if ``vN+1`` already exists (hard-link EEXIST
+    on local filesystems; the reference's Raft RegisterFile ordering,
+    internal/compaction/manifest.go, plays this role natively). A loser
+    rereads the new current snapshot and retries with its add/remove sets
+    reapplied, so two processes committing concurrently lose neither's
+    files. Threads in one process additionally serialize on the local
+    lock (cheaper than burning CAS retries). Object-store backends
+    without a conditional create degrade to check-then-move:
+    single-writer-per-measurement there, as documented in
+    ``StorageBackend.move_file_excl``."""
     bk = bk or backend_for(meas_path)
     with _lock_for(meas_path):
-        cur = current(meas_path, bk=bk)
-        if cur is None:
-            ver, files = 0, set(live_glob(meas_path, bk=bk))
-        else:
-            ver, lst = cur
-            files = set(lst)
-        files.update(_rel(bk, meas_path, p) for p in add)
-        files.difference_update(_rel(bk, meas_path, p) for p in remove)
-        new_ver = ver + 1
-        d = _snap_dir(bk, meas_path)
-        bk.mkdirs(d)
-        tmp = bk.join(d, f".v{new_ver:012d}.json.tmp-{uuid.uuid4().hex[:8]}")
-        bk.write_json(tmp, {"version": new_ver, "files": sorted(files)})
-        bk.move_file(tmp, bk.join(d, f"v{new_ver:012d}.json"))
-        # prune history beyond KEEP_VERSIONS (never the one just written)
-        vers = _versions(bk, meas_path)
-        for _, path in vers[:-KEEP_VERSIONS]:
-            bk.remove_file_if_exists(path)
-        return new_ver
+        for _ in range(max_retries):
+            cur = current(meas_path, bk=bk)
+            if cur is None:
+                ver, files = 0, set(live_glob(meas_path, bk=bk))
+            else:
+                ver, lst = cur
+                files = set(lst)
+            files.update(_rel(bk, meas_path, p) for p in add)
+            files.difference_update(_rel(bk, meas_path, p) for p in remove)
+            new_ver = ver + 1
+            d = _snap_dir(bk, meas_path)
+            bk.mkdirs(d)
+            tmp = bk.join(
+                d, f".v{new_ver:012d}.json.tmp-{uuid.uuid4().hex[:8]}")
+            bk.write_json(tmp, {"version": new_ver, "files": sorted(files)})
+            if not bk.move_file_excl(
+                    tmp, bk.join(d, f"v{new_ver:012d}.json")):
+                continue  # lost the race to another process: reread, retry
+            # prune history beyond KEEP_VERSIONS — but never young files:
+            # an age floor keeps a racing committer's just-read current
+            # version from vanishing mid-CAS even under a version burst
+            vers = _versions(bk, meas_path)
+            for _, path in vers[:-KEEP_VERSIONS]:
+                try:
+                    if time.time() - bk.mtime(path) < PRUNE_MIN_AGE_S:
+                        continue
+                except (OSError, KeyError):
+                    continue
+                bk.remove_file_if_exists(path)
+            return new_ver
+        raise CommitContention(
+            f"{meas_path}: snapshot CAS lost {max_retries} consecutive "
+            "races — check for a runaway external committer")
 
 
 def contains(meas_path: str, path: str, bk=None) -> bool | None:

@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import datetime as dt
 import json
+import os
 import posixpath
 
 import pyarrow as pa
@@ -306,6 +307,41 @@ class StorageBackend:
 
     def move_file(self, src: str, dst: str) -> None:
         self.fs.move(self.fs_path(src), self.fs_path(dst))
+
+    def move_file_excl(self, src: str, dst: str) -> bool:
+        """Publish ``src`` at ``dst`` ONLY if ``dst`` does not already
+        exist; ``src`` is consumed either way. Returns True when this call
+        created ``dst`` — the compare-and-swap primitive snapshot commits
+        use for multi-PROCESS safety (version files: fail-if-exists on
+        ``vN+1`` → loser rereads and retries).
+
+        Local filesystems get a genuinely atomic check: hard-link(2) fails
+        with EEXIST atomically, and the link publishes the fully written
+        tmp body in one step. Backends without a conditional-create
+        primitive (plain S3 without If-None-Match) fall back to
+        check-then-move — a documented single-writer-per-measurement mode,
+        exactly the reference's standalone (non-Raft) backend contract."""
+        fsrc, fdst = self.fs_path(src), self.fs_path(dst)
+        if isinstance(self.fs, pafs.LocalFileSystem):
+            try:
+                os.link(fsrc, fdst)
+            except FileExistsError:
+                os.unlink(fsrc)
+                return False
+            except OSError:
+                # cross-device or no-hardlink fs: degrade to check-then-move
+                if self.exists(dst):
+                    self.remove_file(src)
+                    return False
+                self.move_file(src, dst)
+                return True
+            os.unlink(fsrc)
+            return True
+        if self.exists(dst):
+            self.remove_file(src)
+            return False
+        self.move_file(src, dst)
+        return True
 
     def move_dir(self, src: str, dst: str) -> None:
         """Directory rename where the fs supports it (local/HDFS); object

@@ -66,13 +66,24 @@ class TestSnapshotPrimitives:
         _, rels = snapshots.current(root)
         assert rels == ["p1/b.parquet", "p2/c.parquet"]
 
-    def test_history_pruned(self, tmp_path):
+    def test_history_pruned(self, tmp_path, monkeypatch):
+        monkeypatch.setattr(snapshots, "PRUNE_MIN_AGE_S", 0.0)
         root = str(tmp_path)
         for i in range(snapshots.KEEP_VERSIONS + 5):
             snapshots.commit(root, add=[f"f{i}.parquet"])
         vers = [v for v, _ in snapshots._versions(backend_for(root), root)]
         assert len(vers) == snapshots.KEEP_VERSIONS
         assert max(vers) == snapshots.KEEP_VERSIONS + 5
+
+    def test_young_versions_never_pruned(self, tmp_path):
+        """The prune age floor: a version file younger than
+        PRUNE_MIN_AGE_S survives even past KEEP_VERSIONS, so a racing
+        committer's just-read current version cannot vanish mid-CAS."""
+        root = str(tmp_path)
+        for i in range(snapshots.KEEP_VERSIONS + 5):
+            snapshots.commit(root, add=[f"f{i}.parquet"])
+        vers = [v for v, _ in snapshots._versions(backend_for(root), root)]
+        assert len(vers) == snapshots.KEEP_VERSIONS + 5
 
     def test_staging_and_tmp_dirs_never_adopted(self, tmp_path):
         root = str(tmp_path)
@@ -105,6 +116,88 @@ class TestSnapshotPrimitives:
         assert errs == []
         _, rels = snapshots.current(root)
         assert len(rels) == 16  # no lost update
+
+
+class TestMultiProcessCommit:
+    """The A24 collapse's correctness precondition (r4 verdict item 1):
+    compaction/retention as a SEPARATE process must not race `serve`'s
+    commits into lost updates. commit() publishes vN+1 with a
+    fail-if-exists CAS (hard-link EEXIST) and losers reread + retry."""
+
+    def test_two_processes_committing_lose_nothing(self, tmp_path):
+        import subprocess
+        import sys
+        import textwrap
+        import time as _time
+
+        root = str(tmp_path / "meas")
+        os.makedirs(root)
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        n = 30
+        ready = str(tmp_path / "ready")
+        script = textwrap.dedent(f"""
+            import os, sys, time
+            sys.path.insert(0, {repo!r})
+            from arc_spark import snapshots
+            open({ready!r}, "w").close()
+            for i in range({n}):
+                snapshots.commit({root!r}, add=[f"sub/b{{i}}.parquet"])
+        """)
+        proc = subprocess.Popen([sys.executable, "-c", script])
+        try:
+            deadline = _time.time() + 60
+            while not os.path.exists(ready):
+                assert _time.time() < deadline, "subprocess never started"
+                assert proc.poll() is None, "subprocess died early"
+                _time.sleep(0.01)
+            for i in range(n):
+                snapshots.commit(root, add=[f"main/a{i}.parquet"])
+            assert proc.wait(timeout=120) == 0
+        finally:
+            if proc.poll() is None:
+                proc.kill()
+        _, rels = snapshots.current(root)
+        got = set(rels)
+        assert {f"main/a{i}.parquet" for i in range(n)} <= got
+        assert {f"sub/b{i}.parquet" for i in range(n)} <= got
+
+    def test_cas_loser_retries_and_merges(self, tmp_path, monkeypatch):
+        """Deterministic interleaving: another 'process' steals vN+1
+        between our read and our publish — the commit must retry and the
+        final snapshot must contain BOTH sides' files."""
+        root = str(tmp_path)
+        bk = backend_for(root)
+        snapshots.commit(root, add=["base.parquet"])
+        real_excl = type(bk).move_file_excl
+        stolen = {"done": False}
+
+        def stealing_excl(self, src, dst):
+            if not stolen["done"]:
+                stolen["done"] = True
+                # an out-of-process committer wins vN+1 first
+                d = snapshots._snap_dir(bk, root)
+                bk.write_json(bk.join(d, ".steal.tmp"), {
+                    "version": 2, "files": ["base.parquet",
+                                            "other/x.parquet"]})
+                real_excl(self, bk.join(d, ".steal.tmp"),
+                          bk.join(d, "v000000000002.json"))
+            return real_excl(self, src, dst)
+
+        monkeypatch.setattr(type(bk), "move_file_excl", stealing_excl)
+        v = snapshots.commit(root, add=["mine/y.parquet"])
+        assert v == 3  # retried past the stolen version
+        _, rels = snapshots.current(root)
+        assert set(rels) == {"base.parquet", "other/x.parquet",
+                             "mine/y.parquet"}
+
+    def test_contention_exhaustion_raises(self, tmp_path, monkeypatch):
+        root = str(tmp_path)
+        bk = backend_for(root)
+        snapshots.commit(root, add=["a.parquet"])
+        monkeypatch.setattr(type(bk), "move_file_excl",
+                            lambda self, s, d: (bk.remove_file(s), False)[1])
+        with pytest.raises(snapshots.CommitContention):
+            snapshots.commit(root, add=["b.parquet"], max_retries=3)
 
 
 class TestCrashInjection:

@@ -229,6 +229,38 @@ class TestCrossBackendTiering:
         assert bk.find_files(bk.join(cold, "db0", "cpu"), suffix=".parquet")
 
 
+class TestMoveFileExcl:
+    """The snapshot-CAS primitive: publish-if-absent, src always consumed."""
+
+    def test_local_atomic_link_path(self, tmp_path):
+        from arc_spark.storage import backend_for
+
+        bk = backend_for(str(tmp_path))
+        src1, src2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+        dst = str(tmp_path / "v1.json")
+        bk.write_bytes(src1, b"one")
+        bk.write_bytes(src2, b"two")
+        assert bk.move_file_excl(src1, dst) is True
+        assert bk.move_file_excl(src2, dst) is False  # loser
+        assert bk.read_bytes(dst) == b"one"  # winner's bytes intact
+        assert not bk.exists(src1) and not bk.exists(src2)  # both consumed
+
+    def test_registered_scheme_fallback_path(self, mock_root):
+        from arc_spark.storage import backend_for
+
+        bk = backend_for(mock_root)
+        src1 = bk.join(mock_root, "s1")
+        src2 = bk.join(mock_root, "s2")
+        dst = bk.join(mock_root, "excl", "v1.json")
+        bk.mkdirs(bk.join(mock_root, "excl"))
+        bk.write_bytes(src1, b"one")
+        bk.write_bytes(src2, b"two")
+        assert bk.move_file_excl(src1, dst) is True
+        assert bk.move_file_excl(src2, dst) is False
+        assert bk.read_bytes(dst) == b"one"
+        assert not bk.exists(src1) and not bk.exists(src2)
+
+
 class TestBackendResolution:
     def test_unknown_scheme_raises(self):
         with pytest.raises(ValueError, match="no storage backend"):
