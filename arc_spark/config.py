@@ -123,6 +123,14 @@ DEFAULTS: dict[str, dict[str, Any]] = {
         "days": 0,               # 0 = no TTL even when enabled
         "buffer_days": 1.0,
     },
+    # external-reader export (reference internal/iceberg/scheduler.go):
+    # dest_path="" = zero-copy Delta log in place; non-empty = committed-
+    # only hardlink/copy tree + Delta log at <dest_path>/<db>/<meas>
+    "export": {
+        "enabled": False,
+        "interval_s": 3600,
+        "dest_path": "",
+    },
     "auth": {"enabled": False, "db_path": ""},
     "audit_log": {
         "enabled": False,
@@ -474,6 +482,32 @@ def build_engine(cfg: dict, spark=None) -> dict:
             return {"removed": removed}
 
         scheduler.add_job("retention", _retention_all, ret["interval_s"])
+    exp = cfg["export"]
+    if exp["enabled"]:
+        from arc_spark.operators.export import export_delta_log, export_tree
+        from arc_spark.storage import backend_for
+
+        def _export_all(root=root):
+            bk = backend_for(root)
+            out = {"measurements": 0, "commits": 0}
+            if bk.isdir(root):
+                for db in bk.list_dirs(root):
+                    for meas in bk.list_dirs(bk.join(root, db)):
+                        mp = bk.join(root, db, meas)
+                        if exp["dest_path"]:
+                            dbk = backend_for(exp["dest_path"])
+                            r = export_tree(
+                                mp, dbk.join(exp["dest_path"], db, meas),
+                                bk=bk, table_name=f"{db}.{meas}")
+                        else:
+                            r = export_delta_log(
+                                mp, bk=bk, table_name=f"{db}.{meas}")
+                        out["measurements"] += 1
+                        out["commits"] += 1 if (r["added"] or r["removed"]
+                                                ) else 0
+            return out
+
+        scheduler.add_job("export", _export_all, exp["interval_s"])
     if reconciler is not None:
         rec_cfg = cfg["reconciliation"]
         scheduler.add_job(

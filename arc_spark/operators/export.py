@@ -1,0 +1,251 @@
+"""External-reader export: publish a measurement's COMMITTED file set as
+a table other engines can read (reference `internal/iceberg/exporter.go:1-760`
+— reconcile the engine's Parquet set into an external table commit with
+ReplaceDataFiles semantics, no data rewrite; behavior kept, code ours).
+
+The engine's own snapshot layer (`arc_spark.snapshots`) gives atomic
+visibility to arc_spark readers, but `_arc_snapshots/vN.json` is a
+private format: a vanilla Spark / Trino / DuckDB reader pointed at the
+directory would glob it and see crash orphans and in-flight compaction
+output. Two export surfaces close that gap:
+
+- :func:`export_delta_log` — ZERO-COPY: write a spec-compliant Delta
+  Lake transaction log (`_delta_log/NNN.json`, public protocol
+  https://github.com/delta-io/delta/blob/master/PROTOCOL.md) next to the
+  existing data files. Delta-capable readers (Spark+delta, Trino,
+  DuckDB delta_scan) resolve exactly the committed set in place; orphans
+  sit unreferenced beside it, invisible — the exporter's
+  ReplaceDataFiles parity without moving a byte. Re-export after new
+  engine commits appends an incremental add/remove commit (computed
+  against the log's current file set), not a full rewrite.
+- :func:`export_tree` — MATERIALIZED: hard-link (local; copy elsewhere)
+  only the committed files into a clean destination tree, plus the same
+  Delta log over the copies. ANY parquet reader — including vanilla
+  Spark with no extra jars — reads the destination and sees exactly the
+  committed set, because nothing else is there. This is the portable
+  fallback for readers without Delta support and the cheap way to hand
+  a consistent table to another system.
+
+Scale: both paths are metadata-plane — O(committed files) driver work,
+no Spark job, no data pages read (the schema comes from ≤
+``SCHEMA_SAMPLE_FILES`` parquet footers). Hard links make
+:func:`export_tree` O(files) inode ops on local storage. At 100 TB the
+file count is bounded by compaction (≈ one file per partition-hour), so
+a full export commit is a few MB of JSON — the same order as an Iceberg
+manifest rewrite.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import uuid
+
+from arc_spark import snapshots
+from arc_spark.storage import backend_for
+
+DELTA_LOG_DIR = "_delta_log"
+SCHEMA_SAMPLE_FILES = 50
+
+
+def _partition_values(rel: str) -> dict[str, str]:
+    """`year=2024/month=1/.../f.parquet` → {"year": "2024", ...}."""
+    out = {}
+    for seg in rel.replace("\\", "/").split("/")[:-1]:
+        if "=" in seg:
+            k, _, v = seg.partition("=")
+            out[k] = v
+    return out
+
+
+def _spark_schema_json(bk, files: list[str], partition_cols: list[str]) -> str:
+    """Delta `schemaString`: Spark StructType JSON unified over up to
+    SCHEMA_SAMPLE_FILES footers, with hive partition columns appended as
+    integers (they live in directory names, not in the files)."""
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    sample = files[:SCHEMA_SAMPLE_FILES]
+    if not sample:
+        return json.dumps({"type": "struct", "fields": [
+            {"name": col, "type": "integer", "nullable": True,
+             "metadata": {}} for col in partition_cols]})
+    schemas = [bk.parquet_schema(f) for f in sample]
+    unified = (schemas[0] if len(schemas) == 1
+               else pa.unify_schemas(schemas, promote_options="permissive"))
+    # Delta has no nanosecond timestamp type; µs is Spark's native
+    fields = []
+    for f in unified:
+        t = f.type
+        if pa.types.is_timestamp(t) and t.unit != "us":
+            f = pa.field(f.name, pa.timestamp("us", tz=t.tz), f.nullable)
+        fields.append(f)
+    struct = from_arrow_schema(pa.schema(fields))
+    d = json.loads(struct.json())
+    for col in partition_cols:
+        d["fields"].append({"name": col, "type": "integer",
+                            "nullable": True, "metadata": {}})
+    return json.dumps(d)
+
+
+def _log_versions(bk, table_path: str) -> list[tuple[int, str]]:
+    d = bk.join(table_path, DELTA_LOG_DIR)
+    if not bk.isdir(d):
+        return []
+    out = []
+    for f in bk.list_files(d, suffix=".json"):
+        body = bk.basename(f)[:-5]
+        if body.isdigit():
+            out.append((int(body), f))
+    out.sort()
+    return out
+
+
+def _log_state(bk, table_path: str) -> tuple[int, set[str]]:
+    """(last version, current add-file set) by replaying the log —
+    Delta's state reconstruction, trivial at this metadata volume."""
+    files: set[str] = set()
+    last = -1
+    for ver, path in _log_versions(bk, table_path):
+        last = ver
+        for line in bk.read_bytes(path).decode("utf-8").splitlines():
+            if not line.strip():
+                continue
+            action = json.loads(line)
+            if "add" in action:
+                files.add(action["add"]["path"])
+            elif "remove" in action:
+                files.discard(action["remove"]["path"])
+    return last, files
+
+
+def _write_commit(bk, table_path: str, version: int, actions: list[dict]):
+    """Publish `_delta_log/<version>.json` atomically and exclusively —
+    the same CAS primitive as engine snapshots, so a concurrent exporter
+    can't clobber a version (Delta's optimistic-concurrency rule)."""
+    d = bk.join(table_path, DELTA_LOG_DIR)
+    bk.mkdirs(d)
+    body = "\n".join(json.dumps(a, separators=(",", ":")) for a in actions)
+    tmp = bk.join(d, f".commit-{uuid.uuid4().hex[:8]}.tmp")
+    bk.write_bytes(tmp, body.encode("utf-8"))
+    final = bk.join(d, f"{version:020d}.json")
+    if not bk.move_file_excl(tmp, final):
+        raise RuntimeError(
+            f"delta log version {version} already exists at {table_path} "
+            "(concurrent exporter) — rerun to export on top of it")
+
+
+def export_delta_log(meas_path: str, bk=None, table_name: str | None = None,
+                     now_ms: int | None = None) -> dict:
+    """Write/advance a Delta transaction log over the measurement's OWN
+    tree (zero-copy). Returns {"version", "added", "removed", "files"}.
+
+    First call emits protocol + metaData + an add per committed file;
+    subsequent calls diff the engine snapshot against the log's current
+    state and append only the add/remove delta (the exporter.go
+    reconcile loop). Idempotent: nothing to change → no new commit."""
+    bk = bk or backend_for(meas_path)
+    rels = _committed_rels(meas_path, bk)
+    return _export_log_into(bk, meas_path, meas_path, rels,
+                            table_name or bk.basename(meas_path), now_ms)
+
+
+def _committed_rels(meas_path: str, bk) -> list[str]:
+    files = snapshots.data_files(meas_path, bk=bk)
+    if files is None:
+        # unmanaged tree: adopt the live glob, exactly like a first commit
+        return sorted(snapshots.live_glob(meas_path, bk=bk))
+    return sorted(bk.relpath(f, meas_path).replace("\\", "/") for f in files)
+
+
+def _export_log_into(bk, meas_path: str, table_path: str, rels: list[str],
+                     table_name: str, now_ms: int | None) -> dict:
+    now_ms = int(time.time() * 1000) if now_ms is None else now_ms
+    last, current = _log_state(bk, table_path)
+    want = set(rels)
+    added = sorted(want - current)
+    removed = sorted(current - want)
+    if last >= 0 and not added and not removed:
+        return {"version": last, "added": 0, "removed": 0,
+                "files": len(current)}
+    actions: list[dict] = []
+    version = last + 1
+    if last < 0:
+        part_cols = sorted(_partition_values(rels[0])) if rels else []
+        actions.append({"protocol": {"minReaderVersion": 1,
+                                     "minWriterVersion": 2}})
+        actions.append({"metaData": {
+            "id": uuid.uuid4().hex,
+            "name": table_name,
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": _spark_schema_json(
+                bk, [bk.join(meas_path, r) for r in rels], part_cols),
+            "partitionColumns": part_cols,
+            "configuration": {},
+            "createdTime": now_ms,
+        }})
+    actions.append({"commitInfo": {
+        "timestamp": now_ms, "operation": "WRITE",
+        "operationParameters": {"source": "arc_spark.export"},
+    }})
+    for rel in added:
+        actions.append({"add": {
+            "path": rel,
+            "partitionValues": _partition_values(rel),
+            "size": bk.size(bk.join(meas_path, rel)),
+            "modificationTime": now_ms,
+            "dataChange": True,
+        }})
+    for rel in removed:
+        actions.append({"remove": {
+            "path": rel, "deletionTimestamp": now_ms, "dataChange": True,
+        }})
+    _write_commit(bk, table_path, version, actions)
+    return {"version": version, "added": len(added),
+            "removed": len(removed), "files": len(want)}
+
+
+def export_tree(meas_path: str, dest: str, bk=None,
+                table_name: str | None = None,
+                now_ms: int | None = None) -> dict:
+    """Materialize ONLY the committed files into ``dest`` (hard links on
+    local storage — O(inode) per file, no bytes copied; byte copy across
+    backends) and write the same Delta log over the destination.
+
+    ``dest`` then reads correctly in ANY parquet engine with no Delta
+    support and no arc_spark code: a plain ``spark.read.parquet(dest)``
+    sees exactly the committed set, because orphans were never linked.
+    Incremental: re-export links new files, removes dropped ones, and
+    appends a log commit with the same diff."""
+    import os
+
+    bk = bk or backend_for(meas_path)
+    dbk = backend_for(dest)
+    rels = _committed_rels(meas_path, bk)
+    _, have = _log_state(dbk, dest)
+    local = dbk.scheme is None and bk.scheme is None
+    linked = copied = 0
+    for rel in rels:
+        if rel in have:
+            continue
+        src, dst = bk.join(meas_path, rel), dbk.join(dest, rel)
+        dbk.mkdirs(dbk.dirname(dst))
+        if local:
+            try:
+                os.link(bk.fs_path(src), dbk.fs_path(dst))
+                linked += 1
+                continue
+            except FileExistsError:
+                linked += 1
+                continue
+            except OSError:
+                pass  # cross-device: fall through to byte copy
+        dbk.write_bytes(dst, bk.read_bytes(src))
+        copied += 1
+    for rel in sorted(have - set(rels)):
+        dbk.remove_file_if_exists(dbk.join(dest, rel))
+    out = _export_log_into(dbk, dest, dest, rels,
+                           table_name or bk.basename(meas_path), now_ms)
+    out["linked"] = linked
+    out["copied"] = copied
+    return out
