@@ -56,6 +56,17 @@ DEFAULTS: dict[str, dict[str, Any]] = {
         "s3_use_ssl": False,
         "s3_access_key": "",
         "s3_secret_key": "",
+        # Azure Blob Storage (when backend = "azure") — reference
+        # internal/storage/azure.go + config.go AzureAccountName/...;
+        # credentials via config or env ARC_STORAGE_AZURE_ACCOUNT_NAME /
+        # _ACCOUNT_KEY. Empty key → DefaultAzureCredential chain (managed
+        # identity). azure_endpoint targets Azurite in tests.
+        "azure_container": "",
+        "azure_prefix": "arc",
+        "azure_account_name": "",
+        "azure_account_key": "",
+        "azure_endpoint": "",
+        "azure_use_ssl": True,
     },
     "ingest": {
         "max_buffer_size": 50_000,
@@ -310,7 +321,11 @@ def resolve_storage_root(st: dict) -> str:
     override for MinIO, region, creds from config or the
     ``ARC_STORAGE_S3_*`` env vars the reference documents) and registers
     it for the ``s3://`` scheme so every backend_for() hit — driver AND
-    executor side — resolves to the configured store."""
+    executor side — resolves to the configured store. ``backend="azure"``
+    does the same with :class:`pyarrow.fs.AzureFileSystem` on the ``az://``
+    scheme (reference internal/storage/azure.go)."""
+    if st["backend"] == "azure":
+        return _resolve_azure_root(st)
     if st["backend"] != "s3":
         return st["local_path"]
     if not st["s3_bucket"]:
@@ -337,6 +352,32 @@ def resolve_storage_root(st: dict) -> str:
             pafs.S3FileSystem(**kw), scheme="s3", spark_prefix="s3a://"))
     prefix = st["s3_prefix"].strip("/")
     return f"s3://{st['s3_bucket']}" + (f"/{prefix}" if prefix else "")
+
+
+def _resolve_azure_root(st: dict) -> str:
+    import pyarrow.fs as pafs
+
+    from arc_spark import storage as _storage
+
+    if not st["azure_container"]:
+        raise ValueError(
+            'storage.backend="azure" requires storage.azure_container')
+    account = st["azure_account_name"] or os.environ.get(
+        "ARC_STORAGE_AZURE_ACCOUNT_NAME", "")
+    if not account:
+        raise ValueError(
+            'storage.backend="azure" requires storage.azure_account_name '
+            "(or ARC_STORAGE_AZURE_ACCOUNT_NAME)")
+    key = st["azure_account_key"] or os.environ.get(
+        "ARC_STORAGE_AZURE_ACCOUNT_KEY", "")
+    fs = pafs.AzureFileSystem(account, **_storage.azure_filesystem_kwargs(
+        key, st["azure_endpoint"], st["azure_use_ssl"]))
+    _storage.register_scheme("az", _storage.AzureBackend(
+        fs, account_name=account, scheme="az",
+        use_ssl=st["azure_use_ssl"]))
+    prefix = st["azure_prefix"].strip("/")
+    return (f"az://{st['azure_container']}"
+            + (f"/{prefix}" if prefix else ""))
 
 
 def build_engine(cfg: dict, spark=None) -> dict:

@@ -376,6 +376,65 @@ class StorageBackend:
             return pq.ParquetFile(f).schema_arrow
 
 
+class AzureBackend(StorageBackend):
+    """Azure Blob Storage backend (reference internal/storage/azure.go).
+
+    Logical paths are ``az://<container>/<path>`` (the container is the
+    first segment, matching :class:`pyarrow.fs.AzureFileSystem`'s
+    account-rooted view). Spark URLs use Hadoop's ABFS connector form —
+    ``abfss://<container>@<account>.dfs.core.windows.net/<path>`` — unless
+    a ``spark_prefix`` override is given (tests map an azure-shaped
+    subtree to ``file:`` URLs the local Spark can actually read).
+
+    Auth parity with the reference: account key via config/env, or
+    pyarrow's DefaultAzureCredential chain when no key is set — which is
+    how AzureUseManagedIdentity deployments authenticate. Connection
+    strings and bare SAS tokens are not supported by pyarrow's
+    AzureFileSystem; use the account-key or credential-chain path."""
+
+    def __init__(self, fs: pafs.FileSystem, account_name: str,
+                 scheme: str = "az", spark_prefix: str | None = None,
+                 use_ssl: bool = True):
+        super().__init__(fs, scheme=scheme, spark_prefix=spark_prefix)
+        self.account_name = account_name
+        self._abfs_scheme = "abfss" if use_ssl else "abfs"
+
+    def spark_url(self, path: str) -> str:
+        if self.spark_prefix is not None:
+            return super().spark_url(path)
+        container, _, key = self.fs_path(path).partition("/")
+        return (f"{self._abfs_scheme}://{container}@{self.account_name}"
+                f".dfs.core.windows.net/{key}")
+
+    def from_spark_url(self, url: str) -> str:
+        if self.spark_prefix is not None:
+            return super().from_spark_url(url)
+        for pfx in ("abfss://", "abfs://"):
+            if url.startswith(pfx):
+                authority, _, key = url[len(pfx):].partition("/")
+                container = authority.partition("@")[0]
+                return f"{self.scheme}://{container}/{key}"
+        return url
+
+
+def azure_filesystem_kwargs(account_key: str = "", endpoint: str = "",
+                            use_ssl: bool = True) -> dict:
+    """kwargs for :class:`pyarrow.fs.AzureFileSystem` from the reference's
+    config surface: empty key → DefaultAzureCredential chain (covers
+    managed identity); ``endpoint`` host[:port] targets Azurite."""
+    kw: dict = {}
+    if account_key:
+        kw["account_key"] = account_key
+    if endpoint:
+        ep = endpoint.split("://")[-1]
+        kw["blob_storage_authority"] = ep
+        kw["dfs_storage_authority"] = ep
+        proto = "https" if use_ssl else "http"
+        kw["blob_storage_scheme"] = proto
+        kw["dfs_storage_scheme"] = proto
+    return kw
+
+
 # ---------------------------------------------------------------------------
 # scheme registry
 # ---------------------------------------------------------------------------
@@ -426,6 +485,27 @@ def backend_for(path: str) -> StorageBackend:
         # Spark's Hadoop S3 connector is s3a:// regardless of which alias
         # the logical root used
         bk = StorageBackend(fs, scheme=scheme, spark_prefix="s3a://")
+        _REGISTRY[scheme] = bk
+        return bk
+    if scheme in ("az", "abfs", "abfss"):
+        # env-driven auto-resolution (reference ARC_STORAGE_AZURE_*);
+        # config deployments register via resolve_storage_root instead
+        import os as _os
+
+        account = _os.environ.get("ARC_STORAGE_AZURE_ACCOUNT_NAME", "")
+        if not account:
+            raise ValueError(
+                f"{scheme}:// requires ARC_STORAGE_AZURE_ACCOUNT_NAME "
+                '(or configure [storage] backend="azure")')
+        use_ssl = _os.environ.get(
+            "ARC_STORAGE_AZURE_USE_SSL", "true").lower() not in (
+                "0", "false", "no", "off")
+        fs = pafs.AzureFileSystem(account, **azure_filesystem_kwargs(
+            _os.environ.get("ARC_STORAGE_AZURE_ACCOUNT_KEY", ""),
+            _os.environ.get("ARC_STORAGE_AZURE_ENDPOINT", ""),
+            use_ssl))
+        bk = AzureBackend(fs, account_name=account, scheme=scheme,
+                          use_ssl=use_ssl)
         _REGISTRY[scheme] = bk
         return bk
     raise ValueError(

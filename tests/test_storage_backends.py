@@ -38,15 +38,23 @@ from arc_spark.sources.writer import (
 )
 
 
-@pytest.fixture()
-def mock_root():
-    """Register mock:// over a SubTreeFileSystem and yield a logical root."""
+@pytest.fixture(params=["mock", "azure-shaped"])
+def mock_root(request):
+    """Register a non-local scheme over a SubTreeFileSystem and yield a
+    logical root. Parametrized over the plain S3-shaped backend AND the
+    :class:`AzureBackend` subclass (container-rooted paths, ABFS URL
+    algebra) so the whole lifecycle suite exercises both classes'
+    metadata planes; the azure variant keeps the test ``spark_prefix``
+    override so Spark's data plane still reads the subtree."""
     sub = tempfile.mkdtemp(prefix="arc-mockfs-")
-    bk = storage.StorageBackend(
-        pafs.SubTreeFileSystem(sub, pafs.LocalFileSystem()),
-        scheme="mock",
-        spark_prefix="file:" + sub + "/",
-    )
+    fs = pafs.SubTreeFileSystem(sub, pafs.LocalFileSystem())
+    if request.param == "mock":
+        bk = storage.StorageBackend(
+            fs, scheme="mock", spark_prefix="file:" + sub + "/")
+    else:
+        bk = storage.AzureBackend(
+            fs, account_name="testacct", scheme="mock",
+            spark_prefix="file:" + sub + "/")
     storage.register_scheme("mock", bk)
     try:
         yield "mock://bucket/warehouse"
@@ -275,6 +283,119 @@ class TestBackendResolution:
         bk = storage.StorageBackend(pafs.LocalFileSystem(), scheme="s3",
                                     spark_prefix="s3a://")
         assert bk.spark_url("s3://bucket/k") == "s3a://bucket/k"
+
+
+class TestAzureBackend:
+    """Azure Blob backend (reference internal/storage/azure.go): URL
+    algebra, env/scheme resolution, config registration. Live Azurite
+    coverage is env-gated below."""
+
+    def test_abfs_url_translation_roundtrip(self):
+        bk = storage.AzureBackend(
+            pafs.LocalFileSystem(), account_name="acct1", scheme="az")
+        url = bk.spark_url("az://box/db/cpu/year=2024/a.parquet")
+        assert url == ("abfss://box@acct1.dfs.core.windows.net/"
+                       "db/cpu/year=2024/a.parquet")
+        assert bk.from_spark_url(url) == \
+            "az://box/db/cpu/year=2024/a.parquet"
+
+    def test_http_scheme_when_ssl_off(self):
+        bk = storage.AzureBackend(
+            pafs.LocalFileSystem(), account_name="a", scheme="az",
+            use_ssl=False)
+        assert bk.spark_url("az://c/k.parquet").startswith("abfs://")
+
+    def test_filesystem_kwargs_for_azurite(self):
+        kw = storage.azure_filesystem_kwargs(
+            account_key="k", endpoint="127.0.0.1:10000", use_ssl=False)
+        assert kw == {
+            "account_key": "k",
+            "blob_storage_authority": "127.0.0.1:10000",
+            "dfs_storage_authority": "127.0.0.1:10000",
+            "blob_storage_scheme": "http",
+            "dfs_storage_scheme": "http",
+        }
+        # empty key → DefaultAzureCredential chain (managed identity path)
+        assert "account_key" not in storage.azure_filesystem_kwargs()
+
+    def test_scheme_autoresolution_requires_account_env(self, monkeypatch):
+        monkeypatch.delenv("ARC_STORAGE_AZURE_ACCOUNT_NAME", raising=False)
+        with pytest.raises(ValueError, match="AZURE_ACCOUNT_NAME"):
+            storage.backend_for("az://container/path")
+
+    def test_scheme_autoresolution_from_env(self, monkeypatch):
+        monkeypatch.setenv("ARC_STORAGE_AZURE_ACCOUNT_NAME", "enviro")
+        monkeypatch.setenv("ARC_STORAGE_AZURE_ENDPOINT", "127.0.0.1:10000")
+        monkeypatch.setenv("ARC_STORAGE_AZURE_USE_SSL", "false")
+        try:
+            bk = storage.backend_for("abfs://container/path")
+            assert isinstance(bk, storage.AzureBackend)
+            assert bk.account_name == "enviro"
+        finally:
+            storage.unregister_scheme("abfs")
+
+    def test_config_resolution_registers_az_scheme(self):
+        from arc_spark.config import load_config, resolve_storage_root
+
+        cfg = load_config(None, env={
+            "ARC_STORAGE_BACKEND": "azure",
+            "ARC_STORAGE_AZURE_CONTAINER": "warehouse",
+            "ARC_STORAGE_AZURE_ACCOUNT_NAME": "cfgacct",
+            "ARC_STORAGE_AZURE_ACCOUNT_KEY": "a2V5",
+            "ARC_STORAGE_AZURE_ENDPOINT": "127.0.0.1:10000",
+            "ARC_STORAGE_AZURE_USE_SSL": "false",
+        })
+        try:
+            root = resolve_storage_root(cfg["storage"])
+            assert root == "az://warehouse/arc"
+            bk = storage.backend_for(root)
+            assert isinstance(bk, storage.AzureBackend)
+            assert bk.account_name == "cfgacct"
+        finally:
+            storage.unregister_scheme("az")
+
+    def test_config_requires_container_and_account(self):
+        from arc_spark.config import load_config, resolve_storage_root
+
+        cfg = load_config(None, env={"ARC_STORAGE_BACKEND": "azure"})
+        with pytest.raises(ValueError, match="azure_container"):
+            resolve_storage_root(cfg["storage"])
+        cfg2 = load_config(None, env={
+            "ARC_STORAGE_BACKEND": "azure",
+            "ARC_STORAGE_AZURE_CONTAINER": "w",
+        })
+        import os as _os
+
+        if not _os.environ.get("ARC_STORAGE_AZURE_ACCOUNT_NAME"):
+            with pytest.raises(ValueError, match="azure_account_name"):
+                resolve_storage_root(cfg2["storage"])
+
+
+@pytest.mark.skipif(
+    not os.environ.get("ARC_TEST_AZURITE_ENDPOINT"),
+    reason="live Azurite test: set ARC_TEST_AZURITE_ENDPOINT "
+           "(host:port) + ARC_TEST_AZURITE_ACCOUNT/_KEY")
+class TestLiveAzurite:
+    def test_write_read_lifecycle_over_azurite(self, spark):
+        ep = os.environ["ARC_TEST_AZURITE_ENDPOINT"]
+        acct = os.environ.get("ARC_TEST_AZURITE_ACCOUNT", "devstoreaccount1")
+        key = os.environ.get("ARC_TEST_AZURITE_KEY", "")
+        fs = pafs.AzureFileSystem(acct, **storage.azure_filesystem_kwargs(
+            key, ep, use_ssl=False))
+        bk = storage.AzureBackend(fs, account_name=acct, scheme="az",
+                                  use_ssl=False)
+        storage.register_scheme("az", bk)
+        try:
+            root = "az://arc-test/warehouse"
+            bk.mkdirs(root)
+            bk.write_bytes(bk.join(root, "probe.bin"), b"hello")
+            assert bk.read_bytes(bk.join(root, "probe.bin")) == b"hello"
+            from arc_spark import snapshots
+
+            v = snapshots.commit(root, add=["db/m/a.parquet"])
+            assert v == 1
+        finally:
+            storage.unregister_scheme("az")
 
 
 class TestReconcilerOverMockRoot:
