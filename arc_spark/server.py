@@ -132,6 +132,10 @@ class ArcServer:
         self.timeseries = timeseries
         # optional sources.edgesync.HubReceiver for /api/v1/edge/*
         self.edge_receiver = None
+        # single-request body cap for edge uploads: larger files must use
+        # the chunked begin/append/finish routes (bounded memory per
+        # request on a ThreadingHTTPServer)
+        self.max_upload_bytes = 64 << 20
         # optional sources.mqtt.MqttIngestBridge for /api/v1/mqtt/* routes
         self.mqtt = mqtt_bridge
         # request counters for /metrics (reference internal/monitoring)
@@ -753,11 +757,19 @@ class ArcServer:
                 if url.path == "/api/v1/edge/upload":
                     # hub-side verified file receive (edgesync receive.go:
                     # stage → verify sha → promote → commit); 409 on an
-                    # immutability conflict, 400 on a digest mismatch
+                    # immutability conflict, 400 on a digest mismatch,
+                    # 413 over the single-request cap (chunked routes
+                    # below carry larger files in bounded parts)
                     if outer.edge_receiver is None:
                         return self._json(503, {"error": "edge sync disabled"})
                     if not self._require_writer(token):
                         return
+                    if len(body) > outer.max_upload_bytes:
+                        return self._json(413, {
+                            "error": f"payload {len(body)} bytes exceeds "
+                                     f"single-request cap "
+                                     f"{outer.max_upload_bytes}; use the "
+                                     "chunked /edge/upload/begin routes"})
                     from arc_spark.sources.edgesync import SyncConflict
 
                     path, sha = q.get("path", ""), q.get("sha256", "")
@@ -765,6 +777,57 @@ class ArcServer:
                     try:
                         out = outer.edge_receiver.receive(
                             path, sha, body, spoke_id=spoke)
+                    except SyncConflict as e:
+                        return self._json(409, {"error": str(e)})
+                    except ValueError as e:
+                        return self._json(400, {"error": str(e)})
+                    return self._json(200, out)
+                if url.path == "/api/v1/edge/upload/begin":
+                    # chunked transfer (edgesync transfer path): open or
+                    # resume a session; the response offset lets a spoke
+                    # continue an interrupted upload
+                    if outer.edge_receiver is None:
+                        return self._json(503, {"error": "edge sync disabled"})
+                    if not self._require_writer(token):
+                        return
+                    from arc_spark.sources.edgesync import SyncConflict
+
+                    try:
+                        req = json.loads(body or b"{}")
+                        out = outer.edge_receiver.begin(
+                            req.get("path", ""), req.get("sha256", ""),
+                            int(req.get("size", -1)),
+                            spoke_id=self.headers.get("X-Arc-Spoke-Id", ""))
+                    except SyncConflict as e:
+                        return self._json(409, {"error": str(e)})
+                    except (ValueError, TypeError) as e:
+                        return self._json(400, {"error": str(e)})
+                    return self._json(200, out)
+                if url.path == "/api/v1/edge/upload/append":
+                    if outer.edge_receiver is None:
+                        return self._json(503, {"error": "edge sync disabled"})
+                    if not self._require_writer(token):
+                        return
+                    if len(body) > outer.max_upload_bytes:
+                        return self._json(413, {
+                            "error": "chunk exceeds single-request cap"})
+                    try:
+                        out = outer.edge_receiver.append(
+                            q.get("upload_id", ""),
+                            int(q.get("offset", "-1")), body)
+                    except (ValueError, TypeError) as e:
+                        return self._json(400, {"error": str(e)})
+                    return self._json(200, out)
+                if url.path == "/api/v1/edge/upload/finish":
+                    if outer.edge_receiver is None:
+                        return self._json(503, {"error": "edge sync disabled"})
+                    if not self._require_writer(token):
+                        return
+                    from arc_spark.sources.edgesync import SyncConflict
+
+                    try:
+                        out = outer.edge_receiver.finish(
+                            q.get("upload_id", ""))
                     except SyncConflict as e:
                         return self._json(409, {"error": str(e)})
                     except ValueError as e:

@@ -49,6 +49,10 @@ from arc_spark.storage import backend_for
 
 STAGING_PREFIX = ".sync-staging"
 MAX_RECONCILE_ENTRIES = 10_000
+# chunked-transfer part size (transfer path of internal/edgesync/): big
+# enough to amortize round trips, small enough that neither end ever
+# holds a whole file in memory and each HTTP request stays bounded
+CHUNK_BYTES = 8 << 20
 
 _LEDGER_SCHEMA = """
 CREATE TABLE IF NOT EXISTS sync_ledger (
@@ -255,6 +259,11 @@ class HubReceiver:
         # earlier's committed bytes
         self._path_locks: dict[str, threading.Lock] = {}
         self._locks_guard = threading.Lock()
+        # in-flight chunked uploads: upload_id → session (staged stream +
+        # rolling sha256 + offset). In-memory by design: a hub restart
+        # drops sessions and the spoke's next begin() restarts from 0;
+        # the orphaned .part file is swept with the rest of staging.
+        self._uploads: dict[str, dict] = {}
 
     def _path_lock(self, path: str) -> threading.Lock:
         with self._locks_guard:
@@ -296,40 +305,144 @@ class HubReceiver:
                 f"sha256 mismatch for {path}: claimed {sha256[:12]}…, "
                 f"got {digest[:12]}…")
         with self._path_lock(path):
-            got = self.index.lookup([path]).get(path)
-            if got is not None:
-                if got == sha256:
-                    return {"status": "already_present", "path": path}
-                raise SyncConflict(f"{path}: hub holds {got[:12]}…, "
-                                   f"spoke sent {sha256[:12]}…")
+            early = self._check_indexed(path, sha256)
+            if early is not None:
+                return early
             bk = backend_for(self.root)
             staging = bk.join(self.root, STAGING_PREFIX)
             bk.mkdirs(staging)
             staged = bk.join(staging, f"{uuid.uuid4().hex}.parquet")
             bk.write_bytes(staged, data)
-            final = bk.join(self.root, path)
-            bk.mkdirs(bk.dirname(final))
-            bk.move_file(staged, final)
-            # reader visibility via the snapshot commit (standalone's
-            # stand-in for the reference's Raft-manifest RegisterFile)
-            parts = path.replace("\\", "/").split("/")
-            db, meas = parts[0], parts[1]
-            from arc_spark import snapshots
+            self._promote_locked(bk, path, sha256, staged, len(data),
+                                 spoke_id)
+        self._post_promote(path, len(data), spoke_id)
+        return {"status": "received", "path": path, "bytes": len(data)}
 
-            meas_path = bk.join(self.root, db, meas)
-            snapshots.commit(meas_path, add=[final], bk=bk)
-            self.index.record(path, sha256, len(data), spoke_id)
+    def _check_indexed(self, path: str, sha256: str) -> dict | None:
+        got = self.index.lookup([path]).get(path)
+        if got is None:
+            return None
+        if got == sha256:
+            return {"status": "already_present", "path": path}
+        raise SyncConflict(f"{path}: hub holds {got[:12]}…, "
+                           f"spoke sent {sha256[:12]}…")
+
+    def _promote_locked(self, bk, path: str, sha256: str, staged: str,
+                        size: int, spoke_id: str) -> None:
+        """Caller holds the path lock and has VERIFIED the digest."""
+        final = bk.join(self.root, path)
+        bk.mkdirs(bk.dirname(final))
+        bk.move_file(staged, final)
+        # reader visibility via the snapshot commit (standalone's
+        # stand-in for the reference's Raft-manifest RegisterFile)
+        parts = path.replace("\\", "/").split("/")
+        db, meas = parts[0], parts[1]
+        from arc_spark import snapshots
+
+        meas_path = bk.join(self.root, db, meas)
+        snapshots.commit(meas_path, add=[final], bk=bk)
+        self.index.record(path, sha256, size, spoke_id)
+
+    def _post_promote(self, path: str, size: int, spoke_id: str) -> None:
         if self.catalog is not None:
+            parts = path.replace("\\", "/").split("/")
             try:
-                self.catalog.invalidate(db, meas)
+                self.catalog.invalidate(parts[0], parts[1])
             except Exception:
                 pass  # observability must not fail a committed transfer
         act = self.activity.setdefault(
             spoke_id or "unknown", {"files": 0, "bytes": 0, "last_seen": 0})
         act["files"] += 1
-        act["bytes"] += len(data)
+        act["bytes"] += size
         act["last_seen"] = time.time()
-        return {"status": "received", "path": path, "bytes": len(data)}
+
+    # -- chunked transfer (no whole-file bytes on either end) --------------
+    def begin(self, path: str, sha256: str, size: int,
+              spoke_id: str = "") -> dict:
+        """Open (or resume) a chunked upload. Returns {"upload_id",
+        "offset", "status"} — offset > 0 means the spoke resumes an
+        interrupted transfer from that byte."""
+        validate_sync_path(path)
+        if size < 0:
+            raise ValueError("negative size")
+        with self._path_lock(path):
+            early = self._check_indexed(path, sha256)
+            if early is not None:
+                early.update({"upload_id": "", "offset": size})
+                return early
+        with self._locks_guard:
+            for uid, s in self._uploads.items():
+                if (s["path"], s["sha256"]) == (path, sha256):
+                    return {"upload_id": uid, "offset": s["offset"],
+                            "status": "resume"}
+            bk = backend_for(self.root)
+            staging = bk.join(self.root, STAGING_PREFIX)
+            bk.mkdirs(staging)
+            uid = uuid.uuid4().hex
+            staged = bk.join(staging, f"{uid}.part")
+            self._uploads[uid] = {
+                "path": path, "sha256": sha256, "size": size,
+                "staged": staged, "spoke": spoke_id, "offset": 0,
+                "hasher": hashlib.sha256(),
+                "stream": bk.fs.open_output_stream(bk.fs_path(staged)),
+                "lock": threading.Lock(),
+            }
+            return {"upload_id": uid, "offset": 0, "status": "begin"}
+
+    def append(self, upload_id: str, offset: int, chunk: bytes) -> dict:
+        """Append one part at the expected offset (strict ordering keeps
+        the rolling digest meaningful); returns the next offset."""
+        with self._locks_guard:
+            s = self._uploads.get(upload_id)
+        if s is None:
+            raise ValueError(f"unknown upload {upload_id!r} "
+                             "(expired or never begun — call begin again)")
+        with s["lock"]:
+            if offset != s["offset"]:
+                raise ValueError(
+                    f"offset mismatch for {s['path']}: expected "
+                    f"{s['offset']}, got {offset}")
+            if s["offset"] + len(chunk) > s["size"]:
+                raise ValueError(f"upload overflows declared size "
+                                 f"{s['size']} for {s['path']}")
+            s["stream"].write(chunk)
+            s["hasher"].update(chunk)
+            s["offset"] += len(chunk)
+            return {"offset": s["offset"]}
+
+    def finish(self, upload_id: str) -> dict:
+        """Verify the ROLLING digest against the claim, then promote —
+        a mismatch removes the staged bytes and never touches a path a
+        reader can see (the same verify-then-promote contract as the
+        single-shot receive)."""
+        with self._locks_guard:
+            s = self._uploads.pop(upload_id, None)
+        if s is None:
+            raise ValueError(f"unknown upload {upload_id!r}")
+        bk = backend_for(self.root)
+        with s["lock"]:
+            s["stream"].close()
+            if s["offset"] != s["size"]:
+                bk.remove_file_if_exists(s["staged"])
+                raise ValueError(
+                    f"incomplete upload for {s['path']}: "
+                    f"{s['offset']}/{s['size']} bytes")
+            digest = s["hasher"].hexdigest()
+            if digest != s["sha256"]:
+                bk.remove_file_if_exists(s["staged"])
+                raise ValueError(
+                    f"sha256 mismatch for {s['path']}: claimed "
+                    f"{s['sha256'][:12]}…, got {digest[:12]}…")
+        path = s["path"]
+        with self._path_lock(path):
+            early = self._check_indexed(path, s["sha256"])
+            if early is not None:
+                bk.remove_file_if_exists(s["staged"])
+                return early
+            self._promote_locked(bk, path, s["sha256"], s["staged"],
+                                 s["size"], s["spoke"])
+        self._post_promote(path, s["size"], s["spoke"])
+        return {"status": "received", "path": path, "bytes": s["size"]}
 
 
 class MemoryTransport:
@@ -345,6 +458,18 @@ class MemoryTransport:
 
     def upload(self, path: str, sha256: str, data: bytes) -> dict:
         return self._r.receive(path, sha256, data, spoke_id=self._spoke)
+
+    def upload_stream(self, path: str, sha256: str, size: int,
+                      open_at) -> dict:
+        """Chunked path: ``open_at(offset)`` yields byte chunks from that
+        offset — the spoke never materializes the file."""
+        st = self._r.begin(path, sha256, size, spoke_id=self._spoke)
+        if st.get("status") == "already_present":
+            return st
+        offset = st["offset"]
+        for chunk in open_at(offset):
+            offset = self._r.append(st["upload_id"], offset, chunk)["offset"]
+        return self._r.finish(st["upload_id"])
 
 
 class HttpTransport:
@@ -389,6 +514,56 @@ class HttpTransport:
         with urllib.request.urlopen(req, timeout=self.timeout_s) as r:
             return _json.load(r)
 
+    def _post(self, route: str, params: dict, body: bytes = b"",
+              json_body: dict | None = None) -> dict:
+        import json as _json
+        import urllib.parse
+        import urllib.request
+
+        headers = dict(self._headers())
+        if json_body is not None:
+            body = _json.dumps(json_body).encode()
+            headers["Content-Type"] = "application/json"
+        else:
+            headers["Content-Type"] = "application/octet-stream"
+        url = self.base_url + route
+        if params:
+            url += "?" + urllib.parse.urlencode(params)
+        req = urllib.request.Request(url, data=body, headers=headers,
+                                     method="POST")
+        with urllib.request.urlopen(req, timeout=self.timeout_s) as r:
+            return _json.load(r)
+
+    def upload_stream(self, path: str, sha256: str, size: int,
+                      open_at) -> dict:
+        """Chunked upload with resume: begin → append parts from the
+        hub's offset → finish. A mid-stream offset desync (hub applied a
+        part whose ack we lost) re-begins to learn the hub's offset and
+        continues — at most one extra round trip per network incident."""
+        import urllib.error
+
+        attempts = 0
+        while True:
+            st = self._post("/api/v1/edge/upload/begin",
+                            {}, json_body={"path": path, "sha256": sha256,
+                                           "size": size})
+            if st.get("status") == "already_present":
+                return st
+            offset = st["offset"]
+            try:
+                for chunk in open_at(offset):
+                    offset = self._post(
+                        "/api/v1/edge/upload/append",
+                        {"upload_id": st["upload_id"], "offset": offset},
+                        body=chunk)["offset"]
+                return self._post("/api/v1/edge/upload/finish",
+                                  {"upload_id": st["upload_id"]}, b"")
+            except urllib.error.HTTPError as e:
+                attempts += 1
+                if e.code != 400 or attempts > 3:
+                    raise
+                # offset desync / expired session: re-begin to resync
+
 
 class SpokeAgent:
     """Discovery + sync loop (agent.go): committed files only, resumable
@@ -396,13 +571,27 @@ class SpokeAgent:
 
     def __init__(self, root: str, ledger: SyncLedger, transport,
                  hub_id: str = "hub", max_attempts: int = 5,
-                 reconcile_page: int = MAX_RECONCILE_ENTRIES):
+                 reconcile_page: int = MAX_RECONCILE_ENTRIES,
+                 chunk_bytes: int = CHUNK_BYTES):
         self.root = root
         self.ledger = ledger
         self.transport = transport
         self.hub_id = hub_id
         self.max_attempts = max_attempts
         self.reconcile_page = reconcile_page
+        self.chunk_bytes = chunk_bytes
+
+    def _chunks_from(self, bk, path: str, offset: int):
+        """Stream a file's bytes from ``offset`` in chunk_bytes parts —
+        the spoke never holds more than one part in memory."""
+        with bk.fs.open_input_file(bk.fs_path(path)) as f:
+            if offset:
+                f.seek(offset)
+            while True:
+                b = f.read(self.chunk_bytes)
+                if not b:
+                    return
+                yield b
 
     def _committed_files(self) -> list[str]:
         """Relative paths of every COMMITTED data file under the spoke
@@ -471,8 +660,21 @@ class SpokeAgent:
                     if path in missing:
                         self.ledger.mark_inflight(self.hub_id, path)
                         try:
-                            data = bk.read_bytes(bk.join(self.root, path))
-                            self.transport.upload(path, e["sha256"], data)
+                            full = bk.join(self.root, path)
+                            size = e.get("size", 0)
+                            if (size > self.chunk_bytes
+                                    and hasattr(self.transport,
+                                                "upload_stream")):
+                                # chunked: bounded memory both ends,
+                                # resumable from the hub's offset
+                                self.transport.upload_stream(
+                                    path, e["sha256"], size,
+                                    lambda off, f=full:
+                                        self._chunks_from(bk, f, off))
+                            else:
+                                data = bk.read_bytes(full)
+                                self.transport.upload(
+                                    path, e["sha256"], data)
                             self.ledger.mark_synced(self.hub_id, path)
                             sent += 1
                             progressed = True

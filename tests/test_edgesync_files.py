@@ -297,6 +297,168 @@ class TestHttpTransport:
             srv.stop()
 
 
+class TestChunkedTransfer:
+    """Chunked upload (r4 verdict item 6): files larger than the server's
+    single-request cap ship in bounded parts with a rolling sha256;
+    mismatch still never promotes; interrupted transfers resume from the
+    hub's byte offset."""
+
+    def _payload(self, n=1 << 20):
+        import os as _os
+
+        return _os.urandom(n)
+
+    def test_memory_transport_chunked_roundtrip(self, tmp_path):
+        recv = HubReceiver(str(tmp_path / "hub"))
+        tr = MemoryTransport(recv, spoke_id="s1")
+        data = self._payload()
+        path = "db/cpu/year=2024/month=1/day=1/hour=0/big.parquet"
+        sha = hashlib.sha256(data).hexdigest()
+
+        def open_at(off, chunk=64 << 10):
+            for i in range(off, len(data), chunk):
+                yield data[i:i + chunk]
+
+        out = tr.upload_stream(path, sha, len(data), open_at)
+        assert out["status"] == "received" and out["bytes"] == len(data)
+        assert (tmp_path / "hub" / path).read_bytes() == data
+        assert recv.index.lookup([path])[path] == sha
+        # idempotent: second stream short-circuits to already_present
+        assert tr.upload_stream(path, sha, len(data), open_at)[
+            "status"] == "already_present"
+
+    def test_rolling_digest_mismatch_never_promotes(self, tmp_path):
+        recv = HubReceiver(str(tmp_path / "hub"))
+        data = self._payload(256 << 10)
+        path = "db/cpu/year=2024/month=1/day=1/hour=0/bad.parquet"
+        sha = hashlib.sha256(data).hexdigest()
+        st = recv.begin(path, sha, len(data))
+        off = 0
+        corrupted = data[:100] + b"X" + data[101:]  # one flipped byte
+        for i in range(0, len(corrupted), 64 << 10):
+            off = recv.append(st["upload_id"], off,
+                              corrupted[i:i + (64 << 10)])["offset"]
+        with pytest.raises(ValueError, match="sha256 mismatch"):
+            recv.finish(st["upload_id"])
+        assert recv.index.count() == 0
+        assert not (tmp_path / "hub" / path).exists()
+        # staged bytes removed too
+        staging = tmp_path / "hub" / ".sync-staging"
+        assert not staging.exists() or not any(staging.iterdir())
+
+    def test_incomplete_upload_rejected(self, tmp_path):
+        recv = HubReceiver(str(tmp_path / "hub"))
+        data = self._payload(128 << 10)
+        path = "db/cpu/year=2024/month=1/day=1/hour=0/short.parquet"
+        st = recv.begin(path, hashlib.sha256(data).hexdigest(), len(data))
+        recv.append(st["upload_id"], 0, data[:1000])
+        with pytest.raises(ValueError, match="incomplete"):
+            recv.finish(st["upload_id"])
+        assert recv.index.count() == 0
+
+    def test_resume_from_hub_offset(self, tmp_path):
+        """begin() on an in-flight (path, sha) returns the staged offset;
+        the spoke continues from there and the rolling digest still
+        verifies over the stitched byte stream."""
+        recv = HubReceiver(str(tmp_path / "hub"))
+        data = self._payload(300 << 10)
+        path = "db/cpu/year=2024/month=1/day=1/hour=0/resume.parquet"
+        sha = hashlib.sha256(data).hexdigest()
+        st1 = recv.begin(path, sha, len(data))
+        off = recv.append(st1["upload_id"], 0, data[:100_000])["offset"]
+        # connection drops; spoke re-begins
+        st2 = recv.begin(path, sha, len(data))
+        assert st2["status"] == "resume" \
+            and st2["upload_id"] == st1["upload_id"]
+        assert st2["offset"] == off == 100_000
+        while off < len(data):
+            off = recv.append(st2["upload_id"], off,
+                              data[off:off + (64 << 10)])["offset"]
+        out = recv.finish(st2["upload_id"])
+        assert out["status"] == "received"
+        assert (tmp_path / "hub" / path).read_bytes() == data
+
+    def test_offset_mismatch_rejected(self, tmp_path):
+        recv = HubReceiver(str(tmp_path / "hub"))
+        data = self._payload(64 << 10)
+        st = recv.begin("db/m/x.parquet", hashlib.sha256(data).hexdigest(),
+                        len(data))
+        recv.append(st["upload_id"], 0, data[:1000])
+        with pytest.raises(ValueError, match="offset mismatch"):
+            recv.append(st["upload_id"], 500, data[500:1500])
+
+    def test_http_file_larger_than_request_cap(self, spark, tmp_path):
+        """THE e2e acceptance: the server's single-shot route 413s the
+        file, and the same file ships through the chunked routes."""
+        from arc_spark.api import QueryService
+        from arc_spark.server import ArcServer
+        from arc_spark.sources.edgesync import HttpTransport
+
+        hub_root = str(tmp_path / "hub")
+        cat = MeasurementCatalog(spark, hub_root)
+        srv = ArcServer(QueryService(spark, cat), port=0)
+        srv.edge_receiver = HubReceiver(hub_root, catalog=cat)
+        srv.max_upload_bytes = 64 << 10  # tiny cap to force chunking
+        srv.start()
+        try:
+            tr = HttpTransport(f"http://127.0.0.1:{srv.port}",
+                               spoke_id="edge-9")
+            data = self._payload(512 << 10)  # 8x the cap
+            path = "db/cpu/year=2024/month=1/day=1/hour=0/huge.parquet"
+            sha = hashlib.sha256(data).hexdigest()
+            with pytest.raises(urllib.error.HTTPError) as e:
+                tr.upload(path, sha, data)
+            assert e.value.code == 413
+
+            def open_at(off, chunk=32 << 10):
+                for i in range(off, len(data), chunk):
+                    yield data[i:i + chunk]
+
+            out = tr.upload_stream(path, sha, len(data), open_at)
+            assert out["status"] == "received" and out["bytes"] == len(data)
+            assert (tmp_path / "hub" / path).read_bytes() == data
+        finally:
+            srv.stop()
+
+    def test_spoke_agent_auto_chunks_large_files(self, tmp_path):
+        """run() routes files above chunk_bytes through upload_stream —
+        verified by a transport that records which path was taken."""
+        spoke_root = str(tmp_path / "spoke")
+        small = b"S" * 1000
+        big = self._payload(200 << 10)
+        for name, payload in (("small.parquet", small),
+                              ("big.parquet", big)):
+            p = (tmp_path / "spoke" / "db" / "cpu" /
+                 "year=2024" / "month=1" / "day=1" / "hour=0" / name)
+            p.parent.mkdir(parents=True, exist_ok=True)
+            p.write_bytes(payload)
+        recv = HubReceiver(str(tmp_path / "hub"))
+
+        class RecordingTransport(MemoryTransport):
+            def __init__(self, r):
+                super().__init__(r)
+                self.single, self.streamed = [], []
+
+            def upload(self, path, sha256, data):
+                self.single.append(path)
+                return super().upload(path, sha256, data)
+
+            def upload_stream(self, path, sha256, size, open_at):
+                self.streamed.append(path)
+                return super().upload_stream(path, sha256, size, open_at)
+
+        tr = RecordingTransport(recv)
+        agent = SpokeAgent(spoke_root, SyncLedger(), tr,
+                           chunk_bytes=64 << 10)
+        agent.discover()
+        out = agent.run()
+        assert out["sent"] == 2 and out["failed"] == 0
+        assert any("big" in p for p in tr.streamed)
+        assert any("small" in p for p in tr.single)
+        assert (tmp_path / "hub" / "db" / "cpu" / "year=2024" / "month=1" /
+                "day=1" / "hour=0" / "big.parquet").read_bytes() == big
+
+
 class TestConfigWiring:
     def test_hub_and_spoke_from_config(self, spark, tmp_path):
         """Two engines from config alone: a hub serving /api/v1/edge/*
