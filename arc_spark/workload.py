@@ -1193,6 +1193,49 @@ ORACLES_Q68 = """
 """
 
 
+def q69_regex_like(spark: SparkSession, sf: str) -> DataFrame:
+    """ClickBench-shape regex + mixed-LIKE lane: URL domain extraction
+    over a filter stack of positive/negative LIKEs. SURVEY collapses the
+    reference's regex rewriter and LIKE optimizer (A7/A8 —
+    internal/api/regex_rewriter.go:12-125, like_optimizer.go:35-97) on
+    the claim that Spark's regexp/LIKE are codegen'd and Catalyst
+    reorders/pushes conjuncts; this lane is the evidence: the props
+    prefix-LIKE reaches the parquet scan as StringStartsWith
+    (plan-locked in tests/test_plan_shapes.py) and the whole pipeline is
+    JVM codegen, no Python."""
+    t = load_tables(spark, sf, register_views=False)
+    url = F.concat(F.lit("https://"), F.col("event_type"),
+                   F.lit(".example.com/u/"),
+                   F.col("user_id").cast("string"), F.lit("/item"))
+    return (
+        t["events"]
+        .filter(F.col("props").like('{"k"%'))  # pushable StartsWith
+        .withColumn("url", url)
+        .filter(F.col("url").like("%.example.com/%")
+                & ~F.col("url").like("%signup%"))
+        .select(F.regexp_extract("url", "^https?://([^/]+)/", 1)
+                .alias("domain"), "user_id", "value")
+        .groupBy("domain")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.countDistinct("user_id").cast("long").alias("n_users"),
+             dsum(F.col("value"), "total_value"))
+    )
+
+
+ORACLES_Q69 = f"""
+    SELECT regexp_extract(url, '^https?://([^/]+)/', 1) AS domain,
+           COUNT(*) AS n,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           {_osum('value')} AS total_value
+    FROM (SELECT 'https://' || event_type || '.example.com/u/' ||
+                 CAST(user_id AS VARCHAR) || '/item' AS url,
+                 user_id, value
+          FROM events WHERE props LIKE '{{"k"%') u
+    WHERE url LIKE '%.example.com/%' AND url NOT LIKE '%signup%'
+    GROUP BY 1
+"""
+
+
 # Spark-dialect normalized text (the DuckDB oracles use _NORM/_LNORM which
 # carry DuckDB's explicit 'g' regexp flag)
 _SPARK_NORM = "lower(regexp_replace(trim(text), '\\\\s+', ' '))"
@@ -2174,6 +2217,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q67_decimal128_roundtrip": q67_decimal128_roundtrip,
     # bucketized interval join (r4 verdict item 3: wire rangejoin.py)
     "q68_range_join": q68_range_join,
+    # regex/LIKE codegen evidence (r4 verdict item 8: A7/A8 collapse proof)
+    "q69_regex_like": q69_regex_like,
 }
 ORACLES["q67_decimal128_roundtrip"] = ORACLES_Q67
 ORACLES["q68_range_join"] = ORACLES_Q68
+ORACLES["q69_regex_like"] = ORACLES_Q69

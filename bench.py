@@ -52,6 +52,8 @@ BENCH_QUERIES = [
     "q48_hash_split",
     "q50_decontaminate",
     "q51_token_packing",
+    "q68_range_join",
+    "q69_regex_like",
 ]
 
 

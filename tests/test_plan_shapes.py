@@ -113,6 +113,21 @@ class TestPlanShapes:
         plan = _physical(QUERIES["q28_embedding_near_dup"](spark, sf_oracle))
         assert "FlatMapGroupsInPandas" in plan
 
+    def test_q69_like_pushed_regex_codegen(self, spark, sf_oracle):
+        """The A7/A8 collapse evidence (r4 verdict item 8): the prefix
+        LIKE reaches the parquet scan as StringStartsWith and the
+        regex/LIKE stack stays JVM codegen — no Python eval node."""
+        plan = _physical(QUERIES["q69_regex_like"](spark, sf_oracle))
+        assert 'StringStartsWith(props,{"k")' in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def test_q68_range_join_no_nested_loop(self, spark, sf_oracle):
+        """The bucketized interval join must plan as an equi-join on the
+        bucket id — a BroadcastNestedLoopJoin here is the O(|L|x|R|)
+        regression the operator exists to prevent."""
+        plan = _physical(QUERIES["q68_range_join"](spark, sf_oracle))
+        assert "NestedLoop" not in plan and "Cartesian" not in plan
+
     def test_q48_split_is_pure_codegen(self, spark, sf_oracle):
         plan = _physical(QUERIES["q48_hash_split"](spark, sf_oracle))
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
