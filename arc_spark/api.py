@@ -759,9 +759,14 @@ class IngestService:
                      >= self.max_pending_raw_bytes)
                         and self._flush_error is None):
                     self._space.wait(timeout=0.1)
+        wal_tok = None
         with self._lock:
             if wal_payload is not None and self.wal is not None:
-                self.wal.append(wal_payload)
+                # buffered append under the lock keeps the WAL/buffer
+                # atomicity contract; the fsync happens AFTER the lock via
+                # group commit, so N concurrent acks share ~1 fsync
+                # instead of serializing one each (see Wal.sync_upto)
+                wal_tok = self.wal.append_nosync(wal_payload)
             if raw is not None:
                 self._raw.append((db, *raw))
                 self._raw_bytes += len(raw[1])
@@ -785,6 +790,9 @@ class IngestService:
             trip = trip_size or (
                 time.monotonic() - self._oldest >= self.max_buffer_age_s
             )
+        if wal_tok is not None and self.wal.sync == "fsync":
+            # durable-before-ack, grouped with concurrent writers
+            self.wal.sync_upto(wal_tok)
         if trip:
             self._trigger_flush()
         return n

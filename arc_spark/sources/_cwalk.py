@@ -1,0 +1,98 @@
+"""Optional C accelerator for the msgpack string-column header walk.
+
+The columnar decoder's one remaining interpreted loop is the per-cell
+header walk in ``_decode_str_column`` (~300 ns/cell — the sync-ack
+ingest profile's bottleneck; the reference decodes natively in Go,
+internal/ingest/msgpack*.go). The walk is 5 machine instructions per
+cell, so a 30-line C function gives ~20× on exactly that loop while the
+surrounding numpy/Arrow work is already vectorized.
+
+Build-on-first-use with the system compiler, cached under
+``~/.cache/arc_spark`` keyed by a source hash; loaded via ctypes. Every
+failure mode (no compiler, sandboxed filesystem, exotic platform,
+``ARC_DISABLE_CWALK=1``) degrades silently to the pure-Python loop —
+the accelerator is an optimization, never a dependency, and the
+decoder-equivalence property fuzz (tests/test_properties.py) runs
+against whichever path is active.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import tempfile
+
+_C_SRC = r"""
+#include <stdint.h>
+
+/* Walk n msgpack string headers starting at buf[pos]:
+ * fixstr (0xA0-0xBF, 1-byte header) and str8 (0xD9, 2-byte header).
+ * Writes lens[i] = value byte length, hdr[i] = header width (1|2).
+ * Returns the end offset, or -1 on a non-string token / overrun. */
+int64_t arc_walk_str_column(const uint8_t *buf, int64_t size, int64_t pos,
+                            int64_t n, int64_t *lens, int64_t *hdr) {
+    for (int64_t i = 0; i < n; i++) {
+        if (pos >= size) return -1;
+        uint8_t h = buf[pos];
+        if (h >= 0xA0 && h <= 0xBF) {
+            int64_t ln = h & 0x1F;
+            lens[i] = ln; hdr[i] = 1; pos += 1 + ln;
+        } else if (h == 0xD9) {
+            if (pos + 1 >= size) return -1;
+            int64_t ln = buf[pos + 1];
+            lens[i] = ln; hdr[i] = 2; pos += 2 + ln;
+        } else {
+            return -1;
+        }
+    }
+    return pos > size ? -1 : pos;
+}
+"""
+
+_walk = None
+_tried = False
+
+
+def _build() -> ctypes.CDLL | None:
+    digest = hashlib.sha256(_C_SRC.encode()).hexdigest()[:16]
+    cache = os.environ.get("ARC_CWALK_CACHE") or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), ".cache")
+    so_path = os.path.join(cache, f"cwalk-{digest}.so")
+    if not os.path.exists(so_path):
+        os.makedirs(cache, exist_ok=True)
+        with tempfile.NamedTemporaryFile(
+                "w", suffix=".c", delete=False, dir=cache) as f:
+            f.write(_C_SRC)
+            c_path = f.name
+        try:
+            tmp_so = so_path + f".tmp-{os.getpid()}"
+            subprocess.run(
+                ["cc", "-O2", "-shared", "-fPIC", "-o", tmp_so, c_path],
+                check=True, capture_output=True, timeout=60)
+            os.replace(tmp_so, so_path)  # atomic: racing builders converge
+        finally:
+            os.unlink(c_path)
+    lib = ctypes.CDLL(so_path)
+    fn = lib.arc_walk_str_column
+    fn.restype = ctypes.c_int64
+    fn.argtypes = [ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+                   ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p]
+    return fn
+
+
+def native_walk():
+    """The compiled walker, or None (build once per process, never raise)."""
+    global _walk, _tried
+    if _tried:
+        return _walk
+    _tried = True
+    if os.environ.get("ARC_DISABLE_CWALK", "").lower() in ("1", "true"):
+        return None
+    try:
+        _walk = _build()
+    except Exception:
+        _walk = None
+    return _walk

@@ -109,11 +109,27 @@ def _normalize_epoch_us_column(values):
         except (ValueError, TypeError, OverflowError):
             return [normalize_epoch_us(int(t)) if t is not None else None
                     for t in values]
-    out = np.where(
-        v >= _NS_MIN, v // 1000,
-        np.where(v >= _US_MIN, v,
-                 np.where(v >= _MS_MIN, v * 1000, v * 1_000_000)),
-    )
+    if len(v):
+        # single-unit fast path: real columns are one epoch unit
+        # throughout, so two scalar reductions replace three masked
+        # where-passes (ack-path hot: runs per payload)
+        lo, hi = int(v.min()), int(v.max())
+        if lo >= _NS_MIN:
+            out = v // 1000
+        elif lo >= _US_MIN and hi < _NS_MIN:
+            out = v
+        elif lo >= _MS_MIN and hi < _US_MIN:
+            out = v * 1000
+        elif 0 <= lo and hi < _MS_MIN:
+            out = v * 1_000_000
+        else:
+            out = np.where(
+                v >= _NS_MIN, v // 1000,
+                np.where(v >= _US_MIN, v,
+                         np.where(v >= _MS_MIN, v * 1000, v * 1_000_000)),
+            )
+    else:
+        out = v
     return out if isinstance(values, np.ndarray) else out.tolist()
 
 

@@ -505,6 +505,12 @@ def _decode_column(mv: memoryview, pos: int):
     return _unpack_array(mv, pos, n)
 
 
+def _native_walk():
+    from arc_spark.sources._cwalk import native_walk
+
+    return native_walk()
+
+
 def _decode_str_column(mv: memoryview, pos: int, n: int):
     """All-fixstr/str8 column → pa.StringArray from (offsets, data) buffers.
 
@@ -518,36 +524,47 @@ def _decode_str_column(mv: memoryview, pos: int, n: int):
 
     buf = mv.obj if isinstance(mv.obj, bytes) else bytes(mv)
     end = len(buf)
-    lens: list[int] = []
-    append = lens.append
-    str8_idx: list[int] = []
-    p = pos
-    try:
-        for i in range(n):
-            h = buf[p]
-            if 0xA0 <= h <= 0xBF:
-                ln = h & 0x1F
-                p += 1 + ln
-            elif h == 0xD9:
-                ln = buf[p + 1]
-                str8_idx.append(i)
-                p += 2 + ln
-            else:
-                return None
-            append(ln)
-    except IndexError:
-        return None
-    if p > end:
-        return None
-    lens_a = np.asarray(lens, dtype=np.int64)
+    native = _native_walk()
+    if native is not None:
+        # C header walk (~20×): same contract, same fallbacks
+        lens_a = np.empty(n, dtype=np.int64)
+        hdr = np.empty(n, dtype=np.int64)
+        p = native(buf, end, pos, n,
+                   lens_a.ctypes.data, hdr.ctypes.data)
+        if p < 0:
+            return None
+        str8_idx = np.nonzero(hdr == 2)[0]
+    else:
+        lens: list[int] = []
+        append = lens.append
+        str8_idx: list[int] = []
+        p = pos
+        try:
+            for i in range(n):
+                h = buf[p]
+                if 0xA0 <= h <= 0xBF:
+                    ln = h & 0x1F
+                    p += 1 + ln
+                elif h == 0xD9:
+                    ln = buf[p + 1]
+                    str8_idx.append(i)
+                    p += 2 + ln
+                else:
+                    return None
+                append(ln)
+        except IndexError:
+            return None
+        if p > end:
+            return None
+        lens_a = np.asarray(lens, dtype=np.int64)
+        hdr = np.ones(n, dtype=np.int64)
+        if len(str8_idx):
+            hdr[str8_idx] = 2
     total = int(lens_a.sum())
     if total >= 2**31:
         return None  # would overflow 32-bit string offsets
     # header (marker) positions relative to the region start: running sum
     # of header+value widths — headers masked out leaves the value bytes
-    hdr = np.ones(n, dtype=np.int64)
-    if str8_idx:
-        hdr[str8_idx] = 2
     markers = np.empty(n, dtype=np.int64)
     markers[0] = 0
     if n > 1:
@@ -555,7 +572,7 @@ def _decode_str_column(mv: memoryview, pos: int, n: int):
     region = np.frombuffer(mv[pos:p], dtype=np.uint8)
     mask = np.ones(p - pos, dtype=bool)
     mask[markers] = False
-    if str8_idx:
+    if len(str8_idx):
         mask[markers[np.asarray(str8_idx)] + 1] = False
     data_bytes = region[mask].tobytes()
     try:

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import os
 import struct
+import threading
 import time
 import zlib
 from collections.abc import Iterator
@@ -45,6 +46,15 @@ class Wal:
         self._seq = 0
         self._fh = None
         self._since_sync = 0
+        # group commit: appenders write buffered (under the caller's or
+        # our own lock) and then wait on ONE leader's fsync covering their
+        # (segment, offset) — N concurrent acks cost ~1 fsync, with the
+        # same durability-before-ack contract (the reference's Go WAL
+        # batches fsyncs the same way under load)
+        self._io_lock = threading.RLock()
+        self._sync_cv = threading.Condition()
+        self._synced: tuple[int, int] = (-1, 0)  # durable ≤ (seq, offset)
+        self._sync_leader = False
         os.makedirs(directory, exist_ok=True)
         existing = self._segments()
         if existing:
@@ -65,34 +75,97 @@ class Wal:
 
     def append(self, payload: bytes, ts_us: int | None = None) -> None:
         """Frame + write one entry; durability per the sync mode."""
+        tok = self.append_nosync(payload, ts_us)
+        if self.sync == "fsync":
+            self.sync_upto(tok)
+
+    def append_nosync(self, payload: bytes,
+                      ts_us: int | None = None) -> tuple[int, int]:
+        """Buffered frame+write only; returns a (segment, offset) token
+        for :meth:`sync_upto`. Callers that must not block on fsync while
+        holding their own locks (the ingest ack path) append here inside
+        the lock and group-commit outside it."""
         ts = ts_us if ts_us is not None else int(time.time() * 1_000_000)
-        fh = self._open()
-        fh.write(_HEADER.pack(len(payload), ts, zlib.crc32(payload) & 0xFFFFFFFF))
-        fh.write(payload)
-        self._since_sync += 1
-        if self.sync == "fsync" or (
-            self.sync == "batch" and self._since_sync >= self.batch_every
-        ):
-            fh.flush()
-            os.fsync(fh.fileno())
-            self._since_sync = 0
-        if fh.tell() >= self.max_segment_bytes:
-            self._rotate()
+        with self._io_lock:
+            fh = self._open()
+            fh.write(_HEADER.pack(
+                len(payload), ts, zlib.crc32(payload) & 0xFFFFFFFF))
+            fh.write(payload)
+            tok = (self._seq, fh.tell())
+            self._since_sync += 1
+            if (self.sync == "batch"
+                    and self._since_sync >= self.batch_every):
+                fh.flush()
+                os.fsync(fh.fileno())
+                self._mark_synced(tok)
+                self._since_sync = 0
+            if fh.tell() >= self.max_segment_bytes:
+                self._rotate()
+        return tok
+
+    def _mark_synced(self, tok: tuple[int, int]) -> None:
+        with self._sync_cv:
+            if tok > self._synced:
+                self._synced = tok
+            self._sync_cv.notify_all()
+
+    def sync_upto(self, tok: tuple[int, int]) -> None:
+        """Block until bytes up to ``tok`` are durable. One waiter becomes
+        the leader and fsyncs the CURRENT end of the segment — covering
+        every append that landed before it — while the rest wait on the
+        condition; a rotation (which fsyncs before closing) makes older
+        segments durable by construction."""
+        while True:
+            with self._sync_cv:
+                if self._synced >= tok:
+                    return
+                if self._sync_leader:
+                    self._sync_cv.wait(timeout=1.0)
+                    continue
+                self._sync_leader = True
+            try:
+                with self._io_lock:
+                    if self._seq > tok[0] or self._fh is None:
+                        # segment rotated/closed after this token: the
+                        # rotation path fsynced it
+                        self._mark_synced(tok)
+                        continue
+                    fh = self._fh
+                    fh.flush()
+                    covered = (self._seq, fh.tell())
+                    # dup the fd so the fsync can run OUTSIDE the io
+                    # lock (appends keep flowing during the disk wait)
+                    # without racing a concurrent close/rotate
+                    fd = os.dup(fh.fileno())
+                    self._since_sync = 0
+                try:
+                    os.fsync(fd)
+                finally:
+                    os.close(fd)
+                self._mark_synced(covered)
+            finally:
+                with self._sync_cv:
+                    self._sync_leader = False
+                    self._sync_cv.notify_all()
 
     def _rotate(self) -> None:
-        if self._fh is not None:
-            self._fh.flush()
-            os.fsync(self._fh.fileno())
-            self._fh.close()
-            self._fh = None
-        self._seq += 1
+        with self._io_lock:
+            if self._fh is not None:
+                self._fh.flush()
+                os.fsync(self._fh.fileno())
+                self._fh.close()
+                self._fh = None
+                self._mark_synced((self._seq, 1 << 62))
+            self._seq += 1
 
     def close(self) -> None:
-        if self._fh is not None:
-            self._fh.flush()
-            os.fsync(self._fh.fileno())
-            self._fh.close()
-            self._fh = None
+        with self._io_lock:
+            if self._fh is not None:
+                self._fh.flush()
+                os.fsync(self._fh.fileno())
+                self._fh.close()
+                self._fh = None
+                self._mark_synced((self._seq, 1 << 62))
 
     def truncate(self) -> None:
         """Drop all segments (after a successful Parquet flush the log is
