@@ -49,18 +49,15 @@ conditional create degrade to documented single-writer mode. A
 concurrent *reader* always sees a fully written snapshot (the body is
 complete before the link/rename publishes it).
 
-At 100 TB: a snapshot is one JSON object of relative paths — ~100 bytes
-per file. Reads pay one small GET instead of a recursive LIST (on object
-stores the snapshot is *cheaper* than the glob it replaces). Commits are
-read-modify-write of the full list, which is exactly Iceberg's
-manifest-list rewrite; the cost is bounded because compaction bounds the
+At 100 TB: reads pay a bounded handful of small GETs (newest full
+snapshot + ≤ FOLD_EVERY−1 deltas) instead of a recursive LIST. Commits
+are Delta-log style: a version normally appends only its add/remove
+sets — O(changes) bytes regardless of live file count — and every
+FOLD_EVERY-th version folds the chain into one full snapshot (~100
+bytes/file), whose size is itself bounded because compaction bounds the
 live file count (hourly tier merges every multi-file partition to one
-file — a measurement in steady state carries ~one file per
-partition-hour plus the current ingest head). If a deployment needed
-sub-second commits over millions of uncompacted files, the upgrade path
-is a Delta-style delta log (commit appends only the add/remove sets;
-readers fold deltas since the last full snapshot) — the read/commit API
-here would not change.
+file). The r4-noted O(files)-per-commit rewrite is gone; a pytest
+micro-bench locks delta-commit cost flat vs file count.
 """
 
 from __future__ import annotations
@@ -77,6 +74,12 @@ KEEP_VERSIONS = 10
 # committer's read→CAS window is sub-second, so its just-read current
 # version can never be deleted out from under it
 PRUNE_MIN_AGE_S = 60.0
+# incremental commits (the Delta-log upgrade path the module always
+# documented): a commit normally appends only its add/remove sets —
+# O(changes), not O(files) — and every FOLD_EVERY-th version writes a
+# full snapshot so reads fold a bounded chain. FOLD_EVERY < KEEP_VERSIONS
+# guarantees the count-based prune can never cut a live fold chain.
+FOLD_EVERY = 8
 
 _locks: dict[str, threading.Lock] = {}
 _locks_guard = threading.Lock()
@@ -114,20 +117,52 @@ def is_managed(meas_path: str, bk=None) -> bool:
     return bool(_versions(bk, meas_path))
 
 
+def _load_state(bk, meas_path: str):
+    """Fold the version chain → (ver, files_set | None, deltas_since_full).
+
+    Walk backward from the newest version to the newest readable FULL
+    snapshot, then fold the delta versions above it in order. An
+    unreadable file (a reader racing an object-store PUT can only hit
+    this on the very latest key) invalidates everything above it — the
+    fold restarts below, so readers always see a consistent prefix.
+    Returns files=None for an unmanaged tree (no readable full
+    snapshot)."""
+    vers = _versions(bk, meas_path)
+    chain: list[tuple[int, dict]] = []
+    base = None
+    for ver, path in reversed(vers):
+        try:
+            obj = bk.read_json(path)
+        except Exception:
+            chain = []  # versions above an unreadable file are unusable
+            continue
+        if obj.get("delta"):
+            chain.append((ver, obj))
+            continue
+        base = (ver, obj)
+        break
+    if base is None:
+        return 0, None, 0
+    files = set(base[1]["files"])
+    top = base[0]
+    for ver, obj in sorted(chain):
+        files.update(obj["add"])
+        files.difference_update(obj["remove"])
+        top = ver
+    return top, files, len(chain)
+
+
 def current(meas_path: str, bk=None) -> tuple[int, list[str]] | None:
     """(version, relative file list) of the current snapshot, or None for
     an unmanaged tree. A torn/unreadable latest version falls back to the
     previous one (rename is atomic locally; on an object store a reader
-    racing the PUT may see the key before the body — the prior snapshot
+    racing the PUT may see the key before the body — the prior chain
     is always complete)."""
     bk = bk or backend_for(meas_path)
-    for ver, path in reversed(_versions(bk, meas_path)):
-        try:
-            snap = bk.read_json(path)
-            return ver, list(snap["files"])
-        except Exception:
-            continue
-    return None
+    ver, files, _ = _load_state(bk, meas_path)
+    if files is None:
+        return None
+    return ver, sorted(files)
 
 
 def data_files(meas_path: str, bk=None) -> list[str] | None:
@@ -208,22 +243,30 @@ def commit(meas_path: str, add=(), remove=(), bk=None,
     single-writer-per-measurement there, as documented in
     ``StorageBackend.move_file_excl``."""
     bk = bk or backend_for(meas_path)
+    add_rel = [_rel(bk, meas_path, p) for p in add]
+    rm_rel = [_rel(bk, meas_path, p) for p in remove]
     with _lock_for(meas_path):
         for _ in range(max_retries):
-            cur = current(meas_path, bk=bk)
-            if cur is None:
-                ver, files = 0, set(live_glob(meas_path, bk=bk))
-            else:
-                ver, lst = cur
-                files = set(lst)
-            files.update(_rel(bk, meas_path, p) for p in add)
-            files.difference_update(_rel(bk, meas_path, p) for p in remove)
+            ver, files, chain_len = _load_state(bk, meas_path)
+            if files is None:
+                files = set(live_glob(meas_path, bk=bk))
+                chain_len = FOLD_EVERY  # bootstrap is always a full write
+            files.update(add_rel)
+            files.difference_update(rm_rel)
             new_ver = ver + 1
             d = _snap_dir(bk, meas_path)
             bk.mkdirs(d)
             tmp = bk.join(
                 d, f".v{new_ver:012d}.json.tmp-{uuid.uuid4().hex[:8]}")
-            bk.write_json(tmp, {"version": new_ver, "files": sorted(files)})
+            if chain_len + 1 >= FOLD_EVERY:
+                # periodic fold: one full snapshot bounds the read chain
+                obj = {"version": new_ver, "files": sorted(files)}
+            else:
+                # incremental: O(changes) bytes, not O(files)
+                obj = {"version": new_ver, "delta": True,
+                       "add": sorted(set(add_rel)),
+                       "remove": sorted(set(rm_rel))}
+            bk.write_json(tmp, obj)
             if not bk.move_file_excl(
                     tmp, bk.join(d, f"v{new_ver:012d}.json")):
                 continue  # lost the race to another process: reread, retry

@@ -118,6 +118,70 @@ class TestSnapshotPrimitives:
         assert len(rels) == 16  # no lost update
 
 
+class TestIncrementalCommits:
+    """Delta-log-style commits (r4 verdict item 9): a commit appends only
+    its add/remove sets; every FOLD_EVERY-th version folds to a full
+    snapshot. Read = newest full + bounded delta chain."""
+
+    def test_delta_then_fold_cycle(self, tmp_path):
+        root = str(tmp_path)
+        bk = backend_for(root)
+        for i in range(snapshots.FOLD_EVERY + 3):
+            snapshots.commit(root, add=[f"f{i}.parquet"])
+        vers = snapshots._versions(bk, root)
+        objs = [bk.read_json(p) for _, p in vers]
+        fulls = [o for o in objs if not o.get("delta")]
+        deltas = [o for o in objs if o.get("delta")]
+        assert fulls and deltas  # both kinds present
+        # v1 bootstrap is full; the FOLD_EVERY-th after it folds again
+        assert not objs[0].get("delta")
+        assert len(fulls) == 2
+        # the folded state is complete and correct
+        _, rels = snapshots.current(root)
+        assert rels == sorted(f"f{i}.parquet"
+                              for i in range(snapshots.FOLD_EVERY + 3))
+
+    def test_remove_through_delta_chain(self, tmp_path):
+        root = str(tmp_path)
+        snapshots.commit(root, add=["a.parquet", "b.parquet"])
+        snapshots.commit(root, add=["c.parquet"], remove=["a.parquet"])
+        snapshots.commit(root, remove=["b.parquet"])
+        _, rels = snapshots.current(root)
+        assert rels == ["c.parquet"]
+
+    def test_commit_cost_flat_vs_file_count(self, tmp_path):
+        """THE micro-bench: a delta commit's written bytes are O(changes),
+        not O(live files) — the r4-noted full-list rewrite is gone."""
+        root = str(tmp_path)
+        bk = backend_for(root)
+        many = [f"p{i // 1000}/f{i}.parquet" for i in range(20_000)]
+        snapshots.commit(root, add=many)  # bootstrap: full snapshot
+        full_size = bk.size(snapshots._versions(bk, root)[-1][1])
+        v = snapshots.commit(root, add=["one_more.parquet"])
+        delta_path = snapshots._versions(bk, root)[-1][1]
+        obj = bk.read_json(delta_path)
+        assert obj["delta"] is True and obj["add"] == ["one_more.parquet"]
+        delta_size = bk.size(delta_path)
+        assert delta_size < 200  # O(changes) bytes
+        assert full_size > 100_000  # vs the O(files) full snapshot
+        # and the folded read still carries everything
+        _, rels = snapshots.current(root)
+        assert len(rels) == 20_001 and v == 2
+
+    def test_unreadable_middle_delta_truncates_chain(self, tmp_path):
+        """A reader that cannot parse a delta must fall back to the
+        consistent prefix BELOW it, never skip-and-continue."""
+        root = str(tmp_path)
+        bk = backend_for(root)
+        snapshots.commit(root, add=["a.parquet"])   # v1 full
+        snapshots.commit(root, add=["b.parquet"])   # v2 delta
+        snapshots.commit(root, add=["c.parquet"])   # v3 delta
+        v2 = snapshots._versions(bk, root)[1][1]
+        bk.write_bytes(v2, b"{torn")
+        ver, rels = snapshots.current(root)
+        assert ver == 1 and rels == ["a.parquet"]  # prefix below the tear
+
+
 class TestMultiProcessCommit:
     """The A24 collapse's correctness precondition (r4 verdict item 1):
     compaction/retention as a SEPARATE process must not race `serve`'s
