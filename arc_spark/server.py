@@ -427,6 +427,69 @@ class ArcServer:
                         "indexed_files": outer.edge_receiver.index.count(),
                         "spokes": outer.edge_receiver.activity,
                     })
+                if url.path == "/api/v1/compaction/status":
+                    # reference internal/api/compaction.go getStatus/
+                    # getCandidates: which partitions are eligible NOW
+                    if not self._require_admin(token):
+                        return
+                    if outer.ingest is None:
+                        return self._json(503, {"error": "no storage attached"})
+                    from arc_spark.operators.compaction import (
+                        compaction_candidates,
+                    )
+                    from arc_spark.storage import backend_for as _bf
+
+                    root = outer.ingest.root
+                    bk = _bf(root)
+                    min_files = int(q.get("min_files", "10"))
+                    min_age = float(q.get("min_age_seconds", "3600"))
+                    out = []
+                    if bk.isdir(root):
+                        for db in bk.list_dirs(root):
+                            if q.get("db") and db != q["db"]:
+                                continue
+                            for meas in bk.list_dirs(bk.join(root, db)):
+                                cands = compaction_candidates(
+                                    bk.join(root, db, meas),
+                                    min_files=min_files,
+                                    min_age_seconds=min_age)
+                                if cands:
+                                    out.append({
+                                        "db": db, "measurement": meas,
+                                        "candidates": [bk.relpath(
+                                            c, bk.join(root, db, meas))
+                                            for c in cands]})
+                    return self._json(200, {
+                        "eligible": out, "min_files": min_files,
+                        "min_age_seconds": min_age})
+                if url.path == "/api/v1/tiering/status":
+                    # reference internal/api/tiering.go GetStatus/GetFiles:
+                    # which day partitions live on which tier
+                    if not self._require_admin(token):
+                        return
+                    if outer.ingest is None:
+                        return self._json(503, {"error": "no storage attached"})
+                    cold = outer.query.catalog.cold_root
+                    if not cold:
+                        return self._json(200, {
+                            "enabled": False,
+                            "detail": "no cold tier configured"})
+                    from arc_spark.operators.tiering import tier_report
+                    from arc_spark.storage import backend_for as _bf
+
+                    root = outer.ingest.root
+                    bk = _bf(root)
+                    reports = []
+                    if bk.isdir(root):
+                        for db in bk.list_dirs(root):
+                            if q.get("db") and db != q["db"]:
+                                continue
+                            for meas in bk.list_dirs(bk.join(root, db)):
+                                rep = tier_report(root, cold, db, meas)
+                                rep.update({"db": db, "measurement": meas})
+                                reports.append(rep)
+                    return self._json(200, {"enabled": True,
+                                            "measurements": reports})
                 if url.path == "/api/v1/metrics/endpoints":
                     # per-endpoint latency summary (reference
                     # /api/v1/metrics/endpoints)
@@ -1133,6 +1196,40 @@ class ArcServer:
                         return out
 
                     ok, out = self._run(_manage)
+                    if ok:
+                        self._json(200, out)
+                    return
+
+                if url.path == "/api/v1/tiering/migrate":
+                    # reference internal/api/tiering.go TriggerMigration:
+                    # move day partitions older than N days to the cold
+                    # tier (snapshot-committed on both sides)
+                    if not self._require_admin(token):
+                        return
+                    if outer.ingest is None:
+                        return self._json(503, {"error": "no storage attached"})
+                    cold = outer.query.catalog.cold_root
+                    if not cold:
+                        return self._json(409, {
+                            "error": "no cold tier configured"})
+                    try:
+                        req = json.loads(body or b"{}")
+                    except json.JSONDecodeError:
+                        return self._json(400, {"error": "body must be JSON"})
+                    db, meas = req.get("db"), req.get("measurement")
+                    if not db or not meas:
+                        return self._json(400, {"error": "missing db/measurement"})
+                    from arc_spark.operators.tiering import migrate_to_cold
+
+                    def _migrate():
+                        moved = migrate_to_cold(
+                            outer.ingest.root, cold, db, meas,
+                            older_than_days=float(
+                                req.get("older_than_days", 30)))
+                        outer.query.catalog.invalidate(db, meas)
+                        return {"migrated": moved}
+
+                    ok, out = self._run(_migrate)
                     if ok:
                         self._json(200, out)
                     return

@@ -300,6 +300,63 @@ class TestManagementRoutes:
         )
         assert status == 200 and json.loads(body)["removed"] == []
 
+    def test_compaction_status_route(self, live):
+        """GET /api/v1/compaction/status (reference compaction.go
+        getCandidates): partitions eligible under the given thresholds."""
+        port, admin, *_ = live
+        status, body, _ = _req(
+            port,
+            "/api/v1/compaction/status?min_files=1&min_age_seconds=0",
+            token=admin)
+        assert status == 200
+        out = json.loads(body)
+        assert out["min_files"] == 1
+        assert any(e["measurement"] == "cpu" and e["candidates"]
+                   for e in out["eligible"])
+        # tight thresholds → nothing eligible
+        status, body, _ = _req(
+            port, "/api/v1/compaction/status?min_files=99", token=admin)
+        assert json.loads(body)["eligible"] == []
+
+    def test_tiering_status_and_migrate_routes(self, spark, tmp_path):
+        """GET /api/v1/tiering/status + POST /api/v1/tiering/migrate
+        (reference tiering.go GetStatus/TriggerMigration)."""
+        root, cold = str(tmp_path / "hot"), str(tmp_path / "cold")
+        ingest = IngestService(spark, root, max_buffer_rows=10**9,
+                               max_buffer_age_s=10**9)
+        ingest.write_line_protocol(
+            "metrics", b"cpu,host=a usage=0.5 1700000000000000000\n")
+        ingest.flush()
+        cat = MeasurementCatalog(spark, root, cold_root=cold)
+        svc = QueryService(spark, cat)
+        auth = AuthStore(str(tmp_path / "auth.db"))
+        admin = auth.create_token("admin")
+        server = ArcServer(svc, ingest, auth).start()
+        try:
+            status, body, _ = _req(server.port, "/api/v1/tiering/status",
+                                   token=admin)
+            assert status == 200
+            out = json.loads(body)
+            assert out["enabled"] is True
+            cpu = next(m for m in out["measurements"]
+                       if m["measurement"] == "cpu")
+            assert len(cpu["hot_only"]) >= 1
+            status, body, _ = _req(
+                server.port, "/api/v1/tiering/migrate", method="POST",
+                token=admin,
+                body=json.dumps({"db": "metrics", "measurement": "cpu",
+                                 "older_than_days": 0}).encode())
+            assert status == 200
+            assert len(json.loads(body)["migrated"]) >= 1
+            # the day partition now lives on the cold tier
+            status, body, _ = _req(server.port, "/api/v1/tiering/status",
+                                   token=admin)
+            cpu = next(m for m in json.loads(body)["measurements"]
+                       if m["measurement"] == "cpu")
+            assert len(cpu["cold_only"]) >= 1 and cpu["hot_only"] == []
+        finally:
+            server.stop()
+
     def test_import_tle(self, live):
         port, admin, *_ = live
         # canonical public ISS element set (valid checksums)
