@@ -8,6 +8,13 @@ ingest drain (flush + WAL seal) → audit writer.
 Other subcommands:
 - ``check-config [-c arc.toml]`` — load + validate, print the effective
   config as JSON (the reference's config validation path).
+- ``maintain [-c arc.toml] [--jobs compaction,retention,export]`` — run
+  lifecycle maintenance ONCE as a SEPARATE process and exit. This is the
+  reference's out-of-process compaction (internal/compaction/subprocess.go
+  + Raft RegisterFile ordering): safe to run against a live ``serve`` on
+  the same root because snapshot commits are version-CAS — concurrent
+  committers retry, nothing is lost (tests/test_snapshots.py
+  TestMultiProcessCommit).
 """
 
 from __future__ import annotations
@@ -77,9 +84,98 @@ def _check_config(args) -> int:
     for section in redacted.values():
         if isinstance(section, dict):
             for k in section:
-                if ("secret" in k or "token" in k) and section[k]:
+                if (any(s in k for s in ("secret", "token", "_key",
+                                         "password"))
+                        and section[k]):
                     section[k] = "***"
     json.dump(redacted, sys.stdout, indent=2)
+    print()
+    return 0
+
+
+def _maintain(args) -> int:
+    """One-shot out-of-process lifecycle pass: compaction / retention /
+    export / reconciliation over every measurement under the configured
+    root, thresholds from config, then exit. Output: one JSON line."""
+    from arc_spark.catalog import MeasurementCatalog
+    from arc_spark.config import load_config, resolve_storage_root
+    from arc_spark.session import get_spark
+    from arc_spark.storage import backend_for
+
+    cfg = load_config(args.config)
+    jobs = [j.strip() for j in (args.jobs or
+                                "compaction,retention").split(",")
+            if j.strip()]
+    bad = set(jobs) - {"compaction", "retention", "export", "reconcile"}
+    if bad:
+        print(f"unknown jobs: {sorted(bad)}", file=sys.stderr)
+        return 2
+    root = resolve_storage_root(cfg["storage"])
+    bk = backend_for(root)
+    sp = cfg["spark"]
+    spark = get_spark(cpus=sp["cpus"] or None,
+                      shuffle_partitions=sp["shuffle_partitions"] or None)
+    catalog = MeasurementCatalog(spark, root)
+    out: dict = {"root": root, "jobs": {}}
+    measurements = []
+    if bk.isdir(root):
+        for db in bk.list_dirs(root):
+            for meas in bk.list_dirs(bk.join(root, db)):
+                measurements.append((db, meas))
+    if "compaction" in jobs:
+        from arc_spark.operators.compaction import compact_measurement
+
+        comp = cfg["compaction"]
+        done = []
+        for db, meas in measurements:
+            done.extend(compact_measurement(
+                spark, root, db, meas,
+                min_files=comp["min_files"],
+                min_age_seconds=comp["min_age_hours"] * 3600,
+                catalog=catalog,
+                max_files_per_batch=comp["max_files_per_batch"],
+                defer_input_deletion=comp["defer_input_deletion"]))
+        out["jobs"]["compaction"] = {"partitions": len(done)}
+    if "retention" in jobs:
+        from arc_spark.operators.lifecycle import apply_retention
+
+        ret = cfg["retention"]
+        removed = 0
+        if ret["days"] > 0:
+            for db, meas in measurements:
+                removed += len(apply_retention(
+                    root, db, meas, retention_days=ret["days"],
+                    buffer_days=ret["buffer_days"]))
+        out["jobs"]["retention"] = {"removed": removed,
+                                    "days": ret["days"]}
+    if "export" in jobs:
+        from arc_spark.operators.export import export_delta_log, export_tree
+
+        exp = cfg["export"]
+        commits = 0
+        for db, meas in measurements:
+            mp = bk.join(root, db, meas)
+            if exp["dest_path"]:
+                dbk = backend_for(exp["dest_path"])
+                r = export_tree(mp, dbk.join(exp["dest_path"], db, meas),
+                                bk=bk, table_name=f"{db}.{meas}")
+            else:
+                r = export_delta_log(mp, bk=bk, table_name=f"{db}.{meas}")
+            commits += 1 if (r["added"] or r["removed"]) else 0
+        out["jobs"]["export"] = {"measurements": len(measurements),
+                                 "commits": commits}
+    if "reconcile" in jobs:
+        from arc_spark.operators.reconciliation import Reconciler
+
+        rec = cfg["reconciliation"]
+        r = Reconciler(
+            root,
+            grace_window_s=rec["grace_window_s"],
+            max_deletions=rec["max_deletions"],
+            delete_stray_data=rec["delete_stray_data"],
+        ).reconcile(dry_run=False)
+        out["jobs"]["reconcile"] = r
+    json.dump(out, sys.stdout)
     print()
     return 0
 
@@ -87,10 +183,16 @@ def _check_config(args) -> int:
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="python -m arc_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
-    for name, fn in (("serve", _serve), ("check-config", _check_config)):
+    for name, fn in (("serve", _serve), ("check-config", _check_config),
+                     ("maintain", _maintain)):
         p = sub.add_parser(name)
         p.add_argument("-c", "--config", default=None,
                        help="path to arc.toml-equivalent config file")
+        if name == "maintain":
+            p.add_argument(
+                "--jobs", default=None,
+                help="comma list: compaction,retention,export,reconcile "
+                     "(default compaction,retention)")
         p.set_defaults(fn=fn)
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -1411,7 +1411,9 @@ class ArcServer:
                         self._json(200, out)
                     return
 
-                if url.path == "/api/v1/import/tle":
+                if url.path in ("/api/v1/import/tle", "/api/v1/write/tle"):
+                    # reference serves TLE on both the import and write
+                    # families (internal/api/tle.go)
                     if outer.ingest is None:
                         return self._json(503, {"error": "ingest disabled"})
                     if not self._require_admin(token):

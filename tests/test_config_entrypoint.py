@@ -239,6 +239,90 @@ class TestSigtermSubprocess:
                 proc.kill()
 
 
+class TestMaintainSubprocess:
+    def test_out_of_process_maintenance_pass(self, spark, tmp_path):
+        """`python -m arc_spark maintain` — the A24 collapse end-to-end:
+        a SEPARATE process compacts + exports the tree while this process
+        keeps committing; CAS snapshot commits mean neither side loses
+        files (reference internal/compaction/subprocess.go)."""
+        import datetime as _dt
+
+        from pyspark.sql import functions as F
+
+        from arc_spark import snapshots
+        from arc_spark.catalog import MeasurementCatalog
+        from arc_spark.sources.writer import write_measurement
+
+        root = tmp_path / "data"
+        for k in range(3):  # several DISTINCT files per partition →
+            # compactable without LWW-dedup collapsing the row count
+            df = spark.range(60).select(
+                F.timestamp_micros(
+                    F.lit(int(_dt.datetime(2020, 1, 15).timestamp()
+                              * 1_000_000))
+                    + F.col("id") * 10 + F.lit(k)).alias("time"),
+                (F.col("id") % 3).cast("string").alias("host"),
+                F.col("id").cast("double").alias("value"))
+            write_measurement(df, str(root), "metrics", "cpu",
+                              tag_columns=["host"])
+        cfgfile = tmp_path / "arc.toml"
+        cfgfile.write_text(
+            f"[storage]\nlocal_path = '{root}'\n"
+            "[spark]\ncpus = 2\n"
+            "[compaction]\nmin_files = 2\nmin_age_hours = 0.0\n"
+        )
+        env = dict(os.environ)
+        env["PYTHONPATH"] = os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))
+        proc = subprocess.Popen(
+            [sys.executable, "-m", "arc_spark", "maintain",
+             "-c", str(cfgfile), "--jobs", "compaction,export"],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+            text=True, cwd=str(tmp_path))
+        try:
+            # keep committing REAL files from THIS process while the
+            # other process compacts/exports the same measurement
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            meas_path = str(root / "metrics" / "cpu")
+            part = (root / "metrics" / "cpu" / "year=2020" / "month=1" /
+                    "day=15" / "hour=1")
+            part.mkdir(parents=True, exist_ok=True)
+            empty = pa.table({
+                "time": pa.array([], pa.timestamp("us")),
+                "host": pa.array([], pa.string()),
+                "value": pa.array([], pa.float64())})
+            racing = []
+            for i in range(40):
+                rel = f"year=2020/month=1/day=15/hour=1/race-r{i}.parquet"
+                pq.write_table(empty, str(part / f"race-r{i}.parquet"))
+                snapshots.commit(meas_path, add=[rel])
+                racing.append(rel)
+            out, _ = proc.communicate(timeout=300)
+        finally:
+            if proc.poll() is None:
+                proc.kill()
+        assert proc.returncode == 0, out
+        line = json.loads(out.strip().splitlines()[-1])
+        assert line["jobs"]["compaction"]["partitions"] >= 1
+        assert line["jobs"]["export"]["measurements"] >= 1
+        # consistency after the interleaved runs: every committed file
+        # exists on disk (racing adds either survived verbatim or were
+        # folded by the other process's compaction commit — never lost
+        # into a dangling reference), and the data still reads exactly
+        import os as _os
+
+        _, rels = snapshots.current(meas_path)
+        assert rels, racing
+        for rel in rels:
+            assert _os.path.exists(_os.path.join(meas_path, rel)), rel
+        spark.catalog.clearCache()
+        cat = MeasurementCatalog(spark, str(root))
+        cat.invalidate("metrics", "cpu")
+        assert cat.table("metrics", "cpu").count() == 180
+
+
 class TestTls:
     @pytest.fixture()
     def certpair(self, tmp_path):
