@@ -180,11 +180,49 @@ def _maintain(args) -> int:
     return 0
 
 
+def _bundle(args) -> int:
+    """Air-gap spoke operations (reference edgesync exporter/ack CLI
+    surface): ``bundle export --dest DIR`` writes pending ledger entries
+    to removable media; ``bundle ack BUNDLE_DIR`` applies the hub's
+    signed acknowledgment when the drive rides back; ``bundle revert
+    BUNDLE_ID`` returns a lost drive's entries to pending."""
+    import os
+
+    from arc_spark.config import load_config, resolve_storage_root
+    from arc_spark.sources.edgesync import SyncLedger
+    from arc_spark.sources.edgesync_bundle import BundleExporter
+
+    cfg = load_config(args.config)
+    es = cfg["edge_sync"]
+    secret = es["spoke_secret"] or os.environ.get(
+        "ARC_EDGE_SYNC_SPOKE_SECRET", "")
+    if not secret:
+        print("bundle operations need edge_sync.spoke_secret "
+              "(or ARC_EDGE_SYNC_SPOKE_SECRET)", file=sys.stderr)
+        return 2
+    root = resolve_storage_root(cfg["storage"])
+    ledger = SyncLedger(es["spoke_ledger_db"] or "./edge_ledger.db")
+    exp = BundleExporter(root, ledger, spoke_id=es["spoke_id"],
+                         hub_id=es["spoke_hub_id"], secret=secret)
+    if args.action == "export":
+        if not args.dest:
+            print("bundle export needs --dest", file=sys.stderr)
+            return 2
+        out = exp.export(args.dest, limit=args.limit)
+    elif args.action == "ack":
+        out = exp.apply_ack(args.bundle)
+    else:  # revert
+        out = {"reverted": exp.revert(args.bundle)}
+    json.dump(out, sys.stdout)
+    print()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="python -m arc_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
     for name, fn in (("serve", _serve), ("check-config", _check_config),
-                     ("maintain", _maintain)):
+                     ("maintain", _maintain), ("bundle", _bundle)):
         p = sub.add_parser(name)
         p.add_argument("-c", "--config", default=None,
                        help="path to arc.toml-equivalent config file")
@@ -193,6 +231,14 @@ def main(argv: list[str] | None = None) -> int:
                 "--jobs", default=None,
                 help="comma list: compaction,retention,export,reconcile "
                      "(default compaction,retention)")
+        if name == "bundle":
+            p.add_argument("action", choices=["export", "ack", "revert"])
+            p.add_argument("bundle", nargs="?", default=None,
+                           help="bundle dir (ack) / bundle id (revert)")
+            p.add_argument("--dest", default=None,
+                           help="export destination directory")
+            p.add_argument("--limit", type=int, default=0,
+                           help="max files per bundle (0 = all pending)")
         p.set_defaults(fn=fn)
     args = ap.parse_args(argv)
     return args.fn(args)

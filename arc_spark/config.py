@@ -99,6 +99,12 @@ DEFAULTS: dict[str, dict[str, Any]] = {
         # hub side: accept file uploads + reconcile (internal/edgesync)
         "hub_enabled": False,
         "hub_index_db": "",      # "" → in-memory
+        "hub_id": "hub",
+        # air-gap bundle import (internal/edgesync bundle family):
+        # operator routes enabled only when import dirs are allowed
+        "hub_bundle_import_dirs": [],   # empty → bundle import disabled
+        "hub_bundle_index_db": "",      # replay index; "" → in-memory
+        "hub_spoke_registry_db": "",    # spoke secrets; "" → in-memory
         # spoke side: replicate committed files to a hub on an interval
         "spoke_enabled": False,
         "spoke_hub_url": "",
@@ -106,6 +112,10 @@ DEFAULTS: dict[str, dict[str, Any]] = {
         "spoke_id": "spoke",
         "spoke_interval_s": 60.0,
         "spoke_ledger_db": "",   # "" → ./edge_ledger.db
+        # air-gap export identity (a bundle is FOR one hub; the secret
+        # signs the manifest — or env ARC_EDGE_SYNC_SPOKE_SECRET)
+        "spoke_hub_id": "hub",
+        "spoke_secret": "",
     },
     "maintenance": {
         # crashed-run Spark temp-dir sweep at serve boot (the reference
@@ -573,6 +583,22 @@ def build_engine(cfg: dict, spark=None) -> dict:
         server.edge_receiver = HubReceiver(
             root, index=HubIndex(es["hub_index_db"] or ":memory:"),
             catalog=catalog)
+        if es["hub_bundle_import_dirs"]:
+            from arc_spark.sources.edgesync_bundle import (
+                BundleImporter,
+                BundleIndex,
+                DestinationPolicy,
+                SpokeRegistry,
+            )
+
+            server.bundle_registry = SpokeRegistry(
+                es["hub_spoke_registry_db"] or ":memory:")
+            server.bundle_importer = BundleImporter(
+                server.edge_receiver,
+                BundleIndex(es["hub_bundle_index_db"] or ":memory:"),
+                server.bundle_registry, hub_id=es["hub_id"])
+            server.bundle_policy = DestinationPolicy(
+                es["hub_bundle_import_dirs"], storage_root=root)
     if es["spoke_enabled"]:
         if not es["spoke_hub_url"]:
             raise ValueError(

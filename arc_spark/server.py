@@ -136,6 +136,11 @@ class ArcServer:
         # the chunked begin/append/finish routes (bounded memory per
         # request on a ThreadingHTTPServer)
         self.max_upload_bytes = 64 << 20
+        # air-gap bundle import (edgesync_bundle): importer + replay
+        # index + spoke registry + directory policy, wired by config
+        self.bundle_importer = None
+        self.bundle_registry = None
+        self.bundle_policy = None
         # optional sources.mqtt.MqttIngestBridge for /api/v1/mqtt/* routes
         self.mqtt = mqtt_bridge
         # request counters for /metrics (reference internal/monitoring)
@@ -427,6 +432,22 @@ class ArcServer:
                         "indexed_files": outer.edge_receiver.index.count(),
                         "spokes": outer.edge_receiver.activity,
                     })
+                if url.path.startswith("/api/v1/bundle-import/history/"):
+                    # reference edgesync_import.go history/:spoke_id
+                    if outer.bundle_importer is None:
+                        return self._json(503, {
+                            "error": "bundle import not configured"})
+                    if not self._require_admin(token):
+                        return
+                    spoke_id = url.path.rsplit("/", 1)[-1]
+                    try:
+                        limit = int(q.get("limit", "50"))
+                    except ValueError:
+                        return self._json(400, {"error": "bad limit"})
+                    return self._json(200, {
+                        "spoke_id": spoke_id,
+                        "bundles": outer.bundle_importer.index
+                        .list_by_spoke(spoke_id, limit=limit)})
                 if url.path == "/api/v1/compaction/status":
                     # reference internal/api/compaction.go getStatus/
                     # getCandidates: which partitions are eligible NOW
@@ -1200,6 +1221,54 @@ class ArcServer:
                         self._json(200, out)
                     return
 
+                if url.path == "/api/v1/bundle-import":
+                    # air-gap bundle import (reference edgesync_import.go:
+                    # operator route, admin token — a different audience
+                    # from the spoke-facing HMAC'd upload routes)
+                    if outer.bundle_importer is None:
+                        return self._json(503, {
+                            "error": "bundle import not configured "
+                                     "(edge_sync.hub_bundle_import_dirs)"})
+                    if not self._require_admin(token):
+                        return
+                    from arc_spark.sources.edgesync_bundle import (
+                        BundleAlreadyImported,
+                        BundleError,
+                    )
+
+                    try:
+                        req = json.loads(body or b"{}")
+                    except json.JSONDecodeError:
+                        return self._json(400, {"error": "body must be JSON"})
+                    if not req.get("dir"):
+                        return self._json(400, {"error": "missing 'dir'"})
+                    try:
+                        bdir = outer.bundle_policy.resolve(req["dir"])
+                        out = outer.bundle_importer.import_bundle(bdir)
+                    except BundleAlreadyImported as e:
+                        return self._json(409, {"error": str(e)})
+                    except BundleError as e:
+                        return self._json(400, {"error": str(e)})
+                    return self._json(200, out)
+                if url.path == "/api/v1/sync-spokes":
+                    # register/replace an air-gap spoke + shared secret
+                    # (reference spoke registry admin surface)
+                    if outer.bundle_registry is None:
+                        return self._json(503, {
+                            "error": "bundle import not configured"})
+                    if not self._require_admin(token):
+                        return
+                    try:
+                        req = json.loads(body or b"{}")
+                    except json.JSONDecodeError:
+                        return self._json(400, {"error": "body must be JSON"})
+                    if not req.get("spoke_id") or not req.get("secret"):
+                        return self._json(400, {
+                            "error": "missing spoke_id/secret"})
+                    outer.bundle_registry.register(
+                        req["spoke_id"], req["secret"],
+                        enabled=bool(req.get("enabled", True)))
+                    return self._json(201, {"registered": req["spoke_id"]})
                 if url.path == "/api/v1/tiering/migrate":
                     # reference internal/api/tiering.go TriggerMigration:
                     # move day partitions older than N days to the cold
