@@ -146,6 +146,22 @@ class QueryService:
             timeout_s=self.governor.timeout_s(token),
         )
 
+    def scan_measurement_arrow(self, db: str, measurement: str,
+                               limit: int = 1000, token: str = ""):
+        """Native fast path for the TRIVIAL A13 shape — no where, no
+        order_by: the committed file list reads through pyarrow.dataset
+        (multi-threaded C++ scan, no Spark job, no JVM→Python collect)
+        into the same Arrow memory the wire encoders consume (~10× the
+        DataFrame path at serving sizes). Governance (rate admit + row
+        cap) and RBAC apply exactly as on the Spark path; anything with a
+        filter or ordering takes :meth:`query_measurement`."""
+        self.governor.admit(token)
+        view = self.catalog.register(db, measurement)
+        self._check_rbac(token, f"SELECT * FROM {view}")
+        cap = self.governor.row_cap(token)
+        eff = int(limit) if cap is None else min(int(limit), cap)
+        return self.catalog.scan_arrow(db, measurement, limit=eff)
+
     # SHOW TABLES is an alias for SHOW MEASUREMENTS; the db in FROM may be
     # quoted (reference query.go:50-58 showTablesPattern)
     _SHOW_TABLES_RE = re.compile(

@@ -222,6 +222,71 @@ class MeasurementCatalog:
             df = df.unionByName(t, allowMissingColumns=True)
         return df
 
+    def scan_arrow(self, db: str, measurement: str,
+                   columns: list[str] | None = None,
+                   limit: int | None = None):
+        """Native Arrow scan of a measurement's COMMITTED files — no Spark
+        job, no driver-collect hop.
+
+        The trivial-serving shape (project + limit over one measurement —
+        the reference's SELECT-LIMIT wire benchmark) pays ~80 ms of Spark
+        job scheduling plus a ~100 MB/s JVM→Python collect in the
+        DataFrame path; reading the same committed parquet through
+        :mod:`pyarrow.dataset` is a multi-threaded C++ scan into the SAME
+        Arrow memory the encoders consume (~10× at 100k–1M rows). The
+        file list is snapshot-resolved exactly like :meth:`table`, hive
+        partition columns materialize as int32 columns, and ns timestamps
+        normalize to µs so both serving paths return identical values.
+        Anything beyond this shape (filters, ordering, joins) stays on
+        Spark."""
+        import pyarrow as pa
+        import pyarrow.dataset as pads
+
+        from arc_spark import snapshots
+
+        tables = []
+        remaining = limit
+        for p in self.paths(db, measurement):
+            bk = backend_for(p)
+            files = snapshots.data_files(p, bk=bk)
+            if files is None:
+                files = [bk.join(p, r)
+                         for r in snapshots.live_glob(p, bk=bk)]
+            if not files:
+                continue
+            ds = pads.dataset(
+                [bk.fs_path(f) for f in files],
+                filesystem=bk.fs,
+                partitioning=pads.partitioning(flavor="hive"),
+                partition_base_dir=bk.fs_path(p),
+            )
+            if remaining is not None:
+                t = ds.head(remaining, columns=columns)
+                remaining -= t.num_rows
+            else:
+                t = ds.to_table(columns=columns)
+            tables.append(t)
+            if remaining is not None and remaining <= 0:
+                break
+        if not tables:
+            return pa.table({"time": pa.array([], pa.timestamp("us"))})
+        out = (tables[0] if len(tables) == 1
+               else pa.concat_tables(tables, promote_options="permissive"))
+        # µs normalization: Spark floors ns-precision parquet to µs, so
+        # the native path must serve the same values
+        fields = []
+        changed = False
+        for f in out.schema:
+            if pa.types.is_timestamp(f.type) and f.type.unit != "us":
+                fields.append(pa.field(
+                    f.name, pa.timestamp("us", tz=f.type.tz), f.nullable))
+                changed = True
+            else:
+                fields.append(f)
+        if changed:
+            out = out.cast(pa.schema(fields))
+        return out
+
     def measurement_for_path(self, path: str) -> tuple[str, str] | None:
         """Reverse-resolve a scan root path to its (db, measurement).
 

@@ -120,6 +120,12 @@ class Governor:
                 )
             q.append(t)
 
+    def row_cap(self, token: str) -> int | None:
+        """The numeric row cap, for non-DataFrame serving paths (the
+        native measurement fast scan applies it as a pyarrow head)."""
+        pol = self._policy(token)
+        return None if pol is None else pol.max_rows
+
     def cap(self, token: str, df: DataFrame) -> DataFrame:
         """Row-cap the plan. LIMIT participates in planning (Catalyst turns
         it into CollectLimit / limit pushdown) rather than truncating a

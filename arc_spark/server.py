@@ -749,6 +749,50 @@ class ArcServer:
                     ]})
                 if url.path.startswith("/api/v1/query/"):
                     measurement = url.path.rsplit("/", 1)[-1]
+                    fmt = q.get("format", "json")
+                    if fmt not in ("json", "arrow", "msgpack"):
+                        return self._json(400, {"error": f"bad format {fmt!r}"})
+                    if not q.get("where") and not q.get("order_by"):
+                        # trivial shape → native Arrow fast scan (no Spark
+                        # job); with a filter/order the Spark path below
+                        # keeps full semantics + partition pruning
+                        def _fast():
+                            return outer.query.scan_measurement_arrow(
+                                q.get("db", "default"), measurement,
+                                limit=int(q.get("limit", "1000")),
+                                token=token)
+
+                        ok, table = self._run(_fast)
+                        if not ok:
+                            return
+                        from arc_spark.serving import (
+                            to_arrow_ipc,
+                            to_columnar_msgpack,
+                        )
+
+                        if fmt == "arrow":
+                            return self._reply(
+                                200, to_arrow_ipc(table),
+                                ctype="application/vnd.apache.arrow.stream")
+                        if fmt == "msgpack":
+                            return self._reply(
+                                200, to_columnar_msgpack(table),
+                                ctype="application/msgpack")
+                        # JSON rows: session-local wall time, tz dropped —
+                        # byte-identical to the Spark path's Row.asDict()
+                        import pyarrow as _pa
+                        import pyarrow.compute as _pc
+
+                        cols = []
+                        for i, f in enumerate(table.schema):
+                            c = table.column(i)
+                            if (_pa.types.is_timestamp(f.type)
+                                    and f.type.tz is not None):
+                                c = _pc.local_timestamp(c)
+                            cols.append(c)
+                        table = _pa.table(cols, names=table.column_names)
+                        return self._json(
+                            200, {"rows": table.to_pylist()})
                     ok, rows = self._run(lambda: outer.query.query_measurement(
                         q.get("db", "default"),
                         measurement,

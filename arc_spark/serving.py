@@ -17,16 +17,18 @@ from arc_spark.sources.msgpack_codec import packb
 
 
 def _arrow_batches(df, max_rows_per_batch: int = 10_000) -> Iterator[pa.RecordBatch]:
-    """Arrow record batches from a DataFrame, re-chunked to ≤N rows (the
-    reference re-chunks DuckDB output to 10k-row IPC batches)."""
-    table = df.toArrow()  # Spark 4: Arrow-native collect
+    """Arrow record batches from a DataFrame OR a pyarrow Table (the
+    native fast-scan path hands tables straight in), re-chunked to ≤N
+    rows (the reference re-chunks DuckDB output to 10k-row IPC batches)."""
+    table = df if isinstance(df, pa.Table) else df.toArrow()
     for batch in table.to_batches(max_chunksize=max_rows_per_batch):
         yield batch
 
 
 def to_arrow_ipc(df, max_rows_per_batch: int = 10_000) -> bytes:
     """Arrow IPC stream bytes (the throughput-leader format — 9.49M rows/s
-    in the reference's benchmark, BASELINE.md)."""
+    in the reference's benchmark, BASELINE.md). Accepts a DataFrame or a
+    pyarrow Table (catalog.scan_arrow's native path)."""
     sink = pa.BufferOutputStream()
     writer = None
     for batch in _arrow_batches(df, max_rows_per_batch):
@@ -35,7 +37,9 @@ def to_arrow_ipc(df, max_rows_per_batch: int = 10_000) -> bytes:
         writer.write_batch(batch)
     if writer is None:  # empty result: still emit a valid schema-only stream
         # Arrow-native schema (a pandas round-trip here loses timestamp tz)
-        writer = pa.ipc.new_stream(sink, df.limit(0).toArrow().schema)
+        schema = (df.schema if isinstance(df, pa.Table)
+                  else df.limit(0).toArrow().schema)
+        writer = pa.ipc.new_stream(sink, schema)
     writer.close()
     return sink.getvalue().to_pybytes()
 
@@ -112,7 +116,7 @@ def to_columnar_msgpack(df, max_rows_per_batch: int = 10_000) -> bytes:
     """
     from arc_spark.sources.msgpack_codec import _pack, pack_array_vectorized
 
-    names = df.columns
+    names = (df.column_names if isinstance(df, pa.Table) else df.columns)
     batches = list(_arrow_batches(df, max_rows_per_batch))
     out = bytearray()
     out.append(0x82)  # 2-key map

@@ -104,6 +104,9 @@ def main() -> None:
     n_serve = ev.count()
     serve_lanes = (("serve_arrow_events", to_arrow_ipc),
                    ("serve_msgpack_events", to_columnar_msgpack))
+    from arc_spark.workload import events_measurement_compact
+
+    _, ev_cat = events_measurement_compact(spark, sf_dir)
     samples_by: dict[str, list[float]] = {}
     rows_by: dict[str, int] = {}
     for _ in range(iterations):
@@ -124,6 +127,14 @@ def main() -> None:
             nbytes = len(enc(ev))
             samples_by.setdefault(lane, []).append(time.perf_counter() - t0)
             rows_by[lane] = nbytes
+        # native fast-scan serving (catalog.scan_arrow: pyarrow C++ scan
+        # of the committed measurement, no Spark job — the trivial
+        # SELECT-LIMIT wire shape arc's 9.49M rows/s number measures)
+        t0 = time.perf_counter()
+        nbytes = len(to_arrow_ipc(ev_cat.scan_arrow("bench", "events")))
+        samples_by.setdefault("serve_arrow_fastscan", []).append(
+            time.perf_counter() - t0)
+        rows_by["serve_arrow_fastscan"] = nbytes
 
     for name in BENCH_QUERIES:
         samples = samples_by[name]
@@ -132,7 +143,7 @@ def main() -> None:
         print(f"# {name}: p50 {dt:.3f}s over {iterations} passes "
               f"(min {min(samples):.3f}, max {max(samples):.3f}) "
               f"rows={rows_by[name]}", file=sys.stderr)
-    for lane, _ in serve_lanes:
+    for lane in [lane for lane, _ in serve_lanes] + ["serve_arrow_fastscan"]:
         samples = samples_by[lane]
         dt = record(lane, samples)
         total += dt

@@ -714,10 +714,14 @@ class TestOperationalRoutes:
 
     def test_cache_stats_and_invalidate(self, live):
         port, admin, *_ = live
-        # the single-measurement REST endpoint routes through prune_sql:
+        # a FILTTERED measurement request routes through prune_sql (the
+        # trivial no-where shape takes the native fast scan instead):
         # two identical calls → second is a cache hit
         for _ in range(2):
-            _req(port, "/api/v1/query/cpu?db=metrics&limit=5", token=admin)
+            _req(port,
+                 "/api/v1/query/cpu?db=metrics&limit=5"
+                 "&where=usage%20%3E%200",
+                 token=admin)
         status, body, _ = _req(port, "/api/v1/cache/stats", token=admin)
         stats = json.loads(body)
         assert status == 200 and stats["entries"] >= 1 and stats["hits"] >= 1
