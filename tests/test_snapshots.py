@@ -182,6 +182,64 @@ class TestIncrementalCommits:
         assert ver == 1 and rels == ["a.parquet"]  # prefix below the tear
 
 
+class TestIncrementalModelCheck:
+    def test_random_commit_sequences_match_model(self, tmp_path):
+        """Randomized differential: any interleaving of add/remove
+        commits (delta + fold + prune machinery underneath) must read
+        back exactly like a plain Python set."""
+        import random
+
+        rng = random.Random(1234)
+        for trial in range(5):
+            root = str(tmp_path / f"t{trial}")
+            os.makedirs(root)
+            model: set[str] = set()
+            pool = [f"d{trial}/f{i}.parquet" for i in range(40)]
+            for step in range(30):
+                adds = rng.sample(pool, rng.randint(0, 4))
+                # removes drawn from the model (live files) + sometimes a
+                # file that was never committed (must be a no-op)
+                removes = rng.sample(sorted(model),
+                                     min(len(model), rng.randint(0, 2)))
+                if rng.random() < 0.2:
+                    removes.append("never/was.parquet")
+                snapshots.commit(root, add=adds, remove=removes)
+                model |= set(adds)
+                model -= set(removes)
+                if rng.random() < 0.3:
+                    got = snapshots.current(root)
+                    assert got is not None
+                    assert set(got[1]) == model, f"step {step}"
+            _, rels = snapshots.current(root)
+            assert set(rels) == model
+
+    def test_threaded_random_commits_lose_nothing(self, tmp_path):
+        """4 threads × random adds with fold boundaries crossing — the
+        union of all adds must survive (no lost update through the
+        delta/fold/CAS interplay)."""
+        import threading
+
+        root = str(tmp_path)
+        errs = []
+
+        def worker(k):
+            try:
+                for i in range(25):
+                    snapshots.commit(root, add=[f"w{k}/f{i}.parquet"])
+            except Exception as e:  # pragma: no cover
+                errs.append(e)
+
+        ts = [threading.Thread(target=worker, args=(k,)) for k in range(4)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert errs == []
+        _, rels = snapshots.current(root)
+        assert set(rels) == {f"w{k}/f{i}.parquet"
+                             for k in range(4) for i in range(25)}
+
+
 class TestMultiProcessCommit:
     """The A24 collapse's correctness precondition (r4 verdict item 1):
     compaction/retention as a SEPARATE process must not race `serve`'s
