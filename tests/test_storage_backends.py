@@ -285,6 +285,38 @@ class TestBackendResolution:
         assert bk.spark_url("s3://bucket/k") == "s3a://bucket/k"
 
 
+class TestExportAndFastScanOverMockRoot:
+    def test_delta_log_export_on_registered_scheme(self, spark, mock_root):
+        """export_delta_log over a non-local backend: version files
+        publish through the move_file_excl fallback, adds reference the
+        measurement-relative paths."""
+        from arc_spark.operators.export import export_delta_log
+        from arc_spark.sources.writer import write_measurement
+
+        write_measurement(_events_df(spark), mock_root, "metrics", "cpu",
+                          tag_columns=["host"])
+        bk = storage.backend_for(mock_root)
+        mp = bk.join(mock_root, "metrics", "cpu")
+        out = export_delta_log(mp, bk=bk)
+        assert out["version"] == 0 and out["added"] > 0
+        log_dir = bk.join(mp, "_delta_log")
+        files = bk.list_files(log_dir, suffix=".json")
+        assert len(files) == 1
+        # idempotent on re-export
+        assert export_delta_log(mp, bk=bk)["added"] == 0
+
+    def test_scan_arrow_on_registered_scheme(self, spark, mock_root):
+        from arc_spark.sources.writer import write_measurement
+
+        write_measurement(_events_df(spark), mock_root, "metrics", "cpu",
+                          tag_columns=["host"])
+        cat = MeasurementCatalog(spark, mock_root)
+        t = cat.scan_arrow("metrics", "cpu")
+        assert t.num_rows == 200
+        assert t.num_rows == cat.table("metrics", "cpu").count()
+        assert {"year", "month", "day", "hour"} <= set(t.column_names)
+
+
 class TestAzureBackend:
     """Azure Blob backend (reference internal/storage/azure.go): URL
     algebra, env/scheme resolution, config registration. Live Azurite
