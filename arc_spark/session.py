@@ -106,9 +106,17 @@ def get_spark(
     """
     cpus = cpus or default_parallelism()
     pin_worker_blas_threads()  # must precede JVM launch to reach workers
+    # local mode runs driver AND executors in ONE JVM sized by
+    # spark.driver.memory, whose Spark default is 1g — far below what a
+    # 32-core box's shuffle/aggregate working set needs (measured: heap
+    # OOM at ~20k-doc all-pairs aggregates). On a cluster the executor
+    # memory comes from the cluster manager and this setting only sizes
+    # the actual driver. Applied at first session creation only.
+    mem = os.environ.get("ARC_SPARK_DRIVER_MEMORY", "16g")
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
+        .config("spark.driver.memory", mem)
         # Determinism / dialect
         .config("spark.sql.session.timeZone", "UTC")
         # Shuffle sizing: at 100 TB this is driven by AQE advisory sizes,
