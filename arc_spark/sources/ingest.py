@@ -306,8 +306,39 @@ def columnar_to_arrow(
 
 def merge_batches(tables: list[pa.Table]) -> pa.Table:
     """Union-by-name merge across schema evolution: missing columns → null
-    (reference mergeBatches with validity bitmaps, arrow_writer.go:2706-2930)."""
-    return pa.concat_tables(tables, promote_options="permissive")
+    (reference mergeBatches with validity bitmaps, arrow_writer.go:2706-2930).
+
+    An ENTIRELY-null column in one batch carries no type information —
+    inference defaulted it (string), which used to hard-fail the merge
+    when another batch carried the column's real type (reference issue
+    #337: ingest dropped/failed all-null batch columns). Pre-pass: relax
+    every all-null column to Arrow's null type, which permissive concat
+    promotes to whatever real type any sibling batch holds; a column
+    null in EVERY batch falls back to string post-concat (the on-disk
+    type it always had)."""
+    relaxed = []
+    for t in tables:
+        cols, changed = [], False
+        for i, f in enumerate(t.schema):
+            c = t.column(i)
+            # only STRING all-null columns relax: string is exactly what
+            # inference DEFAULTS to with zero type evidence; configured
+            # types (decimal128, timestamp) are intentional and must not
+            # round-trip through null
+            if (pa.types.is_string(f.type)
+                    and c.null_count == len(c) and len(c) > 0):
+                c = pa.nulls(len(c))
+                changed = True
+            cols.append(c)
+        relaxed.append(pa.table(dict(zip(t.column_names, cols)))
+                       if changed else t)
+    out = pa.concat_tables(relaxed, promote_options="permissive")
+    null_fields = [f.name for f in out.schema if pa.types.is_null(f.type)]
+    if null_fields:
+        out = out.cast(pa.schema(
+            [pa.field(f.name, pa.string() if f.name in null_fields
+                      else f.type, f.nullable) for f in out.schema]))
+    return out
 
 
 def columnar_to_dataframe(spark, batch: dict):

@@ -103,6 +103,57 @@ def test_schema_evolution_merge():
     assert merged.column("humidity").to_pylist() == [None, 0.4]
 
 
+def test_all_nil_batch_column_merges_with_typed_batch():
+    """Reference issue #337 analogue: a batch whose column is ENTIRELY
+    null (inference defaulted it to string) must merge with a later
+    batch carrying the column's real type — previously this hard-failed
+    the flush (string vs double), wedging the retry loop on one batch."""
+    t1 = columnar_to_arrow(rows_to_columnar(
+        [{"m": "s", "t": 1, "fields": {"x": None}},
+         {"m": "s", "t": 2, "fields": {"x": None}}]))
+    t2 = columnar_to_arrow(rows_to_columnar(
+        [{"m": "s", "t": 3, "fields": {"x": 7.5}}]))
+    for order in ([t1, t2], [t2, t1]):
+        merged = merge_batches(order)
+        assert str(merged.schema.field("x").type) == "double"
+        assert sorted(merged.column("x").to_pylist(),
+                      key=lambda v: (v is None, v)) == [7.5, None, None]
+    # int typed sibling promotes the same way
+    t3 = columnar_to_arrow(rows_to_columnar(
+        [{"m": "s", "t": 4, "fields": {"x": 9}}]))
+    assert str(merge_batches([t1, t3]).schema.field("x").type) == "int64"
+
+
+def test_all_nil_in_every_batch_stays_string():
+    t1 = columnar_to_arrow(rows_to_columnar(
+        [{"m": "s", "t": 1, "fields": {"x": None}}]))
+    t2 = columnar_to_arrow(rows_to_columnar(
+        [{"m": "s", "t": 2, "fields": {"x": None}}]))
+    merged = merge_batches([t1, t2])
+    assert str(merged.schema.field("x").type) == "string"
+    assert merged.column("x").to_pylist() == [None, None]
+
+
+def test_all_nil_decimal_column_keeps_decimal():
+    """Configured types are intentional — an all-null DECIMAL column must
+    not round-trip through the string fallback."""
+    import pyarrow as pa
+
+    dec = {"price": (10, 2)}
+    t1 = columnar_to_arrow({
+        "measurement": "s",
+        "columns": {"time": [1], "price": [None]},
+        "tag_columns": [],
+    }, decimal_columns=dec)
+    t2 = columnar_to_arrow({
+        "measurement": "s",
+        "columns": {"time": [2], "price": ["3.50"]},
+        "tag_columns": [],
+    }, decimal_columns=dec)
+    merged = merge_batches([t1, t2])
+    assert pa.types.is_decimal(merged.schema.field("price").type)
+
+
 def test_columnar_to_dataframe(spark):
     batch = decode_msgpack_payload(packb({
         "m": "cpu",
