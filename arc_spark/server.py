@@ -141,6 +141,10 @@ class ArcServer:
         self.bundle_importer = None
         self.bundle_registry = None
         self.bundle_policy = None
+        # global request-body ceiling, checked BEFORE the body is read:
+        # a hostile Content-Length must cost a 413, not a 2 GiB
+        # allocation (the reference's fiber BodyLimit middleware)
+        self.max_request_bytes = 1 << 30
         # optional sources.mqtt.MqttIngestBridge for /api/v1/mqtt/* routes
         self.mqtt = mqtt_bridge
         # request counters for /metrics (reference internal/monitoring)
@@ -812,7 +816,16 @@ class ArcServer:
                 token = self._authenticate()
                 if token is None:
                     return
-                length = int(self.headers.get("Content-Length", "0"))
+                try:
+                    length = int(self.headers.get("Content-Length", "0"))
+                except ValueError:
+                    return self._json(400, {"error": "bad Content-Length"})
+                if length > outer.max_request_bytes:
+                    # refused BEFORE reading: the declared size alone must
+                    # not buy a giant allocation
+                    return self._json(413, {
+                        "error": f"request body {length} bytes exceeds "
+                                 f"limit {outer.max_request_bytes}"})
                 body = self.rfile.read(length) if length else b""
 
                 if url.path in ("/api/v1/query", "/api/v1/query/arrow",

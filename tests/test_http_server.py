@@ -300,6 +300,22 @@ class TestManagementRoutes:
         )
         assert status == 200 and json.loads(body)["removed"] == []
 
+    def test_oversized_content_length_rejected_unread(self, live):
+        """A hostile Content-Length 413s BEFORE the body is read — the
+        declared size alone must not buy a giant allocation."""
+        import http.client
+
+        port, admin, *_ = live
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        conn.putrequest("POST", "/api/v1/query")
+        conn.putheader("Authorization", f"Bearer {admin}")
+        conn.putheader("Content-Length", str(10 << 30))  # 10 GiB claim
+        conn.endheaders()
+        # server must answer without us sending a single body byte
+        resp = conn.getresponse()
+        assert resp.status == 413
+        conn.close()
+
     def test_compaction_status_route(self, live):
         """GET /api/v1/compaction/status (reference compaction.go
         getCandidates): partitions eligible under the given thresholds."""
