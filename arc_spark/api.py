@@ -645,11 +645,10 @@ class IngestService:
             from arc_spark.functions.threads import pin_math_threads
 
             pin_math_threads()
-            import pyarrow as _pa
-
             from arc_spark.sources.ingest import (
                 columnar_to_arrow,
                 decode_msgpack_payload,
+                merge_batches,
             )
             from arc_spark.sources.line_protocol import parse_chunk_columnar
             from arc_spark.sources.writer import write_measurement_arrow
@@ -682,11 +681,13 @@ class IngestService:
                            "files": []}
                     for meas, bl in by_meas.items():
                         decs = decimal_config.get(meas)
-                        tbl = _pa.concat_tables(
+                        # merge_batches, not a plain concat: an all-null
+                        # column in one payload (string by inference)
+                        # must merge with a sibling payload's real type
+                        # exactly as on the in-process flush path
+                        tbl = merge_batches(
                             [columnar_to_arrow(x, decimal_columns=decs)
-                             for x in bl],
-                            promote_options="default",
-                        )
+                             for x in bl])
                         tags = sorted({c for x in bl
                                        for c in (x.get("tag_columns") or [])})
                         wl: list[str] = []

@@ -605,6 +605,34 @@ class TestDistributedFlush:
         assert svc.flush() == 5_000
         assert spark.read.parquet(str(tmp_path / "bench" / "cpu")).count() == 5_000
 
+    def test_distributed_drain_merges_all_null_column(self, spark, tmp_path):
+        """Issue-#337 shape on the EXECUTOR path: one deferred payload's
+        column is entirely null, a sibling payload types it — the in-task
+        merge must promote, not fail the whole drain job."""
+        from arc_spark.api import IngestService
+        from arc_spark.sources.msgpack_codec import packb
+
+        svc = IngestService(spark, str(tmp_path), max_buffer_rows=10**9,
+                            max_buffer_age_s=10**9, defer_decode=True)
+        svc.distributed_flush_min_bytes = 1 << 10
+        svc.write_msgpack("m", packb({
+            "m": "cpu",
+            "columns": {"time": [1700000000000000 + i for i in range(300)],
+                        "host": [f"h{i % 3}" for i in range(300)],
+                        "extra": [None] * 300},
+            "tags": ["host"],
+        }))
+        svc.write_msgpack("m", packb({
+            "m": "cpu",
+            "columns": {"time": [1700000100000000], "host": ["x"],
+                        "extra": [7.5]},
+            "tags": ["host"],
+        }))
+        assert svc.flush() == 301
+        back = spark.read.parquet(str(tmp_path / "m" / "cpu"))
+        assert back.count() == 301
+        assert back.filter("extra = 7.5").count() == 1
+
     def test_deferred_lp_backlog_drains_distributed(self, spark, tmp_path):
         """Deferred LINE-PROTOCOL backlogs over the threshold also drain
         on executors (parse_chunk_columnar per payload in-task)."""
