@@ -217,7 +217,9 @@ def restore_backup(
                     skipped += 1
                     continue
                 dst.mkdirs(dst.dirname(dest))
-                dst.write_bytes(dest, src.read_bytes(src.join(src_meas, rel)))
+                # streamed, not buffered: a restore must not hold a whole
+                # (possibly multi-GB compacted) file in memory
+                src.stream_copy_to(src.join(src_meas, rel), dst, dest)
                 restored += 1
                 any_restored = True
                 if rel.endswith(".parquet"):

@@ -240,7 +240,7 @@ def export_tree(meas_path: str, dest: str, bk=None,
                 continue
             except OSError:
                 pass  # cross-device: fall through to byte copy
-        dbk.write_bytes(dst, bk.read_bytes(src))
+        bk.stream_copy_to(src, dbk, dst)  # chunked: bounded memory
         copied += 1
     for rel in sorted(have - set(rels)):
         dbk.remove_file_if_exists(dbk.join(dest, rel))

@@ -353,6 +353,21 @@ class StorageBackend:
             self.copy_tree(src, dst)
             self.fs.delete_dir(self.fs_path(src))
 
+    def stream_copy_to(self, src: str, dst_bk: "StorageBackend",
+                       dst: str, chunk_bytes: int = 8 << 20) -> int:
+        """Cross-backend single-file copy in bounded chunks — never holds
+        a whole file in memory (the reference's backup fix for exactly
+        this: reference issue #322). Returns bytes copied."""
+        total = 0
+        with self.fs.open_input_stream(self.fs_path(src)) as fin, \
+                dst_bk.fs.open_output_stream(dst_bk.fs_path(dst)) as fout:
+            while True:
+                chunk = fin.read(chunk_bytes)
+                if not chunk:
+                    return total
+                fout.write(chunk)
+                total += len(chunk)
+
     def copy_tree(self, src: str, dst: str) -> None:
         pafs.copy_files(
             self.fs_path(src),
