@@ -65,6 +65,13 @@ _DENY_TOKEN_RE = re.compile(
 
 _ALLOWED_SHOW_RE = re.compile(r"(?is)^\s*SHOW\s+(DATABASES|SCHEMAS|TABLES|MEASUREMENTS)\b")
 
+# datasource names Spark accepts in table position as format.`path` —
+# a direct filesystem read that must never reach the session from the API
+_DATASOURCE_FORMATS = {
+    "parquet", "csv", "json", "orc", "text", "textfile", "avro",
+    "binaryfile", "libsvm", "jdbc", "xml", "delta", "iceberg",
+}
+
 
 def _parse_plan(spark: SparkSession, sql: str):
     return spark._jsparkSession.sessionState().sqlParser().parsePlan(sql)
@@ -92,6 +99,19 @@ def validate_read_only(spark: SparkSession, sql: str) -> None:
                 raise SqlValidationError(
                     f"statement is not read-only (plan node {name})"
                 )
+    # Spark's direct-path table syntax (SELECT * FROM text.`/etc/passwd`)
+    # reads ANY file the process can see — the arbitrary-file-read the
+    # reference's DuckDB I/O sandbox closes. Tables must resolve through
+    # the catalog: refuse relations that name a datasource format or
+    # carry a path-shaped segment.
+    for m in _RELATION_RE.finditer(tree):
+        parts = [p.strip() for p in m.group(1).split(",")]
+        if (any("/" in p or "\\" in p for p in parts)
+                or (len(parts) >= 2
+                    and parts[0].lower() in _DATASOURCE_FORMATS)):
+            raise SqlValidationError(
+                "direct-path table references (format.`path`) are not "
+                "allowed; query registered measurements")
 
 
 _RELATION_RE = re.compile(r"'UnresolvedRelation \[([^\]]+)\]")

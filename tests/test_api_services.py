@@ -615,23 +615,28 @@ class TestDistributedFlush:
         svc = IngestService(spark, str(tmp_path), max_buffer_rows=10**9,
                             max_buffer_age_s=10**9, defer_decode=True)
         svc.distributed_flush_min_bytes = 1 << 10
-        svc.write_msgpack("m", packb({
-            "m": "cpu",
-            "columns": {"time": [1700000000000000 + i for i in range(300)],
-                        "host": [f"h{i % 3}" for i in range(300)],
-                        "extra": [None] * 300},
-            "tags": ["host"],
-        }))
-        svc.write_msgpack("m", packb({
-            "m": "cpu",
-            "columns": {"time": [1700000100000000], "host": ["x"],
-                        "extra": [7.5]},
-            "tags": ["host"],
-        }))
-        assert svc.flush() == 301
+        # 8 payloads → 4 contiguous task groups of 2: the all-null payload
+        # shares its group with a typed sibling (cross-GROUP type drift
+        # remains the documented per-task schema boundary, same as the
+        # reference's cross-batch rejection)
+        for j in range(8):
+            extra = ([None] * 50 if j == 0
+                     else [float(j * 50 + i) for i in range(50)])
+            svc.write_msgpack("m", packb({
+                "m": "cpu",
+                "columns": {
+                    "time": [1700000000000000 + j * 50 + i
+                             for i in range(50)],
+                    "host": [f"h{i % 3}" for i in range(50)],
+                    "extra": extra,
+                },
+                "tags": ["host"],
+            }))
+        assert svc.flush() == 400
         back = spark.read.parquet(str(tmp_path / "m" / "cpu"))
-        assert back.count() == 301
-        assert back.filter("extra = 7.5").count() == 1
+        assert back.count() == 400
+        assert back.filter("extra IS NULL").count() == 50
+        assert back.filter("extra = 51.0").count() == 1
 
     def test_deferred_lp_backlog_drains_distributed(self, spark, tmp_path):
         """Deferred LINE-PROTOCOL backlogs over the threshold also drain

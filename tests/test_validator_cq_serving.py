@@ -40,6 +40,14 @@ BAD = [
     "SELECT 1; DROP TABLE events",
     "CREATE OR REPLACE VIEW v AS SELECT 1",
     "MERGE INTO a USING b ON a.id = b.id WHEN MATCHED THEN DELETE",
+    # direct-path table syntax = arbitrary file read by any authenticated
+    # caller (the reference's DuckDB I/O sandbox closes the same hole)
+    "SELECT * FROM text.`/etc/passwd`",
+    "SELECT * FROM csv.`/etc/shadow`",
+    "SELECT * FROM parquet.`/root/testdata/sf0.001/events.parquet`",
+    "SELECT * FROM json.`secrets.json`",
+    "WITH x AS (SELECT * FROM text.`/etc/hostname`) SELECT * FROM x",
+    "SELECT * FROM binaryFile.`/etc/hosts`",
 ]
 
 
