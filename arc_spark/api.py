@@ -645,11 +645,22 @@ class IngestService:
             from arc_spark.functions.threads import pin_math_threads
 
             pin_math_threads()
+            from arc_spark.catalog import validate_identifier
             from arc_spark.sources.ingest import (
                 columnar_to_arrow,
                 decode_msgpack_payload,
                 merge_batches,
             )
+
+            def _meas_ok(meas: str) -> bool:
+                # post-ack on an executor: drop path-shaped measurement
+                # names rather than failing (and endlessly retrying) the
+                # whole drain job
+                try:
+                    validate_identifier(meas, "measurement")
+                    return True
+                except ValueError:
+                    return False
             from arc_spark.sources.line_protocol import parse_chunk_columnar
             from arc_spark.sources.writer import write_measurement_arrow
             from arc_spark.storage import backend_for as _bf
@@ -669,14 +680,13 @@ class IngestService:
                                          if ":" in kind else "ns")
                             for meas, b in parse_chunk_columnar(
                                     payload, precision).items():
-                                if b["columns"]:
+                                if b["columns"] and _meas_ok(meas):
                                     by_meas.setdefault(meas, []).append(b)
                             continue
                         b = decode_msgpack_payload(payload)
-                        if b["columns"]:
-                            by_meas.setdefault(
-                                b.get("measurement") or "default", []
-                            ).append(b)
+                        m_name = b.get("measurement") or "default"
+                        if b["columns"] and _meas_ok(m_name):
+                            by_meas.setdefault(m_name, []).append(b)
                     out = {"measurement": [], "n": [], "tags": [],
                            "files": []}
                     for meas, bl in by_meas.items():
@@ -757,6 +767,16 @@ class IngestService:
         Backpressure first: while buffered + in-flight rows are at
         max_pending_rows, block (triggering flushes) until a flush drains
         space — ingest cannot outrun the writer into unbounded heap."""
+        # ack-time name check, BEFORE any WAL append: a wire 'm' of
+        # "../../x" must 400 here rather than enter the log (a replayed
+        # poison entry would wedge recovery) — writes re-validate at the
+        # measurement_path chokepoint regardless
+        from arc_spark.catalog import validate_identifier
+
+        validate_identifier(db, "database")
+        if batch is not None:
+            validate_identifier(
+                batch.get("measurement") or "default", "measurement")
         while True:
             with self._lock:
                 over = (
@@ -890,8 +910,19 @@ class IngestService:
         ack-counted lines that failed to parse — the client-visible
         deferred ack is OPTIMISTIC on malformed input (documented in the
         README), and this counter makes the drop observable."""
+        from arc_spark.catalog import validate_identifier
         from arc_spark.sources.ingest import decode_msgpack_payload
         from arc_spark.sources.line_protocol import parse_chunk_columnar
+
+        def _name_ok(meas: str) -> bool:
+            # post-ack: an invalid (path-shaped) measurement name can't be
+            # 400'd anymore — drop the batch instead of poisoning the
+            # flush retry loop; the drop shows up in parse_dropped
+            try:
+                validate_identifier(meas, "measurement")
+                return True
+            except ValueError:
+                return False
 
         out: dict[tuple[str, str], list[dict]] = {}
         delta = 0
@@ -902,14 +933,14 @@ class IngestService:
                 precision = kind.split(":")[1] if ":" in kind else "ns"
                 for meas, batch in parse_chunk_columnar(
                         payload, precision).items():
-                    if batch["columns"]:
+                    if batch["columns"] and _name_ok(meas):
                         n = len(batch["columns"][next(iter(batch["columns"]))])
                         out.setdefault((db, meas), []).append(batch)
                         actual += n
             else:
                 batch = decode_msgpack_payload(payload)
                 meas = batch.get("measurement") or "default"
-                if batch["columns"]:
+                if batch["columns"] and _name_ok(meas):
                     actual = len(
                         batch["columns"][next(iter(batch["columns"]))])
                     out.setdefault((db, meas), []).append(batch)

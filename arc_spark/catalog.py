@@ -39,6 +39,25 @@ TESTDATA_TABLES = [
 ]
 
 
+def validate_identifier(name: str, what: str = "name") -> None:
+    """A database/measurement name is a SINGLE path segment under the
+    storage root — never a traversal. ``db=".."`` or
+    ``measurement="x/../../etc"`` through any API route would otherwise
+    read (or worse, WRITE) outside the root (the reference validates
+    database names at creation, internal/api/databases.go). Rejects
+    empty, dot-navigation, separators, NUL, and dot-prefixed names
+    (reserved for engine-internal dirs like .sync-staging)."""
+    if (not name or name in (".", "..") or name.startswith(".")
+            or "/" in name or "\\" in name or "\x00" in name):
+        from arc_spark.plans.validator import SqlValidationError
+
+        # SqlValidationError (a ValueError) so HTTP routes answer 400 and
+        # the circuit breaker counts it as a user error, not engine fault
+        raise SqlValidationError(
+            f"invalid {what} {name!r}: must be a single non-hidden "
+            "path segment")
+
+
 def _nanos_timestamp_columns(path: str) -> list[str]:
     """Column names stored as parquet TIMESTAMP(NANOS) — Spark cannot read
     those natively (arc's type system is µs-only, SURVEY §1.2; ns inputs are
@@ -170,6 +189,8 @@ class MeasurementCatalog:
     def paths(self, db: str, measurement: str) -> list[str]:
         """All tier paths holding this measurement (hot first). Tiers may
         live on different backends (hot local, cold object-store)."""
+        validate_identifier(db, "database")
+        validate_identifier(measurement, "measurement")
         out = []
         for base in filter(None, (self.root, self.cold_root, self.daily_root)):
             bk = backend_for(base)

@@ -32,6 +32,14 @@ MANIFEST_NAME = "_arc_manifest.json"
 
 
 def measurement_path(root: str, db: str, measurement: str) -> str:
+    """The single write-side resolution of (db, measurement) → path; the
+    identifier check here means no ingest payload, route parameter, or
+    wire measurement name ('m' field, LP measurement) can steer a WRITE
+    outside the storage root."""
+    from arc_spark.catalog import validate_identifier
+
+    validate_identifier(db, "database")
+    validate_identifier(measurement, "measurement")
     return backend_for(root).join(root, db, measurement)
 
 

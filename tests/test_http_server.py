@@ -300,6 +300,34 @@ class TestManagementRoutes:
         )
         assert status == 200 and json.loads(body)["removed"] == []
 
+    def test_db_measurement_path_traversal_rejected(self, spark, live,
+                                                    tmp_path):
+        """db=".." / measurement="x/../../y" through ANY route must not
+        read or write outside the storage root (reference validates
+        database names, internal/api/databases.go)."""
+        port, admin, *_ = live
+        # read side: traversal names → 4xx, never a file read
+        for path in (
+                "/api/v1/query/secret?db=..",
+                "/api/v1/query/..%2F..%2Fetc?db=metrics",
+                "/api/v1/query/cpu?db=.hidden"):
+            with pytest.raises(urllib.error.HTTPError) as e:
+                _req(port, path, token=admin)
+            assert 400 <= e.value.code < 500, path
+        # write side: the wire measurement name steers the writer — a
+        # traversal 'm' field must be rejected at the path chokepoint
+        from arc_spark.sources.msgpack_codec import packb
+
+        payload = packb({
+            "m": "../../escape",
+            "columns": {"time": [1700000000000000], "v": [1.0]},
+            "tags": [],
+        })
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _req(port, "/api/v1/write/msgpack?db=iot", "POST", admin,
+                 payload)
+        assert 400 <= e.value.code < 500
+
     def test_oversized_content_length_rejected_unread(self, live):
         """A hostile Content-Length 413s BEFORE the body is read — the
         declared size alone must not buy a giant allocation."""
