@@ -179,6 +179,10 @@ class MeasurementCatalog:
         return bk.list_dirs(self.root)
 
     def measurements(self, db: str) -> list[str]:
+        try:
+            validate_identifier(db, "database")
+        except ValueError:
+            return []  # a path-shaped name can't list outside the root
         bk = backend_for(self.root)
         base = bk.join(self.root, db)
         if not bk.isdir(base):
