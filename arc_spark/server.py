@@ -86,6 +86,13 @@ from arc_spark.auth import AuthStore
 from arc_spark.governance import QueryTimeout, RateLimitExceeded
 from arc_spark.plans.validator import SqlValidationError
 from arc_spark.resilience import CircuitBreaker, CircuitOpenError, Debouncer
+from arc_spark.sources.ingest import DecompressionBombError, MalformedPayloadError
+from arc_spark.sources.line_protocol import LineProtocolError
+
+# client-input faults: HTTP 400, breaker-neutral (a hostile payload must
+# not open the circuit for everyone else — reference api/errors.go)
+_PAYLOAD_ERRORS = (LineProtocolError, DecompressionBombError,
+                   MalformedPayloadError)
 
 _FMT_CONTENT_TYPES = {
     "json": "application/json",
@@ -283,7 +290,7 @@ class ArcServer:
                     try:
                         result = fn()
                     except (SqlValidationError, AccessDeniedError,
-                            RateLimitExceeded):
+                            RateLimitExceeded, *_PAYLOAD_ERRORS):
                         if cb is not None:
                             # neutral, not success: in half-open a user
                             # error must release the probe slot without
@@ -302,7 +309,7 @@ class ArcServer:
                         503, json.dumps({"error": str(e)}).encode(),
                         extra_headers={"Retry-After": str(
                             max(1, int(cb.remaining() + 0.999)))})
-                except SqlValidationError as e:
+                except (SqlValidationError, *_PAYLOAD_ERRORS) as e:
                     self._json(400, {"error": str(e)})
                 except AccessDeniedError as e:
                     self._json(403, {"error": str(e)})

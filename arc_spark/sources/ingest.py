@@ -13,6 +13,7 @@ Mirrors the reference's ingest semantics (SURVEY §1.2/§2.A15-A18):
 
 from __future__ import annotations
 
+import struct
 from typing import Any
 
 import pyarrow as pa
@@ -43,6 +44,11 @@ try:  # zstd support is optional (no codec in the base environment)
     import zstandard as _zstd  # type: ignore
 except ImportError:
     _zstd = None
+
+
+class MalformedPayloadError(ValueError):
+    """Wire bytes that don't decode to an arc payload shape — a CLIENT
+    fault (HTTP 400, circuit-breaker-neutral), never an engine error."""
 
 
 class DecompressionBombError(ValueError):
@@ -146,6 +152,21 @@ def decode_msgpack_payload(data: bytes) -> dict:
     """
     from arc_spark.sources.msgpack_codec import unpack_columnar
 
+    try:
+        return _decode_msgpack_payload(data)
+    except MalformedPayloadError:
+        raise
+    except (ValueError, TypeError, KeyError, IndexError, OverflowError,
+            RecursionError, struct.error) as e:
+        # truncated/garbage/hostile bytes: surface as the CLIENT-fault
+        # type (HTTP 400, breaker-neutral), never a bare engine error
+        raise MalformedPayloadError(
+            f"undecodable msgpack payload: {e}") from None
+
+
+def _decode_msgpack_payload(data: bytes) -> dict:
+    from arc_spark.sources.msgpack_codec import unpack_columnar
+
     fast = unpack_columnar(data)
     if fast is not None:
         cols = fast["columns"]
@@ -168,6 +189,11 @@ def decode_msgpack_payload(data: bytes) -> dict:
             "tag_columns": list(obj.get("tags") or obj.get("tag_columns") or []),
         }
     rows = obj["batch"] if isinstance(obj, dict) and "batch" in obj else [obj]
+    if not isinstance(rows, list) or not all(
+            isinstance(r, dict) for r in rows):
+        raise MalformedPayloadError(
+            "payload is valid MessagePack but not an arc wire shape "
+            "(columnar map, row record, or batch)")
     return rows_to_columnar(rows)
 
 

@@ -524,6 +524,11 @@ def _decode_str_column(mv: memoryview, pos: int, n: int):
 
     buf = mv.obj if isinstance(mv.obj, bytes) else bytes(mv)
     end = len(buf)
+    if n > end - pos:
+        # a header can CLAIM up to 2^32 cells; each real cell costs ≥1
+        # byte, so an implausible count must bail before the count-sized
+        # allocations below (attacker-shaped payload, not a decode case)
+        return None
     native = _native_walk()
     if native is not None:
         # C header walk (~20×): same contract, same fallbacks

@@ -300,6 +300,27 @@ class TestManagementRoutes:
         )
         assert status == 200 and json.loads(body)["removed"] == []
 
+    def test_malformed_payload_is_400_not_engine_fault(self, live):
+        """Garbage/truncated msgpack and malformed LP must answer 400 —
+        and a hostile payload burst must NOT open the circuit breaker
+        (previously these 500'd and counted as engine faults)."""
+        port, admin, *_ = live
+        for payload, route in (
+                (b"\xc1\xff\xfe garbage", "/api/v1/write/msgpack?db=m"),
+                (b"\x91" * 2000 + b"\xc0", "/api/v1/write/msgpack?db=m"),
+                (b"\xdd\xff\xff\xff\xff\xa1x",
+                 "/api/v1/write/msgpack?db=m"),
+                (b"not line protocol at all",
+                 "/api/v1/write/line?db=m")):
+            with pytest.raises(urllib.error.HTTPError) as e:
+                _req(port, route, "POST", admin, payload)
+            assert e.value.code == 400, payload[:12]
+        # engine still healthy afterwards
+        status, body, _ = _req(
+            port, "/api/v1/write/line?db=m", "POST", admin,
+            b"cpu,host=z usage=1 1700000300000000000\n")
+        assert status == 200 and json.loads(body)["written"] == 1
+
     def test_db_measurement_path_traversal_rejected(self, spark, live,
                                                     tmp_path):
         """db=".." / measurement="x/../../y" through ANY route must not
