@@ -112,12 +112,16 @@ def run_ops(spark, factor: int, ops: set[str]) -> list[dict]:
         budget=2000, n_buckets=8).groupBy("source", "shard")
         .count().count())
 
-    if {"all", "ann_lsh"} & ops:
+    if {"all", "ann_lsh_topk", "ann_ivf_topk"} & ops:
+        from arc_spark.operators.similarity import ivf_topk
+
         emb = scaled_embeddings(spark, factor).persist()
         n_vec = emb.count()
         queries = emb.limit(200)
         probe("ann_lsh_topk", lambda: lsh_bucketed_topk(
             emb, queries, k=10).count(), n=n_vec)
+        probe("ann_ivf_topk", lambda: ivf_topk(
+            emb, queries, k=10, n_clusters=32, n_probe=4).count(), n=n_vec)
         emb.unpersist()
     docs.unpersist()
     return out
