@@ -247,6 +247,7 @@ class IngestService:
         flush_workers: int = 0,
         distributed_decode_min_bytes: int = 8 * 1024 * 1024,
         max_pending_rows: int | None = None,
+        wal_sync: str = "fsync",
     ):
         """defer_decode=True moves payload decoding from the ack path to the
         flush path — the reference's sub-ms ack design taken to its limit
@@ -272,7 +273,7 @@ class IngestService:
 
         self.spark = spark
         self.root = root
-        self.wal = Wal(wal_dir) if wal_dir else None
+        self.wal = Wal(wal_dir, sync=wal_sync) if wal_dir else None
         self.max_buffer_rows = max_buffer_rows
         self.max_buffer_age_s = max_buffer_age_s
         self.defer_decode = defer_decode
@@ -827,7 +828,7 @@ class IngestService:
             trip = trip_size or (
                 time.monotonic() - self._oldest >= self.max_buffer_age_s
             )
-        if wal_tok is not None and self.wal.sync == "fsync":
+        if wal_tok is not None and self.wal.sync in ("fsync", "fdatasync"):
             # durable-before-ack, grouped with concurrent writers
             self.wal.sync_upto(wal_tok)
         if trip:

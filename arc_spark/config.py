@@ -78,6 +78,9 @@ DEFAULTS: dict[str, dict[str, Any]] = {
         "flush_workers": 2,
         "wal_enabled": True,
         "wal_path": "",          # "" → <local_path>/../wal
+        # "fsync" | "fdatasync" (skips the metadata flush — reference
+        # wal.sync_mode) | "batch" | "none"
+        "wal_sync": "fsync",
         "decimal_columns": [],   # ["measurement:col=precision,scale", ...]
         "sort_keys": [],         # ["measurement:col1,col2", ...] — time
                                  # appended automatically (sort_keys.go)
@@ -449,6 +452,7 @@ def build_engine(cfg: dict, spark=None) -> dict:
         max_buffer_rows=ing["max_buffer_size"],
         max_buffer_age_s=ing["max_buffer_age_ms"] / 1000.0,
         defer_decode=ing["defer_decode"],
+        wal_sync=ing["wal_sync"],
         flush_workers=ing["flush_workers"],
         decimal_config=parse_decimal_columns(ing["decimal_columns"]),
         sort_keys_config=parse_sort_keys(ing["sort_keys"]),
