@@ -133,6 +133,15 @@ def _load_state(bk, meas_path: str):
     for ver, path in reversed(vers):
         try:
             obj = bk.read_json(path)
+            # shape check up front: a parseable-but-malformed version
+            # (hand-edited, foreign writer) must take the unreadable
+            # path, not crash the fold later with a KeyError
+            if obj.get("delta"):
+                if not isinstance(obj.get("add"), list) or \
+                        not isinstance(obj.get("remove"), list):
+                    raise ValueError("malformed delta version")
+            elif not isinstance(obj.get("files"), list):
+                raise ValueError("malformed full snapshot")
         except Exception:
             chain = []  # versions above an unreadable file are unusable
             continue
@@ -246,6 +255,8 @@ def commit(meas_path: str, add=(), remove=(), bk=None,
     add_rel = [_rel(bk, meas_path, p) for p in add]
     rm_rel = [_rel(bk, meas_path, p) for p in remove]
     with _lock_for(meas_path):
+        stuck = 0
+        prev_ver: int | None = None
         for _ in range(max_retries):
             ver, files, chain_len = _load_state(bk, meas_path)
             if files is None:
@@ -253,12 +264,28 @@ def commit(meas_path: str, add=(), remove=(), bk=None,
                 chain_len = FOLD_EVERY  # bootstrap is always a full write
             files.update(add_rel)
             files.difference_update(rm_rel)
+            # ZOMBIE detection: a permanently unreadable/malformed version
+            # above the readable fold makes ver+1 collide forever. Engage
+            # ONLY after several CAS losses with a NON-advancing fold —
+            # a live racing committer always advances ver between rereads,
+            # so this cannot misfire on a healthy concurrent writer and
+            # last-writer-win away its files (TOCTOU). The supersede is a
+            # FULL snapshot because readers drop deltas above a bad file.
+            stuck = stuck + 1 if prev_ver == ver else 0
+            prev_ver = ver
+            force_full = False
             new_ver = ver + 1
+            if stuck >= 3:
+                max_exist = max(
+                    (v for v, _ in _versions(bk, meas_path)), default=0)
+                if max_exist > ver:
+                    new_ver = max_exist + 1
+                    force_full = True
             d = _snap_dir(bk, meas_path)
             bk.mkdirs(d)
             tmp = bk.join(
                 d, f".v{new_ver:012d}.json.tmp-{uuid.uuid4().hex[:8]}")
-            if chain_len + 1 >= FOLD_EVERY:
+            if force_full or chain_len + 1 >= FOLD_EVERY:
                 # periodic fold: one full snapshot bounds the read chain
                 obj = {"version": new_ver, "files": sorted(files)}
             else:

@@ -168,6 +168,23 @@ class TestIncrementalCommits:
         _, rels = snapshots.current(root)
         assert len(rels) == 20_001 and v == 2
 
+    def test_malformed_but_parseable_version_falls_back(self, tmp_path):
+        """Valid JSON with the wrong shape (hand-edited / foreign writer)
+        must take the unreadable-file path — consistent prefix below it —
+        not crash the fold with a KeyError."""
+        root = str(tmp_path)
+        bk = backend_for(root)
+        snapshots.commit(root, add=["a.parquet"])   # v1 full
+        snapshots.commit(root, add=["b.parquet"])   # v2 delta
+        v2 = snapshots._versions(bk, root)[1][1]
+        bk.write_bytes(v2, b'{"version": 2, "note": "no files key"}')
+        ver, rels = snapshots.current(root)
+        assert ver == 1 and rels == ["a.parquet"]
+        # commit retries past it via CAS (v3 may or may not collide)
+        snapshots.commit(root, add=["c.parquet"])
+        _, rels = snapshots.current(root)
+        assert "c.parquet" in rels and "a.parquet" in rels
+
     def test_unreadable_middle_delta_truncates_chain(self, tmp_path):
         """A reader that cannot parse a delta must fall back to the
         consistent prefix BELOW it, never skip-and-continue."""
