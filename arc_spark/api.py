@@ -1208,12 +1208,25 @@ class IngestService:
         prev_defer = self.defer_decode
         self.defer_decode = False
         try:
+            from arc_spark.sources.ingest import MalformedPayloadError
+
             for _ts, payload in self.wal.replay():
                 first = payload[:1]
-                if first and (0x80 <= first[0] <= 0x8F or first[0] in (0xDE, 0xDF)):
-                    n += self.write_msgpack(db, payload, _wal=False)
-                else:
-                    n += self.write_line_protocol(db, payload, _wal=False)
+                try:
+                    if first and (0x80 <= first[0] <= 0x8F
+                                  or first[0] in (0xDE, 0xDF)):
+                        n += self.write_msgpack(db, payload, _wal=False)
+                    else:
+                        n += self.write_line_protocol(
+                            db, payload, _wal=False)
+                except (MalformedPayloadError, ValueError):
+                    # a poison entry (pre-validation-era WAL, or bytes
+                    # that no longer pass today's checks) must not make
+                    # startup unrecoverable: CRC says the frame is what
+                    # was written, so skipping is a decode-policy drop,
+                    # not data loss from corruption — log-visible via
+                    # the recovered-vs-flushed stats delta
+                    continue
         finally:
             self.defer_decode = prev_defer
             self._recovering = False

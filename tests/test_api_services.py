@@ -213,6 +213,36 @@ class TestDeferredDecode:
         assert svc.flush() == 2
         assert svc.stats["acked"] == 2
 
+    def test_recover_skips_poison_wal_entry(self, spark, tmp_path):
+        """A WAL entry that fails today's decode/validation (pre-
+        validation era, hostile shapes) must not make STARTUP
+        unrecoverable — the good entries around it still replay."""
+        from arc_spark.sources.wal import Wal
+
+        root, wal = str(tmp_path / "d"), str(tmp_path / "w")
+        w = Wal(wal)
+        good = packb({
+            "m": "cpu",
+            "columns": {"time": [1700000000000000], "host": ["a"],
+                        "v": [1.0]},
+            "tags": ["host"],
+        })
+        w.append(good)
+        w.append(b"\x81\xa1m\xc1garbage")      # undecodable
+        w.append(packb({
+            "m": "../../escape",               # traversal measurement
+            "columns": {"time": [1700000001000000], "v": [2.0]},
+            "tags": [],
+        }))
+        w.append(good)
+        w.close()
+        svc = IngestService(spark, root, wal_dir=wal,
+                            max_buffer_rows=10**9, max_buffer_age_s=10**9)
+        assert svc.recover() == 2  # both good entries, both poisons skipped
+        svc.flush()
+        assert MeasurementCatalog(spark, root).table(
+            "default", "cpu").count() == 2
+
     def test_deferred_lp_drops_are_observable(self, spark, tmp_path):
         """The deferred LP ack is documented as OPTIMISTIC (counts
         newlines); a line that fails to parse at flush must surface in
