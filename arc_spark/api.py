@@ -44,6 +44,8 @@ class QueryService:
         catalog: MeasurementCatalog,
         governor: Governor | None = None,
         allowed_tables: dict[str, set[str]] | None = None,
+        rbac=None,
+        token_info_fn=None,
     ):
         self.spark = spark
         self.catalog = catalog
@@ -52,16 +54,51 @@ class QueryService:
         # token → set of "db.measurement" (None entry = all); RBAC check is
         # plan-walk table extraction, not regex (reference A11)
         self.allowed_tables = allowed_tables or {}
+        # hierarchical RBAC (reference query.go:1230-1305 checkQueryRBAC):
+        # rbac is an rbac.RBACStore; token_info_fn maps a plaintext token
+        # to AuthStore.verify()-shaped info (None = unknown → the HTTP
+        # auth layer already rejected it, so the engine-side check skips)
+        self.rbac = rbac
+        self.token_info_fn = token_info_fn
         self._plan_lock = threading.Lock()
 
-    def _check_rbac(self, token: str, sql: str) -> None:
-        if token not in self.allowed_tables:
-            return  # no policy → allow (reference: admin tokens)
-        allowed = self.allowed_tables[token]
-        for ref in extract_tables(self.spark, sql):
-            name = ".".join(ref)
-            if name not in allowed and ref[-1] not in allowed:
-                raise AccessDeniedError(f"token lacks access to {name}")
+    def _check_rbac(self, token: str, sql: str, db: str | None = None,
+                    permission: str = "read") -> None:
+        refs = None
+        if token in self.allowed_tables:
+            allowed = self.allowed_tables[token]
+            refs = extract_tables(self.spark, sql)
+            for ref in refs:
+                name = ".".join(ref)
+                if name not in allowed and ref[-1] not in allowed:
+                    raise AccessDeniedError(f"token lacks access to {name}")
+        # hierarchical org/team/role check (reference checkQueryRBAC):
+        # every table ref needs `permission` on its (database, measurement).
+        # Unqualified refs resolve via the catalog's view bindings, then
+        # the request-scoped db (the x-arc-database override the reference
+        # applies to close the header-bypass), then "default".
+        if self.rbac is None or not self.rbac.enabled:
+            return
+        info = self.token_info_fn(token) if self.token_info_fn else None
+        if info is None:
+            return  # no token identity → HTTP layer owns the decision
+        if refs is None:
+            refs = extract_tables(self.spark, sql)
+        if not refs:
+            return
+        reqs = []
+        for ref in refs:
+            if len(ref) >= 2:
+                pair = (ref[0], ref[-1])
+            else:
+                pair = (self.catalog.view_binding(ref[0])
+                        or (db or "default", ref[0]))
+            reqs.append((info, pair[0], pair[1], permission))
+        for req, res in zip(reqs, self.rbac.check_permissions_batch(reqs)):
+            if not res["allowed"]:
+                raise AccessDeniedError(
+                    f"access denied: no {permission} permission for"
+                    f" {req[1]}.{req[2]}")
 
     def register_measurement(self, db: str, measurement: str, view: str | None = None) -> str:
         return self.catalog.register(db, measurement, view)
@@ -114,7 +151,7 @@ class QueryService:
                 val_sql = (f"SELECT * FROM {view}"
                            + (f" WHERE {where}" if where else ""))
                 validate_read_only(self.spark, val_sql)
-                self._check_rbac(token, val_sql)
+                self._check_rbac(token, val_sql, db=db)
                 # the filter goes through prune_sql, so a WHERE time range
                 # on this endpoint gets the derived partition predicate —
                 # the reference's flagship pruned read path (BASELINE's
@@ -157,7 +194,7 @@ class QueryService:
         filter or ordering takes :meth:`query_measurement`."""
         self.governor.admit(token)
         view = self.catalog.register(db, measurement)
-        self._check_rbac(token, f"SELECT * FROM {view}")
+        self._check_rbac(token, f"SELECT * FROM {view}", db=db)
         cap = self.governor.row_cap(token)
         eff = int(limit) if cap is None else min(int(limit), cap)
         return self.catalog.scan_arrow(db, measurement, limit=eff)
@@ -195,7 +232,7 @@ class QueryService:
             target = m.group(1) or db or ""
             return [{"measurement": x} for x in self.catalog.measurements(target)]
         validate_read_only(self.spark, sql)
-        self._check_rbac(token, sql)
+        self._check_rbac(token, sql, db=db)
         # SQL-surface partition pruning (reference A2's flagship behavior):
         # WHERE time ranges become year/month/day/hour partition predicates
         # on each measurement scan. The lock scopes the temporary pruned-view

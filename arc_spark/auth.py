@@ -34,6 +34,24 @@ def _hash(token: str) -> str:
     return hashlib.sha256(token.encode()).hexdigest()
 
 
+# Sentinel for "deliberately NO OSS permissions" (an RBAC-only token whose
+# access comes solely from team/role grants). Exists because the permissions
+# argument is overloaded: "" means "use the default read,write" (reference
+# auth.go:28-58 PermissionsNone/storePermissions — without the sentinel a
+# least-privilege RBAC-only token would silently upgrade to read,write).
+PERMISSIONS_NONE = "\x00none"
+
+
+def _store_permissions(permissions: str | None) -> str:
+    """"" / None → "read,write" (default contract); PERMISSIONS_NONE → ""
+    (RBAC-only); anything else as-is (reference storePermissions)."""
+    if permissions is None or permissions == "":
+        return "read,write"
+    if permissions == PERMISSIONS_NONE:
+        return ""
+    return permissions
+
+
 class AuthStore:
     def __init__(self, path: str = ":memory:"):
         # check_same_thread=False + our own lock: the HTTP server handles
@@ -59,6 +77,11 @@ class AuthStore:
             if "last_used_at" not in cols:
                 self._db.execute(
                     "ALTER TABLE tokens ADD COLUMN last_used_at REAL")
+            # OSS permission list (CSV of read/write/delete/admin); NULL on
+            # pre-migration rows verifies as the "read,write" default
+            if "permissions" not in cols:
+                self._db.execute(
+                    "ALTER TABLE tokens ADD COLUMN permissions TEXT")
             self._db.commit()
 
     # -- management --------------------------------------------------------
@@ -67,20 +90,25 @@ class AuthStore:
         name: str,
         allowed_tables: list[str] | None = None,
         expires_at: float | None = None,
+        permissions: str | None = None,
     ) -> str:
         """Mint a token; returns the plaintext ONCE. Raises on name reuse.
-        ``expires_at`` is a unix timestamp; None = never expires."""
+        ``expires_at`` is a unix timestamp; None = never expires.
+        ``permissions`` is a CSV of read/write/delete/admin: None/"" →
+        the "read,write" default, PERMISSIONS_NONE → empty (RBAC-only)."""
         token = secrets.token_hex(24)
         with self._lock:
             self._db.execute(
                 "INSERT INTO tokens (token_hash, name, allowed_tables,"
-                " created_at, expires_at) VALUES (?, ?, ?, ?, ?)",
+                " created_at, expires_at, permissions)"
+                " VALUES (?, ?, ?, ?, ?, ?)",
                 (
                     _hash(token),
                     name,
                     json.dumps(sorted(allowed_tables)) if allowed_tables is not None else None,
                     time.time(),
                     expires_at,
+                    _store_permissions(permissions),
                 ),
             )
             self._db.commit()
@@ -112,13 +140,15 @@ class AuthStore:
         with self._lock:
             rows = self._db.execute(
                 "SELECT name, allowed_tables, created_at, revoked,"
-                " expires_at, last_used_at FROM tokens"
+                " expires_at, last_used_at, permissions FROM tokens"
             ).fetchall()
         return [
             {"name": n, "allowed_tables": json.loads(a) if a else None,
              "created_at": c, "revoked": bool(r), "expires_at": e,
-             "last_used_at": lu}
-            for n, a, c, r, e, lu in rows
+             "last_used_at": lu,
+             "permissions": (["read", "write"] if p is None
+                             else [x for x in p.split(",") if x])}
+            for n, a, c, r, e, lu, p in rows
         ]
 
     # -- verification ------------------------------------------------------
@@ -130,22 +160,29 @@ class AuthStore:
         t = now if now is not None else time.time()
         with self._lock:
             row = self._db.execute(
-                "SELECT name, allowed_tables, expires_at FROM tokens"
-                " WHERE token_hash = ? AND revoked = 0",
+                "SELECT name, allowed_tables, expires_at, permissions"
+                " FROM tokens WHERE token_hash = ? AND revoked = 0",
                 (_hash(token),),
             ).fetchone()
             if row is None:
                 return None
-            name, allowed, expires_at = row
+            name, allowed, expires_at, perms = row
             if expires_at is not None and t >= expires_at:
                 return None
             self._db.execute(
                 "UPDATE tokens SET last_used_at = ? WHERE name = ?", (t, name)
             )
             self._db.commit()
+        # NULL permissions = pre-migration row → the read,write default;
+        # stored-empty = deliberate RBAC-only token → empty list
+        if perms is None:
+            perm_list = ["read", "write"]
+        else:
+            perm_list = [p for p in perms.split(",") if p]
         return {
             "name": name,
             "allowed_tables": set(json.loads(allowed)) if allowed else None,
+            "permissions": perm_list,
         }
 
     def tables_view(self) -> "AuthTablesView":

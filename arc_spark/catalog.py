@@ -355,6 +355,15 @@ class MeasurementCatalog:
             self.epoch += 1
         return name
 
+    def view_binding(self, name: str) -> tuple[str, str] | None:
+        """Reverse lookup: which (db, measurement) a registered view name
+        is bound to — lets the RBAC check resolve an unqualified table ref
+        back to its real database instead of trusting the name string."""
+        for (db, meas), views in self._views.items():
+            if name in views:
+                return (db, meas)
+        return None
+
     def invalidate(self, db: str, measurement: str) -> None:
         """Re-resolve reads over a measurement after its file set changed
         (compaction/delete/retention/restore). Two caches need clearing:

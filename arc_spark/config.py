@@ -156,6 +156,10 @@ DEFAULTS: dict[str, dict[str, Any]] = {
         "dest_path": "",
     },
     "auth": {"enabled": False, "db_path": ""},
+    # hierarchical RBAC (reference internal/auth/rbac_manager.go; the
+    # reference gates this behind an enterprise license — here it's a flag).
+    # db_path "" shares the auth store's database file when auth has one.
+    "rbac": {"enabled": False, "db_path": ""},
     "audit_log": {
         "enabled": False,
         "db_path": "",
@@ -463,6 +467,13 @@ def build_engine(cfg: dict, spark=None) -> dict:
         from arc_spark.auth import AuthStore
 
         auth = AuthStore(cfg["auth"]["db_path"] or ":memory:")
+    rbac = None
+    if cfg["rbac"]["enabled"]:
+        from arc_spark.rbac import RBACStore
+
+        rbac = RBACStore(
+            cfg["rbac"]["db_path"] or cfg["auth"]["db_path"] or ":memory:",
+            enabled=True)
     audit = None
     if cfg["audit_log"]["enabled"]:
         from arc_spark.audit import AuditLogger
@@ -579,6 +590,7 @@ def build_engine(cfg: dict, spark=None) -> dict:
         scheduler=scheduler,
         tls_cert=srv["tls_cert_file"] if srv["tls_enabled"] else None,
         tls_key=srv["tls_key_file"] or None,
+        rbac=rbac,
     )
     es = cfg["edge_sync"]
     if es["hub_enabled"]:
@@ -644,7 +656,7 @@ def build_engine(cfg: dict, spark=None) -> dict:
         "server": server, "spark": spark, "catalog": catalog,
         "query": query, "ingest": ingest, "scheduler": scheduler,
         "auth": auth, "audit": audit, "breaker": breaker,
-        "reconciler": reconciler, "timeseries": timeseries,
+        "reconciler": reconciler, "timeseries": timeseries, "rbac": rbac,
     }
 
 

@@ -117,8 +117,13 @@ class ArcServer:
         tls_cert: str | None = None,
         tls_key: str | None = None,
         timeseries=None,
+        rbac=None,
     ):
         self.query = query_service
+        # optional rbac.RBACStore for /api/v1/rbac/* (reference
+        # internal/api/rbac_routes.go); when both rbac and auth are wired,
+        # the query path enforces hierarchical grants too
+        self.rbac = rbac
         self.ingest = ingest_service
         self.auth = auth
         # optional audit trail (reference internal/audit middleware)
@@ -173,6 +178,9 @@ class ArcServer:
         if auth is not None:
             # RBAC source becomes the persisted store (reference internal/auth)
             self.query.allowed_tables = auth.tables_view()
+        if rbac is not None and auth is not None:
+            self.query.rbac = rbac
+            self.query.token_info_fn = auth.verify
         if ingest_service is not None:
             # flushed files must be visible to registered views immediately
             ingest_service.on_measurements_written = self._invalidate_written
@@ -321,6 +329,158 @@ class ArcServer:
                     self._json(500, {"error": f"{type(e).__name__}: {e}"})
                 return False, None
 
+            # -- rbac admin surface (reference rbac_routes.go) ------------
+            def _rbac(self, method: str, url, q: dict, body: bytes,
+                      token: str):
+                """Dispatch /api/v1/rbac/* (organizations → teams → roles →
+                measurement permissions → token memberships). Admin-gated;
+                503 when RBAC isn't configured (the reference returns the
+                same for an absent enterprise license)."""
+                from arc_spark.rbac import RBACError
+
+                rb = outer.rbac
+                if rb is None:
+                    return self._json(503, {"error": "rbac not configured"})
+                if not self._require_admin(token):
+                    return
+                parts = url.path.removeprefix("/api/v1/rbac/").split("/")
+                try:
+                    req = json.loads(body) if body else {}
+                except json.JSONDecodeError:
+                    return self._json(400, {"error": "body must be JSON"})
+
+                def _id(s):
+                    try:
+                        return int(s)
+                    except ValueError:
+                        raise RBACError(f"invalid id {s!r}")
+
+                try:
+                    # /organizations[/:id[/teams]]
+                    if parts[0] == "organizations":
+                        if len(parts) == 1:
+                            if method == "GET":
+                                return self._json(200, {
+                                    "organizations": rb.list_organizations()})
+                            if method == "POST":
+                                org = rb.create_organization(
+                                    req.get("name", ""),
+                                    req.get("description", ""))
+                                return self._json(201, org)
+                        elif len(parts) == 2:
+                            oid = _id(parts[1])
+                            if method == "GET":
+                                return self._json(200, rb.get_organization(
+                                    oid, with_teams=q.get("with") == "teams"))
+                            if method == "PATCH":
+                                return self._json(200, rb.update_organization(
+                                    oid, name=req.get("name"),
+                                    description=req.get("description"),
+                                    enabled=req.get("enabled")))
+                            if method == "DELETE":
+                                rb.delete_organization(oid)
+                                return self._json(200, {"deleted": oid})
+                        elif len(parts) == 3 and parts[2] == "teams":
+                            oid = _id(parts[1])
+                            if method == "GET":
+                                return self._json(
+                                    200, {"teams": rb.list_teams(oid)})
+                            if method == "POST":
+                                return self._json(201, rb.create_team(
+                                    oid, req.get("name", ""),
+                                    req.get("description", "")))
+                    # /teams/:id[/roles | /tokens[/:name]]
+                    elif parts[0] == "teams" and len(parts) >= 2:
+                        tid = _id(parts[1])
+                        if len(parts) == 2:
+                            if method == "GET":
+                                return self._json(200, rb.get_team(
+                                    tid, with_roles=q.get("with") == "roles"))
+                            if method == "PATCH":
+                                return self._json(200, rb.update_team(
+                                    tid, name=req.get("name"),
+                                    description=req.get("description"),
+                                    enabled=req.get("enabled")))
+                            if method == "DELETE":
+                                rb.delete_team(tid)
+                                return self._json(200, {"deleted": tid})
+                        elif parts[2] == "roles" and len(parts) == 3:
+                            if method == "GET":
+                                return self._json(
+                                    200, {"roles": rb.list_roles(tid)})
+                            if method == "POST":
+                                return self._json(201, rb.create_role(
+                                    tid, req.get("database_pattern", ""),
+                                    req.get("permissions") or []))
+                        elif parts[2] == "tokens":
+                            if len(parts) == 3:
+                                if method == "GET":
+                                    return self._json(200, {
+                                        "tokens": rb.list_team_tokens(tid)})
+                                if method == "POST":
+                                    return self._json(
+                                        201, rb.add_token_to_team(
+                                            req.get("token_name", ""), tid))
+                            elif len(parts) == 4 and method == "DELETE":
+                                rb.remove_token_from_team(parts[3], tid)
+                                return self._json(200, {
+                                    "removed": parts[3], "team_id": tid})
+                    # /roles/:id[/measurements]
+                    elif parts[0] == "roles" and len(parts) >= 2:
+                        rid = _id(parts[1])
+                        if len(parts) == 2:
+                            if method == "GET":
+                                return self._json(200, rb.get_role(
+                                    rid, with_measurements=(
+                                        q.get("with") == "measurements")))
+                            if method == "PATCH":
+                                return self._json(200, rb.update_role(
+                                    rid,
+                                    database_pattern=req.get(
+                                        "database_pattern"),
+                                    permissions=req.get("permissions")))
+                            if method == "DELETE":
+                                rb.delete_role(rid)
+                                return self._json(200, {"deleted": rid})
+                        elif parts[2] == "measurements" and len(parts) == 3:
+                            if method == "GET":
+                                return self._json(200, {
+                                    "measurement_permissions":
+                                        rb.list_measurement_permissions(rid)})
+                            if method == "POST":
+                                return self._json(
+                                    201, rb.create_measurement_permission(
+                                        rid,
+                                        req.get("measurement_pattern", ""),
+                                        req.get("permissions") or []))
+                    # /measurement-permissions/:id
+                    elif (parts[0] == "measurement-permissions"
+                          and len(parts) == 2 and method == "DELETE"):
+                        rb.delete_measurement_permission(_id(parts[1]))
+                        return self._json(200, {"deleted": parts[1]})
+                    # /tokens/:name/effective — resolved grants for a token
+                    elif (parts[0] == "tokens" and len(parts) == 3
+                          and parts[2] == "effective" and method == "GET"):
+                        perms = None
+                        if outer.auth is not None:
+                            for t in outer.auth.list_tokens():
+                                if t["name"] == parts[1]:
+                                    perms = t["permissions"]
+                                    break
+                        if perms is None:
+                            return self._json(404, {
+                                "error": f"token {parts[1]!r} not found"})
+                        eff = rb.get_effective_permissions(
+                            {"name": parts[1], "permissions": perms})
+                        return self._json(
+                            200, {"effective_permissions": eff})
+                except RBACError as e:
+                    code = 404 if "not found" in str(e) else 400
+                    if "already" in str(e):
+                        code = 409
+                    return self._json(code, {"error": str(e)})
+                return self._json(404, {"error": "not found"})
+
             # -- routes ---------------------------------------------------
             def do_GET(self):
                 url = urlparse(self.path)
@@ -400,6 +560,8 @@ class ArcServer:
                 token = self._authenticate()
                 if token is None:
                     return
+                if url.path.startswith("/api/v1/rbac/"):
+                    return self._rbac("GET", url, q, b"", token)
                 if url.path == "/api/v1/databases":
                     return self._json(200, {"databases": outer.query.catalog.databases()})
                 if url.path == "/api/v1/measurements":
@@ -835,6 +997,8 @@ class ArcServer:
                                  f"limit {outer.max_request_bytes}"})
                 body = self.rfile.read(length) if length else b""
 
+                if url.path.startswith("/api/v1/rbac/"):
+                    return self._rbac("POST", url, q, body, token)
                 if url.path in ("/api/v1/query", "/api/v1/query/arrow",
                                 "/api/v1/query/msgpack"):
                     try:
@@ -1574,12 +1738,35 @@ class ArcServer:
 
                 self._json(404, {"error": "not found"})
 
+            def do_PATCH(self):
+                # PATCH exists only for the RBAC admin surface (reference
+                # rbac_routes.go updates); other updates stay POST-shaped
+                url = urlparse(self.path)
+                q = {k: v[0] for k, v in parse_qs(url.query).items()}
+                token = self._authenticate()
+                if token is None:
+                    return
+                try:
+                    length = int(self.headers.get("Content-Length", "0"))
+                except ValueError:
+                    return self._json(400, {"error": "bad Content-Length"})
+                if length > outer.max_request_bytes:
+                    return self._json(413, {
+                        "error": f"request body {length} bytes exceeds "
+                                 f"limit {outer.max_request_bytes}"})
+                body = self.rfile.read(length) if length else b""
+                if url.path.startswith("/api/v1/rbac/"):
+                    return self._rbac("PATCH", url, q, body, token)
+                self._json(404, {"error": "not found"})
+
             def do_DELETE(self):
                 url = urlparse(self.path)
                 q = {k: v[0] for k, v in parse_qs(url.query).items()}
                 token = self._authenticate()
                 if token is None:
                     return
+                if url.path.startswith("/api/v1/rbac/"):
+                    return self._rbac("DELETE", url, q, b"", token)
                 if url.path.startswith("/api/v1/databases/"):
                     # reference databases.go handleDelete: admin +
                     # ?confirm=true + existence check; removes the whole
