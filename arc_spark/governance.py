@@ -163,19 +163,47 @@ class QueryRegistry:
     Each executed query runs under a job group named by its query_id;
     `cancel` calls `sparkContext.cancelJobGroup`, which interrupts all of
     that query's running stages across the cluster.
-    """
 
-    def __init__(self, spark: SparkSession):
+    Finished queries (done/error/cancelled/timeout) move from the active
+    map to a bounded RING BUFFER (reference queryregistry/registry.go:55
+    Complete/Fail/TimedOut → addToHistory, default capacity 100), so the
+    registry's memory is O(active + history_size) no matter how many
+    queries a long-lived server executes between prunes."""
+
+    def __init__(self, spark: SparkSession, history_size: int = 100):
+        from collections import deque
+
         self.spark = spark
         self._queries: dict[str, QueryInfo] = {}
+        self._history: "deque[QueryInfo]" = deque(maxlen=history_size)
         self._lock = threading.Lock()
 
     def list(self) -> list[QueryInfo]:
+        """Active queries followed by retained history (oldest first) —
+        the pre-ring behavior consumers expect from one flat listing."""
         with self._lock:
-            return list(self._queries.values())
+            return list(self._history) + list(self._queries.values())
+
+    def active(self) -> list[QueryInfo]:
+        with self._lock:
+            return [i for i in self._queries.values()
+                    if i.status == "running"]
+
+    def history(self) -> list[QueryInfo]:
+        """Finished queries, most recent first (reference GetHistory)."""
+        with self._lock:
+            return list(reversed(self._history))
 
     def get(self, query_id: str) -> QueryInfo | None:
-        return self._queries.get(query_id)
+        """Active first, then history (reference GetQuery)."""
+        info = self._queries.get(query_id)
+        if info is not None:
+            return info
+        with self._lock:
+            for i in self._history:
+                if i.query_id == query_id:
+                    return i
+        return None
 
     def cancel(self, query_id: str) -> bool:
         info = self._queries.get(query_id)
@@ -237,12 +265,17 @@ class QueryRegistry:
                 watchdog.cancel()
             info.finished_at = time.time()
             sc.setJobGroup("", "")
+            # finished → ring buffer; the active map holds only live work
+            with self._lock:
+                self._queries.pop(qid, None)
+                self._history.append(info)
 
     def prune(self, keep_s: float = 3600.0) -> None:
+        """Age-prune the history ring (capacity already bounds it; this
+        drops stale entries early on quiet servers)."""
         cutoff = time.time() - keep_s
         with self._lock:
-            self._queries = {
-                k: v
-                for k, v in self._queries.items()
-                if v.status == "running" or (v.finished_at or 0) > cutoff
-            }
+            kept = [i for i in self._history
+                    if (i.finished_at or 0) > cutoff]
+            self._history.clear()
+            self._history.extend(kept)

@@ -892,12 +892,18 @@ class ArcServer:
                     if outer.ingest is None:
                         return self._json(503, {"error": "ingest disabled"})
                     return self._json(200, dict(outer.ingest.stats))
-                if url.path in ("/api/v1/queries", "/api/v1/queries/active"):
+                if url.path in ("/api/v1/queries", "/api/v1/queries/active",
+                                "/api/v1/queries/history"):
                     if not self._require_admin(token):
                         return
-                    infos = outer.query.registry.list()
                     if url.path.endswith("/active"):
-                        infos = [i for i in infos if i.status == "running"]
+                        infos = outer.query.registry.active()
+                    elif url.path.endswith("/history"):
+                        # finished queries, most recent first (reference
+                        # queryregistry GetHistory ring buffer)
+                        infos = outer.query.registry.history()
+                    else:
+                        infos = outer.query.registry.list()
                     return self._json(200, {"queries": [
                         {"query_id": i.query_id, "sql": i.sql,
                          "status": i.status, "started_at": i.started_at,
@@ -905,6 +911,21 @@ class ArcServer:
                          "error": i.error}
                         for i in infos
                     ]})
+                if url.path.startswith("/api/v1/queries/"):
+                    # GET one query by id — active first, then history
+                    # (reference GetQuery)
+                    if not self._require_admin(token):
+                        return
+                    qid = url.path.rsplit("/", 1)[-1]
+                    i = outer.query.registry.get(qid)
+                    if i is None:
+                        return self._json(
+                            404, {"error": f"query {qid!r} not found"})
+                    return self._json(200, {
+                        "query_id": i.query_id, "sql": i.sql,
+                        "status": i.status, "started_at": i.started_at,
+                        "finished_at": i.finished_at, "rows": i.rows,
+                        "error": i.error})
                 if url.path == "/api/v1/auth/tokens":
                     if outer.auth is None:
                         return self._json(503, {"error": "auth disabled"})

@@ -687,3 +687,59 @@ class TestDistributedFlush:
         back = spark.read.parquet(str(tmp_path / "bench" / "cpu"))
         assert back.count() == 1500
         assert back.select("host").distinct().count() == 4
+
+
+class TestQueryHistoryRing:
+    """Finished queries move to a bounded ring (reference
+    queryregistry/registry.go Complete/Fail → history)."""
+
+    def _service(self, spark, root):
+        _ingest_some(spark, root)
+        cat = MeasurementCatalog(spark, root)
+        svc = QueryService(spark, cat)
+        svc.register_measurement("metrics", "cpu", view="cpu")
+        return svc
+
+    def test_finished_moves_to_history(self, spark, tmp_path):
+        svc = self._service(spark, str(tmp_path))
+        svc.execute("SELECT * FROM cpu")
+        assert svc.registry.active() == []
+        hist = svc.registry.history()
+        assert hist and hist[0].status == "done"
+        # get() resolves finished ids from history
+        assert svc.registry.get(hist[0].query_id) is hist[0]
+        assert svc.registry.get("nope") is None
+
+    def test_history_bounded_and_ordered(self, spark, tmp_path):
+        from arc_spark.governance import QueryRegistry
+
+        reg = QueryRegistry(spark, history_size=3)
+        df = spark.range(1)
+        for i in range(5):
+            reg.run(df, sql=f"q{i}")
+        hist = reg.history()
+        assert len(hist) == 3  # capacity bound
+        assert [h.sql for h in hist] == ["q4", "q3", "q2"]  # recent first
+        assert len(reg.list()) == 3
+
+    def test_error_lands_in_history(self, spark, tmp_path):
+        from arc_spark.governance import QueryRegistry
+
+        reg = QueryRegistry(spark, history_size=10)
+
+        def _boom(df):
+            raise RuntimeError("mid-collect failure")
+
+        with pytest.raises(RuntimeError):
+            reg.run(spark.range(1), sql="exploding", collect=_boom)
+        assert any(i.status == "error" and i.sql == "exploding"
+                   for i in reg.history())
+        assert reg.active() == []
+
+    def test_prune_ages_out_history(self, spark, tmp_path):
+        from arc_spark.governance import QueryRegistry
+
+        reg = QueryRegistry(spark, history_size=10)
+        reg.run(spark.range(1), sql="old")
+        reg.prune(keep_s=0.0)
+        assert reg.history() == []

@@ -842,3 +842,25 @@ def test_query_pool_and_memstats_routes(live):
     ms = json.loads(body)
     assert status == 200
     assert ms["jvm"]["used_bytes"] > 0 and ms["process"]["max_rss_kb"] > 0
+
+
+class TestQueryHistoryRoutes:
+    """Reference /api/v1/queries/history + GET-by-id (queryregistry ring)."""
+
+    def test_history_and_get_by_id(self, live):
+        port, admin, *_ = live
+        _req(port, "/api/v1/query", "POST", admin,
+             json.dumps({"sql": "SELECT host FROM cpu"}).encode())
+        status, body, _ = _req(port, "/api/v1/queries/history", token=admin)
+        assert status == 200
+        queries = json.loads(body)["queries"]
+        assert queries and queries[0]["status"] == "done"
+        qid = queries[0]["query_id"]
+        status, body, _ = _req(port, f"/api/v1/queries/{qid}", token=admin)
+        assert status == 200 and json.loads(body)["query_id"] == qid
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _req(port, "/api/v1/queries/nope", token=admin)
+        assert e.value.code == 404
+        # /active shows nothing once the query finished
+        status, body, _ = _req(port, "/api/v1/queries/active", token=admin)
+        assert json.loads(body)["queries"] == []
