@@ -49,9 +49,44 @@ int64_t arc_walk_str_column(const uint8_t *buf, int64_t size, int64_t pos,
     }
     return pos > size ? -1 : pos;
 }
+
+/* Fused walk+extract: one pass that validates headers, writes the n+1
+ * int32 value-byte offsets, and memcpys the value bytes (headers
+ * stripped) into out. out must have capacity >= size - pos - n (each
+ * cell costs at least its 1-byte header, so the value region can never
+ * exceed that). Replaces the mask-build / fancy-index / double-cumsum
+ * numpy pipeline with zero interpreter work between cells — the
+ * sync-ack ingest path's residual GIL-held cost (r5 verdict: recover
+ * the sustained-ingest lanes). Returns end offset, or -1 on a
+ * non-string token / overrun. */
+int64_t arc_extract_str_column(const uint8_t *buf, int64_t size,
+                               int64_t pos, int64_t n,
+                               int32_t *offsets, uint8_t *out) {
+    int64_t total = 0;
+    offsets[0] = 0;
+    for (int64_t i = 0; i < n; i++) {
+        if (pos >= size) return -1;
+        uint8_t h = buf[pos];
+        int64_t ln;
+        if (h >= 0xA0 && h <= 0xBF) {
+            ln = h & 0x1F; pos += 1;
+        } else if (h == 0xD9) {
+            if (pos + 1 >= size) return -1;
+            ln = buf[pos + 1]; pos += 2;
+        } else {
+            return -1;
+        }
+        if (pos + ln > size) return -1;
+        for (int64_t j = 0; j < ln; j++) out[total + j] = buf[pos + j];
+        total += ln; pos += ln;
+        offsets[i + 1] = (int32_t)total;
+    }
+    return pos;
+}
 """
 
 _walk = None
+_extract = None
 _tried = False
 
 
@@ -80,19 +115,33 @@ def _build() -> ctypes.CDLL | None:
     fn.restype = ctypes.c_int64
     fn.argtypes = [ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
                    ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p]
-    return fn
+    ex = lib.arc_extract_str_column
+    ex.restype = ctypes.c_int64
+    ex.argtypes = [ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+                   ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p]
+    return fn, ex
+
+
+def _ensure_built() -> None:
+    global _walk, _extract, _tried
+    if _tried:
+        return
+    _tried = True
+    if os.environ.get("ARC_DISABLE_CWALK", "").lower() in ("1", "true"):
+        return
+    try:
+        _walk, _extract = _build()
+    except Exception:
+        _walk = _extract = None
 
 
 def native_walk():
     """The compiled walker, or None (build once per process, never raise)."""
-    global _walk, _tried
-    if _tried:
-        return _walk
-    _tried = True
-    if os.environ.get("ARC_DISABLE_CWALK", "").lower() in ("1", "true"):
-        return None
-    try:
-        _walk = _build()
-    except Exception:
-        _walk = None
+    _ensure_built()
     return _walk
+
+
+def native_extract():
+    """The fused walk+extract, or None (same build/fallback contract)."""
+    _ensure_built()
+    return _extract

@@ -511,6 +511,12 @@ def _native_walk():
     return native_walk()
 
 
+def _native_extract():
+    from arc_spark.sources._cwalk import native_extract
+
+    return native_extract()
+
+
 def _decode_str_column(mv: memoryview, pos: int, n: int):
     """All-fixstr/str8 column → pa.StringArray from (offsets, data) buffers.
 
@@ -529,6 +535,26 @@ def _decode_str_column(mv: memoryview, pos: int, n: int):
         # byte, so an implausible count must bail before the count-sized
         # allocations below (attacker-shaped payload, not a decode case)
         return None
+    extract = _native_extract()
+    if extract is not None and end - pos < 2**31:
+        # fused C walk+copy: headers validated, value bytes packed, and
+        # int32 offsets written in one GIL-releasing call — the sync-ack
+        # ingest path's hot loop (each cell >=1 header byte bounds the
+        # value region by end-pos-n, so the out buffer can never overrun)
+        offsets = np.empty(n + 1, dtype=np.int32)
+        out = np.empty(max(end - pos - n, 0), dtype=np.uint8)
+        p = extract(buf, end, pos, n,
+                    offsets.ctypes.data, out.ctypes.data)
+        if p < 0:
+            return None
+        data_bytes = out[:int(offsets[n])].tobytes()
+        try:
+            data_bytes.decode("utf-8")
+        except UnicodeDecodeError:
+            return None  # generic path applies U+FFFD sanitization
+        arr = pa.StringArray.from_buffers(
+            n, pa.py_buffer(offsets.tobytes()), pa.py_buffer(data_bytes))
+        return arr, p
     native = _native_walk()
     if native is not None:
         # C header walk (~20×): same contract, same fallbacks

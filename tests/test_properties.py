@@ -131,6 +131,51 @@ class TestColumnarFastPathEquivalence:
         fast = unpack_columnar(payload)
         assert _column_values(fast["columns"]["s"]) == cols["s"]
 
+    @given(st.lists(st.text(max_size=40), min_size=16, max_size=80))
+    @settings(max_examples=60, deadline=None)
+    def test_c_extract_equals_python_walk(self, vals):
+        """The fused C walk+extract (arc_extract_str_column) and the pure-
+        Python header walk must produce identical StringArrays — decoded
+        with the accelerator forced ON, then forced OFF, same payload."""
+        from arc_spark.sources import _cwalk
+        from arc_spark.sources.msgpack_codec import unpack_columnar
+
+        payload = packb({"m": "x", "columns": {"s": vals}, "tags": []})
+        if _cwalk.native_extract() is None:
+            return  # no compiler in this env: single-path, already fuzzed
+        with_c = unpack_columnar(payload)
+        saved = (_cwalk._walk, _cwalk._extract)
+        _cwalk._walk = _cwalk._extract = None
+        try:
+            pure = unpack_columnar(payload)
+        finally:
+            _cwalk._walk, _cwalk._extract = saved
+        assert _column_values(with_c["columns"]["s"]) == vals
+        assert (_column_values(pure["columns"]["s"])
+                == _column_values(with_c["columns"]["s"]))
+
+    def test_c_extract_rejects_truncated_and_invalid_utf8(self):
+        """Edge shapes through whichever path is active: a truncated string
+        region and invalid-UTF-8 cells must fall back to the generic
+        decoder's semantics (sanitize), never crash or mis-slice."""
+        from arc_spark.sources.msgpack_codec import unpack_columnar
+
+        good = packb({"m": "x", "columns": {"s": ["abc"] * 32}, "tags": []})
+        assert unpack_columnar(good) is not None
+        # chop mid-column: decoder must decline or raise, not mis-decode
+        try:
+            out = unpack_columnar(good[:-5])
+        except Exception:
+            out = None
+        assert out is None or len(_column_values(out["columns"]["s"])) < 32
+        # invalid UTF-8 inside a fixstr cell → generic path sanitizes
+        bad = bytearray(good)
+        idx = bad.rfind(b"abc")
+        bad[idx:idx + 3] = b"\xff\xfe\xff"
+        decoded = unpack_columnar(bytes(bad))
+        vals = _column_values(decoded["columns"]["s"])
+        assert len(vals) == 32 and vals[0] == "abc"
+
 
 class TestLineProtocolEscaping:
     @settings(max_examples=200, deadline=None)
