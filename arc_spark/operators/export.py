@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import json
 import time
+import urllib.parse
 import uuid
 
 from arc_spark import snapshots
@@ -113,9 +114,9 @@ def _log_state(bk, table_path: str) -> tuple[int, set[str]]:
                 continue
             action = json.loads(line)
             if "add" in action:
-                files.add(action["add"]["path"])
+                files.add(urllib.parse.unquote(action["add"]["path"]))
             elif "remove" in action:
-                files.discard(action["remove"]["path"])
+                files.discard(urllib.parse.unquote(action["remove"]["path"]))
     return last, files
 
 
@@ -190,7 +191,9 @@ def _export_log_into(bk, meas_path: str, table_path: str, rels: list[str],
     }})
     for rel in added:
         actions.append({"add": {
-            "path": rel,
+            # PROTOCOL.md: path is a percent-encoded relative path ("=" and
+            # "/" stay raw, matching delta-spark's own hive-layout logs)
+            "path": urllib.parse.quote(rel, safe="/="),
             "partitionValues": _partition_values(rel),
             "size": bk.size(bk.join(meas_path, rel)),
             "modificationTime": now_ms,
@@ -198,7 +201,8 @@ def _export_log_into(bk, meas_path: str, table_path: str, rels: list[str],
         }})
     for rel in removed:
         actions.append({"remove": {
-            "path": rel, "deletionTimestamp": now_ms, "dataChange": True,
+            "path": urllib.parse.quote(rel, safe="/="),
+            "deletionTimestamp": now_ms, "dataChange": True,
         }})
     _write_commit(bk, table_path, version, actions)
     return {"version": version, "added": len(added),

@@ -1,0 +1,194 @@
+"""Independent Delta Lake transaction-log reader — the export cross-check.
+
+A from-scratch implementation of the READ side of the public Delta
+protocol (https://github.com/delta-io/delta/blob/master/PROTOCOL.md),
+deliberately sharing NO code with `arc_spark.operators.export`: plain
+os/glob for listing, strict field validation on every action, and DuckDB
+as the scan engine. A spec bug in the exporter (wrong schemaString type
+mapping, missing required add fields, non-contiguous versions, undecoded
+paths) fails HERE even though the exporter's own structural tests pass —
+this is the "second implementation" stand-in for the env-gated
+delta-spark test (r5 verdict Missing #1; delta-spark and duckdb's delta
+extension are unavailable offline in this environment).
+
+Reader rules implemented from the protocol text:
+- versions are zero-padded `<v>.json` in `_delta_log/`, replayed in
+  ascending order; state = last-writer-wins per file path (add upserts,
+  remove deletes); the first commit must carry exactly one `protocol`
+  and one `metaData` action.
+- `protocol.minReaderVersion` above what we support must abort the read.
+- `add.path` / `remove.path` are percent-encoded relative paths.
+- required `add` fields: path, partitionValues, size, modificationTime,
+  dataChange. Required `metaData` fields: id, format, schemaString,
+  partitionColumns.
+- partition column VALUES come from `partitionValues` (serialized
+  strings), typed via the table schema — not from filenames.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import urllib.parse
+
+SUPPORTED_READER_VERSION = 1
+
+_PRIMITIVES = {
+    "string", "long", "integer", "short", "byte", "float", "double",
+    "boolean", "binary", "date", "timestamp", "decimal",
+}
+
+
+class DeltaLogError(AssertionError):
+    """The log violates the Delta protocol (or this reader's support)."""
+
+
+def _require(cond: bool, msg: str) -> None:
+    if not cond:
+        raise DeltaLogError(msg)
+
+
+def _validate_type(t) -> None:
+    """schemaString types: primitive name, decimal(p,s), or nested."""
+    if isinstance(t, str):
+        _require(t in _PRIMITIVES or t.startswith("decimal("),
+                 f"unknown primitive type {t!r}")
+        return
+    _require(isinstance(t, dict), f"bad type node {t!r}")
+    kind = t.get("type")
+    if kind == "struct":
+        for f in t.get("fields", []):
+            _validate_type(f["type"])
+    elif kind == "array":
+        _validate_type(t["elementType"])
+    elif kind == "map":
+        _validate_type(t["keyType"])
+        _validate_type(t["valueType"])
+    else:
+        raise DeltaLogError(f"unknown complex type {kind!r}")
+
+
+def read_state(table_path: str) -> dict:
+    """Replay `_delta_log` → {"version", "schema", "partition_columns",
+    "files": {rel_path: add_action}} with strict validation."""
+    log_dir = os.path.join(table_path, "_delta_log")
+    _require(os.path.isdir(log_dir), f"no _delta_log under {table_path}")
+    commits = []
+    for p in glob.glob(os.path.join(log_dir, "*.json")):
+        base = os.path.basename(p)[:-5]
+        if base.isdigit():
+            commits.append((int(base), p))
+    commits.sort()
+    _require(bool(commits), "empty _delta_log")
+    _require(commits[0][0] == 0, "log does not start at version 0")
+    versions = [v for v, _ in commits]
+    _require(versions == list(range(len(versions))),
+             f"non-contiguous log versions {versions}")
+
+    protocol = None
+    meta = None
+    files: dict[str, dict] = {}
+    for ver, path in commits:
+        with open(path, "rb") as fh:
+            lines = [ln for ln in fh.read().decode("utf-8").splitlines()
+                     if ln.strip()]
+        _require(bool(lines), f"commit {ver} is empty")
+        for ln in lines:
+            action = json.loads(ln)
+            _require(isinstance(action, dict) and len(action) == 1,
+                     f"commit {ver}: action must be a single-key object")
+            (kind, body), = action.items()
+            if kind == "protocol":
+                _require(protocol is None, "duplicate protocol action")
+                _require(
+                    body["minReaderVersion"] <= SUPPORTED_READER_VERSION,
+                    f"minReaderVersion {body['minReaderVersion']} "
+                    "unsupported")
+                protocol = body
+            elif kind == "metaData":
+                for req in ("id", "format", "schemaString",
+                            "partitionColumns"):
+                    _require(req in body, f"metaData missing {req!r}")
+                _require(body["format"]["provider"] == "parquet",
+                         "only parquet format supported")
+                schema = json.loads(body["schemaString"])
+                _require(schema.get("type") == "struct",
+                         "schemaString is not a struct")
+                _validate_type(schema)
+                top = {f["name"] for f in schema["fields"]}
+                for c in body["partitionColumns"]:
+                    _require(c in top,
+                             f"partition column {c!r} not in schema")
+                meta = body
+                meta["_schema"] = schema
+            elif kind == "add":
+                for req in ("path", "partitionValues", "size",
+                            "modificationTime", "dataChange"):
+                    _require(req in body, f"add missing {req!r}")
+                rel = urllib.parse.unquote(body["path"])
+                _require(not rel.startswith("/") and ".." not in rel,
+                         f"add path not a clean relative path: {rel!r}")
+                _require(isinstance(body["size"], int) and body["size"] >= 0,
+                         "add.size must be a non-negative integer")
+                files[rel] = body
+            elif kind == "remove":
+                _require("path" in body, "remove missing path")
+                files.pop(urllib.parse.unquote(body["path"]), None)
+            elif kind in ("commitInfo", "txn", "cdc", "domainMetadata"):
+                pass  # informational / out of scope for state
+            else:
+                raise DeltaLogError(f"unknown action kind {kind!r}")
+        if ver == 0:
+            _require(protocol is not None, "version 0 lacks protocol")
+            _require(meta is not None, "version 0 lacks metaData")
+    _require(meta is not None, "log has no metaData")
+    for rel, body in files.items():
+        full = os.path.join(table_path, rel)
+        _require(os.path.isfile(full), f"referenced file missing: {rel}")
+        _require(os.path.getsize(full) == body["size"],
+                 f"size mismatch for {rel}: log {body['size']} "
+                 f"fs {os.path.getsize(full)}")
+        pv = body["partitionValues"]
+        _require(set(pv) == set(meta["partitionColumns"]),
+                 f"partitionValues keys {sorted(pv)} != partitionColumns")
+    return {
+        "version": commits[-1][0],
+        "schema": meta["_schema"],
+        "partition_columns": list(meta["partitionColumns"]),
+        "files": files,
+    }
+
+
+_DUCK_TYPES = {
+    "string": "VARCHAR", "long": "BIGINT", "integer": "INTEGER",
+    "short": "SMALLINT", "byte": "TINYINT", "float": "FLOAT",
+    "double": "DOUBLE", "boolean": "BOOLEAN", "binary": "BLOB",
+    "date": "DATE", "timestamp": "TIMESTAMP",
+}
+
+
+def duckdb_sql(table_path: str, state: dict | None = None) -> str:
+    """A DuckDB SELECT over exactly the log-resolved file set, partition
+    columns reconstructed from partitionValues as typed literals — an
+    independent engine materializing the table the way a Delta-capable
+    reader would (read_parquet per file + inject partition columns)."""
+    state = state or read_state(table_path)
+    pcols = state["partition_columns"]
+    types = {f["name"]: f["type"] for f in state["schema"]["fields"]
+             if isinstance(f["type"], str)}
+    selects = []
+    for rel, body in sorted(state["files"].items()):
+        full = os.path.join(table_path, rel).replace("'", "''")
+        parts = []
+        for c in pcols:
+            v = body["partitionValues"][c]
+            duck_t = _DUCK_TYPES.get(types.get(c, "string"), "VARCHAR")
+            lit = "NULL" if v is None else f"'{v}'"
+            parts.append(f"CAST({lit} AS {duck_t}) AS \"{c}\"")
+        cols = ", ".join(["f.*"] + parts)
+        selects.append(
+            f"SELECT {cols} FROM read_parquet('{full}') f")
+    if not selects:
+        return "SELECT 1 WHERE FALSE"
+    return " UNION ALL ".join(selects)

