@@ -154,6 +154,10 @@ DEFAULTS: dict[str, dict[str, Any]] = {
         "enabled": False,
         "interval_s": 3600,
         "dest_path": "",
+        # metadata format(s) to publish: "delta" (transaction log),
+        # "iceberg" (v2 metadata + Hadoop discovery files — the
+        # reference's native export format, internal/iceberg/), "both"
+        "format": "delta",
     },
     "auth": {"enabled": False, "db_path": ""},
     # hierarchical RBAC (reference internal/auth/rbac_manager.go; the
@@ -551,7 +555,13 @@ def build_engine(cfg: dict, spark=None) -> dict:
     exp = cfg["export"]
     if exp["enabled"]:
         from arc_spark.operators.export import export_delta_log, export_tree
+        from arc_spark.operators.iceberg_export import export_iceberg
         from arc_spark.storage import backend_for
+
+        fmt = exp.get("format", "delta")
+        if fmt not in ("delta", "iceberg", "both"):
+            raise ValueError(
+                f"[export] format must be delta|iceberg|both, got {fmt!r}")
 
         def _export_all(root=root):
             bk = backend_for(root)
@@ -560,17 +570,26 @@ def build_engine(cfg: dict, spark=None) -> dict:
                 for db in bk.list_dirs(root):
                     for meas in bk.list_dirs(bk.join(root, db)):
                         mp = bk.join(root, db, meas)
-                        if exp["dest_path"]:
-                            dbk = backend_for(exp["dest_path"])
-                            r = export_tree(
-                                mp, dbk.join(exp["dest_path"], db, meas),
-                                bk=bk, table_name=f"{db}.{meas}")
-                        else:
-                            r = export_delta_log(
+                        changed = False
+                        if fmt in ("delta", "both"):
+                            if exp["dest_path"]:
+                                dbk = backend_for(exp["dest_path"])
+                                r = export_tree(
+                                    mp,
+                                    dbk.join(exp["dest_path"], db, meas),
+                                    bk=bk, table_name=f"{db}.{meas}")
+                            else:
+                                r = export_delta_log(
+                                    mp, bk=bk, table_name=f"{db}.{meas}")
+                            changed |= bool(r["added"] or r["removed"])
+                        if fmt in ("iceberg", "both"):
+                            # iceberg metadata is zero-copy in place
+                            # (manifests reference absolute data paths)
+                            r = export_iceberg(
                                 mp, bk=bk, table_name=f"{db}.{meas}")
+                            changed |= bool(r["changed"])
                         out["measurements"] += 1
-                        out["commits"] += 1 if (r["added"] or r["removed"]
-                                                ) else 0
+                        out["commits"] += 1 if changed else 0
             return out
 
         scheduler.add_job("export", _export_all, exp["interval_s"])

@@ -1,0 +1,362 @@
+"""Iceberg v2 export (`operators/iceberg_export.py` — reference
+internal/iceberg/exporter.go's ReplaceDataFiles reconcile + Hadoop
+discovery files, re-expressed over the engine's committed snapshots).
+
+The acceptance bar mirrors the Delta export suite: an INDEPENDENT
+reader (`tests/_iceberg_reader.py` + `tests/_avro_reader.py`, spec-
+derived, zero shared code) walks hint → metadata → manifest-list →
+manifest → files, validates field-ids/sizes/sequence bounds, and DuckDB
+materializes the snapshot to match the engine's rows exactly."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from arc_spark import snapshots
+from arc_spark.catalog import MeasurementCatalog
+from arc_spark.operators.compaction import compact_measurement
+from arc_spark.operators.iceberg_export import export_iceberg
+from arc_spark.sources.writer import write_measurement, write_measurement_arrow
+
+
+def _df(spark, n=60, t_off=0):
+    return spark.range(n).select(
+        F.timestamp_micros(
+            F.lit(int(dt.datetime(2024, 1, 15).timestamp() * 1_000_000))
+            + (F.col("id") % 4) * 3_600_000_000 + F.col("id") + F.lit(t_off)
+        ).alias("time"),
+        (F.col("id") % 3).cast("string").alias("host"),
+        F.col("id").cast("double").alias("value"),
+    )
+
+
+@pytest.fixture()
+def meas(spark, tmp_path):
+    root = str(tmp_path / "engine")
+    write_measurement(_df(spark), root, "metrics", "cpu",
+                      tag_columns=["host"])
+    # a crash orphan: in the managed tree, never committed
+    import pyarrow as pa
+
+    write_measurement_arrow(pa.table({
+        "time": pa.array([1_705_300_000_000_000], pa.timestamp("us")),
+        "host": pa.array(["zz"]), "value": pa.array([999.0]),
+    }), root, "metrics", "cpu", tag_columns=["host"], manifest=False)
+    return root, f"{root}/metrics/cpu"
+
+
+class TestAvroRoundTrip:
+    def test_writer_and_independent_reader_agree(self):
+        """The hand-rolled writer vs the spec-derived reader on a schema
+        exercising every construct Iceberg metadata uses."""
+        from arc_spark.operators.avro_min import write_avro
+        from tests._avro_reader import read_avro
+
+        schema = {
+            "type": "record", "name": "t",
+            "fields": [
+                {"name": "a", "type": "long", "field-id": 1},
+                {"name": "b", "type": ["null", "string"], "field-id": 2},
+                {"name": "c", "type": {"type": "array", "items": "int"},
+                 "field-id": 3},
+                {"name": "d", "type": {"type": "map", "values": "long"},
+                 "field-id": 4},
+                {"name": "e", "type": ["null", "bytes"], "field-id": 5},
+                {"name": "f", "type": "boolean", "field-id": 6},
+                {"name": "g", "type": "double", "field-id": 7},
+                {"name": "h", "type": {
+                    "type": "record", "name": "inner", "fields": [
+                        {"name": "x", "type": "int", "field-id": 9},
+                    ]}, "field-id": 8},
+            ],
+        }
+        recs = [
+            {"a": -(2**62), "b": None, "c": [], "d": {},
+             "e": b"\x00\xff", "f": True, "g": 1.5, "h": {"x": -1}},
+            {"a": 2**62, "b": "日本語", "c": [1, -2, 3],
+             "d": {"k1": 10, "k2": -20}, "e": None, "f": False,
+             "g": -0.25, "h": {"x": 7}},
+        ]
+        data = write_avro(schema, recs, metadata={"format-version": "2"})
+        got_schema, meta, got = read_avro(data)
+        assert got == recs
+        assert meta["format-version"] == b"2"
+        assert got_schema["fields"][0]["field-id"] == 1
+
+
+class TestIcebergExport:
+    def test_first_export_resolves_committed_set(self, meas):
+        from tests._iceberg_reader import read_table
+
+        _, mp = meas
+        out = export_iceberg(mp)
+        assert out["version"] == 0 and out["changed"] and out["files"] > 0
+        state = read_table(mp)  # full strict walk
+        got = {os.path.relpath(f["path"], mp) for f in state["files"]}
+        committed = {os.path.relpath(f, mp)
+                     for f in snapshots.data_files(mp)}
+        assert got == committed  # the orphan is NOT referenced
+        assert set(state["partition_columns"]) == {"year", "month",
+                                                   "day", "hour"}
+        # record_count is the real footer row count per file
+        import pyarrow.parquet as pq
+
+        for f in state["files"]:
+            assert f["record_count"] == pq.ParquetFile(f["path"]) \
+                .metadata.num_rows
+
+    def test_duckdb_scan_matches_engine_rows(self, spark, meas):
+        import duckdb
+
+        from tests._iceberg_reader import duckdb_sql
+
+        root, mp = meas
+        export_iceberg(mp)
+        sql = duckdb_sql(mp)
+        con = duckdb.connect()
+        got = con.execute(
+            f"SELECT host, COUNT(*) n, SUM(value) s FROM ({sql}) "
+            "GROUP BY host ORDER BY host").fetchall()
+        engine = MeasurementCatalog(spark, root).table("metrics", "cpu")
+        want = [(r["host"], r["n"], r["s"]) for r in engine.groupBy("host")
+                .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+                .orderBy("host").collect()]
+        assert got == want
+        assert con.execute(
+            f"SELECT COUNT(*) FROM ({sql}) WHERE host='zz'"
+        ).fetchone()[0] == 0
+        assert con.execute(
+            f"SELECT DISTINCT year FROM ({sql})").fetchall() == [(2024,)]
+
+    def test_idempotent_and_incremental(self, spark, meas):
+        from tests._iceberg_reader import read_table
+
+        root, mp = meas
+        assert export_iceberg(mp)["version"] == 0
+        again = export_iceberg(mp)
+        assert again["version"] == 0 and not again["changed"]
+        write_measurement(_df(spark, t_off=7), root, "metrics", "cpu",
+                          tag_columns=["host"])
+        inc = export_iceberg(mp)
+        assert inc["version"] == 1 and inc["changed"]
+        state = read_table(mp)
+        committed = {os.path.relpath(f, mp)
+                     for f in snapshots.data_files(mp)}
+        assert {os.path.relpath(f["path"], mp)
+                for f in state["files"]} == committed
+        # history retained: both snapshots + snapshot-log entries
+        meta = json.load(open(os.path.join(
+            mp, "metadata", "v1.metadata.json")))
+        assert len(meta["snapshots"]) == 2
+        assert len(meta["snapshot-log"]) == 2
+        assert meta["last-sequence-number"] == 2
+        assert meta["metadata-log"][-1]["metadata-file"].endswith(
+            "v0.metadata.json")
+
+    def test_compaction_reexport_resolves_new_set(self, spark, meas):
+        import duckdb
+
+        from tests._iceberg_reader import duckdb_sql, read_table
+
+        root, mp = meas
+        write_measurement(_df(spark, t_off=7), root, "metrics", "cpu",
+                          tag_columns=["host"])
+        export_iceberg(mp)
+        n_before = duckdb.connect().execute(
+            f"SELECT COUNT(*) FROM ({duckdb_sql(mp)})").fetchone()[0]
+        compact_measurement(spark, root, "metrics", "cpu", min_files=2,
+                            min_age_seconds=0)
+        out = export_iceberg(mp)
+        assert out["changed"]
+        state = read_table(mp)
+        committed = {os.path.relpath(f, mp)
+                     for f in snapshots.data_files(mp)}
+        assert {os.path.relpath(f["path"], mp)
+                for f in state["files"]} == committed
+        n_after = duckdb.connect().execute(
+            f"SELECT COUNT(*) FROM ({duckdb_sql(mp)})").fetchone()[0]
+        assert n_after == n_before
+
+    def test_crashed_hint_recovers(self, meas):
+        """A missing/stale version-hint (crash between metadata CAS and
+        hint write) must not wedge the next export."""
+        from tests._iceberg_reader import read_table
+
+        _, mp = meas
+        export_iceberg(mp)
+        hint = os.path.join(mp, "metadata", "version-hint.text")
+        os.unlink(hint)
+        out = export_iceberg(mp)  # scans v*.metadata.json, re-publishes
+        assert out["version"] == 0 and not out["changed"] \
+            or out["version"] == 1
+        # hint restored by the next CHANGED export
+        if not os.path.exists(hint):
+            from arc_spark.sources.writer import write_measurement  # noqa
+        # force a change to re-publish the hint
+        state_ok = True
+        try:
+            read_table(mp)
+        except AssertionError:
+            state_ok = False
+        # unchanged export doesn't rewrite the hint; a changed one must
+        if not state_ok:
+            import pyarrow as pa
+
+            from arc_spark.sources.writer import write_measurement_arrow
+            write_measurement_arrow(pa.table({
+                "time": pa.array([1_705_310_000_000_000],
+                                 pa.timestamp("us")),
+                "host": pa.array(["a"]), "value": pa.array([1.0]),
+            }), os.path.dirname(os.path.dirname(mp)), "metrics", "cpu",
+                tag_columns=["host"])
+            out = export_iceberg(mp)
+            assert out["changed"]
+            read_table(mp)
+
+    def test_concurrent_version_collision_raises(self, meas, monkeypatch):
+        """CAS discipline: when another exporter publishes the version we
+        computed between our state read and our commit, the commit must
+        FAIL (move_file_excl EEXIST), never clobber. Simulated by
+        pinning the state read to stale (-1, None) after v0 exists."""
+        import arc_spark.operators.iceberg_export as ie
+
+        _, mp = meas
+        export_iceberg(mp)  # publishes v0
+        monkeypatch.setattr(ie, "_current_metadata",
+                            lambda bk, table_path: (-1, None))
+        with pytest.raises(RuntimeError, match="already exists"):
+            export_iceberg(mp)  # tries v0 again → CAS loses
+
+    def test_foreign_version_is_built_upon(self, meas):
+        """A foreign/corrupt v1.metadata.json doesn't wedge the exporter:
+        the scan sees it and the next export commits v2 on top."""
+        from tests._iceberg_reader import read_table
+
+        _, mp = meas
+        export_iceberg(mp)
+        md = os.path.join(mp, "metadata")
+        with open(os.path.join(md, "v1.metadata.json"), "w") as fh:
+            fh.write("not json")
+        import pyarrow as pa
+
+        from arc_spark.sources.writer import write_measurement_arrow
+        write_measurement_arrow(pa.table({
+            "time": pa.array([1_705_310_000_000_000], pa.timestamp("us")),
+            "host": pa.array(["a"]), "value": pa.array([1.0]),
+        }), os.path.dirname(os.path.dirname(mp)), "metrics", "cpu",
+            tag_columns=["host"])
+        out = export_iceberg(mp)
+        assert out["version"] == 2 and out["changed"]
+        state = read_table(mp)
+        committed = {os.path.relpath(f, mp)
+                     for f in snapshots.data_files(mp)}
+        assert {os.path.relpath(f["path"], mp)
+                for f in state["files"]} == committed
+
+    def test_reader_has_teeth(self, meas):
+        """Mutations an exporter could plausibly get wrong must FAIL the
+        independent walk: truncated manifest, missing field-id, wrong
+        manifest_length, broken sync marker."""
+        from tests._avro_reader import AvroError, read_avro
+        from tests._iceberg_reader import IcebergError, read_table
+
+        _, mp = meas
+        export_iceberg(mp)
+        md = os.path.join(mp, "metadata")
+        manifest = next(f for f in os.listdir(md)
+                        if f.endswith("-m0.avro"))
+        mpath = os.path.join(md, manifest)
+        orig = open(mpath, "rb").read()
+        # 1. wrong manifest_length (truncate the manifest)
+        with open(mpath, "wb") as fh:
+            fh.write(orig[:-1])
+        with pytest.raises((IcebergError, AvroError)):
+            read_table(mp)
+        with open(mpath, "wb") as fh:
+            fh.write(orig)
+        read_table(mp)
+        # 2. broken sync marker
+        bad = orig[:-16] + bytes(16)
+        with pytest.raises(AvroError):
+            read_avro(bad)
+        # 3. schema without field-ids fails id-projection
+        from arc_spark.operators.avro_min import write_avro
+        from tests._avro_reader import read_avro as _ra
+
+        noid = write_avro({"type": "record", "name": "x", "fields": [
+            {"name": "a", "type": "long"}]}, [{"a": 1}])
+        sch, _, recs = _ra(noid)
+        from tests._iceberg_reader import _by_field_id
+        with pytest.raises(IcebergError):
+            _by_field_id(sch, recs[0])
+
+
+class TestConfigWiring:
+    def test_export_scheduler_job_iceberg_format(self, spark, meas):
+        """[export] format="iceberg" routes the scheduler job through
+        export_iceberg; ARC_EXPORT_FORMAT env override works."""
+        from arc_spark.config import build_engine, load_config, shutdown
+        from tests._iceberg_reader import read_table
+
+        root, mp = meas
+        cfg = load_config(None, env={
+            "ARC_STORAGE_LOCAL_PATH": root,
+            "ARC_SERVER_PORT": "0",
+            "ARC_EXPORT_ENABLED": "true",
+            "ARC_EXPORT_FORMAT": "iceberg",
+            "ARC_METRICS_TIMESERIES_ENABLED": "false",
+        })
+        engine = build_engine(cfg, spark=spark)
+        try:
+            out = engine["scheduler"].trigger_now("export")
+            assert out["measurements"] >= 1 and out["commits"] >= 1
+            state = read_table(mp)
+            assert len(state["files"]) > 0
+        finally:
+            shutdown(engine)
+
+    def test_bad_format_rejected(self, spark, meas):
+        from arc_spark.config import build_engine, load_config
+
+        root, _ = meas
+        cfg = load_config(None, env={
+            "ARC_STORAGE_LOCAL_PATH": root,
+            "ARC_SERVER_PORT": "0",
+            "ARC_EXPORT_ENABLED": "true",
+            "ARC_EXPORT_FORMAT": "parquetish",
+            "ARC_METRICS_TIMESERIES_ENABLED": "false",
+        })
+        with pytest.raises(ValueError, match="format"):
+            build_engine(cfg, spark=spark)
+
+
+try:
+    import pyiceberg  # noqa: F401
+
+    _HAS_PYICEBERG = True
+except Exception:
+    _HAS_PYICEBERG = False
+
+
+@pytest.mark.skipif(not _HAS_PYICEBERG, reason="pyiceberg not installed "
+                    "(no pip/network in this container); the independent "
+                    "spec-reader suite above always runs")
+class TestLivePyIcebergReader:
+    def test_pyiceberg_reads_exported_table(self, spark, meas):
+        from pyiceberg.table import StaticTable
+
+        _, mp = meas
+        export_iceberg(mp)
+        v = int(open(os.path.join(mp, "metadata",
+                                  "version-hint.text")).read())
+        tbl = StaticTable.from_metadata(
+            os.path.join(mp, "metadata", f"v{v}.metadata.json"))
+        committed_rows = sum(
+            1 for _ in spark.read.parquet(*snapshots.data_files(mp))
+            .collect())
+        assert tbl.scan().to_arrow().num_rows == committed_rows
