@@ -43,7 +43,7 @@ from pyspark.sql import functions as F
 def pack_token_shards(
     per_doc: DataFrame,
     budget: int = 2000,
-    n_buckets: int = 8,
+    n_buckets: int | None = None,
     source_col: str = "source",
     id_col: str = "doc_id",
     tokens_col: str = "tokens",
@@ -54,8 +54,20 @@ def pack_token_shards(
     ``bucket`` and a per-source-dense ``shard``. Size ``n_buckets`` so a
     single (source, bucket) slice fits one task comfortably — at 100 TB
     with ~1e9 docs/source, n_buckets=4096 keeps slices in the low
-    hundreds of MB; locally 8 exercises the same plan.
+    hundreds of MB.
+
+    ``n_buckets=None`` (default) scales the bucket count with the input:
+    max(8, input scan partitions). Partition count tracks data volume
+    (``spark.sql.files.maxPartitionBytes``), so per-(source, bucket)
+    window slices stay near-constant as the corpus grows instead of
+    growing linearly under a fixed count — the factor-256 scaling probe
+    showed fixed n_buckets=8 is exactly where the operator's growth
+    turns linear (SCALING.md r6). The reconciliation stays metadata-
+    sized: sources × n_buckets rows, one short row per task of the
+    main scan.
     """
+    if n_buckets is None:
+        n_buckets = max(8, per_doc.rdd.getNumPartitions())
     local_w = (
         Window.partitionBy(source_col, "bucket")
         .orderBy(id_col)

@@ -106,10 +106,14 @@ def run_ops(spark, factor: int, ops: set[str]) -> list[dict]:
     probe("connected_components", lambda: connected_components(
         ngram_jaccard_pairs(docs, threshold=0.2, max_posting_list=1000),
         nodes=docs.select("doc_id"), unique_edges=True).count())
+    # default (auto) bucket count: scales with input partitions so the
+    # per-(source, bucket) window slice stays near-constant — fixed
+    # n_buckets=8 measured LINEAR at factor 256 (48s vs 0.7s auto;
+    # SCALING.md r6 row)
     probe("token_packing", lambda: pack_token_shards(
         docs.select("source", "doc_id",
                     ws_token_count("text").alias("tokens")),
-        budget=2000, n_buckets=8).groupBy("source", "shard")
+        budget=2000).groupBy("source", "shard")
         .count().count())
 
     if {"all", "ann_lsh_topk", "ann_ivf_topk"} & ops:

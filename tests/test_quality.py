@@ -76,3 +76,36 @@ class TestKmeansAssign:
         pts = spark.createDataFrame([(7, [0.1, 0.9])],
                                     "vec_id long, embedding array<float>")
         assert kmeans_assign(pts, cent).collect()[0]["cid"] == 1
+
+
+class TestTokenPackingAutoBuckets:
+    def test_auto_bucket_count_keeps_packing_invariants(self, spark):
+        """n_buckets=None (auto: scales with input partitions) must keep
+        the training contracts fixed-8 guarantees: every doc exactly
+        once, shards dense per source, per-shard tokens <= budget +
+        one doc's overflow, deterministic across runs."""
+        from arc_spark.operators.packing import pack_token_shards
+
+        per_doc = spark.range(5000).select(
+            (F.col("id") % 3).cast("string").alias("source"),
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 700 + 1).alias("tokens"),
+        ).repartition(16)
+        out = pack_token_shards(per_doc, budget=2000).cache()
+        assert out.count() == 5000
+        assert out.select("doc_id").distinct().count() == 5000
+        # dense shard ids per source: max+1 == distinct count
+        dense = out.groupBy("source").agg(
+            (F.max("shard") + 1).alias("mx"),
+            F.countDistinct("shard").alias("n")).collect()
+        assert all(r["mx"] == r["n"] for r in dense)
+        # budget respected up to single-doc overflow within each bucket
+        per_shard = out.groupBy("source", "bucket", "shard").agg(
+            F.sum("tokens").alias("t"), F.max("tokens").alias("biggest"))
+        assert per_shard.filter(
+            F.col("t") - F.col("biggest") >= 2000).count() == 0
+        # deterministic: same input -> same assignment
+        again = pack_token_shards(per_doc, budget=2000)
+        assert out.select("doc_id", "shard").exceptAll(
+            again.select("doc_id", "shard")).count() == 0
+        out.unpersist()
