@@ -24,6 +24,8 @@ one stored without a table restriction):
   daily tier)
 - ``POST /api/v1/backup|restore``        (internal/backup/manager.go; tree
   copy + manifest, partial restore via partition prefix)
+- ``POST /api/v1/export``                (internal/iceberg on-demand: one
+  measurement → Delta log / Iceberg v2 metadata / committed-only tree)
 - ``GET/POST /api/v1/auth/tokens``, ``DELETE /api/v1/auth/tokens/<name>``
   (auth_routes.go)
 - ``POST /api/v1/import/line|lp|tle?db=`` (import.go bulk lanes; LP routes
@@ -1394,6 +1396,67 @@ class ArcServer:
                         )
 
                     ok, out = self._run(_bk)
+                    if ok:
+                        self._json(200, out)
+                    return
+
+                if url.path == "/api/v1/export":
+                    # on-demand external-reader export for ONE measurement
+                    # (the scheduler job covers the periodic all-tables
+                    # sweep; reference internal/iceberg/scheduler.go) —
+                    # format: "delta" (transaction log), "iceberg" (v2
+                    # metadata + version-hint), "tree" (committed-only
+                    # hardlink/copy tree + Delta log at dest_path)
+                    if not self._require_admin(token):
+                        return
+                    if outer.ingest is None:
+                        return self._json(503, {"error": "no storage attached"})
+                    try:
+                        req = json.loads(body or b"{}")
+                    except json.JSONDecodeError:
+                        return self._json(400, {"error": "body must be JSON"})
+                    db, meas = req.get("db"), req.get("measurement")
+                    if not db or not meas:
+                        return self._json(400, {"error": "missing db/measurement"})
+                    fmt = req.get("format", "delta")
+                    if fmt not in ("delta", "iceberg", "tree"):
+                        return self._json(400, {
+                            "error": "format must be delta|iceberg|tree"})
+                    if fmt == "tree" and not req.get("dest_path"):
+                        return self._json(400, {
+                            "error": "tree export needs dest_path"})
+
+                    def _export():
+                        from arc_spark.catalog import validate_identifier
+                        from arc_spark.storage import backend_for
+
+                        validate_identifier(db, "database")
+                        validate_identifier(meas, "measurement")
+                        bk = backend_for(outer.ingest.root)
+                        mp = bk.join(outer.ingest.root, db, meas)
+                        if not bk.isdir(mp):
+                            raise SqlValidationError(
+                                f"no measurement {db}.{meas}")
+                        if fmt == "iceberg":
+                            from arc_spark.operators.iceberg_export import (
+                                export_iceberg,
+                            )
+
+                            return export_iceberg(
+                                mp, bk=bk, table_name=f"{db}.{meas}")
+                        if fmt == "tree":
+                            from arc_spark.operators.export import export_tree
+
+                            dbk = backend_for(req["dest_path"])
+                            return export_tree(
+                                mp, dbk.join(req["dest_path"], db, meas),
+                                bk=bk, table_name=f"{db}.{meas}")
+                        from arc_spark.operators.export import export_delta_log
+
+                        return export_delta_log(
+                            mp, bk=bk, table_name=f"{db}.{meas}")
+
+                    ok, out = self._run(_export)
                     if ok:
                         self._json(200, out)
                     return

@@ -4,6 +4,7 @@ hashed-token auth from SQLite, query + ingest + RBAC over a real socket."""
 from __future__ import annotations
 
 import json
+import os
 import urllib.error
 import urllib.request
 
@@ -665,6 +666,49 @@ class TestManagementRoutes:
         res = json.loads(body)
         assert res["restored_files"] == 0
         assert res["skipped_files"] == man["total_files"]
+
+    def test_export_route_all_formats(self, live, tmp_path):
+        """POST /api/v1/export: delta log + iceberg metadata in place,
+        committed-only tree at dest_path; independent readers verify."""
+        port, admin, limited, cat = live
+        mp = os.path.join(cat.root, "metrics", "cpu")
+        status, body, _ = _req(
+            port, "/api/v1/export", "POST", admin,
+            json.dumps({"db": "metrics", "measurement": "cpu"}).encode())
+        assert status == 200 and json.loads(body)["version"] == 0
+        assert os.path.isdir(os.path.join(mp, "_delta_log"))
+        status, body, _ = _req(
+            port, "/api/v1/export", "POST", admin,
+            json.dumps({"db": "metrics", "measurement": "cpu",
+                        "format": "iceberg"}).encode())
+        assert status == 200
+        from tests._iceberg_reader import read_table
+
+        assert len(read_table(mp)["files"]) > 0
+        dest = str(tmp_path / "http-export")
+        status, body, _ = _req(
+            port, "/api/v1/export", "POST", admin,
+            json.dumps({"db": "metrics", "measurement": "cpu",
+                        "format": "tree", "dest_path": dest}).encode())
+        assert status == 200 and json.loads(body)["files"] > 0
+        from tests._delta_reader import read_state
+
+        assert len(read_state(os.path.join(dest, "metrics", "cpu"))
+                   ["files"]) > 0
+        # non-admin 403; bad format / missing dest 400; unknown 400
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _req(port, "/api/v1/export", "POST", limited,
+                 json.dumps({"db": "metrics", "measurement": "cpu"}).encode())
+        assert e.value.code == 403
+        for bad in ({"db": "metrics", "measurement": "cpu", "format": "x"},
+                    {"db": "metrics", "measurement": "cpu",
+                     "format": "tree"},
+                    {"db": "metrics"},
+                    {"db": "metrics", "measurement": "nope"}):
+            with pytest.raises(urllib.error.HTTPError) as e:
+                _req(port, "/api/v1/export", "POST", admin,
+                     json.dumps(bad).encode())
+            assert e.value.code == 400, bad
 
     def test_import_csv_requires_admin(self, live):
         port, _admin, limited, _cat = live
