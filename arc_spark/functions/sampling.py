@@ -138,3 +138,31 @@ def stratified_cap_sql(per_group_k: int, group_col: str = "source",
         ) AS __rk FROM {table}
     ) WHERE __rk <= {per_group_k}
 """
+
+
+def temperature_weights(df, alpha: float = 0.5,
+                        source_col: str = "source",
+                        tokens_col=None):
+    """Temperature-scaled mixture weights per source (the multilingual /
+    multi-corpus sampling rule from T5/mT5: w_i ∝ n_i^alpha, alpha<1
+    upsamples small sources). Returns one row per source with its raw
+    token count and normalized sampling weight — the artifact a training
+    job consumes next to the packed shards.
+
+    One map-side-combining aggregate + a broadcastable total; rounding
+    pinned at 6 dp so the DuckDB oracle (q71) hashes identically.
+    """
+    from pyspark.sql import functions as F
+
+    per = df.groupBy(_c(source_col).alias("source")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum(tokens_col) if tokens_col is not None
+         else F.count(F.lit(1))).alias("n_units"),
+    )
+    scaled = per.withColumn(
+        "scaled", F.pow(F.col("n_units").cast("double"), F.lit(alpha)))
+    total = scaled.agg(F.sum("scaled")).collect()[0][0]
+    return (scaled.withColumn(
+        "weight", F.round(F.col("scaled") / F.lit(float(total)), 6))
+        .withColumn("scaled", F.round("scaled", 6))
+        .select("source", "n_docs", "n_units", "scaled", "weight"))

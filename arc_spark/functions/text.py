@@ -333,3 +333,45 @@ def normalize_url_df(df, url_col: str = "url", out_col: str = "canon"):
         "CASE WHEN __qn = '' THEN '' ELSE '?' || __qn END"
     )).drop("__scheme", "__auth", "__rawpath", "__q",
             "__host", "__port", "__path", "__qn")
+
+
+def tfidf_top_terms(df, n_top: int = 5, source_col: str = "source",
+                    text_col: str = "text", min_len: int = 3):
+    """Top-N terms per source by smoothed TF-IDF — the corpus-
+    characterization report a curation pipeline publishes per data
+    source (what distinguishes THIS source from the rest of the mix).
+
+    tf = term occurrences within the source; df = number of sources
+    containing the term; idf = ln((N_sources + 1) / (df + 1)). Ties
+    break (score desc, term asc) so the result is deterministic and
+    expressible 1:1 in ANSI SQL for the DuckDB oracle (q70).
+
+    Scale shape: explode → two map-side-combining aggregates keyed by
+    (source, term) then term — both shuffle hashed keys, no windows over
+    data-sized partitions; the final rank window runs over n_sources ×
+    vocab rows, and vocabulary grows sublinearly with corpus size
+    (Heaps' law), so the ranked relation is metadata-sized relative to
+    the corpus. No driver-side materialization.
+    """
+    from pyspark.sql import Window
+
+    norm = F.lower(F.regexp_replace(F.trim(_c(text_col)), r"\s+", " "))
+    toks = df.select(
+        _c(source_col).alias("source"),
+        F.explode(F.split(norm, " ")).alias("term"),
+    ).filter(F.length("term") >= min_len)
+    tf = toks.groupBy("source", "term").agg(
+        F.count(F.lit(1)).alias("tf"))
+    n_sources = df.select(source_col).distinct().count()
+    docf = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"))
+    scored = tf.join(docf, "term").withColumn(
+        "tfidf",
+        F.round(F.col("tf") * F.log(
+            F.lit(float(n_sources + 1)) / (F.col("df") + 1)), 6),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc())
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= n_top)
+            .select("source", "term", "tf", "df", "tfidf", "rk"))

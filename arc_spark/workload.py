@@ -2266,3 +2266,73 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLES["q67_decimal128_roundtrip"] = ORACLES_Q67
 ORACLES["q68_range_join"] = ORACLES_Q68
 ORACLES["q69_regex_like"] = ORACLES_Q69
+
+
+def q70_tfidf_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source corpus characterization: top-5 terms by smoothed
+    TF-IDF (beyond-reference LLM-pipeline family — the per-source
+    vocabulary report published next to a corpus drop). Explode + two
+    hash aggregates + a rank window over the vocab-sized relation."""
+    from arc_spark.functions.text import tfidf_top_terms
+
+    t = load_tables(spark, sf, register_views=False)
+    return tfidf_top_terms(t["documents"], n_top=5)
+
+
+ORACLES_Q70 = f"""
+    WITH toks AS (
+        SELECT source, unnest(string_split({_LNORM}, ' ')) AS term
+        FROM documents
+    ), tf AS (
+        SELECT source, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks WHERE len(term) >= 3 GROUP BY source, term
+    ), docf AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ), ns AS (SELECT COUNT(DISTINCT source) AS n FROM documents),
+    scored AS (
+        SELECT tf.source, tf.term, tf.tf, docf.df,
+               ROUND(tf.tf * ln((ns.n + 1.0) / (docf.df + 1.0)), 6)
+                   AS tfidf
+        FROM tf JOIN docf USING (term) CROSS JOIN ns
+    )
+    SELECT source, term, tf, df, tfidf,
+           CAST(rk AS INTEGER) AS rk
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY source ORDER BY tfidf DESC, term ASC) AS rk
+        FROM scored
+    ) WHERE rk <= 5
+"""
+
+
+def q71_mixture_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-scaled sampling weights per source (T5/mT5 mixing
+    rule, w_i ∝ tokens_i^0.5) — the artifact a training job consumes
+    next to the packed shards. One aggregate + a scalar total."""
+    from arc_spark.functions.sampling import temperature_weights
+
+    t = load_tables(spark, sf, register_views=False)
+    docs = t["documents"].select(
+        "source", F.expr(f"size(split({_SPARK_NORM}, ' '))").alias("toks"))
+    return temperature_weights(docs, alpha=0.5, tokens_col="toks")
+
+
+ORACLES_Q71 = f"""
+    WITH per AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(string_split({_LNORM}, ' '))) AS BIGINT)
+                   AS n_units
+        FROM documents GROUP BY source
+    ), s AS (
+        SELECT *, pow(CAST(n_units AS DOUBLE), 0.5) AS scaled_raw FROM per
+    )
+    SELECT source, n_docs, n_units,
+           ROUND(scaled_raw, 6) AS scaled,
+           ROUND(scaled_raw / (SELECT SUM(scaled_raw) FROM s), 6) AS weight
+    FROM s
+"""
+
+QUERIES["q70_tfidf_terms"] = q70_tfidf_terms
+QUERIES["q71_mixture_weights"] = q71_mixture_weights
+ORACLES["q70_tfidf_terms"] = ORACLES_Q70
+ORACLES["q71_mixture_weights"] = ORACLES_Q71
