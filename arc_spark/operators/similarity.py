@@ -241,8 +241,20 @@ def ivf_topk(
     digits: int = 4,
     seed: int = 11,
     fit_sample: int = 100_000,
+    sq8: bool = False,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: k-means coarse quantizer + probed clusters.
+
+    ``sq8=True`` adds scalar quantization (IVF-SQ8, the FAISS
+    ``IVF*,SQ8`` index family): corpus vectors travel through the
+    candidate join as PACKED uint8 codes (one byte per dimension,
+    per-dim min/max trained on the same bounded sample as the
+    centroids), and candidates are scored on dequantized values in an
+    Arrow-batched kernel. At 100 TB of float64 embeddings this shrinks
+    the operator's dominant shuffle — corpus rows into probed clusters —
+    by 8×, which is the difference between a corpus-sized shuffle and a
+    manageable one; recall impact is small (pytest locks recall@k ≥ 0.9
+    against the exact-scored float path on the test corpus).
 
     The 100 TB path when both corpus and query set are large:
 
@@ -271,6 +283,22 @@ def ivf_topk(
     C = _fit_centroids_lloyd(sample, n_clusters, iters=8, seed=seed)
     c2 = (C * C).sum(axis=1)  # |c|² precomputed once, shipped in closure
 
+    vmin = vscale = None
+    if sq8:
+        # train the scalar quantizer on the same bounded sample (one tiny
+        # posexplode aggregate — sample_rows × dim, never corpus-sized);
+        # corpus values outside the sampled range clip, the standard
+        # train-on-sample SQ behavior
+        import numpy as np
+
+        bounds = (sample.select(F.posexplode("v").alias("pos", "x"))
+                  .groupBy("pos")
+                  .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+                  .orderBy("pos").collect())
+        vmin = np.array([r["lo"] for r in bounds], dtype=np.float64)
+        vscale = np.array([r["hi"] for r in bounds]) - vmin
+        vscale = np.maximum(vscale, 1e-12) / 255.0
+
     # --- 2./3. assignment + probing: one Arrow-batched GEMM per batch ----
     # Centroids travel in the UDF closure (k×dim floats — tiny); each batch
     # computes |x|²−2xCᵀ+|c|² vectorized. No inlined literal expression
@@ -278,6 +306,7 @@ def ivf_topk(
     # the bottleneck), no per-element interpreted lambdas.
     def assign_corpus(batches):
         import numpy as np
+        import pandas as pd
 
         from arc_spark.functions.threads import pin_math_threads
 
@@ -288,12 +317,26 @@ def ivf_topk(
                 continue
             V = np.vstack(pdf["cv"].to_numpy()).astype(np.float64)
             d2 = (V * V).sum(axis=1)[:, None] - 2.0 * (V @ C.T) + c2[None, :]
-            out = pdf[["neighbor_id", "cv"]].copy()
-            out["cluster"] = d2.argmin(axis=1).astype(np.int32)
-            yield out
+            cluster = d2.argmin(axis=1).astype(np.int32)
+            if sq8:
+                # pack each row to dim uint8 bytes — the candidate
+                # shuffle carries 1 byte/dim instead of 8
+                codes = np.clip(
+                    np.rint((np.clip(V, vmin, vmin + vscale * 255.0)
+                             - vmin) / vscale), 0, 255).astype(np.uint8)
+                yield pd.DataFrame({
+                    "neighbor_id": pdf["neighbor_id"].to_numpy(),
+                    "code": [r.tobytes() for r in codes],
+                    "cluster": cluster,
+                })
+            else:
+                out = pdf[["neighbor_id", "cv"]].copy()
+                out["cluster"] = cluster
+                yield out
 
     c_schema = (
-        "neighbor_id long, cv array<double>, cluster int"
+        "neighbor_id long, code binary, cluster int" if sq8
+        else "neighbor_id long, cv array<double>, cluster int"
     )
     c_src = corpus.select(
         F.col(id_col).cast("long").alias("neighbor_id"),
@@ -333,14 +376,46 @@ def ivf_topk(
     probed = q_src.mapInPandas(
         probe_queries, "query_id long, qv array<double>, cluster int")
 
-    scored = (
-        c.join(probed, "cluster")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
+    cand = (c.join(probed, "cluster")
+            .filter(F.col("query_id") != F.col("neighbor_id")))
+    if sq8:
+        # dequantize + cosine in one Arrow-batched kernel: frombuffer
+        # over the concatenated codes, vectorized row-dot — no per-pair
+        # Python, no interpreted lambdas
+        def score_sq8(batches):
+            import numpy as np
+            import pandas as pd
+
+            from arc_spark.functions.threads import pin_math_threads
+
+            pin_math_threads(s_budget)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                X = (np.frombuffer(b"".join(pdf["code"]), dtype=np.uint8)
+                     .reshape(len(pdf), -1).astype(np.float64)
+                     * vscale[None, :] + vmin[None, :])
+                Q = np.vstack(pdf["qv"].to_numpy()).astype(np.float64)
+                num = (Q * X).sum(axis=1)
+                den = (np.linalg.norm(Q, axis=1)
+                       * np.linalg.norm(X, axis=1))
+                score = np.round(
+                    np.divide(num, den, out=np.zeros_like(num),
+                              where=den > 0), digits)
+                yield pd.DataFrame({
+                    "query_id": pdf["query_id"].to_numpy(),
+                    "neighbor_id": pdf["neighbor_id"].to_numpy(),
+                    "score": score,
+                })
+
+        s_budget = task_thread_budget(cand)
+        scored = cand.mapInPandas(
+            score_sq8, "query_id long, neighbor_id long, score double")
+    else:
+        scored = cand.select(
             "query_id",
             "neighbor_id",
             cosine_similarity(F.col("qv"), F.col("cv"), digits).alias("score"),
         )
-    )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

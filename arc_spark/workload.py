@@ -2336,3 +2336,23 @@ QUERIES["q70_tfidf_terms"] = q70_tfidf_terms
 QUERIES["q71_mixture_weights"] = q71_mixture_weights
 ORACLES["q70_tfidf_terms"] = ORACLES_Q70
 ORACLES["q71_mixture_weights"] = ORACLES_Q71
+
+
+def q72_ivf_sq8_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-SQ8 ANN (uint8-packed corpus codes through the candidate
+    shuffle — the FAISS IVF*,SQ8 family): the 100 TB memory/shuffle
+    path next to q53's float IVF. Approximate + hash-family output →
+    rows-only lane; recall@k ≥ 0.9 vs the float path is pytest-locked
+    (tests/test_ivf.py::TestIVFSQ8)."""
+    from arc_spark.operators.similarity import ivf_topk
+
+    t = load_tables(spark, sf, register_views=False)
+    emb = t["embeddings"]
+    out = ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=10, n_clusters=8,
+        n_probe=3, sq8=True,
+    )
+    return out.withColumn("rk", F.col("rank").cast("long")).drop("rank")
+
+
+QUERIES["q72_ivf_sq8_topk"] = q72_ivf_sq8_topk
