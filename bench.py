@@ -247,15 +247,20 @@ def main() -> None:
             svc.close()
         return acked / ack_wall, acked / e2e_wall
 
-    # Warm the DISTRIBUTED drain path first (outside the timers): its
-    # Python workers cost ~4s to spawn once per session — steady-state
-    # throughput is the comparable number (arc's is a warm server), and
-    # cold-start would otherwise halve a 3s window's measurement
+    # Warm the DISTRIBUTED drain path first (outside the timers): the
+    # Python-worker POOL spawns on the first multi-task drain (~4s once
+    # per session) — a 1-payload warmup only warms ONE task's worker, so
+    # the first real window still paid the spawn (r5: first defer window
+    # 5.7M vs 12.3M warm). 200 payloads ≈ 50MB stage → ~16 tasks, the
+    # full pool. Steady-state throughput is the comparable number (arc's
+    # is a warm server).
     with tempfile.TemporaryDirectory() as td:
         svc = IngestService(spark, td, max_buffer_rows=10**9,
                             max_buffer_age_s=10**9, defer_decode=True)
+        svc.max_pending_raw_bytes = 1 << 30
         svc.distributed_flush_min_bytes = 1 << 10
-        svc.write_msgpack("bench", sus_payloads[0])
+        for j in range(200):
+            svc.write_msgpack("bench", sus_payloads[j % 8])
         svc.flush()
         svc.close()
 
