@@ -75,9 +75,11 @@ def main() -> None:
     events_measurement(spark, sf_dir)
 
     # BASELINE.md's arc numbers are "5 iterations/query, p50 latency" on a
-    # warm server — match that methodology: 3 iterations, report the median
-    # (arc's own harness shape; a long-lived engine's steady-state latency)
-    iterations = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
+    # warm server — match that methodology exactly: 5 iterations, report
+    # the median (a long-lived engine's steady-state latency; JVM JIT +
+    # page cache keep improving through pass ~4, measured q16
+    # 5.9→1.5→1.3→1.0s)
+    iterations = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "5"))
     times: dict[str, float] = {}
     # per-lane min IN the parsed JSON (r3 judge: the stderr-only min/max
     # lines were truncated from the artifact, so a loaded box's p50 looked
