@@ -158,6 +158,9 @@ DEFAULTS: dict[str, dict[str, Any]] = {
         # "iceberg" (v2 metadata + Hadoop discovery files — the
         # reference's native export format, internal/iceberg/), "both"
         "format": "delta",
+        # iceberg snapshot history floor (0 = keep all) — the
+        # reference's expireSnapshots retain-last
+        "retain_snapshots": 10,
     },
     "auth": {"enabled": False, "db_path": ""},
     # hierarchical RBAC (reference internal/auth/rbac_manager.go; the
@@ -586,7 +589,8 @@ def build_engine(cfg: dict, spark=None) -> dict:
                             # iceberg metadata is zero-copy in place
                             # (manifests reference absolute data paths)
                             r = export_iceberg(
-                                mp, bk=bk, table_name=f"{db}.{meas}")
+                                mp, bk=bk, table_name=f"{db}.{meas}",
+                                retain=exp.get("retain_snapshots", 10))
                             changed |= bool(r["changed"])
                         out["measurements"] += 1
                         out["commits"] += 1 if changed else 0

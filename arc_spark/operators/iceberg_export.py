@@ -243,10 +243,20 @@ def _committed_rels(meas_path: str, bk) -> list[str]:
 
 
 def export_iceberg(meas_path: str, bk=None, table_name: str | None = None,
-                   now_ms: int | None = None) -> dict:
+                   now_ms: int | None = None, retain: int = 10) -> dict:
     """Write/advance Iceberg v2 metadata over the measurement's own tree.
     Returns {"version", "snapshot_id", "files", "changed"}. Idempotent:
-    unchanged committed set -> no new snapshot."""
+    unchanged committed set -> no new snapshot.
+
+    ``retain`` (0 = keep all) bounds metadata growth for a long-lived
+    periodic export, the reference's expireSnapshots +
+    pruneOldVersionFiles pair (exporter.go:483-556): each commit keeps
+    only the newest ``retain`` snapshots in the metadata and
+    best-effort-deletes dropped snapshots' manifest-list/manifest files
+    and v<N>.metadata.json copies beyond the retain window (never the
+    current version). Safe here because THIS exporter writes one fresh
+    full manifest per snapshot — manifests are never shared across
+    snapshots, so a dropped snapshot's files are provably orphaned."""
     bk = bk or backend_for(meas_path)
     now_ms = int(time.time() * 1000) if now_ms is None else now_ms
     table_name = table_name or bk.basename(meas_path)
@@ -345,6 +355,14 @@ def export_iceberg(meas_path: str, bk=None, table_name: str | None = None,
     prev_snaps = (meta or {}).get("snapshots", [])
     prev_log = (meta or {}).get("snapshot-log", [])
     prev_mlog = (meta or {}).get("metadata-log", [])
+    dropped_snaps: list[dict] = []
+    if retain > 0 and len(prev_snaps) + 1 > retain:
+        cut = len(prev_snaps) + 1 - retain
+        dropped_snaps, prev_snaps = prev_snaps[:cut], prev_snaps[cut:]
+        keep_ids = {s["snapshot-id"] for s in prev_snaps}
+        prev_log = [e for e in prev_log
+                    if e.get("snapshot-id") in keep_ids]
+        prev_mlog = prev_mlog[-(retain - 1):] if retain > 1 else []
     if meta is not None:
         prev_mlog = prev_mlog + [{
             "timestamp-ms": meta.get("last-updated-ms", 0),
@@ -392,8 +410,46 @@ def export_iceberg(meas_path: str, bk=None, table_name: str | None = None,
             "(concurrent exporter) — rerun to export on top of it")
     bk.write_bytes(bk.join(md_dir, "version-hint.text"),
                    str(version).encode("ascii"))
+    _expire_cleanup(bk, md_dir, dropped_snaps, version, retain)
     return {"version": version, "snapshot_id": snapshot_id,
             "files": len(rels), "changed": True}
+
+
+def _expire_cleanup(bk, md_dir: str, dropped_snaps: list[dict],
+                    version: int, retain: int) -> None:
+    """Best-effort physical cleanup after a committed expire: dropped
+    snapshots' manifest-list + manifest Avros, and v<N>.metadata.json
+    copies beyond the retain window (never the current version) —
+    exporter.go:513-556 parity. Failures are swallowed: the metadata
+    commit is already durable and the next export retries the sweep."""
+    for snap in dropped_snaps:
+        try:
+            mlist = snap.get("manifest-list", "")
+            base = bk.basename(mlist)
+            # our naming: snap-<id>-1-<uuid>.avro pairs with <uuid>-m0.avro
+            if base.startswith("snap-") and base.endswith(".avro"):
+                commit_uuid = base[:-5].rsplit("-", 1)[-1]
+                bk.remove_file_if_exists(
+                    bk.join(md_dir, f"{commit_uuid}-m0.avro"))
+            if base:
+                # rejoin under md_dir (the recorded path is an fs path;
+                # both files live in metadata/ by construction)
+                bk.remove_file_if_exists(bk.join(md_dir, base))
+        except Exception:
+            pass
+    if retain > 0:
+        try:
+            versions = []
+            for f in bk.list_files(md_dir, suffix=".metadata.json"):
+                body = bk.basename(f)[1:-len(".metadata.json")]
+                if bk.basename(f).startswith("v") and body.isdigit():
+                    versions.append((int(body), f))
+            versions.sort()
+            for v, f in versions[:-retain] if len(versions) > retain else []:
+                if v != version:
+                    bk.remove_file_if_exists(f)
+        except Exception:
+            pass
 
 
 def _fingerprint(rels: list[str]) -> str:

@@ -296,6 +296,66 @@ class TestIcebergExport:
             _by_field_id(sch, recs[0])
 
 
+class TestSnapshotExpiry:
+    def test_retain_bounds_metadata_and_sweeps_files(self, spark, meas):
+        """retain=3 over 6 changed exports: metadata keeps <=3 snapshots,
+        dropped snapshots' manifest-list/manifest Avros and old
+        v<N>.metadata.json copies are physically gone, and the current
+        snapshot stays fully readable by the independent walker
+        (exporter.go expireSnapshots + pruneOldVersionFiles parity)."""
+        import pyarrow as pa
+
+        from arc_spark.sources.writer import write_measurement_arrow
+        from tests._iceberg_reader import read_table
+
+        root, mp = meas
+        for i in range(6):
+            write_measurement_arrow(pa.table({
+                "time": pa.array([1_705_310_000_000_000 + i * 10**6],
+                                 pa.timestamp("us")),
+                "host": pa.array([f"h{i}"]), "value": pa.array([float(i)]),
+            }), root, "metrics", "cpu", tag_columns=["host"])
+            out = export_iceberg(mp, retain=3)
+            assert out["changed"]
+        md = os.path.join(mp, "metadata")
+        meta = json.load(open(os.path.join(
+            md, f"v{out['version']}.metadata.json")))
+        assert len(meta["snapshots"]) == 3
+        assert meta["current-snapshot-id"] == out["snapshot_id"]
+        live_ids = {s["snapshot-id"] for s in meta["snapshots"]}
+        assert {e["snapshot-id"] for e in meta["snapshot-log"]} <= live_ids
+        # physical sweep: exactly one manifest-list + one manifest per
+        # retained snapshot remain, old metadata jsons pruned to retain
+        mlists = [f for f in os.listdir(md) if f.startswith("snap-")]
+        manifests = [f for f in os.listdir(md) if f.endswith("-m0.avro")]
+        assert len(mlists) == 3 and len(manifests) == 3
+        metas = [f for f in os.listdir(md) if f.endswith(".metadata.json")]
+        assert len(metas) == 3
+        state = read_table(mp)  # current version still fully valid
+        committed = {os.path.relpath(f, mp)
+                     for f in snapshots.data_files(mp)}
+        assert {os.path.relpath(f["path"], mp)
+                for f in state["files"]} == committed
+
+    def test_retain_zero_keeps_all(self, spark, meas):
+        import pyarrow as pa
+
+        from arc_spark.sources.writer import write_measurement_arrow
+
+        root, mp = meas
+        for i in range(4):
+            write_measurement_arrow(pa.table({
+                "time": pa.array([1_705_320_000_000_000 + i * 10**6],
+                                 pa.timestamp("us")),
+                "host": pa.array([f"k{i}"]), "value": pa.array([1.0]),
+            }), root, "metrics", "cpu", tag_columns=["host"])
+            out = export_iceberg(mp, retain=0)
+        md = os.path.join(mp, "metadata")
+        meta = json.load(open(os.path.join(
+            md, f"v{out['version']}.metadata.json")))
+        assert len(meta["snapshots"]) == 4
+
+
 class TestConfigWiring:
     def test_export_scheduler_job_iceberg_format(self, spark, meas):
         """[export] format="iceberg" routes the scheduler job through
