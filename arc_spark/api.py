@@ -206,6 +206,81 @@ class QueryService:
         r"(?:\s+(?:FROM\s+)?[\"'`]?([\w.-]+)[\"'`]?)?\s*;?\s*$"
     )
 
+    _COUNT_PROJECT_RE = re.compile(
+        r"^'Project \[(?:unresolvedalias\('(?:COUNT|count)\(1\)\)"
+        r"|'(?:COUNT|count)\(1\) AS (\w+)#\d+)\]$")
+    _COUNT_RELATION_RE = re.compile(
+        r"^\+- 'UnresolvedRelation \[([^\]]+)\], \[\], false$")
+
+    def _native_count(self, sql: str,
+                      db: str | None) -> tuple[str, int] | None:
+        """(output column name, count) when `sql` is EXACTLY a bare
+        ``SELECT COUNT(*) [AS alias] FROM <one measurement>`` — detected
+        on the parsed plan (two nodes: Project[count(1)] over a single
+        relation; a WHERE adds a Filter node, GROUP BY parses as
+        Aggregate, any expression changes the projection), never by
+        string matching. None → run on Spark."""
+        from arc_spark.plans.validator import _parse_plan
+
+        try:
+            lines = [ln for ln in _parse_plan(self.spark, sql)
+                     .treeString().splitlines() if ln.strip()]
+        except Exception:
+            return None
+        if len(lines) != 2:
+            return None
+        m_proj = self._COUNT_PROJECT_RE.match(lines[0])
+        m_rel = self._COUNT_RELATION_RE.match(lines[1])
+        if not m_proj or not m_rel:
+            return None
+        parts = [p.strip() for p in m_rel.group(1).split(",")]
+        if len(parts) == 2:
+            key = self.catalog.measurement_for_view(parts[1], db=parts[0])
+            if key is None and parts[1] in self.catalog.measurements(parts[0]):
+                key = (parts[0], parts[1])
+        elif len(parts) == 1:
+            key = self.catalog.measurement_for_view(parts[0], db=db)
+        else:
+            return None
+        if key is None:
+            return None
+        try:
+            n = self.catalog.count_rows(*key)
+        except Exception:
+            return None  # footer unreadable etc. — let Spark surface it
+        return (m_proj.group(1) or "count(1)", n)
+
+    def _serve_native_count(self, name: str, n: int, fmt: str):
+        """The 1-row result in each wire shape, schema-identical to the
+        Spark path (column name + bigint)."""
+        if fmt == "rows":
+            from pyspark.sql import Row
+
+            return [Row(**{name: n})]
+        if fmt == "arrow":
+            import pyarrow as pa
+
+            from arc_spark.serving import to_arrow_ipc
+
+            return to_arrow_ipc(pa.Table.from_arrays(
+                [pa.array([n], pa.int64())],
+                # non-nullable to byte-match the Spark path's count schema
+                schema=pa.schema([pa.field(name, pa.int64(),
+                                           nullable=False)])))
+        # json/msgpack serializers consume DataFrames; a literal
+        # OneRowRelation select involves no scan and keeps their
+        # header/typing logic authoritative
+        df = self.spark.sql(f"SELECT CAST({n} AS BIGINT) AS `{name}`")
+        if fmt == "json":
+            from arc_spark.serving import stream_typed_json
+
+            return list(stream_typed_json(df))
+        if fmt == "msgpack":
+            from arc_spark.serving import to_columnar_msgpack
+
+            return to_columnar_msgpack(df)
+        raise ValueError(f"unknown fmt {fmt!r}")
+
     def execute(self, sql: str, token: str = "", fmt: str = "rows",
                 db: str | None = None):
         """Run one query request end-to-end.
@@ -233,6 +308,15 @@ class QueryService:
             return [{"measurement": x} for x in self.catalog.measurements(target)]
         validate_read_only(self.spark, sql)
         self._check_rbac(token, sql, db=db)
+        # native COUNT(*) (reference headline: 1.03 ms via metadata):
+        # a bare unfiltered count over one measurement is answered from
+        # parquet footers over the committed snapshot — no Spark job.
+        # Validation + RBAC above already ran on this SQL; the shape
+        # check is on the PARSED plan, so any filter/group/expression
+        # falls through to the engine.
+        nc = self._native_count(sql, db)
+        if nc is not None:
+            return self._serve_native_count(*nc, fmt=fmt)
         # SQL-surface partition pruning (reference A2's flagship behavior):
         # WHERE time ranges become year/month/day/hour partition predicates
         # on each measurement scan. The lock scopes the temporary pruned-view

@@ -170,6 +170,8 @@ class MeasurementCatalog:
         #: consumers keying caches on (sql, epoch) — QueryService's pruned-
         #: plan cache — drop stale plans without tracking individual views
         self.epoch = 0
+        #: epoch-keyed footer-count cache for the native COUNT(*) path
+        self._count_cache: dict[tuple[str, str], tuple[int, int]] = {}
 
     # -- namespace listing (reference A12) --------------------------------
     def databases(self) -> list[str]:
@@ -202,6 +204,40 @@ class MeasurementCatalog:
             if bk.isdir(p):
                 out.append(p)
         return out
+
+    def count_rows(self, db: str, measurement: str) -> int:
+        """Exact committed row count from parquet FOOTERS — no Spark job,
+        no data pages (the reference's ~1 ms COUNT(*) served from DuckDB
+        metadata; here the snapshot file list + footer num_rows). Sums
+        over every tier exactly like :meth:`table`; cached per catalog
+        epoch, so any flush/compaction/invalidate recomputes."""
+        from arc_spark import snapshots
+
+        key = (db, measurement)
+        hit = self._count_cache.get(key)
+        if hit is not None and hit[0] == self.epoch:
+            return hit[1]
+        total = 0
+        for p in self.paths(db, measurement):
+            bk = backend_for(p)
+            files = snapshots.data_files(p, bk=bk)
+            if files is None:
+                files = [bk.join(p, r)
+                         for r in snapshots.live_glob(p, bk=bk)]
+            for f in files:
+                total += bk.parquet_metadata(f).num_rows
+        self._count_cache[key] = (self.epoch, total)
+        return total
+
+    def measurement_for_view(self, name: str,
+                             db: str | None = None) -> tuple[str, str] | None:
+        """Reverse view lookup: the unique (db, measurement) whose
+        registered view is ``name`` (scoped to ``db`` when given).
+        Returns None when unknown OR ambiguous — callers fall back to
+        the Spark path, never guess."""
+        matches = [key for key, views in self._views.items()
+                   if name in views and (db is None or key[0] == db)]
+        return matches[0] if len(matches) == 1 else None
 
     def table(self, db: str, measurement: str, merge_schema: bool = True) -> DataFrame:
         """DataFrame over every tier of a measurement.

@@ -109,6 +109,11 @@ def main() -> None:
     from arc_spark.workload import events_measurement_compact
 
     _, ev_cat = events_measurement_compact(spark, sf_dir)
+    from arc_spark.api import QueryService
+
+    count_svc = QueryService(spark, ev_cat)
+    count_svc.register_measurement("bench", "events", view="events")
+    count_svc.execute("SELECT COUNT(*) FROM events")  # warm footer cache
     samples_by: dict[str, list[float]] = {}
     rows_by: dict[str, int] = {}
     for _ in range(iterations):
@@ -137,6 +142,15 @@ def main() -> None:
         samples_by.setdefault("serve_arrow_fastscan", []).append(
             time.perf_counter() - t0)
         rows_by["serve_arrow_fastscan"] = nbytes
+        # native COUNT(*) on the SQL serving path: answered from parquet
+        # footers over the committed snapshot, no Spark job (arc's 1.03ms
+        # metadata count, BASELINE.md) — full validate+RBAC+shape-detect
+        # included in the timing
+        t0 = time.perf_counter()
+        n_cnt = count_svc.execute("SELECT COUNT(*) FROM events")[0][0]
+        samples_by.setdefault("serve_count_native", []).append(
+            time.perf_counter() - t0)
+        rows_by["serve_count_native"] = n_cnt
 
     for name in BENCH_QUERIES:
         samples = samples_by[name]
@@ -151,6 +165,11 @@ def main() -> None:
         total += dt
         print(f"# {lane}: p50 {dt:.3f}s ({n_serve / dt / 1e6:.2f}M rows/s, "
               f"{rows_by[lane] / 1e6:.1f} MB)", file=sys.stderr)
+    dt = record("serve_count_native", samples_by["serve_count_native"])
+    total += dt
+    print(f"# serve_count_native: p50 {dt * 1000:.2f}ms footer-metadata "
+          f"COUNT(*) ({rows_by['serve_count_native']:,} rows; arc 1.03ms)",
+          file=sys.stderr)
 
     # ingest microbench: decode+buffer+flush of a 100k-row columnar-msgpack
     # payload through IngestService (the reference's headline metric is

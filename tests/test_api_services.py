@@ -43,6 +43,64 @@ class TestQueryService:
         assert svc.execute("SHOW DATABASES") == [{"database": "metrics"}]
         assert svc.execute("SHOW MEASUREMENTS metrics") == [{"measurement": "cpu"}]
 
+    def test_native_count_star_matches_spark_path(self, spark, tmp_path):
+        """Bare COUNT(*) over one measurement answers from parquet
+        footers (no Spark job — reference's ~1 ms metadata count);
+        every wire format must byte/shape-match the Spark path, and
+        any non-bare variant must fall through to the engine."""
+        import pyarrow as pa
+
+        svc = self._service(spark, str(tmp_path))
+        assert svc._native_count("SELECT COUNT(*) FROM cpu", None) is not None
+        native = svc.execute("SELECT COUNT(*) FROM cpu")
+        via_spark = svc.execute("SELECT COUNT(*) FROM cpu WHERE 1=1")
+        assert native == via_spark and native[0].__fields__ == \
+            via_spark[0].__fields__
+        assert svc.execute("SELECT count(*) AS n FROM cpu")[0]["n"] == \
+            native[0][0]
+        assert svc.execute("SELECT COUNT(*) FROM metrics.cpu") == native
+        a_native = pa.ipc.open_stream(
+            svc.execute("SELECT COUNT(*) FROM cpu", fmt="arrow")).read_all()
+        a_spark = pa.ipc.open_stream(
+            svc.execute("SELECT COUNT(*) FROM cpu WHERE 1=1",
+                        fmt="arrow")).read_all()
+        assert a_native.schema == a_spark.schema
+        assert a_native.to_pydict() == a_spark.to_pydict()
+        assert svc.execute("SELECT COUNT(*) FROM cpu", fmt="json") == \
+            svc.execute("SELECT COUNT(*) FROM cpu WHERE 1=1", fmt="json")
+        assert svc.execute("SELECT COUNT(*) FROM cpu", fmt="msgpack") == \
+            svc.execute("SELECT COUNT(*) FROM cpu WHERE 1=1", fmt="msgpack")
+
+    def test_native_count_fallthrough_shapes(self, spark, tmp_path):
+        """Filters, grouping, expressions, DISTINCT, limits, subqueries,
+        CTEs, and unknown relations must NOT take the metadata path."""
+        svc = self._service(spark, str(tmp_path))
+        for sql in (
+            "SELECT COUNT(*) FROM cpu WHERE host='a'",
+            "SELECT host, COUNT(*) FROM cpu GROUP BY host",
+            "SELECT COUNT(DISTINCT host) FROM cpu",
+            "SELECT COUNT(*)+1 FROM cpu",
+            "SELECT COUNT(*) FROM cpu LIMIT 1",
+            "SELECT COUNT(*) FROM (SELECT * FROM cpu)",
+            "WITH x AS (SELECT * FROM cpu) SELECT COUNT(*) FROM x",
+            "SELECT COUNT(host) FROM cpu",
+            "SELECT COUNT(*) FROM cpu, cpu b",
+        ):
+            assert svc._native_count(sql, None) is None, sql
+        # unknown view → None (and the engine raises its usual error)
+        assert svc._native_count("SELECT COUNT(*) FROM nope", None) is None
+
+    def test_native_count_tracks_flushes(self, spark, tmp_path):
+        svc = self._service(spark, str(tmp_path))
+        before = svc.execute("SELECT COUNT(*) FROM cpu")[0][0]
+        ing = IngestService(spark, str(tmp_path), max_buffer_rows=10**9,
+                            max_buffer_age_s=10**9)
+        ing.write_line_protocol(
+            "metrics", b"cpu,host=z usage=0.1 1700000200000000000\n")
+        ing.flush()
+        svc.catalog.invalidate("metrics", "cpu")  # what the server wires
+        assert svc.execute("SELECT COUNT(*) FROM cpu")[0][0] == before + 1
+
     def test_write_statement_rejected(self, spark, tmp_path):
         svc = self._service(spark, str(tmp_path))
         with pytest.raises(SqlValidationError):
