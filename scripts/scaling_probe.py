@@ -115,6 +115,9 @@ def run_ops(spark, factor: int, ops: set[str]) -> list[dict]:
                     ws_token_count("text").alias("tokens")),
         budget=2000).groupBy("source", "shard")
         .count().count())
+    from arc_spark.functions.text import tfidf_top_terms
+
+    probe("tfidf_terms", lambda: tfidf_top_terms(docs, n_top=5).count())
 
     if {"all", "ann_lsh_topk", "ann_ivf_topk"} & ops:
         from arc_spark.operators.similarity import ivf_topk
@@ -126,6 +129,9 @@ def run_ops(spark, factor: int, ops: set[str]) -> list[dict]:
             emb, queries, k=10).count(), n=n_vec)
         probe("ann_ivf_topk", lambda: ivf_topk(
             emb, queries, k=10, n_clusters=32, n_probe=4).count(), n=n_vec)
+        probe("ann_ivf_sq8_topk", lambda: ivf_topk(
+            emb, queries, k=10, n_clusters=32, n_probe=4,
+            sq8=True).count(), n=n_vec)
         emb.unpersist()
     docs.unpersist()
     return out
