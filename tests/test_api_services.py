@@ -90,6 +90,16 @@ class TestQueryService:
         # unknown view → None (and the engine raises its usual error)
         assert svc._native_count("SELECT COUNT(*) FROM nope", None) is None
 
+    def test_native_count_respects_db_scope(self, spark, tmp_path):
+        """x-arc-database scoping: the unqualified name resolves within
+        the scoped db; a wrong db falls through (and the engine then
+        errors or resolves per its own scoping rules)."""
+        svc = self._service(spark, str(tmp_path))
+        assert svc._native_count("SELECT COUNT(*) FROM cpu",
+                                 "metrics") is not None
+        assert svc._native_count("SELECT COUNT(*) FROM cpu",
+                                 "otherdb") is None
+
     def test_native_count_tracks_flushes(self, spark, tmp_path):
         svc = self._service(spark, str(tmp_path))
         before = svc.execute("SELECT COUNT(*) FROM cpu")[0][0]
