@@ -750,7 +750,10 @@ class IngestService:
                 pos += len(p)
         par = self.spark.sparkContext.defaultParallelism
         # cores/2 cap: same per-Python-task overhead finding as the bulk
-        # LP path (full-width fan-out contends with the decode itself)
+        # LP path (full-width fan-out contends with the decode itself;
+        # also re-measured on gzip backlogs where decompress doubles the
+        # per-payload C work — full width was still ~8% SLOWER, so the
+        # cap stays unconditional)
         n_tasks = max(1, min(max(4, par // 2), len(offs)))
         # CONTIGUOUS groups, not round-robin: payloads were written in
         # order, so each group is one contiguous byte range — the task
