@@ -206,20 +206,27 @@ class QueryService:
         r"(?:\s+(?:FROM\s+)?[\"'`]?([\w.-]+)[\"'`]?)?\s*;?\s*$"
     )
 
-    _COUNT_PROJECT_RE = re.compile(
-        r"^'Project \[(?:unresolvedalias\('(?:COUNT|count)\(1\)\)"
-        r"|'(?:COUNT|count)\(1\) AS (\w+)#\d+)\]$")
+    _PROJECT_LINE_RE = re.compile(r"^'Project \[(.*)\]$")
+    _AGG_TOKEN_RE = re.compile(
+        r"unresolvedalias\('(?:COUNT|count)\(1\)\)"
+        r"|'(?:COUNT|count)\(1\) AS (\w+)#\d+"
+        r"|unresolvedalias\('(MIN|min|MAX|max)\('([A-Za-z_]\w*)\)\)"
+        r"|'(MIN|min|MAX|max)\('([A-Za-z_]\w*)\) AS (\w+)#\d+")
     _COUNT_RELATION_RE = re.compile(
         r"^\+- 'UnresolvedRelation \[([^\]]+)\], \[\], false$")
 
-    def _native_count(self, sql: str,
-                      db: str | None) -> tuple[str, int] | None:
-        """(output column name, count) when `sql` is EXACTLY a bare
-        ``SELECT COUNT(*) [AS alias] FROM <one measurement>`` — detected
-        on the parsed plan (two nodes: Project[count(1)] over a single
+    def _native_count(self, sql: str, db: str | None) -> list | None:
+        """[(name, value, arrow_type), ...] when `sql` is EXACTLY a bare
+        ``SELECT <COUNT(*) | MIN(col) | MAX(col), ...> FROM <one
+        measurement>`` answerable from parquet footer metadata (the
+        reference's ~1 ms metadata aggregates) — detected on the parsed
+        plan (two nodes: Project of only those aggregates over a single
         relation; a WHERE adds a Filter node, GROUP BY parses as
-        Aggregate, any expression changes the projection), never by
-        string matching. None → run on Spark."""
+        Aggregate, any other expression breaks token coverage), never by
+        string matching. MIN/MAX are limited to timestamp/date/integer
+        columns whose every row group carries exact stats (float stats
+        can be conservative bounds like -0.0, string stats can truncate
+        — those shapes run on Spark). None → run on Spark."""
         from arc_spark.plans.validator import _parse_plan
 
         try:
@@ -229,10 +236,35 @@ class QueryService:
             return None
         if len(lines) != 2:
             return None
-        m_proj = self._COUNT_PROJECT_RE.match(lines[0])
+        m_proj = self._PROJECT_LINE_RE.match(lines[0])
         m_rel = self._COUNT_RELATION_RE.match(lines[1])
         if not m_proj or not m_rel:
             return None
+        # tokenize the projection: every expression must be a supported
+        # aggregate and the tokens must cover the WHOLE list (an
+        # unsupported expression anywhere → Spark)
+        content = m_proj.group(1)
+        specs: list[tuple[str, str | None, str]] = []
+        pos = 0
+        while pos < len(content):
+            if specs:
+                if not content.startswith(", ", pos):
+                    return None
+                pos += 2
+            m = self._AGG_TOKEN_RE.match(content, pos)
+            if m is None or m.start() != pos:
+                return None
+            pos = m.end()
+            if m.group(2) or m.group(4):  # min/max
+                kind = (m.group(2) or m.group(4)).lower()
+                col = m.group(3) or m.group(5)
+                name = m.group(6) or f"{kind}({col})"
+            else:
+                kind, col = "count", None
+                name = m.group(1) or "count(1)"
+            specs.append((kind, col, name))
+        if not specs or len({n for _, _, n in specs}) != len(specs):
+            return None  # empty or duplicate output names
         parts = [p.strip() for p in m_rel.group(1).split(",")]
         if len(parts) == 2:
             key = self.catalog.measurement_for_view(parts[1], db=parts[0])
@@ -244,33 +276,66 @@ class QueryService:
             return None
         if key is None:
             return None
+        import pyarrow as pa
+
+        out = []
         try:
-            n = self.catalog.count_rows(*key)
+            for kind, col, name in specs:
+                if kind == "count":
+                    out.append((name, self.catalog.count_rows(*key),
+                                pa.int64(), "count"))
+                    continue
+                st = self.catalog.column_stats(*key, col)
+                if st is None:
+                    return None  # ineligible type / missing stats
+                lo, hi, col_type = st
+                val = lo if kind == "min" else hi
+                out.append((name, val, col_type, kind))
         except Exception:
             return None  # footer unreadable etc. — let Spark surface it
-        return (m_proj.group(1) or "count(1)", n)
+        return out
 
-    def _serve_native_count(self, name: str, n: int, fmt: str):
+    def _serve_native_count(self, cols: list, fmt: str):
         """The 1-row result in each wire shape, schema-identical to the
-        Spark path (column name + bigint)."""
+        Spark path (names, types, nullability)."""
+        import datetime as _dt
+
+        import pyarrow as pa
+
+        def _naive(v):
+            # Spark collects session-tz(UTC)-naive datetimes
+            if isinstance(v, _dt.datetime) and v.tzinfo is not None:
+                return v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            return v
+
         if fmt == "rows":
             from pyspark.sql import Row
 
-            return [Row(**{name: n})]
+            return [Row(**{name: _naive(v) for name, v, _t, _k in cols})]
         if fmt == "arrow":
-            import pyarrow as pa
-
             from arc_spark.serving import to_arrow_ipc
 
+            fields, arrays = [], []
+            for name, v, t, kind in cols:
+                if pa.types.is_timestamp(t):
+                    # Spark's toArrow carries the session tz
+                    t = pa.timestamp("us", tz="UTC")
+                fields.append(pa.field(name, t,
+                                       nullable=kind != "count"))
+                arrays.append(pa.array([v], t))
             return to_arrow_ipc(pa.Table.from_arrays(
-                [pa.array([n], pa.int64())],
-                # non-nullable to byte-match the Spark path's count schema
-                schema=pa.schema([pa.field(name, pa.int64(),
-                                           nullable=False)])))
-        # json/msgpack serializers consume DataFrames; a literal
-        # OneRowRelation select involves no scan and keeps their
-        # header/typing logic authoritative
-        df = self.spark.sql(f"SELECT CAST({n} AS BIGINT) AS `{name}`")
+                arrays, schema=pa.schema(fields)))
+        # json/msgpack serializers consume DataFrames; a 1-row local
+        # DataFrame (no scan) keeps their header/typing logic
+        # authoritative
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        schema = from_arrow_schema(pa.schema(
+            [pa.field(name, t if not pa.types.is_timestamp(t)
+                      else pa.timestamp("us"), nullable=True)
+             for name, _, t, _k in cols]))
+        df = self.spark.createDataFrame(
+            [tuple(_naive(v) for _, v, _t, _k in cols)], schema)
         if fmt == "json":
             from arc_spark.serving import stream_typed_json
 
@@ -280,6 +345,8 @@ class QueryService:
 
             return to_columnar_msgpack(df)
         raise ValueError(f"unknown fmt {fmt!r}")
+
+
 
     def execute(self, sql: str, token: str = "", fmt: str = "rows",
                 db: str | None = None):
@@ -316,7 +383,7 @@ class QueryService:
         # falls through to the engine.
         nc = self._native_count(sql, db)
         if nc is not None:
-            return self._serve_native_count(*nc, fmt=fmt)
+            return self._serve_native_count(nc, fmt=fmt)
         # SQL-surface partition pruning (reference A2's flagship behavior):
         # WHERE time ranges become year/month/day/hour partition predicates
         # on each measurement scan. The lock scopes the temporary pruned-view

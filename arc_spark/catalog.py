@@ -172,6 +172,8 @@ class MeasurementCatalog:
         self.epoch = 0
         #: epoch-keyed footer-count cache for the native COUNT(*) path
         self._count_cache: dict[tuple[str, str], tuple[int, int]] = {}
+        #: epoch-keyed footer min/max cache (native MIN/MAX path)
+        self._stats_cache: dict[tuple[str, str, str], tuple] = {}
 
     # -- namespace listing (reference A12) --------------------------------
     def databases(self) -> list[str]:
@@ -228,6 +230,79 @@ class MeasurementCatalog:
                 total += bk.parquet_metadata(f).num_rows
         self._count_cache[key] = (self.epoch, total)
         return total
+
+    def column_stats(self, db: str, measurement: str,
+                     col: str) -> tuple | None:
+        """(min, max) for one column from parquet FOOTER statistics over
+        the committed set — every row group of every file must carry
+        exact stats or this returns None (caller falls back to Spark).
+
+        Restricted by the CALLER to types whose parquet stats are exact
+        (timestamps/dates/integers); float stats may be conservative
+        bounds (-0.0 vs 0.0) and string stats may truncate, so those
+        never take this path. A file missing the column contributes
+        nothing (all-null column in SQL min/max semantics); an all-null
+        or empty table yields (None, None) like SQL MIN/MAX."""
+        from arc_spark import snapshots
+
+        key = (db, measurement, col)
+        hit = self._stats_cache.get(key)
+        if hit is not None and hit[0] == self.epoch:
+            return hit[1]
+        import pyarrow as pa
+
+        def _eligible(t) -> bool:
+            return (pa.types.is_timestamp(t) or pa.types.is_date(t)
+                    or pa.types.is_integer(t))
+
+        lo = hi = None
+        col_type = None
+        for p in self.paths(db, measurement):
+            bk = backend_for(p)
+            files = snapshots.data_files(p, bk=bk)
+            if files is None:
+                files = [bk.join(p, r)
+                         for r in snapshots.live_glob(p, bk=bk)]
+            for f in files:
+                md = bk.parquet_metadata(f)
+                sch = md.schema.to_arrow_schema()
+                if col not in sch.names:
+                    continue  # column absent in this file: all-null
+                t = sch.field(col).type
+                if not _eligible(t) or (col_type is not None
+                                        and t != col_type):
+                    self._stats_cache[key] = (self.epoch, None)
+                    return None  # float/string stats or evolved type
+                col_type = t
+                idx = None
+                if md.num_row_groups:
+                    # flattened parquet column index by path (flat
+                    # measurement schemas: top-level names only)
+                    for i in range(md.num_columns):
+                        if md.row_group(0).column(i).path_in_schema == col:
+                            idx = i
+                            break
+                if idx is None:
+                    continue
+                for g in range(md.num_row_groups):
+                    cc = md.row_group(g).column(idx)
+                    if cc.num_values == 0:
+                        continue  # all values null in this group
+                    st = cc.statistics
+                    if st is None or not st.has_min_max:
+                        self._stats_cache[key] = (self.epoch, None)
+                        return None  # stats missing → not answerable
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+        if col_type is None:
+            # column in NO file's schema: the view can't resolve it either
+            # — fall through so Spark raises its usual unresolved-column
+            # error (distinct from all-null, where the type is known)
+            out = None
+        else:
+            out = (lo, hi, col_type)
+        self._stats_cache[key] = (self.epoch, out)
+        return out
 
     def measurement_for_view(self, name: str,
                              db: str | None = None) -> tuple[str, str] | None:

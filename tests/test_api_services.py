@@ -90,6 +90,39 @@ class TestQueryService:
         # unknown view → None (and the engine raises its usual error)
         assert svc._native_count("SELECT COUNT(*) FROM nope", None) is None
 
+    def test_native_min_max_matches_spark_path(self, spark, tmp_path):
+        """MIN/MAX over timestamp/integer columns (exact footer stats)
+        ride the metadata path alongside COUNT(*), matching the Spark
+        path in every format — values, names, arrow schema incl.
+        nullability, tz-naive collected datetimes."""
+        import pyarrow as pa
+
+        svc = self._service(spark, str(tmp_path))
+        sql = "SELECT MIN(time), MAX(time), COUNT(*), MAX(time) AS mx FROM cpu"
+        assert svc._native_count(sql, None) is not None
+        assert svc.execute(sql) == svc.execute(sql + " WHERE 1=1")
+        a1 = pa.ipc.open_stream(svc.execute(sql, fmt="arrow")).read_all()
+        a2 = pa.ipc.open_stream(
+            svc.execute(sql + " WHERE 1=1", fmt="arrow")).read_all()
+        assert a1.schema == a2.schema and a1.to_pydict() == a2.to_pydict()
+        assert svc.execute(sql, fmt="json") == \
+            svc.execute(sql + " WHERE 1=1", fmt="json")
+        assert svc.execute(sql, fmt="msgpack") == \
+            svc.execute(sql + " WHERE 1=1", fmt="msgpack")
+
+    def test_native_min_max_ineligible_types_fall_through(self, spark,
+                                                          tmp_path):
+        """Float stats can be conservative bounds (-0.0) and string stats
+        can truncate — MIN/MAX over those types must run on Spark."""
+        svc = self._service(spark, str(tmp_path))
+        assert svc._native_count("SELECT MIN(usage) FROM cpu", None) is None
+        assert svc._native_count("SELECT MAX(host) FROM cpu", None) is None
+        # a mixed list with one ineligible column falls through entirely
+        assert svc._native_count(
+            "SELECT COUNT(*), MIN(usage) FROM cpu", None) is None
+        # unknown column falls through (engine raises its usual error)
+        assert svc._native_count("SELECT MIN(nope) FROM cpu", None) is None
+
     def test_native_count_respects_db_scope(self, spark, tmp_path):
         """x-arc-database scoping: the unqualified name resolves within
         the scoped db; a wrong db falls through (and the engine then
