@@ -197,7 +197,11 @@ class QueryService:
         self._check_rbac(token, f"SELECT * FROM {view}", db=db)
         cap = self.governor.row_cap(token)
         eff = int(limit) if cap is None else min(int(limit), cap)
-        return self.catalog.scan_arrow(db, measurement, limit=eff)
+        table = self.catalog.scan_arrow(db, measurement, limit=eff)
+        self.registry.record_instant(
+            f"SELECT * FROM {view} LIMIT {eff}", token=token,
+            rows=table.num_rows)
+        return table
 
     # SHOW TABLES is an alias for SHOW MEASUREMENTS; the db in FROM may be
     # quoted (reference query.go:50-58 showTablesPattern)
@@ -383,6 +387,7 @@ class QueryService:
         # falls through to the engine.
         nc = self._native_count(sql, db)
         if nc is not None:
+            self.registry.record_instant(sql, token=token, rows=1)
             return self._serve_native_count(nc, fmt=fmt)
         # SQL-surface partition pruning (reference A2's flagship behavior):
         # WHERE time ranges become year/month/day/hour partition predicates

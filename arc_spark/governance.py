@@ -215,6 +215,19 @@ class QueryRegistry:
         info.finished_at = time.time()
         return True
 
+    def record_instant(self, sql: str, token: str = "",
+                       rows: int | None = None) -> None:
+        """History entry for a query answered WITHOUT a Spark job (native
+        metadata COUNT/MIN/MAX, fast-scan serving): done-instantly, never
+        in the active map — so GetHistory shows every query the server
+        answered, matching the reference registry's completeness."""
+        now = time.time()
+        info = QueryInfo(query_id=uuid.uuid4().hex[:16], sql=sql,
+                         token=token, started_at=now, status="done",
+                         finished_at=now, rows=rows)
+        with self._lock:
+            self._history.append(info)
+
     def run(
         self,
         df: DataFrame,

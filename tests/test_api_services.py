@@ -844,3 +844,21 @@ class TestQueryHistoryRing:
         reg.run(spark.range(1), sql="old")
         reg.prune(keep_s=0.0)
         assert reg.history() == []
+
+
+class TestRegistryInstantRecords:
+    def test_native_paths_appear_in_history(self, spark, tmp_path):
+        """Queries answered without a Spark job (metadata aggregates,
+        fast scan) still land in the registry history ring — GetHistory
+        completeness, matching the reference registry."""
+        _ingest_some(spark, str(tmp_path))
+        cat = MeasurementCatalog(spark, str(tmp_path))
+        svc = QueryService(spark, cat)
+        svc.register_measurement("metrics", "cpu", view="cpu")
+        svc.execute("SELECT COUNT(*) FROM cpu", token="t1")
+        svc.scan_measurement_arrow("metrics", "cpu", limit=5, token="t1")
+        hist = svc.registry.history()
+        sqls = [h.sql for h in hist]
+        assert any("COUNT(*)" in s for s in sqls)
+        assert any(s.startswith("SELECT * FROM") for s in sqls)
+        assert all(h.status == "done" for h in hist)
