@@ -375,3 +375,52 @@ def tfidf_top_terms(df, n_top: int = 5, source_col: str = "source",
     return (scored.withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") <= n_top)
             .select("source", "term", "tf", "df", "tfidf", "rk"))
+
+
+def chunk_documents(df, chunk_tokens: int = 64, overlap: int = 16,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    source_col: str = "source"):
+    """Split documents into overlapping token-window chunks — the
+    embedding-pipeline preprocessing step (chunk → embed → index).
+    Stride = chunk_tokens - overlap; the final partial window is kept
+    (so every token lands in ≥1 chunk); chunk_id is 0-based within the
+    doc and (doc_id, chunk_id) is the stable chunk key.
+
+    Pure Catalyst: split → sequence(0, n-1, stride) over the start
+    offsets → transform/slice/array_join — one projection, no UDFs, no
+    shuffle (chunking is embarrassingly row-local at any corpus size).
+    Expressible 1:1 in ANSI SQL (generate_series + list slicing) for
+    the DuckDB oracle (q73).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    norm = F.lower(F.regexp_replace(F.trim(_c(text_col)), r"\s+", " "))
+    toks = df.select(
+        _c(source_col).alias("source"),
+        _c(id_col).alias("doc_id"),
+        F.split(norm, " ").alias("toks"),
+    ).withColumn("n_tok", F.size("toks"))
+    # start offsets: 0, stride, 2*stride, ... stopping at the FIRST
+    # start whose window reaches the end of the doc (no redundant tail
+    # chunks already fully covered by their predecessor): last start =
+    # stride * ceil((n_tok - chunk_tokens) / stride), floored at 0
+    starts = F.expr(
+        f"sequence(0, {stride} * cast(ceil(greatest(n_tok - "
+        f"{chunk_tokens}, 0) / {stride}.0) AS int), {stride})")
+    exploded = (toks
+                .filter(F.col("n_tok") > 0)
+                .select("source", "doc_id", "n_tok", "toks",
+                        F.posexplode_outer(starts).alias("chunk_id",
+                                                         "start"))
+                .filter(F.col("start").isNotNull()))
+    return exploded.select(
+        "source", "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("start").cast("long").alias("start"),
+        F.least(F.col("start") + chunk_tokens,
+                F.col("n_tok")).cast("long").alias("end"),
+        F.array_join(
+            F.slice(F.col("toks"), F.col("start") + 1,
+                    F.lit(chunk_tokens)), " ").alias("chunk_text"),
+    )

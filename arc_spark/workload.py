@@ -2356,3 +2356,53 @@ def q72_ivf_sq8_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 
 QUERIES["q72_ivf_sq8_topk"] = q72_ivf_sq8_topk
+
+
+def q73_doc_chunking(spark: SparkSession, sf: str) -> DataFrame:
+    """Overlapping token-window chunking (embedding-pipeline prep:
+    chunk → embed → index): 64-token windows, 16-token overlap,
+    per-source chunk accounting. Row-local Catalyst projection — no
+    shuffle until the final summary aggregate."""
+    from arc_spark.functions.text import chunk_documents
+
+    t = load_tables(spark, sf, register_views=False)
+    chunks = chunk_documents(t["documents"], chunk_tokens=64, overlap=16)
+    return chunks.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum(F.col("end") - F.col("start")).alias("covered_tokens"),
+        F.max("chunk_id").alias("max_chunk_id"),
+        F.min(F.length("chunk_text")).alias("min_chunk_chars"),
+    )
+
+
+ORACLES_Q73 = f"""
+    WITH d AS (
+        SELECT source, doc_id, string_split({_LNORM}, ' ') AS toks,
+               len(string_split({_LNORM}, ' ')) AS n_tok
+        FROM documents
+    ), starts AS (
+        SELECT source, doc_id, toks, n_tok,
+               unnest(generate_series(0,
+                   48 * CAST(ceil(greatest(n_tok - 64, 0) / 48.0) AS INT),
+                   48)) AS start
+        FROM d WHERE n_tok > 0
+    ), chunks AS (
+        SELECT source, doc_id, start,
+               least(start + 64, n_tok) AS fin,
+               array_to_string(toks[start + 1: least(start + 64, n_tok)],
+                               ' ') AS chunk_text,
+               CAST(start / 48 AS BIGINT) AS chunk_id
+        FROM starts
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(SUM(fin - start) AS BIGINT) AS covered_tokens,
+           CAST(MAX(chunk_id) AS BIGINT) AS max_chunk_id,
+           CAST(MIN(len(chunk_text)) AS INTEGER) AS min_chunk_chars
+    FROM chunks GROUP BY source
+"""
+
+QUERIES["q73_doc_chunking"] = q73_doc_chunking
+ORACLES["q73_doc_chunking"] = ORACLES_Q73

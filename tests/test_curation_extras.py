@@ -233,3 +233,45 @@ class TestPrefixFilterJaccard:
                 for r in ngram_jaccard_pairs(
                     docs, prefix_filter=True, **kw).collect()}
         assert pref == naive
+
+
+class TestDocChunking:
+    def test_chunk_invariants(self, spark):
+        """Every token covered exactly once by non-overlap positions,
+        consecutive chunks overlap by `overlap`, final partial kept,
+        short docs yield exactly one chunk."""
+        from pyspark.sql import functions as F
+
+        from arc_spark.functions.text import chunk_documents
+
+        docs = spark.createDataFrame(
+            [("s", 1, " ".join(f"t{i}" for i in range(100))),
+             ("s", 2, " ".join(f"t{i}" for i in range(10))),
+             ("s", 3, "solo"),
+             ("s", 4, " ".join(f"t{i}" for i in range(64)))],
+            "source string, doc_id long, text string")
+        out = chunk_documents(docs, chunk_tokens=64, overlap=16).collect()
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        # doc 1: 100 tokens, stride 48 -> starts 0, 48 (48+64 >= 100)
+        d1 = sorted(by_doc[1], key=lambda r: r["chunk_id"])
+        assert [(r["start"], r["end"]) for r in d1] == [(0, 64), (48, 100)]
+        assert len(d1[1]["chunk_text"].split(" ")) == 52
+        # chunk text matches the token window
+        assert d1[1]["chunk_text"].split(" ")[0] == "t48"
+        # short docs: one chunk covering everything
+        for doc_id, n in ((2, 10), (3, 1), (4, 64)):
+            (only,) = by_doc[doc_id]
+            assert (only["start"], only["end"]) == (0, n)
+            assert only["chunk_id"] == 0
+
+    def test_overlap_bounds(self, spark):
+        import pytest as _pytest
+
+        from arc_spark.functions.text import chunk_documents
+
+        docs = spark.createDataFrame([("s", 1, "a b")],
+                                     "source string, doc_id long, text string")
+        with _pytest.raises(ValueError):
+            chunk_documents(docs, chunk_tokens=16, overlap=16)
