@@ -184,7 +184,8 @@ class QueryService:
         )
 
     def scan_measurement_arrow(self, db: str, measurement: str,
-                               limit: int = 1000, token: str = ""):
+                               limit: int = 1000, token: str = "",
+                               snapshot: int | None = None):
         """Native fast path for the TRIVIAL A13 shape — no where, no
         order_by: the committed file list reads through pyarrow.dataset
         (multi-threaded C++ scan, no Spark job, no JVM→Python collect)
@@ -197,10 +198,17 @@ class QueryService:
         self._check_rbac(token, f"SELECT * FROM {view}", db=db)
         cap = self.governor.row_cap(token)
         eff = int(limit) if cap is None else min(int(limit), cap)
-        table = self.catalog.scan_arrow(db, measurement, limit=eff)
+        try:
+            table = self.catalog.scan_arrow(db, measurement, limit=eff,
+                                            snapshot=snapshot)
+        except ValueError as e:
+            # unknown/pruned snapshot version, multi-tier pin → client
+            # error, not an engine fault (the breaker must not trip)
+            raise SqlValidationError(str(e)) from None
         self.registry.record_instant(
-            f"SELECT * FROM {view} LIMIT {eff}", token=token,
-            rows=table.num_rows)
+            f"SELECT * FROM {view} LIMIT {eff}"
+            + (f" VERSION AS OF {snapshot}" if snapshot is not None else ""),
+            token=token, rows=table.num_rows)
         return table
 
     # SHOW TABLES is an alias for SHOW MEASUREMENTS; the db in FROM may be

@@ -358,9 +358,38 @@ class MeasurementCatalog:
             df = df.unionByName(t, allowMissingColumns=True)
         return df
 
+    def table_at(self, db: str, measurement: str, version: int,
+                 merge_schema: bool = True) -> DataFrame:
+        """TIME TRAVEL: DataFrame over snapshot ``version``'s file list —
+        reproducible reads for pinned-dataset training runs (Delta/
+        Iceberg ``VERSION AS OF`` on the engine's own snapshot chain).
+
+        Single-tier only: versions are per measurement-path, so a
+        multi-tier union has no single coherent pin — refused loudly
+        rather than guessed. Raises ValueError for pruned/unknown
+        versions; referenced files must still exist (compaction's
+        ``defer_input_deletion`` is the window that guarantees it)."""
+        from arc_spark import snapshots
+
+        paths = self.paths(db, measurement)
+        if len(paths) != 1:
+            raise ValueError(
+                f"time travel needs a single-tier measurement; "
+                f"{db}.{measurement} has {len(paths)} tiers")
+        p = paths[0]
+        bk = backend_for(p)
+        files = snapshots.files_at(p, version, bk=bk)
+        if not files:
+            return self.spark.createDataFrame([], "time timestamp")
+        reader = self.spark.read.option("basePath", bk.spark_url(p))
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*[bk.spark_url(f) for f in files])
+
     def scan_arrow(self, db: str, measurement: str,
                    columns: list[str] | None = None,
-                   limit: int | None = None):
+                   limit: int | None = None,
+                   snapshot: int | None = None):
         """Native Arrow scan of a measurement's COMMITTED files — no Spark
         job, no driver-collect hop.
 
@@ -380,11 +409,19 @@ class MeasurementCatalog:
 
         from arc_spark import snapshots
 
+        paths = self.paths(db, measurement)
+        if snapshot is not None and len(paths) != 1:
+            raise ValueError(
+                f"time travel needs a single-tier measurement; "
+                f"{db}.{measurement} has {len(paths)} tiers")
         tables = []
         remaining = limit
-        for p in self.paths(db, measurement):
+        for p in paths:
             bk = backend_for(p)
-            files = snapshots.data_files(p, bk=bk)
+            if snapshot is not None:
+                files = snapshots.files_at(p, snapshot, bk=bk)
+            else:
+                files = snapshots.data_files(p, bk=bk)
             if files is None:
                 files = [bk.join(p, r)
                          for r in snapshots.live_glob(p, bk=bk)]

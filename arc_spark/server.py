@@ -26,6 +26,8 @@ one stored without a table restriction):
   copy + manifest, partial restore via partition prefix)
 - ``POST /api/v1/export``                (internal/iceberg on-demand: one
   measurement → Delta log / Iceberg v2 metadata / committed-only tree)
+- ``GET  /api/v1/query/:m?snapshot=N``   (time travel: pin the trivial
+  read to a committed snapshot version — reproducible dataset reads)
 - ``GET/POST /api/v1/auth/tokens``, ``DELETE /api/v1/auth/tokens/<name>``
   (auth_routes.go)
 - ``POST /api/v1/import/line|lp|tle?db=`` (import.go bulk lanes; LP routes
@@ -948,15 +950,28 @@ class ArcServer:
                     fmt = q.get("format", "json")
                     if fmt not in ("json", "arrow", "msgpack"):
                         return self._json(400, {"error": f"bad format {fmt!r}"})
+                    snap = q.get("snapshot")
+                    if snap is not None and not snap.lstrip("-").isdigit():
+                        return self._json(400, {
+                            "error": "snapshot must be an integer version"})
+                    if snap is not None and (q.get("where")
+                                             or q.get("order_by")):
+                        # pinned reads support the trivial shape only
+                        return self._json(400, {
+                            "error": "snapshot reads do not support "
+                                     "where/order_by"})
                     if not q.get("where") and not q.get("order_by"):
                         # trivial shape → native Arrow fast scan (no Spark
                         # job); with a filter/order the Spark path below
-                        # keeps full semantics + partition pruning
+                        # keeps full semantics + partition pruning.
+                        # ?snapshot=N pins the read to that committed
+                        # snapshot version (time travel)
                         def _fast():
                             return outer.query.scan_measurement_arrow(
                                 q.get("db", "default"), measurement,
                                 limit=int(q.get("limit", "1000")),
-                                token=token)
+                                token=token,
+                                snapshot=int(snap) if snap else None)
 
                         ok, table = self._run(_fast)
                         if not ok:

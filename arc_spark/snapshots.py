@@ -185,6 +185,55 @@ def data_files(meas_path: str, bk=None) -> list[str] | None:
     return [bk.join(meas_path, r) for r in rels]
 
 
+def files_at(meas_path: str, version: int, bk=None) -> list[str]:
+    """Absolute file paths of snapshot ``version`` — TIME TRAVEL for
+    reproducible reads (a training pipeline pins the dataset version it
+    consumed; Delta/Iceberg `VERSION AS OF` semantics on the engine's
+    own snapshot chain).
+
+    Raises :class:`ValueError` when the version is unknown, pruned away
+    (version files age out — same caveat as Delta time travel after
+    VACUUM), or its chain is unreadable. The FILES it references must
+    also still exist: compaction with ``defer_input_deletion`` keeps
+    replaced inputs until the reconciler sweeps them, which is the
+    window where time travel across a compaction works."""
+    bk = bk or backend_for(meas_path)
+    vers = dict(_versions(bk, meas_path))
+    if version not in vers:
+        raise ValueError(
+            f"snapshot v{version} not available for {meas_path} "
+            "(unknown or pruned)")
+    # newest readable FULL snapshot at or below the pin, then fold
+    # deltas (base, version]
+    base = None
+    for ver in sorted((v for v in vers if v <= version), reverse=True):
+        try:
+            obj = bk.read_json(vers[ver])
+        except Exception:
+            continue
+        if not obj.get("delta") and isinstance(obj.get("files"), list):
+            base = (ver, set(obj["files"]))
+            break
+    if base is None:
+        raise ValueError(
+            f"no readable full snapshot at or below v{version} "
+            f"for {meas_path}")
+    files = base[1]
+    for ver in sorted(v for v in vers if base[0] < v <= version):
+        try:
+            obj = bk.read_json(vers[ver])
+        except Exception as e:
+            raise ValueError(
+                f"snapshot chain for v{version} unreadable at v{ver}: {e}"
+            ) from None
+        if obj.get("delta"):
+            files.update(obj.get("add", []))
+            files.difference_update(obj.get("remove", []))
+        elif isinstance(obj.get("files"), list):
+            files = set(obj["files"])
+    return [bk.join(meas_path, r) for r in sorted(files)]
+
+
 def _is_live_data_file(rel: str) -> bool:
     """True for committed-shape data files: .parquet, inside the tree,
     not under any tmp/staging/dot directory."""

@@ -635,3 +635,129 @@ class TestCompactionQueryIsolation:
                 t.join()
         assert errors == []
         assert cat.table("m", "cpu").count() == 30
+
+
+class TestTimeTravel:
+    def test_files_at_walks_history(self, tmp_path):
+        root = str(tmp_path)
+        snapshots.commit(root, add=["a.parquet", "b.parquet"])     # v1
+        snapshots.commit(root, add=["c.parquet"],
+                         remove=["a.parquet"])                      # v2
+        snapshots.commit(root, add=["d.parquet"])                   # v3
+        at = lambda v: sorted(
+            os.path.relpath(f, root) for f in snapshots.files_at(root, v))
+        assert at(1) == ["a.parquet", "b.parquet"]
+        assert at(2) == ["b.parquet", "c.parquet"]
+        assert at(3) == ["b.parquet", "c.parquet", "d.parquet"]
+        # current agrees with files_at(latest)
+        _, rels = snapshots.current(root)
+        assert at(3) == rels
+        with pytest.raises(ValueError, match="not available"):
+            snapshots.files_at(root, 99)
+
+    def test_files_at_across_fold_boundary(self, tmp_path):
+        """Pins BELOW a later full-fold version still resolve (the fold
+        rewrites state at its version; earlier pins walk the older
+        chain)."""
+        root = str(tmp_path)
+        for i in range(12):  # every 8th version folds to a full snapshot
+            snapshots.commit(root, add=[f"f{i}.parquet"])
+        at5 = {os.path.relpath(f, root)
+               for f in snapshots.files_at(root, 5)}
+        assert at5 == {f"f{i}.parquet" for i in range(5)}
+        at12 = {os.path.relpath(f, root)
+                for f in snapshots.files_at(root, 12)}
+        assert at12 == {f"f{i}.parquet" for i in range(12)}
+
+    def test_table_at_reads_old_version(self, spark, tmp_path):
+        from arc_spark.catalog import MeasurementCatalog
+        from arc_spark.sources.writer import write_measurement_arrow
+
+        root = str(tmp_path / "eng")
+        write_measurement_arrow(_arrow(spark, n=10, hour=0), root, "m", "cpu",
+                                tag_columns=["host"])
+        mp = f"{root}/m/cpu"
+        v1, _ = snapshots.current(mp)
+        write_measurement_arrow(_arrow(spark, n=7, hour=1), root, "m", "cpu",
+                                tag_columns=["host"])
+        cat = MeasurementCatalog(spark, root)
+        assert cat.table("m", "cpu").count() == 17
+        assert cat.table_at("m", "cpu", v1).count() == 10
+        # pinned arrow scan agrees
+        assert cat.scan_arrow("m", "cpu", snapshot=v1).num_rows == 10
+        assert cat.scan_arrow("m", "cpu").num_rows == 17
+
+    def test_time_travel_across_compaction_with_deferred_deletion(
+            self, spark, tmp_path):
+        """With defer_input_deletion the replaced inputs still exist, so
+        a pre-compaction pin reads the OLD files byte-for-byte."""
+        from arc_spark.catalog import MeasurementCatalog
+        from arc_spark.operators.compaction import compact_measurement
+        from arc_spark.sources.writer import write_measurement_arrow
+
+        root = str(tmp_path / "eng")
+        for k in range(3):
+            write_measurement_arrow(_arrow(spark, n=5, hour=0), root, "m", "cpu",
+                                    tag_columns=["host"])
+        mp = f"{root}/m/cpu"
+        v_pre, rels_pre = snapshots.current(mp)
+        compact_measurement(spark, root, "m", "cpu", min_files=2,
+                            min_age_seconds=0, defer_input_deletion=True)
+        cat = MeasurementCatalog(spark, root)
+        pinned = cat.table_at("m", "cpu", v_pre)
+        assert sorted(
+            os.path.relpath(f, mp)
+            for f in snapshots.files_at(mp, v_pre)) == rels_pre
+        # LWW dedup collapsed replays in the compacted head; the pinned
+        # read sees the pre-compaction file set (3 identical writes)
+        assert pinned.count() == 15
+
+    def test_rest_snapshot_param(self, spark, tmp_path):
+        """GET /api/v1/query/:m?snapshot=N pins the fast scan; bad
+        versions are 400s (never breaker trips); where+snapshot is 400."""
+        import json as _json
+        import urllib.error
+        import urllib.request
+
+        from arc_spark.api import IngestService, QueryService
+        from arc_spark.auth import AuthStore
+        from arc_spark.catalog import MeasurementCatalog
+        from arc_spark.server import ArcServer
+
+        root = str(tmp_path / "eng")
+        ing = IngestService(spark, root, max_buffer_rows=10**9,
+                            max_buffer_age_s=10**9)
+        ing.write_line_protocol(
+            "metrics", b"cpu,host=a u=1 1700000000000000000\n")
+        ing.flush()
+        mp = f"{root}/metrics/cpu"
+        v1, _ = snapshots.current(mp)
+        ing.write_line_protocol(
+            "metrics", b"cpu,host=b u=2 1700000060000000000\n")
+        ing.flush()
+        cat = MeasurementCatalog(spark, root)
+        auth = AuthStore(str(tmp_path / "a.db"))
+        admin = auth.create_token("admin")
+        server = ArcServer(QueryService(spark, cat), ing, auth).start()
+        try:
+            def _get(path):
+                req = urllib.request.Request(
+                    f"http://127.0.0.1:{server.port}{path}")
+                req.add_header("Authorization", f"Bearer {admin}")
+                with urllib.request.urlopen(req, timeout=60) as r:
+                    return _json.loads(r.read())
+
+            assert len(_get("/api/v1/query/cpu?db=metrics")["rows"]) == 2
+            assert len(_get(f"/api/v1/query/cpu?db=metrics&snapshot={v1}")
+                       ["rows"]) == 1
+            for bad in (f"/api/v1/query/cpu?db=metrics&snapshot=99",
+                        "/api/v1/query/cpu?db=metrics&snapshot=x",
+                        f"/api/v1/query/cpu?db=metrics&snapshot={v1}"
+                        "&where=u%3E0"):
+                try:
+                    _get(bad)
+                    raise AssertionError(f"{bad} should 400")
+                except urllib.error.HTTPError as e:
+                    assert e.code == 400, bad
+        finally:
+            server.stop()
