@@ -28,6 +28,7 @@ one stored without a table restriction):
   measurement → Delta log / Iceberg v2 metadata / committed-only tree)
 - ``GET  /api/v1/query/:m?snapshot=N``   (time travel: pin the trivial
   read to a committed snapshot version — reproducible dataset reads)
+- ``GET  /api/v1/snapshots?db&measurement`` (pinnable version listing)
 - ``GET/POST /api/v1/auth/tokens``, ``DELETE /api/v1/auth/tokens/<name>``
   (auth_routes.go)
 - ``POST /api/v1/import/line|lp|tle?db=`` (import.go bulk lanes; LP routes
@@ -625,6 +626,37 @@ class ArcServer:
                         "spoke_id": spoke_id,
                         "bundles": outer.bundle_importer.index
                         .list_by_spoke(spoke_id, limit=limit)})
+                if url.path == "/api/v1/snapshots":
+                    # pinnable time-travel versions for one measurement
+                    # (GET ?db=&measurement= → snapshots.history; pair
+                    # with /api/v1/query/:m?snapshot=N)
+                    if not self._require_admin(token):
+                        return
+                    if outer.ingest is None:
+                        return self._json(503, {"error": "no storage attached"})
+                    db, meas = q.get("db"), q.get("measurement")
+                    if not db or not meas:
+                        return self._json(400, {"error": "missing db/measurement"})
+
+                    def _hist():
+                        from arc_spark import snapshots as _sn
+                        from arc_spark.catalog import validate_identifier
+                        from arc_spark.storage import backend_for as _bf
+
+                        validate_identifier(db, "database")
+                        validate_identifier(meas, "measurement")
+                        bk = _bf(outer.ingest.root)
+                        mp = bk.join(outer.ingest.root, db, meas)
+                        if not bk.isdir(mp):
+                            raise SqlValidationError(
+                                f"no measurement {db}.{meas}")
+                        return {"snapshots": _sn.history(mp, bk=bk)}
+
+                    ok, out = self._run(_hist)
+                    if ok:
+                        self._json(200, out)
+                    return
+
                 if url.path == "/api/v1/compaction/status":
                     # reference internal/api/compaction.go getStatus/
                     # getCandidates: which partitions are eligible NOW

@@ -185,6 +185,34 @@ def data_files(meas_path: str, bk=None) -> list[str] | None:
     return [bk.join(meas_path, r) for r in rels]
 
 
+def history(meas_path: str, bk=None) -> list[dict]:
+    """Listable snapshot versions (oldest first): {version, kind
+    full|delta, committed_at (file mtime, best effort), n_files for
+    fulls / n_add+n_remove for deltas} — how an operator discovers
+    pinnable time-travel versions (``files_at``/?snapshot=N)."""
+    bk = bk or backend_for(meas_path)
+    out = []
+    for ver, path in _versions(bk, meas_path):
+        entry: dict = {"version": ver}
+        try:
+            entry["committed_at"] = bk.mtime(path)
+        except Exception:
+            entry["committed_at"] = None
+        try:
+            obj = bk.read_json(path)
+            if obj.get("delta"):
+                entry["kind"] = "delta"
+                entry["n_add"] = len(obj.get("add", []))
+                entry["n_remove"] = len(obj.get("remove", []))
+            else:
+                entry["kind"] = "full"
+                entry["n_files"] = len(obj.get("files", []))
+        except Exception:
+            entry["kind"] = "unreadable"
+        out.append(entry)
+    return out
+
+
 def files_at(meas_path: str, version: int, bk=None) -> list[str]:
     """Absolute file paths of snapshot ``version`` — TIME TRAVEL for
     reproducible reads (a training pipeline pins the dataset version it

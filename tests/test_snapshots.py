@@ -761,3 +761,42 @@ class TestTimeTravel:
                     assert e.code == 400, bad
         finally:
             server.stop()
+
+    def test_snapshots_listing_route(self, spark, tmp_path):
+        """GET /api/v1/snapshots?db&measurement lists pinnable versions
+        (kind, counts, commit time) — the discovery side of ?snapshot=N."""
+        import json as _json
+        import urllib.request
+
+        from arc_spark.api import IngestService, QueryService
+        from arc_spark.auth import AuthStore
+        from arc_spark.catalog import MeasurementCatalog
+        from arc_spark.server import ArcServer
+
+        root = str(tmp_path / "eng")
+        ing = IngestService(spark, root, max_buffer_rows=10**9,
+                            max_buffer_age_s=10**9)
+        for k in range(3):
+            ing.write_line_protocol(
+                "metrics",
+                f"cpu,host=h{k} u={k} 170000000{k}000000000\n".encode())
+            ing.flush()
+        auth = AuthStore(str(tmp_path / "a.db"))
+        admin = auth.create_token("admin")
+        server = ArcServer(
+            QueryService(spark, MeasurementCatalog(spark, root)),
+            ing, auth).start()
+        try:
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{server.port}/api/v1/snapshots"
+                "?db=metrics&measurement=cpu")
+            req.add_header("Authorization", f"Bearer {admin}")
+            with urllib.request.urlopen(req, timeout=60) as r:
+                snaps = _json.loads(r.read())["snapshots"]
+            assert len(snaps) == 3
+            assert snaps[0]["kind"] == "full"
+            assert all(s["kind"] in ("full", "delta") for s in snaps)
+            assert [s["version"] for s in snaps] == sorted(
+                s["version"] for s in snaps)
+        finally:
+            server.stop()
