@@ -61,10 +61,11 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB-dialect oracle SQL for every SQL-expressible query.
 
     Omitted keys (rows-only check): q65_approx_distinct, q66_lsh_topk,
-    q53_ivf_topk, q54_simhash_pairs, q55_simhash — hash-family / sketch /
-    approximate-ANN outputs are engine-specific — and
-    q52_multimodal_features, whose PNG/WAV decode is not SQL-expressible.
-    All 50 driver-cap lanes (sorted(queries())[:50]) carry oracles.
+    q53_ivf_topk, q72_ivf_sq8_topk, q54_simhash_pairs, q55_simhash —
+    hash-family / sketch / approximate-ANN outputs are engine-specific —
+    and q52_multimodal_features, whose PNG/WAV decode is not
+    SQL-expressible. All 50 driver-cap lanes (sorted(queries())[:50])
+    carry oracles.
     """
     from arc_spark.workload import ORACLES
 
