@@ -411,8 +411,45 @@ def export_iceberg(meas_path: str, bk=None, table_name: str | None = None,
     bk.write_bytes(bk.join(md_dir, "version-hint.text"),
                    str(version).encode("ascii"))
     _expire_cleanup(bk, md_dir, dropped_snaps, version, retain)
+    _sweep_orphan_avros(bk, md_dir, new_meta)
     return {"version": version, "snapshot_id": snapshot_id,
             "files": len(rels), "changed": True}
+
+
+ORPHAN_AVRO_MIN_AGE_S = 3600.0
+
+
+def _sweep_orphan_avros(bk, md_dir: str, meta: dict) -> None:
+    """Remove metadata-dir Avro files referenced by NO retained snapshot
+    and older than ``ORPHAN_AVRO_MIN_AGE_S`` — the residue of an export
+    that crashed between writing its manifests and winning the metadata
+    CAS (the snapshot layer's crash-orphan sweep, applied to the
+    exporter's own metadata plane). The age floor makes a CONCURRENT
+    exporter safe: its freshly written Avros are unreferenced until its
+    CAS lands, but they are seconds old, never an hour. Best-effort."""
+    import time as _time
+
+    referenced: set[str] = set()
+    for snap in meta.get("snapshots", []):
+        base = bk.basename(snap.get("manifest-list", ""))
+        if base:
+            referenced.add(base)
+            if base.startswith("snap-") and base.endswith(".avro"):
+                commit_uuid = base[:-5].rsplit("-", 1)[-1]
+                referenced.add(f"{commit_uuid}-m0.avro")
+    now = _time.time()
+    try:
+        for f in bk.list_files(md_dir, suffix=".avro"):
+            name = bk.basename(f)
+            if name in referenced:
+                continue
+            try:
+                if now - bk.mtime(f) >= ORPHAN_AVRO_MIN_AGE_S:
+                    bk.remove_file_if_exists(f)
+            except Exception:
+                pass
+    except Exception:
+        pass
 
 
 def _expire_cleanup(bk, md_dir: str, dropped_snaps: list[dict],

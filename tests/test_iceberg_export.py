@@ -468,3 +468,48 @@ class TestAvroPropertyFuzz:
         data = write_avro(self.SCHEMA, recs)
         _, _, got = read_avro(data)
         assert got == recs
+
+
+class TestCrashOrphanSweep:
+    def test_crashed_export_avros_swept_after_age_floor(
+            self, spark, meas, monkeypatch):
+        """A crash between manifest write and metadata CAS leaves
+        unreferenced Avros; the next changed export sweeps them once
+        they age past the floor — young files (a concurrent exporter
+        mid-commit) are never touched."""
+        import arc_spark.operators.iceberg_export as ie
+        from tests._iceberg_reader import read_table
+
+        _, mp = meas
+        export_iceberg(mp)
+        md = os.path.join(mp, "metadata")
+        # simulate the crash residue: orphan manifest-list + manifest
+        orphan_ml = os.path.join(md, "snap-1234-1-deadbeef.avro")
+        orphan_m = os.path.join(md, "deadbeef-m0.avro")
+        for p in (orphan_ml, orphan_m):
+            with open(p, "wb") as fh:
+                fh.write(b"Obj\x01junk")
+        # young: a changed export must NOT sweep them
+        import pyarrow as pa
+
+        from arc_spark.sources.writer import write_measurement_arrow
+
+        def _grow(i):
+            write_measurement_arrow(pa.table({
+                "time": pa.array([1_705_330_000_000_000 + i * 10**6],
+                                 pa.timestamp("us")),
+                "host": pa.array([f"g{i}"]), "value": pa.array([1.0]),
+            }), os.path.dirname(os.path.dirname(mp)), "metrics", "cpu",
+                tag_columns=["host"])
+
+        _grow(0)
+        export_iceberg(mp)
+        assert os.path.exists(orphan_ml) and os.path.exists(orphan_m)
+        # aged past the floor: swept on the next changed export
+        monkeypatch.setattr(ie, "ORPHAN_AVRO_MIN_AGE_S", 0.0)
+        _grow(1)
+        export_iceberg(mp)
+        assert not os.path.exists(orphan_ml)
+        assert not os.path.exists(orphan_m)
+        state = read_table(mp)  # retained snapshots remain fully readable
+        assert len(state["files"]) > 0
