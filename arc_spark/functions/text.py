@@ -370,9 +370,22 @@ def tfidf_top_terms(df, n_top: int = 5, source_col: str = "source",
         F.round(F.col("tf") * F.log(
             F.lit(float(n_sources + 1)) / (F.col("df") + 1)), 6),
     )
-    w = Window.partitionBy("source").orderBy(
-        F.col("tfidf").desc(), F.col("term").asc())
-    return (scored.withColumn("rk", F.row_number().over(w))
+    # EXACT two-phase top-N: a single window partitioned by source would
+    # put each source's whole vocabulary through one task (vocab is
+    # Heaps-sublinear but still ~10^7-10^8 terms at 100 TB). Phase 1
+    # takes the top-N within each (source, term-hash salt) slice — the
+    # global top-N is provably a subset of the union of salted top-Ns —
+    # then phase 2 ranks the ≤ N×64 survivors per source. Same
+    # deterministic (tfidf desc, term asc) order both phases, so the
+    # result is identical to the one-window formulation (and to the SQL
+    # oracle).
+    order = (F.col("tfidf").desc(), F.col("term").asc())
+    salted = Window.partitionBy(
+        "source", F.pmod(F.xxhash64("term"), F.lit(64))).orderBy(*order)
+    survivors = (scored.withColumn("_srk", F.row_number().over(salted))
+                 .filter(F.col("_srk") <= n_top).drop("_srk"))
+    w = Window.partitionBy("source").orderBy(*order)
+    return (survivors.withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") <= n_top)
             .select("source", "term", "tf", "df", "tfidf", "rk"))
 
