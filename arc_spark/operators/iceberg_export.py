@@ -281,10 +281,25 @@ def export_iceberg(meas_path: str, bk=None, table_name: str | None = None,
     commit_uuid = uuid.uuid4().hex
 
     # -- one manifest: every committed file as an ADDED entry ------------
+    # record_count via a row-count sidecar: parquet files are immutable,
+    # so each file's footer is read ONCE ever — re-exports pay O(changed
+    # files), not O(all files) (at 100 TB / ~1e5 files a full footer
+    # sweep per export would be minutes of driver time)
+    rc_path = bk.join(md_dir, ".rowcounts.json")
+    try:
+        rowcounts = {k: int(v)
+                     for k, v in bk.read_json(rc_path).items()}
+    except Exception:
+        rowcounts = {}
     entries = []
     total_rows = 0
+    fresh = 0
     for rel, full in zip(rels, abs_files):
-        n_rows = bk.parquet_metadata(full).num_rows
+        n_rows = rowcounts.get(rel)
+        if n_rows is None:
+            n_rows = bk.parquet_metadata(full).num_rows
+            rowcounts[rel] = n_rows
+            fresh += 1
         total_rows += n_rows
         pv = _partition_values(rel)
         entries.append({
@@ -301,6 +316,15 @@ def export_iceberg(meas_path: str, bk=None, table_name: str | None = None,
                 "file_size_in_bytes": bk.size(full),
             },
         })
+    if fresh or len(rowcounts) != len(rels):
+        # prune dropped files + persist — best effort (a lost sidecar
+        # only costs one full footer sweep on the next export)
+        try:
+            keep = set(rels)
+            bk.write_json(rc_path, {k: v for k, v in rowcounts.items()
+                                    if k in keep})
+        except Exception:
+            pass
     entry_schema = _manifest_entry_schema(partition_cols)
     manifest_name = f"{commit_uuid}-m0.avro"
     manifest_path = bk.join(md_dir, manifest_name)

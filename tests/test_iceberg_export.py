@@ -513,3 +513,53 @@ class TestCrashOrphanSweep:
         assert not os.path.exists(orphan_m)
         state = read_table(mp)  # retained snapshots remain fully readable
         assert len(state["files"]) > 0
+
+
+class TestRowcountSidecar:
+    def test_reexport_reads_only_new_footers(self, spark, meas,
+                                             monkeypatch):
+        """Re-exports pay O(changed files) footer reads: the sidecar
+        caches immutable files' row counts; stale/corrupt sidecars only
+        cost a full sweep."""
+        import pyarrow as pa
+
+        import arc_spark.operators.iceberg_export as ie
+        from arc_spark.sources.writer import write_measurement_arrow
+
+        _, mp = meas
+        export_iceberg(mp)
+        calls = []
+        from arc_spark.storage import backend_for
+        bk = backend_for(mp)
+        orig = type(bk).parquet_metadata
+
+        def spy(self, path):
+            calls.append(path)
+            return orig(self, path)
+
+        monkeypatch.setattr(type(bk), "parquet_metadata", spy)
+        write_measurement_arrow(pa.table({
+            "time": pa.array([1_705_340_000_000_000], pa.timestamp("us")),
+            "host": pa.array(["n1"]), "value": pa.array([1.0]),
+        }), os.path.dirname(os.path.dirname(mp)), "metrics", "cpu",
+            tag_columns=["host"])
+        out = export_iceberg(mp)
+        assert out["changed"]
+        # only the NEW file's footer was read for record_count (schema
+        # sampling also reads footers via parquet_schema, not counted)
+        new_reads = [c for c in calls]
+        assert len(new_reads) == 1, new_reads
+        # corrupt sidecar → full sweep, still correct
+        with open(os.path.join(mp, "metadata", ".rowcounts.json"),
+                  "w") as fh:
+            fh.write("not json")
+        calls.clear()
+        write_measurement_arrow(pa.table({
+            "time": pa.array([1_705_341_000_000_000], pa.timestamp("us")),
+            "host": pa.array(["n2"]), "value": pa.array([1.0]),
+        }), os.path.dirname(os.path.dirname(mp)), "metrics", "cpu",
+            tag_columns=["host"])
+        out2 = export_iceberg(mp)
+        assert out2["changed"] and len(calls) == out2["files"]
+        from tests._iceberg_reader import read_table
+        assert len(read_table(mp)["files"]) == out2["files"]
