@@ -174,6 +174,8 @@ class MeasurementCatalog:
         self._count_cache: dict[tuple[str, str], tuple[int, int]] = {}
         #: epoch-keyed footer min/max cache (native MIN/MAX path)
         self._stats_cache: dict[tuple[str, str, str], tuple] = {}
+        #: immutable per-file row counts (files never mutate in place)
+        self._file_rows: dict[str, int] = {}
 
     # -- namespace listing (reference A12) --------------------------------
     def databases(self) -> list[str]:
@@ -227,7 +229,16 @@ class MeasurementCatalog:
                 files = [bk.join(p, r)
                          for r in snapshots.live_glob(p, bk=bk)]
             for f in files:
-                total += bk.parquet_metadata(f).num_rows
+                # per-FILE counts are immutable (parquet files never
+                # mutate in place), so an epoch bump (any flush) costs
+                # O(new files) footer reads, not O(all files)
+                n = self._file_rows.get(f)
+                if n is None:
+                    n = bk.parquet_metadata(f).num_rows
+                    if len(self._file_rows) > 1_000_000:
+                        self._file_rows.clear()  # ~100MB bound
+                    self._file_rows[f] = n
+                total += n
         self._count_cache[key] = (self.epoch, total)
         return total
 
