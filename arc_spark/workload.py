@@ -2406,3 +2406,90 @@ ORACLES_Q73 = f"""
 
 QUERIES["q73_doc_chunking"] = q73_doc_chunking
 ORACLES["q73_doc_chunking"] = ORACLES_Q73
+
+
+def q74_bigram_fluency(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-derived bigram log-probability fluency score — the
+    perplexity-filter signal (C4/RefinedWeb-style pipelines drop
+    low-LM-probability docs; here the LM is the corpus's own add-one-
+    smoothed bigram model, so no external model ships). Per source:
+    doc count, mean/min of the per-doc average bigram logprob, and how
+    many docs fall below a fixed fluency floor.
+
+    Scale shape: row-local bigram extraction (no per-doc windows),
+    one count aggregate keyed by bigram (the model), one join of doc
+    bigrams to model probs (both sides hash-partitioned on the bigram),
+    two map-side-combining aggs. Logs rounded to 6dp then decimal-
+    summed (dsum) so Spark and DuckDB hash identically."""
+    t = load_tables(spark, sf, register_views=False)
+    toks = t["documents"].select(
+        "source", "doc_id",
+        F.split(F.expr(_SPARK_NORM), " ").alias("w"),
+    ).filter(F.size("w") >= 2)
+    # row-local bigram list: zip w[i], w[i+1]
+    bg = toks.select(
+        "source", "doc_id",
+        F.explode(F.expr(
+            "transform(sequence(1, size(w) - 1), "
+            "i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
+        )).alias("bigram"),
+    ).withColumn("w1", F.split(F.col("bigram"), " ").getItem(0))
+    # the model: c(w1 w2) and c(w1 •), V = distinct unigrams
+    big_counts = bg.groupBy("bigram").agg(
+        F.count(F.lit(1)).alias("c_bg"))
+    uni_counts = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c_w1"))
+    v = bg.select(F.col("w1")).distinct().count()
+    scored = (bg.join(big_counts, "bigram")
+              .join(uni_counts, "w1")
+              .withColumn("lp", F.round(
+                  F.log((F.col("c_bg") + 1.0)
+                        / (F.col("c_w1") + F.lit(float(v)))), 6)))
+    per_doc = scored.groupBy("source", "doc_id").agg(
+        (F.sum(F.col("lp").cast("decimal(30,6)"))
+         / F.count(F.lit(1))).cast("decimal(30,6)").alias("avg_lp"))
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("avg_lp"), 5).cast("double").alias("mean_lp"),
+        F.round(F.min("avg_lp"), 5).cast("double").alias("worst_lp"),
+        F.sum(F.when(F.col("avg_lp") < -7.0, 1).otherwise(0))
+        .alias("below_floor"),
+    )
+
+
+ORACLES_Q74 = f"""
+    WITH d AS (
+        SELECT source, doc_id, string_split({_LNORM}, ' ') AS w
+        FROM documents
+    ), bg AS (
+        SELECT source, doc_id,
+               unnest([w[i] || ' ' || w[i + 1]
+                       FOR i IN range(1, len(w))]) AS bigram
+        FROM d WHERE len(w) >= 2
+    ), bg2 AS (
+        SELECT *, string_split(bigram, ' ')[1] AS w1 FROM bg
+    ), bc AS (
+        SELECT bigram, COUNT(*) AS c_bg FROM bg2 GROUP BY bigram
+    ), uc AS (
+        SELECT w1, COUNT(*) AS c_w1 FROM bg2 GROUP BY w1
+    ), v AS (SELECT COUNT(DISTINCT w1) AS nv FROM bg2),
+    scored AS (
+        SELECT bg2.source, bg2.doc_id,
+               ROUND(ln((bc.c_bg + 1.0) / (uc.c_w1 + v.nv)), 6) AS lp
+        FROM bg2 JOIN bc USING (bigram) JOIN uc USING (w1) CROSS JOIN v
+    ), per_doc AS (
+        SELECT source, doc_id,
+               CAST(SUM(CAST(lp AS DECIMAL(30,6))) / COUNT(*)
+                    AS DECIMAL(30,6)) AS avg_lp
+        FROM scored GROUP BY source, doc_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(ROUND(AVG(avg_lp), 5) AS DOUBLE) AS mean_lp,
+           CAST(ROUND(MIN(avg_lp), 5) AS DOUBLE) AS worst_lp,
+           CAST(SUM(CASE WHEN avg_lp < -7.0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS below_floor
+    FROM per_doc GROUP BY source
+"""
+
+QUERIES["q74_bigram_fluency"] = q74_bigram_fluency
+ORACLES["q74_bigram_fluency"] = ORACLES_Q74
