@@ -162,6 +162,11 @@ DEFAULTS: dict[str, dict[str, Any]] = {
         # reference's expireSnapshots retain-last
         "retain_snapshots": 10,
     },
+    # MQTT subscription manager (reference [mqtt] + internal/mqtt/):
+    # persisted broker subscriptions with CRUD/lifecycle routes at
+    # /api/v1/mqtt/subscriptions; encryption_key (base64, or env
+    # ARC_MQTT_ENCRYPTION_KEY) AES-GCM-encrypts stored passwords
+    "mqtt": {"enabled": False, "db_path": "", "encryption_key": ""},
     "auth": {"enabled": False, "db_path": ""},
     # hierarchical RBAC (reference internal/auth/rbac_manager.go; the
     # reference gates this behind an enterprise license — here it's a flag).
@@ -615,6 +620,23 @@ def build_engine(cfg: dict, spark=None) -> dict:
         tls_key=srv["tls_key_file"] or None,
         rbac=rbac,
     )
+    mq = cfg["mqtt"]
+    if mq["enabled"]:
+        from arc_spark.sources.mqtt import MqttIngestBridge
+        from arc_spark.sources.mqtt_subscriptions import (
+            SubscriptionManager,
+            SubscriptionRepository,
+            build_encryptor,
+        )
+
+        enc_key = (mq["encryption_key"]
+                   or os.environ.get("ARC_MQTT_ENCRYPTION_KEY", ""))
+        server.mqtt_subs = SubscriptionManager(
+            SubscriptionRepository(mq["db_path"] or ":memory:"),
+            encryptor=build_encryptor(enc_key or None),
+            bridge_factory=lambda sub: MqttIngestBridge(spark, root),
+        )
+        server.mqtt_subs.start_auto()
     es = cfg["edge_sync"]
     if es["hub_enabled"]:
         from arc_spark.sources.edgesync import HubIndex, HubReceiver
@@ -694,6 +716,12 @@ def shutdown(engine: dict) -> None:
             server.stop()
         except Exception:
             pass
+        subs = getattr(server, "mqtt_subs", None)
+        if subs is not None:
+            try:
+                subs.shutdown()  # stop running broker subscribers
+            except Exception:
+                pass
     ts = engine.get("timeseries")
     if ts is not None:
         try:

@@ -29,6 +29,8 @@ one stored without a table restriction):
 - ``GET  /api/v1/query/:m?snapshot=N``   (time travel: pin the trivial
   read to a committed snapshot version — reproducible dataset reads)
 - ``GET  /api/v1/snapshots?db&measurement`` (pinnable version listing)
+- ``/api/v1/mqtt/subscriptions[...]``    (mqtt_subscriptions.go CRUD +
+  start/stop/pause/restart + per-subscription stats)
 - ``GET/POST /api/v1/auth/tokens``, ``DELETE /api/v1/auth/tokens/<name>``
   (auth_routes.go)
 - ``POST /api/v1/import/line|lp|tle?db=`` (import.go bulk lanes; LP routes
@@ -164,6 +166,10 @@ class ArcServer:
         self.max_request_bytes = 1 << 30
         # optional sources.mqtt.MqttIngestBridge for /api/v1/mqtt/* routes
         self.mqtt = mqtt_bridge
+        # optional mqtt_subscriptions.SubscriptionManager for the
+        # /api/v1/mqtt/subscriptions CRUD+lifecycle surface (reference
+        # internal/api/mqtt_subscriptions.go); wired by config [mqtt]
+        self.mqtt_subs = None
         # request counters for /metrics (reference internal/monitoring)
         self.metrics: dict[str, int] = {}
         # per-endpoint latency accumulators (reference
@@ -274,6 +280,81 @@ class ArcServer:
                     self._json(403, {"error": "admin token required"})
                     return False
                 return True
+
+            def _mqtt_subs(self, method: str, url, body: bytes,
+                           token: str):
+                """/api/v1/mqtt/subscriptions CRUD + lifecycle (reference
+                internal/api/mqtt_subscriptions.go RegisterRoutes):
+                POST /            create (password rides the body)
+                GET  /            list    GET /<id>       get
+                POST /<id>        update  DELETE /<id>    delete
+                POST /<id>/start|stop|pause|restart       lifecycle
+                GET  /<id>/stats  per-subscription counters"""
+                if not self._require_admin(token):
+                    return
+                mgr = outer.mqtt_subs
+                if mgr is None:
+                    return self._json(503, {
+                        "error": "mqtt subscriptions not configured "
+                                 "([mqtt] enabled = true)"})
+                from arc_spark.sources.mqtt_subscriptions import (
+                    MqttValidationError,
+                    SubscriptionConflict,
+                    SubscriptionNotFound,
+                    SubscriptionRunning,
+                )
+
+                rest = url.path[len("/api/v1/mqtt/subscriptions"):] \
+                    .strip("/")
+                parts = [p for p in rest.split("/") if p]
+                try:
+                    req = json.loads(body or b"{}")
+                except json.JSONDecodeError:
+                    return self._json(400, {"error": "body must be JSON"})
+                try:
+                    if method == "GET":
+                        if not parts:
+                            return self._json(200, {"subscriptions": [
+                                s.to_public() for s in mgr.list()]})
+                        if len(parts) == 2 and parts[1] == "stats":
+                            return self._json(200, mgr.stats(parts[0]))
+                        if len(parts) == 1:
+                            return self._json(
+                                200, mgr.get(parts[0]).to_public())
+                    elif method == "POST":
+                        if not parts:
+                            sub = mgr.create(
+                                req, password=req.pop("password", ""))
+                            return self._json(201, sub.to_public())
+                        if len(parts) == 2 and parts[1] in (
+                                "start", "stop", "pause", "restart"):
+                            sub_id = parts[0]
+                            if parts[1] == "start":
+                                return self._json(
+                                    200, mgr.start(sub_id).to_public())
+                            if parts[1] == "restart":
+                                return self._json(
+                                    200, mgr.restart(sub_id).to_public())
+                            getattr(mgr, parts[1])(sub_id)
+                            return self._json(
+                                200, mgr.get(sub_id).to_public())
+                        if len(parts) == 1:
+                            return self._json(
+                                200, mgr.update(parts[0], req).to_public())
+                    elif method == "DELETE" and len(parts) == 1:
+                        mgr.delete(parts[0])
+                        return self._json(200, {"deleted": parts[0]})
+                except MqttValidationError as e:
+                    return self._json(400, {"error": str(e)})
+                except SubscriptionNotFound as e:
+                    return self._json(404, {"error": str(e)})
+                except (SubscriptionRunning, SubscriptionConflict) as e:
+                    return self._json(409, {"error": str(e)})
+                except Exception as e:
+                    # broker connect failures etc. — operational, not 5xx
+                    # engine faults (the breaker must not trip)
+                    return self._json(502, {"error": str(e)[:300]})
+                return self._json(404, {"error": "not found"})
 
             def _require_writer(self, token: str) -> bool:
                 """Write endpoints refuse table-RESTRICTED tokens: the RBAC
@@ -893,6 +974,8 @@ class ArcServer:
                     if not self._require_admin(token):
                         return
                     return self._json(200, outer.breaker.stats())
+                if url.path.startswith("/api/v1/mqtt/subscriptions"):
+                    return self._mqtt_subs("GET", url, b"", token)
                 if url.path in ("/api/v1/mqtt/health", "/api/v1/mqtt/stats"):
                     # reference internal/mqtt health/stats surface
                     if outer.mqtt is None:
@@ -1069,6 +1152,8 @@ class ArcServer:
 
                 if url.path.startswith("/api/v1/rbac/"):
                     return self._rbac("POST", url, q, body, token)
+                if url.path.startswith("/api/v1/mqtt/subscriptions"):
+                    return self._mqtt_subs("POST", url, body, token)
                 if url.path in ("/api/v1/query", "/api/v1/query/arrow",
                                 "/api/v1/query/msgpack"):
                     try:
@@ -1898,6 +1983,8 @@ class ArcServer:
                     return
                 if url.path.startswith("/api/v1/rbac/"):
                     return self._rbac("DELETE", url, q, b"", token)
+                if url.path.startswith("/api/v1/mqtt/subscriptions"):
+                    return self._mqtt_subs("DELETE", url, b"", token)
                 if url.path.startswith("/api/v1/databases/"):
                     # reference databases.go handleDelete: admin +
                     # ?confirm=true + existence check; removes the whole
