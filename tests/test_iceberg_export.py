@@ -380,6 +380,33 @@ class TestConfigWiring:
         finally:
             shutdown(engine)
 
+    def test_export_format_both(self, spark, meas):
+        """format="both": one scheduler pass publishes the Delta log AND
+        Iceberg metadata over the same committed set; both independent
+        readers resolve the identical file list."""
+        from arc_spark.config import build_engine, load_config, shutdown
+        from tests._delta_reader import read_state
+        from tests._iceberg_reader import read_table
+
+        root, mp = meas
+        cfg = load_config(None, env={
+            "ARC_STORAGE_LOCAL_PATH": root,
+            "ARC_SERVER_PORT": "0",
+            "ARC_EXPORT_ENABLED": "true",
+            "ARC_EXPORT_FORMAT": "both",
+            "ARC_METRICS_TIMESERIES_ENABLED": "false",
+        })
+        engine = build_engine(cfg, spark=spark)
+        try:
+            out = engine["scheduler"].trigger_now("export")
+            assert out["commits"] >= 1
+            delta_files = set(read_state(mp)["files"])
+            ice_files = {os.path.relpath(f["path"], mp)
+                         for f in read_table(mp)["files"]}
+            assert delta_files == ice_files and delta_files
+        finally:
+            shutdown(engine)
+
     def test_bad_format_rejected(self, spark, meas):
         from arc_spark.config import build_engine, load_config
 
