@@ -162,6 +162,15 @@ DEFAULTS: dict[str, dict[str, Any]] = {
         # reference's expireSnapshots retain-last
         "retain_snapshots": 10,
     },
+    # tiered storage policies + scheduled migration (reference
+    # internal/tiering/: policy.go per-db hot_only / hot_max_age_days,
+    # scheduler.go periodic sweep). Needs [storage] cold_path.
+    "tiering": {
+        "enabled": False,
+        "interval_s": 3600,
+        "default_hot_max_age_days": 30,
+        "policies_db_path": "",   # "" -> in-memory
+    },
     # MQTT subscription manager (reference [mqtt] + internal/mqtt/):
     # persisted broker subscriptions with CRUD/lifecycle routes at
     # /api/v1/mqtt/subscriptions; encryption_key (base64, or env
@@ -620,6 +629,29 @@ def build_engine(cfg: dict, spark=None) -> dict:
         tls_key=srv["tls_key_file"] or None,
         rbac=rbac,
     )
+    ti = cfg["tiering"]
+    if cfg["storage"]["cold_path"]:
+        from arc_spark.operators.tiering import (
+            TieringPolicyStore,
+            migrate_all,
+        )
+
+        server.tiering_policies = TieringPolicyStore(
+            ti["policies_db_path"] or ":memory:")
+        server.tiering_default_days = ti["default_hot_max_age_days"]
+        if ti["enabled"]:
+            cold = cfg["storage"]["cold_path"]
+
+            def _tiering_sweep(root=root, cold=cold):
+                out = migrate_all(root, cold, server.tiering_policies,
+                                  ti["default_hot_max_age_days"])
+                if out["migrated_days"]:
+                    for db, metas in out["databases"].items():
+                        for meas in metas:
+                            catalog.invalidate(db, meas)
+                return out
+
+            scheduler.add_job("tiering", _tiering_sweep, ti["interval_s"])
     mq = cfg["mqtt"]
     if mq["enabled"]:
         from arc_spark.sources.mqtt import MqttIngestBridge

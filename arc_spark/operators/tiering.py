@@ -117,3 +117,116 @@ def tier_report(root: str, cold_root: str, db: str, measurement: str) -> dict:
         "cold_only": sorted(cold - hot),
         "both": sorted(hot & cold),
     }
+
+
+class TieringPolicyStore:
+    """Per-database tiering policies (reference internal/tiering/policy.go:
+    ``hot_only`` excludes a database from migration entirely;
+    ``hot_max_age_days`` overrides the global default; NULL = inherit).
+    SQLite-backed like the reference's metadata store; ``effective``
+    resolves against the global default the way manager.go
+    GetEffectivePolicy does."""
+
+    def __init__(self, path: str = ":memory:"):
+        import sqlite3
+        import threading
+
+        self._db = sqlite3.connect(path, check_same_thread=False)
+        self._lock = threading.Lock()
+        with self._lock:
+            self._db.execute(
+                "CREATE TABLE IF NOT EXISTS tiering_policies ("
+                " database TEXT PRIMARY KEY,"
+                " hot_only INTEGER NOT NULL DEFAULT 0,"
+                " hot_max_age_days INTEGER,"
+                " updated_at REAL NOT NULL)")
+            self._db.commit()
+
+    def set(self, database: str, hot_only: bool = False,
+            hot_max_age_days: int | None = None) -> dict:
+        import time as _t
+
+        from arc_spark.catalog import validate_identifier
+
+        validate_identifier(database, "database")
+        if hot_max_age_days is not None and int(hot_max_age_days) < 1:
+            raise ValueError("hot_max_age_days must be >= 1")
+        with self._lock:
+            self._db.execute(
+                "INSERT INTO tiering_policies VALUES (?,?,?,?) "
+                "ON CONFLICT(database) DO UPDATE SET hot_only=excluded."
+                "hot_only, hot_max_age_days=excluded.hot_max_age_days, "
+                "updated_at=excluded.updated_at",
+                (database, 1 if hot_only else 0,
+                 None if hot_max_age_days is None
+                 else int(hot_max_age_days), _t.time()))
+            self._db.commit()
+        return self.get(database)
+
+    def get(self, database: str) -> dict | None:
+        with self._lock:
+            row = self._db.execute(
+                "SELECT database, hot_only, hot_max_age_days, updated_at "
+                "FROM tiering_policies WHERE database=?",
+                (database,)).fetchone()
+        if row is None:
+            return None
+        return {"database": row[0], "hot_only": bool(row[1]),
+                "hot_max_age_days": row[2], "updated_at": row[3]}
+
+    def list(self) -> list[dict]:
+        with self._lock:
+            rows = self._db.execute(
+                "SELECT database FROM tiering_policies "
+                "ORDER BY database").fetchall()
+        return [self.get(r[0]) for r in rows]
+
+    def delete(self, database: str) -> bool:
+        with self._lock:
+            cur = self._db.execute(
+                "DELETE FROM tiering_policies WHERE database=?",
+                (database,))
+            self._db.commit()
+        return cur.rowcount > 0
+
+    def effective(self, database: str, default_days: int) -> dict:
+        """Resolved policy: custom overrides where set, global default
+        otherwise (reference EffectivePolicy with a ``source`` marker)."""
+        p = self.get(database)
+        if p is None:
+            return {"database": database, "hot_only": False,
+                    "hot_max_age_days": int(default_days),
+                    "source": "default"}
+        return {"database": database, "hot_only": p["hot_only"],
+                "hot_max_age_days": (int(default_days)
+                                     if p["hot_max_age_days"] is None
+                                     else p["hot_max_age_days"]),
+                "source": "custom"}
+
+
+def migrate_all(root: str, cold_root: str, policies: TieringPolicyStore,
+                default_days: int, now=None) -> dict:
+    """Policy-aware sweep over every database/measurement (the
+    reference's tiering scheduler pass, migrator.go:95-130): hot_only
+    databases are skipped, custom ages override the default. Returns
+    {database: {measurement: [migrated day dirs]}} plus counts."""
+    bk = backend_for(root)
+    out: dict = {"databases": {}, "migrated_days": 0, "skipped_hot_only": 0}
+    if not bk.isdir(root):
+        return out
+    for db in bk.list_dirs(root):
+        eff = policies.effective(db, default_days)
+        if eff["hot_only"]:
+            out["skipped_hot_only"] += 1
+            continue
+        per_meas = {}
+        for meas in bk.list_dirs(bk.join(root, db)):
+            moved = migrate_to_cold(
+                root, cold_root, db, meas,
+                older_than_days=eff["hot_max_age_days"], now=now)
+            if moved:
+                per_meas[meas] = moved
+                out["migrated_days"] += len(moved)
+        if per_meas:
+            out["databases"][db] = per_meas
+    return out

@@ -31,6 +31,8 @@ one stored without a table restriction):
 - ``GET  /api/v1/snapshots?db&measurement`` (pinnable version listing)
 - ``/api/v1/mqtt/subscriptions[...]``    (mqtt_subscriptions.go CRUD +
   start/stop/pause/restart + per-subscription stats)
+- ``/api/v1/tiering/policies[...]``      (tiering_policies.go: per-db
+  hot_only / hot_max_age_days, effective resolution, PUT/DELETE)
 - ``GET/POST /api/v1/auth/tokens``, ``DELETE /api/v1/auth/tokens/<name>``
   (auth_routes.go)
 - ``POST /api/v1/import/line|lp|tle?db=`` (import.go bulk lanes; LP routes
@@ -166,6 +168,11 @@ class ArcServer:
         self.max_request_bytes = 1 << 30
         # optional sources.mqtt.MqttIngestBridge for /api/v1/mqtt/* routes
         self.mqtt = mqtt_bridge
+        # optional operators.tiering.TieringPolicyStore for the
+        # /api/v1/tiering/policies surface (reference tiering_policies.go);
+        # wired by config [tiering] when a cold tier exists
+        self.tiering_policies = None
+        self.tiering_default_days = 30
         # optional mqtt_subscriptions.SubscriptionManager for the
         # /api/v1/mqtt/subscriptions CRUD+lifecycle surface (reference
         # internal/api/mqtt_subscriptions.go); wired by config [mqtt]
@@ -354,6 +361,64 @@ class ArcServer:
                     # broker connect failures etc. — operational, not 5xx
                     # engine faults (the breaker must not trip)
                     return self._json(502, {"error": str(e)[:300]})
+                return self._json(404, {"error": "not found"})
+
+            def _tiering_policies(self, method: str, url, body: bytes,
+                                  token: str):
+                """/api/v1/tiering/policies surface (reference
+                tiering_policies.go RegisterRoutes):
+                GET /                  list custom policies
+                GET /<db>              the stored policy (404 if none)
+                GET /<db>/effective    resolved vs the global default
+                PUT /<db>              set {hot_only, hot_max_age_days}
+                DELETE /<db>           revert to global defaults
+                (the reference gates these behind an enterprise tiering
+                license; shipped ungated here — README §Non-goals)"""
+                if not self._require_admin(token):
+                    return
+                store = outer.tiering_policies
+                if store is None:
+                    return self._json(503, {
+                        "error": "tiering policies not configured "
+                                 "([tiering] requires a cold tier)"})
+                rest = url.path[len("/api/v1/tiering/policies"):].strip("/")
+                parts = [p for p in rest.split("/") if p]
+                default_days = outer.tiering_default_days
+                try:
+                    if method == "GET":
+                        if not parts:
+                            pol = store.list()
+                            return self._json(200, {"policies": pol,
+                                                    "count": len(pol)})
+                        if len(parts) == 2 and parts[1] == "effective":
+                            return self._json(200, store.effective(
+                                parts[0], default_days))
+                        if len(parts) == 1:
+                            p = store.get(parts[0])
+                            if p is None:
+                                return self._json(404, {
+                                    "error": f"no policy for {parts[0]}"})
+                            return self._json(200, p)
+                    elif method == "PUT" and len(parts) == 1:
+                        try:
+                            req = json.loads(body or b"{}")
+                        except json.JSONDecodeError:
+                            return self._json(400,
+                                              {"error": "body must be JSON"})
+                        return self._json(200, store.set(
+                            parts[0],
+                            hot_only=bool(req.get("hot_only", False)),
+                            hot_max_age_days=req.get("hot_max_age_days")))
+                    elif method == "DELETE" and len(parts) == 1:
+                        if not store.delete(parts[0]):
+                            return self._json(404, {
+                                "error": f"no policy for {parts[0]}"})
+                        return self._json(200, {
+                            "message": "Policy deleted, database now "
+                                       "uses global defaults",
+                            "database": parts[0]})
+                except (ValueError, SqlValidationError) as e:
+                    return self._json(400, {"error": str(e)})
                 return self._json(404, {"error": "not found"})
 
             def _require_writer(self, token: str) -> bool:
@@ -773,6 +838,8 @@ class ArcServer:
                     return self._json(200, {
                         "eligible": out, "min_files": min_files,
                         "min_age_seconds": min_age})
+                if url.path.startswith("/api/v1/tiering/policies"):
+                    return self._tiering_policies("GET", url, b"", token)
                 if url.path == "/api/v1/tiering/status":
                     # reference internal/api/tiering.go GetStatus/GetFiles:
                     # which day partitions live on which tier
@@ -1954,6 +2021,26 @@ class ArcServer:
 
                 self._json(404, {"error": "not found"})
 
+            def do_PUT(self):
+                # PUT exists for the tiering-policy surface (reference
+                # tiering_policies.go uses Put for SetPolicy)
+                url = urlparse(self.path)
+                token = self._authenticate()
+                if token is None:
+                    return
+                try:
+                    length = int(self.headers.get("Content-Length", "0"))
+                except ValueError:
+                    return self._json(400, {"error": "bad Content-Length"})
+                if length > outer.max_request_bytes:
+                    return self._json(413, {
+                        "error": f"request body {length} bytes exceeds "
+                                 f"limit {outer.max_request_bytes}"})
+                body = self.rfile.read(length) if length else b""
+                if url.path.startswith("/api/v1/tiering/policies"):
+                    return self._tiering_policies("PUT", url, body, token)
+                self._json(404, {"error": "not found"})
+
             def do_PATCH(self):
                 # PATCH exists only for the RBAC admin surface (reference
                 # rbac_routes.go updates); other updates stay POST-shaped
@@ -1985,6 +2072,8 @@ class ArcServer:
                     return self._rbac("DELETE", url, q, b"", token)
                 if url.path.startswith("/api/v1/mqtt/subscriptions"):
                     return self._mqtt_subs("DELETE", url, b"", token)
+                if url.path.startswith("/api/v1/tiering/policies"):
+                    return self._tiering_policies("DELETE", url, b"", token)
                 if url.path.startswith("/api/v1/databases/"):
                     # reference databases.go handleDelete: admin +
                     # ?confirm=true + existence check; removes the whole
