@@ -139,6 +139,46 @@ class Governor:
         pol = self._policy(token)
         return pol.max_duration_s if pol else None
 
+    # -- admin surface (reference governance.go List/Get/Delete/Usage;
+    #    keyed by plaintext token here because the auth store holds only
+    #    hashes — listings MASK the key, deletes/usage take it in a body)
+    @staticmethod
+    def _mask(token: str) -> str:
+        return (token[:4] + "…" + token[-4:]) if len(token) > 12 else "…"
+
+    def list_policies(self) -> list[dict]:
+        with self._lock:
+            items = list(self._policies.items())
+        return [{"token_masked": self._mask(t),
+                 "max_queries_per_minute": p.max_queries_per_minute,
+                 "max_rows": p.max_rows,
+                 "max_duration_s": p.max_duration_s}
+                for t, p in items]
+
+    def delete_policy(self, token: str) -> bool:
+        with self._lock:
+            self._admits.pop(token, None)
+            return self._policies.pop(token, None) is not None
+
+    def usage(self, token: str, now: float | None = None) -> dict:
+        """Current sliding-window consumption for one token (reference
+        GetUsage): queries in the trailing minute + remaining quota."""
+        t = now if now is not None else time.monotonic()
+        pol = self._policy(token)
+        with self._lock:
+            q = self._admits.get(token, deque())
+            used = sum(1 for ts in q if t - ts < 60.0)
+        limit = pol.max_queries_per_minute if pol else None
+        return {
+            "token_masked": self._mask(token),
+            "queries_last_minute": used,
+            "max_queries_per_minute": limit,
+            "remaining": None if limit is None else max(0, limit - used),
+            "max_rows": pol.max_rows if pol else None,
+            "max_duration_s": pol.max_duration_s if pol else None,
+            "has_policy": token in self._policies,
+        }
+
 
 # ---------------------------------------------------------------------------
 # A38 — query registry / cancellation via job groups

@@ -838,6 +838,13 @@ class ArcServer:
                     return self._json(200, {
                         "eligible": out, "min_files": min_files,
                         "min_age_seconds": min_age})
+                if url.path == "/api/v1/governance":
+                    # reference governance.go ListPolicies (keys MASKED)
+                    if not self._require_admin(token):
+                        return
+                    pol = outer.query.governor.list_policies()
+                    return self._json(200, {"policies": pol,
+                                            "count": len(pol)})
                 if url.path.startswith("/api/v1/tiering/policies"):
                     return self._tiering_policies("GET", url, b"", token)
                 if url.path == "/api/v1/tiering/status":
@@ -1813,6 +1820,28 @@ class ArcServer:
                     if ok:
                         self._json(200, out)
                     return
+
+                if url.path in ("/api/v1/governance/delete",
+                                "/api/v1/governance/usage"):
+                    # reference governance.go DeletePolicy / GetUsage;
+                    # the target token rides the BODY (not a URL param)
+                    # because our store keys by plaintext and tokens must
+                    # never appear in paths/access logs
+                    if not self._require_admin(token):
+                        return
+                    try:
+                        req = json.loads(body or b"{}")
+                    except json.JSONDecodeError:
+                        return self._json(400, {"error": "body must be JSON"})
+                    target = req.get("token")
+                    if not target:
+                        return self._json(400, {"error": "missing 'token'"})
+                    gov = outer.query.governor
+                    if url.path.endswith("usage"):
+                        return self._json(200, gov.usage(target))
+                    if not gov.delete_policy(target):
+                        return self._json(404, {"error": "no policy for token"})
+                    return self._json(200, {"deleted": True})
 
                 if url.path == "/api/v1/governance":
                     # per-token limits (reference internal/api/governance.go);

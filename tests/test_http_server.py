@@ -908,3 +908,40 @@ class TestQueryHistoryRoutes:
         # /active shows nothing once the query finished
         status, body, _ = _req(port, "/api/v1/queries/active", token=admin)
         assert json.loads(body)["queries"] == []
+
+
+class TestGovernanceAdminSurface:
+    def test_list_usage_delete_policies(self, live):
+        """reference governance.go ListPolicies/GetUsage/DeletePolicy —
+        tokens masked in listings, body-carried for delete/usage."""
+        port, admin, *_ = live
+        status, body, _ = _req(
+            port, "/api/v1/auth/tokens", "POST", admin,
+            json.dumps({"name": "svc1"}).encode())
+        tok = json.loads(body)["token"]
+        _req(port, "/api/v1/governance", "POST", admin,
+             json.dumps({"token": tok, "max_rows": 9,
+                         "max_queries_per_minute": 100}).encode())
+        status, body, _ = _req(port, "/api/v1/governance", token=admin)
+        listing = json.loads(body)
+        assert listing["count"] == 1
+        masked = listing["policies"][0]["token_masked"]
+        assert tok not in json.dumps(listing) and "…" in masked
+        assert listing["policies"][0]["max_rows"] == 9
+        # consume one admit, check usage
+        _req(port, "/api/v1/query", "POST", tok,
+             json.dumps({"sql": "SELECT host FROM cpu"}).encode())
+        status, body, _ = _req(
+            port, "/api/v1/governance/usage", "POST", admin,
+            json.dumps({"token": tok}).encode())
+        usage = json.loads(body)
+        assert usage["queries_last_minute"] >= 1
+        assert usage["remaining"] <= 99 and usage["has_policy"]
+        status, body, _ = _req(
+            port, "/api/v1/governance/delete", "POST", admin,
+            json.dumps({"token": tok}).encode())
+        assert json.loads(body)["deleted"] is True
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _req(port, "/api/v1/governance/delete", "POST", admin,
+                 json.dumps({"token": tok}).encode())
+        assert e.value.code == 404
