@@ -54,6 +54,9 @@ BENCH_QUERIES = [
     "q51_token_packing",
     "q68_range_join",
     "q69_regex_like",
+    "q70_tfidf_terms",
+    "q73_doc_chunking",
+    "q74_bigram_fluency",
 ]
 
 
