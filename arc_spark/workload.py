@@ -2434,16 +2434,28 @@ def q74_bigram_fluency(spark: SparkSession, sf: str) -> DataFrame:
             "i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
         )).alias("bigram"),
     ).withColumn("w1", F.split(F.col("bigram"), " ").getItem(0))
-    # the model: c(w1 w2) and c(w1 •), V = distinct unigrams
-    big_counts = bg.groupBy("bigram").agg(
-        F.count(F.lit(1)).alias("c_bg"))
-    uni_counts = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c_w1"))
-    v = bg.select(F.col("w1")).distinct().count()
-    scored = (bg.join(big_counts, "bigram")
-              .join(uni_counts, "w1")
-              .withColumn("lp", F.round(
-                  F.log((F.col("c_bg") + 1.0)
-                        / (F.col("c_w1") + F.lit(float(v)))), 6)))
+    # the model: c(w1 w2), c(w1 •) = Σ c_bg over the bigram-DISTINCT
+    # table (exactly the instance count), V = distinct unigrams. Building
+    # lp per distinct bigram first means the INSTANCE table shuffles
+    # once (join on bigram) instead of twice — the second aggregation
+    # and the w1 join run over the vocabulary-sized model table
+    from pyspark import StorageLevel
+
+    # persist: the model table feeds THREE branches (unigram rollup, the
+    # V count, the lp join) — without the barrier each one re-aggregates
+    # the instance table
+    big_counts = bg.groupBy("bigram", "w1").agg(
+        F.count(F.lit(1)).alias("c_bg")).persist(
+        StorageLevel.MEMORY_AND_DISK)
+    uni_counts = big_counts.groupBy("w1").agg(
+        F.sum("c_bg").alias("c_w1"))
+    v = uni_counts.count()
+    model = (big_counts.join(uni_counts, "w1")
+             .withColumn("lp", F.round(
+                 F.log((F.col("c_bg") + 1.0)
+                       / (F.col("c_w1") + F.lit(float(v)))), 6))
+             .select("bigram", "lp"))
+    scored = bg.join(model, "bigram")
     per_doc = scored.groupBy("source", "doc_id").agg(
         (F.sum(F.col("lp").cast("decimal(30,6)"))
          / F.count(F.lit(1))).cast("decimal(30,6)").alias("avg_lp"))
