@@ -56,18 +56,25 @@ def pack_token_shards(
     with ~1e9 docs/source, n_buckets=4096 keeps slices in the low
     hundreds of MB.
 
-    ``n_buckets=None`` (default) scales the bucket count with the input:
-    max(8, input scan partitions). Partition count tracks data volume
-    (``spark.sql.files.maxPartitionBytes``), so per-(source, bucket)
-    window slices stay near-constant as the corpus grows instead of
-    growing linearly under a fixed count — the factor-256 scaling probe
-    showed fixed n_buckets=8 is exactly where the operator's growth
-    turns linear (SCALING.md r6). The reconciliation stays metadata-
-    sized: sources × n_buckets rows, one short row per task of the
-    main scan.
+    ``n_buckets=None`` (default): max(8, input scan partitions, cluster
+    default parallelism). Partition count tracks data volume
+    (``spark.sql.files.maxPartitionBytes``) and the parallelism floor
+    covers cached/coalesced inputs that report few partitions, so
+    per-(source, bucket) window slices stay bounded as the corpus grows
+    under a fixed count. At probe scale (≤1.3M docs, 32 cores) the
+    bucket count barely moves wall time once the input is properly
+    partitioned — see SCALING.md's r6 packing correction for the
+    measurement-artifact story — the auto default is for the true
+    scale case (slices must stay task-sized at 1e9+ docs/source). The
+    reconciliation stays metadata-sized: sources × n_buckets rows.
     """
     if n_buckets is None:
-        n_buckets = max(8, per_doc.rdd.getNumPartitions())
+        # cluster width matters as much as input partitioning: a cached
+        # or coalesced input can report ONE partition on a 32-core box
+        # (then max(8, partitions) pins the window to 8 serial slices)
+        n_buckets = max(8, per_doc.rdd.getNumPartitions(),
+                        per_doc.sparkSession.sparkContext
+                        .defaultParallelism)
     local_w = (
         Window.partitionBy(source_col, "bucket")
         .orderBy(id_col)

@@ -36,7 +36,15 @@ def scaled_documents(spark, factor: int):
         return base
     n = base.count()
     reps = spark.range(factor).select(F.col("id").alias("rep"))
-    return (base.crossJoin(reps)
+    # realistic partitioning: a 1-file base crossJoined with a range
+    # otherwise collapses the whole synthetic corpus into ONE cached
+    # partition, and every probed operator then pays a SERIAL map stage
+    # (tokenize/shingle 1.28M docs in one task ≈ 40s at factor 256 —
+    # this artifact masked which stage actually bound token packing in
+    # the first r6 measurement). Real corpora are many-file; spread the
+    # replicas across the cluster width.
+    width = spark.sparkContext.defaultParallelism
+    return (base.crossJoin(reps).repartition(width)
             .select((F.col("doc_id") + F.col("rep") * n).alias("doc_id"),
                     # every TOKEN carries the replica tag: replicas share
                     # no shingles, so posting lists keep the base corpus's
@@ -56,7 +64,9 @@ def scaled_embeddings(spark, factor: int):
         return base
     n = base.count()
     reps = spark.range(factor).select(F.col("id").alias("rep"))
-    return (base.crossJoin(reps)
+    # same realistic-partitioning fix as scaled_documents
+    width = spark.sparkContext.defaultParallelism
+    return (base.crossJoin(reps).repartition(width)
             .select((F.col("vec_id") + F.col("rep") * n).alias("vec_id"),
                     # deterministic per-replica rotation of one coordinate
                     F.expr("transform(embedding, (x, i) -> "
@@ -106,10 +116,11 @@ def run_ops(spark, factor: int, ops: set[str]) -> list[dict]:
     probe("connected_components", lambda: connected_components(
         ngram_jaccard_pairs(docs, threshold=0.2, max_posting_list=1000),
         nodes=docs.select("doc_id"), unique_edges=True).count())
-    # default (auto) bucket count: scales with input partitions so the
-    # per-(source, bucket) window slice stays near-constant — fixed
-    # n_buckets=8 measured LINEAR at factor 256 (48s vs 0.7s auto;
-    # SCALING.md r6 row)
+    # default (auto) bucket count — max(8, partitions, cluster width);
+    # see SCALING.md's r6 packing correction: with the corpus properly
+    # partitioned the bucket count barely matters at probe scale (the
+    # earlier "fixed-8 is linear" finding was the 1-partition serial-map
+    # artifact, and the "auto is flat" number was a cache hit)
     probe("token_packing", lambda: pack_token_shards(
         docs.select("source", "doc_id",
                     ws_token_count("text").alias("tokens")),
