@@ -279,6 +279,11 @@ class QueryService:
             return None  # empty or duplicate output names
         parts = [p.strip() for p in m_rel.group(1).split(",")]
         if len(parts) == 2:
+            if db is not None:
+                # a db-scoped request rejects cross-database refs on the
+                # Spark path (_scope_to_db) — the native path must fall
+                # through so the SAME error surfaces, never an answer
+                return None
             key = self.catalog.measurement_for_view(parts[1], db=parts[0])
             if key is None and parts[1] in self.catalog.measurements(parts[0]):
                 key = (parts[0], parts[1])

@@ -132,6 +132,10 @@ class TestQueryService:
                                  "metrics") is not None
         assert svc._native_count("SELECT COUNT(*) FROM cpu",
                                  "otherdb") is None
+        # qualified refs under db scoping fall through so the Spark
+        # path's cross-database rejection surfaces identically
+        assert svc._native_count("SELECT COUNT(*) FROM metrics.cpu",
+                                 "metrics") is None
 
     def test_native_count_tracks_flushes(self, spark, tmp_path):
         svc = self._service(spark, str(tmp_path))
