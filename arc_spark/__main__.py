@@ -150,20 +150,36 @@ def _maintain(args) -> int:
                                     "days": ret["days"]}
     if "export" in jobs:
         from arc_spark.operators.export import export_delta_log, export_tree
+        from arc_spark.operators.iceberg_export import export_iceberg
 
         exp = cfg["export"]
+        fmt = exp.get("format", "delta")
+        if fmt not in ("delta", "iceberg", "both"):
+            print(f"[export] format must be delta|iceberg|both, got "
+                  f"{fmt!r}", file=sys.stderr)
+            return 2
         commits = 0
         for db, meas in measurements:
             mp = bk.join(root, db, meas)
-            if exp["dest_path"]:
-                dbk = backend_for(exp["dest_path"])
-                r = export_tree(mp, dbk.join(exp["dest_path"], db, meas),
-                                bk=bk, table_name=f"{db}.{meas}")
-            else:
-                r = export_delta_log(mp, bk=bk, table_name=f"{db}.{meas}")
-            commits += 1 if (r["added"] or r["removed"]) else 0
+            changed = False
+            if fmt in ("delta", "both"):
+                if exp["dest_path"]:
+                    dbk = backend_for(exp["dest_path"])
+                    r = export_tree(
+                        mp, dbk.join(exp["dest_path"], db, meas),
+                        bk=bk, table_name=f"{db}.{meas}")
+                else:
+                    r = export_delta_log(mp, bk=bk,
+                                         table_name=f"{db}.{meas}")
+                changed |= bool(r["added"] or r["removed"])
+            if fmt in ("iceberg", "both"):
+                r = export_iceberg(
+                    mp, bk=bk, table_name=f"{db}.{meas}",
+                    retain=exp.get("retain_snapshots", 10))
+                changed |= bool(r["changed"])
+            commits += 1 if changed else 0
         out["jobs"]["export"] = {"measurements": len(measurements),
-                                 "commits": commits}
+                                 "commits": commits, "format": fmt}
     if "reconcile" in jobs:
         from arc_spark.operators.reconciliation import Reconciler
 

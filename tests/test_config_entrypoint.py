@@ -553,3 +553,54 @@ class TestSparkTempSweep:
         assert n == 2
         assert not aged.exists() and not aged2.exists()
         assert young.exists() and other.exists()
+
+
+class TestMaintainIcebergExport:
+    def test_maintain_export_honors_format(self, spark, tmp_path):
+        """`maintain --jobs export` follows [export] format="iceberg" —
+        the out-of-process pass and the scheduler job publish the same
+        surface (verified by the independent reader)."""
+        import datetime as _dt
+        import json as _json
+        import subprocess
+        import sys as _sys
+
+        from pyspark.sql import functions as F
+
+        from arc_spark.sources.writer import write_measurement
+
+        root = tmp_path / "data"
+        df = spark.range(40).select(
+            F.timestamp_micros(
+                F.lit(int(_dt.datetime(2020, 1, 15).timestamp()
+                          * 1_000_000)) + F.col("id") * 10).alias("time"),
+            (F.col("id") % 3).cast("string").alias("host"),
+            F.col("id").cast("double").alias("value"))
+        write_measurement(df, str(root), "metrics", "cpu",
+                          tag_columns=["host"])
+        cfgfile = tmp_path / "arc.toml"
+        cfgfile.write_text(
+            f"[storage]\nlocal_path = '{root}'\n"
+            "[spark]\ncpus = 2\n"
+            "[export]\nformat = 'iceberg'\n")
+        env = dict(os.environ)
+        env["PYTHONPATH"] = os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))
+        out = subprocess.run(
+            [_sys.executable, "-m", "arc_spark", "maintain",
+             "-c", str(cfgfile), "--jobs", "export"],
+            capture_output=True, text=True, env=env, cwd=str(tmp_path),
+            timeout=300)
+        assert out.returncode == 0, out.stdout + out.stderr
+        line = _json.loads(out.stdout.strip().splitlines()[-1])
+        assert line["jobs"]["export"]["format"] == "iceberg"
+        assert line["jobs"]["export"]["commits"] == 1
+        from arc_spark import snapshots
+        from tests._iceberg_reader import read_table
+
+        mp = str(root / "metrics" / "cpu")
+        state = read_table(mp)
+        committed = {os.path.relpath(f, mp)
+                     for f in snapshots.data_files(mp)}
+        assert {os.path.relpath(f["path"], mp)
+                for f in state["files"]} == committed
