@@ -15,6 +15,10 @@ Other subcommands:
   the same root because snapshot commits are version-CAS — concurrent
   committers retry, nothing is lost (tests/test_snapshots.py
   TestMultiProcessCommit).
+- ``export [-c arc.toml] [--format delta|iceberg|tree|both] [--db X]
+  [--measurement Y] [--dest DIR]`` — one-shot external-reader export
+  (CLI twin of POST /api/v1/export); metadata-plane only, no Spark
+  session is booted.
 """
 
 from __future__ import annotations
@@ -196,6 +200,78 @@ def _maintain(args) -> int:
     return 0
 
 
+def _export(args) -> int:
+    """One-shot external-reader export and exit (reference
+    internal/iceberg on-demand export, CLI twin of POST /api/v1/export).
+
+    Metadata-plane only — resolves the committed snapshot and writes the
+    Delta log / Iceberg v2 metadata / committed-only tree; no Spark
+    session is booted. ``--format`` overrides ``[export] format`` from
+    config; ``--db``/``--measurement`` scope the sweep (default: every
+    measurement under the storage root)."""
+    from arc_spark.catalog import validate_identifier
+    from arc_spark.config import load_config, resolve_storage_root
+    from arc_spark.storage import backend_for
+
+    cfg = load_config(args.config)
+    exp_cfg = cfg["export"]
+    fmt = args.format or exp_cfg.get("format", "delta")
+    if fmt not in ("delta", "iceberg", "tree", "both"):
+        print(f"format must be delta|iceberg|tree|both, got {fmt!r}",
+              file=sys.stderr)
+        return 2
+    dest = args.dest or exp_cfg.get("dest_path") or None
+    if fmt == "tree" and not dest:
+        print("tree export needs --dest (or [export] dest_path)",
+              file=sys.stderr)
+        return 2
+    root = resolve_storage_root(cfg["storage"])
+    bk = backend_for(root)
+    if args.db:
+        validate_identifier(args.db, "database")
+    if args.measurement:
+        validate_identifier(args.measurement, "measurement")
+    measurements = []
+    if bk.isdir(root):
+        for db in bk.list_dirs(root):
+            if args.db and db != args.db:
+                continue
+            for meas in bk.list_dirs(bk.join(root, db)):
+                if args.measurement and meas != args.measurement:
+                    continue
+                measurements.append((db, meas))
+    if (args.db or args.measurement) and not measurements:
+        print(f"no measurement matches db={args.db!r} "
+              f"measurement={args.measurement!r}", file=sys.stderr)
+        return 2
+    results = []
+    for db, meas in measurements:
+        mp = bk.join(root, db, meas)
+        row: dict = {"db": db, "measurement": meas, "format": fmt}
+        if fmt == "tree":
+            from arc_spark.operators.export import export_tree
+
+            dbk = backend_for(dest)
+            row["tree"] = export_tree(mp, dbk.join(dest, db, meas),
+                                      bk=bk, table_name=f"{db}.{meas}")
+        if fmt in ("delta", "both"):
+            from arc_spark.operators.export import export_delta_log
+
+            row["delta"] = export_delta_log(mp, bk=bk,
+                                            table_name=f"{db}.{meas}")
+        if fmt in ("iceberg", "both"):
+            from arc_spark.operators.iceberg_export import export_iceberg
+
+            row["iceberg"] = export_iceberg(
+                mp, bk=bk, table_name=f"{db}.{meas}",
+                retain=exp_cfg.get("retain_snapshots", 10))
+        results.append(row)
+    json.dump({"root": root, "format": fmt, "exported": results},
+              sys.stdout)
+    print()
+    return 0
+
+
 def _bundle(args) -> int:
     """Air-gap spoke operations (reference edgesync exporter/ack CLI
     surface): ``bundle export --dest DIR`` writes pending ledger entries
@@ -238,10 +314,21 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="python -m arc_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
     for name, fn in (("serve", _serve), ("check-config", _check_config),
-                     ("maintain", _maintain), ("bundle", _bundle)):
+                     ("maintain", _maintain), ("export", _export),
+                     ("bundle", _bundle)):
         p = sub.add_parser(name)
         p.add_argument("-c", "--config", default=None,
                        help="path to arc.toml-equivalent config file")
+        if name == "export":
+            p.add_argument("--format", default=None,
+                           choices=["delta", "iceberg", "tree", "both"],
+                           help="override [export] format from config")
+            p.add_argument("--db", default=None,
+                           help="limit to one database")
+            p.add_argument("--measurement", default=None,
+                           help="limit to one measurement")
+            p.add_argument("--dest", default=None,
+                           help="destination directory (tree format)")
         if name == "maintain":
             p.add_argument(
                 "--jobs", default=None,

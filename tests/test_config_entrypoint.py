@@ -604,3 +604,74 @@ class TestMaintainIcebergExport:
                      for f in snapshots.data_files(mp)}
         assert {os.path.relpath(f["path"], mp)
                 for f in state["files"]} == committed
+
+
+class TestExportSubcommand:
+    def _write_cpu(self, spark, root):
+        import datetime as _dt
+
+        from pyspark.sql import functions as F
+
+        from arc_spark.sources.writer import write_measurement
+
+        df = spark.range(40).select(
+            F.timestamp_micros(
+                F.lit(int(_dt.datetime(2020, 1, 15).timestamp()
+                          * 1_000_000)) + F.col("id") * 10).alias("time"),
+            (F.col("id") % 3).cast("string").alias("host"),
+            F.col("id").cast("double").alias("value"))
+        write_measurement(df, str(root), "metrics", "cpu",
+                          tag_columns=["host"])
+
+    def _run(self, tmp_path, *argv, timeout=300):
+        import subprocess
+        import sys as _sys
+
+        env = dict(os.environ)
+        env["PYTHONPATH"] = os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))
+        return subprocess.run(
+            [_sys.executable, "-m", "arc_spark", "export", *argv],
+            capture_output=True, text=True, env=env, cwd=str(tmp_path),
+            timeout=timeout)
+
+    def test_one_shot_export_both_formats(self, spark, tmp_path):
+        """`python -m arc_spark export --format both` publishes a Delta
+        log AND Iceberg v2 metadata over the committed set, no Spark
+        session, scoped to one measurement (CLI twin of the
+        POST /api/v1/export route)."""
+        import json as _json
+
+        root = tmp_path / "data"
+        self._write_cpu(spark, root)
+        cfgfile = tmp_path / "arc.toml"
+        cfgfile.write_text(f"[storage]\nlocal_path = '{root}'\n")
+        out = self._run(tmp_path, "-c", str(cfgfile), "--format", "both",
+                        "--db", "metrics", "--measurement", "cpu")
+        assert out.returncode == 0, out.stdout + out.stderr
+        line = _json.loads(out.stdout.strip().splitlines()[-1])
+        assert line["format"] == "both"
+        assert [(r["db"], r["measurement"]) for r in line["exported"]] == [
+            ("metrics", "cpu")]
+        from arc_spark import snapshots
+        from tests._delta_reader import read_state
+        from tests._iceberg_reader import read_table
+
+        mp = str(root / "metrics" / "cpu")
+        committed = {os.path.relpath(f, mp)
+                     for f in snapshots.data_files(mp)}
+        assert set(read_state(mp)["files"]) == committed
+        assert {os.path.relpath(f["path"], mp)
+                for f in read_table(mp)["files"]} == committed
+
+    def test_scope_miss_and_bad_tree_dest_are_errors(self, spark, tmp_path):
+        root = tmp_path / "data"
+        self._write_cpu(spark, root)
+        cfgfile = tmp_path / "arc.toml"
+        cfgfile.write_text(f"[storage]\nlocal_path = '{root}'\n")
+        out = self._run(tmp_path, "-c", str(cfgfile), "--db", "nosuch")
+        assert out.returncode == 2
+        assert "no measurement matches" in out.stderr
+        out = self._run(tmp_path, "-c", str(cfgfile), "--format", "tree")
+        assert out.returncode == 2
+        assert "needs --dest" in out.stderr
