@@ -120,10 +120,13 @@ def _log_state(bk, table_path: str) -> tuple[int, set[str]]:
     return last, files
 
 
-def _write_commit(bk, table_path: str, version: int, actions: list[dict]):
+def _write_commit(bk, table_path: str, version: int,
+                  actions: list[dict]) -> bool:
     """Publish `_delta_log/<version>.json` atomically and exclusively —
     the same CAS primitive as engine snapshots, so a concurrent exporter
-    can't clobber a version (Delta's optimistic-concurrency rule)."""
+    can't clobber a version (Delta's optimistic-concurrency rule).
+    Returns False when another committer took this version (the caller
+    rereads the log and retries, like snapshots.commit losers do)."""
     d = bk.join(table_path, DELTA_LOG_DIR)
     bk.mkdirs(d)
     body = "\n".join(json.dumps(a, separators=(",", ":")) for a in actions)
@@ -131,9 +134,9 @@ def _write_commit(bk, table_path: str, version: int, actions: list[dict]):
     bk.write_bytes(tmp, body.encode("utf-8"))
     final = bk.join(d, f"{version:020d}.json")
     if not bk.move_file_excl(tmp, final):
-        raise RuntimeError(
-            f"delta log version {version} already exists at {table_path} "
-            "(concurrent exporter) — rerun to export on top of it")
+        bk.remove_file_if_exists(tmp)
+        return False
+    return True
 
 
 def export_delta_log(meas_path: str, bk=None, table_name: str | None = None,
@@ -159,9 +162,28 @@ def _committed_rels(meas_path: str, bk) -> list[str]:
     return sorted(bk.relpath(f, meas_path).replace("\\", "/") for f in files)
 
 
+EXPORT_COMMIT_RETRIES = 5
+
+
 def _export_log_into(bk, meas_path: str, table_path: str, rels: list[str],
                      table_name: str, now_ms: int | None) -> dict:
+    """CAS-retry loop: a loser against a concurrent exporter rereads the
+    log and rediffs (usually a no-op — the winner exported the same
+    committed set) instead of failing the caller's whole sweep."""
     now_ms = int(time.time() * 1000) if now_ms is None else now_ms
+    for _attempt in range(EXPORT_COMMIT_RETRIES):
+        out = _export_log_attempt(bk, meas_path, table_path, rels,
+                                  table_name, now_ms)
+        if out is not None:
+            return out
+    raise RuntimeError(
+        f"delta log export at {table_path}: lost the version CAS "
+        f"{EXPORT_COMMIT_RETRIES} times to concurrent exporters")
+
+
+def _export_log_attempt(bk, meas_path: str, table_path: str,
+                        rels: list[str], table_name: str,
+                        now_ms: int) -> dict | None:
     last, current = _log_state(bk, table_path)
     want = set(rels)
     added = sorted(want - current)
@@ -204,7 +226,8 @@ def _export_log_into(bk, meas_path: str, table_path: str, rels: list[str],
             "path": urllib.parse.quote(rel, safe="/="),
             "deletionTimestamp": now_ms, "dataChange": True,
         }})
-    _write_commit(bk, table_path, version, actions)
+    if not _write_commit(bk, table_path, version, actions):
+        return None  # lost the race — caller rereads and retries
     return {"version": version, "added": len(added),
             "removed": len(removed), "files": len(want)}
 

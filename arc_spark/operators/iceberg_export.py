@@ -45,6 +45,7 @@ import uuid
 
 from arc_spark import snapshots
 from arc_spark.operators.avro_min import write_avro
+from arc_spark.operators.export import EXPORT_COMMIT_RETRIES
 from arc_spark.storage import backend_for
 
 METADATA_DIR = "metadata"
@@ -256,10 +257,26 @@ def export_iceberg(meas_path: str, bk=None, table_name: str | None = None,
     and v<N>.metadata.json copies beyond the retain window (never the
     current version). Safe here because THIS exporter writes one fresh
     full manifest per snapshot — manifests are never shared across
-    snapshots, so a dropped snapshot's files are provably orphaned."""
+    snapshots, so a dropped snapshot's files are provably orphaned.
+
+    Concurrent exporters are version-CAS-safe: a loser cleans up its
+    side files, rereads the metadata, and retries (usually converging to
+    a no-op because the winner exported the same committed set)."""
     bk = bk or backend_for(meas_path)
     now_ms = int(time.time() * 1000) if now_ms is None else now_ms
     table_name = table_name or bk.basename(meas_path)
+    for _attempt in range(EXPORT_COMMIT_RETRIES):
+        out = _export_iceberg_attempt(bk, meas_path, table_name, now_ms,
+                                      retain)
+        if out is not None:
+            return out
+    raise RuntimeError(
+        f"iceberg export at {meas_path}: lost the version CAS "
+        f"{EXPORT_COMMIT_RETRIES} times to concurrent exporters")
+
+
+def _export_iceberg_attempt(bk, meas_path: str, table_name: str,
+                            now_ms: int, retain: int) -> dict | None:
     rels = _committed_rels(meas_path, bk)
     last_v, meta = _current_metadata(bk, table_path=meas_path)
 
@@ -426,12 +443,12 @@ def export_iceberg(meas_path: str, bk=None, table_name: str | None = None,
     bk.write_bytes(tmp, body)
     final = bk.join(md_dir, f"v{version}.metadata.json")
     if not bk.move_file_excl(tmp, final):
-        # concurrent exporter took this version — clean our side, re-run
+        # concurrent exporter took this version — clean our side files,
+        # signal the caller to reread the metadata and retry
+        bk.remove_file_if_exists(tmp)
         bk.remove_file_if_exists(manifest_path)
         bk.remove_file_if_exists(mlist_path)
-        raise RuntimeError(
-            f"iceberg metadata v{version} already exists at {meas_path} "
-            "(concurrent exporter) — rerun to export on top of it")
+        return None
     bk.write_bytes(bk.join(md_dir, "version-hint.text"),
                    str(version).encode("ascii"))
     _expire_cleanup(bk, md_dir, dropped_snaps, version, retain)

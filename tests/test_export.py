@@ -128,17 +128,45 @@ class TestDeltaLogZeroCopy:
                      for f in snapshots.data_files(mp)}
         assert last_adds == committed
 
-    def test_concurrent_version_collision_raises(self, meas):
+    def test_concurrent_cas_loser_retries_and_converges(self, meas,
+                                                        monkeypatch):
+        """A loser against a concurrent exporter never clobbers a
+        version (CAS) — and instead of failing it rereads the log and
+        converges, here to a no-op because the 'winner' (simulated via a
+        one-shot stale state read) published the same committed set."""
+        import arc_spark.operators.export as ex
+
+        _, mp = meas
+        export_delta_log(mp)  # v0 exists
+        real = ex._log_state
+        calls = {"n": 0}
+
+        def stale_once(bk, table_path):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                return -1, set()  # pre-v0 view → recomputes version 0
+            return real(bk, table_path)
+
+        monkeypatch.setattr(ex, "_log_state", stale_once)
+        out = export_delta_log(mp)
+        assert (out["version"], out["added"], out["removed"]) == (0, 0, 0)
+        assert calls["n"] == 2  # one lost CAS, one converging reread
+        bk = backend_for(mp)
+        d = bk.join(mp, DELTA_LOG_DIR)
+        names = [bk.basename(f) for f in bk.list_files(d)]
+        assert [n for n in names if n.endswith(".json")] == [
+            f"{0:020d}.json"]  # single commit, never clobbered
+        assert not [n for n in names if ".tmp" in n]  # loser cleaned up
+
+    def test_cas_exhaustion_raises(self, meas, monkeypatch):
+        import arc_spark.operators.export as ex
+
         _, mp = meas
         export_delta_log(mp)
-        bk = backend_for(mp)
-        # simulate a foreign exporter stealing the next version
-        d = bk.join(mp, DELTA_LOG_DIR)
-        bk.write_bytes(bk.join(d, f"{1:020d}.json"), b"{}")
-        with pytest.raises(RuntimeError):
-            from arc_spark.operators.export import _write_commit
-
-            _write_commit(bk, mp, 1, [{"commitInfo": {}}])
+        monkeypatch.setattr(ex, "_log_state",
+                            lambda bk, table_path: (-1, set()))
+        with pytest.raises(RuntimeError, match="lost the version CAS"):
+            export_delta_log(mp)
 
 
 class TestExportTreeVanillaRead:

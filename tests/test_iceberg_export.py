@@ -218,19 +218,49 @@ class TestIcebergExport:
             assert out["changed"]
             read_table(mp)
 
-    def test_concurrent_version_collision_raises(self, meas, monkeypatch):
+    def test_concurrent_cas_loser_retries_and_converges(self, meas,
+                                                        monkeypatch):
         """CAS discipline: when another exporter publishes the version we
         computed between our state read and our commit, the commit must
-        FAIL (move_file_excl EEXIST), never clobber. Simulated by
-        pinning the state read to stale (-1, None) after v0 exists."""
+        never clobber — the loser cleans its side files (manifest,
+        manifest list, tmp), rereads the metadata, and converges (here to
+        a no-op: the committed set is unchanged). Simulated by a one-shot
+        stale (-1, None) state read after v0 exists."""
+        from tests._iceberg_reader import read_table
+
         import arc_spark.operators.iceberg_export as ie
 
         _, mp = meas
         export_iceberg(mp)  # publishes v0
+        real = ie._current_metadata
+        calls = {"n": 0}
+
+        def stale_once(bk, table_path):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                return -1, None  # pre-v0 view → recomputes version 0
+            return real(bk, table_path)
+
+        monkeypatch.setattr(ie, "_current_metadata", stale_once)
+        out = export_iceberg(mp)
+        assert out["changed"] is False and out["version"] == 0
+        assert calls["n"] == 2  # one lost CAS, one converging reread
+        md = os.path.join(mp, "metadata")
+        avros = sorted(f for f in os.listdir(md) if f.endswith(".avro"))
+        # exactly v0's pair — the loser's avros were cleaned up
+        assert len(avros) == 2
+        assert not [f for f in os.listdir(md) if ".tmp" in f]
+        read_table(mp)  # still resolves cleanly
+
+    def test_cas_exhaustion_raises(self, meas, monkeypatch):
+        import arc_spark.operators.iceberg_export as ie
+
+        _, mp = meas
+        export_iceberg(mp)
         monkeypatch.setattr(ie, "_current_metadata",
                             lambda bk, table_path: (-1, None))
-        with pytest.raises(RuntimeError, match="already exists"):
-            export_iceberg(mp)  # tries v0 again → CAS loses
+        with pytest.raises(RuntimeError, match="lost the version CAS"):
+            export_iceberg(mp)
 
     def test_foreign_version_is_built_upon(self, meas):
         """A foreign/corrupt v1.metadata.json doesn't wedge the exporter:
