@@ -675,3 +675,41 @@ class TestExportSubcommand:
         out = self._run(tmp_path, "-c", str(cfgfile), "--format", "tree")
         assert out.returncode == 2
         assert "needs --dest" in out.stderr
+
+    def test_two_process_export_race_is_safe(self, spark, tmp_path):
+        """Two `export --format both` processes racing on the same
+        measurement: both must exit 0 (CAS losers reread+retry) and the
+        final Delta log and Iceberg metadata must resolve exactly the
+        committed set with no tmp residue."""
+        import threading
+
+        root = tmp_path / "data"
+        self._write_cpu(spark, root)
+        cfgfile = tmp_path / "arc.toml"
+        cfgfile.write_text(f"[storage]\nlocal_path = '{root}'\n")
+        outs = [None, None]
+
+        def run(i):
+            outs[i] = self._run(tmp_path, "-c", str(cfgfile),
+                                "--format", "both")
+
+        ts = [threading.Thread(target=run, args=(i,)) for i in range(2)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        for out in outs:
+            assert out.returncode == 0, out.stdout + out.stderr
+        from arc_spark import snapshots
+        from tests._delta_reader import read_state
+        from tests._iceberg_reader import read_table
+
+        mp = str(root / "metrics" / "cpu")
+        committed = {os.path.relpath(f, mp)
+                     for f in snapshots.data_files(mp)}
+        assert set(read_state(mp)["files"]) == committed
+        assert {os.path.relpath(f["path"], mp)
+                for f in read_table(mp)["files"]} == committed
+        for sub in ("_delta_log", "metadata"):
+            assert not [f for f in os.listdir(os.path.join(mp, sub))
+                        if ".tmp" in f]
