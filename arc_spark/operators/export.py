@@ -164,6 +164,109 @@ def _committed_rels(meas_path: str, bk) -> list[str]:
 
 EXPORT_COMMIT_RETRIES = 5
 
+# Classic (non-multi-part) checkpoint cadence — PROTOCOL.md suggests
+# every 10 commits; a long-lived periodic export otherwise leaves
+# readers replaying O(all commits) JSON forever.
+CHECKPOINT_EVERY = 10
+
+
+def _replay_actions(bk, table_path: str):
+    """Full log replay → (protocol, metaData, {decoded rel: add action})
+    — state reconstruction keeping the latest action per kind/path."""
+    protocol = None
+    meta = None
+    files: dict[str, dict] = {}
+    for _ver, path in _log_versions(bk, table_path):
+        for line in bk.read_bytes(path).decode("utf-8").splitlines():
+            if not line.strip():
+                continue
+            action = json.loads(line)
+            if "protocol" in action:
+                protocol = action["protocol"]
+            elif "metaData" in action:
+                meta = action["metaData"]
+            elif "add" in action:
+                files[urllib.parse.unquote(
+                    action["add"]["path"])] = action["add"]
+            elif "remove" in action:
+                files.pop(urllib.parse.unquote(
+                    action["remove"]["path"]), None)
+    return protocol, meta, files
+
+
+def _write_checkpoint(bk, table_path: str, version: int) -> None:
+    """PROTOCOL.md classic checkpoint: ``<v>.checkpoint.parquet`` holding
+    the reconstructed state (one protocol row, one metaData row, one row
+    per active add; tombstones are dropped — this exporter never writes
+    remove actions a vacuum would need, so expired-tombstone semantics
+    are trivially satisfied) plus the ``_last_checkpoint`` pointer.
+    Readers resolve state from the newest checkpoint + later commits:
+    O(changes since checkpoint), not O(all commits). Best-effort — a
+    failed/raced checkpoint leaves a valid JSON-only log, and the
+    pointer only ever advances."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = bk.join(table_path, DELTA_LOG_DIR)
+    final = bk.join(d, f"{version:020d}.checkpoint.parquet")
+    if bk.exists(final):
+        return
+    protocol, meta, files = _replay_actions(bk, table_path)
+    if protocol is None or meta is None:
+        return
+    smap = pa.map_(pa.string(), pa.string())
+    t_protocol = pa.struct([("minReaderVersion", pa.int32()),
+                            ("minWriterVersion", pa.int32())])
+    t_meta = pa.struct([
+        ("id", pa.string()), ("name", pa.string()),
+        ("description", pa.string()),
+        ("format", pa.struct([("provider", pa.string()),
+                              ("options", smap)])),
+        ("schemaString", pa.string()),
+        ("partitionColumns", pa.list_(pa.string())),
+        ("configuration", smap),
+        ("createdTime", pa.int64())])
+    t_add = pa.struct([
+        ("path", pa.string()), ("partitionValues", smap),
+        ("size", pa.int64()), ("modificationTime", pa.int64()),
+        ("dataChange", pa.bool_())])
+    adds = [{"path": a["path"],  # keep the commit's percent-encoding
+             "partitionValues": a["partitionValues"],
+             "size": a["size"],
+             "modificationTime": a["modificationTime"],
+             "dataChange": False}  # per spec, false inside checkpoints
+            for _rel, a in sorted(files.items())]
+    n = 2 + len(adds)
+    tbl = pa.table({
+        "protocol": pa.array([protocol] + [None] * (len(adds) + 1),
+                             type=t_protocol),
+        "metaData": pa.array(
+            [None, {k: meta.get(k) for k in
+                    ("id", "name", "description", "format",
+                     "schemaString", "partitionColumns",
+                     "configuration", "createdTime")}]
+            + [None] * len(adds), type=t_meta),
+        "add": pa.array([None, None] + adds, type=t_add),
+    })
+    buf = io.BytesIO()
+    pq.write_table(tbl, buf)
+    tmp = bk.join(d, f".ckpt-{uuid.uuid4().hex[:8]}.tmp")
+    bk.write_bytes(tmp, buf.getvalue())
+    if not bk.move_file_excl(tmp, final):
+        bk.remove_file_if_exists(tmp)  # raced — that version's writer won
+        return
+    lc = bk.join(d, "_last_checkpoint")
+    try:
+        if int(json.loads(bk.read_bytes(lc)).get("version", -1)) >= version:
+            return  # never move the pointer backwards
+    except Exception:
+        pass
+    bk.write_bytes(lc, json.dumps(
+        {"version": version, "size": n},
+        separators=(",", ":")).encode("ascii"))
+
 
 def _export_log_into(bk, meas_path: str, table_path: str, rels: list[str],
                      table_name: str, now_ms: int | None) -> dict:
@@ -228,6 +331,11 @@ def _export_log_attempt(bk, meas_path: str, table_path: str,
         }})
     if not _write_commit(bk, table_path, version, actions):
         return None  # lost the race — caller rereads and retries
+    if (version + 1) % CHECKPOINT_EVERY == 0:
+        try:
+            _write_checkpoint(bk, table_path, version)
+        except Exception:
+            pass  # hint layer only; the JSON log stays authoritative
     return {"version": version, "added": len(added),
             "removed": len(removed), "files": len(want)}
 

@@ -152,12 +152,77 @@ def read_state(table_path: str) -> dict:
         pv = body["partitionValues"]
         _require(set(pv) == set(meta["partitionColumns"]),
                  f"partitionValues keys {sorted(pv)} != partitionColumns")
+    ckpt = _validate_checkpoint(table_path, commits, files, meta)
     return {
         "version": commits[-1][0],
         "schema": meta["_schema"],
         "partition_columns": list(meta["partitionColumns"]),
         "files": files,
+        "checkpoint": ckpt,
     }
+
+
+def _validate_checkpoint(table_path: str, commits, replay_files, meta):
+    """If `_last_checkpoint` exists: pointer and parquet must agree, and
+    state reconstructed from (checkpoint + commits after it) must EQUAL
+    the full-JSON replay — the independent cross-check that a real
+    checkpoint-starting reader sees the same table. Returns the
+    checkpoint version, or None when the log has no checkpoint."""
+    import pyarrow.parquet as pq
+
+    log_dir = os.path.join(table_path, "_delta_log")
+    lc_path = os.path.join(log_dir, "_last_checkpoint")
+    if not os.path.isfile(lc_path):
+        return None
+    with open(lc_path, "rb") as fh:
+        lc = json.loads(fh.read().decode("utf-8"))
+    _require(isinstance(lc.get("version"), int) and lc["version"] >= 0,
+             "_last_checkpoint.version must be a non-negative int")
+    v = lc["version"]
+    _require(v <= commits[-1][0],
+             f"_last_checkpoint v{v} beyond last commit {commits[-1][0]}")
+    ck_file = os.path.join(log_dir, f"{v:020d}.checkpoint.parquet")
+    _require(os.path.isfile(ck_file),
+             f"_last_checkpoint points at missing checkpoint v{v}")
+    rows = pq.read_table(ck_file).to_pylist()
+    _require(lc.get("size") == len(rows),
+             f"_last_checkpoint.size {lc.get('size')} != rows {len(rows)}")
+    protos = [r["protocol"] for r in rows if r.get("protocol") is not None]
+    metas = [r["metaData"] for r in rows if r.get("metaData") is not None]
+    _require(len(protos) == 1, "checkpoint must hold exactly one protocol")
+    _require(len(metas) == 1, "checkpoint must hold exactly one metaData")
+    _require(protos[0]["minReaderVersion"] <= SUPPORTED_READER_VERSION,
+             "checkpoint minReaderVersion unsupported")
+    _require(metas[0]["schemaString"] == meta["schemaString"],
+             "checkpoint schemaString diverges from the JSON log")
+    files: dict[str, int] = {}
+    for r in rows:
+        a = r.get("add")
+        if a is not None:
+            _require(a["dataChange"] is False,
+                     "checkpoint add.dataChange must be false")
+            files[urllib.parse.unquote(a["path"])] = a["size"]
+    for ver, path in commits:
+        if ver <= v:
+            continue
+        with open(path, "rb") as fh:
+            for ln in fh.read().decode("utf-8").splitlines():
+                if not ln.strip():
+                    continue
+                action = json.loads(ln)
+                if "add" in action:
+                    body = action["add"]
+                    files[urllib.parse.unquote(
+                        body["path"])] = body["size"]
+                elif "remove" in action:
+                    files.pop(urllib.parse.unquote(
+                        action["remove"]["path"]), None)
+    _require(set(files) == set(replay_files),
+             "checkpoint-reconstructed file set diverges from JSON replay")
+    for rel, size in files.items():
+        _require(size == replay_files[rel]["size"],
+                 f"checkpoint size diverges for {rel}")
+    return v
 
 
 _DUCK_TYPES = {

@@ -403,3 +403,77 @@ class TestLiveDeltaReader:
             1 for _ in spark.read.parquet(*snapshots.data_files(mp))
             .collect())
         assert df.count() == committed_rows
+
+
+class TestDeltaCheckpoint:
+    def _advance(self, root, i):
+        import pyarrow as pa
+
+        write_measurement_arrow(pa.table({
+            "time": pa.array([1_705_310_000_000_000 + i],
+                             pa.timestamp("us")),
+            "host": pa.array(["h"]), "value": pa.array([float(i)]),
+        }), root, "metrics", "cpu", tag_columns=["host"])
+
+    def test_checkpoint_written_and_validated(self, meas, monkeypatch):
+        """Every CHECKPOINT_EVERY commits the exporter writes a classic
+        checkpoint parquet + `_last_checkpoint` pointer; the strict
+        reader reconstructs state from (checkpoint + later commits) and
+        requires equality with the full JSON replay."""
+        import arc_spark.operators.export as ex
+        from tests._delta_reader import read_state
+
+        monkeypatch.setattr(ex, "CHECKPOINT_EVERY", 3)
+        root, mp = meas
+        export_delta_log(mp)  # v0
+        for i in range(2):    # v1, v2 — v2 is the 3rd commit: checkpoint
+            self._advance(root, i)
+            export_delta_log(mp)
+        d = os.path.join(mp, DELTA_LOG_DIR)
+        assert os.path.isfile(
+            os.path.join(d, f"{2:020d}.checkpoint.parquet"))
+        with open(os.path.join(d, "_last_checkpoint")) as fh:
+            lc = json.load(fh)
+        assert lc["version"] == 2 and lc["size"] >= 3
+        state = read_state(mp)
+        assert state["checkpoint"] == 2 and state["version"] == 2
+        committed = {os.path.relpath(f, mp).replace("\\", "/")
+                     for f in snapshots.data_files(mp)}
+        assert set(state["files"]) == committed
+        # commits AFTER the checkpoint still validate against it
+        self._advance(root, 99)
+        export_delta_log(mp)  # v3, no new checkpoint
+        state = read_state(mp)
+        assert state["checkpoint"] == 2 and state["version"] == 3
+        committed = {os.path.relpath(f, mp).replace("\\", "/")
+                     for f in snapshots.data_files(mp)}
+        assert set(state["files"]) == committed
+
+    def test_reader_rejects_diverged_checkpoint(self, meas, monkeypatch):
+        """A checkpoint whose file set diverges from the JSON replay is
+        a hard reader error, not silently preferred."""
+        import pyarrow.parquet as pq
+
+        import arc_spark.operators.export as ex
+        from tests._delta_reader import DeltaLogError, read_state
+
+        monkeypatch.setattr(ex, "CHECKPOINT_EVERY", 3)
+        root, mp = meas
+        export_delta_log(mp)
+        for i in range(2):
+            self._advance(root, i)
+            export_delta_log(mp)
+        ck = os.path.join(mp, DELTA_LOG_DIR,
+                          f"{2:020d}.checkpoint.parquet")
+        t = pq.read_table(ck)
+        pq.write_table(t.slice(0, t.num_rows - 1), ck)  # drop one add
+        # keep the pointer's size consistent so the DIVERGENCE trips,
+        # not the row-count sanity check
+        lp = os.path.join(mp, DELTA_LOG_DIR, "_last_checkpoint")
+        with open(lp) as fh:
+            lc = json.load(fh)
+        lc["size"] -= 1
+        with open(lp, "w") as fh:
+            json.dump(lc, fh)
+        with pytest.raises(DeltaLogError, match="diverges"):
+            read_state(mp)
