@@ -102,12 +102,47 @@ def _log_versions(bk, table_path: str) -> list[tuple[int, str]]:
     return out
 
 
+def _checkpoint_files(bk, table_path: str) -> tuple[int, set[str]] | None:
+    """Newest checkpoint's (version, active file set), or None. Lets
+    writer-side state resolution replay only commits AFTER the
+    checkpoint — a long-lived periodic export stays O(changes since
+    checkpoint) instead of rereading every JSON commit ever written.
+    Any malformed pointer/parquet → None (full replay; the JSON log is
+    always authoritative)."""
+    import io
+
+    import pyarrow.parquet as pq
+
+    d = bk.join(table_path, DELTA_LOG_DIR)
+    try:
+        lc = json.loads(bk.read_bytes(bk.join(d, "_last_checkpoint")))
+        v = int(lc["version"])
+        t = pq.read_table(
+            io.BytesIO(bk.read_bytes(
+                bk.join(d, f"{v:020d}.checkpoint.parquet"))),
+            columns=["add"])
+    except Exception:
+        return None
+    files: set[str] = set()
+    for a in t.column("add").to_pylist():
+        if a is not None:
+            files.add(urllib.parse.unquote(a["path"]))
+    return v, files
+
+
 def _log_state(bk, table_path: str) -> tuple[int, set[str]]:
-    """(last version, current add-file set) by replaying the log —
-    Delta's state reconstruction, trivial at this metadata volume."""
+    """(last version, current add-file set): Delta's state
+    reconstruction — newest checkpoint as the base when one exists,
+    then replay of the commits after it."""
     files: set[str] = set()
     last = -1
+    base = _checkpoint_files(bk, table_path)
+    if base is not None:
+        last, files = base
+    start = last
     for ver, path in _log_versions(bk, table_path):
+        if ver <= start:
+            continue
         last = ver
         for line in bk.read_bytes(path).decode("utf-8").splitlines():
             if not line.strip():

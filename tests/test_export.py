@@ -477,3 +477,33 @@ class TestDeltaCheckpoint:
             json.dump(lc, fh)
         with pytest.raises(DeltaLogError, match="diverges"):
             read_state(mp)
+
+    def test_writer_state_resolves_from_checkpoint(self, meas,
+                                                   monkeypatch):
+        """Writer-side state resolution starts at the newest checkpoint:
+        with the pre-checkpoint JSON commits deleted out-of-band (the
+        spec's log-cleanup scenario), _log_state still reconstructs the
+        correct set and the next export commits on top."""
+        import arc_spark.operators.export as ex
+
+        monkeypatch.setattr(ex, "CHECKPOINT_EVERY", 3)
+        root, mp = meas
+        export_delta_log(mp)
+        for i in range(2):
+            self._advance(root, i)
+            export_delta_log(mp)  # v2 writes the checkpoint
+        bk = backend_for(mp)
+        d = os.path.join(mp, DELTA_LOG_DIR)
+        expect = {os.path.relpath(f, mp).replace("\\", "/")
+                  for f in snapshots.data_files(mp)}
+        for v in (0, 1):
+            os.unlink(os.path.join(d, f"{v:020d}.json"))
+        last, files = ex._log_state(bk, mp)
+        assert last == 2 and files == expect
+        self._advance(root, 7)
+        out = export_delta_log(mp)
+        assert out["version"] == 3 and out["added"] == 1
+        last, files = ex._log_state(bk, mp)
+        assert last == 3 and files == {
+            os.path.relpath(f, mp).replace("\\", "/")
+            for f in snapshots.data_files(mp)}
