@@ -109,25 +109,10 @@ def _checkpoint_files(bk, table_path: str) -> tuple[int, set[str]] | None:
     checkpoint) instead of rereading every JSON commit ever written.
     Any malformed pointer/parquet → None (full replay; the JSON log is
     always authoritative)."""
-    import io
-
-    import pyarrow.parquet as pq
-
-    d = bk.join(table_path, DELTA_LOG_DIR)
-    try:
-        lc = json.loads(bk.read_bytes(bk.join(d, "_last_checkpoint")))
-        v = int(lc["version"])
-        t = pq.read_table(
-            io.BytesIO(bk.read_bytes(
-                bk.join(d, f"{v:020d}.checkpoint.parquet"))),
-            columns=["add"])
-    except Exception:
+    base = _checkpoint_base(bk, table_path)
+    if base is None:
         return None
-    files: set[str] = set()
-    for a in t.column("add").to_pylist():
-        if a is not None:
-            files.add(urllib.parse.unquote(a["path"]))
-    return v, files
+    return base[0], set(base[3])
 
 
 def _log_state(bk, table_path: str) -> tuple[int, set[str]]:
@@ -205,13 +190,61 @@ EXPORT_COMMIT_RETRIES = 5
 CHECKPOINT_EVERY = 10
 
 
+def _checkpoint_base(bk, table_path: str):
+    """Newest checkpoint's full state — (version, protocol, metaData,
+    {decoded rel: add action}) with parquet map columns converted back
+    to dicts — or None when there is no usable checkpoint (callers fall
+    back to full JSON replay; the log is authoritative)."""
+    import io
+
+    import pyarrow.parquet as pq
+
+    d = bk.join(table_path, DELTA_LOG_DIR)
+    try:
+        lc = json.loads(bk.read_bytes(bk.join(d, "_last_checkpoint")))
+        v = int(lc["version"])
+        rows = pq.read_table(io.BytesIO(bk.read_bytes(
+            bk.join(d, f"{v:020d}.checkpoint.parquet")))).to_pylist()
+    except Exception:
+        return None
+    protocol = meta = None
+    files: dict[str, dict] = {}
+    for r in rows:
+        if r.get("protocol") is not None:
+            protocol = r["protocol"]
+        elif r.get("metaData") is not None:
+            m = dict(r["metaData"])
+            m["configuration"] = dict(m.get("configuration") or [])
+            fmt = dict(m.get("format") or {})
+            fmt["options"] = dict(fmt.get("options") or [])
+            m["format"] = fmt
+            meta = m
+        elif r.get("add") is not None:
+            a = dict(r["add"])
+            a["partitionValues"] = dict(a.get("partitionValues") or [])
+            files[urllib.parse.unquote(a["path"])] = a
+    if protocol is None or meta is None:
+        return None
+    return v, protocol, meta, files
+
+
 def _replay_actions(bk, table_path: str):
-    """Full log replay → (protocol, metaData, {decoded rel: add action})
-    — state reconstruction keeping the latest action per kind/path."""
+    """State reconstruction → (protocol, metaData, {decoded rel: add
+    action}), keeping the latest action per kind/path — seeded from the
+    newest checkpoint when one exists, so successive checkpoints CHAIN
+    (each reads the previous one + the ≤CHECKPOINT_EVERY commits after
+    it, never the whole history) and checkpointing keeps working after
+    the spec's log cleanup removes pre-checkpoint JSON commits."""
     protocol = None
     meta = None
     files: dict[str, dict] = {}
-    for _ver, path in _log_versions(bk, table_path):
+    start = -1
+    base = _checkpoint_base(bk, table_path)
+    if base is not None:
+        start, protocol, meta, files = base
+    for ver, path in _log_versions(bk, table_path):
+        if ver <= start:
+            continue
         for line in bk.read_bytes(path).decode("utf-8").splitlines():
             if not line.strip():
                 continue

@@ -11,6 +11,7 @@ from __future__ import annotations
 import datetime as dt
 import json
 import os
+import urllib.parse
 
 import pytest
 from pyspark.sql import functions as F
@@ -507,3 +508,39 @@ class TestDeltaCheckpoint:
         assert last == 3 and files == {
             os.path.relpath(f, mp).replace("\\", "/")
             for f in snapshots.data_files(mp)}
+
+    def test_checkpoints_chain_after_log_cleanup(self, meas, monkeypatch):
+        """Successive checkpoints seed from the previous one: after the
+        pre-checkpoint JSON commits are removed (spec log cleanup), the
+        NEXT checkpoint still gets written, carries the correct add set
+        (including protocol/metaData recovered from the old checkpoint),
+        and the pointer advances."""
+        import pyarrow.parquet as pq
+
+        import arc_spark.operators.export as ex
+
+        monkeypatch.setattr(ex, "CHECKPOINT_EVERY", 3)
+        root, mp = meas
+        export_delta_log(mp)
+        for i in range(2):
+            self._advance(root, i)
+            export_delta_log(mp)  # v2 writes checkpoint #1
+        d = os.path.join(mp, DELTA_LOG_DIR)
+        for v in (0, 1):  # drop everything before checkpoint #1
+            os.unlink(os.path.join(d, f"{v:020d}.json"))
+        for i in range(3):  # v3, v4, v5 — v5 writes checkpoint #2
+            self._advance(root, 10 + i)
+            export_delta_log(mp)
+        ck2 = os.path.join(d, f"{5:020d}.checkpoint.parquet")
+        assert os.path.isfile(ck2)
+        with open(os.path.join(d, "_last_checkpoint")) as fh:
+            assert json.load(fh)["version"] == 5
+        rows = pq.read_table(ck2).to_pylist()
+        protos = [r for r in rows if r["protocol"] is not None]
+        metas = [r for r in rows if r["metaData"] is not None]
+        assert len(protos) == 1 and len(metas) == 1
+        adds = {urllib.parse.unquote(r["add"]["path"])
+                for r in rows if r["add"] is not None}
+        committed = {os.path.relpath(f, mp).replace("\\", "/")
+                     for f in snapshots.data_files(mp)}
+        assert adds == committed
