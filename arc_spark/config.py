@@ -303,7 +303,28 @@ def load_config(path: str | None = None,
             var = f"ARC_{section.upper()}_{key.upper()}"
             if var in env:
                 cfg[section][key] = _coerce(env[var], default)
+    _check_enums(cfg)
     return cfg
+
+
+# enum-valued keys: a typo must fail `check-config`, not silently pick a
+# default behavior at runtime (storage.backend="S3" would otherwise fall
+# back to LOCAL storage; export.format="icberg" would fail only when the
+# scheduled job first fires)
+_ENUM_KEYS = {
+    ("storage", "backend"): ("local", "s3", "azure"),
+    ("export", "format"): ("delta", "iceberg", "both"),
+    ("ingest", "wal_sync"): ("fsync", "fdatasync", "batch", "none"),
+}
+
+
+def _check_enums(cfg: dict) -> None:
+    for (section, key), allowed in _ENUM_KEYS.items():
+        val = cfg.get(section, {}).get(key)
+        if val not in allowed:
+            raise ValueError(
+                f"[{section}] {key} must be one of "
+                f"{'|'.join(allowed)}, got {val!r}")
 
 
 def parse_decimal_columns(entries: list[str]) -> dict[str, dict[str, tuple[int, int]]]:

@@ -713,3 +713,42 @@ class TestExportSubcommand:
         for sub in ("_delta_log", "metadata"):
             assert not [f for f in os.listdir(os.path.join(mp, sub))
                         if ".tmp" in f]
+
+
+class TestEnumValidation:
+    """Enum-valued keys fail at LOAD (check-config catches typos) instead
+    of silently selecting a default behavior at runtime — notably
+    storage.backend, where a typo used to fall back to LOCAL storage."""
+
+    def _load(self, tmp_path, body):
+        from arc_spark.config import load_config
+
+        f = tmp_path / "arc.toml"
+        f.write_text(body)
+        return load_config(str(f))
+
+    def test_backend_typo_rejected(self, tmp_path):
+        with pytest.raises(ValueError, match=r"\[storage\] backend"):
+            self._load(tmp_path, "[storage]\nbackend = 'S3'\n")
+
+    def test_export_format_typo_rejected(self, tmp_path):
+        with pytest.raises(ValueError, match=r"\[export\] format"):
+            self._load(tmp_path, "[export]\nformat = 'icberg'\n")
+
+    def test_wal_sync_typo_rejected(self, tmp_path):
+        with pytest.raises(ValueError, match=r"\[ingest\] wal_sync"):
+            self._load(tmp_path, "[ingest]\nwal_sync = 'fsycn'\n")
+
+    def test_valid_enums_pass(self, tmp_path):
+        cfg = self._load(
+            tmp_path,
+            "[export]\nformat = 'both'\n[ingest]\nwal_sync = 'batch'\n")
+        assert cfg["export"]["format"] == "both"
+        assert cfg["ingest"]["wal_sync"] == "batch"
+
+    def test_env_override_also_checked(self, tmp_path, monkeypatch):
+        from arc_spark.config import load_config
+
+        monkeypatch.setenv("ARC_EXPORT_FORMAT", "parquetish")
+        with pytest.raises(ValueError, match=r"\[export\] format"):
+            load_config(None)

@@ -438,18 +438,19 @@ class TestConfigWiring:
             shutdown(engine)
 
     def test_bad_format_rejected(self, spark, meas):
-        from arc_spark.config import build_engine, load_config
+        """A format typo now fails at LOAD (check-config visibility),
+        before any engine wiring."""
+        from arc_spark.config import load_config
 
         root, _ = meas
-        cfg = load_config(None, env={
-            "ARC_STORAGE_LOCAL_PATH": root,
-            "ARC_SERVER_PORT": "0",
-            "ARC_EXPORT_ENABLED": "true",
-            "ARC_EXPORT_FORMAT": "parquetish",
-            "ARC_METRICS_TIMESERIES_ENABLED": "false",
-        })
         with pytest.raises(ValueError, match="format"):
-            build_engine(cfg, spark=spark)
+            load_config(None, env={
+                "ARC_STORAGE_LOCAL_PATH": root,
+                "ARC_SERVER_PORT": "0",
+                "ARC_EXPORT_ENABLED": "true",
+                "ARC_EXPORT_FORMAT": "parquetish",
+                "ARC_METRICS_TIMESERIES_ENABLED": "false",
+            })
 
 
 try:
