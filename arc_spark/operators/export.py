@@ -189,12 +189,18 @@ EXPORT_COMMIT_RETRIES = 5
 # readers replaying O(all commits) JSON forever.
 CHECKPOINT_EVERY = 10
 
+# Remove tombstones younger than this stay in checkpoints so external
+# VACUUM/streaming readers keep their deletionTimestamp after log
+# cleanup — the spec's delta.deletedFileRetentionDuration default.
+TOMBSTONE_RETENTION_MS = 7 * 24 * 3600 * 1000
+
 
 def _checkpoint_base(bk, table_path: str):
     """Newest checkpoint's full state — (version, protocol, metaData,
-    {decoded rel: add action}) with parquet map columns converted back
-    to dicts — or None when there is no usable checkpoint (callers fall
-    back to full JSON replay; the log is authoritative)."""
+    {decoded rel: add action}, {decoded rel: remove action}) with
+    parquet map columns converted back to dicts — or None when there is
+    no usable checkpoint (callers fall back to full JSON replay; the
+    log is authoritative)."""
     import io
 
     import pyarrow.parquet as pq
@@ -209,6 +215,7 @@ def _checkpoint_base(bk, table_path: str):
         return None
     protocol = meta = None
     files: dict[str, dict] = {}
+    tombstones: dict[str, dict] = {}
     for r in rows:
         if r.get("protocol") is not None:
             protocol = r["protocol"]
@@ -223,14 +230,19 @@ def _checkpoint_base(bk, table_path: str):
             a = dict(r["add"])
             a["partitionValues"] = dict(a.get("partitionValues") or [])
             files[urllib.parse.unquote(a["path"])] = a
+        elif r.get("remove") is not None:
+            t = {k: v2 for k, v2 in dict(r["remove"]).items()
+                 if v2 is not None}
+            tombstones[urllib.parse.unquote(t["path"])] = t
     if protocol is None or meta is None:
         return None
-    return v, protocol, meta, files
+    return v, protocol, meta, files, tombstones
 
 
 def _replay_actions(bk, table_path: str):
     """State reconstruction → (protocol, metaData, {decoded rel: add
-    action}), keeping the latest action per kind/path — seeded from the
+    action}, {decoded rel: remove tombstone}) keeping the latest action
+    per kind/path — seeded from the
     newest checkpoint when one exists, so successive checkpoints CHAIN
     (each reads the previous one + the ≤CHECKPOINT_EVERY commits after
     it, never the whole history) and checkpointing keeps working after
@@ -238,10 +250,11 @@ def _replay_actions(bk, table_path: str):
     protocol = None
     meta = None
     files: dict[str, dict] = {}
+    tombstones: dict[str, dict] = {}
     start = -1
     base = _checkpoint_base(bk, table_path)
     if base is not None:
-        start, protocol, meta, files = base
+        start, protocol, meta, files, tombstones = base
     for ver, path in _log_versions(bk, table_path):
         if ver <= start:
             continue
@@ -254,20 +267,31 @@ def _replay_actions(bk, table_path: str):
             elif "metaData" in action:
                 meta = action["metaData"]
             elif "add" in action:
-                files[urllib.parse.unquote(
-                    action["add"]["path"])] = action["add"]
+                rel = urllib.parse.unquote(action["add"]["path"])
+                files[rel] = action["add"]
+                tombstones.pop(rel, None)  # re-added: latest action wins
             elif "remove" in action:
-                files.pop(urllib.parse.unquote(
-                    action["remove"]["path"]), None)
-    return protocol, meta, files
+                rel = urllib.parse.unquote(action["remove"]["path"])
+                files.pop(rel, None)
+                tombstones[rel] = action["remove"]
+    return protocol, meta, files, tombstones
 
 
-def _write_checkpoint(bk, table_path: str, version: int) -> None:
+def _write_checkpoint(bk, table_path: str, version: int,
+                      now_ms: int | None = None) -> None:
     """PROTOCOL.md classic checkpoint: ``<v>.checkpoint.parquet`` holding
-    the reconstructed state (one protocol row, one metaData row, one row
-    per active add; tombstones are dropped — this exporter never writes
-    remove actions a vacuum would need, so expired-tombstone semantics
-    are trivially satisfied) plus the ``_last_checkpoint`` pointer.
+    the reconstructed state — one protocol row, one metaData row, one row
+    per active add, and one row per UNEXPIRED remove tombstone (this
+    exporter writes remove actions whenever files leave the committed
+    set; dropping them from checkpoints would lose deletionTimestamp
+    info after log cleanup, letting an external VACUUM delete
+    recently-removed files early — r6 advisory). Tombstones older than
+    ``TOMBSTONE_RETENTION_MS`` (the spec's
+    delta.deletedFileRetentionDuration default, 1 week) are expired at
+    checkpoint time, exactly when the spec allows. The parquet also
+    carries the full classic-checkpoint action schema — a ``txn``
+    column, all-null here — because delta-spark validates checkpoint
+    schema, not just content. Plus the ``_last_checkpoint`` pointer.
     Readers resolve state from the newest checkpoint + later commits:
     O(changes since checkpoint), not O(all commits). Best-effort — a
     failed/raced checkpoint leaves a valid JSON-only log, and the
@@ -277,11 +301,12 @@ def _write_checkpoint(bk, table_path: str, version: int) -> None:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    now_ms = int(time.time() * 1000) if now_ms is None else now_ms
     d = bk.join(table_path, DELTA_LOG_DIR)
     final = bk.join(d, f"{version:020d}.checkpoint.parquet")
     if bk.exists(final):
         return
-    protocol, meta, files = _replay_actions(bk, table_path)
+    protocol, meta, files, tombstones = _replay_actions(bk, table_path)
     if protocol is None or meta is None:
         return
     smap = pa.map_(pa.string(), pa.string())
@@ -300,23 +325,45 @@ def _write_checkpoint(bk, table_path: str, version: int) -> None:
         ("path", pa.string()), ("partitionValues", smap),
         ("size", pa.int64()), ("modificationTime", pa.int64()),
         ("dataChange", pa.bool_())])
+    t_remove = pa.struct([
+        ("path", pa.string()), ("deletionTimestamp", pa.int64()),
+        ("dataChange", pa.bool_()),
+        ("extendedFileMetadata", pa.bool_()),
+        ("partitionValues", smap), ("size", pa.int64())])
+    t_txn = pa.struct([
+        ("appId", pa.string()), ("version", pa.int64()),
+        ("lastUpdated", pa.int64())])
     adds = [{"path": a["path"],  # keep the commit's percent-encoding
              "partitionValues": a["partitionValues"],
              "size": a["size"],
              "modificationTime": a["modificationTime"],
              "dataChange": False}  # per spec, false inside checkpoints
             for _rel, a in sorted(files.items())]
-    n = 2 + len(adds)
+    cutoff = now_ms - TOMBSTONE_RETENTION_MS
+    removes = [{"path": t["path"],
+                "deletionTimestamp": t.get("deletionTimestamp"),
+                "dataChange": False,
+                "extendedFileMetadata": t.get("extendedFileMetadata",
+                                              False),
+                "partitionValues": t.get("partitionValues"),
+                "size": t.get("size")}
+               for _rel, t in sorted(tombstones.items())
+               if t.get("deletionTimestamp", 0) > cutoff]
+    n = 2 + len(adds) + len(removes)
     tbl = pa.table({
-        "protocol": pa.array([protocol] + [None] * (len(adds) + 1),
+        "txn": pa.array([None] * n, type=t_txn),
+        "protocol": pa.array([protocol] + [None] * (n - 1),
                              type=t_protocol),
         "metaData": pa.array(
             [None, {k: meta.get(k) for k in
                     ("id", "name", "description", "format",
                      "schemaString", "partitionColumns",
                      "configuration", "createdTime")}]
-            + [None] * len(adds), type=t_meta),
-        "add": pa.array([None, None] + adds, type=t_add),
+            + [None] * (n - 2), type=t_meta),
+        "add": pa.array([None, None] + adds + [None] * len(removes),
+                        type=t_add),
+        "remove": pa.array([None] * (2 + len(adds)) + removes,
+                           type=t_remove),
     })
     buf = io.BytesIO()
     pq.write_table(tbl, buf)
@@ -401,7 +448,7 @@ def _export_log_attempt(bk, meas_path: str, table_path: str,
         return None  # lost the race — caller rereads and retries
     if (version + 1) % CHECKPOINT_EVERY == 0:
         try:
-            _write_checkpoint(bk, table_path, version)
+            _write_checkpoint(bk, table_path, version, now_ms=now_ms)
         except Exception:
             pass  # hint layer only; the JSON log stays authoritative
     return {"version": version, "added": len(added),

@@ -40,6 +40,7 @@ file count is bounded by compaction (~1 file/partition-hour).
 from __future__ import annotations
 
 import json
+import os
 import time
 import uuid
 
@@ -86,12 +87,17 @@ def _table_schema(bk, files: list[str],
                   partition_cols: list[str]) -> tuple[dict, dict[str, int]]:
     """Iceberg schema struct (field ids 1..K, partition columns appended
     as ints) + {column: field-id}. Samples up to 50 footers like the
-    Delta exporter's schemaString."""
+    Delta exporter's schemaString. A measurement with zero committed
+    files (fresh DB, all-expired retention) gets a partition-columns-only
+    schema — mirrors the Delta exporter's empty-sample branch so the
+    scheduled sweep / export CLI never aborts on one empty measurement
+    (r6 advisory)."""
     import pyarrow as pa
 
     sample = files[:50]
     schemas = [bk.parquet_schema(f) for f in sample]
-    unified = (schemas[0] if len(schemas) == 1
+    unified = (pa.schema([]) if not schemas
+               else schemas[0] if len(schemas) == 1
                else pa.unify_schemas(schemas, promote_options="permissive"))
     fields = []
     ids: dict[str, int] = {}
@@ -449,12 +455,30 @@ def _export_iceberg_attempt(bk, meas_path: str, table_name: str,
         bk.remove_file_if_exists(manifest_path)
         bk.remove_file_if_exists(mlist_path)
         return None
-    bk.write_bytes(bk.join(md_dir, "version-hint.text"),
-                   str(version).encode("ascii"))
+    _publish_version_hint(bk, md_dir, version)
     _expire_cleanup(bk, md_dir, dropped_snaps, version, retain)
     _sweep_orphan_avros(bk, md_dir, new_meta)
     return {"version": version, "snapshot_id": snapshot_id,
             "files": len(rels), "changed": True}
+
+
+def _publish_version_hint(bk, md_dir: str, version: int) -> None:
+    """Advance version-hint.text monotonically via temp-file + atomic
+    rename. With concurrent exporters the vN CAS winner and the vN+1
+    winner both reach this line; a plain overwrite lets the OLDER winner
+    land last and pin Hadoop-catalog readers to stale metadata until the
+    next export — so the hint never moves backwards (the Delta
+    ``_last_checkpoint`` pointer's guard), and the rename means readers
+    never observe a partially written hint (r6 advisory)."""
+    hint = bk.join(md_dir, "version-hint.text")
+    try:
+        if int(bk.read_bytes(hint).decode("ascii").strip()) >= version:
+            return
+    except Exception:
+        pass  # absent / unreadable hint: publish ours
+    tmp = bk.join(md_dir, f".hint-{version}-{os.getpid()}.tmp")
+    bk.write_bytes(tmp, str(version).encode("ascii"))
+    bk.replace_file(tmp, hint)
 
 
 ORPHAN_AVRO_MIN_AGE_S = 3600.0

@@ -52,15 +52,17 @@ int64_t arc_walk_str_column(const uint8_t *buf, int64_t size, int64_t pos,
 
 /* Fused walk+extract: one pass that validates headers, writes the n+1
  * int32 value-byte offsets, and memcpys the value bytes (headers
- * stripped) into out. out must have capacity >= size - pos - n (each
- * cell costs at least its 1-byte header, so the value region can never
- * exceed that). Replaces the mask-build / fancy-index / double-cumsum
- * numpy pipeline with zero interpreter work between cells — the
- * sync-ack ingest path's residual GIL-held cost (r5 verdict: recover
- * the sustained-ingest lanes). Returns end offset, or -1 on a
- * non-string token / overrun. */
+ * stripped) into out. cap is out's capacity in bytes; every copy is
+ * bounds-checked against it BEFORE writing (a truncated/malicious
+ * column can declare n cells but contain fewer, so no formula over
+ * (size, pos, n) alone can bound the value region — the capacity must
+ * travel with the buffer). Replaces the mask-build / fancy-index /
+ * double-cumsum numpy pipeline with zero interpreter work between
+ * cells — the sync-ack ingest path's residual GIL-held cost (r5
+ * verdict: recover the sustained-ingest lanes). Returns end offset,
+ * or -1 on a non-string token / overrun / capacity overflow. */
 int64_t arc_extract_str_column(const uint8_t *buf, int64_t size,
-                               int64_t pos, int64_t n,
+                               int64_t pos, int64_t n, int64_t cap,
                                int32_t *offsets, uint8_t *out) {
     int64_t total = 0;
     offsets[0] = 0;
@@ -77,6 +79,7 @@ int64_t arc_extract_str_column(const uint8_t *buf, int64_t size,
             return -1;
         }
         if (pos + ln > size) return -1;
+        if (total + ln > cap) return -1;
         for (int64_t j = 0; j < ln; j++) out[total + j] = buf[pos + j];
         total += ln; pos += ln;
         offsets[i + 1] = (int32_t)total;
@@ -118,7 +121,8 @@ def _build() -> ctypes.CDLL | None:
     ex = lib.arc_extract_str_column
     ex.restype = ctypes.c_int64
     ex.argtypes = [ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
-                   ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p]
+                   ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+                   ctypes.c_void_p]
     return fn, ex
 
 

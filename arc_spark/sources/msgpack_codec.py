@@ -539,11 +539,15 @@ def _decode_str_column(mv: memoryview, pos: int, n: int):
     if extract is not None and end - pos < 2**31:
         # fused C walk+copy: headers validated, value bytes packed, and
         # int32 offsets written in one GIL-releasing call — the sync-ack
-        # ingest path's hot loop (each cell >=1 header byte bounds the
-        # value region by end-pos-n, so the out buffer can never overrun)
+        # ingest path's hot loop. The out buffer is sized by the
+        # every-cell-pays-a-header heuristic, but its capacity is passed
+        # into the C loop and enforced BEFORE each copy: a truncated
+        # payload that declares n cells while containing fewer would
+        # otherwise overflow the heuristic bound (r6 advisory, OOB write)
         offsets = np.empty(n + 1, dtype=np.int32)
-        out = np.empty(max(end - pos - n, 0), dtype=np.uint8)
-        p = extract(buf, end, pos, n,
+        cap = max(end - pos - n, 0)
+        out = np.empty(cap, dtype=np.uint8)
+        p = extract(buf, end, pos, n, cap,
                     offsets.ctypes.data, out.ctypes.data)
         if p < 0:
             return None

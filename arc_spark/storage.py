@@ -308,6 +308,20 @@ class StorageBackend:
     def move_file(self, src: str, dst: str) -> None:
         self.fs.move(self.fs_path(src), self.fs_path(dst))
 
+    def replace_file(self, src: str, dst: str) -> None:
+        """Atomically publish ``src`` at ``dst``, overwriting any existing
+        ``dst``. Local filesystems get rename(2) atomicity (readers see
+        the old or the new body, never a partial write — the contract
+        pointer files like Iceberg's version-hint.text need); object
+        stores fall back to delete+move, acceptable because their PUT is
+        already atomic per object."""
+        fsrc, fdst = self.fs_path(src), self.fs_path(dst)
+        if isinstance(self.fs, pafs.LocalFileSystem):
+            os.replace(fsrc, fdst)
+            return
+        self.remove_file_if_exists(dst)
+        self.move_file(src, dst)
+
     def move_file_excl(self, src: str, dst: str) -> bool:
         """Publish ``src`` at ``dst`` ONLY if ``dst`` does not already
         exist; ``src`` is consumed either way. Returns True when this call

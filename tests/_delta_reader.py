@@ -184,9 +184,21 @@ def _validate_checkpoint(table_path: str, commits, replay_files, meta):
     ck_file = os.path.join(log_dir, f"{v:020d}.checkpoint.parquet")
     _require(os.path.isfile(ck_file),
              f"_last_checkpoint points at missing checkpoint v{v}")
-    rows = pq.read_table(ck_file).to_pylist()
+    ck_table = pq.read_table(ck_file)
+    rows = ck_table.to_pylist()
     _require(lc.get("size") == len(rows),
              f"_last_checkpoint.size {lc.get('size')} != rows {len(rows)}")
+    # -- full classic-checkpoint action schema (PROTOCOL.md "Checkpoint
+    # Schema"): delta-spark validates the columns, not just the content,
+    # so remove/txn must exist even when all-null
+    cols = set(ck_table.schema.names)
+    for req_col in ("txn", "protocol", "metaData", "add", "remove"):
+        _require(req_col in cols,
+                 f"checkpoint missing action column {req_col!r}")
+    remove_fields = {f.name for f in ck_table.schema.field("remove").type}
+    for req_f in ("path", "deletionTimestamp", "dataChange"):
+        _require(req_f in remove_fields,
+                 f"checkpoint remove struct missing {req_f!r}")
     protos = [r["protocol"] for r in rows if r.get("protocol") is not None]
     metas = [r["metaData"] for r in rows if r.get("metaData") is not None]
     _require(len(protos) == 1, "checkpoint must hold exactly one protocol")
@@ -196,12 +208,56 @@ def _validate_checkpoint(table_path: str, commits, replay_files, meta):
     _require(metas[0]["schemaString"] == meta["schemaString"],
              "checkpoint schemaString diverges from the JSON log")
     files: dict[str, int] = {}
+    ck_tombstones: dict[str, int] = {}
     for r in rows:
         a = r.get("add")
         if a is not None:
             _require(a["dataChange"] is False,
                      "checkpoint add.dataChange must be false")
             files[urllib.parse.unquote(a["path"])] = a["size"]
+        rm = r.get("remove")
+        if rm is not None:
+            _require(rm.get("path"), "checkpoint remove lacks path")
+            _require(isinstance(rm.get("deletionTimestamp"), int),
+                     "checkpoint remove lacks deletionTimestamp")
+            _require(rm["dataChange"] is False,
+                     "checkpoint remove.dataChange must be false")
+            ck_tombstones[urllib.parse.unquote(rm["path"])] = \
+                rm["deletionTimestamp"]
+    # -- tombstone cross-check: replay removes as of version v from the
+    # JSON log; checkpoint tombstones must be a subset of those (same
+    # deletionTimestamp), and every RECENT one (deletionTimestamp within
+    # the 7-day retention, minus half a day of slack for the checkpoint
+    # write time) must be present — dropping them early loses the info
+    # an external VACUUM needs (r6 advisory)
+    import time as _time
+
+    replay_tombstones: dict[str, int] = {}
+    for ver, path in commits:
+        if ver > v:
+            break
+        with open(path, "rb") as fh:
+            for ln in fh.read().decode("utf-8").splitlines():
+                if not ln.strip():
+                    continue
+                action = json.loads(ln)
+                if "add" in action:
+                    replay_tombstones.pop(urllib.parse.unquote(
+                        action["add"]["path"]), None)
+                elif "remove" in action:
+                    body = action["remove"]
+                    replay_tombstones[urllib.parse.unquote(
+                        body["path"])] = body.get("deletionTimestamp", 0)
+    for rel, ts in ck_tombstones.items():
+        _require(rel in replay_tombstones,
+                 f"checkpoint tombstone {rel!r} not in JSON replay")
+        _require(ts == replay_tombstones[rel],
+                 f"checkpoint tombstone timestamp diverges for {rel!r}")
+    recent_cutoff = int(_time.time() * 1000) - (7 * 24 - 12) * 3600 * 1000
+    for rel, ts in replay_tombstones.items():
+        if ts > recent_cutoff:
+            _require(rel in ck_tombstones,
+                     f"unexpired tombstone {rel!r} missing from checkpoint")
     for ver, path in commits:
         if ver <= v:
             continue

@@ -61,7 +61,7 @@ def read_table(table_path: str) -> dict:
                   if s["schema-id"] == meta["current-schema-id"])
     field_ids = [f["id"] for f in schema["fields"]]
     _require(len(set(field_ids)) == len(field_ids), "duplicate field ids")
-    _require(max(field_ids) <= meta["last-column-id"],
+    _require(max(field_ids, default=0) <= meta["last-column-id"],
              "last-column-id below a schema field id")
     spec = next(s for s in meta["partition-specs"]
                 if s["spec-id"] == meta["default-spec-id"])

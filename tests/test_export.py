@@ -11,6 +11,7 @@ from __future__ import annotations
 import datetime as dt
 import json
 import os
+import time
 import urllib.parse
 
 import pytest
@@ -508,6 +509,129 @@ class TestDeltaCheckpoint:
         assert last == 3 and files == {
             os.path.relpath(f, mp).replace("\\", "/")
             for f in snapshots.data_files(mp)}
+
+    def test_checkpoint_carries_remove_tombstones(self, spark, meas,
+                                                  monkeypatch):
+        """r6 advisory: the exporter DOES write remove actions (whenever
+        files leave the committed set), so checkpoints must carry the
+        unexpired tombstones — PROTOCOL.md's requirement for external
+        VACUUM/streaming readers after log cleanup — plus the full
+        classic action schema (txn/remove columns even when all-null)."""
+        import pyarrow.parquet as pq
+
+        import arc_spark.operators.export as ex
+        from tests._delta_reader import DeltaLogError, read_state
+
+        monkeypatch.setattr(ex, "CHECKPOINT_EVERY", 3)
+        root, mp = meas
+        write_measurement(_df(spark, t_off=7), root, "metrics", "cpu",
+                          tag_columns=["host"])
+        export_delta_log(mp)  # v0
+        compact_measurement(spark, root, "metrics", "cpu", min_files=2,
+                            min_age_seconds=0)
+        out = export_delta_log(mp)  # v1: removes + adds
+        assert out["removed"] > 0
+        self._advance(root, 5)
+        export_delta_log(mp)  # v2 → checkpoint
+        d = os.path.join(mp, DELTA_LOG_DIR)
+        ck = os.path.join(d, f"{2:020d}.checkpoint.parquet")
+        t = pq.read_table(ck)
+        # full action schema present
+        assert {"txn", "protocol", "metaData", "add", "remove"} <= \
+            set(t.schema.names)
+        rows = t.to_pylist()
+        ck_removes = {urllib.parse.unquote(r["remove"]["path"])
+                      for r in rows if r["remove"] is not None}
+        log_removes = {urllib.parse.unquote(a["remove"]["path"])
+                       for a in _read_log(mp) if "remove" in a}
+        assert ck_removes == log_removes and ck_removes
+        for r in rows:
+            if r["remove"] is not None:
+                assert isinstance(r["remove"]["deletionTimestamp"], int)
+                assert r["remove"]["dataChange"] is False
+        assert read_state(mp)["checkpoint"] == 2  # strict reader accepts
+        # mutation: strip the tombstone rows → reader must reject
+        keep = [i for i, r in enumerate(rows) if r["remove"] is None]
+        pq.write_table(t.take(keep), ck)
+        lp = os.path.join(d, "_last_checkpoint")
+        with open(lp) as fh:
+            lc = json.load(fh)
+        lc["size"] = len(keep)
+        with open(lp, "w") as fh:
+            json.dump(lc, fh)
+        with pytest.raises(DeltaLogError, match="tombstone.*missing"):
+            read_state(mp)
+
+    def test_tombstones_chain_and_expire_across_checkpoints(
+            self, spark, meas, monkeypatch):
+        """Checkpoint #2 carries #1's unexpired tombstones forward (they
+        chain through _replay_actions' checkpoint seed), and a tombstone
+        older than the 7-day retention is expired out at checkpoint
+        time — the spec's delta.deletedFileRetentionDuration."""
+        import pyarrow.parquet as pq
+
+        import arc_spark.operators.export as ex
+
+        monkeypatch.setattr(ex, "CHECKPOINT_EVERY", 3)
+        root, mp = meas
+        write_measurement(_df(spark, t_off=7), root, "metrics", "cpu",
+                          tag_columns=["host"])
+        export_delta_log(mp)  # v0
+        compact_measurement(spark, root, "metrics", "cpu", min_files=2,
+                            min_age_seconds=0)
+        export_delta_log(mp)  # v1: removes
+        self._advance(root, 5)
+        export_delta_log(mp)  # v2 → checkpoint #1
+        d = os.path.join(mp, DELTA_LOG_DIR)
+        ck1_removes = {
+            r["remove"]["path"]
+            for r in pq.read_table(
+                os.path.join(d, f"{2:020d}.checkpoint.parquet")).to_pylist()
+            if r["remove"] is not None}
+        assert ck1_removes
+        for v in (0, 1):  # spec log cleanup before checkpoint #1
+            os.unlink(os.path.join(d, f"{v:020d}.json"))
+        for i in range(3):  # v3..v5 → checkpoint #2
+            self._advance(root, 10 + i)
+            export_delta_log(mp)
+        ck2 = os.path.join(d, f"{5:020d}.checkpoint.parquet")
+        ck2_removes = {r["remove"]["path"]
+                       for r in pq.read_table(ck2).to_pylist()
+                       if r["remove"] is not None}
+        assert ck1_removes <= ck2_removes  # chained through cleanup
+
+    def test_expired_tombstones_drop_out_of_checkpoints(self, spark, meas,
+                                                        monkeypatch):
+        """A tombstone older than the 7-day retention is expired at
+        checkpoint time — the spec's delta.deletedFileRetentionDuration:
+        rewriting the same checkpoint with a now 8 days later must emit
+        zero remove rows while the add state is unchanged."""
+        import pyarrow.parquet as pq
+
+        import arc_spark.operators.export as ex
+
+        monkeypatch.setattr(ex, "CHECKPOINT_EVERY", 3)
+        root, mp = meas
+        write_measurement(_df(spark, t_off=7), root, "metrics", "cpu",
+                          tag_columns=["host"])
+        export_delta_log(mp)  # v0
+        compact_measurement(spark, root, "metrics", "cpu", min_files=2,
+                            min_age_seconds=0)
+        export_delta_log(mp)  # v1: removes
+        self._advance(root, 5)
+        export_delta_log(mp)  # v2 → checkpoint
+        d = os.path.join(mp, DELTA_LOG_DIR)
+        ck = os.path.join(d, f"{2:020d}.checkpoint.parquet")
+        before = pq.read_table(ck).to_pylist()
+        assert any(r["remove"] is not None for r in before)
+        os.unlink(ck)
+        future = int(time.time() * 1000) + 8 * 24 * 3600 * 1000
+        ex._write_checkpoint(backend_for(mp), mp, 2, now_ms=future)
+        after = pq.read_table(ck).to_pylist()
+        assert not any(r["remove"] is not None for r in after)
+        assert ({r["add"]["path"] for r in after if r["add"] is not None}
+                == {r["add"]["path"] for r in before
+                    if r["add"] is not None})
 
     def test_checkpoints_chain_after_log_cleanup(self, meas, monkeypatch):
         """Successive checkpoints seed from the previous one: after the

@@ -133,6 +133,45 @@ class TestIcebergExport:
         assert con.execute(
             f"SELECT DISTINCT year FROM ({sql})").fetchall() == [(2024,)]
 
+    def test_empty_measurement_exports_without_crashing(self, tmp_path):
+        """r6 advisory: a measurement with zero committed files used to
+        crash `pa.unify_schemas([])`, aborting the whole scheduled sweep.
+        It must now publish a valid (empty) snapshot and stay idempotent."""
+        mp = str(tmp_path / "engine" / "metrics" / "empty")
+        os.makedirs(mp)
+        out = export_iceberg(mp)
+        assert out["files"] == 0 and out["changed"]
+        again = export_iceberg(mp)
+        assert not again["changed"]
+        # the published metadata is readable by the independent reader
+        from tests._iceberg_reader import read_table
+
+        state = read_table(mp)
+        assert state["files"] == []
+
+    def test_version_hint_never_moves_backwards(self, spark, meas):
+        """r6 advisory: with concurrent exporters the older CAS winner can
+        reach the hint write AFTER the newer one; the hint must skip the
+        stale write instead of pinning readers to old metadata."""
+        from arc_spark.operators.iceberg_export import _publish_version_hint
+        from arc_spark.storage import backend_for
+
+        root, mp = meas
+        export_iceberg(mp)  # v0
+        write_measurement(_df(spark, t_off=3), root, "metrics", "cpu",
+                          tag_columns=["host"])
+        export_iceberg(mp)  # v1
+        bk = backend_for(mp)
+        md = bk.join(mp, "metadata")
+        hint = bk.join(md, "version-hint.text")
+        assert bk.read_bytes(hint).decode().strip() == "1"
+        _publish_version_hint(bk, md, 0)  # the straggler's late write
+        assert bk.read_bytes(hint).decode().strip() == "1"
+        _publish_version_hint(bk, md, 2)  # a newer one still advances
+        assert bk.read_bytes(hint).decode().strip() == "2"
+        # no temp residue
+        assert not [f for f in os.listdir(md) if f.startswith(".hint-")]
+
     def test_idempotent_and_incremental(self, spark, meas):
         from tests._iceberg_reader import read_table
 

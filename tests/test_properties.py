@@ -176,6 +176,35 @@ class TestColumnarFastPathEquivalence:
         vals = _column_values(decoded["columns"]["s"])
         assert len(vals) == 32 and vals[0] == "abc"
 
+    def test_c_extract_capacity_enforced_before_copy(self):
+        """r6 advisory regression: a column declaring n=32 cells while the
+        buffer holds a single fixstr(31) under-sizes the heuristic out
+        buffer (end-pos-n = 0) — the C loop must reject on the capacity
+        check BEFORE copying any value bytes, leaving out untouched."""
+        import numpy as np
+
+        from arc_spark.sources import _cwalk
+
+        extract = _cwalk.native_extract()
+        if extract is None:
+            return  # no compiler in this env; pure-Python path is bounds-safe
+        # region: one fixstr(31) cell, then EOF — but caller claims n=32
+        region = bytes([0xA0 | 31]) + b"A" * 31
+        n = 32
+        cap = max(len(region) - n, 0)  # the heuristic bound: 0 bytes
+        assert cap == 0
+        offsets = np.empty(n + 1, dtype=np.int32)
+        guard = np.full(64, 0xEE, dtype=np.uint8)  # sentinel canary buffer
+        p = extract(region, len(region), 0, n, cap,
+                    offsets.ctypes.data, guard.ctypes.data)
+        assert p == -1
+        assert (guard == 0xEE).all(), "OOB write past declared capacity"
+        # and the sized-correctly happy path still extracts
+        p2 = extract(region, len(region), 0, 1, 31,
+                     offsets.ctypes.data, guard.ctypes.data)
+        assert p2 == len(region)
+        assert bytes(guard[:31]) == b"A" * 31
+
 
 class TestLineProtocolEscaping:
     @settings(max_examples=200, deadline=None)
