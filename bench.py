@@ -60,8 +60,43 @@ BENCH_QUERIES = [
 ]
 
 
+def _sentinel() -> tuple[float, float]:
+    """Fixed CPU-bound calibration work: (single-thread, 32-thread) wall
+    seconds for a deterministic sha256 workload. Makes BENCH artifacts
+    cross-round comparable — the r6 judge bisect proved a +25-45%
+    board-wide 'regression' was box drift between rounds, undetectable
+    because nothing in the JSON said how fast the box was. sha256 over
+    1 MiB buffers releases the GIL, so the 32-thread number measures real
+    parallel headroom (contended box → mt inflates first). To normalize a
+    lane across artifacts: lane_time * (ref_sentinel_st / this_st)."""
+    import hashlib
+    import threading
+
+    buf = b"\xab" * (1 << 20)
+
+    def work(iters: int) -> None:
+        h = hashlib.sha256()
+        for _ in range(iters):
+            h.update(buf)
+
+    t0 = time.perf_counter()
+    work(512)  # 512 MiB single-thread
+    st = time.perf_counter() - t0
+    threads = [threading.Thread(target=work, args=(256,))
+               for _ in range(32)]  # 8 GiB across 32 threads
+    t0 = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    mt = time.perf_counter() - t0
+    return round(st, 3), round(mt, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    load_start = [round(x, 2) for x in os.getloadavg()]
+    sent_start = _sentinel()
     from arc_spark.session import get_spark
     from arc_spark.workload import QUERIES
 
@@ -90,10 +125,13 @@ def main() -> None:
     mins: dict[str, float] = {}
     total = 0.0
 
+    all_samples: dict[str, list[float]] = {}
+
     def record(name: str, samples: list[float]) -> float:
         dt = sorted(samples)[len(samples) // 2]
         times[name] = round(dt, 3)
         mins[name] = round(min(samples), 3)
+        all_samples[name] = [round(s, 4) for s in samples]
         return dt
 
     # Iterations run INTERLEAVED round-robin across lanes (pass 1 of every
@@ -396,6 +434,8 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    sent_end = _sentinel()
+    load_end = [round(x, 2) for x in os.getloadavg()]
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     summary = {
         "metric": "workload_total_wall",
@@ -418,6 +458,13 @@ def main() -> None:
         # the DEFAULT deployment profile (config.py: defer_decode=True,
         # flush_workers=2) — its sustained e2e number is the headline
         "ingest_default_profile_rec_s": sustained_defer_rec_s,
+        # environment fingerprint (r6 verdict #1): fixed-work CPU
+        # sentinel [single-thread, 32-thread] seconds at start and end,
+        # plus 1/5/15-min loadavg — lets any two BENCH artifacts be
+        # compared sentinel-normalized instead of raw (the r6 judge
+        # bisect proved a board-wide artifact swing was box drift)
+        "sentinel": {"start": list(sent_start), "end": list(sent_end)},
+        "loadavg": {"start": load_start, "end": load_end},
         "sf": float(sf) if sf else None,
     }
     line = json.dumps(summary, separators=(",", ":"))
@@ -428,8 +475,25 @@ def main() -> None:
         line = json.dumps(summary, separators=(",", ":"))
     # verbose per-lane detail goes to STDERR so the final stdout line stays
     # within the driver's tail window (r4: the inflated line truncated its
-    # own head and parsed=null)
+    # own head and parsed=null); ALL-iteration per-lane samples (r6
+    # verdict #1c) ride here and in bench_detail.json — too wide for the
+    # stdout budget, but on disk for the judge
+    detail = {
+        "mins": mins,
+        "samples": all_samples,
+        "sus_windows_full": [[round(a), round(e)] for a, e in sus_windows],
+        "defer_windows_full": [[round(a), round(e)]
+                               for a, e in defer_windows],
+        "summary": {k: v for k, v in summary.items()
+                    if k not in ("queries", "mins")},
+    }
     print("# detail " + json.dumps({"mins": mins}), file=sys.stderr)
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_detail.json"), "w") as fh:
+            json.dump(detail, fh, indent=1)
+    except OSError:
+        pass  # read-only checkout: stderr detail still has the mins
     print(line)
 
 
