@@ -348,7 +348,11 @@ def _write_checkpoint(bk, table_path: str, version: int,
                 "partitionValues": t.get("partitionValues"),
                 "size": t.get("size")}
                for _rel, t in sorted(tombstones.items())
-               if t.get("deletionTimestamp", 0) > cutoff]
+               # `or 0`: an externally written log may carry an explicit
+               # null deletionTimestamp — treat it as expired rather than
+               # raising (which the best-effort wrapper would swallow,
+               # silently disabling checkpoints for this table forever)
+               if (t.get("deletionTimestamp") or 0) > cutoff]
     n = 2 + len(adds) + len(removes)
     tbl = pa.table({
         "txn": pa.array([None] * n, type=t_txn),

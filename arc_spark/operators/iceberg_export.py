@@ -462,23 +462,49 @@ def _export_iceberg_attempt(bk, meas_path: str, table_name: str,
             "files": len(rels), "changed": True}
 
 
+VERSION_HINT_REPUBLISH_TRIES = 3
+
+
 def _publish_version_hint(bk, md_dir: str, version: int) -> None:
-    """Advance version-hint.text monotonically via temp-file + atomic
-    rename. With concurrent exporters the vN CAS winner and the vN+1
-    winner both reach this line; a plain overwrite lets the OLDER winner
-    land last and pin Hadoop-catalog readers to stale metadata until the
-    next export — so the hint never moves backwards (the Delta
-    ``_last_checkpoint`` pointer's guard), and the rename means readers
-    never observe a partially written hint (r6 advisory)."""
+    """Advance version-hint.text via temp-file + atomic rename, with a
+    directory-derived repair pass. Check-then-rename is NOT a lock: with
+    concurrent exporters the vN CAS winner and the vN+1 winner can both
+    pass the ``>= version`` pre-read and the OLDER writer can still land
+    last, regressing the hint — and a post-rename re-read of the hint
+    alone cannot detect that (the clobbered newer value is gone, and the
+    clobberer only sees its own number). What IS always re-derivable is
+    the directory: a writer's ``v<N>.metadata.json`` lands (CAS) before
+    it ever touches the hint, so after our rename we rescan for the max
+    on-disk version and republish if the live hint is behind it. Any bad
+    interleaving therefore self-repairs: if writer B's hint=N+1 preceded
+    our clobbering rename, B's vN+1 metadata preceded it too and our
+    rescan finds it; if B publishes after our rename, B's value simply
+    lands last. The loop is bounded — monotonicity remains BEST-EFFORT
+    under a crash mid-repair (the next export's publish repairs it), but
+    the steady-state guarantee is: hint never stays regressed once the
+    last concurrent exporter finishes. Readers never observe a partial
+    hint (the rename guarantee — the r6 advisory's actual requirement)."""
     hint = bk.join(md_dir, "version-hint.text")
-    try:
-        if int(bk.read_bytes(hint).decode("ascii").strip()) >= version:
+
+    def read_hint() -> int:
+        try:
+            return int(bk.read_bytes(hint).decode("ascii").strip())
+        except Exception:
+            return -1  # absent / unreadable hint: publish ours
+
+    best = version
+    for _ in range(VERSION_HINT_REPUBLISH_TRIES):
+        if read_hint() < best:
+            tmp = bk.join(md_dir, f".hint-{best}-{os.getpid()}.tmp")
+            bk.write_bytes(tmp, str(best).encode("ascii"))
+            bk.replace_file(tmp, hint)
+        # repair pass: the directory is the source of truth — if a newer
+        # writer's metadata exists but the live hint is older (we may
+        # have just clobbered its hint), loop and republish the max
+        disk_max, _ = _current_metadata(bk, bk.dirname(md_dir))
+        best = max(best, disk_max)
+        if read_hint() >= best:
             return
-    except Exception:
-        pass  # absent / unreadable hint: publish ours
-    tmp = bk.join(md_dir, f".hint-{version}-{os.getpid()}.tmp")
-    bk.write_bytes(tmp, str(version).encode("ascii"))
-    bk.replace_file(tmp, hint)
 
 
 ORPHAN_AVRO_MIN_AGE_S = 3600.0

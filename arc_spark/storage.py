@@ -313,14 +313,18 @@ class StorageBackend:
         ``dst``. Local filesystems get rename(2) atomicity (readers see
         the old or the new body, never a partial write — the contract
         pointer files like Iceberg's version-hint.text need); object
-        stores fall back to delete+move, acceptable because their PUT is
-        already atomic per object."""
+        stores overwrite ``dst`` with a direct PUT, which is atomic per
+        object (readers see old-or-new, never absent — unlike a
+        delete+move fallback, whose window leaves ``dst`` missing and
+        gives concurrent readers a transient not-found), then drop the
+        staged ``src``. Pointer files are tiny, so the extra read of
+        ``src`` is noise."""
         fsrc, fdst = self.fs_path(src), self.fs_path(dst)
         if isinstance(self.fs, pafs.LocalFileSystem):
             os.replace(fsrc, fdst)
             return
-        self.remove_file_if_exists(dst)
-        self.move_file(src, dst)
+        self.write_bytes(dst, self.read_bytes(src))
+        self.remove_file_if_exists(src)
 
     def move_file_excl(self, src: str, dst: str) -> bool:
         """Publish ``src`` at ``dst`` ONLY if ``dst`` does not already

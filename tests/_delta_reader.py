@@ -16,6 +16,11 @@ Reader rules implemented from the protocol text:
   ascending order; state = last-writer-wins per file path (add upserts,
   remove deletes); the first commit must carry exactly one `protocol`
   and one `metaData` action.
+- spec log cleanup: when the JSON log no longer starts at version 0,
+  a checkpoint must cover the missing prefix — state seeds from the
+  newest checkpoint `vc` with every commit `vc+1..last` surviving
+  (protocol/metaData/adds/remove-tombstones all come from the
+  checkpoint rows), then the surviving commits replay on top.
 - `protocol.minReaderVersion` above what we support must abort the read.
 - `add.path` / `remove.path` are percent-encoded relative paths.
 - required `add` fields: path, partitionValues, size, modificationTime,
@@ -69,9 +74,74 @@ def _validate_type(t) -> None:
         raise DeltaLogError(f"unknown complex type {kind!r}")
 
 
+def _checkpoint_rows(log_dir: str, v: int) -> list[dict]:
+    import pyarrow.parquet as pq
+
+    path = os.path.join(log_dir, f"{v:020d}.checkpoint.parquet")
+    _require(os.path.isfile(path), f"missing checkpoint parquet v{v}")
+    return pq.read_table(path).to_pylist()
+
+
+def _checkpoint_versions(log_dir: str) -> list[int]:
+    out = []
+    for p in glob.glob(os.path.join(log_dir, "*.checkpoint.parquet")):
+        base = os.path.basename(p)[:-len(".checkpoint.parquet")]
+        if base.isdigit():
+            out.append(int(base))
+    return sorted(out)
+
+
+def _validate_metadata(body: dict) -> dict:
+    """Strict metaData action validation; returns body with "_schema"."""
+    for req in ("id", "format", "schemaString", "partitionColumns"):
+        _require(req in body and body[req] is not None,
+                 f"metaData missing {req!r}")
+    _require(body["format"]["provider"] == "parquet",
+             "only parquet format supported")
+    schema = json.loads(body["schemaString"])
+    _require(schema.get("type") == "struct",
+             "schemaString is not a struct")
+    _validate_type(schema)
+    top = {f["name"] for f in schema["fields"]}
+    for c in body["partitionColumns"]:
+        _require(c in top, f"partition column {c!r} not in schema")
+    body["_schema"] = schema
+    return body
+
+
+def _checkpoint_seed(log_dir: str, v: int):
+    """State as of checkpoint ``v``, from its parquet rows alone:
+    (protocol, meta, files, tombstones) — what a real reader starts from
+    after log cleanup has removed the JSON prefix."""
+    rows = _checkpoint_rows(log_dir, v)
+    protos = [r["protocol"] for r in rows if r.get("protocol") is not None]
+    metas = [r["metaData"] for r in rows if r.get("metaData") is not None]
+    _require(len(protos) == 1, "seed checkpoint must hold one protocol")
+    _require(len(metas) == 1, "seed checkpoint must hold one metaData")
+    _require(protos[0]["minReaderVersion"] <= SUPPORTED_READER_VERSION,
+             "seed checkpoint minReaderVersion unsupported")
+    meta = _validate_metadata(dict(metas[0]))
+    files: dict[str, dict] = {}
+    tombstones: dict[str, int] = {}
+    for r in rows:
+        a = r.get("add")
+        if a is not None:
+            a = dict(a)
+            # parquet map columns round-trip as [(k, v), ...] tuples
+            a["partitionValues"] = dict(a.get("partitionValues") or [])
+            files[urllib.parse.unquote(a["path"])] = a
+        rm = r.get("remove")
+        if rm is not None:
+            tombstones[urllib.parse.unquote(rm["path"])] = \
+                rm["deletionTimestamp"]
+    return protos[0], meta, files, tombstones
+
+
 def read_state(table_path: str) -> dict:
     """Replay `_delta_log` → {"version", "schema", "partition_columns",
-    "files": {rel_path: add_action}} with strict validation."""
+    "files": {rel_path: add_action}} with strict validation. Handles the
+    spec's log-cleanup state: a log whose JSON commits no longer start
+    at version 0 seeds from the newest covering checkpoint."""
     log_dir = os.path.join(table_path, "_delta_log")
     _require(os.path.isdir(log_dir), f"no _delta_log under {table_path}")
     commits = []
@@ -81,15 +151,27 @@ def read_state(table_path: str) -> dict:
             commits.append((int(base), p))
     commits.sort()
     _require(bool(commits), "empty _delta_log")
-    _require(commits[0][0] == 0, "log does not start at version 0")
     versions = [v for v, _ in commits]
-    _require(versions == list(range(len(versions))),
+    _require(versions == list(range(versions[0], versions[0] + len(versions))),
              f"non-contiguous log versions {versions}")
 
     protocol = None
     meta = None
     files: dict[str, dict] = {}
+    seed_v = -1
+    seed_tombstones: dict[str, int] = {}
+    if versions[0] != 0:
+        # spec log cleanup removed the prefix — a checkpoint must cover it
+        covering = [cv for cv in _checkpoint_versions(log_dir)
+                    if versions[0] - 1 <= cv <= versions[-1]]
+        _require(bool(covering),
+                 f"log starts at v{versions[0]} with no covering checkpoint")
+        seed_v = max(covering)  # a real reader starts from the newest
+        protocol, meta, files, seed_tombstones = \
+            _checkpoint_seed(log_dir, seed_v)
     for ver, path in commits:
+        if ver <= seed_v:
+            continue
         with open(path, "rb") as fh:
             lines = [ln for ln in fh.read().decode("utf-8").splitlines()
                      if ln.strip()]
@@ -100,28 +182,18 @@ def read_state(table_path: str) -> dict:
                      f"commit {ver}: action must be a single-key object")
             (kind, body), = action.items()
             if kind == "protocol":
-                _require(protocol is None, "duplicate protocol action")
+                # duplicate protocol actions stay an error in a full
+                # replay; after a checkpoint seed a commit-borne protocol
+                # is a legal upgrade and overwrites
+                _require(protocol is None or seed_v >= 0,
+                         "duplicate protocol action")
                 _require(
                     body["minReaderVersion"] <= SUPPORTED_READER_VERSION,
                     f"minReaderVersion {body['minReaderVersion']} "
                     "unsupported")
                 protocol = body
             elif kind == "metaData":
-                for req in ("id", "format", "schemaString",
-                            "partitionColumns"):
-                    _require(req in body, f"metaData missing {req!r}")
-                _require(body["format"]["provider"] == "parquet",
-                         "only parquet format supported")
-                schema = json.loads(body["schemaString"])
-                _require(schema.get("type") == "struct",
-                         "schemaString is not a struct")
-                _validate_type(schema)
-                top = {f["name"] for f in schema["fields"]}
-                for c in body["partitionColumns"]:
-                    _require(c in top,
-                             f"partition column {c!r} not in schema")
-                meta = body
-                meta["_schema"] = schema
+                meta = _validate_metadata(body)
             elif kind == "add":
                 for req in ("path", "partitionValues", "size",
                             "modificationTime", "dataChange"):
@@ -224,16 +296,34 @@ def _validate_checkpoint(table_path: str, commits, replay_files, meta):
                      "checkpoint remove.dataChange must be false")
             ck_tombstones[urllib.parse.unquote(rm["path"])] = \
                 rm["deletionTimestamp"]
-    # -- tombstone cross-check: replay removes as of version v from the
-    # JSON log; checkpoint tombstones must be a subset of those (same
-    # deletionTimestamp), and every RECENT one (deletionTimestamp within
-    # the 7-day retention, minus half a day of slack for the checkpoint
-    # write time) must be present — dropping them early loses the info
-    # an external VACUUM needs (r6 advisory)
+    # -- tombstone cross-check: replay removes as of version v, seeded
+    # from the PREVIOUS checkpoint when one exists (tombstones
+    # legitimately CHAIN through checkpoint seeds once spec log cleanup
+    # removes their origin commits — replaying surviving JSON alone
+    # would falsely reject a chained tombstone); checkpoint tombstones
+    # must be a subset of the seeded replay (same deletionTimestamp),
+    # and every RECENT one (deletionTimestamp within the 7-day
+    # retention, minus half a day of slack for the checkpoint write
+    # time) must be present — dropping them early loses the info an
+    # external VACUUM needs (r6 advisory)
     import time as _time
 
+    prev = [cv for cv in _checkpoint_versions(log_dir)
+            if commits[0][0] - 1 <= cv < v]
+    # no previous checkpoint but the JSON prefix is gone → v itself is
+    # the only state source; self-seed (the subset check is vacuous,
+    # the file-set equivalence below still bites)
+    base_v = max(prev) if prev else (v if commits[0][0] > 0 else -1)
     replay_tombstones: dict[str, int] = {}
+    if base_v >= 0:
+        for r in _checkpoint_rows(log_dir, base_v):
+            rm = r.get("remove")
+            if rm is not None:
+                replay_tombstones[urllib.parse.unquote(rm["path"])] = \
+                    rm.get("deletionTimestamp") or 0
     for ver, path in commits:
+        if ver <= base_v:
+            continue
         if ver > v:
             break
         with open(path, "rb") as fh:

@@ -668,3 +668,162 @@ class TestDeltaCheckpoint:
         committed = {os.path.relpath(f, mp).replace("\\", "/")
                      for f in snapshots.data_files(mp)}
         assert adds == committed
+
+    def test_reader_resolves_after_log_cleanup(self, spark, meas,
+                                               monkeypatch):
+        """Checkpoint-read equivalence under spec log cleanup (r7
+        advisory + r7-verdict interop item): once the JSON prefix is
+        removed, the strict reader must seed state from the covering
+        checkpoint and resolve the SAME file set it saw before cleanup —
+        including accepting tombstones that now chain through checkpoint
+        seeds with their origin commits gone (the case the old
+        replay-from-v0 subset check would falsely reject)."""
+        from tests._delta_reader import read_state
+
+        import arc_spark.operators.export as ex
+
+        monkeypatch.setattr(ex, "CHECKPOINT_EVERY", 3)
+        root, mp = meas
+        write_measurement(_df(spark, t_off=7), root, "metrics", "cpu",
+                          tag_columns=["host"])
+        export_delta_log(mp)  # v0
+        compact_measurement(spark, root, "metrics", "cpu", min_files=2,
+                            min_age_seconds=0)
+        export_delta_log(mp)  # v1: removes → tombstones
+        self._advance(root, 5)
+        export_delta_log(mp)  # v2 → checkpoint #1
+        d = os.path.join(mp, DELTA_LOG_DIR)
+        for i in range(3):  # v3..v5 → checkpoint #2 (chains tombstones)
+            self._advance(root, 10 + i)
+            export_delta_log(mp)
+        before = read_state(mp)
+        for v in range(0, 5):  # spec log cleanup: everything before ck#2
+            os.unlink(os.path.join(d, f"{v:020d}.json"))
+        after = read_state(mp)
+        assert after["version"] == before["version"] == 5
+        assert set(after["files"]) == set(before["files"])
+        assert after["schema"] == before["schema"]
+        committed = {os.path.relpath(f, mp).replace("\\", "/")
+                     for f in snapshots.data_files(mp)}
+        assert set(after["files"]) == committed
+        # a trailing commit AFTER cleanup still replays on top of the seed
+        self._advance(root, 99)
+        export_delta_log(mp)  # v6
+        again = read_state(mp)
+        assert again["version"] == 6
+        assert set(again["files"]) == {
+            os.path.relpath(f, mp).replace("\\", "/")
+            for f in snapshots.data_files(mp)}
+
+    def test_tombstone_expiry_boundary_exact_edge(self, spark, meas,
+                                                  monkeypatch):
+        """PROTOCOL.md's delta.deletedFileRetentionDuration boundary:
+        the expiry predicate is STRICT (`deletionTimestamp > cutoff`), so
+        a tombstone whose age equals the retention exactly has fully
+        served its window and is dropped, while one 1 ms younger is
+        retained. Pinning the boundary keeps exporter and reader from
+        drifting off-by-one on either side."""
+        import pyarrow.parquet as pq
+
+        import arc_spark.operators.export as ex
+
+        monkeypatch.setattr(ex, "CHECKPOINT_EVERY", 3)
+        root, mp = meas
+        write_measurement(_df(spark, t_off=7), root, "metrics", "cpu",
+                          tag_columns=["host"])
+        export_delta_log(mp)  # v0
+        compact_measurement(spark, root, "metrics", "cpu", min_files=2,
+                            min_age_seconds=0)
+        export_delta_log(mp)  # v1: removes carry deletionTimestamp
+        self._advance(root, 5)
+        export_delta_log(mp)  # v2 → checkpoint
+        d = os.path.join(mp, DELTA_LOG_DIR)
+        with open(os.path.join(d, f"{1:020d}.json")) as fh:
+            ts = max(json.loads(ln)["remove"]["deletionTimestamp"]
+                     for ln in fh if ln.strip() and "remove" in ln)
+        ck = os.path.join(d, f"{2:020d}.checkpoint.parquet")
+
+        def removes_at(now_ms):
+            os.unlink(ck)
+            ex._write_checkpoint(backend_for(mp), mp, 2, now_ms=now_ms)
+            return [r["remove"] for r in pq.read_table(ck).to_pylist()
+                    if r["remove"] is not None]
+
+        # age == retention - 1 ms: youngest possible retained tombstone
+        kept = removes_at(ts + ex.TOMBSTONE_RETENTION_MS - 1)
+        assert any(rm["deletionTimestamp"] == ts for rm in kept)
+        # age == retention exactly: strict `>` drops it
+        edge = removes_at(ts + ex.TOMBSTONE_RETENTION_MS)
+        assert not any(rm["deletionTimestamp"] == ts for rm in edge)
+
+    def test_null_deletion_timestamp_tombstone_expires(self, spark, meas,
+                                                       monkeypatch):
+        """r7 advisory: an externally written log may carry an explicit
+        null deletionTimestamp on a remove. The checkpoint writer must
+        treat it as expired (coalesce to 0) rather than raise — the
+        raise was swallowed by the best-effort wrapper and silently
+        disabled checkpointing for the table forever."""
+        import pyarrow.parquet as pq
+
+        import arc_spark.operators.export as ex
+
+        monkeypatch.setattr(ex, "CHECKPOINT_EVERY", 3)
+        root, mp = meas
+        write_measurement(_df(spark, t_off=7), root, "metrics", "cpu",
+                          tag_columns=["host"])
+        export_delta_log(mp)  # v0
+        compact_measurement(spark, root, "metrics", "cpu", min_files=2,
+                            min_age_seconds=0)
+        export_delta_log(mp)  # v1: removes
+        d = os.path.join(mp, DELTA_LOG_DIR)
+        # hand-edit v1 the way an external writer might: null timestamps
+        p1 = os.path.join(d, f"{1:020d}.json")
+        lines = []
+        with open(p1) as fh:
+            for ln in fh:
+                if not ln.strip():
+                    continue
+                action = json.loads(ln)
+                if "remove" in action:
+                    action["remove"]["deletionTimestamp"] = None
+                lines.append(json.dumps(action))
+        with open(p1, "w") as fh:
+            fh.write("\n".join(lines) + "\n")
+        self._advance(root, 5)
+        export_delta_log(mp)  # v2 → checkpoint MUST still be written
+        ck = os.path.join(d, f"{2:020d}.checkpoint.parquet")
+        assert os.path.isfile(ck)
+        rows = pq.read_table(ck).to_pylist()
+        # the malformed tombstones expired out instead of crashing
+        assert not any(r["remove"] is not None for r in rows)
+        assert any(r["add"] is not None for r in rows)
+
+
+class TestThirdPartyReaderSmoke:
+    """Auto-activating interop smokes (r7 verdict item 7): these engines
+    are not installable in the offline build container, so the suite
+    skips them — but the moment delta-rs / delta-spark / pyiceberg become
+    available in an environment, the SAME tests run for real with zero
+    code changes, closing the 'both sides wrong the same way' residual
+    risk of the hand-rolled readers."""
+
+    def test_delta_rs_reads_export(self, spark, meas):
+        deltalake = pytest.importorskip(
+            "deltalake", reason="delta-rs not installed (offline env)")
+        root, mp = meas
+        export_delta_log(mp)
+        dt_table = deltalake.DeltaTable(mp)
+        names = {os.path.basename(f) for f in dt_table.files()}
+        committed = {os.path.basename(f) for f in snapshots.data_files(mp)}
+        assert names == committed
+        n = dt_table.to_pyarrow_table().num_rows
+        assert n == spark.read.parquet(*snapshots.data_files(mp)).count()
+
+    def test_delta_spark_reads_export(self, spark, meas):
+        pytest.importorskip(
+            "delta", reason="delta-spark not installed (offline env)")
+        root, mp = meas
+        export_delta_log(mp)
+        df = spark.read.format("delta").load(mp)
+        assert df.count() == spark.read.parquet(
+            *snapshots.data_files(mp)).count()

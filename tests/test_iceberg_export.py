@@ -172,6 +172,33 @@ class TestIcebergExport:
         # no temp residue
         assert not [f for f in os.listdir(md) if f.startswith(".hint-")]
 
+    def test_version_hint_repairs_clobbered_regression(self, spark, meas):
+        """r7 advisory: check-then-rename is not a lock — the older CAS
+        winner can pass the pre-read and still rename LAST, regressing
+        the hint. The publish's repair pass rescans v*.metadata.json
+        (which always lands before any hint write) and republishes the
+        directory max, so the regression never survives the last
+        exporter's publish call."""
+        from arc_spark.operators.iceberg_export import _publish_version_hint
+        from arc_spark.storage import backend_for
+
+        root, mp = meas
+        export_iceberg(mp)  # v0
+        write_measurement(_df(spark, t_off=3), root, "metrics", "cpu",
+                          tag_columns=["host"])
+        export_iceberg(mp)  # v1 — hint now "1"
+        bk = backend_for(mp)
+        md = bk.join(mp, "metadata")
+        hint = bk.join(md, "version-hint.text")
+        # simulate the lost race: the v0 straggler's rename landed after
+        # the v1 writer's (the exact interleaving the pre-read misses)
+        bk.write_bytes(hint, b"0")
+        # ... and the straggler's own publish call repairs it, because
+        # its post-rename rescan finds v1.metadata.json on disk
+        _publish_version_hint(bk, md, 0)
+        assert bk.read_bytes(hint).decode().strip() == "1"
+        assert not [f for f in os.listdir(md) if f.startswith(".hint-")]
+
     def test_idempotent_and_incremental(self, spark, meas):
         from tests._iceberg_reader import read_table
 

@@ -269,6 +269,50 @@ class TestMoveFileExcl:
         assert not bk.exists(src1) and not bk.exists(src2)
 
 
+class TestReplaceFile:
+    """The pointer-publish primitive (version-hint.text, _last_checkpoint):
+    dst must always hold old-or-new contents, never vanish mid-publish."""
+
+    def test_local_rename(self, tmp_path):
+        from arc_spark.storage import backend_for
+
+        bk = backend_for(str(tmp_path))
+        src, dst = str(tmp_path / "s"), str(tmp_path / "hint")
+        bk.write_bytes(dst, b"old")
+        bk.write_bytes(src, b"new")
+        bk.replace_file(src, dst)
+        assert bk.read_bytes(dst) == b"new"
+        assert not bk.exists(src)
+
+    def test_object_store_overwrite_put(self, mock_root):
+        """r7 advisory: the non-local path must be a direct overwrite PUT
+        (atomic per object), NOT delete-then-move — delete+move leaves a
+        window where dst does not exist and readers get not-found."""
+        from unittest import mock as umock
+
+        from arc_spark.storage import backend_for
+
+        bk = backend_for(mock_root)
+        src = bk.join(mock_root, "staged")
+        dst = bk.join(mock_root, "ptr", "version-hint.text")
+        bk.mkdirs(bk.join(mock_root, "ptr"))
+        bk.write_bytes(dst, b"1")
+        bk.write_bytes(src, b"2")
+        # the delete primitive must never touch dst on this path
+        with umock.patch.object(
+                bk, "remove_file_if_exists",
+                wraps=bk.remove_file_if_exists) as rm:
+            bk.replace_file(src, dst)
+            assert all(c.args[0] != dst for c in rm.call_args_list)
+        assert bk.read_bytes(dst) == b"2"
+        assert not bk.exists(src)
+        # absent dst: plain publish
+        dst2 = bk.join(mock_root, "ptr", "fresh")
+        bk.write_bytes(src, b"3")
+        bk.replace_file(src, dst2)
+        assert bk.read_bytes(dst2) == b"3"
+
+
 class TestBackendResolution:
     def test_unknown_scheme_raises(self):
         with pytest.raises(ValueError, match="no storage backend"):
