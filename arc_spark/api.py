@@ -37,6 +37,98 @@ class AccessDeniedError(Exception):
 PermissionError_ = AccessDeniedError
 
 
+class NativeScanUnsupported(Exception):
+    """The native (pyarrow, no-Spark-job) serving path can't express this
+    request shape — callers fall back to the full Spark path. NEVER
+    surfaced to a client: it signals routing, not an error."""
+
+
+# pure-time-range `where` grammar: `time <op> ts` atoms joined by AND,
+# each optionally parenthesized, or a single `time BETWEEN ts AND ts`.
+# ts is an ISO-8601 single-quoted literal (optionally TIMESTAMP-prefixed).
+# Anything else — other columns, OR, functions, bare numbers — returns
+# None and the Spark path keeps full SQL semantics (same stance as the
+# native-COUNT shape check: exact-or-fall-through, never approximately).
+_TR_TS = r"(?:TIMESTAMP\s+)?'([^']*)'"
+_TR_ATOM_RE = re.compile(rf"(?is)^time\s*(>=|<=|>|<)\s*{_TR_TS}$")
+_TR_BETWEEN_RE = re.compile(
+    rf"(?is)^time\s+BETWEEN\s+{_TR_TS}\s+AND\s+{_TR_TS}$")
+_TR_AND_SPLIT = re.compile(r"(?i)\s+AND\s+")
+
+
+def _strip_outer_parens(s: str) -> str:
+    s = s.strip()
+    while s.startswith("(") and s.endswith(")"):
+        depth = 0
+        for i, ch in enumerate(s):
+            depth += (ch == "(") - (ch == ")")
+            if depth == 0 and i < len(s) - 1:
+                return s  # outer parens don't match each other
+        s = s[1:-1].strip()
+    return s
+
+
+def _parse_ts_literal(lit: str) -> int | None:
+    """Epoch µs for an ISO literal, with Spark's string→timestamp cast
+    semantics in the session's UTC zone: naive literals are UTC, offsets
+    convert. Parse failures return None (→ Spark path, which serves the
+    cast-to-NULL / analysis-error semantics itself)."""
+    import datetime as _dt
+
+    try:
+        dt = _dt.datetime.fromisoformat(lit.strip())
+    except ValueError:
+        return None
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=_dt.timezone.utc)
+    return int(dt.timestamp() * 1_000_000)
+
+
+def parse_time_range(where: str):
+    """:class:`arc_spark.catalog.TimeRange` when `where` is a pure
+    time-range predicate, else None."""
+    from arc_spark.catalog import TimeRange
+
+    s = _strip_outer_parens(where)
+    m = _TR_BETWEEN_RE.match(s)
+    if m:
+        lo, hi = _parse_ts_literal(m.group(1)), _parse_ts_literal(m.group(2))
+        if lo is None or hi is None:
+            return None
+        return TimeRange(lo_us=lo, lo_incl=True, hi_us=hi, hi_incl=True)
+    if re.search(r"(?i)\bBETWEEN\b", s):
+        return None  # BETWEEN inside a conjunction would mis-split on AND
+    lo: tuple[int, bool] | None = None   # (µs, inclusive)
+    hi: tuple[int, bool] | None = None
+    parts = _TR_AND_SPLIT.split(s)
+    if not parts:
+        return None
+    for part in parts:
+        m = _TR_ATOM_RE.match(_strip_outer_parens(part))
+        if not m:
+            return None
+        op, lit = m.group(1), m.group(2)
+        us = _parse_ts_literal(lit)
+        if us is None:
+            return None
+        if op in (">", ">="):
+            cand = (us, op == ">=")
+            # stricter lower bound wins: larger instant, or exclusive on tie
+            if lo is None or cand[0] > lo[0] or (cand[0] == lo[0]
+                                                 and not cand[1]):
+                lo = cand
+        else:
+            cand = (us, op == "<=")
+            if hi is None or cand[0] < hi[0] or (cand[0] == hi[0]
+                                                 and not cand[1]):
+                hi = cand
+    if lo is None and hi is None:
+        return None
+    return TimeRange(
+        lo_us=lo[0] if lo else None, lo_incl=lo[1] if lo else True,
+        hi_us=hi[0] if hi else None, hi_incl=hi[1] if hi else True)
+
+
 class QueryService:
     def __init__(
         self,
@@ -185,28 +277,49 @@ class QueryService:
 
     def scan_measurement_arrow(self, db: str, measurement: str,
                                limit: int = 1000, token: str = "",
-                               snapshot: int | None = None):
-        """Native fast path for the TRIVIAL A13 shape — no where, no
-        order_by: the committed file list reads through pyarrow.dataset
+                               snapshot: int | None = None,
+                               where: str | None = None):
+        """Native fast path for the TRIVIAL and TIME-RANGE A13 shapes —
+        no order_by; `where`, when present, must be a pure time-range
+        predicate (``time >=/>/<=/</BETWEEN`` literals joined by AND):
+        the committed file list reads through pyarrow.dataset
         (multi-threaded C++ scan, no Spark job, no JVM→Python collect)
         into the same Arrow memory the wire encoders consume (~10× the
-        DataFrame path at serving sizes). Governance (rate admit + row
-        cap) and RBAC apply exactly as on the Spark path; anything with a
-        filter or ordering takes :meth:`query_measurement`."""
+        DataFrame path at serving sizes). A time-range where prunes the
+        file list by hive prefix driver-side, then scans with the exact
+        row predicate (reference "Time Range (7d) LIMIT 10K" = 15 ms;
+        pruner parity with internal/pruning/partition_pruner.go:448-676).
+        Governance (rate admit + row cap) and RBAC apply exactly as on
+        the Spark path; any unsupported shape raises
+        :class:`NativeScanUnsupported` so the caller falls back to
+        :meth:`query_measurement` with full SQL semantics."""
         self.governor.admit(token)
         view = self.catalog.register(db, measurement)
-        self._check_rbac(token, f"SELECT * FROM {view}", db=db)
+        where_sql = f" WHERE {where}" if where else ""
+        self._check_rbac(token, f"SELECT * FROM {view}{where_sql}", db=db)
+        tr = None
+        if where is not None:
+            tr = parse_time_range(where)
+            if tr is None:
+                raise NativeScanUnsupported(
+                    f"not a pure time-range predicate: {where!r}")
         cap = self.governor.row_cap(token)
         eff = int(limit) if cap is None else min(int(limit), cap)
         try:
             table = self.catalog.scan_arrow(db, measurement, limit=eff,
-                                            snapshot=snapshot)
+                                            snapshot=snapshot,
+                                            time_range=tr)
         except ValueError as e:
+            if tr is not None:
+                # no time column / non-timestamp type / lossy unit —
+                # the Spark path owns these shapes (and surfaces the
+                # proper analysis error when the column is missing)
+                raise NativeScanUnsupported(str(e)) from None
             # unknown/pruned snapshot version, multi-tier pin → client
             # error, not an engine fault (the breaker must not trip)
             raise SqlValidationError(str(e)) from None
         self.registry.record_instant(
-            f"SELECT * FROM {view} LIMIT {eff}"
+            f"SELECT * FROM {view}{where_sql} LIMIT {eff}"
             + (f" VERSION AS OF {snapshot}" if snapshot is not None else ""),
             token=token, rows=table.num_rows)
         return table

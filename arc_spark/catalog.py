@@ -39,6 +39,107 @@ TESTDATA_TABLES = [
 ]
 
 
+_HIVE_PART_RE = None  # compiled lazily (module import stays cheap)
+
+
+def _path_time_window(path: str) -> tuple[int, int] | None:
+    """[start, end) epoch-µs window a hive-partitioned file path can hold,
+    from its ``year=/month=/day=/hour=`` components — ``hour=`` files span
+    one hour, daily-compacted files (no ``hour=``) one day, and so on.
+    None when the path carries no hive time components (unprunable — the
+    caller must keep the file). Mirrors the reference's directory-prefix
+    pruning (internal/pruning/partition_pruner.go:563-676) over the Spark
+    layout."""
+    global _HIVE_PART_RE
+    if _HIVE_PART_RE is None:
+        import re
+
+        _HIVE_PART_RE = re.compile(r"/(year|month|day|hour)=(\d+)(?=/)")
+    comps = {m.group(1): int(m.group(2))
+             for m in _HIVE_PART_RE.finditer(path)}
+    if "year" not in comps:
+        return None
+    import datetime as _dt
+
+    y = comps["year"]
+    mo, d, h = comps.get("month"), comps.get("day"), comps.get("hour")
+    utc = _dt.timezone.utc
+    try:
+        start = _dt.datetime(y, mo or 1, d or 1, h or 0, tzinfo=utc)
+        if h is not None:
+            end = start + _dt.timedelta(hours=1)
+        elif d is not None:
+            end = start + _dt.timedelta(days=1)
+        elif mo is not None:
+            end = _dt.datetime(y + (mo == 12), mo % 12 + 1, 1, tzinfo=utc)
+        else:
+            end = _dt.datetime(y + 1, 1, 1, tzinfo=utc)
+    except ValueError:
+        return None  # out-of-range component — keep the file, filter exact
+    return (int(start.timestamp() * 1_000_000),
+            int(end.timestamp() * 1_000_000))
+
+
+class TimeRange:
+    """A pure time predicate in epoch-µs: ``lo <(=) time <(=) hi``, either
+    side optional. Two faces: :meth:`may_contain` prunes files by their
+    hive-window CONSERVATIVELY (a kept file may still hold zero matching
+    rows; the exact predicate runs in the scan), and :meth:`arrow_filter`
+    is the exact row predicate as a pyarrow dataset expression (which
+    pyarrow also uses for parquet row-group-statistics pruning)."""
+
+    __slots__ = ("lo_us", "lo_incl", "hi_us", "hi_incl")
+
+    def __init__(self, lo_us: int | None = None, lo_incl: bool = True,
+                 hi_us: int | None = None, hi_incl: bool = True):
+        self.lo_us, self.lo_incl = lo_us, lo_incl
+        self.hi_us, self.hi_incl = hi_us, hi_incl
+
+    def may_contain(self, window: tuple[int, int] | None) -> bool:
+        if window is None:
+            return True  # unpartitioned file — cannot prune, filter exact
+        ws, we = window  # file rows live in [ws, we)
+        # conservative on inclusivity: `we > lo` / `ws <= hi` keep at most
+        # one boundary file extra; the row filter is exact either way
+        if self.lo_us is not None and we <= self.lo_us:
+            return False
+        if self.hi_us is not None and ws > self.hi_us:
+            return False
+        return True
+
+    def arrow_filter(self, time_type):
+        """Exact row predicate against a `time` column of ``time_type``.
+        Raises ValueError when the column type can't represent the bounds
+        losslessly (caller falls back to the Spark path)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        if not pa.types.is_timestamp(time_type):
+            raise ValueError(
+                f"time column is {time_type}, not a timestamp")
+
+        def _scalar(us: int):
+            s = pa.scalar(us, pa.timestamp("us", tz=time_type.tz))
+            try:
+                return s.cast(time_type)
+            except pa.ArrowInvalid as e:  # lossy cast (µs → s truncates)
+                raise ValueError(str(e)) from None
+
+        fld = pc.field("time")
+        expr = None
+        if self.lo_us is not None:
+            e = (fld >= _scalar(self.lo_us) if self.lo_incl
+                 else fld > _scalar(self.lo_us))
+            expr = e
+        if self.hi_us is not None:
+            e = (fld <= _scalar(self.hi_us) if self.hi_incl
+                 else fld < _scalar(self.hi_us))
+            expr = e if expr is None else expr & e
+        if expr is None:
+            raise ValueError("time range with no bounds")
+        return expr
+
+
 def validate_identifier(name: str, what: str = "name") -> None:
     """A database/measurement name is a SINGLE path segment under the
     storage root — never a traversal. ``db=".."`` or
@@ -176,6 +277,11 @@ class MeasurementCatalog:
         self._stats_cache: dict[tuple[str, str, str], tuple] = {}
         #: immutable per-file row counts (files never mutate in place)
         self._file_rows: dict[str, int] = {}
+        #: committed-snapshot state each live view was registered from —
+        #: lets register() skip the footer-merge re-registration when
+        #: nothing changed (the serving hot path registers per REQUEST;
+        #: re-reading a 720-file listing cost ~500 ms per call)
+        self._view_states: dict[tuple[str, str], tuple] = {}
 
     # -- namespace listing (reference A12) --------------------------------
     def databases(self) -> list[str]:
@@ -400,7 +506,8 @@ class MeasurementCatalog:
     def scan_arrow(self, db: str, measurement: str,
                    columns: list[str] | None = None,
                    limit: int | None = None,
-                   snapshot: int | None = None):
+                   snapshot: int | None = None,
+                   time_range: "TimeRange | None" = None):
         """Native Arrow scan of a measurement's COMMITTED files — no Spark
         job, no driver-collect hop.
 
@@ -413,8 +520,18 @@ class MeasurementCatalog:
         file list is snapshot-resolved exactly like :meth:`table`, hive
         partition columns materialize as int32 columns, and ns timestamps
         normalize to µs so both serving paths return identical values.
-        Anything beyond this shape (filters, ordering, joins) stays on
-        Spark."""
+
+        ``time_range`` adds the reference's time-range serving shape
+        (BASELINE "Time Range (7d) LIMIT 10K" = 15 ms; pruner behavior
+        from reference internal/pruning/partition_pruner.go:448-676):
+        the committed file list is pruned DRIVER-SIDE against each
+        file's hive ``year=/month=/day=/hour=`` window (O(files) string
+        work, no I/O — the snapshot list already sits in memory), then
+        the surviving files scan through pyarrow with the exact row
+        predicate, which pyarrow additionally uses for parquet
+        row-group-statistics pruning, stopping at LIMIT. Anything beyond
+        filter-on-time + limit (other predicates, ordering, joins) stays
+        on Spark."""
         import pyarrow as pa
         import pyarrow.dataset as pads
 
@@ -436,6 +553,9 @@ class MeasurementCatalog:
             if files is None:
                 files = [bk.join(p, r)
                          for r in snapshots.live_glob(p, bk=bk)]
+            if time_range is not None:
+                files = [f for f in files
+                         if time_range.may_contain(_path_time_window(f))]
             if not files:
                 continue
             ds = pads.dataset(
@@ -444,11 +564,23 @@ class MeasurementCatalog:
                 partitioning=pads.partitioning(flavor="hive"),
                 partition_base_dir=bk.fs_path(p),
             )
+            flt = None
+            if time_range is not None:
+                # a scan that silently dropped the predicate would serve
+                # WRONG rows — any unsupported shape (no time column,
+                # non-timestamp type, lossy unit) must raise so the
+                # caller falls back to the Spark path
+                try:
+                    ftype = ds.schema.field("time").type
+                except KeyError:
+                    raise ValueError(
+                        f"{db}.{measurement} has no 'time' column")
+                flt = time_range.arrow_filter(ftype)
             if remaining is not None:
-                t = ds.head(remaining, columns=columns)
+                t = ds.head(remaining, columns=columns, filter=flt)
                 remaining -= t.num_rows
             else:
-                t = ds.to_table(columns=columns)
+                t = ds.to_table(columns=columns, filter=flt)
             tables.append(t)
             if remaining is not None and remaining <= 0:
                 break
@@ -500,6 +632,22 @@ class MeasurementCatalog:
     def views_for(self, db: str, measurement: str) -> set[str]:
         return set(self._views.get((db, measurement), set()))
 
+    def _register_state(self, db: str, measurement: str) -> tuple | None:
+        """Cheap freshness fingerprint: (tier path, committed snapshot
+        version) per tier — one directory listing each, no footer I/O.
+        None when any tier is UNMANAGED (no snapshot chain): freshness
+        can't be proven there, so callers must re-register every time
+        (globs are the source of truth and may drift silently)."""
+        from arc_spark import snapshots
+
+        st = []
+        for p in self.paths(db, measurement):
+            vers = snapshots.latest_version(p, bk=backend_for(p))
+            if vers is None:
+                return None
+            st.append((p, vers))
+        return tuple(st)
+
     def register(self, db: str, measurement: str, view: str | None = None) -> str:
         name = view or f"{db}_{measurement}"
         # idempotent re-register keeps the epoch (and with it the
@@ -508,7 +656,18 @@ class MeasurementCatalog:
         # request would make the A9 plan cache miss 100% of the time.
         # A genuinely new (measurement, view) binding still bumps.
         already = name in self._views.get((db, measurement), set())
+        state = self._register_state(db, measurement)
+        if (already and state is not None
+                and self._view_states.get((db, measurement)) == state):
+            # nothing committed since this view was built: skip the
+            # re-registration (a footer merge + file listing — ~500 ms
+            # on a 720-file measurement, per request on the REST path).
+            # Every engine write path commits a snapshot and calls
+            # invalidate(), so a stale skip requires an out-of-band
+            # mutation that also bypassed the snapshot CAS.
+            return name
         self.table(db, measurement).createOrReplaceTempView(name)
+        self._view_states[(db, measurement)] = state
         if not already:
             self._views.setdefault((db, measurement), set()).add(name)
             self.epoch += 1
@@ -536,4 +695,6 @@ class MeasurementCatalog:
             self.spark.catalog.refreshByPath(backend_for(p).spark_url(p))
         for name in self._views.get((db, measurement), set()):
             self.table(db, measurement).createOrReplaceTempView(name)
+        self._view_states[(db, measurement)] = \
+            self._register_state(db, measurement)
         self.epoch += 1

@@ -230,6 +230,19 @@ def _fit_centroids_lloyd(sample: DataFrame, k: int, iters: int, seed: int):
     return C
 
 
+#: sq8="auto" threshold: estimated candidate-join corpus payload (bytes)
+#: above which scalar quantization is enabled. 4 GiB ≈ where the candidate
+#: shuffle stops fitting the in-memory shuffle path on a 32-core/128 GiB
+#: box at default partitioning and the job turns network/spill-bound —
+#: past it, an 8× byte reduction beats the per-candidate dequant cost;
+#: under it, the float path's zero-CPU-overhead scoring wins (measured r6:
+#: sq8 was a wash-to-loss at dim=64 / 6k-row test corpora). At 100 TB (say
+#: dim 768 float64 ≈ 6 KB/row, 16×10⁹ rows) any realistic n_probe puts the
+#: estimate orders of magnitude past the gate, so auto ≡ on at the scale
+#: the mode exists for, and auto ≡ off at pytest scale.
+SQ8_AUTO_MIN_CANDIDATE_BYTES = 4 << 30
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -241,7 +254,7 @@ def ivf_topk(
     digits: int = 4,
     seed: int = 11,
     fit_sample: int = 100_000,
-    sq8: bool = False,
+    sq8: bool | str = "auto",
 ) -> DataFrame:
     """IVF (inverted-file) ANN: k-means coarse quantizer + probed clusters.
 
@@ -273,9 +286,30 @@ def ivf_topk(
     and probing are Arrow-batched GEMMs in mapInPandas with the k×dim
     centroid matrix shipped in the closure; the candidate scoring path is
     pure Catalyst.
+
+    ``sq8="auto"`` (the default) gates quantization on the operator's own
+    cost model instead of asking the caller to know the crossover: SQ8
+    pays a per-candidate dequantize (CPU) to shrink the candidate join's
+    shuffled corpus payload 8× (network/spill). CPU loses at small
+    payloads — measured r6: the float path wins when everything fits in
+    the shuffle's memory path — and wins once the candidate traffic
+    exceeds what executors can hold without spilling, where the job goes
+    network/disk-bound and bytes ARE the bottleneck. The gate estimates
+    candidate payload as ``n_queries × n_corpus × n_probe / n_clusters ×
+    dim × 8`` bytes (expected equi-join fan-out under uniform cluster
+    sizes) and enables SQ8 above ``SQ8_AUTO_MIN_CANDIDATE_BYTES``; the
+    two counts and one first() it needs are metadata-cheap next to the
+    scan the operator already does. Pass True/False to override.
     """
     # --- 1. fit coarse quantizer on a sample -----------------------------
     n = corpus.count()
+    if sq8 == "auto":
+        dim_row = corpus.select(
+            F.size(F.col(vec_col)).alias("d")).first()
+        dim = (dim_row["d"] or 0) if dim_row is not None else 0
+        est = (queries.count() * n * n_probe
+               / max(n_clusters, 1) * dim * 8)
+        sq8 = est >= SQ8_AUTO_MIN_CANDIDATE_BYTES
     frac = min(1.0, fit_sample / max(n, 1))
     sample = (
         corpus.sample(fraction=frac, seed=seed) if frac < 1.0 else corpus

@@ -89,6 +89,7 @@ import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
+from arc_spark import api
 from arc_spark.api import IngestService, AccessDeniedError, QueryService
 from arc_spark.audit import AuditLogger
 from arc_spark.auth import AuthStore
@@ -1149,22 +1150,38 @@ class ArcServer:
                         return self._json(400, {
                             "error": "snapshot reads do not support "
                                      "where/order_by"})
-                    if not q.get("where") and not q.get("order_by"):
-                        # trivial shape → native Arrow fast scan (no Spark
-                        # job); with a filter/order the Spark path below
-                        # keeps full semantics + partition pruning.
+                    where = q.get("where")
+                    # native-eligible shapes: trivial (no where), or a
+                    # pure time-range where — both with no order_by.
+                    # The time-range route is the reference's "Time
+                    # Range (7d) LIMIT 10K" serving shape: snapshot
+                    # file list pruned by hive prefix + exact pyarrow
+                    # row filter, no Spark job. Any shape the native
+                    # path can't express falls through (in-band, not
+                    # via exception-to-HTTP) to the Spark path below.
+                    native_eligible = not q.get("order_by") and (
+                        not where or (not snap
+                                      and api.parse_time_range(where)
+                                      is not None))
+                    table = None
+                    if native_eligible:
                         # ?snapshot=N pins the read to that committed
                         # snapshot version (time travel)
                         def _fast():
-                            return outer.query.scan_measurement_arrow(
-                                q.get("db", "default"), measurement,
-                                limit=int(q.get("limit", "1000")),
-                                token=token,
-                                snapshot=int(snap) if snap else None)
+                            try:
+                                return outer.query.scan_measurement_arrow(
+                                    q.get("db", "default"), measurement,
+                                    limit=int(q.get("limit", "1000")),
+                                    token=token,
+                                    snapshot=int(snap) if snap else None,
+                                    where=where)
+                            except api.NativeScanUnsupported:
+                                return None  # → Spark path keeps semantics
 
                         ok, table = self._run(_fast)
                         if not ok:
                             return
+                    if table is not None:
                         from arc_spark.serving import (
                             to_arrow_ipc,
                             to_columnar_msgpack,

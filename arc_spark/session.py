@@ -112,7 +112,17 @@ def get_spark(
     # OOM at ~20k-doc all-pairs aggregates). On a cluster the executor
     # memory comes from the cluster manager and this setting only sizes
     # the actual driver. Applied at first session creation only.
-    mem = os.environ.get("ARC_SPARK_DRIVER_MEMORY", "16g")
+    #
+    # Default derives from the factor-256 GC probe (SCALING.md "GC sizing
+    # rule"): wide Arrow-heavy stages (shingle building, mapInPandas
+    # exchange) hold ~0.5 GiB live per concurrent task between
+    # safepoints; at 16 GiB / 32 tasks the probe showed GCLocker retry
+    # stalls, i.e. 0.5 GiB/task is the floor where GC starts fighting
+    # the Arrow JNI pins. Rule: heap ≥ 0.75 GiB × concurrent tasks
+    # (floor 16 GiB). ARC_SPARK_DRIVER_MEMORY overrides.
+    mem = os.environ.get("ARC_SPARK_DRIVER_MEMORY")
+    if not mem:
+        mem = f"{max(16, (cpus * 3 + 3) // 4)}g"
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)

@@ -117,6 +117,16 @@ def is_managed(meas_path: str, bk=None) -> bool:
     return bool(_versions(bk, meas_path))
 
 
+def latest_version(meas_path: str, bk=None) -> int | None:
+    """Newest committed snapshot version, or None for an unmanaged tree.
+    ONE directory listing, no version-file reads — the cheap freshness
+    fingerprint (versions are CAS-monotonic, so an unchanged number means
+    an unchanged committed file set)."""
+    bk = bk or backend_for(meas_path)
+    vers = _versions(bk, meas_path)
+    return vers[-1][0] if vers else None
+
+
 def _load_state(bk, meas_path: str):
     """Fold the version chain → (ver, files_set | None, deltas_since_full).
 

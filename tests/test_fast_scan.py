@@ -158,3 +158,156 @@ class TestServingFastPath:
         svc = QueryService(spark, cat, governor=gov)
         t = svc.scan_measurement_arrow("metrics", "cpu", limit=1000)
         assert t.num_rows == 25  # policy cap wins over requested limit
+
+
+class TestTimeRangeWhereParser:
+    """parse_time_range: exact-or-fall-through — anything not a pure
+    time-range conjunction returns None and keeps full Spark semantics."""
+
+    def test_accepted_shapes(self):
+        from arc_spark.api import parse_time_range
+
+        tr = parse_time_range(
+            "time >= '2024-01-15 01:00:00' AND time < '2024-01-15 03:00:00'")
+        assert (tr.lo_us, tr.lo_incl) == (1705280400000000, True)
+        assert (tr.hi_us, tr.hi_incl) == (1705287600000000, False)
+        tr = parse_time_range("time BETWEEN '2024-01-15' AND '2024-01-16'")
+        assert tr.lo_incl and tr.hi_incl
+        assert tr.hi_us - tr.lo_us == 86_400_000_000
+        # TIMESTAMP prefix, parens, mixed case, one-sided, tz offset
+        assert parse_time_range(
+            "(TIME > timestamp '2024-01-15T01:30:00')").lo_incl is False
+        assert parse_time_range("time <= '2024-01-15'").lo_us is None
+        tz = parse_time_range("time >= '2024-01-15 02:00:00+02:00'")
+        assert tz.lo_us == 1705276800000000  # converts to UTC midnight
+        # stricter bound wins in a conjunction
+        tr = parse_time_range(
+            "time >= '2024-01-10' AND time >= '2024-01-15' "
+            "AND time < '2024-01-20' AND time <= '2024-01-18'")
+        assert tr.lo_us == 1705276800000000
+        assert tr.hi_us == 1705536000000000 and tr.hi_incl
+
+    def test_rejected_shapes(self):
+        from arc_spark.api import parse_time_range
+
+        for w in [
+            "host = 'h1'",
+            "time >= '2024-01-15' AND host='h1'",
+            "time >= '2024-01-15' OR time < '2020-01-01'",
+            "time >= 1700000000",                      # bare numeric
+            "time >= '2024-1-5'",                      # non-ISO padding
+            "time >= '2024-01-15' AND time BETWEEN '2024-01-01' AND "
+            "'2024-02-01'",                            # BETWEEN in conj
+            "time = '2024-01-15'",                     # equality ≠ range
+            "(time >= '2024-01-15'",                   # unbalanced paren
+            "lower(time) >= '2024-01-15'",
+        ]:
+            assert parse_time_range(w) is None, w
+
+
+class TestTimeRangeNativeScan:
+    """The reference's 'Time Range (7d) LIMIT 10K' serving shape
+    (partition_pruner.go:448-676): snapshot file list pruned by hive
+    prefix + exact pyarrow row predicate, no Spark job — must return
+    exactly what the Spark path returns."""
+
+    WHERES = [
+        "time >= '2024-01-15 01:00:00' AND time < '2024-01-15 03:00:00'",
+        "time BETWEEN '2024-01-15 00:00:00' AND '2024-01-15 02:00:00'",
+        "time > '2024-01-15 04:00:00'",
+        "time <= '2024-01-15 00:00:00.000123'",  # sub-second boundary
+    ]
+
+    def test_matches_spark_path_exactly(self, spark, meas):
+        cat = MeasurementCatalog(spark, meas)
+        svc = QueryService(spark, cat)
+        for where in self.WHERES:
+            t = svc.scan_measurement_arrow("metrics", "cpu",
+                                           where=where, limit=10**6)
+            native = {(r["host"], r["value"],
+                       r["time"].replace(tzinfo=None))
+                      for r in t.to_pylist()}
+            sparked = {(r["host"], r["value"], r["time"]) for r in
+                       svc.query_measurement("metrics", "cpu",
+                                             where=where, limit=10**6)}
+            assert native == sparked and native, where
+
+    def test_prunes_files_by_hive_prefix(self, spark, meas):
+        from arc_spark import snapshots
+        from arc_spark.api import parse_time_range
+        from arc_spark.catalog import _path_time_window
+
+        files = snapshots.data_files(f"{meas}/metrics/cpu")
+        assert len(files) == 5  # one per hour bucket
+        tr = parse_time_range(
+            "time >= '2024-01-15 01:00:00' AND time < '2024-01-15 03:00:00'")
+        kept = [f for f in files if tr.may_contain(_path_time_window(f))]
+        # hours 1, 2 + the conservative hi-boundary file (hour 3); the
+        # exact row filter drops the boundary file's rows in the scan
+        assert len(kept) == 3
+        # daily-compacted layout (no hour=) windows at day granularity
+        assert _path_time_window("/x/year=2024/month=1/day=15/f.parquet") \
+            == (1705276800000000, 1705363200000000)
+        # unpartitioned paths are unprunable, never wrongly dropped
+        assert tr.may_contain(_path_time_window("/x/plain.parquet"))
+
+    def test_unsupported_shapes_raise_for_fallback(self, spark, meas):
+        from arc_spark.api import NativeScanUnsupported
+
+        cat = MeasurementCatalog(spark, meas)
+        svc = QueryService(spark, cat)
+        with pytest.raises(NativeScanUnsupported):
+            svc.scan_measurement_arrow("metrics", "cpu",
+                                       where="host = 'h1'", limit=10)
+
+    def test_http_route_serves_timerange_natively_and_falls_back(
+            self, spark, meas):
+        """e2e: a pure time-range where takes the native path (registry
+        records it instant — no Spark job) and returns the same rows the
+        Spark path serves; a non-time where still takes the Spark path."""
+        import urllib.parse as up
+
+        cat = MeasurementCatalog(spark, meas)
+        svc = QueryService(spark, cat)
+        auth = AuthStore(str(meas) + "-tr-auth.db")
+        admin = auth.create_token("admin")
+        ingest = IngestService(spark, meas, max_buffer_rows=10**9,
+                               max_buffer_age_s=10**9)
+        server = ArcServer(svc, ingest, auth).start()
+        try:
+            def get(path):
+                req = urllib.request.Request(
+                    f"http://127.0.0.1:{server.port}{path}")
+                req.add_header("Authorization", f"Bearer {admin}")
+                with urllib.request.urlopen(req, timeout=60) as r:
+                    return r.read()
+
+            where = up.quote(
+                "time >= '2024-01-15 01:00:00' AND "
+                "time < '2024-01-15 03:00:00'")
+            hist0 = len(svc.registry.history())
+            fast = json.loads(get(
+                f"/api/v1/query/cpu?db=metrics&limit=100000"
+                f"&where={where}"))["rows"]
+            # native: the request landed as an instant history entry
+            entries = svc.registry.history()
+            assert len(entries) > hist0
+            assert any("WHERE time >=" in e.sql for e in entries)
+            # the Spark path (forced by an extra non-time predicate the
+            # native parser rejects) returns the same rows
+            where2 = up.quote(
+                "time >= '2024-01-15 01:00:00' AND "
+                "time < '2024-01-15 03:00:00' AND value >= 0")
+            sparked = json.loads(get(
+                f"/api/v1/query/cpu?db=metrics&limit=100000"
+                f"&where={where2}"))["rows"]
+            key = lambda r: (r["host"], r["value"], r["time"])  # noqa: E731
+            assert sorted(map(key, fast)) == sorted(map(key, sparked))
+            assert len(fast) == 200
+            # arrow format on the native time-range path
+            body = get(f"/api/v1/query/cpu?db=metrics&format=arrow"
+                       f"&limit=100000&where={where}")
+            table = pa.ipc.open_stream(body).read_all()
+            assert table.num_rows == 200
+        finally:
+            server.stop()
