@@ -424,6 +424,11 @@ def main() -> None:
     burst_payloads = sus_payloads
 
     def _lp_pass(payload):
+        # HTTP-sized payloads route through the LOCAL THREADED fused
+        # writer (r8): pyarrow parse + parquet write across ≤8 threads,
+        # no Spark job — the Python-task round-trip (~0.2-0.3 s fixed on
+        # this harness) was 40%+ of the old lane. True backfills
+        # (> local_fused_max_bytes) still fan out via mapInPandas.
         with tempfile.TemporaryDirectory() as td:
             svc = IngestService(spark, td, max_buffer_rows=10**9,
                                 max_buffer_age_s=10**9,

@@ -554,13 +554,27 @@ class TestBackgroundFlush:
 
 
 class TestDistributedBulkIngest:
-    def test_large_lp_payload_routes_distributed(self, spark, tmp_path):
-        """Payloads over the threshold decode via the mapInPandas path —
-        no driver-core decode ceiling (round-1 VERDICT Wrong #4)."""
-        root = str(tmp_path)
-        svc = IngestService(spark, root, max_buffer_rows=10**9,
-                            max_buffer_age_s=10**9,
-                            distributed_decode_min_bytes=1024)
+    """The fused bulk-LP writer has two engines behind one routing
+    threshold: LOCAL THREADS for HTTP-sized payloads (≤
+    local_fused_max_bytes — skips the Python-task job round-trip) and
+    the Spark mapInPandas fan-out for true backfills. Semantics are
+    identical; the parametrization pins both."""
+
+    @pytest.fixture(params=["local-threads", "spark-distributed"])
+    def bulk_svc(self, request, spark, tmp_path):
+        def make(**kw):
+            svc = IngestService(spark, str(tmp_path), max_buffer_rows=10**9,
+                                max_buffer_age_s=10**9, **kw)
+            if request.param == "spark-distributed":
+                svc.local_fused_max_bytes = 0  # force the Spark engine
+            return svc
+
+        return make
+
+    def test_large_lp_payload_routes_fused(self, bulk_svc, spark, tmp_path):
+        """Payloads over the threshold decode via the fused parse+write
+        path — no driver-core decode ceiling (round-1 VERDICT Wrong #4)."""
+        svc = bulk_svc(distributed_decode_min_bytes=1024)
         lines = "\n".join(
             f"cpu,host=h{i % 5} usage={i % 100},active={'t' if i % 2 else 'f'} "
             f"{1700000000000000000 + i * 10**9}"
@@ -569,7 +583,7 @@ class TestDistributedBulkIngest:
         n = svc.write_line_protocol("metrics", lines.encode())
         assert n == 2000
         assert svc.stats["flushed"] == 2000  # written synchronously, no buffer
-        df = MeasurementCatalog(spark, root).table("metrics", "cpu")
+        df = MeasurementCatalog(spark, str(tmp_path)).table("metrics", "cpu")
         assert df.count() == 2000
         assert set(df.columns) >= {"time", "host", "usage", "active"}
         hosts = {r["host"] for r in df.select("host").distinct().collect()}
@@ -582,20 +596,51 @@ class TestDistributedBulkIngest:
         n = svc.write_line_protocol("m", b"cpu v=1 1700000000000000000\n")
         assert n == 1 and svc.stats["flushed"] == 0  # buffered, not written
 
-    def test_multi_measurement_bulk_splits_columns(self, spark, tmp_path):
-        root = str(tmp_path)
-        svc = IngestService(spark, root, max_buffer_rows=10**9,
-                            max_buffer_age_s=10**9,
-                            distributed_decode_min_bytes=1)
+    def test_multi_measurement_bulk_splits_columns(self, bulk_svc, spark,
+                                                   tmp_path):
+        svc = bulk_svc(distributed_decode_min_bytes=1)
         lines = (
             "cpu,host=a usage=1.5 1700000000000000000\n"
             "mem,host=a free=100i 1700000000000000000\n"
         )
         assert svc.write_line_protocol("metrics", lines.encode()) == 2
-        cat = MeasurementCatalog(spark, root)
+        cat = MeasurementCatalog(spark, str(tmp_path))
         cpu, mem = cat.table("metrics", "cpu"), cat.table("metrics", "mem")
         assert "usage" in cpu.columns and "free" not in cpu.columns
         assert "free" in mem.columns and "usage" not in mem.columns
+
+    def test_both_engines_write_identical_rowsets(self, spark, tmp_path):
+        """Same payload through both engines → identical rows, columns,
+        manifests, and snapshot-committed visibility."""
+        lines = "\n".join(
+            f"cpu,host=h{i % 7} usage={i % 100},load={i % 7} "
+            f"{1700000000000000000 + i * 10**9}"
+            for i in range(3000)).encode()
+        roots = {}
+        for name, force_spark in (("local", False), ("spark", True)):
+            root = str(tmp_path / name)
+            svc = IngestService(spark, root, max_buffer_rows=10**9,
+                                max_buffer_age_s=10**9,
+                                distributed_decode_min_bytes=1)
+            if force_spark:
+                svc.local_fused_max_bytes = 0
+            assert svc.write_line_protocol("metrics", lines) == 3000
+            roots[name] = root
+        rows = {}
+        for name, root in roots.items():
+            df = MeasurementCatalog(spark, root).table("metrics", "cpu")
+            rows[name] = sorted(
+                (r["time"], r["host"], r["usage"], r["load"])
+                for r in df.collect())
+        assert rows["local"] == rows["spark"]
+        from arc_spark import snapshots
+        from arc_spark.sources.writer import read_manifest
+
+        for root in roots.values():
+            mp = f"{root}/metrics/cpu"
+            assert snapshots.is_managed(mp)
+            assert read_manifest(root, "metrics", "cpu")["tag_columns"] \
+                == ["host"]
 
 
 class TestFlushFailureRetry:
