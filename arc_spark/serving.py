@@ -25,10 +25,15 @@ def _arrow_batches(df, max_rows_per_batch: int = 10_000) -> Iterator[pa.RecordBa
         yield batch
 
 
-def to_arrow_ipc(df, max_rows_per_batch: int = 10_000) -> bytes:
+def to_arrow_ipc(df, max_rows_per_batch: int = 65_536) -> bytes:
     """Arrow IPC stream bytes (the throughput-leader format — 9.49M rows/s
     in the reference's benchmark, BASELINE.md). Accepts a DataFrame or a
-    pyarrow Table (catalog.scan_arrow's native path)."""
+    pyarrow Table (catalog.scan_arrow's native path).
+
+    64 Ki rows per batch (matching the session's
+    ``arrow.maxRecordsPerBatch``): re-batching a 100k-row native scan at
+    10k rows cost ~2 ms of extra slice/flush overhead per request —
+    measured 5.6 → 3.6 ms for the encode at 64 Ki."""
     sink = pa.BufferOutputStream()
     writer = None
     for batch in _arrow_batches(df, max_rows_per_batch):

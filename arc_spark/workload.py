@@ -677,7 +677,12 @@ def events_measurement_compact(spark: SparkSession, sf: str):
 
     src = os.path.join(os.path.abspath(sf), "events.parquet")
     st = os.stat(src)
-    ident = f"{os.path.abspath(sf)}|{st.st_size}|{int(st.st_mtime_ns)}"
+    # |us: layout version — time is cast to µs AT BUILD (arc's storage
+    # type, SURVEY §1.2). The raw driver parquet is ns, and serving a
+    # ns-at-rest file forced scan_arrow's normalization to copy-cast the
+    # whole time column on EVERY request (~15% of the fast-scan lane);
+    # an engine-written measurement would never be ns at rest.
+    ident = f"{os.path.abspath(sf)}|{st.st_size}|{int(st.st_mtime_ns)}|us"
     key = (id(spark._jsparkSession), ident)
     got = _COMPACT_EVENTS_CACHE.get(key)
     if got is not None:
@@ -688,10 +693,15 @@ def events_measurement_compact(spark: SparkSession, sf: str):
     meas = os.path.join(root, "bench", "events")
     data = os.path.join(meas, "data.parquet")
     if not os.path.exists(data):
+        import pyarrow as pa
+
         os.makedirs(meas, exist_ok=True)
         t = pads.dataset(src).to_table().rename_columns(
             ["event_id", "time", "user_id", "event_type", "value",
              "props"])
+        i = t.column_names.index("time")
+        t = t.set_column(i, "time", t.column("time").cast(
+            pa.timestamp("us", tz="UTC")))
         pq.write_table(t, data)
         snapshots.commit(meas, add=[data])
     cat = MeasurementCatalog(spark, root)
