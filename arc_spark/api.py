@@ -87,20 +87,38 @@ def _strip_outer_parens(s: str) -> str:
     return s
 
 
+# literal shapes BOTH this parser and Spark's string→timestamp cast
+# accept: dashed date, optional time, optional offset. Python 3.11's
+# fromisoformat alone is WIDER than Spark (compact '20240115', week
+# dates '2024-W03-1') — serving those natively while Spark casts them
+# to NULL would return different rows per path (r8 review finding)
+_TR_LIT_RE = re.compile(
+    r"^\d{4}-\d{2}-\d{2}"
+    r"([ T]\d{2}:\d{2}(:\d{2}(\.\d{1,6})?)?"
+    r"(Z|[+-]\d{2}:?\d{2})?)?$")
+
+
 def _parse_ts_literal(lit: str) -> int | None:
     """Epoch µs for an ISO literal, with Spark's string→timestamp cast
     semantics in the session's UTC zone: naive literals are UTC, offsets
-    convert. Parse failures return None (→ Spark path, which serves the
+    convert. Parse failures — and any form outside the Spark∩Python ISO
+    intersection — return None (→ Spark path, which serves the
     cast-to-NULL / analysis-error semantics itself)."""
     import datetime as _dt
 
+    lit = lit.strip()
+    if not _TR_LIT_RE.match(lit):
+        return None
     try:
-        dt = _dt.datetime.fromisoformat(lit.strip())
+        dt = _dt.datetime.fromisoformat(lit)
     except ValueError:
         return None
     if dt.tzinfo is None:
         dt = dt.replace(tzinfo=_dt.timezone.utc)
-    return int(dt.timestamp() * 1_000_000)
+    # integer arithmetic: float64 epoch seconds lose µs past 2^31 s
+    # (verified: a 2038 literal came back 1 µs short via timestamp())
+    epoch = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+    return (dt - epoch) // _dt.timedelta(microseconds=1)
 
 
 def parse_time_range(where: str):
@@ -240,6 +258,7 @@ class QueryService:
         order_by: str | None = None,
         limit: int = 1000,
         token: str = "",
+        _admitted: bool = False,
     ):
         """GET /api/v1/query/:measurement shape (reference A13,
         query.go:3923-4130): a validated filter+order+limit over one
@@ -249,10 +268,15 @@ class QueryService:
         DataFrame, with ORDER BY / LIMIT applied as plan operations — so a
         `where` ending in a comment token (`--`) cannot comment out the
         endpoint row limit. `order_by` columns must be bare identifiers,
-        optionally suffixed ASC/DESC."""
+        optionally suffixed ASC/DESC.
+
+        ``_admitted``: the server's native-scan fallback already charged
+        this request's rate-limit slot inside scan_measurement_arrow —
+        one HTTP request must consume exactly one slot."""
         from pyspark.sql import functions as F
 
-        self.governor.admit(token)
+        if not _admitted:
+            self.governor.admit(token)
         # register + parse + prune under the SAME lock as execute()'s
         # pruning: createOrReplaceTempView here must not interleave with a
         # concurrent prune override/restore of the same view name
@@ -312,16 +336,20 @@ class QueryService:
         the Spark path; any unsupported shape raises
         :class:`NativeScanUnsupported` so the caller falls back to
         :meth:`query_measurement` with full SQL semantics."""
-        self.governor.admit(token)
-        view = self.catalog.register(db, measurement)
-        where_sql = f" WHERE {where}" if where else ""
-        self._check_rbac(token, f"SELECT * FROM {view}{where_sql}", db=db)
         tr = None
         if where is not None:
+            # parse BEFORE admitting: an unsupported shape must not
+            # consume a rate-limit slot, or the server's Spark fallback
+            # double-charges the token (429s at half its configured QPS
+            # on the fallback shape — r8 review finding)
             tr = parse_time_range(where)
             if tr is None:
                 raise NativeScanUnsupported(
                     f"not a pure time-range predicate: {where!r}")
+        self.governor.admit(token)
+        view = self.catalog.register(db, measurement)
+        where_sql = f" WHERE {where}" if where else ""
+        self._check_rbac(token, f"SELECT * FROM {view}{where_sql}", db=db)
         cap = self.governor.row_cap(token)
         eff = int(limit) if cap is None else min(int(limit), cap)
         try:

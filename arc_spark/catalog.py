@@ -49,12 +49,18 @@ def _path_time_window(path: str) -> tuple[int, int] | None:
     None when the path carries no hive time components (unprunable — the
     caller must keep the file). Mirrors the reference's directory-prefix
     pruning (internal/pruning/partition_pruner.go:563-676) over the Spark
-    layout."""
+    layout.
+
+    Callers MUST pass the path RELATIVE to the measurement root: a
+    storage root or db name containing a ``year=N`` segment would
+    otherwise poison every file's window and prune real data
+    (r8 review finding)."""
     global _HIVE_PART_RE
     if _HIVE_PART_RE is None:
         import re
 
-        _HIVE_PART_RE = re.compile(r"/(year|month|day|hour)=(\d+)(?=/)")
+        _HIVE_PART_RE = re.compile(
+            r"(?:^|/)(year|month|day|hour)=(\d+)(?=/)")
     comps = {m.group(1): int(m.group(2))
              for m in _HIVE_PART_RE.finditer(path)}
     if "year" not in comps:
@@ -543,6 +549,7 @@ class MeasurementCatalog:
                 f"time travel needs a single-tier measurement; "
                 f"{db}.{measurement} has {len(paths)} tiers")
         tables = []
+        schema_fallback: list = []  # real schemas when pruning emptied a tier
         remaining = limit
         for p in paths:
             bk = backend_for(p)
@@ -554,8 +561,24 @@ class MeasurementCatalog:
                 files = [bk.join(p, r)
                          for r in snapshots.live_glob(p, bk=bk)]
             if time_range is not None:
-                files = [f for f in files
-                         if time_range.may_contain(_path_time_window(f))]
+                all_files = files
+                # window from the path RELATIVE to the measurement root —
+                # a root/db segment named `year=N` must not poison it
+                prefix_len = len(p.rstrip("/")) + 1
+                files = [f for f in files if time_range.may_contain(
+                    _path_time_window(f[prefix_len:]))]
+                if not files and all_files:
+                    # everything pruned on a POPULATED measurement: the
+                    # empty result must still carry the real schema
+                    # (wire clients concat pages; a stub time-only
+                    # schema breaks them — r8 review finding). One-file
+                    # dataset inspection is cheap.
+                    schema_fallback.append(pads.dataset(
+                        [bk.fs_path(all_files[0])],
+                        filesystem=bk.fs,
+                        partitioning=pads.partitioning(flavor="hive"),
+                        partition_base_dir=bk.fs_path(p),
+                    ).schema)
             if not files:
                 continue
             ds = pads.dataset(
@@ -585,7 +608,10 @@ class MeasurementCatalog:
             if remaining is not None and remaining <= 0:
                 break
         if not tables:
-            return pa.table({"time": pa.array([], pa.timestamp("us"))})
+            if schema_fallback:
+                tables = [schema_fallback[0].empty_table()]
+            else:
+                return pa.table({"time": pa.array([], pa.timestamp("us"))})
         out = (tables[0] if len(tables) == 1
                else pa.concat_tables(tables, promote_options="permissive"))
         # µs normalization: Spark floors ns-precision parquet to µs, so

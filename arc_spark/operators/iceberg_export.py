@@ -218,6 +218,19 @@ _MANIFEST_LIST_SCHEMA = {
 # --------------------------------------------------------------------------
 
 
+def _max_metadata_version(bk, md_dir: str) -> int:
+    """Max ``v<N>.metadata.json`` version from ONE directory listing —
+    no metadata-document reads (the hint-repair hot path)."""
+    last = -1
+    if bk.isdir(md_dir):
+        for f in bk.list_files(md_dir, suffix=".metadata.json"):
+            base = bk.basename(f)
+            body = base[1:-len(".metadata.json")]
+            if base.startswith("v") and body.isdigit():
+                last = max(last, int(body))
+    return last
+
+
 def _current_metadata(bk, table_path: str) -> tuple[int, dict | None]:
     """(last published version, its metadata dict). Scans for the max
     ``v<N>.metadata.json`` instead of trusting version-hint.text — a
@@ -500,9 +513,11 @@ def _publish_version_hint(bk, md_dir: str, version: int) -> None:
             bk.replace_file(tmp, hint)
         # repair pass: the directory is the source of truth — if a newer
         # writer's metadata exists but the live hint is older (we may
-        # have just clobbered its hint), loop and republish the max
-        disk_max, _ = _current_metadata(bk, bk.dirname(md_dir))
-        best = max(best, disk_max)
+        # have just clobbered its hint), loop and republish the max.
+        # Listing only — reading/parsing the newest metadata JSON here
+        # would cost 1-3 extra GETs of a large document per export on
+        # object stores for an integer the listing already yields
+        best = max(best, _max_metadata_version(bk, md_dir))
         if read_hint() >= best:
             return
 

@@ -1164,6 +1164,7 @@ class ArcServer:
                                       and api.parse_time_range(where)
                                       is not None))
                     table = None
+                    fell_back = False
                     if native_eligible:
                         # ?snapshot=N pins the read to that committed
                         # snapshot version (time travel)
@@ -1181,6 +1182,10 @@ class ArcServer:
                         ok, table = self._run(_fast)
                         if not ok:
                             return
+                        # a post-admit fallback (no time column / lossy
+                        # type) already consumed the rate-limit slot —
+                        # the Spark path below must not charge it again
+                        fell_back = table is None
                     if table is not None:
                         from arc_spark.serving import (
                             to_arrow_ipc,
@@ -1217,6 +1222,7 @@ class ArcServer:
                         order_by=q.get("order_by"),
                         limit=int(q.get("limit", "1000")),
                         token=token,
+                        _admitted=fell_back,
                     ))
                     if ok:
                         self._json(200, {"rows": [r.asDict() for r in rows]})

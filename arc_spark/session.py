@@ -122,7 +122,20 @@ def get_spark(
     # (floor 16 GiB). ARC_SPARK_DRIVER_MEMORY overrides.
     mem = os.environ.get("ARC_SPARK_DRIVER_MEMORY")
     if not mem:
-        mem = f"{max(16, (cpus * 3 + 3) // 4)}g"
+        gb = max(16, (cpus * 3 + 3) // 4)
+        # clamp to half of physical RAM (Arrow native buffers + Python
+        # workers live OUTSIDE the JVM heap): a 64-core/64 GiB box must
+        # not default to -Xmx48g and swap (r8 review finding)
+        try:
+            with open("/proc/meminfo") as fh:
+                for line in fh:
+                    if line.startswith("MemTotal:"):
+                        ram_gb = int(line.split()[1]) // (1024 * 1024)
+                        gb = max(4, min(gb, ram_gb // 2))
+                        break
+        except OSError:
+            pass  # non-Linux: keep the cpu-derived value
+        mem = f"{gb}g"
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)

@@ -476,7 +476,8 @@ def main() -> None:
         dt = record(lane, heavy_samples[lane])
         total += dt
         print(
-            f"# {lane}: p50 {dt:.3f}s distributed decode+write "
+            f"# {lane}: p50 {dt:.3f}s fused parse+write, local threads "
+            f"(<=128MB routing; r8) "
             f"({heavy_rows[lane] / dt:,.0f} rec/s; passes "
             f"{[round(s, 2) for s in heavy_samples[lane]]})",
             file=sys.stderr,

@@ -159,7 +159,6 @@ def read_state(table_path: str) -> dict:
     meta = None
     files: dict[str, dict] = {}
     seed_v = -1
-    seed_tombstones: dict[str, int] = {}
     if versions[0] != 0:
         # spec log cleanup removed the prefix — a checkpoint must cover it
         covering = [cv for cv in _checkpoint_versions(log_dir)
@@ -167,8 +166,9 @@ def read_state(table_path: str) -> dict:
         _require(bool(covering),
                  f"log starts at v{versions[0]} with no covering checkpoint")
         seed_v = max(covering)  # a real reader starts from the newest
-        protocol, meta, files, seed_tombstones = \
-            _checkpoint_seed(log_dir, seed_v)
+        # (seed tombstones are not needed here: _validate_checkpoint
+        # re-derives its tombstone seed from the previous checkpoint)
+        protocol, meta, files, _ = _checkpoint_seed(log_dir, seed_v)
     for ver, path in commits:
         if ver <= seed_v:
             continue

@@ -251,6 +251,104 @@ class TestTimeRangeNativeScan:
         # unpartitioned paths are unprunable, never wrongly dropped
         assert tr.may_contain(_path_time_window("/x/plain.parquet"))
 
+    def test_literal_forms_match_spark_cast_exactly(self):
+        """r8 review: Python's fromisoformat is WIDER than Spark's
+        string→timestamp cast — compact dates and ISO week dates must be
+        REJECTED (Spark casts them to NULL → zero rows; serving rows
+        natively for the same query would diverge). And epoch math must
+        be integer — float64 seconds lose the last µs past 2^31 s."""
+        from arc_spark.api import _parse_ts_literal, parse_time_range
+
+        for lit in ("20240115", "2024-W03-1", "2024015", "2024-01-15X"):
+            assert parse_time_range(f"time >= '{lit}'") is None, lit
+        # µs-exact past 2038 (float64 epoch-seconds would truncate)
+        assert _parse_ts_literal("2038-02-27T21:18:46.981929") \
+            == 2150918326981929
+        assert _parse_ts_literal("2100-01-01 00:00:00.000001") \
+            == 4102444800000001
+
+    def test_root_path_hive_segment_does_not_poison_pruning(
+            self, spark, tmp_path):
+        """r8 review: a storage root (or db) containing a `year=N`
+        segment must not contribute to any file's pruning window — the
+        window derives from the path RELATIVE to the measurement."""
+        root = str(tmp_path / "year=1999" / "data")
+        df = spark.range(100).select(
+            F.timestamp_micros(
+                F.lit(int(dt.datetime(2024, 1, 15).timestamp() * 1_000_000))
+                + F.col("id")).alias("time"),
+            F.col("id").cast("double").alias("value"))
+        write_measurement(df, root, "metrics", "cpu")
+        cat = MeasurementCatalog(spark, root)
+        svc = QueryService(spark, cat)
+        t = svc.scan_measurement_arrow(
+            "metrics", "cpu",
+            where="time >= '2024-01-15 00:00:00'", limit=1000)
+        assert t.num_rows == 100  # a poisoned [1999,2000) window drops all
+
+    def test_all_pruned_empty_result_keeps_real_schema(self, spark, meas):
+        """r8 review: a time range matching nothing on a POPULATED
+        measurement must return 0 rows WITH the measurement's schema —
+        wire clients concat pages; a stub time-only schema breaks them."""
+        cat = MeasurementCatalog(spark, meas)
+        svc = QueryService(spark, cat)
+        t = svc.scan_measurement_arrow(
+            "metrics", "cpu", where="time >= '2030-01-01'", limit=1000)
+        assert t.num_rows == 0
+        assert {"time", "host", "value"} <= set(t.schema.names)
+
+    def test_fallback_charges_one_rate_limit_slot(self, spark, tmp_path,
+                                                  monkeypatch):
+        """r8 review: the native→Spark fallback (e.g. a measurement the
+        native scan can't express) must consume exactly ONE rate-limit
+        slot per HTTP request, not two — a token at its cap was getting
+        429s at half its configured QPS on fallback shapes."""
+        import urllib.parse as up
+
+        from arc_spark.governance import Governor, TokenPolicy
+
+        root = str(tmp_path)
+        df = spark.range(20).select(
+            F.timestamp_micros(
+                F.lit(1705276800000000) + F.col("id")).alias("time"),
+            F.col("id").cast("double").alias("value"))
+        write_measurement(df, root, "metrics", "cpu")
+        cat = MeasurementCatalog(spark, root)
+        gov = Governor(default_policy=TokenPolicy(max_queries_per_minute=3))
+        svc = QueryService(spark, cat, governor=gov)
+        # force the POST-ADMIT fallback on every native attempt (the
+        # no-time-column / lossy-type shape)
+        def no_native(*a, **k):
+            if k.get("time_range") is not None:
+                raise ValueError("metrics.cpu has no 'time' column")
+            return MeasurementCatalog.scan_arrow(cat, *a, **k)
+
+        monkeypatch.setattr(cat, "scan_arrow", no_native)
+        auth = AuthStore(root + "-rl-auth.db")
+        tok = auth.create_token("t")
+        ingest = IngestService(spark, root, max_buffer_rows=10**9,
+                               max_buffer_age_s=10**9)
+        server = ArcServer(svc, ingest, auth).start()
+        try:
+            where = up.quote("time >= '2024-01-15 00:00:00'")
+            codes = []
+            for _ in range(4):
+                req = urllib.request.Request(
+                    f"http://127.0.0.1:{server.port}/api/v1/query/cpu"
+                    f"?db=metrics&limit=10&where={where}")
+                req.add_header("Authorization", f"Bearer {tok}")
+                try:
+                    with urllib.request.urlopen(req, timeout=60) as r:
+                        body = json.loads(r.read())
+                        assert body["rows"], "fallback served real rows"
+                        codes.append(r.status)
+                except urllib.error.HTTPError as e:
+                    codes.append(e.code)
+            # 3 slots → exactly 3 succeed; double-charging would cap at 1
+            assert codes == [200, 200, 200, 429]
+        finally:
+            server.stop()
+
     def test_unsupported_shapes_raise_for_fallback(self, spark, meas):
         from arc_spark.api import NativeScanUnsupported
 
