@@ -121,6 +121,31 @@ def _parse_ts_literal(lit: str) -> int | None:
     return (dt - epoch) // _dt.timedelta(microseconds=1)
 
 
+def _combine_time_atoms(atoms: list[tuple[str, int]]):
+    """(op, µs) atoms → TimeRange: the strictest lower bound (larger
+    instant; exclusive on a tie) and the strictest upper bound win."""
+    from arc_spark.catalog import TimeRange
+
+    lo: tuple[int, bool] | None = None   # (µs, inclusive)
+    hi: tuple[int, bool] | None = None
+    for op, us in atoms:
+        if op in (">", ">="):
+            cand = (us, op == ">=")
+            if lo is None or cand[0] > lo[0] or (cand[0] == lo[0]
+                                                 and not cand[1]):
+                lo = cand
+        else:
+            cand = (us, op == "<=")
+            if hi is None or cand[0] < hi[0] or (cand[0] == hi[0]
+                                                 and not cand[1]):
+                hi = cand
+    if lo is None and hi is None:
+        return None
+    return TimeRange(
+        lo_us=lo[0] if lo else None, lo_incl=lo[1] if lo else True,
+        hi_us=hi[0] if hi else None, hi_incl=hi[1] if hi else True)
+
+
 def parse_time_range(where: str):
     """:class:`arc_spark.catalog.TimeRange` when `where` is a pure
     time-range predicate, else None."""
@@ -135,35 +160,78 @@ def parse_time_range(where: str):
         return TimeRange(lo_us=lo, lo_incl=True, hi_us=hi, hi_incl=True)
     if re.search(r"(?i)\bBETWEEN\b", s):
         return None  # BETWEEN inside a conjunction would mis-split on AND
-    lo: tuple[int, bool] | None = None   # (µs, inclusive)
-    hi: tuple[int, bool] | None = None
     parts = _TR_AND_SPLIT.split(s)
     if not parts:
         return None
+    atoms: list[tuple[str, int]] = []
     for part in parts:
         m = _TR_ATOM_RE.match(_strip_outer_parens(part))
         if not m:
             return None
-        op, lit = m.group(1), m.group(2)
-        us = _parse_ts_literal(lit)
+        us = _parse_ts_literal(m.group(2))
         if us is None:
             return None
-        if op in (">", ">="):
-            cand = (us, op == ">=")
-            # stricter lower bound wins: larger instant, or exclusive on tie
-            if lo is None or cand[0] > lo[0] or (cand[0] == lo[0]
-                                                 and not cand[1]):
-                lo = cand
-        else:
-            cand = (us, op == "<=")
-            if hi is None or cand[0] < hi[0] or (cand[0] == hi[0]
-                                                 and not cand[1]):
-                hi = cand
-    if lo is None and hi is None:
-        return None
-    return TimeRange(
-        lo_us=lo[0] if lo else None, lo_incl=lo[1] if lo else True,
-        hi_us=hi[0] if hi else None, hi_incl=hi[1] if hi else True)
+        atoms.append((m.group(1), us))
+    return _combine_time_atoms(atoms)
+
+
+# parsed-plan Filter-condition grammar (the SQL serving fast path):
+#   node := atom | between | "(" node " AND " node ")"
+# Catalyst prints conjunctions BINARY-NESTED with wrapping parens and
+# literals bare, so requiring (a) paren/comma-free literals inside
+# atoms, (b) exactly matching outer parens, and (c) exactly one
+# top-level " AND " per level makes literal injection structurally
+# impossible: a crafted string literal that mimics the printed shape
+# must reintroduce a paren or comma (fails the atom) or break the
+# outer-paren matching (fails the node) — either way → Spark path,
+# which serves the cast-to-NULL semantics itself.
+_PLAN_ATOM_RE = re.compile(r"(?is)^\('time (>=|<=|>|<) ([^(),]*)\)$")
+_PLAN_BETWEEN_RE = re.compile(
+    r"(?is)^'between\('time, ([^(),]*), ([^(),]*)\)$")
+
+
+def _plan_cond_timerange(cond: str):
+    """TimeRange from a PARSED-plan Filter condition's printed form,
+    else None (→ full Spark execution)."""
+
+    def walk(s: str) -> list[tuple[str, int]] | None:
+        m = _PLAN_ATOM_RE.match(s)
+        if m:
+            us = _parse_ts_literal(m.group(2))
+            return None if us is None else [(m.group(1), us)]
+        m = _PLAN_BETWEEN_RE.match(s)
+        if m:
+            lo = _parse_ts_literal(m.group(1))
+            hi = _parse_ts_literal(m.group(2))
+            if lo is None or hi is None:
+                return None
+            return [(">=", lo), ("<=", hi)]
+        if not (s.startswith("(") and s.endswith(")")):
+            return None
+        depth = 0
+        for i, ch in enumerate(s):
+            depth += (ch == "(") - (ch == ")")
+            if depth == 0 and i < len(s) - 1:
+                return None  # outer parens don't match each other
+        inner = s[1:-1]
+        depth = 0
+        split = None
+        for i, ch in enumerate(inner):
+            depth += (ch == "(") - (ch == ")")
+            if depth == 0 and inner.startswith(" AND ", i):
+                if split is not None:
+                    return None  # Catalyst prints binary ANDs only
+                split = i
+        if split is None:
+            return None
+        a = walk(inner[:split])
+        b = walk(inner[split + 5:])
+        if a is None or b is None:
+            return None
+        return a + b
+
+    atoms = walk(cond.strip())
+    return _combine_time_atoms(atoms) if atoms else None
 
 
 class QueryService:
@@ -387,7 +455,37 @@ class QueryService:
     _COUNT_RELATION_RE = re.compile(
         r"^\+- 'UnresolvedRelation \[([^\]]+)\], \[\], false$")
 
-    def _native_count(self, sql: str, db: str | None) -> list | None:
+    def _resolve_relation(self, rel_text: str,
+                          db: str | None) -> tuple[str, str] | None:
+        """A plan relation token list → (db, measurement), honoring view
+        bindings and request db-scoping; None when unresolvable (or
+        cross-db under a scoped request — the Spark path must surface
+        the SAME _scope_to_db error, never a native answer)."""
+        parts = [p.strip() for p in rel_text.split(",")]
+        if len(parts) == 2:
+            if db is not None:
+                return None
+            key = self.catalog.measurement_for_view(parts[1], db=parts[0])
+            if key is None and parts[1] in self.catalog.measurements(parts[0]):
+                key = (parts[0], parts[1])
+            return key
+        if len(parts) == 1:
+            return self.catalog.measurement_for_view(parts[0], db=db)
+        return None
+
+    def _plan_lines(self, sql: str) -> list[str] | None:
+        """Parsed-plan treeString lines (one JVM parse, shared by the
+        native shape detectors), or None on a parse failure."""
+        from arc_spark.plans.validator import _parse_plan
+
+        try:
+            return [ln for ln in _parse_plan(self.spark, sql)
+                    .treeString().splitlines() if ln.strip()]
+        except Exception:
+            return None
+
+    def _native_count(self, sql: str, db: str | None,
+                      lines: list[str] | None = None) -> list | None:
         """[(name, value, arrow_type), ...] when `sql` is EXACTLY a bare
         ``SELECT <COUNT(*) | MIN(col) | MAX(col), ...> FROM <one
         measurement>`` answerable from parquet footer metadata (the
@@ -399,14 +497,9 @@ class QueryService:
         columns whose every row group carries exact stats (float stats
         can be conservative bounds like -0.0, string stats can truncate
         — those shapes run on Spark). None → run on Spark."""
-        from arc_spark.plans.validator import _parse_plan
-
-        try:
-            lines = [ln for ln in _parse_plan(self.spark, sql)
-                     .treeString().splitlines() if ln.strip()]
-        except Exception:
-            return None
-        if len(lines) != 2:
+        if lines is None:
+            lines = self._plan_lines(sql)
+        if lines is None or len(lines) != 2:
             return None
         m_proj = self._PROJECT_LINE_RE.match(lines[0])
         m_rel = self._COUNT_RELATION_RE.match(lines[1])
@@ -437,20 +530,7 @@ class QueryService:
             specs.append((kind, col, name))
         if not specs or len({n for _, _, n in specs}) != len(specs):
             return None  # empty or duplicate output names
-        parts = [p.strip() for p in m_rel.group(1).split(",")]
-        if len(parts) == 2:
-            if db is not None:
-                # a db-scoped request rejects cross-database refs on the
-                # Spark path (_scope_to_db) — the native path must fall
-                # through so the SAME error surfaces, never an answer
-                return None
-            key = self.catalog.measurement_for_view(parts[1], db=parts[0])
-            if key is None and parts[1] in self.catalog.measurements(parts[0]):
-                key = (parts[0], parts[1])
-        elif len(parts) == 1:
-            key = self.catalog.measurement_for_view(parts[0], db=db)
-        else:
-            return None
+        key = self._resolve_relation(m_rel.group(1), db)
         if key is None:
             return None
         import pyarrow as pa
@@ -523,6 +603,77 @@ class QueryService:
             return to_columnar_msgpack(df)
         raise ValueError(f"unknown fmt {fmt!r}")
 
+    _TR_GLOBAL_LIMIT_RE = re.compile(r"^'GlobalLimit (\d+)$")
+    _TR_LOCAL_LIMIT_RE = re.compile(r"^'LocalLimit (\d+)$")
+    _TR_FILTER_RE = re.compile(r"^'Filter (.*)$")
+    _TR_REL_RE = re.compile(
+        r"^'UnresolvedRelation \[([^\]]+)\], \[\], false$")
+
+    def _native_timerange(self, sql: str, db: str | None,
+                          lines: list[str] | None = None):
+        """(key, TimeRange, limit) when `sql` is EXACTLY ``SELECT * FROM
+        <one measurement> WHERE <pure time range> LIMIT <n>`` — the
+        reference's "Time Range (7d) LIMIT 10K" serving category (15 ms
+        in BASELINE) — detected on the PARSED plan like the native
+        COUNT shape: five nodes (GlobalLimit/LocalLimit/Project[*]/
+        Filter/relation), the Filter condition matched against the
+        paren-safe printed-condition grammar (_plan_cond_timerange).
+        Any other projection, an ORDER BY, a missing LIMIT, or any
+        non-time predicate → None → full Spark execution."""
+        if lines is None:
+            lines = self._plan_lines(sql)
+        if lines is None or len(lines) != 5:
+            return None
+        lines = [ln.strip().removeprefix("+- ").strip() for ln in lines]
+        m_gl = self._TR_GLOBAL_LIMIT_RE.match(lines[0])
+        m_ll = self._TR_LOCAL_LIMIT_RE.match(lines[1])
+        m_f = self._TR_FILTER_RE.match(lines[3])
+        m_rel = self._TR_REL_RE.match(lines[4])
+        if (not m_gl or not m_ll or lines[2] != "'Project [*]"
+                or not m_f or not m_rel
+                or m_gl.group(1) != m_ll.group(1)):
+            return None
+        tr = _plan_cond_timerange(m_f.group(1))
+        if tr is None:
+            return None
+        key = self._resolve_relation(m_rel.group(1), db)
+        if key is None:
+            return None
+        return key, tr, int(m_gl.group(1))
+
+    def _serve_native_table(self, table, fmt: str):
+        """A native-scan pyarrow Table in each wire shape, matching the
+        Spark path's types (naive UTC datetimes for 'rows', session-tz
+        Arrow fields for 'arrow', typed-JSON / columnar-msgpack via the
+        Table-aware serving encoders)."""
+        import pyarrow as pa
+
+        if fmt == "arrow":
+            from arc_spark.serving import to_arrow_ipc
+
+            return to_arrow_ipc(table)
+        if fmt == "msgpack":
+            from arc_spark.serving import to_columnar_msgpack
+
+            return to_columnar_msgpack(table)
+        if fmt == "json":
+            from arc_spark.serving import stream_typed_json
+
+            return stream_typed_json(table)
+        if fmt == "rows":
+            import pyarrow.compute as pc
+            from pyspark.sql import Row
+
+            cols = []
+            for i, f in enumerate(table.schema):
+                c = table.column(i)
+                if pa.types.is_timestamp(f.type) and f.type.tz is not None:
+                    c = pc.local_timestamp(c)  # Spark collects naive UTC
+                cols.append(c.to_pylist())
+            RowT = Row(*table.column_names)
+            return [RowT(*vals) for vals in zip(*cols)]
+        raise ValueError(f"unknown fmt {fmt!r}")
+
 
 
     def execute(self, sql: str, token: str = "", fmt: str = "rows",
@@ -558,10 +709,30 @@ class QueryService:
         # Validation + RBAC above already ran on this SQL; the shape
         # check is on the PARSED plan, so any filter/group/expression
         # falls through to the engine.
-        nc = self._native_count(sql, db)
+        plan_lines = self._plan_lines(sql)  # one parse, both detectors
+        nc = self._native_count(sql, db, lines=plan_lines)
         if nc is not None:
             self.registry.record_instant(sql, token=token, rows=1)
             return self._serve_native_count(nc, fmt=fmt)
+        # native time-range serving on the SQL surface (reference "Time
+        # Range (7d) LIMIT 10K" = 15 ms): SELECT * + pure time filter +
+        # LIMIT over one measurement reads through the snapshot-pruned
+        # pyarrow scan — no Spark job. Unsupported measurement shapes
+        # (no time column, lossy type) fall through to the engine.
+        nt = self._native_timerange(sql, db, lines=plan_lines)
+        if nt is not None:
+            key, tr, n = nt
+            cap = self.governor.row_cap(token)
+            eff = n if cap is None else min(n, cap)
+            try:
+                table = self.catalog.scan_arrow(*key, limit=eff,
+                                                time_range=tr)
+            except ValueError:
+                table = None  # → Spark path keeps full semantics
+            if table is not None:
+                self.registry.record_instant(sql, token=token,
+                                             rows=table.num_rows)
+                return self._serve_native_table(table, fmt=fmt)
         # SQL-surface partition pruning (reference A2's flagship behavior):
         # WHERE time ranges become year/month/day/hour partition predicates
         # on each measurement scan. The lock scopes the temporary pruned-view

@@ -614,18 +614,22 @@ class MeasurementCatalog:
                 return pa.table({"time": pa.array([], pa.timestamp("us"))})
         out = (tables[0] if len(tables) == 1
                else pa.concat_tables(tables, promote_options="permissive"))
-        # µs normalization: Spark floors ns-precision parquet to µs, so
-        # the native path must serve the same values
+        # Spark-wire schema normalization, so both serving paths emit
+        # identical Arrow schemas: µs timestamps (Spark floors ns), all
+        # fields nullable (Spark's parquet reads report nullable even
+        # for required columns), no parquet field/schema metadata (the
+        # Spark collect path doesn't carry it)
         fields = []
         changed = False
         for f in out.schema:
-            if pa.types.is_timestamp(f.type) and f.type.unit != "us":
-                fields.append(pa.field(
-                    f.name, pa.timestamp("us", tz=f.type.tz), f.nullable))
+            t = f.type
+            if pa.types.is_timestamp(t) and t.unit != "us":
+                t = pa.timestamp("us", tz=t.tz)
                 changed = True
-            else:
-                fields.append(f)
-        if changed:
+            if not f.nullable or f.metadata:
+                changed = True
+            fields.append(pa.field(f.name, t, nullable=True))
+        if changed or out.schema.metadata:
             out = out.cast(pa.schema(fields))
         return out
 

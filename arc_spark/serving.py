@@ -66,7 +66,24 @@ _TYPE_MAP = {
 def column_types(df) -> list[dict]:
     """{name, type} per column with the reference's 5-type mapping
     (query_json_writer.go:17-80 mapColumnType; decimals → float, everything
-    else → string)."""
+    else → string). Accepts a DataFrame or a pyarrow Table (native
+    serving paths) — identical mapping either way."""
+    if isinstance(df, pa.Table):
+        out = []
+        for f in df.schema:
+            t = f.type
+            if pa.types.is_boolean(t):
+                m = "bool"
+            elif pa.types.is_timestamp(t) or pa.types.is_date(t):
+                m = "timestamp"
+            elif pa.types.is_integer(t):
+                m = "int"
+            elif pa.types.is_floating(t) or pa.types.is_decimal(t):
+                m = "float"
+            else:
+                m = "string"
+            out.append({"name": f.name, "type": m})
+        return out
     out = []
     for f in df.schema.fields:
         t = f.dataType.simpleString()

@@ -205,6 +205,18 @@ def main() -> None:
         samples_by.setdefault("serve_count_native", []).append(
             time.perf_counter() - t0)
         rows_by["serve_count_native"] = n_cnt
+        # SQL-surface native time-range (r8): the same 7d/10K category
+        # arriving as SQL through the full execute() pipeline
+        # (validate → RBAC → plan-shape detect → pyarrow scan) — the
+        # POST /api/v1/query shape BASELINE's 15 ms number measures
+        t0 = time.perf_counter()
+        sql_tr_bytes = len(count_svc.execute(
+            "SELECT * FROM events WHERE "
+            "time >= '2024-01-10 00:00:00' AND "
+            "time < '2024-01-17 00:00:00' LIMIT 10000", fmt="arrow"))
+        samples_by.setdefault("serve_sql_timerange", []).append(
+            time.perf_counter() - t0)
+        rows_by["serve_sql_timerange"] = sql_tr_bytes
         # time-range serving: 7d window, LIMIT 10K, Arrow wire bytes.
         # Two substrates: the hour-partitioned tree (720 files at sf0.1 —
         # file-count-bound, ~0.5 ms/file open) and the compacted
@@ -241,6 +253,11 @@ def main() -> None:
     print(f"# serve_count_native: p50 {dt * 1000:.2f}ms footer-metadata "
           f"COUNT(*) ({rows_by['serve_count_native']:,} rows; arc 1.03ms)",
           file=sys.stderr)
+    dt = record("serve_sql_timerange", samples_by["serve_sql_timerange"])
+    total += dt
+    print(f"# serve_sql_timerange: p50 {dt * 1000:.2f}ms SQL-surface "
+          "native 7d-range LIMIT 10K incl. validate+RBAC+shape-detect "
+          "(arc 15ms)", file=sys.stderr)
     dt = record("serve_timerange", samples_by["serve_timerange"])
     total += dt
     print(f"# serve_timerange: p50 {dt * 1000:.2f}ms native 7d-range "

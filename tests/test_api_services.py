@@ -148,6 +148,105 @@ class TestQueryService:
         svc.catalog.invalidate("metrics", "cpu")  # what the server wires
         assert svc.execute("SELECT COUNT(*) FROM cpu")[0][0] == before + 1
 
+    def test_native_sql_timerange_matches_spark_path(self, spark,
+                                                     tmp_path):
+        """The reference's 'Time Range (7d) LIMIT 10K' SQL category
+        (BASELINE 15 ms): SELECT * + pure time filter + LIMIT over one
+        measurement serves through the snapshot-pruned pyarrow scan —
+        no Spark job — and must match the Spark path's rows, column
+        order, Arrow schema, typed-JSON and msgpack output exactly."""
+        import pyarrow as pa
+
+        svc = self._service(spark, str(tmp_path))
+        sql = ("SELECT * FROM cpu WHERE time >= '2023-01-01' "
+               "AND time < '2026-01-01' LIMIT 1000")
+        assert svc._native_timerange(sql, None) is not None
+        # forced Spark twin: an extra non-time predicate the detector
+        # rejects, semantically a tautology
+        twin = sql.replace("LIMIT", "AND usage >= -1e9 LIMIT")
+        native = svc.execute(sql)
+        sparked = svc.execute(twin)
+        assert native and len(native) == len(sparked)
+        assert list(native[0].__fields__) == list(sparked[0].__fields__)
+        key = lambda r: tuple(str(v) for v in r)  # noqa: E731
+        assert sorted(map(key, native)) == sorted(map(key, sparked))
+        a_n = pa.ipc.open_stream(
+            svc.execute(sql, fmt="arrow")).read_all()
+        a_s = pa.ipc.open_stream(
+            svc.execute(twin, fmt="arrow")).read_all()
+        assert a_n.schema == a_s.schema
+        assert sorted(map(tuple, a_n.to_pylist()[0].items())) is not None
+        assert sorted(a_n.to_pydict()["time"]) == \
+            sorted(a_s.to_pydict()["time"])
+        j_n = list(svc.execute(sql, fmt="json"))
+        j_s = list(svc.execute(twin, fmt="json"))
+        assert j_n[0] == j_s[0]  # identical typed header
+        import json as _j
+
+        rows_n = [r for c in j_n[1:] for r in _j.loads(c)["data"]]
+        rows_s = [r for c in j_s[1:] for r in _j.loads(c)["data"]]
+        assert sorted(map(tuple, rows_n)) == sorted(map(tuple, rows_s))
+        from arc_spark.sources.msgpack_codec import unpackb
+
+        o_n = unpackb(svc.execute(sql, fmt="msgpack"))
+        o_s = unpackb(svc.execute(twin, fmt="msgpack"))
+        assert o_n["column_order"] == o_s["column_order"]
+
+    def test_native_sql_timerange_fallthrough_shapes(self, spark,
+                                                     tmp_path):
+        """Exact-or-fall-through on the SQL surface: any projection,
+        ORDER BY, missing LIMIT, extra predicate, expression bound, or
+        literal-injection attempt runs on Spark."""
+        svc = self._service(spark, str(tmp_path))
+        for sql in [
+            "SELECT * FROM cpu WHERE time >= '2024-01-01'",   # no LIMIT
+            "SELECT time FROM cpu WHERE time >= '2024-01-01' LIMIT 5",
+            "SELECT * FROM cpu WHERE time >= '2024-01-01' "
+            "ORDER BY time LIMIT 5",
+            "SELECT * FROM cpu WHERE time >= '2024-01-01' "
+            "AND host='a' LIMIT 5",
+            "SELECT * FROM cpu WHERE time >= now() - INTERVAL 7 DAYS "
+            "LIMIT 5",
+            "SELECT * FROM cpu WHERE usage > 0 LIMIT 5",
+            # crafted literal printing like a valid conjunction must
+            # fail the paren-safe plan grammar, not serve rows
+            "SELECT * FROM cpu WHERE time >= "
+            "'2024-01-01) AND (time >= 2024-01-02' LIMIT 5",
+            "SELECT * FROM cpu WHERE time BETWEEN "
+            "'2024-01-01, 2024-01-02' AND '2024-03-01' LIMIT 5",
+        ]:
+            assert svc._native_timerange(sql, None) is None, sql
+
+    def test_native_sql_timerange_db_scope_and_row_cap(self, spark,
+                                                       tmp_path):
+        from arc_spark.governance import Governor, TokenPolicy
+
+        root = str(tmp_path)
+        _ingest_some(spark, root)
+        cat = MeasurementCatalog(spark, root)
+        gov = Governor(default_policy=TokenPolicy(max_rows=1))
+        svc = QueryService(spark, cat, governor=gov)
+        svc.register_measurement("metrics", "cpu", view="cpu")
+        sql = ("SELECT * FROM metrics.cpu WHERE time >= '2024-01-01' "
+               "LIMIT 100")
+        # db-scoped request + cross-db ref → native declines (the Spark
+        # path surfaces the scoping error itself)
+        assert svc._native_timerange(sql, "metrics") is None
+        assert svc._native_timerange(sql, None) is not None
+        # governance row cap applies on the native path
+        rows = svc.execute(
+            "SELECT * FROM cpu WHERE time >= '2023-01-01' LIMIT 100")
+        assert len(rows) == 1
+
+    def test_native_sql_timerange_recorded_instant(self, spark, tmp_path):
+        svc = self._service(spark, str(tmp_path))
+        sql = ("SELECT * FROM cpu WHERE time >= '2024-01-01' LIMIT 10")
+        n0 = len(svc.registry.history())
+        svc.execute(sql)
+        hist = svc.registry.history()
+        assert len(hist) > n0
+        assert any(h.sql == sql and h.status == "done" for h in hist)
+
     def test_write_statement_rejected(self, spark, tmp_path):
         svc = self._service(spark, str(tmp_path))
         with pytest.raises(SqlValidationError):
