@@ -2523,3 +2523,49 @@ ORACLES_Q74 = f"""
 
 QUERIES["q74_bigram_fluency"] = q74_bigram_fluency
 ORACLES["q74_bigram_fluency"] = ORACLES_Q74
+
+
+def q75_dataset_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """One-pass per-column dataset profile over `documents` (null rates,
+    exact cardinalities, numeric ranges/means, text lengths) — the
+    look-before-you-curate step every training-data pipeline runs first.
+    ONE aggregation (map-side partials, single shuffle of one row per
+    partition), pivoted to long format plan-side (array-of-structs +
+    explode over the single agg row — no driver hop, no second job).
+    At 100 TB the same operator runs with exact_distinct=False (HLL, no
+    Expand); the oracle lane pins the exact variant DuckDB can mirror."""
+    from arc_spark.operators.profiling import profile_dataset
+
+    t = load_tables(spark, sf, register_views=False)
+    return profile_dataset(
+        t["documents"],
+        columns=["doc_id", "text", "lang", "source", "n_chars"])
+
+
+def _q75_oracle() -> str:
+    def one(col, numeric, is_str):
+        mn = (f"CAST(MIN({col}) AS DOUBLE)" if numeric
+              else "CAST(NULL AS DOUBLE)")
+        mx = (f"CAST(MAX({col}) AS DOUBLE)" if numeric
+              else "CAST(NULL AS DOUBLE)")
+        av = (f"ROUND(AVG({col}), 6)" if numeric
+              else "CAST(NULL AS DOUBLE)")
+        al = (f"ROUND(AVG(LENGTH({col})), 6)" if is_str
+              else "CAST(NULL AS DOUBLE)")
+        return f"""
+        SELECT '{col}' AS col_name,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) - COUNT({col}) AS BIGINT) AS n_nulls,
+               CAST(COUNT(DISTINCT {col}) AS BIGINT) AS n_distinct,
+               {mn} AS min_num, {mx} AS max_num,
+               {av} AS mean_num, {al} AS avg_len
+        FROM documents"""
+
+    parts = [one("doc_id", True, False), one("text", False, True),
+             one("lang", False, True), one("source", False, True),
+             one("n_chars", True, False)]
+    return " UNION ALL ".join(parts)
+
+
+QUERIES["q75_dataset_profile"] = q75_dataset_profile
+ORACLES["q75_dataset_profile"] = _q75_oracle()

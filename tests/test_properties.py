@@ -634,3 +634,72 @@ class TestAckCountEquivalence:
         payload = text.encode()
         want = len(parse_batch(text))
         assert count_lines(payload) == want
+
+
+class TestTimeRangeLiteralEquivalence:
+    """The native time-range serving paths (r8) must agree with Spark's
+    ANSI string→timestamp cast on every literal they ACCEPT — a literal
+    our parser reads differently from Spark silently serves different
+    rows per path. Fuzzes generated datetimes across all accepted
+    surface forms and batch-verifies against Spark's own CAST."""
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.lists(
+        st.tuples(
+            st.datetimes(
+                min_value=__import__("datetime").datetime(1971, 1, 1),
+                max_value=__import__("datetime").datetime(2200, 1, 1)),
+            st.sampled_from(["date", "seconds", "micros", "t_sep",
+                             "offset", "z"]),
+        ), min_size=1, max_size=8))
+    def test_accepted_literals_match_spark_cast(self, spark, pairs):
+        import datetime as dt
+
+        from pyspark.sql import functions as F
+
+        from arc_spark.api import _parse_ts_literal
+
+        lits = []
+        for d, form in pairs:
+            d = d.replace(microsecond=d.microsecond
+                          if form == "micros" else 0)
+            if form == "date":
+                lit = d.strftime("%Y-%m-%d")
+            elif form == "seconds":
+                lit = d.strftime("%Y-%m-%d %H:%M:%S")
+            elif form == "micros":
+                lit = d.strftime("%Y-%m-%d %H:%M:%S.%f")
+            elif form == "t_sep":
+                lit = d.strftime("%Y-%m-%dT%H:%M:%S")
+            elif form == "offset":
+                lit = d.strftime("%Y-%m-%d %H:%M:%S+02:00")
+            else:
+                lit = d.strftime("%Y-%m-%dT%H:%M:%SZ")
+            lits.append(lit)
+        ours = [_parse_ts_literal(lit) for lit in lits]
+        assert all(v is not None for v in ours), (lits, ours)
+        row = spark.range(1).select(*[
+            F.unix_micros(F.expr(
+                f"CAST('{lit}' AS TIMESTAMP)")).alias(f"c{i}")
+            for i, lit in enumerate(lits)]).first()
+        theirs = [row[f"c{i}"] for i in range(len(lits))]
+        assert ours == theirs, list(zip(lits, ours, theirs))
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.text(min_size=1, max_size=30))
+    def test_garbage_literals_rejected_not_misread(self, junk):
+        """Arbitrary text either fails our strict gate (→ Spark path owns
+        the semantics) or parses to the same instant fromisoformat gives
+        — never a silent different reading."""
+        import datetime as _dt
+
+        from arc_spark.api import _parse_ts_literal
+
+        got = _parse_ts_literal(junk)
+        if got is None:
+            return
+        d = _dt.datetime.fromisoformat(junk.strip())
+        if d.tzinfo is None:
+            d = d.replace(tzinfo=_dt.timezone.utc)
+        epoch = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+        assert got == (d - epoch) // _dt.timedelta(microseconds=1)

@@ -109,3 +109,48 @@ class TestTokenPackingAutoBuckets:
         assert out.select("doc_id", "shard").exceptAll(
             again.select("doc_id", "shard")).count() == 0
         out.unpersist()
+
+
+class TestDatasetProfile:
+    def test_profile_shape_and_values(self, spark, sf_oracle):
+        from arc_spark.catalog import load_tables
+        from arc_spark.operators.profiling import profile_dataset
+
+        t = load_tables(spark, sf_oracle, register_views=False)
+        rows = {r["col_name"]: r
+                for r in profile_dataset(t["documents"]).collect()}
+        assert set(rows) == {"doc_id", "text", "lang", "source", "n_chars"}
+        d = rows["doc_id"]
+        assert d["n_nulls"] == 0 and d["n_distinct"] == d["n_rows"]
+        assert d["min_num"] == 0.0 and d["max_num"] == d["n_rows"] - 1
+        assert rows["lang"]["min_num"] is None  # non-numeric: no range
+        assert rows["lang"]["avg_len"] == 2.0   # ISO-639-1 codes
+        assert rows["n_chars"]["avg_len"] is None
+
+    def test_approx_distinct_single_pass_no_expand(self, spark, sf_oracle):
+        """exact_distinct=False (the 100 TB mode) must plan WITHOUT the
+        Expand operator the exact multi-distinct aggregation needs, and
+        its HLL cardinalities must land near the exact ones."""
+        from arc_spark.catalog import load_tables
+        from arc_spark.operators.profiling import profile_dataset
+
+        t = load_tables(spark, sf_oracle, register_views=False)
+        approx = profile_dataset(t["documents"], exact_distinct=False)
+        plan = approx._jdf.queryExecution().executedPlan().toString()
+        assert "Expand" not in plan
+        exact_plan = (profile_dataset(t["documents"])
+                      ._jdf.queryExecution().executedPlan().toString())
+        assert "Expand" in exact_plan  # the thing the HLL mode removes
+        got = {r["col_name"]: r["n_distinct"] for r in approx.collect()}
+        want = {r["col_name"]: r["n_distinct"]
+                for r in profile_dataset(t["documents"]).collect()}
+        for c in got:
+            assert abs(got[c] - want[c]) <= max(2, 0.1 * want[c]), c
+
+    def test_unknown_column_raises(self, spark, sf_oracle):
+        from arc_spark.catalog import load_tables
+        from arc_spark.operators.profiling import profile_dataset
+
+        t = load_tables(spark, sf_oracle, register_views=False)
+        with pytest.raises(ValueError, match="unknown columns"):
+            profile_dataset(t["documents"], columns=["nope"])
