@@ -452,8 +452,12 @@ class QueryService:
         r"|'(?:COUNT|count)\(1\) AS (\w+)#\d+"
         r"|unresolvedalias\('(MIN|min|MAX|max)\('([A-Za-z_]\w*)\)\)"
         r"|'(MIN|min|MAX|max)\('([A-Za-z_]\w*)\) AS (\w+)#\d+")
+    # shared by the native COUNT and time-range detectors (the '+- '
+    # tree prefix is optional: count matches raw lines, timerange
+    # pre-strips) — one regex so a treeString format change can't break
+    # one detector while the other keeps serving
     _COUNT_RELATION_RE = re.compile(
-        r"^\+- 'UnresolvedRelation \[([^\]]+)\], \[\], false$")
+        r"^(?:\+- )?'UnresolvedRelation \[([^\]]+)\], \[\], false$")
 
     def _resolve_relation(self, rel_text: str,
                           db: str | None) -> tuple[str, str] | None:
@@ -606,8 +610,6 @@ class QueryService:
     _TR_GLOBAL_LIMIT_RE = re.compile(r"^'GlobalLimit (\d+)$")
     _TR_LOCAL_LIMIT_RE = re.compile(r"^'LocalLimit (\d+)$")
     _TR_FILTER_RE = re.compile(r"^'Filter (.*)$")
-    _TR_REL_RE = re.compile(
-        r"^'UnresolvedRelation \[([^\]]+)\], \[\], false$")
 
     def _native_timerange(self, sql: str, db: str | None,
                           lines: list[str] | None = None):
@@ -628,7 +630,7 @@ class QueryService:
         m_gl = self._TR_GLOBAL_LIMIT_RE.match(lines[0])
         m_ll = self._TR_LOCAL_LIMIT_RE.match(lines[1])
         m_f = self._TR_FILTER_RE.match(lines[3])
-        m_rel = self._TR_REL_RE.match(lines[4])
+        m_rel = self._COUNT_RELATION_RE.match(lines[4])
         if (not m_gl or not m_ll or lines[2] != "'Project [*]"
                 or not m_f or not m_rel
                 or m_gl.group(1) != m_ll.group(1)):
@@ -661,15 +663,14 @@ class QueryService:
 
             return stream_typed_json(table)
         if fmt == "rows":
-            import pyarrow.compute as pc
             from pyspark.sql import Row
 
-            cols = []
-            for i, f in enumerate(table.schema):
-                c = table.column(i)
-                if pa.types.is_timestamp(f.type) and f.type.tz is not None:
-                    c = pc.local_timestamp(c)  # Spark collects naive UTC
-                cols.append(c.to_pylist())
+            from arc_spark.serving import table_columns_spark_local
+
+            # Spark's collect() returns naive PROCESS-LOCAL datetimes
+            # (fromInternal → fromtimestamp) — one shared chokepoint
+            # applies the same policy here
+            cols = table_columns_spark_local(table)
             RowT = Row(*table.column_names)
             return [RowT(*vals) for vals in zip(*cols)]
         raise ValueError(f"unknown fmt {fmt!r}")

@@ -57,11 +57,14 @@ def profile_dataset(
         if isinstance(fields[c], _NUMERIC):
             aggs.append(F.min(F.col(c)).cast("double").alias(f"__mn_{c}"))
             aggs.append(F.max(F.col(c)).cast("double").alias(f"__mx_{c}"))
-            aggs.append(F.round(F.avg(F.col(c)), digits)
+            # explicit double: avg over DecimalType yields decimal(p,6),
+            # and an all-decimal column list would then type the output
+            # column decimal instead of the documented double
+            aggs.append(F.round(F.avg(F.col(c)), digits).cast("double")
                         .alias(f"__av_{c}"))
         if isinstance(fields[c], T.StringType):
             aggs.append(F.round(F.avg(F.length(F.col(c))), digits)
-                        .alias(f"__al_{c}"))
+                        .cast("double").alias(f"__al_{c}"))
     wide = df.agg(*aggs)
 
     null_d = F.lit(None).cast("double")

@@ -1200,21 +1200,19 @@ class ArcServer:
                             return self._reply(
                                 200, to_columnar_msgpack(table),
                                 ctype="application/msgpack")
-                        # JSON rows: session-local wall time, tz dropped —
-                        # byte-identical to the Spark path's Row.asDict()
-                        import pyarrow as _pa
-                        import pyarrow.compute as _pc
+                        # JSON rows: naive process-local wall time, tz
+                        # dropped — identical to the Spark path's
+                        # Row.asDict() on ANY host tz (shared chokepoint
+                        # with execute()'s native rows path)
+                        from arc_spark.serving import (
+                            table_columns_spark_local,
+                        )
 
-                        cols = []
-                        for i, f in enumerate(table.schema):
-                            c = table.column(i)
-                            if (_pa.types.is_timestamp(f.type)
-                                    and f.type.tz is not None):
-                                c = _pc.local_timestamp(c)
-                            cols.append(c)
-                        table = _pa.table(cols, names=table.column_names)
+                        cols = table_columns_spark_local(table)
+                        names = table.column_names
                         return self._json(
-                            200, {"rows": table.to_pylist()})
+                            200, {"rows": [dict(zip(names, vals))
+                                           for vals in zip(*cols)]})
                     ok, rows = self._run(lambda: outer.query.query_measurement(
                         q.get("db", "default"),
                         measurement,

@@ -63,6 +63,39 @@ _TYPE_MAP = {
 }
 
 
+def table_columns_spark_local(table: "pa.Table") -> list[list]:
+    """Table → per-column Python lists with tz-aware timestamp columns
+    converted to naive datetimes in the PROCESS's local timezone —
+    exactly what Spark's ``collect()`` returns (TimestampType.
+    fromInternal → ``datetime.fromtimestamp``, which applies local DST
+    rules per value). The single tz-policy chokepoint for every native
+    serving path that must match Spark row output (r8 review: two
+    divergent copies existed, both assuming a UTC host)."""
+    import datetime as _dt
+    import time as _time
+
+    # UTC hosts (this harness, most servers): the vectorized conversion
+    # is exact; only a host with a non-UTC/DST locale needs per-value
+    # datetime.astimezone to reproduce fromtimestamp's behavior
+    utc_host = _time.timezone == 0 and _time.daylight == 0
+    cols: list[list] = []
+    for i, f in enumerate(table.schema):
+        c = table.column(i)
+        if pa.types.is_timestamp(f.type) and f.type.tz is not None:
+            if utc_host:
+                import pyarrow.compute as pc
+
+                cols.append(pc.local_timestamp(c).to_pylist())
+            else:
+                cols.append([
+                    None if v is None
+                    else v.astimezone().replace(tzinfo=None)
+                    for v in c.to_pylist()])
+        else:
+            cols.append(c.to_pylist())
+    return cols
+
+
 def column_types(df) -> list[dict]:
     """{name, type} per column with the reference's 5-type mapping
     (query_json_writer.go:17-80 mapColumnType; decimals → float, everything

@@ -175,9 +175,9 @@ class TestQueryService:
         a_s = pa.ipc.open_stream(
             svc.execute(twin, fmt="arrow")).read_all()
         assert a_n.schema == a_s.schema
-        assert sorted(map(tuple, a_n.to_pylist()[0].items())) is not None
-        assert sorted(a_n.to_pydict()["time"]) == \
-            sorted(a_s.to_pydict()["time"])
+        arow = lambda t: sorted(  # noqa: E731
+            tuple(sorted(r.items())) for r in t.to_pylist())
+        assert arow(a_n) == arow(a_s)
         j_n = list(svc.execute(sql, fmt="json"))
         j_s = list(svc.execute(twin, fmt="json"))
         assert j_n[0] == j_s[0]  # identical typed header
