@@ -613,31 +613,36 @@ class QueryService:
 
     def _native_timerange(self, sql: str, db: str | None,
                           lines: list[str] | None = None):
-        """(key, TimeRange, limit) when `sql` is EXACTLY ``SELECT * FROM
-        <one measurement> WHERE <pure time range> LIMIT <n>`` — the
-        reference's "Time Range (7d) LIMIT 10K" serving category (15 ms
+        """(key, TimeRange | None, limit) when `sql` is EXACTLY
+        ``SELECT * FROM <one measurement> [WHERE <pure time range>]
+        LIMIT <n>`` — the reference's "Time Range (7d) LIMIT 10K" and
+        "SELECT LIMIT 10K/100K/1M" serving categories (15 / 18-105 ms
         in BASELINE) — detected on the PARSED plan like the native
-        COUNT shape: five nodes (GlobalLimit/LocalLimit/Project[*]/
-        Filter/relation), the Filter condition matched against the
-        paren-safe printed-condition grammar (_plan_cond_timerange).
-        Any other projection, an ORDER BY, a missing LIMIT, or any
-        non-time predicate → None → full Spark execution."""
+        COUNT shape: GlobalLimit/LocalLimit/Project[*]/[Filter]/
+        relation, the Filter condition (when present) matched against
+        the paren-safe printed-condition grammar
+        (_plan_cond_timerange). Any other projection, an ORDER BY, a
+        missing LIMIT, or any non-time predicate → None → full Spark
+        execution."""
         if lines is None:
             lines = self._plan_lines(sql)
-        if lines is None or len(lines) != 5:
+        if lines is None or len(lines) not in (4, 5):
             return None
         lines = [ln.strip().removeprefix("+- ").strip() for ln in lines]
         m_gl = self._TR_GLOBAL_LIMIT_RE.match(lines[0])
         m_ll = self._TR_LOCAL_LIMIT_RE.match(lines[1])
-        m_f = self._TR_FILTER_RE.match(lines[3])
-        m_rel = self._COUNT_RELATION_RE.match(lines[4])
+        m_rel = self._COUNT_RELATION_RE.match(lines[-1])
         if (not m_gl or not m_ll or lines[2] != "'Project [*]"
-                or not m_f or not m_rel
-                or m_gl.group(1) != m_ll.group(1)):
+                or not m_rel or m_gl.group(1) != m_ll.group(1)):
             return None
-        tr = _plan_cond_timerange(m_f.group(1))
-        if tr is None:
-            return None
+        tr = None
+        if len(lines) == 5:
+            m_f = self._TR_FILTER_RE.match(lines[3])
+            if not m_f:
+                return None
+            tr = _plan_cond_timerange(m_f.group(1))
+            if tr is None:
+                return None
         key = self._resolve_relation(m_rel.group(1), db)
         if key is None:
             return None

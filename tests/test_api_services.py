@@ -192,6 +192,22 @@ class TestQueryService:
         o_s = unpackb(svc.execute(twin, fmt="msgpack"))
         assert o_n["column_order"] == o_s["column_order"]
 
+    def test_native_sql_select_limit_matches_spark_path(self, spark,
+                                                        tmp_path):
+        """BASELINE's 'SELECT LIMIT 10K/100K/1M' SQL categories: the
+        filterless ``SELECT * FROM m LIMIT n`` shape serves through the
+        same native scan (4-node plan shape, TimeRange=None)."""
+        svc = self._service(spark, str(tmp_path))
+        sql = "SELECT * FROM cpu LIMIT 1000"
+        assert svc._native_timerange(sql, None) is not None
+        native = svc.execute(sql)
+        sparked = svc.execute(
+            "SELECT * FROM cpu WHERE usage >= -1e9 LIMIT 1000")
+        key = lambda r: tuple(str(v) for v in r)  # noqa: E731
+        assert sorted(map(key, native)) == sorted(map(key, sparked))
+        assert native and list(native[0].__fields__) == \
+            list(sparked[0].__fields__)
+
     def test_native_sql_timerange_fallthrough_shapes(self, spark,
                                                      tmp_path):
         """Exact-or-fall-through on the SQL surface: any projection,
