@@ -575,7 +575,7 @@ class MeasurementCatalog:
                     # dataset inspection is cheap.
                     schema_fallback.append(pads.dataset(
                         [bk.fs_path(all_files[0])],
-                        filesystem=bk.fs,
+                        filesystem=bk.fs_read,
                         partitioning=pads.partitioning(flavor="hive"),
                         partition_base_dir=bk.fs_path(p),
                     ).schema)
@@ -583,7 +583,7 @@ class MeasurementCatalog:
                 continue
             ds = pads.dataset(
                 [bk.fs_path(f) for f in files],
-                filesystem=bk.fs,
+                filesystem=bk.fs_read,
                 partitioning=pads.partitioning(flavor="hive"),
                 partition_base_dir=bk.fs_path(p),
             )

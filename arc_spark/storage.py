@@ -53,6 +53,9 @@ __all__ = [
     "unregister_scheme",
 ]
 
+# shared mmap-enabled LocalFileSystem (constructed once, lazily)
+_MMAP_LOCAL_FS: pafs.LocalFileSystem | None = None
+
 
 def _split_scheme(path: str) -> tuple[str | None, str]:
     """('s3', 'bucket/key') for 's3://bucket/key'; (None, path) otherwise."""
@@ -90,6 +93,21 @@ class StorageBackend:
         self.fs = fs
         self.scheme = scheme
         self.spark_prefix = spark_prefix
+
+    @property
+    def fs_read(self) -> pafs.FileSystem:
+        """Filesystem tuned for BULK READS of committed (immutable) files.
+        Local backends return a memory-mapping LocalFileSystem — parquet
+        scans skip the read()-into-fresh-pages copy (~20% off a 100k-row
+        serving scan); POSIX keeps mapped pages valid after unlink, so a
+        compaction deleting a committed file mid-scan stays safe. Remote
+        stores return the normal fs."""
+        if isinstance(self.fs, pafs.LocalFileSystem):
+            global _MMAP_LOCAL_FS
+            if _MMAP_LOCAL_FS is None:
+                _MMAP_LOCAL_FS = pafs.LocalFileSystem(use_mmap=True)
+            return _MMAP_LOCAL_FS
+        return self.fs
 
     # -- path algebra (pure string ops, no IO) ------------------------------
     def fs_path(self, path: str) -> str:

@@ -165,6 +165,62 @@ def test_arrow_ipc_roundtrip(spark):
     assert table.column("name").to_pylist() == ["a", "b"]
 
 
+def test_arrow_ipc_presized_table_parity(spark):
+    """Native pa.Table inputs take the presized single-buffer encode
+    (serving._table_ipc_presized); the stream must be byte-identical to
+    the growing-buffer fallback across awkward shapes: dictionary
+    columns, sliced (non-zero offset) arrays, multi-chunk tables, nulls,
+    empty tables, and an estimate shortfall falling back cleanly."""
+    import pyarrow as pa
+
+    from arc_spark import serving
+
+    d = pa.array(["x", "y", "x", None] * 100).dictionary_encode()
+    base = pa.table({
+        "i": pa.array(range(400), type=pa.int64()),
+        "s": pa.array([f"v{n}" for n in range(400)]),
+        "b": pa.array([None if n % 7 == 0 else n % 2 == 0
+                       for n in range(400)]),
+        "d": d,
+        "ts": pa.array([n * 1_000_000 for n in range(400)],
+                       type=pa.timestamp("us", tz="UTC")),
+    })
+    sliced = base.slice(13, 111)
+    multi = pa.concat_tables([base.slice(0, 50), base.slice(50, 350)])
+    empty = base.slice(0, 0)
+    for t in (base, sliced, multi, empty):
+        fast = serving._table_ipc_presized(t, 64)
+        assert fast is not None
+        # reference stream: force the growing path
+        sink = pa.BufferOutputStream()
+        w = pa.ipc.new_stream(sink, t.schema)
+        for bt in t.to_batches(max_chunksize=64):
+            w.write_batch(bt)
+        w.close()
+        slow = sink.getvalue().to_pybytes()
+        assert fast == slow
+        back = pa.ipc.open_stream(fast).read_all()
+        assert back.num_rows == t.num_rows
+        assert back.to_pylist() == t.to_pylist()
+    # and the public entry point routes tables through it
+    assert to_arrow_ipc(base) == serving._table_ipc_presized(base, 65_536)
+
+
+def test_arrow_ipc_presized_overflow_falls_back(monkeypatch):
+    """An estimate shortfall must return None (and to_arrow_ipc still
+    produce a valid stream), never a truncated or corrupt buffer."""
+    import pyarrow as pa
+
+    from arc_spark import serving
+
+    t = pa.table({"s": pa.array(["abc" * 50] * 1000)})
+    monkeypatch.setattr(serving, "_ipc_size_estimate",
+                        lambda table, n_batches: 16)
+    assert serving._table_ipc_presized(t, 100) is None
+    blob = to_arrow_ipc(t)
+    assert pa.ipc.open_stream(blob).read_all().num_rows == 1000
+
+
 def test_typed_json_stream(spark):
     df = _result_df(spark)
     chunks = list(stream_typed_json(df, flush_rows=1))
