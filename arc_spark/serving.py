@@ -197,7 +197,7 @@ def stream_typed_json(df, flush_rows: int = 1000) -> Iterator[str]:
         yield json.dumps({"data": rows}) + "\n"
 
 
-def to_columnar_msgpack(df, max_rows_per_batch: int = 10_000) -> bytes:
+def to_columnar_msgpack(df, max_rows_per_batch: int | None = None) -> bytes:
     """Columnar MessagePack: one list per column (one type-switch per column,
     not per row — the reference's A33 design point).
 
@@ -207,9 +207,16 @@ def to_columnar_msgpack(df, max_rows_per_batch: int = 10_000) -> bytes:
     the Arrow buffers; only columns that decline (nulls, long strings)
     pay the per-value packer. Byte layout differs from the naive
     ``packb`` only in numeric width choices — same decoded values.
-    """
+
+    Default framing: 10k rows per frame on the DataFrame path (the
+    reference's streaming flush size), 64 Ki on native pa.Table inputs
+    (matching the IPC batch choice — fewer per-frame vectorizer calls,
+    measured 16.2 → 12.7 ms on a 100k-row serve; consumers concat
+    frames, so framing is not part of the value contract)."""
     from arc_spark.sources.msgpack_codec import _pack, pack_array_vectorized
 
+    if max_rows_per_batch is None:
+        max_rows_per_batch = 65_536 if isinstance(df, pa.Table) else 10_000
     names = (df.column_names if isinstance(df, pa.Table) else df.columns)
     batches = list(_arrow_batches(df, max_rows_per_batch))
     out = bytearray()

@@ -196,6 +196,14 @@ def main() -> None:
         samples_by.setdefault("serve_arrow_fastscan", []).append(
             time.perf_counter() - t0)
         rows_by["serve_arrow_fastscan"] = nbytes
+        # same native scan through the columnar-MessagePack wire (arc's
+        # 7.49M rows/s LIMIT-1M msgpack category)
+        t0 = time.perf_counter()
+        nbytes = len(to_columnar_msgpack(
+            ev_cat.scan_arrow("bench", "events")))
+        samples_by.setdefault("serve_msgpack_fastscan", []).append(
+            time.perf_counter() - t0)
+        rows_by["serve_msgpack_fastscan"] = nbytes
         # native COUNT(*) on the SQL serving path: answered from parquet
         # footers over the committed snapshot, no Spark job (arc's 1.03ms
         # metadata count, BASELINE.md) — full validate+RBAC+shape-detect
@@ -242,7 +250,8 @@ def main() -> None:
         print(f"# {name}: p50 {dt:.3f}s over {iterations} passes "
               f"(min {min(samples):.3f}, max {max(samples):.3f}) "
               f"rows={rows_by[name]}", file=sys.stderr)
-    for lane in [lane for lane, _ in serve_lanes] + ["serve_arrow_fastscan"]:
+    for lane in ([lane for lane, _ in serve_lanes]
+                 + ["serve_arrow_fastscan", "serve_msgpack_fastscan"]):
         samples = samples_by[lane]
         dt = record(lane, samples)
         total += dt
@@ -575,8 +584,9 @@ def main() -> None:
         # parallel headroom moved >15% between the equal-condition samples
         # and absolute lane times must not be compared across artifacts
         "sentinel_valid": sentinel_valid,
-        "loadavg": {"start": load_start, "post_query": load_post_query,
-                    "end": load_end},
+        # stdout budget: start loadavg only (the gating sample); the
+        # post_query/end trios ride in bench_detail.json
+        "loadavg": {"start": load_start},
         "sf": float(sf) if sf else None,
     }
     line = json.dumps(summary, separators=(",", ":"))
@@ -598,6 +608,9 @@ def main() -> None:
                                for a, e in defer_windows],
         "summary": {k: v for k, v in summary.items()
                     if k not in ("queries", "mins")},
+        "loadavg_full": {"start": load_start,
+                         "post_query": load_post_query,
+                         "end": load_end},
     }
     print("# detail " + json.dumps({"mins": mins}), file=sys.stderr)
     try:
