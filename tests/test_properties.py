@@ -703,3 +703,88 @@ class TestTimeRangeLiteralEquivalence:
             d = d.replace(tzinfo=_dt.timezone.utc)
         epoch = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
         assert got == (d - epoch) // _dt.timedelta(microseconds=1)
+
+
+class TestNativeSqlTimeRangeE2E:
+    """Full-pipeline fuzz of the native SQL time-range serving path
+    (api.QueryService._native_timerange → catalog.scan_arrow): for
+    RANDOM range bounds, comparison shapes, and limits, the native
+    answer must be value-identical to the same query forced onto the
+    Spark engine path. The literal fuzz above pins parsing; this pins
+    the whole serve (prefix pruning, row-group predicate, LIMIT stop,
+    wire conversion)."""
+
+    _svc = None
+
+    @classmethod
+    def _service(cls, spark, tmp_path_factory=None):
+        if cls._svc is not None:
+            return cls._svc
+        import tempfile
+
+        from arc_spark.api import IngestService, QueryService
+        from arc_spark.catalog import MeasurementCatalog
+
+        root = tempfile.mkdtemp(prefix="arc_tr_fuzz_")
+        ing = IngestService(spark, root, max_buffer_rows=100_000,
+                            max_buffer_age_s=3600)
+        # 240 rows across 10 days, one per hour, distinct times
+        base_ns = 1_700_000_000_000_000_000
+        lines = "\n".join(
+            f"cpu,host=h{i % 7} usage={i / 10} "
+            f"{base_ns + i * 3_600_000_000_000}"
+            for i in range(240))
+        ing.write_line_protocol("metrics", lines.encode())
+        ing.flush()
+        cat = MeasurementCatalog(spark, root)
+        svc = QueryService(spark, cat)
+        svc.register_measurement("metrics", "cpu", view="cpu")
+        cls._svc = svc
+        return svc
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.integers(min_value=-30, max_value=270),   # start hour offset
+        st.integers(min_value=-30, max_value=270),   # end hour offset
+        st.sampled_from([">=", ">= <", "BETWEEN", ">= <="]),
+        st.sampled_from([5, 50, 10_000]),
+    )
+    def test_native_matches_spark_engine(self, spark, h0, h1, shape,
+                                         limit):
+        import datetime as dt
+
+        svc = self._service(spark)
+        base = dt.datetime(2023, 11, 14, 22, 13, 20)  # 1.7e9 epoch s
+        t0 = (base + dt.timedelta(hours=min(h0, h1))).strftime(
+            "%Y-%m-%d %H:%M:%S")
+        t1 = (base + dt.timedelta(hours=max(h0, h1))).strftime(
+            "%Y-%m-%d %H:%M:%S")
+        if shape == ">=":
+            cond = f"time >= '{t0}'"
+        elif shape == ">= <":
+            cond = f"time >= '{t0}' AND time < '{t1}'"
+        elif shape == ">= <=":
+            cond = f"time >= '{t0}' AND time <= '{t1}'"
+        else:
+            cond = f"time BETWEEN '{t0}' AND '{t1}'"
+        sql = f"SELECT * FROM cpu WHERE {cond} LIMIT {limit}"
+        assert svc._native_timerange(sql, None) is not None, sql
+        native = svc.execute(sql)
+        # a non-time predicate forces the Spark engine path; usage is
+        # always finite here so the predicate is a tautology
+        spark_rows = svc.execute(sql.replace(
+            f"LIMIT {limit}", f"AND usage >= -1e9 LIMIT {limit}"))
+        key = lambda r: tuple(str(v) for v in r)  # noqa: E731
+        full = {key(r) for r in svc.execute(
+            f"SELECT * FROM cpu WHERE {cond} AND usage >= -1e9 "
+            f"LIMIT 100000")}
+        n_match = len(full)
+        assert len(native) == len(spark_rows) == min(limit, n_match)
+        assert native and list(native[0].__fields__) == \
+            list(spark_rows[0].__fields__) if native else True
+        # LIMIT below the match count: any n_match-subset is legal per
+        # SQL; both paths must still draw from the true match set
+        assert {key(r) for r in native} <= full
+        assert {key(r) for r in spark_rows} <= full
+        if limit >= n_match:
+            assert {key(r) for r in native} == full
