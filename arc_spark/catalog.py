@@ -19,6 +19,7 @@ Two catalogs live here:
 
 from __future__ import annotations
 
+import functools as _functools
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -54,7 +55,19 @@ def _path_time_window(path: str) -> tuple[int, int] | None:
     Callers MUST pass the path RELATIVE to the measurement root: a
     storage root or db name containing a ``year=N`` segment would
     otherwise poison every file's window and prune real data
-    (r8 review finding)."""
+    (r8 review finding).
+
+    Memoized on the DIRECTORY prefix (the filename never carries hive
+    components, and every file in an hour dir shares one window):
+    re-parsing 720 paths per serve was ~8 ms of a ~60 ms time-range
+    request; warm serves now pay a dict hit per file. The cache is a
+    pure string→window map, safe across measurements."""
+    return _dir_time_window(path.rsplit("/", 1)[0] + "/"
+                            if "/" in path else "")
+
+
+@_functools.lru_cache(maxsize=65_536)
+def _dir_time_window(path: str) -> tuple[int, int] | None:
     global _HIVE_PART_RE
     if _HIVE_PART_RE is None:
         import re
