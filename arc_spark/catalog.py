@@ -93,8 +93,10 @@ def _dir_time_window(path: str) -> tuple[int, int] | None:
             end = _dt.datetime(y + (mo == 12), mo % 12 + 1, 1, tzinfo=utc)
         else:
             end = _dt.datetime(y + 1, 1, 1, tzinfo=utc)
-    except ValueError:
-        return None  # out-of-range component — keep the file, filter exact
+    except (ValueError, OverflowError):
+        # out-of-range component (year=13m → ValueError; year=1e11 →
+        # OverflowError) — keep the file, filter exact
+        return None
     return (int(start.timestamp() * 1_000_000),
             int(end.timestamp() * 1_000_000))
 

@@ -44,9 +44,7 @@ def to_arrow_ipc(df, max_rows_per_batch: int = 65_536) -> bytes:
     OSError("Write out of bounds") and falls back to the growing path —
     correctness never depends on the estimate."""
     if isinstance(df, pa.Table):
-        out = _table_ipc_presized(df, max_rows_per_batch)
-        if out is not None:
-            return out
+        return _table_ipc_presized(df, max_rows_per_batch)
     sink = pa.BufferOutputStream()
     writer = None
     for batch in _arrow_batches(df, max_rows_per_batch):
@@ -72,8 +70,12 @@ def _ipc_size_estimate(table: pa.Table, n_batches: int) -> int:
 
 def _table_ipc_presized(table: pa.Table,
                         max_rows_per_batch: int) -> bytes | None:
-    """IPC-encode a pyarrow Table into one preallocated buffer; None when
-    the size estimate proves too small (caller falls back)."""
+    """IPC-encode a pyarrow Table into one preallocated buffer; on an
+    estimate shortfall (e.g. duplicate-chunk tables, whose shared buffers
+    get_total_buffer_size counts ONCE but IPC writes per batch) the
+    already-sliced batches are re-encoded through a growing buffer — no
+    second ``to_batches`` pass, and the dead preallocation is freed
+    before the retry allocates."""
     batches = table.to_batches(max_chunksize=max_rows_per_batch)
     buf = pa.allocate_buffer(_ipc_size_estimate(table, len(batches)))
     stream = pa.FixedSizeBufferWriter(buf)
@@ -84,7 +86,13 @@ def _table_ipc_presized(table: pa.Table,
         writer.close()
         n = stream.tell()
     except OSError:
-        return None
+        del stream, buf
+        sink = pa.BufferOutputStream()
+        writer = pa.ipc.new_stream(sink, table.schema)
+        for b in batches:
+            writer.write_batch(b)
+        writer.close()
+        return sink.getvalue().to_pybytes()
     return buf[:n].to_pybytes()
 
 

@@ -101,8 +101,14 @@ class StorageBackend:
         scans skip the read()-into-fresh-pages copy (~20% off a 100k-row
         serving scan); POSIX keeps mapped pages valid after unlink, so a
         compaction deleting a committed file mid-scan stays safe. Remote
-        stores return the normal fs."""
-        if isinstance(self.fs, pafs.LocalFileSystem):
+        stores return the normal fs.
+
+        ``ARC_SPARK_NO_MMAP=1`` opts out for local-LOOKING mounts that
+        don't honor those semantics (NFS can SIGBUS a reader whose file
+        was unlinked mid-scan; some FUSE filesystems reject mmap) — the
+        buffered read path is then used everywhere."""
+        if (isinstance(self.fs, pafs.LocalFileSystem)
+                and os.environ.get("ARC_SPARK_NO_MMAP", "") != "1"):
             global _MMAP_LOCAL_FS
             if _MMAP_LOCAL_FS is None:
                 _MMAP_LOCAL_FS = pafs.LocalFileSystem(use_mmap=True)

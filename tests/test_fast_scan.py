@@ -250,6 +250,12 @@ class TestTimeRangeNativeScan:
             == (1705276800000000, 1705363200000000)
         # unpartitioned paths are unprunable, never wrongly dropped
         assert tr.may_contain(_path_time_window("/x/plain.parquet"))
+        # out-of-range components keep the file (exact filter decides),
+        # never crash the serve: month=13 → ValueError branch,
+        # year=1e11 → OverflowError (r8 review finding)
+        assert _path_time_window("/x/year=2024/month=13/f.parquet") is None
+        assert _path_time_window(
+            "/x/year=99999999999/month=1/f.parquet") is None
 
     def test_literal_forms_match_spark_cast_exactly(self):
         """r8 review: Python's fromisoformat is WIDER than Spark's

@@ -207,17 +207,20 @@ def test_arrow_ipc_presized_table_parity(spark):
 
 
 def test_arrow_ipc_presized_overflow_falls_back(monkeypatch):
-    """An estimate shortfall must return None (and to_arrow_ipc still
-    produce a valid stream), never a truncated or corrupt buffer."""
+    """An estimate shortfall must transparently re-encode through the
+    growing buffer (same bytes), never return a truncated or corrupt
+    stream."""
     import pyarrow as pa
 
     from arc_spark import serving
 
     t = pa.table({"s": pa.array(["abc" * 50] * 1000)})
+    want = serving._table_ipc_presized(t, 100)
     monkeypatch.setattr(serving, "_ipc_size_estimate",
                         lambda table, n_batches: 16)
-    assert serving._table_ipc_presized(t, 100) is None
-    blob = to_arrow_ipc(t)
+    assert serving._table_ipc_presized(t, 100) == want
+    blob = to_arrow_ipc(t, max_rows_per_batch=100)
+    assert blob == want
     assert pa.ipc.open_stream(blob).read_all().num_rows == 1000
 
 
