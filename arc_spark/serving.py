@@ -172,6 +172,159 @@ def column_types(df) -> list[dict]:
     return out
 
 
+_TS_VEC_MIN_US = -30_610_224_000_000_000   # 1000-01-01: strftime %Y only
+_TS_VEC_MAX_US = 253_402_300_799_999_999   # 9999-12-31: 4-digit-pads here
+
+
+def _json_token_array(arr) -> "tuple[pa.Array, bool] | None":
+    """(content, needs_quotes) for a column, as an Arrow string array —
+    or None when this column needs the per-value ``json.dumps`` path
+    (escape-needing control chars or non-ASCII strings, non-finite
+    floats, exotic types, timestamps outside the 4-digit-year range or
+    finer than µs). ``needs_quotes=True`` means the caller must wrap
+    each value in ``"`` — it merges them into the row join's constant
+    separators, saving a whole-column materialization per quoted
+    column; a null-bearing quoted column quotes internally instead
+    (its nulls must print bare ``null``). Token text parses to exactly
+    what ``json.dumps`` emits; byte form may differ only in float
+    exponent spelling (``1e-7`` vs ``1e-07`` — same parsed double)."""
+    import pyarrow.compute as pc
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    t = arr.type
+    tok = None
+    quoted = False
+    if pa.types.is_timestamp(t):
+        if t.unit == "ns":
+            return None  # per-value path owns sub-µs semantics
+        if t.unit != "us":
+            arr = arr.cast(pa.timestamp("us", tz=t.tz))
+        if arr.null_count < len(arr):
+            lo = pc.min(arr.cast(pa.int64())).as_py()
+            hi = pc.max(arr.cast(pa.int64())).as_py()
+            if lo < _TS_VEC_MIN_US or hi > _TS_VEC_MAX_US:
+                return None
+        if t.tz is not None:
+            arr = pc.local_timestamp(arr)
+        # Arrow's timestamp→string cast emits "YYYY-MM-DD HH:MM:SS.ffffff"
+        # ~25× faster than strftime (5 vs 132 ms / 100k); the year guard
+        # above pins the year to 4 digits, so the 'T' goes at a FIXED
+        # offset, and isoformat's omit-zero-fraction rule is a suffix trim
+        s = pc.cast(arr, pa.string())
+        s = pc.utf8_replace_slice(s, start=10, stop=11, replacement="T")
+        zero = pc.ends_with(s, ".000000")
+        if pc.any(zero).as_py():  # skip 2 kernels when no zero fractions
+            trimmed = pc.utf8_replace_slice(s, start=-7, stop=1 << 30,
+                                            replacement="")
+            s = pc.if_else(zero, trimmed, s)
+        tok, quoted = s, True
+    elif pa.types.is_integer(t):
+        tok = pc.cast(arr, pa.string())
+    elif pa.types.is_floating(t):
+        finite = pc.fill_null(pc.is_finite(arr), True)
+        if not pc.all(finite).as_py():
+            return None  # json.dumps spells NaN/Infinity its own way
+        tok = pc.cast(arr, pa.string())
+    elif pa.types.is_boolean(t):
+        tok = pc.if_else(arr, pa.scalar("true"), pa.scalar("false"))
+    elif pa.types.is_string(t) or pa.types.is_large_string(t):
+        # one pass for both decline conditions: anything outside
+        # printable ASCII needs json.dumps' \uXXXX escapes (control
+        # chars AND ensure_ascii non-ASCII) — the per-value path owns it
+        needs_u = pc.fill_null(
+            pc.match_substring_regex(arr, r"[^\x20-\x7e]"), False)
+        if pc.any(needs_u).as_py():
+            return None
+        # backslash and quote escape vectorized (backslash FIRST);
+        # json.dumps has no other printable-ASCII escapes
+        esc = pc.replace_substring(arr, pattern="\\", replacement="\\\\")
+        esc = pc.replace_substring(esc, pattern='"', replacement='\\"')
+        tok, quoted = esc, True
+    if tok is None:
+        return None
+    if arr.null_count:
+        if quoted:
+            tok = pc.binary_join_element_wise(pa.scalar('"'), tok,
+                                              pa.scalar('"'), "")
+            quoted = False
+        tok = pc.if_else(pc.is_null(arr), pa.scalar("null"), tok)
+    return tok, quoted
+
+
+def _json_token_array_per_value(arr) -> pa.Array:
+    """Per-value ``json.dumps`` tokens for a column the kernels declined
+    — exactly the old row path's spelling (ensure_ascii escapes,
+    NaN/Infinity, isoformat timestamps), one column instead of the
+    whole result."""
+    import pyarrow.compute as pc
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if pa.types.is_timestamp(arr.type):
+        if arr.type.tz is not None:
+            arr = pc.local_timestamp(arr)
+        return pa.array(
+            ["null" if v is None else json.dumps(v.isoformat())
+             for v in arr.to_pylist()], type=pa.string())
+    if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
+        # the C escaper json.dumps itself uses — ~20× dumps() per value
+        from json.encoder import encode_basestring_ascii
+
+        return pa.array(
+            ["null" if v is None else encode_basestring_ascii(v)
+             for v in arr.to_pylist()], type=pa.string())
+    return pa.array(
+        ["null" if v is None else json.dumps(v)
+         for v in arr.to_pylist()], type=pa.string())
+
+
+def _typed_json_chunks_vectorized(table: pa.Table,
+                                  flush_rows: int) -> "list[str]":
+    """Data chunks for :func:`stream_typed_json` assembled column-wise:
+    Arrow C kernels make the tokens wherever the column's values
+    serialize identically to ``json.dumps`` (:func:`_json_token_array`),
+    a per-value loop covers only the columns that decline, and the row
+    join + chunk join stay vectorized either way — measured ~10× the
+    per-row path on a 100k-row native serve."""
+    import pyarrow.compute as pc
+
+    if table.num_rows == 0:
+        return []
+    tokens = []
+    for i in range(table.num_columns):
+        got = _json_token_array(table.column(i))
+        if got is None:
+            got = (_json_token_array_per_value(table.column(i)), False)
+        tokens.append(got)
+    # ONE join builds each row: quoted columns' quote chars ride in the
+    # constant separators (merged literals), so no per-column quote pass
+    args: list = []
+    lit = ""
+    for j, (tok, quoted) in enumerate(tokens):
+        lit += ("[" if j == 0 else ", ") + ('"' if quoted else "")
+        args.append(pa.scalar(lit))
+        args.append(tok)
+        lit = '"' if quoted else ""
+    args.append(pa.scalar(lit + "]"))
+    rows = pc.binary_join_element_wise(*args, "")
+    # chunk assembly stays in Arrow too: a list-array wrap + binary_join
+    # concatenates each flush window in C (to_pylist of 100k row strings
+    # + str.join was ~60 ms of the 100k-row serve; this is ~1 ms)
+    import numpy as np
+
+    n = len(rows)
+    n_chunks = (n - 1) // flush_rows + 1
+    offs = pa.array(
+        np.arange(0, n + flush_rows, flush_rows,
+                  dtype=np.int64)[:n_chunks + 1].clip(max=n),
+        type=pa.int32())
+    joined = pc.binary_join(
+        pa.ListArray.from_arrays(offs, rows), ", ")
+    return pc.binary_join_element_wise(
+        pa.scalar('{"data": ['), joined, pa.scalar("]}\n"), "").to_pylist()
+
+
 def stream_typed_json(df, flush_rows: int = 1000) -> Iterator[str]:
     """Typed JSON chunks: header with column metadata, then row-array chunks
     (`data: [[...], ...]`) of ≤ ``flush_rows`` rows each.
@@ -180,9 +333,19 @@ def stream_typed_json(df, flush_rows: int = 1000) -> Iterator[str]:
     py4j round trip was ~10× slower than the whole Arrow collect. Like
     the other two wire formats, memory is bounded by the governed result
     size (the query path caps rows before serving); the chunked wire
-    shape is unchanged."""
+    shape is unchanged.
+
+    Native pa.Table inputs take a VECTORIZED column-wise encode
+    (:func:`_typed_json_chunks_vectorized`): Arrow kernels for every
+    column whose values serialize identically to ``json.dumps``,
+    per-value tokens only for columns that can't (escape-needing
+    strings, NaN, exotic types) — parsed-value equivalence between the
+    paths is property-tested."""
     cols = column_types(df)
     yield json.dumps({"columns": cols}) + "\n"
+    if isinstance(df, pa.Table):
+        yield from _typed_json_chunks_vectorized(df, flush_rows)
+        return
     ts_idx = {i for i, c in enumerate(cols) if c["type"] == "timestamp"}
     for batch in _arrow_batches(df, flush_rows):
         pylists = []

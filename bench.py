@@ -141,7 +141,8 @@ def main() -> None:
     # from temporally separated passes (r4 judge: q01's three back-to-back
     # iterations all landed inside one spike).
     from arc_spark.catalog import read_parquet_normalized
-    from arc_spark.serving import to_arrow_ipc, to_columnar_msgpack
+    from arc_spark.serving import (stream_typed_json, to_arrow_ipc,
+                                   to_columnar_msgpack)
 
     ev = read_parquet_normalized(
         spark, os.path.join(sf_dir, "events.parquet"))
@@ -204,6 +205,15 @@ def main() -> None:
         samples_by.setdefault("serve_msgpack_fastscan", []).append(
             time.perf_counter() - t0)
         rows_by["serve_msgpack_fastscan"] = nbytes
+        # and through typed JSON (arc's 2.99M rows/s category) — the
+        # vectorized column-wise encoder (Arrow kernels + merged-quote
+        # row join; per-value fallback only for escape-needing columns)
+        t0 = time.perf_counter()
+        nbytes = sum(len(c) for c in stream_typed_json(
+            ev_cat.scan_arrow("bench", "events")))
+        samples_by.setdefault("serve_json_fastscan", []).append(
+            time.perf_counter() - t0)
+        rows_by["serve_json_fastscan"] = nbytes
         # native COUNT(*) on the SQL serving path: answered from parquet
         # footers over the committed snapshot, no Spark job (arc's 1.03ms
         # metadata count, BASELINE.md) — full validate+RBAC+shape-detect
@@ -251,7 +261,8 @@ def main() -> None:
               f"(min {min(samples):.3f}, max {max(samples):.3f}) "
               f"rows={rows_by[name]}", file=sys.stderr)
     for lane in ([lane for lane, _ in serve_lanes]
-                 + ["serve_arrow_fastscan", "serve_msgpack_fastscan"]):
+                 + ["serve_arrow_fastscan", "serve_msgpack_fastscan",
+                    "serve_json_fastscan"]):
         samples = samples_by[lane]
         dt = record(lane, samples)
         total += dt

@@ -788,3 +788,94 @@ class TestNativeSqlTimeRangeE2E:
         assert {key(r) for r in spark_rows} <= full
         if limit >= n_match:
             assert {key(r) for r in native} == full
+
+
+class TestTypedJsonVectorizedEquivalence:
+    """The vectorized column-wise typed-JSON encode must parse to exactly
+    what the per-value json.dumps path emits, for every column shape it
+    ACCEPTS — and decline (whole-result fallback) on everything else,
+    never serving a divergent spelling of a value."""
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.data())
+    def test_parsed_equivalence(self, data):
+        import datetime as dt
+        import json as _json
+
+        import pyarrow as pa
+
+        from arc_spark import serving
+
+        n = data.draw(st.integers(min_value=0, max_value=40))
+        cols, names = [], []
+        kinds = data.draw(st.lists(
+            st.sampled_from(["i", "f", "b", "s", "ts"]),
+            min_size=1, max_size=4))
+        for j, kind in enumerate(kinds):
+            names.append(f"c{j}_{kind}")
+            opt = lambda s: st.one_of(st.none(), s)  # noqa: E731
+            if kind == "i":
+                vals = data.draw(st.lists(
+                    opt(st.integers(-2**62, 2**62)), min_size=n,
+                    max_size=n))
+                cols.append(pa.array(vals, type=pa.int64()))
+            elif kind == "f":
+                vals = data.draw(st.lists(
+                    opt(st.floats(allow_nan=True, allow_infinity=True,
+                                  width=64)),
+                    min_size=n, max_size=n))
+                cols.append(pa.array(vals, type=pa.float64()))
+            elif kind == "b":
+                vals = data.draw(st.lists(opt(st.booleans()),
+                                          min_size=n, max_size=n))
+                cols.append(pa.array(vals, type=pa.bool_()))
+            elif kind == "s":
+                vals = data.draw(st.lists(
+                    opt(st.text(max_size=12)), min_size=n, max_size=n))
+                cols.append(pa.array(vals, type=pa.string()))
+            else:
+                # python datetime range (the per-value reference path
+                # OverflowErrors outside it — pre-existing limit);
+                # straddles the vectorized path's year-1000 decline
+                # boundary so both regimes are drawn
+                vals = data.draw(st.lists(opt(st.integers(
+                    -62_135_596_800_000_000, 253_402_300_799_999_999)),
+                    min_size=n, max_size=n))
+                cols.append(pa.array(vals, type=pa.timestamp("us")))
+        table = pa.table(dict(zip(names, cols)))
+
+        def rows_of(chunks):
+            out = []
+            for c in chunks[1:]:
+                out.extend(_json.loads(c)["data"])
+            return out
+
+        fast_chunks = list(serving.stream_typed_json(table, flush_rows=7))
+        # independent oracle: the pre-vectorization per-row algorithm
+        # (local-timestamp isoformat, to_pylist, zip, json.dumps)
+        import pyarrow.compute as pc
+        slow_chunks = [_json.dumps(
+            {"columns": serving.column_types(table)}) + "\n"]
+        for batch in table.to_batches(max_chunksize=7):
+            pylists = []
+            for i in range(batch.num_columns):
+                arr = batch.column(i)
+                if pa.types.is_timestamp(arr.type):
+                    if arr.type.tz is not None:
+                        arr = pc.local_timestamp(arr)
+                    pylists.append([None if v is None else v.isoformat()
+                                    for v in arr.to_pylist()])
+                else:
+                    pylists.append(arr.to_pylist())
+            slow_chunks.append(_json.dumps(
+                {"data": list(zip(*pylists))}) + "\n")
+        assert fast_chunks[0] == slow_chunks[0]
+
+        def norm(rows):
+            # NaN != NaN; normalize for comparison (the vectorized path
+            # DECLINES non-finite columns, so both sides here came off
+            # the same per-value encoder — normalization only makes the
+            # equality checkable)
+            return [[("NaN" if isinstance(v, float) and v != v else v)
+                     for v in r] for r in rows]
+        assert norm(rows_of(fast_chunks)) == norm(rows_of(slow_chunks))
