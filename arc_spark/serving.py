@@ -219,6 +219,14 @@ def _json_token_array(arr) -> "tuple[pa.Array, bool] | None":
                                             replacement="")
             s = pc.if_else(zero, trimmed, s)
         tok, quoted = s, True
+    elif pa.types.is_date(t):
+        if arr.null_count < len(arr):
+            days = pc.cast(arr, pa.date32()).cast(pa.int32())
+            if (pc.min(days).as_py() < -354_285        # 1000-01-01
+                    or pc.max(days).as_py() > 2_932_896):  # 9999-12-31
+                return None  # 4-digit-year zero-padding not guaranteed
+        s = pc.cast(arr, pa.string())  # "YYYY-MM-DD" ≡ date.isoformat()
+        tok, quoted = s, True
     elif pa.types.is_integer(t):
         tok = pc.cast(arr, pa.string())
     elif pa.types.is_floating(t):
@@ -261,8 +269,9 @@ def _json_token_array_per_value(arr) -> pa.Array:
 
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
-    if pa.types.is_timestamp(arr.type):
-        if arr.type.tz is not None:
+    if pa.types.is_timestamp(arr.type) or pa.types.is_date(arr.type):
+        if (pa.types.is_timestamp(arr.type)
+                and arr.type.tz is not None):
             arr = pc.local_timestamp(arr)
         return pa.array(
             ["null" if v is None else json.dumps(v.isoformat())
@@ -335,37 +344,19 @@ def stream_typed_json(df, flush_rows: int = 1000) -> Iterator[str]:
     size (the query path caps rows before serving); the chunked wire
     shape is unchanged.
 
-    Native pa.Table inputs take a VECTORIZED column-wise encode
-    (:func:`_typed_json_chunks_vectorized`): Arrow kernels for every
-    column whose values serialize identically to ``json.dumps``,
-    per-value tokens only for columns that can't (escape-needing
-    strings, NaN, exotic types) — parsed-value equivalence between the
-    paths is property-tested."""
+    Both input kinds take the VECTORIZED column-wise encode
+    (:func:`_typed_json_chunks_vectorized`) — DataFrames already
+    materialized a full Arrow table here (``toArrow``), so routing that
+    table through the same encoder speeds every SQL JSON response, not
+    just the native scans: Arrow kernels for every column whose values
+    serialize identically to ``json.dumps``, per-value tokens only for
+    columns that can't (escape-needing strings, NaN, exotic types) —
+    parsed-value equivalence against the per-row ``json.dumps``
+    algorithm is property-tested."""
     cols = column_types(df)
     yield json.dumps({"columns": cols}) + "\n"
-    if isinstance(df, pa.Table):
-        yield from _typed_json_chunks_vectorized(df, flush_rows)
-        return
-    ts_idx = {i for i, c in enumerate(cols) if c["type"] == "timestamp"}
-    for batch in _arrow_batches(df, flush_rows):
-        pylists = []
-        for i in range(batch.num_columns):
-            arr = batch.column(i)
-            if i in ts_idx:
-                if pa.types.is_timestamp(arr.type) and arr.type.tz is not None:
-                    # session-local wall time, tz dropped — matches the
-                    # naive datetimes the row iterator used to yield (and
-                    # skips the per-value pytz conversion in to_pylist)
-                    import pyarrow.compute as pc
-
-                    arr = pc.local_timestamp(arr)
-                col = [None if v is None else v.isoformat()
-                       for v in arr.to_pylist()]
-            else:
-                col = arr.to_pylist()
-            pylists.append(col)
-        rows = list(zip(*pylists))
-        yield json.dumps({"data": rows}) + "\n"
+    table = df if isinstance(df, pa.Table) else df.toArrow()
+    yield from _typed_json_chunks_vectorized(table, flush_rows)
 
 
 def to_columnar_msgpack(df, max_rows_per_batch: int | None = None) -> bytes:

@@ -809,7 +809,7 @@ class TestTypedJsonVectorizedEquivalence:
         n = data.draw(st.integers(min_value=0, max_value=40))
         cols, names = [], []
         kinds = data.draw(st.lists(
-            st.sampled_from(["i", "f", "b", "s", "ts"]),
+            st.sampled_from(["i", "f", "b", "s", "ts", "d"]),
             min_size=1, max_size=4))
         for j, kind in enumerate(kinds):
             names.append(f"c{j}_{kind}")
@@ -833,7 +833,7 @@ class TestTypedJsonVectorizedEquivalence:
                 vals = data.draw(st.lists(
                     opt(st.text(max_size=12)), min_size=n, max_size=n))
                 cols.append(pa.array(vals, type=pa.string()))
-            else:
+            elif kind == "ts":
                 # python datetime range (the per-value reference path
                 # OverflowErrors outside it — pre-existing limit);
                 # straddles the vectorized path's year-1000 decline
@@ -842,6 +842,12 @@ class TestTypedJsonVectorizedEquivalence:
                     -62_135_596_800_000_000, 253_402_300_799_999_999)),
                     min_size=n, max_size=n))
                 cols.append(pa.array(vals, type=pa.timestamp("us")))
+            else:
+                # date32 days, python date range, straddling the
+                # vectorized year-1000 decline boundary
+                vals = data.draw(st.lists(opt(st.integers(
+                    -719_162, 2_932_896)), min_size=n, max_size=n))
+                cols.append(pa.array(vals, type=pa.date32()))
         table = pa.table(dict(zip(names, cols)))
 
         def rows_of(chunks):
@@ -860,8 +866,10 @@ class TestTypedJsonVectorizedEquivalence:
             pylists = []
             for i in range(batch.num_columns):
                 arr = batch.column(i)
-                if pa.types.is_timestamp(arr.type):
-                    if arr.type.tz is not None:
+                if (pa.types.is_timestamp(arr.type)
+                        or pa.types.is_date(arr.type)):
+                    if (pa.types.is_timestamp(arr.type)
+                            and arr.type.tz is not None):
                         arr = pc.local_timestamp(arr)
                     pylists.append([None if v is None else v.isoformat()
                                     for v in arr.to_pylist()])
