@@ -59,8 +59,11 @@ one stored without a table restriction):
 - ``POST /api/v1/reconcile?dry_run=`` / ``GET /api/v1/reconcile/runs`` —
   storage reconciliation sweeps (internal/reconciliation)
 - ``GET /ready`` — readiness (SparkSession answering), vs /health liveness
-- ``POST /api/v2/write?bucket=&precision=`` — InfluxDB-v2-compatible LP
-  write, 204 on success (reference /api/v2/write; Telegraf-compatible)
+- ``POST /api/v2/write?org=&bucket=&precision=`` and
+  ``POST /write?db=&rp=&precision=`` — InfluxDB-2.x and -1.x compatible
+  LP writes, 204 on success, ``x-arc-database`` header precedence,
+  upfront precision validation (reference lineprotocol.go:96-144;
+  Telegraf-compatible)
 - ``GET /api/v1/write/msgpack/spec`` — columnar-msgpack wire spec doc
 - ``GET /api/v1/cache/stats`` / ``POST /api/v1/cache/invalidate`` —
   pruned-plan (A9) cache observability + drop
@@ -1455,20 +1458,33 @@ class ArcServer:
                         self._json(200, {"written": n})
                     return
 
-                if url.path == "/api/v2/write":
-                    # InfluxDB-v2-compatible line-protocol write (reference
-                    # /api/v2/write): ?bucket= maps to the database,
-                    # ?precision= passes through, 204 on success (the v2
-                    # contract clients like Telegraf expect)
+                if url.path in ("/write", "/api/v2/write"):
+                    # InfluxDB-compatible line-protocol writes (reference
+                    # lineprotocol.go:96-144): the 1.x shape
+                    # ``POST /write?db=&rp=&precision=`` (rp accepted and
+                    # ignored) and the 2.x shape ``POST /api/v2/write?org=
+                    # &bucket=&precision=`` (org ignored). The
+                    # ``x-arc-database`` header takes precedence over the
+                    # query param on both, precision is validated UPFRONT
+                    # (a bad precision must 400 here, not poison a deferred
+                    # flush later), and success is 204 — the contract
+                    # Telegraf/Influx clients expect
                     if outer.ingest is None:
                         return self._json(503, {"error": "ingest disabled"})
                     if not self._require_writer(token):
                         return
-                    bucket = q.get("bucket") or q.get("db", "default")
+                    prec = q.get("precision", "ns")
+                    if prec not in ("ns", "us", "ms", "s"):
+                        return self._json(400, {
+                            "error": f"invalid precision {prec!r}: "
+                                     "must be ns, us, ms, or s"})
+                    db = (self.headers.get("x-arc-database")
+                          or (q.get("db") if url.path == "/write"
+                              else q.get("bucket") or q.get("db"))
+                          or "default")
                     ok, n = self._run(
                         lambda: outer.ingest.write_line_protocol(
-                            bucket, body, precision=q.get("precision", "ns"))
-                    )
+                            db, body, precision=prec))
                     if ok:
                         self._reply(204, b"")
                     return
@@ -1535,10 +1551,16 @@ class ArcServer:
                         return self._json(503, {"error": "ingest disabled"})
                     if not self._require_writer(token):
                         return
+                    prec = q.get("precision", "ns")
+                    if prec not in ("ns", "us", "ms", "s"):
+                        return self._json(400, {
+                            "error": f"invalid precision {prec!r}: "
+                                     "must be ns, us, ms, or s"})
                     ok, n = self._run(
                         lambda: outer.ingest.write_line_protocol(
-                            q.get("db", "default"), body,
-                            precision=q.get("precision", "ns"),
+                            self.headers.get("x-arc-database")
+                            or q.get("db", "default"), body,
+                            precision=prec,
                         )
                     )
                     if ok:

@@ -815,6 +815,45 @@ class TestOperationalRoutes:
             json.dumps({"sql": "SELECT host FROM cpu WHERE host = 'v2'"}).encode())
         assert status == 200 and "v2" in body.decode()
 
+    def test_v1_write_compat(self, live):
+        """InfluxDB-1.x shape (reference lineprotocol.go WriteV1):
+        POST /write?db=&rp=&precision= — rp ignored, 204 on success,
+        x-arc-database header beats the db param, bad precision 400s
+        upfront (it must not poison a deferred flush later)."""
+        port, admin, *_ = live
+        import urllib.request
+
+        def post(path, headers=None):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}{path}",
+                data=b"cpu,host=v1 usage=0.4 1700000121000000000\n",
+                method="POST")
+            req.add_header("Authorization", f"Bearer {admin}")
+            for k, v in (headers or {}).items():
+                req.add_header(k, v)
+            try:
+                with urllib.request.urlopen(req, timeout=60) as resp:
+                    return resp.status
+            except urllib.error.HTTPError as e:
+                return e.code
+
+        assert post("/write?db=metrics&rp=default&precision=ns") == 204
+        # header precedence: the param says a bogus db, header wins
+        assert post("/write?db=nope_unused",
+                    headers={"x-arc-database": "metrics"}) == 204
+        assert post("/write?db=metrics&precision=fortnights") == 400
+        assert post("/api/v2/write?bucket=metrics&precision=eons") == 400
+        _req(port, "/api/v1/write/line-protocol/flush", "POST", admin, b"{}")
+        status, body, _ = _req(
+            port, "/api/v1/query", "POST", admin,
+            json.dumps({"sql": "SELECT COUNT(*) AS n FROM cpu "
+                               "WHERE host = 'v1'"}).encode())
+        assert status == 200
+        chunks = json.loads(body)  # JSON array of typed-JSON chunk docs
+        data = [r for c in chunks if isinstance(c, dict)
+                for r in c.get("data", [])]
+        assert data and data[0][0] == 2, body
+
     def test_msgpack_spec(self, live):
         port, *_ = live
         status, body, _ = _req(port, "/api/v1/write/msgpack/spec")
