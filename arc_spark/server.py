@@ -425,6 +425,24 @@ class ArcServer:
                     return self._json(400, {"error": str(e)})
                 return self._json(404, {"error": "not found"})
 
+            def _lp_precision(self, q: dict) -> str | None:
+                """Validated ?precision= for the LP write surfaces, or
+                None after replying 400. The whitelist is the PARSER's
+                own table (single source of truth — a deferred flush must
+                never see a precision the boundary admitted but the
+                parser rejects; the reference 400s upfront the same way,
+                lineprotocol.go:180-188)."""
+                from arc_spark.sources.line_protocol import PRECISION_TO_US
+
+                prec = q.get("precision", "ns")
+                if prec not in PRECISION_TO_US:
+                    self._json(400, {
+                        "error": f"invalid precision {prec!r}: must be "
+                                 "one of " + ", ".join(
+                                     sorted(PRECISION_TO_US))})
+                    return None
+                return prec
+
             def _require_writer(self, token: str) -> bool:
                 """Write endpoints refuse table-RESTRICTED tokens: the RBAC
                 model scopes reads by table, and a read-scoped token must
@@ -1473,11 +1491,9 @@ class ArcServer:
                         return self._json(503, {"error": "ingest disabled"})
                     if not self._require_writer(token):
                         return
-                    prec = q.get("precision", "ns")
-                    if prec not in ("ns", "us", "ms", "s"):
-                        return self._json(400, {
-                            "error": f"invalid precision {prec!r}: "
-                                     "must be ns, us, ms, or s"})
+                    prec = self._lp_precision(q)
+                    if prec is None:
+                        return
                     db = (self.headers.get("x-arc-database")
                           or (q.get("db") if url.path == "/write"
                               else q.get("bucket") or q.get("db"))
@@ -1551,11 +1567,9 @@ class ArcServer:
                         return self._json(503, {"error": "ingest disabled"})
                     if not self._require_writer(token):
                         return
-                    prec = q.get("precision", "ns")
-                    if prec not in ("ns", "us", "ms", "s"):
-                        return self._json(400, {
-                            "error": f"invalid precision {prec!r}: "
-                                     "must be ns, us, ms, or s"})
+                    prec = self._lp_precision(q)
+                    if prec is None:
+                        return
                     ok, n = self._run(
                         lambda: outer.ingest.write_line_protocol(
                             self.headers.get("x-arc-database")

@@ -200,13 +200,16 @@ def _json_token_array(arr) -> "tuple[pa.Array, bool] | None":
             return None  # per-value path owns sub-µs semantics
         if t.unit != "us":
             arr = arr.cast(pa.timestamp("us", tz=t.tz))
+        if t.tz is not None:
+            # shift FIRST, guard on the shifted values: a tz offset can
+            # carry an in-UTC-range value past year 9999 (5-digit year →
+            # the fixed-offset 'T' splice would corrupt the token)
+            arr = pc.local_timestamp(arr)
         if arr.null_count < len(arr):
             lo = pc.min(arr.cast(pa.int64())).as_py()
             hi = pc.max(arr.cast(pa.int64())).as_py()
             if lo < _TS_VEC_MIN_US or hi > _TS_VEC_MAX_US:
                 return None
-        if t.tz is not None:
-            arr = pc.local_timestamp(arr)
         # Arrow's timestamp→string cast emits "YYYY-MM-DD HH:MM:SS.ffffff"
         # ~25× faster than strftime (5 vs 132 ms / 100k); the year guard
         # above pins the year to 4 digits, so the 'T' goes at a FIXED
@@ -233,7 +236,21 @@ def _json_token_array(arr) -> "tuple[pa.Array, bool] | None":
         finite = pc.fill_null(pc.is_finite(arr), True)
         if not pc.all(finite).as_py():
             return None  # json.dumps spells NaN/Infinity its own way
+        # widen float32 first: Arrow would print the FLOAT32 shortest
+        # repr ("0.1"), which parses to a different double than
+        # json.dumps(float(v)) emits — float64 widening is exact, so
+        # the double's shortest repr round-trips identically
+        if t != pa.float64():
+            arr = pc.cast(arr, pa.float64())
         tok = pc.cast(arr, pa.string())
+        # Arrow spells whole-number doubles as integers ("1"); the JSON
+        # type must stay float ("1.0") — repair the integer-looking ones
+        intish = pc.match_substring_regex(tok, r"^-?\d+$")
+        if pc.any(pc.fill_null(intish, False)).as_py():
+            tok = pc.if_else(
+                pc.fill_null(intish, False),
+                pc.binary_join_element_wise(tok, pa.scalar(".0"), ""),
+                tok)
     elif pa.types.is_boolean(t):
         tok = pc.if_else(arr, pa.scalar("true"), pa.scalar("false"))
     elif pa.types.is_string(t) or pa.types.is_large_string(t):

@@ -823,10 +823,11 @@ class TestOperationalRoutes:
         port, admin, *_ = live
         import urllib.request
 
-        def post(path, headers=None):
+        def post(path, headers=None, data=b"cpu,host=v1 usage=0.4 "
+                                          b"1700000121000000000\n"):
             req = urllib.request.Request(
                 f"http://127.0.0.1:{port}{path}",
-                data=b"cpu,host=v1 usage=0.4 1700000121000000000\n",
+                data=data,
                 method="POST")
             req.add_header("Authorization", f"Bearer {admin}")
             for k, v in (headers or {}).items():
@@ -843,6 +844,11 @@ class TestOperationalRoutes:
                     headers={"x-arc-database": "metrics"}) == 204
         assert post("/write?db=metrics&precision=fortnights") == 400
         assert post("/api/v2/write?bucket=metrics&precision=eons") == 400
+        # 'u' (InfluxDB-1.x microseconds spelling) is in the parser's
+        # table and must stay accepted (r8 review: the first whitelist
+        # regressed it); distinct host keeps the v1 count below at 2
+        assert post("/write?db=metrics&precision=u",
+                    data=b"cpu,host=u1 usage=0.1 1700000121000000\n") == 204
         _req(port, "/api/v1/write/line-protocol/flush", "POST", admin, b"{}")
         status, body, _ = _req(
             port, "/api/v1/query", "POST", admin,

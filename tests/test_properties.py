@@ -809,7 +809,7 @@ class TestTypedJsonVectorizedEquivalence:
         n = data.draw(st.integers(min_value=0, max_value=40))
         cols, names = [], []
         kinds = data.draw(st.lists(
-            st.sampled_from(["i", "f", "b", "s", "ts", "d"]),
+            st.sampled_from(["i", "f", "b", "s", "ts", "tsz", "d"]),
             min_size=1, max_size=4))
         for j, kind in enumerate(kinds):
             names.append(f"c{j}_{kind}")
@@ -842,6 +842,21 @@ class TestTypedJsonVectorizedEquivalence:
                     -62_135_596_800_000_000, 253_402_300_799_999_999)),
                     min_size=n, max_size=n))
                 cols.append(pa.array(vals, type=pa.timestamp("us")))
+            elif kind == "tsz":
+                # tz-AWARE column with an extreme (+14h) offset: the
+                # local shift must be applied BEFORE the year-range
+                # guard (a +14h shift can carry an in-UTC-range value
+                # past year 9999 — r8 review finding). Bounds keep the
+                # SHIFTED value datetime-representable both ways (the
+                # reference per-value path OverflowErrors outside,
+                # pre-existing), while straddling the decline boundary
+                off = 14 * 3_600_000_000
+                vals = data.draw(st.lists(opt(st.integers(
+                    -62_135_596_800_000_000 + off,
+                    253_402_300_799_999_999 - off)),
+                    min_size=n, max_size=n))
+                cols.append(pa.array(vals, type=pa.timestamp(
+                    "us", tz="Pacific/Kiritimati")))
             else:
                 # date32 days, python date range, straddling the
                 # vectorized year-1000 decline boundary
@@ -882,8 +897,11 @@ class TestTypedJsonVectorizedEquivalence:
         def norm(rows):
             # NaN != NaN; normalize for comparison (the vectorized path
             # DECLINES non-finite columns, so both sides here came off
-            # the same per-value encoder — normalization only makes the
-            # equality checkable)
-            return [[("NaN" if isinstance(v, float) and v != v else v)
+            # the same per-value encoder). TYPE-tagged: 1 (int) ==
+            # 1.0 (float) in Python, which hid a whole-double-spelled-
+            # as-integer bug — the parsed JSON type is part of the wire
+            # contract
+            return [[(type(v).__name__,
+                      "NaN" if isinstance(v, float) and v != v else v)
                      for v in r] for r in rows]
         assert norm(rows_of(fast_chunks)) == norm(rows_of(slow_chunks))
