@@ -166,3 +166,118 @@ def temperature_weights(df, alpha: float = 0.5,
         "weight", F.round(F.col("scaled") / F.lit(float(total)), 6))
         .withColumn("scaled", F.round("scaled", 6))
         .select("source", "n_docs", "n_units", "scaled", "weight"))
+
+
+def dsir_importance_weights(df, target, tokens_col="w",
+                            id_cols: tuple[str, ...] = ("doc_id",),
+                            buckets: int = DEFAULT_BUCKETS,
+                            alpha: float = 1.0, salt: str = "dsir"):
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document by
+    the log-likelihood ratio of its hashed n-gram features under a
+    TARGET distribution vs the RAW corpus distribution — the standard
+    select-web-data-that-looks-like-my-target curation step. Selection
+    itself is then a filter/top-k on the weight (or Gumbel-noised weight
+    for sampled DSIR), composable with :func:`hash_split` /
+    :func:`stratified_cap`.
+
+    ``df`` must carry a tokenized ``tokens_col`` (array<string>) —
+    tokenization policy stays with the caller. ``target`` is a boolean
+    Column marking target-corpus membership. Features are unigrams +
+    bigrams hashed into ``buckets`` via the engine-portable md5 bucket
+    (:func:`hash_bucket`), add-``alpha`` smoothed.
+
+    Scale shape: one explode → (doc, bucket) count aggregate (map-side
+    combine; the persisted frame is doc×distinct-bucket sized, NOT
+    feature-instance sized), bucket model is ≤ ``buckets`` rows →
+    broadcast join back, one per-doc aggregate. Per-feature log-ratios
+    are rounded to 6 dp and carried as BIGINT micro-units, so the
+    per-doc sum is exact integer arithmetic and hashes identically on
+    every engine (the q74 decimal-log pattern, simplified).
+
+    Returns one row per document: ``*id_cols, n_feats,
+    weight_micro`` (BIGINT, exact) ``, weight`` (double, rounded 6 dp).
+    """
+    from pyspark import StorageLevel
+
+    ids = [_c(c) for c in id_cols]
+    feats = df.select(
+        *ids, target.alias("__t"),
+        F.explode_outer(F.expr(
+            f"concat({tokens_col}, "
+            f"if(size({tokens_col}) >= 2, "
+            f"transform(sequence(1, size({tokens_col}) - 1), "
+            f"i -> concat(element_at({tokens_col}, i), ' ', "
+            f"element_at({tokens_col}, i + 1))), "
+            f"cast(array() as array<string>)))"
+        )).alias("__f"),
+    ).filter(F.col("__f").isNotNull())
+    # (doc, bucket) counts: the persisted relation feeds BOTH the bucket
+    # model and the scoring join; aggregating BEFORE persisting keeps it
+    # doc×bucket sized instead of feature-instance sized
+    doc_feat = (feats
+                .withColumn("__b", hash_bucket(F.col("__f"), buckets, salt))
+                .groupBy(*[c for c in id_cols], "__t", "__b")
+                .agg(F.count(F.lit(1)).alias("__c"))
+                .persist(StorageLevel.MEMORY_AND_DISK))
+    bcounts = doc_feat.groupBy("__b").agg(
+        F.sum("__c").alias("__cr"),
+        F.sum(F.when(F.col("__t"), F.col("__c")).otherwise(0)).alias("__ct"))
+    tot = bcounts.agg(F.sum("__cr"), F.sum("__ct")).first()
+    raw_n, tgt_n = int(tot[0] or 0), int(tot[1] or 0)
+    denom_t = float(tgt_n + alpha * buckets)
+    denom_r = float(raw_n + alpha * buckets)
+    model = bcounts.select(
+        "__b",
+        F.round((F.log((F.col("__ct") + F.lit(alpha)) / F.lit(denom_t))
+                 - F.log((F.col("__cr") + F.lit(alpha)) / F.lit(denom_r)))
+                * 1e6).cast("long").alias("__lru"))
+    scored = doc_feat.join(F.broadcast(model), "__b")
+    return (scored.groupBy(*[c for c in id_cols])
+            .agg(F.sum("__c").alias("n_feats"),
+                 F.sum(F.col("__c") * F.col("__lru")).alias("weight_micro"))
+            .withColumn("weight", F.round(
+                F.col("weight_micro") / F.lit(1e6), 6)))
+
+
+def dsir_importance_weights_sql(target_expr: str, tokens_expr: str,
+                                id_cols: tuple[str, ...] = ("doc_id",),
+                                buckets: int = DEFAULT_BUCKETS,
+                                alpha: float = 1.0, salt: str = "dsir",
+                                table: str = "documents") -> str:
+    """DuckDB-oracle form of :func:`dsir_importance_weights` — same
+    features, same md5 bucket, same micro-unit integer sums."""
+    ids = ", ".join(id_cols)
+    b = hash_bucket_sql("__f", buckets, salt)
+    return f"""
+    WITH toks AS (
+        SELECT {ids}, ({target_expr}) AS __t, {tokens_expr} AS w
+        FROM {table}
+    ), feats AS (
+        SELECT {ids}, __t, unnest(
+            w || [w[i] || ' ' || w[i + 1] FOR i IN range(1, len(w))]
+        ) AS __f
+        FROM toks
+    ), doc_feat AS (
+        SELECT {ids}, __t, {b} AS __b, COUNT(*) AS __c
+        FROM feats GROUP BY {ids}, __t, {b}
+    ), bcounts AS (
+        SELECT __b, SUM(__c) AS __cr,
+               SUM(CASE WHEN __t THEN __c ELSE 0 END) AS __ct
+        FROM doc_feat GROUP BY __b
+    ), tot AS (
+        SELECT SUM(__cr) AS rn, SUM(__ct) AS tn FROM bcounts
+    ), model AS (
+        SELECT __b, CAST(ROUND(
+            (ln((__ct + {alpha}) / (tn + {alpha} * {buckets}))
+             - ln((__cr + {alpha}) / (rn + {alpha} * {buckets}))) * 1e6)
+            AS BIGINT) AS __lru
+        FROM bcounts CROSS JOIN tot
+    )
+    SELECT {ids},
+           CAST(SUM(__c) AS BIGINT) AS n_feats,
+           CAST(SUM(__c * __lru) AS BIGINT) AS weight_micro,
+           ROUND(SUM(__c * __lru) / 1e6, 6) AS weight
+    FROM doc_feat JOIN model USING (__b)
+    GROUP BY {ids}
+"""

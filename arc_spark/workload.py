@@ -2569,3 +2569,34 @@ def _q75_oracle() -> str:
 
 QUERIES["q75_dataset_profile"] = q75_dataset_profile
 ORACLES["q75_dataset_profile"] = _q75_oracle()
+
+
+def q76_dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): score every document by
+    the hashed-ngram log-likelihood ratio against a TARGET slice (here
+    the English docs) vs the raw corpus — the select-data-that-looks-
+    like-my-target curation step. Per-doc output keeps the oracle
+    comparison value-exact (micro-unit integer weights)."""
+    from arc_spark.functions.sampling import dsir_importance_weights
+
+    t = load_tables(spark, sf, register_views=False)
+    toks = t["documents"].select(
+        "doc_id", "source", "lang",
+        F.split(F.expr(_SPARK_NORM), " ").alias("w"))
+    return dsir_importance_weights(
+        toks, target=F.col("lang") == "en", tokens_col="w",
+        id_cols=("doc_id", "source"), buckets=4096)
+
+
+def _q76_oracle() -> str:
+    from arc_spark.functions.sampling import dsir_importance_weights_sql
+
+    return dsir_importance_weights_sql(
+        target_expr="lang = 'en'",
+        tokens_expr=f"string_split({_LNORM}, ' ')",
+        id_cols=("doc_id", "source"), buckets=4096,
+        table="documents")
+
+
+QUERIES["q76_dsir_weights"] = q76_dsir_weights
+ORACLES["q76_dsir_weights"] = _q76_oracle()

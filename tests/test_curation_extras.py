@@ -275,3 +275,68 @@ class TestDocChunking:
                                      "source string, doc_id long, text string")
         with _pytest.raises(ValueError):
             chunk_documents(docs, chunk_tokens=16, overlap=16)
+
+
+class TestDsirImportanceWeights:
+    """DSIR (Xie et al. 2023) hashed-ngram importance weights: the
+    direction of the score must track target-likeness, micro-unit
+    weights must be exact integers, and degenerate inputs must not
+    crash (empty docs, single-token docs, all-target corpora)."""
+
+    def _weights(self, spark, rows, target_lang="en", buckets=512):
+        from pyspark.sql import functions as F
+
+        from arc_spark.functions.sampling import dsir_importance_weights
+
+        df = spark.createDataFrame(
+            rows, "doc_id long, lang string, text string").select(
+            "doc_id", "lang", F.split(F.lower("text"), " ").alias("w"))
+        out = dsir_importance_weights(
+            df, target=F.col("lang") == target_lang, tokens_col="w",
+            id_cols=("doc_id",), buckets=buckets)
+        return {r["doc_id"]: r for r in out.collect()}
+
+    def test_targetlike_docs_score_higher(self, spark):
+        """Docs built from the target slice's vocabulary must outscore
+        docs from the disjoint raw-only vocabulary — the ranking DSIR
+        selection relies on."""
+        rows = ([(i, "en", "the quick brown fox jumps over dogs")
+                 for i in range(8)]
+                + [(100 + i, "xx", "zog blort quux fizzle wibble snork")
+                   for i in range(8)]
+                + [(200, "xx", "the quick brown fox jumps over dogs"),
+                   (201, "xx", "zog blort quux fizzle wibble snork")])
+        w = self._weights(spark, rows)
+        # a raw doc phrased in target vocabulary beats one that isn't
+        assert w[200]["weight"] > w[201]["weight"]
+        # and target-vocab docs sit above the raw-only vocab docs
+        assert min(w[i]["weight"] for i in range(8)) > \
+            max(w[100 + i]["weight"] for i in range(8))
+
+    def test_exact_micro_units_and_feature_count(self, spark):
+        rows = [(1, "en", "a b c"), (2, "xx", "a b")]
+        w = self._weights(spark, rows)
+        # unigrams + bigrams: "a b c" -> a,b,c,"a b","b c" = 5 features
+        assert w[1]["n_feats"] == 5 and w[2]["n_feats"] == 3
+        for r in w.values():
+            assert isinstance(r["weight_micro"], int)
+            assert abs(r["weight"] - r["weight_micro"] / 1e6) < 1e-9
+
+    def test_degenerate_inputs(self, spark):
+        # single-token doc (no bigrams), all-target corpus, and a doc
+        # whose token array is empty (absent from output, like the
+        # oracle's unnest-of-empty)
+        from pyspark.sql import functions as F
+
+        from arc_spark.functions.sampling import dsir_importance_weights
+
+        df = spark.createDataFrame(
+            [(1, "en", ["solo"]), (2, "en", ["a", "b"]),
+             (3, "en", [])],
+            "doc_id long, lang string, w array<string>")
+        out = dsir_importance_weights(
+            df, target=F.col("lang") == "en", tokens_col="w",
+            id_cols=("doc_id",), buckets=64)
+        got = {r["doc_id"]: r for r in out.collect()}
+        assert set(got) == {1, 2}
+        assert got[1]["n_feats"] == 1 and got[2]["n_feats"] == 3
