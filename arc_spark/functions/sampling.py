@@ -281,3 +281,57 @@ def dsir_importance_weights_sql(target_expr: str, tokens_expr: str,
     FROM doc_feat JOIN model USING (__b)
     GROUP BY {ids}
 """
+
+
+def dsir_gumbel_topk(weights_df, k: int, weight_col: str = "weight_micro",
+                     id_cols: tuple[str, ...] = ("doc_id",),
+                     temperature: float = 1.0,
+                     salt: str = "dsir-sample"):
+    """The resampling half of DSIR: select ``k`` documents WITHOUT
+    replacement with probability ∝ softmax(weight / temperature), via
+    the Gumbel-top-k trick (Kool et al. 2019) — rank by
+    ``weight/T + Gumbel noise`` and keep the top k.
+
+    The noise is DERANDOMIZED: u = (md5-bucket(ids) + 0.5) / 2^20,
+    g = −ln(−ln(u)) — per-doc deterministic, so the same corpus selects
+    the same k docs in every run, engine, and partitioning (the
+    reproducibility property the split/cap operators already keep), at
+    the cost of the noise being a fixed hash draw rather than fresh
+    randomness. ``temperature → 0`` degrades to plain top-k by weight.
+
+    One global sort-limit (Spark's TakeOrderedAndProject — per-partition
+    top-k then a k-row driver merge, no full sort shuffle at scale).
+    Ties break on the id columns for full determinism.
+    """
+    noise_buckets = 1 << 20
+    idc = [F.col(c) for c in id_cols]
+    key = F.concat_ws("\x1f", *idc)
+    u = (hash_bucket(key, noise_buckets, salt) + F.lit(0.5)) / noise_buckets
+    g = -F.log(-F.log(u))
+    scored = weights_df.withColumn(
+        "gumbel_key",
+        F.round(F.col(weight_col) / F.lit(1e6 * float(temperature)) + g, 6))
+    return (scored.orderBy(F.col("gumbel_key").desc(), *idc)
+            .limit(int(k)))
+
+
+def dsir_gumbel_topk_sql(inner_sql: str, k: int,
+                         weight_col: str = "weight_micro",
+                         id_cols: tuple[str, ...] = ("doc_id",),
+                         temperature: float = 1.0,
+                         salt: str = "dsir-sample") -> str:
+    """DuckDB-oracle form of :func:`dsir_gumbel_topk` over an inner
+    weights query (same hash draw, same rounding, same tie-break). 6 dp matches the proven cross-engine ln tolerance (q74)."""
+    noise_buckets = 1 << 20
+    key = " || chr(31) || ".join(
+        f"CAST({c} AS VARCHAR)" for c in id_cols)
+    b = hash_bucket_sql(f"({key})", noise_buckets, salt)
+    ids = ", ".join(id_cols)
+    return f"""
+    SELECT * FROM (
+        SELECT *, ROUND({weight_col} / {1e6 * float(temperature)}
+                  - ln(-ln(({b} + 0.5) / {noise_buckets})), 6)
+               AS gumbel_key
+        FROM ({inner_sql})
+    ) ORDER BY gumbel_key DESC, {ids} LIMIT {int(k)}
+"""

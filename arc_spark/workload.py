@@ -2600,3 +2600,26 @@ def _q76_oracle() -> str:
 
 QUERIES["q76_dsir_weights"] = q76_dsir_weights
 ORACLES["q76_dsir_weights"] = _q76_oracle()
+
+
+def q77_dsir_resample(spark: SparkSession, sf: str) -> DataFrame:
+    """The full DSIR pipeline: importance weights (q76) → Gumbel-top-k
+    resampling (select k docs ∝ softmax(weight/T), derandomized noise) —
+    the document set a target-conditioned pretraining mix would keep."""
+    from arc_spark.functions.sampling import dsir_gumbel_topk
+
+    return dsir_gumbel_topk(
+        q76_dsir_weights(spark, sf), k=100,
+        id_cols=("doc_id", "source"), temperature=2.0)
+
+
+def _q77_oracle() -> str:
+    from arc_spark.functions.sampling import dsir_gumbel_topk_sql
+
+    return dsir_gumbel_topk_sql(
+        _q76_oracle(), k=100, id_cols=("doc_id", "source"),
+        temperature=2.0)
+
+
+QUERIES["q77_dsir_resample"] = q77_dsir_resample
+ORACLES["q77_dsir_resample"] = _q77_oracle()

@@ -340,3 +340,39 @@ class TestDsirImportanceWeights:
         got = {r["doc_id"]: r for r in out.collect()}
         assert set(got) == {1, 2}
         assert got[1]["n_feats"] == 1 and got[2]["n_feats"] == 3
+
+
+class TestDsirGumbelTopk:
+    """Gumbel-top-k resampling: deterministic across runs/partitionings,
+    monotone in weight at temperature→0, exactly k rows, plan uses the
+    per-partition top-k (no global sort shuffle)."""
+
+    def test_deterministic_and_k(self, spark):
+        from pyspark.sql import functions as F
+
+        from arc_spark.functions.sampling import dsir_gumbel_topk
+
+        rows = [(i, (i % 7) * 1_000_000) for i in range(200)]
+        w = spark.createDataFrame(rows, "doc_id long, weight_micro long")
+        a = dsir_gumbel_topk(w, 25).collect()
+        b = dsir_gumbel_topk(w.repartition(13), 25).collect()
+        assert len(a) == 25
+        assert [r["doc_id"] for r in a] == [r["doc_id"] for r in b]
+
+    def test_low_temperature_degrades_to_topk(self, spark):
+        from arc_spark.functions.sampling import dsir_gumbel_topk
+
+        rows = [(i, i * 1_000_000) for i in range(50)]
+        w = spark.createDataFrame(rows, "doc_id long, weight_micro long")
+        got = {r["doc_id"] for r in
+               dsir_gumbel_topk(w, 10, temperature=1e-6).collect()}
+        assert got == set(range(40, 50))  # noise ~O(1) drowned by w/T
+
+    def test_no_global_sort(self, spark):
+        from arc_spark.functions.sampling import dsir_gumbel_topk
+
+        rows = [(i, i) for i in range(100)]
+        w = spark.createDataFrame(rows, "doc_id long, weight_micro long")
+        plan = dsir_gumbel_topk(w, 5)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
