@@ -200,16 +200,13 @@ def dsir_importance_weights(df, target, tokens_col="w",
     """
     from pyspark import StorageLevel
 
+    from arc_spark.functions.text import bigram_list_expr
+
     ids = [_c(c) for c in id_cols]
     feats = df.select(
         *ids, target.alias("__t"),
         F.explode_outer(F.expr(
-            f"concat({tokens_col}, "
-            f"if(size({tokens_col}) >= 2, "
-            f"transform(sequence(1, size({tokens_col}) - 1), "
-            f"i -> concat(element_at({tokens_col}, i), ' ', "
-            f"element_at({tokens_col}, i + 1))), "
-            f"cast(array() as array<string>)))"
+            f"concat({tokens_col}, {bigram_list_expr(tokens_col)})"
         )).alias("__f"),
     ).filter(F.col("__f").isNotNull())
     # (doc, bucket) counts: the persisted relation feeds BOTH the bucket
@@ -246,7 +243,12 @@ def dsir_importance_weights_sql(target_expr: str, tokens_expr: str,
                                 alpha: float = 1.0, salt: str = "dsir",
                                 table: str = "documents") -> str:
     """DuckDB-oracle form of :func:`dsir_importance_weights` — same
-    features, same md5 bucket, same micro-unit integer sums."""
+    features, same md5 bucket, same micro-unit integer sums. NULL
+    features are filtered like the Spark side's explode_outer +
+    isNotNull (a caller-supplied token array may carry NULL elements;
+    counting them only here would shift every denominator)."""
+    from arc_spark.functions.text import bigram_list_sql
+
     ids = ", ".join(id_cols)
     b = hash_bucket_sql("__f", buckets, salt)
     return f"""
@@ -255,12 +257,14 @@ def dsir_importance_weights_sql(target_expr: str, tokens_expr: str,
         FROM {table}
     ), feats AS (
         SELECT {ids}, __t, unnest(
-            w || [w[i] || ' ' || w[i + 1] FOR i IN range(1, len(w))]
+            w || {bigram_list_sql('w')}
         ) AS __f
         FROM toks
+    ), feats_nn AS (
+        SELECT * FROM feats WHERE __f IS NOT NULL
     ), doc_feat AS (
         SELECT {ids}, __t, {b} AS __b, COUNT(*) AS __c
-        FROM feats GROUP BY {ids}, __t, {b}
+        FROM feats_nn GROUP BY {ids}, __t, {b}
     ), bcounts AS (
         SELECT __b, SUM(__c) AS __cr,
                SUM(CASE WHEN __t THEN __c ELSE 0 END) AS __ct
@@ -286,31 +290,47 @@ def dsir_importance_weights_sql(target_expr: str, tokens_expr: str,
 def dsir_gumbel_topk(weights_df, k: int, weight_col: str = "weight_micro",
                      id_cols: tuple[str, ...] = ("doc_id",),
                      temperature: float = 1.0,
+                     weight_unit: float = 1e-6,
                      salt: str = "dsir-sample"):
     """The resampling half of DSIR: select ``k`` documents WITHOUT
     replacement with probability ∝ softmax(weight / temperature), via
     the Gumbel-top-k trick (Kool et al. 2019) — rank by
-    ``weight/T + Gumbel noise`` and keep the top k.
+    ``weight·weight_unit/T + Gumbel noise`` and keep the top k.
+
+    ``weight_unit`` is the scale of ``weight_col`` in nats: the default
+    1e-6 matches :func:`dsir_importance_weights`'s BIGINT
+    ``weight_micro``; pass ``weight_unit=1.0`` for its double
+    ``weight`` column — the Gumbel noise spans roughly [−2.7, +14.6],
+    so a mis-scaled signal silently degrades to a pure hash draw.
+    ``temperature`` must be > 0 (T→0 is plain top-k by weight — pass a
+    tiny positive T; 0 itself would divide by zero here and NULL out
+    every key in the SQL twin).
 
     The noise is DERANDOMIZED: u = (md5-bucket(ids) + 0.5) / 2^20,
     g = −ln(−ln(u)) — per-doc deterministic, so the same corpus selects
     the same k docs in every run, engine, and partitioning (the
     reproducibility property the split/cap operators already keep), at
     the cost of the noise being a fixed hash draw rather than fresh
-    randomness. ``temperature → 0`` degrades to plain top-k by weight.
+    randomness. NULL id components are keyed via an explicit sentinel
+    (Spark's concat_ws would silently DROP them, colliding ("a", NULL)
+    with (NULL, "a") and diverging from the SQL twin).
 
     One global sort-limit (Spark's TakeOrderedAndProject — per-partition
     top-k then a k-row driver merge, no full sort shuffle at scale).
     Ties break on the id columns for full determinism.
     """
+    if not temperature > 0:
+        raise ValueError(f"temperature must be > 0, got {temperature!r}")
     noise_buckets = 1 << 20
     idc = [F.col(c) for c in id_cols]
-    key = F.concat_ws("\x1f", *idc)
+    key = F.concat_ws("\x1f", *[
+        F.coalesce(c.cast("string"), F.lit("\x00null")) for c in idc])
     u = (hash_bucket(key, noise_buckets, salt) + F.lit(0.5)) / noise_buckets
     g = -F.log(-F.log(u))
     scored = weights_df.withColumn(
         "gumbel_key",
-        F.round(F.col(weight_col) / F.lit(1e6 * float(temperature)) + g, 6))
+        F.round(F.col(weight_col)
+                * F.lit(float(weight_unit) / float(temperature)) + g, 6))
     return (scored.orderBy(F.col("gumbel_key").desc(), *idc)
             .limit(int(k)))
 
@@ -319,17 +339,24 @@ def dsir_gumbel_topk_sql(inner_sql: str, k: int,
                          weight_col: str = "weight_micro",
                          id_cols: tuple[str, ...] = ("doc_id",),
                          temperature: float = 1.0,
+                         weight_unit: float = 1e-6,
                          salt: str = "dsir-sample") -> str:
     """DuckDB-oracle form of :func:`dsir_gumbel_topk` over an inner
-    weights query (same hash draw, same rounding, same tie-break). 6 dp matches the proven cross-engine ln tolerance (q74)."""
+    weights query (same hash draw, same null-sentinel id keying, same
+    rounding, same tie-break). 6 dp matches the proven cross-engine
+    ln tolerance (q74)."""
+    if not temperature > 0:
+        raise ValueError(f"temperature must be > 0, got {temperature!r}")
     noise_buckets = 1 << 20
     key = " || chr(31) || ".join(
-        f"CAST({c} AS VARCHAR)" for c in id_cols)
+        f"COALESCE(CAST({c} AS VARCHAR), chr(0) || 'null')"
+        for c in id_cols)
     b = hash_bucket_sql(f"({key})", noise_buckets, salt)
     ids = ", ".join(id_cols)
     return f"""
     SELECT * FROM (
-        SELECT *, ROUND({weight_col} / {1e6 * float(temperature)}
+        SELECT *, ROUND({weight_col}
+                  * {float(weight_unit) / float(temperature)!r}
                   - ln(-ln(({b} + 0.5) / {noise_buckets})), 6)
                AS gumbel_key
         FROM ({inner_sql})

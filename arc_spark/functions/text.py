@@ -437,3 +437,23 @@ def chunk_documents(df, chunk_tokens: int = 64, overlap: int = 16,
             F.slice(F.col("toks"), F.col("start") + 1,
                     F.lit(chunk_tokens)), " ").alias("chunk_text"),
     )
+
+
+def bigram_list_expr(tokens: str) -> str:
+    """Spark-SQL snippet: the word-bigram list of an array<string>
+    column named ``tokens`` ("a b" strings, empty list below 2 tokens).
+    ONE shared spelling for every operator that must stay 1:1 with
+    :func:`bigram_list_sql` (q74 bigram LM, DSIR features) — the
+    1-indexed element_at/sequence construct is easy to desynchronize."""
+    return (f"if(size({tokens}) >= 2, "
+            f"transform(sequence(1, size({tokens}) - 1), "
+            f"i -> concat(element_at({tokens}, i), ' ', "
+            f"element_at({tokens}, i + 1))), "
+            f"cast(array() as array<string>))")
+
+
+def bigram_list_sql(tokens: str) -> str:
+    """DuckDB twin of :func:`bigram_list_expr` (1-indexed list
+    comprehension; range() excludes the stop, so <2 tokens → empty)."""
+    return (f"[{tokens}[i] || ' ' || {tokens}[i + 1] "
+            f"FOR i IN range(1, len({tokens}))]")

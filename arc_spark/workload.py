@@ -2444,13 +2444,13 @@ def q74_bigram_fluency(spark: SparkSession, sf: str) -> DataFrame:
         "source", "doc_id",
         F.split(F.expr(_SPARK_NORM), " ").alias("w"),
     ).filter(F.size("w") >= 2)
-    # row-local bigram list: zip w[i], w[i+1]
+    # row-local bigram list: zip w[i], w[i+1] (shared spelling —
+    # functions/text.py keeps it 1:1 with the DuckDB twin)
+    from arc_spark.functions.text import bigram_list_expr
+
     bg = toks.select(
         "source", "doc_id",
-        F.explode(F.expr(
-            "transform(sequence(1, size(w) - 1), "
-            "i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
-        )).alias("bigram"),
+        F.explode(F.expr(bigram_list_expr("w"))).alias("bigram"),
     ).withColumn("w1", F.split(F.col("bigram"), " ").getItem(0))
     # the model: c(w1 w2), c(w1 •) = Σ c_bg over the bigram-DISTINCT
     # table (exactly the instance count), V = distinct unigrams. Building
@@ -2486,14 +2486,15 @@ def q74_bigram_fluency(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+from arc_spark.functions.text import bigram_list_sql as _bgsql  # noqa: E402
+
 ORACLES_Q74 = f"""
     WITH d AS (
         SELECT source, doc_id, string_split({_LNORM}, ' ') AS w
         FROM documents
     ), bg AS (
         SELECT source, doc_id,
-               unnest([w[i] || ' ' || w[i + 1]
-                       FOR i IN range(1, len(w))]) AS bigram
+               unnest({_bgsql('w')}) AS bigram
         FROM d WHERE len(w) >= 2
     ), bg2 AS (
         SELECT *, string_split(bigram, ' ')[1] AS w1 FROM bg
