@@ -746,7 +746,8 @@ class TestNativeSqlTimeRangeE2E:
     @given(
         st.integers(min_value=-30, max_value=270),   # start hour offset
         st.integers(min_value=-30, max_value=270),   # end hour offset
-        st.sampled_from([">=", ">= <", "BETWEEN", ">= <="]),
+        st.sampled_from([">=", ">= <", "BETWEEN", ">= <=",
+                         "nofilter"]),
         st.sampled_from([5, 50, 10_000]),
     )
     def test_native_matches_spark_engine(self, spark, h0, h1, shape,
@@ -765,19 +766,22 @@ class TestNativeSqlTimeRangeE2E:
             cond = f"time >= '{t0}' AND time < '{t1}'"
         elif shape == ">= <=":
             cond = f"time >= '{t0}' AND time <= '{t1}'"
-        else:
+        elif shape == "BETWEEN":
             cond = f"time BETWEEN '{t0}' AND '{t1}'"
-        sql = f"SELECT * FROM cpu WHERE {cond} LIMIT {limit}"
+        else:
+            cond = None  # the filterless SELECT-LIMIT shape (4-node plan)
+        where = f"WHERE {cond} " if cond else ""
+        sql = f"SELECT * FROM cpu {where}LIMIT {limit}"
         assert svc._native_timerange(sql, None) is not None, sql
         native = svc.execute(sql)
         # a non-time predicate forces the Spark engine path; usage is
         # always finite here so the predicate is a tautology
+        tauto = ("AND" if cond else "WHERE") + " usage >= -1e9"
         spark_rows = svc.execute(sql.replace(
-            f"LIMIT {limit}", f"AND usage >= -1e9 LIMIT {limit}"))
+            f"LIMIT {limit}", f"{tauto} LIMIT {limit}"))
         key = lambda r: tuple(str(v) for v in r)  # noqa: E731
         full = {key(r) for r in svc.execute(
-            f"SELECT * FROM cpu WHERE {cond} AND usage >= -1e9 "
-            f"LIMIT 100000")}
+            f"SELECT * FROM cpu {where}{tauto} LIMIT 100000")}
         n_match = len(full)
         assert len(native) == len(spark_rows) == min(limit, n_match)
         assert native and list(native[0].__fields__) == \
