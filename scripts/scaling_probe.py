@@ -130,6 +130,22 @@ def run_ops(spark, factor: int, ops: set[str]) -> list[dict]:
 
     probe("tfidf_terms", lambda: tfidf_top_terms(docs, n_top=5).count())
 
+    from arc_spark.functions.sampling import (
+        dsir_gumbel_topk,
+        dsir_importance_weights,
+    )
+
+    def _dsir():
+        toks = docs.select(
+            "doc_id", "lang",
+            F.split(F.lower(F.col("text")), " ").alias("w"))
+        w = dsir_importance_weights(
+            toks, target=F.col("lang") == "en", tokens_col="w",
+            id_cols=("doc_id",), buckets=4096)
+        return dsir_gumbel_topk(w, k=1000).count()
+
+    probe("dsir_resample", _dsir)
+
     if {"all", "ann_lsh_topk", "ann_ivf_topk"} & ops:
         from arc_spark.operators.similarity import ivf_topk
 
