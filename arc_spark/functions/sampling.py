@@ -168,6 +168,15 @@ def temperature_weights(df, alpha: float = 0.5,
         .select("source", "n_docs", "n_units", "scaled", "weight"))
 
 
+def _unpersist_quiet(df) -> None:
+    """Best-effort unpersist for finalizer use — the JVM/session may
+    already be gone at interpreter shutdown."""
+    try:
+        df.unpersist(blocking=False)
+    except Exception:
+        pass
+
+
 def dsir_importance_weights(df, target, tokens_col="w",
                             id_cols: tuple[str, ...] = ("doc_id",),
                             buckets: int = DEFAULT_BUCKETS,
@@ -230,11 +239,19 @@ def dsir_importance_weights(df, target, tokens_col="w",
                  - F.log((F.col("__cr") + F.lit(alpha)) / F.lit(denom_r)))
                 * 1e6).cast("long").alias("__lru"))
     scored = doc_feat.join(F.broadcast(model), "__b")
-    return (scored.groupBy(*[c for c in id_cols])
-            .agg(F.sum("__c").alias("n_feats"),
-                 F.sum(F.col("__c") * F.col("__lru")).alias("weight_micro"))
-            .withColumn("weight", F.round(
-                F.col("weight_micro") / F.lit(1e6), 6)))
+    out = (scored.groupBy(*[c for c in id_cols])
+           .agg(F.sum("__c").alias("n_feats"),
+                F.sum(F.col("__c") * F.col("__lru")).alias("weight_micro"))
+           .withColumn("weight", F.round(
+               F.col("weight_micro") / F.lit(1e6), 6)))
+    # Cache lifetime rides the returned frame: doc_feat stays hot while
+    # the caller can still trigger the scoring scan, and unpersists when
+    # the result is dropped — repeated calls in a long-lived session no
+    # longer accumulate cached partitions (r8 advice).
+    import weakref
+
+    weakref.finalize(out, _unpersist_quiet, doc_feat)
+    return out
 
 
 def dsir_importance_weights_sql(target_expr: str, tokens_expr: str,

@@ -242,6 +242,14 @@ def _fit_centroids_lloyd(sample: DataFrame, k: int, iters: int, seed: int):
 #: the mode exists for, and auto ≡ off at pytest scale.
 SQ8_AUTO_MIN_CANDIDATE_BYTES = 4 << 30
 
+#: sq8="auto" probe floor: corpora at or under this row count skip the
+#: queries.count()/dim probe entirely and resolve auto ≡ off. Matches the
+#: default fit_sample — below it the centroid fit already covers the whole
+#: corpus and the candidate shuffle fits the in-memory path (the regime
+#: where measured SQ8 is a wash-to-loss, r6), so two extra Spark actions
+#: per call buy nothing.
+SQ8_AUTO_PROBE_MIN_N = 100_000
+
 
 def ivf_topk(
     corpus: DataFrame,
@@ -299,17 +307,45 @@ def ivf_topk(
     dim × 8`` bytes (expected equi-join fan-out under uniform cluster
     sizes) and enables SQ8 above ``SQ8_AUTO_MIN_CANDIDATE_BYTES``; the
     two counts and one first() it needs are metadata-cheap next to the
-    scan the operator already does. Pass True/False to override.
+    scan the operator already does, and are SKIPPED entirely when the
+    corpus is small (``n <= SQ8_AUTO_PROBE_MIN_N``) — below that the centroid fit
+    already scans the whole corpus and the candidate shuffle fits the
+    in-memory path, the regime where measured SQ8 is a wash-to-loss.
+    When auto flips SQ8 on, the decision and payload estimate are
+    logged at INFO. Pass True/False to override.
+
+    NOTE (r8 behavior change): the default moved False -> "auto", so
+    past the gate existing large-scale callers get SQ8's quantized
+    scores (slightly different top-k) where they previously got exact
+    float scoring. Callers needing exact float scores must pass
+    ``sq8=False``; small-corpus/huge-query-set workloads that want the
+    byte reduction despite a tiny corpus, ``sq8=True``.
     """
     # --- 1. fit coarse quantizer on a sample -----------------------------
     n = corpus.count()
     if sq8 == "auto":
-        dim_row = corpus.select(
-            F.size(F.col(vec_col)).alias("d")).first()
-        dim = (dim_row["d"] or 0) if dim_row is not None else 0
-        est = (queries.count() * n * n_probe
-               / max(n_clusters, 1) * dim * 8)
-        sq8 = est >= SQ8_AUTO_MIN_CANDIDATE_BYTES
+        if n <= SQ8_AUTO_PROBE_MIN_N:
+            # sample-fit regime: the whole corpus fits the centroid fit;
+            # skip the queries.count()/dim probe — no plausible query
+            # fan-out here puts the job in the spill-bound regime the
+            # gate exists for (measured r6: SQ8 loses at this scale)
+            sq8 = False
+        else:
+            dim_row = corpus.select(
+                F.size(F.col(vec_col)).alias("d")).first()
+            dim = (dim_row["d"] or 0) if dim_row is not None else 0
+            est = (queries.count() * n * n_probe
+                   / max(n_clusters, 1) * dim * 8)
+            sq8 = est >= SQ8_AUTO_MIN_CANDIDATE_BYTES
+            if sq8:
+                import logging
+
+                logging.getLogger(__name__).info(
+                    "ivf_topk sq8=auto enabled SQ8 quantization: estimated "
+                    "candidate payload %.1f GiB >= %.1f GiB gate "
+                    "(pass sq8=False for exact float scoring)",
+                    est / (1 << 30),
+                    SQ8_AUTO_MIN_CANDIDATE_BYTES / (1 << 30))
     frac = min(1.0, fit_sample / max(n, 1))
     sample = (
         corpus.sample(fraction=frac, seed=seed) if frac < 1.0 else corpus

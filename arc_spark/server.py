@@ -431,7 +431,14 @@ class ArcServer:
                 own table (single source of truth — a deferred flush must
                 never see a precision the boundary admitted but the
                 parser rejects; the reference 400s upfront the same way,
-                lineprotocol.go:180-188)."""
+                lineprotocol.go:180-188).
+
+                Intentional compat SUPERSET of the reference: the table
+                also admits ``u`` (InfluxDB-1.x spelling of µs) which
+                the reference's handleWrite rejects — clients written
+                against real InfluxDB 1.x send it, so compat tests that
+                diff our 400 set against the reference will see this one
+                extra accepted value."""
                 from arc_spark.sources.line_protocol import PRECISION_TO_US
 
                 prec = q.get("precision", "ns")

@@ -69,7 +69,7 @@ def _ipc_size_estimate(table: pa.Table, n_batches: int) -> int:
 
 
 def _table_ipc_presized(table: pa.Table,
-                        max_rows_per_batch: int) -> bytes | None:
+                        max_rows_per_batch: int) -> bytes:
     """IPC-encode a pyarrow Table into one preallocated buffer; on an
     estimate shortfall (e.g. duplicate-chunk tables, whose shared buffers
     get_total_buffer_size counts ONCE but IPC writes per batch) the

@@ -94,6 +94,7 @@ class TestSQ8AutoGate:
         import arc_spark.operators.similarity as sim
 
         monkeypatch.setattr(sim, "SQ8_AUTO_MIN_CANDIDATE_BYTES", 1)
+        monkeypatch.setattr(sim, "SQ8_AUTO_PROBE_MIN_N", 0)
         t = load_tables(spark, sf_oracle, register_views=False)
         emb = t["embeddings"]
         q = emb.filter(F.col("vec_id") < 3)
