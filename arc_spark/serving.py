@@ -176,18 +176,47 @@ _TS_VEC_MIN_US = -30_610_224_000_000_000   # 1000-01-01: strftime %Y only
 _TS_VEC_MAX_US = 253_402_300_799_999_999   # 9999-12-31: 4-digit-pads here
 
 
+def _ascii_scan(arr) -> "tuple[bool, bool, bool]":
+    """One numpy pass over a string array's DATA BUFFER: (all bytes in
+    printable ASCII, any ``"`` byte, any ``\\`` byte). ~30× cheaper than
+    a regex scan (0.16 vs 4.8 ms / 100k rows) because it never decodes
+    UTF-8 — multi-byte chars have bytes ≥ 0x80 so they trip the max,
+    control chars trip the min. Null slots' (undefined) bytes are
+    scanned too, which can only produce a false *dirty* verdict — the
+    slower exact path then runs — never a false clean."""
+    import numpy as np
+
+    bufs = arr.buffers()
+    if len(arr) == 0 or bufs[1] is None or bufs[2] is None:
+        return True, False, False
+    width = 8 if pa.types.is_large_string(arr.type) else 4
+    offs = np.frombuffer(
+        bufs[1], dtype=np.int64 if width == 8 else np.int32,
+        count=len(arr) + 1, offset=arr.offset * width)
+    data = np.frombuffer(bufs[2], dtype=np.uint8,
+                         count=int(offs[-1]))[int(offs[0]):]
+    if data.size == 0:
+        return True, False, False
+    return (bool(0x20 <= data.min()) and bool(data.max() <= 0x7e),
+            bool((data == 0x22).any()), bool((data == 0x5c).any()))
+
+
 def _json_token_array(arr) -> "tuple[pa.Array, bool] | None":
     """(content, needs_quotes) for a column, as an Arrow string array —
     or None when this column needs the per-value ``json.dumps`` path
-    (escape-needing control chars or non-ASCII strings, non-finite
-    floats, exotic types, timestamps outside the 4-digit-year range or
-    finer than µs). ``needs_quotes=True`` means the caller must wrap
-    each value in ``"`` — it merges them into the row join's constant
-    separators, saving a whole-column materialization per quoted
-    column; a null-bearing quoted column quotes internally instead
-    (its nulls must print bare ``null``). Token text parses to exactly
-    what ``json.dumps`` emits; byte form may differ only in float
-    exponent spelling (``1e-7`` vs ``1e-07`` — same parsed double)."""
+    (non-finite floats, exotic types, timestamps outside the
+    4-digit-year range or finer than µs). ``needs_quotes=True`` means
+    the caller must wrap each value in ``"`` — it merges them into the
+    row join's constant separators, saving a whole-column
+    materialization per quoted column; a null-bearing quoted column
+    quotes internally instead (its nulls must print bare ``null``).
+    Strings never decline: values needing ``\\uXXXX`` escapes (control
+    or non-ASCII chars) are escaped per-VALUE on just the offending
+    rows and scattered back into the vectorized column
+    (``replace_with_mask``), so one emoji no longer sends 100k rows to
+    the Python loop. Token text parses to exactly what ``json.dumps``
+    emits; byte form may differ only in float exponent spelling
+    (``1e-7`` vs ``1e-07`` — same parsed double)."""
     import pyarrow.compute as pc
 
     if isinstance(arr, pa.ChunkedArray):
@@ -242,30 +271,57 @@ def _json_token_array(arr) -> "tuple[pa.Array, bool] | None":
         # the double's shortest repr round-trips identically
         if t != pa.float64():
             arr = pc.cast(arr, pa.float64())
-        tok = pc.cast(arr, pa.string())
         # Arrow spells whole-number doubles as integers ("1"); the JSON
-        # type must stay float ("1.0") — repair the integer-looking ones
-        intish = pc.match_substring_regex(tok, r"^-?\d+$")
-        if pc.any(pc.fill_null(intish, False)).as_py():
-            tok = pc.if_else(
-                pc.fill_null(intish, False),
-                pc.binary_join_element_wise(tok, pa.scalar(".0"), ""),
-                tok)
+        # type must stay float ("1.0") — repair the integer-looking ones.
+        # The numeric whole-value test gates the (30× dearer) regex pass:
+        # a column with no whole values skips it entirely
+        any_whole = pc.any(pc.equal(pc.floor(arr), arr)).as_py()
+        tok = pc.cast(arr, pa.string())
+        if any_whole:
+            intish = pc.match_substring_regex(tok, r"^-?\d+$")
+            if pc.any(pc.fill_null(intish, False)).as_py():
+                tok = pc.if_else(
+                    pc.fill_null(intish, False),
+                    pc.binary_join_element_wise(tok, pa.scalar(".0"), ""),
+                    tok)
     elif pa.types.is_boolean(t):
         tok = pc.if_else(arr, pa.scalar("true"), pa.scalar("false"))
     elif pa.types.is_string(t) or pa.types.is_large_string(t):
-        # one pass for both decline conditions: anything outside
-        # printable ASCII needs json.dumps' \uXXXX escapes (control
-        # chars AND ensure_ascii non-ASCII) — the per-value path owns it
-        needs_u = pc.fill_null(
-            pc.match_substring_regex(arr, r"[^\x20-\x7e]"), False)
-        if pc.any(needs_u).as_py():
-            return None
+        if pa.types.is_large_string(t):
+            if arr.nbytes >= (1 << 31) - 1:
+                return None  # genuinely >2 GiB: per-value path owns it
+            arr = arr.cast(pa.string())  # 32-bit offsets: full kernel set
+        clean, has_quote, has_backslash = _ascii_scan(arr)
         # backslash and quote escape vectorized (backslash FIRST);
-        # json.dumps has no other printable-ASCII escapes
-        esc = pc.replace_substring(arr, pattern="\\", replacement="\\\\")
-        esc = pc.replace_substring(esc, pattern='"', replacement='\\"')
-        tok, quoted = esc, True
+        # json.dumps has no other printable-ASCII escapes. Each replace
+        # pass runs only when its byte actually occurs in the buffer
+        esc = arr
+        if has_backslash:
+            esc = pc.replace_substring(esc, pattern="\\",
+                                       replacement="\\\\")
+        if has_quote:
+            esc = pc.replace_substring(esc, pattern='"',
+                                       replacement='\\"')
+        if clean:
+            tok, quoted = esc, True
+        else:
+            # mixed column: \uXXXX-escape ONLY the offending rows with
+            # json's own C escaper, scatter them back into the
+            # vectorized result (values arrive fully quoted, so the
+            # whole column switches to internal quoting)
+            from json.encoder import encode_basestring_ascii
+
+            needs_u = pc.fill_null(
+                pc.match_substring_regex(arr, r"[^\x20-\x7e]"), False)
+            tok = pc.binary_join_element_wise(
+                pa.scalar('"'), esc, pa.scalar('"'), "")
+            if pc.any(needs_u).as_py():
+                repl = pa.array(
+                    [encode_basestring_ascii(v)
+                     for v in arr.filter(needs_u).to_pylist()],
+                    type=pa.string())
+                tok = pc.replace_with_mask(tok, needs_u, repl)
+            quoted = False
     if tok is None:
         return None
     if arr.null_count:

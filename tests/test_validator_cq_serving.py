@@ -303,3 +303,54 @@ def test_sql_time_bucket_matches_dataframe_expr(spark):
         time_bucket("15 minutes", "t").alias("b")).orderBy("b").collect()]
     assert via_sql == via_df
     assert via_sql[0] == dt.datetime(2024, 1, 1, 10, 15)
+
+
+class TestJsonTokenMixedColumnStaysVectorized:
+    """r9: a string column with SOME escape-needing values (emoji, control
+    chars) must stay on the vectorized token path — only the offending
+    rows pay the per-value escaper, scattered back via replace_with_mask.
+    Before this, one emoji sent the whole 100k-row column to the Python
+    loop (the serve_json_fastscan 2.1x gap)."""
+
+    def test_mixed_column_not_declined_and_exact(self):
+        import json as _json
+
+        import pyarrow as pa
+
+        from arc_spark.serving import _json_token_array
+
+        vals = ["plain", 'qu"ote', "emoji \U0001f600", None,
+                "ctl\tchar", "back\\slash", "", "café"]
+        got = _json_token_array(pa.array(vals))
+        assert got is not None, "mixed column must not decline"
+        tok, quoted = got
+        assert not quoted  # internal quoting (nulls print bare null)
+        expect = ["null" if v is None else _json.dumps(v) for v in vals]
+        assert tok.to_pylist() == expect
+
+    def test_pure_ascii_column_skips_escape_passes(self):
+        import pyarrow as pa
+
+        from arc_spark.serving import _ascii_scan, _json_token_array
+
+        arr = pa.array(["device-1", "device-2"])
+        clean, has_quote, has_backslash = _ascii_scan(arr)
+        assert clean and not has_quote and not has_backslash
+        tok, quoted = _json_token_array(arr)
+        assert quoted  # merged-separator quoting retained on clean cols
+        assert tok.to_pylist() == ["device-1", "device-2"]
+
+    def test_large_string_and_control_chars(self):
+        import json as _json
+
+        import pyarrow as pa
+
+        from arc_spark.serving import _json_token_array
+
+        vals = ["x", "日本語", None, 'q"\\', "\x00\x7f"]
+        tok, quoted = _json_token_array(
+            pa.array(vals, type=pa.large_string()))
+        expect = ["null" if v is None else _json.dumps(v) for v in vals]
+        out = [f'"{s}"' if quoted and s != "null" else s
+               for s in tok.to_pylist()]
+        assert out == expect
