@@ -168,15 +168,6 @@ def temperature_weights(df, alpha: float = 0.5,
         .select("source", "n_docs", "n_units", "scaled", "weight"))
 
 
-def _unpersist_quiet(df) -> None:
-    """Best-effort unpersist for finalizer use — the JVM/session may
-    already be gone at interpreter shutdown."""
-    try:
-        df.unpersist(blocking=False)
-    except Exception:
-        pass
-
-
 def dsir_importance_weights(df, target, tokens_col="w",
                             id_cols: tuple[str, ...] = ("doc_id",),
                             buckets: int = DEFAULT_BUCKETS,
@@ -248,9 +239,9 @@ def dsir_importance_weights(df, target, tokens_col="w",
     # the caller can still trigger the scoring scan, and unpersists when
     # the result is dropped — repeated calls in a long-lived session no
     # longer accumulate cached partitions (r8 advice).
-    import weakref
+    from arc_spark.cacheutil import release_on_drop
 
-    weakref.finalize(out, _unpersist_quiet, doc_feat)
+    release_on_drop(out, doc_feat)
     return out
 
 

@@ -165,16 +165,28 @@ def ngram_jaccard_pairs(
     """
     from pyspark import StorageLevel
 
-    # Persist the shingled frame: it feeds FOUR branches (both self-join
-    # sides, the hot-shingle count, the size table), so without it the
-    # scan→words→hash pipeline runs 4×. Just as important, the cached
-    # relation is an optimizer BARRIER: the final `jaccard >= t` filter
-    # makes Catalyst infer isnotnull(sz) constraints which would otherwise
-    # be pushed below the exchange into the scan with the whole shingle
-    # lambda pipeline inlined as an interpreted per-row filter (measured:
-    # 13 s -> 1.5 s on 5 k docs at sf0.1). Spill-safe (MEMORY_AND_DISK);
-    # evicted LRU — same lifetime policy as minhash's sh_shared.
-    sh = _shingled(df, id_col, text_col, k).persist(StorageLevel.MEMORY_AND_DISK)
+    if prefix_filter is None:
+        prefix_filter = False
+    # Persist placement (measured at sf0.1, identical results):
+    # - prefix / no-cap paths persist the SHINGLED frame — it feeds
+    #   several branches (self-join sides, hot-shingle count, rank join),
+    #   so without it the scan→words→hash pipeline reruns per consumer.
+    # - the default windowed-cap path persists the CAPPED POSTING
+    #   instead (below): the shingled frame then has exactly one
+    #   consumer, while the window sort — which sits ABOVE the reused
+    #   exchange and would otherwise run once per self-join side — runs
+    #   once into the cache (q16 p50 1.41 → 0.99 s). At 100 TB the cache
+    #   is feature-instance-sized either way (same bytes as the shingle
+    #   arrays it replaces), spill-safe and LRU-evicted.
+    # Either cached relation is also an optimizer BARRIER: the final
+    # `jaccard >= t` filter makes Catalyst infer isnotnull(sz)
+    # constraints which would otherwise be pushed below the exchange
+    # into the scan with the whole shingle lambda pipeline inlined as an
+    # interpreted per-row filter (measured: 13 s -> 1.5 s on 5 k docs).
+    sh = _shingled(df, id_col, text_col, k)
+    windowed_cap = not prefix_filter and max_posting_list is not None
+    if not windowed_cap:
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     # explode_OUTER, then drop the null rows: an inner explode lets the
     # optimizer infer `size(shingles) > 0 AND isnotnull(shingles)` and push
     # that filter below the repartition exchange into the scan — inlining
@@ -192,8 +204,6 @@ def ngram_jaccard_pairs(
         "doc", F.size("shingles").alias("sz"),
         F.explode_outer("shingles").alias("s"),
     ).filter(F.col("s").isNotNull())
-    if prefix_filter is None:
-        prefix_filter = False
     if prefix_filter:
         # the prefix branch needs explicit per-shingle counts for the
         # global rarity order, so the hot cap rides the same aggregate
@@ -209,10 +219,14 @@ def ngram_jaccard_pairs(
         # ONE exchange — this replaces a separate counts aggregation +
         # broadcast anti-join (two jobs + a driver-side broadcast
         # build) with zero extra shuffles. Semantics identical
-        # (differential-tested); measured ~8% on the q16 lane at sf0.1
+        # (differential-tested); measured ~8% on the q16 lane at sf0.1.
+        # Persisted: exchange reuse covers only the SHUFFLE — the window
+        # sort above it would still run once per self-join side; the
+        # cache runs it once (r9: q16 p50 1.41 → 0.99 s at sf0.1)
         posting = (posting.withColumn(
             "cnt", F.count(F.lit(1)).over(Window.partitionBy("s")))
-            .filter(F.col("cnt") <= max_posting_list).drop("cnt"))
+            .filter(F.col("cnt") <= max_posting_list).drop("cnt")
+            .persist(StorageLevel.MEMORY_AND_DISK))
 
     if prefix_filter:
         # global order (cnt asc, s asc) is identical for every doc — the
@@ -282,7 +296,7 @@ def ngram_jaccard_pairs(
                 F.min(F.col("b.sz")).alias("sz_b"),
             )
         )
-    return (
+    out = (
         inter.withColumn(
             "jaccard",
             F.col("inter").cast("double")
@@ -291,6 +305,15 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+    from arc_spark.cacheutil import release_on_drop
+
+    if prefix_filter:
+        release_on_drop(out, sh, cand)
+    elif windowed_cap:
+        release_on_drop(out, posting)
+    else:
+        release_on_drop(out, sh)
+    return out
 
 
 # --------------------------------------------------------------------------
