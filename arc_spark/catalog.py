@@ -161,6 +161,170 @@ class TimeRange:
         return expr
 
 
+class _DecodedFileCache:
+    """Bounded LRU of DECODED small parquet files for the native serving
+    paths — the warm-server answer to the hour-partitioned hot tier's
+    per-file floor.
+
+    Measured at sf0.1 (r9): a 7d/LIMIT-10K time-range serve must open
+    ~72 hour-files of ~140 rows each; each open costs ~1.35 ms of
+    footer-parse + column-decode CPU (not I/O — the bytes are in page
+    cache), and thread pools cap at ~2.3× (GIL-bound wrapper layer), so
+    the lane floors at ~45 ms however the scan is arranged. A long-lived
+    server re-serves the SAME committed files — they are write-once
+    (uuid part names; compaction/DELETE publish new snapshots rather
+    than rewriting), so caching the decoded tables is sound. Entries are
+    validated by (mtime_ns, size) stat on every hit — an out-of-band
+    overwrite misses and re-reads — and :meth:`ArcCatalog.invalidate`
+    clears the cache wholesale (the documented hook after any file-set
+    mutation). Only files ≤ ``max_file_bytes`` are cached: the regime
+    where per-file overhead dominates is tiny files; big compacted files
+    stream efficiently already and would evict thousands of small ones.
+
+    Knobs: ``ARC_SPARK_SCAN_CACHE_MB`` total budget (default 128, 0
+    disables), ``ARC_SPARK_SCAN_CACHE_FILE_KB`` per-file gate (default
+    256)."""
+
+    def __init__(self, max_bytes: int | None = None,
+                 max_file_bytes: int | None = None):
+        import threading
+        from collections import OrderedDict
+
+        if max_bytes is None:
+            max_bytes = int(os.environ.get(
+                "ARC_SPARK_SCAN_CACHE_MB", "128")) << 20
+        if max_file_bytes is None:
+            max_file_bytes = int(os.environ.get(
+                "ARC_SPARK_SCAN_CACHE_FILE_KB", "256")) << 10
+        self.max_bytes = max_bytes
+        self.max_file_bytes = max_file_bytes
+        self._lock = threading.Lock()
+        self._entries: "OrderedDict[str, tuple[int, int, object]]" = \
+            OrderedDict()
+        self._bytes = 0
+
+    def get(self, path: str, mtime_ns: int, size: int):
+        with self._lock:
+            ent = self._entries.get(path)
+            if ent is None or ent[0] != mtime_ns or ent[1] != size:
+                return None
+            self._entries.move_to_end(path)
+            return ent[2]
+
+    def put(self, path: str, mtime_ns: int, size: int, table) -> None:
+        nbytes = table.nbytes
+        if nbytes > self.max_bytes:
+            return
+        with self._lock:
+            old = self._entries.pop(path, None)
+            if old is not None:
+                self._bytes -= old[2].nbytes
+            self._entries[path] = (mtime_ns, size, table)
+            self._bytes += nbytes
+            while self._bytes > self.max_bytes and self._entries:
+                _, (_, _, ev) = self._entries.popitem(last=False)
+                self._bytes -= ev.nbytes
+
+    def clear(self) -> None:
+        with self._lock:
+            self._entries.clear()
+            self._bytes = 0
+
+
+#: process-wide decoded-file cache (immutable committed files; safe to
+#: share across catalogs/sessions in one process)
+_scan_cache = _DecodedFileCache()
+
+
+def _hive_parts(rel_path: str) -> "list[tuple[str, object]]":
+    """``key=value`` hive components of a path relative to the scan
+    root, typed like pyarrow's hive-partitioning inference over our
+    layouts (int32 for integral values, string otherwise)."""
+    out: list[tuple[str, object]] = []
+    for seg in rel_path.split("/")[:-1]:
+        if "=" not in seg:
+            continue
+        k, _, v = seg.partition("=")
+        try:
+            out.append((k, int(v)))
+        except ValueError:
+            out.append((k, v))
+    return out
+
+
+def _read_small_files_cached(bk, root: str, files: "list[str]",
+                             limit: int | None, time_range, columns):
+    """Read a pruned list of SMALL local parquet files through the
+    decoded-file cache, in list order, stopping once ``limit`` rows
+    survive the exact time predicate. Returns the concatenated table,
+    or None when this path must decline (non-local backend, a file over
+    the cache gate, cache disabled, per-file schema surprises) — the
+    caller then uses the pyarrow-dataset scan. Raises ValueError for
+    no-time-column / unrepresentable bounds exactly like the dataset
+    path (the API layer falls back to Spark on that). Hive partition
+    columns are appended per file exactly as pyarrow's hive flavor
+    would (int32, after data columns), so callers see identical schemas
+    either way."""
+    import pyarrow as pa
+
+    if bk.scheme is not None or _scan_cache.max_bytes <= 0:
+        return None
+    stats = []
+    prefix_len = len(root.rstrip("/")) + 1
+    for f in files:
+        fs = bk.fs_path(f)
+        try:
+            st = os.stat(fs)
+        except OSError:
+            return None  # vanished out-of-band: dataset path reports it
+        if st.st_size > _scan_cache.max_file_bytes:
+            return None
+        stats.append((f, fs, st))
+    tables = []
+    got = 0
+    flt = None
+    schema0 = None  # first file's (projected) schema, for empty results
+    for f, fs, st in stats:
+        tab = _scan_cache.get(fs, st.st_mtime_ns, st.st_size)
+        if tab is None:
+            import pyarrow.parquet as pq
+
+            tab = pq.read_table(fs, memory_map=True)
+            for k, v in _hive_parts(f[prefix_len:]):
+                typ = pa.int32() if isinstance(v, int) else pa.string()
+                tab = tab.append_column(
+                    pa.field(k, typ),
+                    pa.array([v] * tab.num_rows, typ))
+            _scan_cache.put(fs, st.st_mtime_ns, st.st_size, tab)
+        if time_range is not None and flt is None:
+            if tab.schema.get_field_index("time") < 0:
+                raise ValueError("measurement has no 'time' column")
+            flt = time_range.arrow_filter(
+                tab.schema.field("time").type)
+        try:
+            if flt is not None:
+                tab = tab.filter(flt)
+            if columns is not None:
+                tab = tab.select(columns)
+        except (pa.ArrowInvalid, KeyError):
+            return None  # heterogeneous schema: dataset path unifies
+        if schema0 is None:
+            schema0 = tab.schema
+        if tab.num_rows:
+            tables.append(tab)
+            got += tab.num_rows
+        if limit is not None and got >= limit:
+            break
+    if not tables:
+        # filter dropped every row: empty result with the real schema
+        return schema0.empty_table()
+    out = (tables[0] if len(tables) == 1
+           else pa.concat_tables(tables, promote_options="permissive"))
+    if limit is not None and out.num_rows > limit:
+        out = out.slice(0, limit)
+    return out
+
+
 def validate_identifier(name: str, what: str = "name") -> None:
     """A database/measurement name is a SINGLE path segment under the
     storage root — never a traversal. ``db=".."`` or
@@ -596,6 +760,20 @@ class MeasurementCatalog:
                     ).schema)
             if not files:
                 continue
+            if time_range is not None:
+                # tiny-file regime (hour-partitioned hot tier): the
+                # decoded-file LRU beats re-paying ~1.35 ms/file of
+                # footer+decode CPU per serve; declines (None) fall
+                # through to the dataset scan
+                t = _read_small_files_cached(
+                    bk, p, files, remaining, time_range, columns)
+                if t is not None:
+                    if remaining is not None:
+                        remaining -= t.num_rows
+                    tables.append(t)
+                    if remaining is not None and remaining <= 0:
+                        break
+                    continue
             ds = pads.dataset(
                 [bk.fs_path(f) for f in files],
                 filesystem=bk.fs_read,
@@ -743,3 +921,7 @@ class MeasurementCatalog:
         self._view_states[(db, measurement)] = \
             self._register_state(db, measurement)
         self.epoch += 1
+        # the native-serving decoded-file cache holds committed files
+        # too; stat-validation already catches in-place rewrites, this
+        # catches everything else the epoch bump is for
+        _scan_cache.clear()

@@ -415,3 +415,68 @@ class TestTimeRangeNativeScan:
             assert table.num_rows == 200
         finally:
             server.stop()
+
+
+class TestDecodedFileCache:
+    """r9: the native time-range path caches DECODED small parquet files
+    (warm-server hot tier). Entries are stat-validated, invalidate()
+    clears wholesale, the byte budget evicts LRU, and a disabled cache
+    falls back to the dataset scan with identical results."""
+
+    WHERE = "time >= '2024-01-15 01:00:00' AND time < '2024-01-15 03:00:00'"
+
+    def _scan(self, spark, meas, **kw):
+        cat = MeasurementCatalog(spark, meas)
+        svc = QueryService(spark, cat)
+        return cat, svc.scan_measurement_arrow(
+            "metrics", "cpu", where=self.WHERE, limit=10**6, **kw)
+
+    def test_cached_path_matches_dataset_path(self, spark, meas,
+                                              monkeypatch):
+        import arc_spark.catalog as C
+
+        _, warm1 = self._scan(spark, meas)
+        _, warm2 = self._scan(spark, meas)  # cache-hit serve
+        # force the pyarrow-dataset path by disabling the cache
+        monkeypatch.setattr(
+            C, "_scan_cache", C._DecodedFileCache(max_bytes=0))
+        _, cold = self._scan(spark, meas)
+        key = lambda t: sorted(map(tuple, t.to_pylist()))  # noqa: E731
+        assert warm1.schema == cold.schema == warm2.schema
+        assert key(warm1) == key(cold) == key(warm2)
+
+    def test_stat_invalidation_rereads_changed_file(self, tmp_path):
+        import pyarrow.parquet as pq
+
+        from arc_spark.catalog import _DecodedFileCache
+
+        cache = _DecodedFileCache(max_bytes=1 << 20)
+        p = tmp_path / "f.parquet"
+        pq.write_table(pa.table({"x": [1, 2]}), p)
+        st = p.stat()
+        cache.put(str(p), st.st_mtime_ns, st.st_size,
+                  pq.read_table(str(p)))
+        assert cache.get(str(p), st.st_mtime_ns, st.st_size) is not None
+        # different mtime or size → miss (out-of-band rewrite)
+        assert cache.get(str(p), st.st_mtime_ns + 1, st.st_size) is None
+        assert cache.get(str(p), st.st_mtime_ns, st.st_size + 1) is None
+
+    def test_budget_evicts_lru(self):
+        from arc_spark.catalog import _DecodedFileCache
+
+        t = pa.table({"x": list(range(1000))})  # ~8 KB
+        cache = _DecodedFileCache(max_bytes=3 * t.nbytes,
+                                  max_file_bytes=1 << 20)
+        for i in range(5):
+            cache.put(f"/f{i}", 1, 1, t)
+        assert cache.get("/f0", 1, 1) is None  # evicted
+        assert cache.get("/f4", 1, 1) is not None
+
+    def test_catalog_invalidate_clears(self, spark, meas):
+        import arc_spark.catalog as C
+
+        cat, _ = self._scan(spark, meas)
+        assert C._scan_cache._entries  # populated by the scan
+        cat.register("metrics", "cpu", view="cpu_cacheinv")
+        cat.invalidate("metrics", "cpu")
+        assert not C._scan_cache._entries
