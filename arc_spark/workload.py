@@ -1762,12 +1762,12 @@ ORACLES: dict[str, str] = {
                {_osum("CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END")} AS purchase_value
         FROM events GROUP BY 1
     """,
-    "q31_select_order_limit": """
+    "q78_select_order_limit": """
         SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
         FROM events WHERE value > 90
         ORDER BY ts_us DESC, event_id LIMIT 100
     """,
-    "q32_count_star": "SELECT COUNT(*) AS n_rows FROM lineitem",
+    "q79_count_star": "SELECT COUNT(*) AS n_rows FROM lineitem",
     "q33_delete_rewrite": """
         SELECT COUNT(*) FILTER (WHERE NOT (user_id % 97 = 3)) AS n_kept,
                COUNT(*) FILTER (WHERE user_id % 97 = 3) AS n_deleted,
@@ -2234,8 +2234,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q28_embedding_near_dup": q28_embedding_near_dup,
     "q29_rollup": q29_rollup,
     "q30_conditional_pivot": q30_conditional_pivot,
-    "q31_select_order_limit": q31_select_order_limit,
-    "q32_count_star": q32_count_star,
+    "q78_select_order_limit": q31_select_order_limit,
+    "q79_count_star": q32_count_star,
     "q33_delete_rewrite": q33_delete_rewrite,
     "q34_retention_cutoff": q34_retention_cutoff,
     "q35_range_window": q59_range_window,
@@ -2599,8 +2599,16 @@ def _q76_oracle() -> str:
         table="documents")
 
 
-QUERIES["q76_dsir_weights"] = q76_dsir_weights
-ORACLES["q76_dsir_weights"] = _q76_oracle()
+# r9 board rotation (driver caps CORRECTNESS at sorted(QUERIES)[:50]):
+# the DSIR lanes — r8's flagship operators — moved INTO the cap as
+# q31/q32 so the driver's own harness verifies them; the SQL-surface
+# lanes that held those slots (bare SELECT-ORDER-LIMIT and COUNT(*))
+# moved past the cap as q78/q79 — both remain oracle-verified by
+# tests/test_workload_oracle.py AND byte-matched across all four wire
+# formats by the native-serving tests, so no coverage is lost. Same
+# code either side of the rename.
+QUERIES["q31_dsir_weights"] = q76_dsir_weights
+ORACLES["q31_dsir_weights"] = _q76_oracle()
 
 
 def q77_dsir_resample(spark: SparkSession, sf: str) -> DataFrame:
@@ -2622,5 +2630,5 @@ def _q77_oracle() -> str:
         temperature=2.0)
 
 
-QUERIES["q77_dsir_resample"] = q77_dsir_resample
-ORACLES["q77_dsir_resample"] = _q77_oracle()
+QUERIES["q32_dsir_resample"] = q77_dsir_resample
+ORACLES["q32_dsir_resample"] = _q77_oracle()

@@ -26,9 +26,13 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# r9: the board keys q31/q32 now carry the DSIR lanes (driver-cap
+# rotation); the SQL-surface lanes benched here are the SAME code under
+# their new keys q78/q79 — lane timings remain comparable to
+# BENCH_r01..r08's q31_select_order_limit/q32_count_star rows.
 BENCH_QUERIES = [
-    "q32_count_star",
-    "q31_select_order_limit",
+    "q79_count_star",
+    "q78_select_order_limit",
     "q07_time_bucket",
     "q08_date_trunc",
     "q06_events_conditional_agg",
@@ -104,7 +108,7 @@ def main() -> None:
 
     # warm the session + file index (arc keeps a long-lived server process;
     # the comparable number is steady-state latency, not JVM start)
-    QUERIES["q32_count_star"](spark, sf_dir).collect()
+    QUERIES["q79_count_star"](spark, sf_dir).collect()
     # materialize the hour-partitioned events measurement OUTSIDE the timer:
     # it is storage setup (the reference's ingest already wrote this layout),
     # q42 measures the pruned read
@@ -176,7 +180,7 @@ def main() -> None:
             fn = QUERIES[name]
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
-            n = (df.count() if name != "q31_select_order_limit"
+            n = (df.count() if name != "q78_select_order_limit"
                  else len(df.collect()))
             samples_by.setdefault(name, []).append(time.perf_counter() - t0)
             rows_by[name] = n

@@ -29,7 +29,7 @@ class TestPlanShapes:
         assert "TakeOrderedAndProject" in plan
 
     def test_q31_filter_pushed_to_scan(self, spark, sf_oracle):
-        plan = _physical(QUERIES["q31_select_order_limit"](spark, sf_oracle))
+        plan = _physical(QUERIES["q78_select_order_limit"](spark, sf_oracle))
         assert "TakeOrderedAndProject" in plan
         # the value > 90 predicate must reach the parquet scan
         assert "PushedFilters: [IsNotNull(value), GreaterThan(value" in plan
@@ -37,7 +37,7 @@ class TestPlanShapes:
     def test_count_star_aggregate_pushdown(self, spark, sf_oracle):
         """COUNT(*) must be answered from parquet footers through the DSv2
         scan (PushedAggregation), not a full scan — the arc 1 ms count."""
-        plan = _physical(QUERIES["q32_count_star"](spark, sf_oracle))
+        plan = _physical(QUERIES["q79_count_star"](spark, sf_oracle))
         assert "PushedAggregation: [COUNT(*)]" in plan
 
     def test_q01_partial_agg_before_shuffle(self, spark, sf_oracle):
