@@ -206,13 +206,40 @@ def _checkpoint_base(bk, table_path: str):
     import pyarrow.parquet as pq
 
     d = bk.join(table_path, DELTA_LOG_DIR)
+    rows = v = None
     try:
         lc = json.loads(bk.read_bytes(bk.join(d, "_last_checkpoint")))
         v = int(lc["version"])
         rows = pq.read_table(io.BytesIO(bk.read_bytes(
             bk.join(d, f"{v:020d}.checkpoint.parquet")))).to_pylist()
     except Exception:
-        return None
+        # _last_checkpoint is a HINT (PROTOCOL.md): when it's missing or
+        # its target checkpoint is unreadable (deleted out-of-band),
+        # fall back to the newest checkpoint actually on disk — without
+        # this, a lost pointer target after log cleanup would strand
+        # state reconstruction with neither a seed nor the cleaned-up
+        # JSON prefix
+        try:
+            cks = sorted(
+                int(info.base_name[: -len(".checkpoint.parquet")])
+                for info in bk.listdir(d)
+                if info.base_name.endswith(".checkpoint.parquet")
+                and info.base_name[: -len(".checkpoint.parquet")].isdigit())
+        except Exception:
+            return None
+        for cand in reversed(cks):
+            if cand == v:
+                continue  # the pointer target we already failed to read
+            try:
+                rows = pq.read_table(io.BytesIO(bk.read_bytes(
+                    bk.join(d, f"{cand:020d}.checkpoint.parquet")
+                ))).to_pylist()
+                v = cand
+                break
+            except Exception:
+                continue
+        if rows is None:
+            return None
     protocol = meta = None
     files: dict[str, dict] = {}
     tombstones: dict[str, dict] = {}

@@ -799,6 +799,108 @@ class TestDeltaCheckpoint:
         assert any(r["add"] is not None for r in rows)
 
 
+
+    def test_late_tombstone_after_cleanup_then_checkpoint_triple(
+            self, spark, meas, monkeypatch):
+        """r8 verdict interop item: the one chain the suite didn't cover
+        — log CLEANUP happens first, then a LATE tombstone lands (a
+        compaction whose removed files' add-origin commits are already
+        cleaned up, so their adds exist only in the covering
+        checkpoint), then the NEXT checkpoint must carry that late
+        tombstone, the strict reader must resolve identically across a
+        second cleanup, and retention expiry must still drop the late
+        tombstone at the exact boundary."""
+        import pyarrow.parquet as pq
+
+        import arc_spark.operators.export as ex
+        from tests._delta_reader import read_state
+
+        monkeypatch.setattr(ex, "CHECKPOINT_EVERY", 3)
+        root, mp = meas
+        write_measurement(_df(spark, t_off=7), root, "metrics", "cpu",
+                          tag_columns=["host"])
+        export_delta_log(mp)  # v0
+        self._advance(root, 1)
+        export_delta_log(mp)  # v1
+        self._advance(root, 2)
+        export_delta_log(mp)  # v2 -> checkpoint #1
+        d = os.path.join(mp, DELTA_LOG_DIR)
+        for v in (0, 1):  # spec log cleanup FIRST
+            os.unlink(os.path.join(d, f"{v:020d}.json"))
+        # LATE tombstones: the removed files' adds live only in ck#1 now
+        compact_measurement(spark, root, "metrics", "cpu", min_files=2,
+                            min_age_seconds=0)
+        export_delta_log(mp)  # v3: removes
+        with open(os.path.join(d, f"{3:020d}.json")) as fh:
+            late_ts = max(json.loads(ln)["remove"]["deletionTimestamp"]
+                          for ln in fh if ln.strip() and "remove" in ln)
+        self._advance(root, 10)
+        export_delta_log(mp)  # v4
+        self._advance(root, 11)
+        export_delta_log(mp)  # v5 -> checkpoint #2
+        ck2 = os.path.join(d, f"{5:020d}.checkpoint.parquet")
+        ck2_removes = {r["remove"]["path"]
+                       for r in pq.read_table(ck2).to_pylist()
+                       if r["remove"] is not None}
+        assert ck2_removes  # late tombstones chained into ck#2
+        # boundary expiry of the LATE tombstone (strict >), while the
+        # v2..v4 commits still exist for the rewrite's replay: age ==
+        # retention drops it, 1 ms younger keeps it — adds unchanged
+        committed = {os.path.relpath(f, mp).replace("\\", "/")
+                     for f in snapshots.data_files(mp)}
+        os.unlink(ck2)
+        ex._write_checkpoint(backend_for(mp), mp, 5,
+                             now_ms=late_ts + ex.TOMBSTONE_RETENTION_MS - 1)
+        kept = [r["remove"] for r in pq.read_table(ck2).to_pylist()
+                if r["remove"] is not None]
+        assert any(rm["deletionTimestamp"] == late_ts for rm in kept)
+        os.unlink(ck2)
+        ex._write_checkpoint(backend_for(mp), mp, 5,
+                             now_ms=late_ts + ex.TOMBSTONE_RETENTION_MS)
+        rows = pq.read_table(ck2).to_pylist()
+        assert not any(r["remove"] is not None for r in rows)
+        assert {urllib.parse.unquote(r["add"]["path"])
+                for r in rows if r["add"] is not None} == committed
+        # restore the live checkpoint (tombstones young again), then the
+        # SECOND cleanup: reader equivalence across it
+        os.unlink(ck2)
+        ex._write_checkpoint(backend_for(mp), mp, 5)
+        before = read_state(mp)
+        for v in (2, 3, 4):  # second cleanup: everything before ck#2
+            os.unlink(os.path.join(d, f"{v:020d}.json"))
+        after = read_state(mp)
+        assert after["version"] == before["version"] == 5
+        assert set(after["files"]) == set(before["files"]) == committed
+
+
+class TestGatedSmokeCollectionGuard:
+    """r8 verdict #7: the auto-activating third-party interop smokes are
+    only valuable if they still COLLECT — a refactor that renames a
+    fixture or moves a class would orphan them silently (they already
+    report as skips). Locks the exact node ids pytest sees."""
+
+    def test_gated_interop_smokes_still_collect(self):
+        import subprocess
+        import sys
+
+        out = subprocess.run(
+            [sys.executable, "-m", "pytest", "--collect-only", "-q",
+             "tests/test_export.py::TestThirdPartyReaderSmoke",
+             "tests/test_iceberg_export.py::TestLivePyIcebergReader"],
+            capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        assert out.returncode == 0, out.stdout + out.stderr
+        for node in (
+            "test_export.py::TestThirdPartyReaderSmoke::"
+            "test_delta_rs_reads_export",
+            "test_export.py::TestThirdPartyReaderSmoke::"
+            "test_delta_spark_reads_export",
+            "test_iceberg_export.py::TestLivePyIcebergReader::"
+            "test_pyiceberg_reads_exported_table",
+        ):
+            assert node in out.stdout, f"orphaned gated smoke: {node}"
+
+
 class TestThirdPartyReaderSmoke:
     """Auto-activating interop smokes (r7 verdict item 7): these engines
     are not installable in the offline build container, so the suite
