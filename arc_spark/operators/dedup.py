@@ -439,6 +439,9 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+    from arc_spark.cacheutil import release_on_drop
+
+    release_on_drop(verified, sh_shared)
     return verified
 
 
@@ -556,7 +559,7 @@ def cross_overlap_pairs(
     if max_posting_list is not None:
         hot = pl.groupBy("s").count().filter(F.col("count") > max_posting_list)
         pl = pl.join(F.broadcast(hot.select("s")), "s", "left_anti")
-    return (
+    out = (
         pl.alias("l")
         .join(pr.alias("r"), F.col("l.s") == F.col("r.s"))
         .groupBy(
@@ -565,6 +568,10 @@ def cross_overlap_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+    from arc_spark.cacheutil import release_on_drop
+
+    release_on_drop(out, sh_l, sh_r)
+    return out
 
 
 def embedding_near_dup_pairs(
@@ -735,7 +742,7 @@ def duplicated_window_fraction(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     counts = ex.groupBy("s").agg(F.countDistinct("doc_id").alias("nd"))
-    return (
+    out = (
         ex.join(counts, "s")
         .groupBy("doc_id")
         .agg(
@@ -748,6 +755,10 @@ def duplicated_window_fraction(
             F.round(F.col("dup_windows") / F.col("n_windows"), digits),
         )
     )
+    from arc_spark.cacheutil import release_on_drop
+
+    release_on_drop(out, ex)
+    return out
 
 
 # --------------------------------------------------------------------------

@@ -110,8 +110,12 @@ def pack_token_shards(
     offsets = counts.withColumn(
         "offset", F.coalesce(F.sum("n_shards").over(off_w), F.lit(0))
     ).select(source_col, "bucket", "offset")
-    return (
+    out = (
         local.join(F.broadcast(offsets), [source_col, "bucket"])
         .withColumn("shard", (F.col("offset") + F.col("local_shard")).cast("long"))
         .drop("offset", "local_shard")
     )
+    from arc_spark.cacheutil import release_on_drop
+
+    release_on_drop(out, local)
+    return out

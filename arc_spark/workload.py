@@ -2477,13 +2477,17 @@ def q74_bigram_fluency(spark: SparkSession, sf: str) -> DataFrame:
     per_doc = scored.groupBy("source", "doc_id").agg(
         (F.sum(F.col("lp").cast("decimal(30,6)"))
          / F.count(F.lit(1))).cast("decimal(30,6)").alias("avg_lp"))
-    return per_doc.groupBy("source").agg(
+    out = per_doc.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.round(F.avg("avg_lp"), 5).cast("double").alias("mean_lp"),
         F.round(F.min("avg_lp"), 5).cast("double").alias("worst_lp"),
         F.sum(F.when(F.col("avg_lp") < -7.0, 1).otherwise(0))
         .alias("below_floor"),
     )
+    from arc_spark.cacheutil import release_on_drop
+
+    release_on_drop(out, big_counts)
+    return out
 
 
 from arc_spark.functions.text import bigram_list_sql as _bgsql  # noqa: E402
