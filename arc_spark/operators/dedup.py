@@ -362,6 +362,158 @@ def minhash_signatures(
     return _signatures_from_shingled(_shingled(df, id_col, text_col, k), num_hashes)
 
 
+def minhash_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 128,
+) -> DataFrame:
+    """The persistable corpus dedup INDEX: ``(doc, sig array<long>,
+    sz)`` — one row and ~``8·num_hashes`` bytes per document (≈1 KB at
+    the default 128 hashes), computed in a single codegen'd projection
+    (no shuffle). Write it as a measurement/parquet table once per
+    corpus snapshot; :func:`dedup_against_index` then dedups every new
+    shard against it WITHOUT touching the corpus text again, and
+    appending a new shard to the index is a plain union/append of its
+    own ``minhash_index`` output (signatures are per-doc, order-free).
+    This is the incremental posture a 100 TB corpus needs: the corpus
+    text is read once ever per doc, and each arriving shard costs
+    O(shard + matches).
+
+    NULL ``sig`` rows (docs with <k words) are retained so the index is
+    a complete doc inventory; they can never band-match (the band
+    explode drops them), matching :func:`minhash_lsh_pairs` semantics.
+    """
+    return _signatures_from_shingled(
+        _shingled(df, id_col, text_col, k), num_hashes)
+
+
+def _band_rows(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(doc, band, bucket) LSH band rows from a (doc, sig) frame — the
+    same band formulation as :func:`minhash_lsh_pairs` (bit-identical
+    buckets, so index rows and query rows can be built by different
+    processes/releases and still join)."""
+    r = num_hashes // bands
+    band_arr = F.expr(
+        f"transform(sequence(0, {bands - 1}), i -> xxhash64("
+        + ",".join(f"element_at(sig, {r} * i + {j + 1})" for j in range(r))
+        + "))"
+    )
+    return sigs.select(
+        "doc",
+        F.posexplode_outer(
+            F.when(F.col("sig").isNotNull(), band_arr)
+        ).alias("band", "bucket"),
+    ).filter(F.col("bucket").isNotNull())
+
+
+def dedup_against_index(
+    new_df: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 128,
+    bands: int = 64,
+    threshold: float = 0.5,
+    corpus: DataFrame | None = None,
+    corpus_id_col: str | None = None,
+    corpus_text_col: str | None = None,
+) -> DataFrame:
+    """Near-dups of a NEW shard against an existing :func:`minhash_index`
+    — incremental corpus dedup. Returns ``(new_doc, index_doc,
+    jaccard)``.
+
+    The new shard's signatures/bands are computed fresh (one pass over
+    the shard text); the index side's band rows derive from its STORED
+    signatures — the corpus text is never re-read. Candidates are band
+    matches; ``num_hashes``/``k`` must match the index build (the band
+    join is only meaningful between identically-built signatures).
+
+    Verification:
+    - ``corpus=None``: ``jaccard`` is the MinHash slot-agreement
+      estimate (matching slots / num_hashes — the standard unbiased
+      estimator), entirely index-contained: no corpus access at all.
+      Estimator std-dev is ~sqrt(j(1-j)/num_hashes) ≈ 0.04 at the
+      defaults, so thresholds are soft by that margin.
+    - ``corpus`` given: EXACT Jaccard, verified by shingling ONLY the
+      candidate corpus docs (semi-join on the candidate ids — cost
+      follows the match rate, not the corpus). Combined with banding's
+      1-(1-j^r)^b recall this makes the result ≡ the exact cross-corpus
+      operator w.h.p., same guarantee as :func:`minhash_lsh_pairs`.
+
+    Scale shape: shard-sized shingle scan, band equi-join (index side
+    hash-partitioned on (band, bucket); AQE broadcasts the shard side
+    when small), candidate-bounded verify. No corpus-sized shuffle
+    anywhere.
+    """
+    from pyspark import StorageLevel
+
+    new_sh = _shingled(new_df, id_col, text_col, k)
+    exact = corpus is not None
+    if exact:
+        new_sh = new_sh.persist(StorageLevel.MEMORY_AND_DISK)
+    new_sigs = _signatures_from_shingled(new_sh, num_hashes)
+    nb = _band_rows(new_sigs, num_hashes, bands)
+    ib = _band_rows(index.select("doc", "sig"), num_hashes, bands)
+    cands = (
+        nb.alias("n").join(
+            ib.alias("i"),
+            (F.col("n.band") == F.col("i.band"))
+            & (F.col("n.bucket") == F.col("i.bucket")),
+        )
+        .select(F.col("n.doc").alias("new_doc"),
+                F.col("i.doc").alias("index_doc"))
+        .distinct()
+    )
+    if not exact:
+        est = F.expr(
+            "aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)),"
+            " 0, (acc, v) -> acc + v)")
+        out = (
+            cands
+            .join(new_sigs.select(F.col("doc").alias("new_doc"),
+                                  F.col("sig").alias("sig_a")), "new_doc")
+            .join(index.select(F.col("doc").alias("index_doc"),
+                               F.col("sig").alias("sig_b")), "index_doc")
+            .withColumn("jaccard",
+                        est.cast("double") / F.lit(float(num_hashes)))
+            .filter(F.col("jaccard") >= threshold)
+            .select("new_doc", "index_doc", "jaccard")
+        )
+        return out
+    cid = corpus_id_col or id_col
+    ctxt = corpus_text_col or text_col
+    # shingle ONLY candidate corpus docs: semi-join before the tokenize
+    # pipeline, so verify cost follows the match rate, not the corpus
+    cand_ids = cands.select(F.col("index_doc").alias(cid)).distinct()
+    cor_sh = _shingled(corpus.join(cand_ids, cid, "semi"), cid, ctxt, k)
+    # candidates are bounded by the shard's near-dup rate — broadcast
+    # them so both verify joins stream the shingle frames shuffle-free
+    # (the minhash_lsh_pairs verify pattern)
+    bc = F.broadcast(cands)
+    out = (
+        bc.join(new_sh.withColumnsRenamed(
+            {"doc": "new_doc", "shingles": "sh_a"}), "new_doc")
+        .join(cor_sh.withColumnsRenamed(
+            {"doc": "index_doc", "shingles": "sh_b"}), "index_doc")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("inter"))
+            .cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_doc", "index_doc", "jaccard")
+    )
+    from arc_spark.cacheutil import release_on_drop
+
+    release_on_drop(out, new_sh)
+    return out
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

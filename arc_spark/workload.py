@@ -2636,3 +2636,53 @@ def _q77_oracle() -> str:
 
 QUERIES["q32_dsir_resample"] = q77_dsir_resample
 ORACLES["q32_dsir_resample"] = _q77_oracle()
+
+
+def q80_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental corpus dedup against a persisted MinHash index (the
+    100 TB arrival workflow): the corpus slice (doc_id % 5 != 0) is
+    indexed ONCE via minhash_index — signatures only, ~1 KB/doc — and
+    the arriving slice (doc_id % 5 == 0) dedups against that index
+    without the corpus text being re-read for anything but the exact
+    verify of band-matched candidates. threshold 0.8 with r=2,b=64:
+    verified output ≡ the exact cross-slice operator w.h.p. (the q17
+    guarantee), which is what the DuckDB oracle computes."""
+    from arc_spark.operators.dedup import dedup_against_index, minhash_index
+
+    t = load_tables(spark, sf, register_views=False)
+    docs = t["documents"]
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    index = minhash_index(corpus)
+    return dedup_against_index(
+        new, index, threshold=0.8, num_hashes=128, bands=64,
+        corpus=corpus)
+
+
+ORACLES_Q80 = f"""
+WITH norm AS (
+    SELECT doc_id, string_split({_LNORM}, ' ') AS w FROM documents
+),
+sh AS (
+    SELECT DISTINCT doc_id,
+           unnest(list_transform(generate_series(1, len(w) - 2),
+                                 i -> array_to_string(w[i:i+2], ' '))) AS s
+    FROM norm WHERE len(w) >= 3
+),
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS new_doc, b.doc_id AS index_doc, count(*) AS i
+    FROM sh a JOIN sh b ON a.s = b.s
+    WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+    GROUP BY 1, 2
+)
+SELECT new_doc, index_doc,
+       CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+FROM inter
+JOIN sz sa ON new_doc = sa.doc_id
+JOIN sz sb ON index_doc = sb.doc_id
+WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.8
+"""
+
+QUERIES["q80_incremental_dedup"] = q80_incremental_dedup
+ORACLES["q80_incremental_dedup"] = ORACLES_Q80

@@ -444,3 +444,86 @@ class TestDsirGumbelTopk:
         plan = dsir_gumbel_topk(w, 5)._jdf.queryExecution() \
             .executedPlan().toString()
         assert "TakeOrderedAndProject" in plan
+
+
+class TestIncrementalDedupIndex:
+    """minhash_index + dedup_against_index (r9): the persisted-signature
+    incremental dedup workflow — parquet round-trip, shard append, the
+    index-only estimate mode, and equivalence with the exact operator."""
+
+    def _docs(self, spark):
+        rows = []
+        base = "the quick brown fox jumps over the lazy dog again and again"
+        for i in range(30):
+            rows.append((i, base + f" variant {i}"))
+        # near-dups of corpus docs, placed in the "new" slice (ids % 5)
+        rows.append((100, base + " variant 7"))      # dup of doc 7
+        rows.append((105, base + " variant 13"))     # dup of doc 13
+        rows.append((110, "completely different content nothing shared"))
+        rows.append((115, "xy"))                     # <k words: NULL sig
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_exact_mode_matches_direct_cross_pairs(self, spark):
+        from arc_spark.operators.dedup import (
+            dedup_against_index, minhash_index)
+
+        docs = self._docs(spark)
+        corpus = docs.filter("doc_id < 100")
+        new = docs.filter("doc_id >= 100")
+        idx = minhash_index(corpus)
+        got = {(r["new_doc"], r["index_doc"], round(r["jaccard"], 6))
+               for r in dedup_against_index(
+                   new, idx, threshold=0.9, corpus=corpus).collect()}
+        assert (100, 7) in {(a, b) for a, b, _ in got}
+        assert (105, 13) in {(a, b) for a, b, _ in got}
+        assert all(a >= 100 and b < 100 for a, b, _ in got)
+        assert all(j >= 0.9 for _, _, j in got)
+
+    def test_index_parquet_roundtrip_and_append(self, spark, tmp_path):
+        from arc_spark.operators.dedup import (
+            dedup_against_index, minhash_index)
+
+        docs = self._docs(spark)
+        corpus = docs.filter("doc_id < 100")
+        new = docs.filter("doc_id >= 100")
+        # build the index in two shard-sized pieces, append = union/write
+        p = str(tmp_path / "sig_index")
+        minhash_index(corpus.filter("doc_id < 15")).write.parquet(p)
+        minhash_index(corpus.filter("doc_id >= 15")).write.mode(
+            "append").parquet(p)
+        idx = spark.read.parquet(p)
+        direct = minhash_index(corpus)
+        key = lambda df: sorted(  # noqa: E731
+            (r["new_doc"], r["index_doc"], round(r["jaccard"], 6))
+            for r in dedup_against_index(
+                new, df, threshold=0.9, corpus=corpus).collect())
+        assert key(idx) == key(direct) and key(idx)
+
+    def test_estimate_mode_needs_no_corpus(self, spark):
+        from arc_spark.operators.dedup import (
+            dedup_against_index, minhash_index)
+
+        docs = self._docs(spark)
+        corpus = docs.filter("doc_id < 100")
+        new = docs.filter("doc_id >= 100")
+        idx = minhash_index(corpus)
+        est = dedup_against_index(new, idx, threshold=0.7).collect()
+        pairs = {(r["new_doc"], r["index_doc"]) for r in est}
+        # the two true near-dups surface from signatures alone
+        assert {(100, 7), (105, 13)} <= pairs
+        # estimates are proper fractions of num_hashes
+        assert all(0 <= r["jaccard"] <= 1 for r in est)
+
+    def test_short_doc_null_sig_never_pairs(self, spark):
+        from arc_spark.operators.dedup import (
+            dedup_against_index, minhash_index)
+
+        docs = self._docs(spark)
+        corpus = docs.filter("doc_id < 100")
+        idx = minhash_index(corpus)
+        # the <k-words doc is IN the index inventory but can't band-match
+        assert idx.filter("doc_id = 115").count() == 0  # it's in new slice
+        new = docs.filter("doc_id >= 100")
+        got = dedup_against_index(new, idx, threshold=0.1,
+                                  corpus=corpus).collect()
+        assert all(r["new_doc"] != 115 for r in got)
