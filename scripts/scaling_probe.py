@@ -146,6 +146,20 @@ def run_ops(spark, factor: int, ops: set[str]) -> list[dict]:
 
     probe("dsir_resample", _dsir)
 
+    from arc_spark.operators.dedup import dedup_against_index, minhash_index
+
+    def _incremental_dedup():
+        # the arrival workflow at scale: 80% of the corpus is the stored
+        # index, the other 20% is the arriving shard — index build cost
+        # is charged here too (worst case; real arrivals amortize it)
+        corpus = docs.filter(F.col("doc_id") % 5 != 0)
+        new = docs.filter(F.col("doc_id") % 5 == 0)
+        idx = minhash_index(corpus)
+        return dedup_against_index(new, idx, threshold=0.8,
+                                   corpus=corpus).count()
+
+    probe("incremental_dedup", _incremental_dedup)
+
     if {"all", "ann_lsh_topk", "ann_ivf_topk"} & ops:
         from arc_spark.operators.similarity import ivf_topk
 
