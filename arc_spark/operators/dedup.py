@@ -77,7 +77,8 @@ def dedup_last_writer_wins(
 # n-gram Jaccard (exact set similarity via inverted index)
 # --------------------------------------------------------------------------
 
-def _shingled(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+def _shingled(df: DataFrame, id_col: str, text_col: str, k: int,
+              extra_cols: tuple = ()) -> DataFrame:
     """(doc, shingles: array<bigint>) — distinct HASHED k-word shingles.
 
     Shingles are 64-bit hashes, not strings: each word is xxhash64'd once,
@@ -101,13 +102,16 @@ def _shingled(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
     """
     spark = df.sparkSession
     n = spark.sparkContext.defaultParallelism
+    extra = [F.col(c) for c in extra_cols]
     base = df.repartition(n).select(
-        F.col(id_col).alias("doc"), words(text_col).alias("w")
+        F.col(id_col).alias("doc"), *extra, words(text_col).alias("w")
     )
-    hw = base.select("doc", F.expr("transform(w, x -> xxhash64(x))").alias("hw"))
+    hw = base.select("doc", *extra,
+                     F.expr("transform(w, x -> xxhash64(x))").alias("hw"))
     tuple_hash = ",".join(f"element_at(hw, i + {j})" for j in range(k))
     return hw.select(
         "doc",
+        *extra,
         F.expr(
             f"""CASE WHEN size(hw) >= {k} THEN array_distinct(transform(
                     sequence(1, size(hw) - {k - 1}),
@@ -320,7 +324,8 @@ def ngram_jaccard_pairs(
 # MinHash + LSH
 # --------------------------------------------------------------------------
 
-def _signatures_from_shingled(sh: DataFrame, num_hashes: int) -> DataFrame:
+def _signatures_from_shingled(sh: DataFrame, num_hashes: int,
+                              extra_cols: tuple = ()) -> DataFrame:
     """(doc, sig, sz) from a _shingled frame.
 
     Hash family i = xxhash64(seed=i, shingle) — genuinely independent
@@ -346,7 +351,9 @@ def _signatures_from_shingled(sh: DataFrame, num_hashes: int) -> DataFrame:
         f"transform(sequence(0, {num_hashes - 1}),"
         " i -> array_min(transform(shingles, s -> xxhash64(i, s))))"
     )
-    return sh.select("doc", sig.alias("sig"), F.size("shingles").alias("sz"))
+    extra = [F.col(c) for c in extra_cols]
+    return sh.select("doc", *extra, sig.alias("sig"),
+                     F.size("shingles").alias("sz"))
 
 
 def minhash_signatures(
@@ -389,7 +396,8 @@ def minhash_index(
         _shingled(df, id_col, text_col, k), num_hashes)
 
 
-def _band_rows(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+def _band_rows(sigs: DataFrame, num_hashes: int, bands: int,
+               extra_cols: tuple = ()) -> DataFrame:
     """(doc, band, bucket) LSH band rows from a (doc, sig) frame — the
     same band formulation as :func:`minhash_lsh_pairs` (bit-identical
     buckets, so index rows and query rows can be built by different
@@ -402,6 +410,7 @@ def _band_rows(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     )
     return sigs.select(
         "doc",
+        *[F.col(c) for c in extra_cols],
         F.posexplode_outer(
             F.when(F.col("sig").isNotNull(), band_arr)
         ).alias("band", "bucket"),

@@ -62,3 +62,63 @@ class TestStreamingPath:
             "SELECT event_id, COUNT(*) AS n FROM dedup_out GROUP BY event_id"
         ).collect()
         assert {r["event_id"]: r["n"] for r in got} == {10: 1, 11: 1, 12: 1}
+
+
+class TestStreamAgainstIndex:
+    """r9: dedup_stream_against_index — ingest-time near-dup screening
+    of an arriving document stream against a static minhash_index via a
+    stream-static band join (no streaming state except the watermarked
+    multi-band collapse)."""
+
+    DOC_SCHEMA = "doc_id long, time timestamp, text string"
+    BASE = ("the quick brown fox jumps over the lazy dog "
+            "again and again today")
+
+    def _corpus(self, spark):
+        rows = [(i, self.BASE + f" variant {i}") for i in range(20)]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def _arrivals(self):
+        return [
+            (100, T0, self.BASE + " variant 7"),            # dup of 7
+            (101, T0 + dt.timedelta(minutes=1),
+             "entirely unrelated content with nothing shared here ok"),
+            (102, T0 + dt.timedelta(minutes=2),
+             self.BASE + " variant 13"),                    # dup of 13
+        ]
+
+    def test_batch_path(self, spark):
+        from arc_spark.operators.dedup import minhash_index
+        from arc_spark.streaming.dedup import dedup_stream_against_index
+
+        idx = minhash_index(self._corpus(spark))
+        docs = spark.createDataFrame(self._arrivals(), self.DOC_SCHEMA)
+        got = dedup_stream_against_index(docs, idx, threshold=0.7).collect()
+        pairs = {(r["doc_id"], r["index_doc"]) for r in got}
+        assert {(100, 7), (102, 13)} <= pairs
+        assert all(r["doc_id"] != 101 for r in got)
+        assert all(0 <= r["jaccard"] <= 1 for r in got)
+
+    def test_streaming_path(self, spark, tmp_path, few_state_partitions):
+        from arc_spark.operators.dedup import minhash_index
+        from arc_spark.streaming.dedup import dedup_stream_against_index
+
+        idx = minhash_index(self._corpus(spark))
+        in_dir = str(tmp_path / "docs_in")
+        spark.createDataFrame(self._arrivals(), self.DOC_SCHEMA) \
+            .coalesce(1).write.parquet(in_dir)
+        stream = spark.readStream.schema(self.DOC_SCHEMA).parquet(in_dir)
+        out = dedup_stream_against_index(stream, idx, threshold=0.7,
+                                         watermark="30 minutes")
+        assert out.isStreaming
+        q = (out.writeStream.format("memory").queryName("idx_dedup_out")
+             .outputMode("append")
+             .option("checkpointLocation", str(tmp_path / "ckpt2"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = spark.sql("SELECT * FROM idx_dedup_out").collect()
+        pairs = {(r["doc_id"], r["index_doc"]) for r in got}
+        assert {(100, 7), (102, 13)} <= pairs
+        # multi-band matches collapsed: exactly one row per pair
+        assert len(got) == len(pairs)
+        assert all(r["doc_id"] != 101 for r in got)
