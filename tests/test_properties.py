@@ -909,3 +909,47 @@ class TestTypedJsonVectorizedEquivalence:
                       "NaN" if isinstance(v, float) and v != v else v)
                      for v in r] for r in rows]
         assert norm(rows_of(fast_chunks)) == norm(rows_of(slow_chunks))
+
+
+class TestIncrementalDedupDifferential:
+    """r9: dedup_against_index exact mode must equal the brute-force
+    cross-slice Jaccard over the SAME shingle sets — the candidate
+    generation (band join vs stored signatures) and the verify join are
+    the machinery under test; shingling itself is shared and collected
+    once as the reference input."""
+
+    @settings(max_examples=12, deadline=None)
+    @given(st.data())
+    def test_exact_mode_equals_bruteforce(self, spark, data):
+        from arc_spark.operators.dedup import (
+            _shingled, dedup_against_index, minhash_index)
+
+        vocab = ["alpha", "beta", "gamma", "delta", "eps"]
+        n_docs = data.draw(st.integers(min_value=4, max_value=14))
+        rows = []
+        for i in range(n_docs):
+            words = data.draw(st.lists(
+                st.sampled_from(vocab), min_size=0, max_size=12))
+            rows.append((i, " ".join(words)))
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        corpus = docs.filter("doc_id % 2 = 0")
+        new = docs.filter("doc_id % 2 = 1")
+        # reference: brute-force jaccard over the collected shingle sets
+        sets = {r["doc"]: set(r["shingles"] or [])
+                for r in _shingled(docs, "doc_id", "text", 3).collect()}
+        want = set()
+        for a in range(1, n_docs, 2):
+            for b in range(0, n_docs, 2):
+                sa, sb = sets.get(a) or set(), sets.get(b) or set()
+                if not sa or not sb:
+                    continue
+                j = len(sa & sb) / len(sa | sb)
+                if j >= 0.5:
+                    want.add((a, b, round(j, 9)))
+        got = {(r["new_doc"], r["index_doc"], round(r["jaccard"], 9))
+               for r in dedup_against_index(
+                   new, minhash_index(corpus), threshold=0.5,
+                   corpus=corpus).collect()}
+        # banding at r=2,b=64 misses a j>=0.5 pair w.p. <=1e-8 — treat
+        # the comparison as exact at test sizes
+        assert got == want
