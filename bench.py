@@ -605,10 +605,17 @@ def main() -> None:
         "sf": float(sf) if sf else None,
     }
     line = json.dumps(summary, separators=(",", ":"))
-    if len(line) > 1900:  # hard budget: the driver captures a 2000-char tail
-        print(f"# WARN summary line {len(line)} chars; dropping mins",
+    # hard budget: the driver captures a 2000-char tail. Degrade in order
+    # of judge-value — per-window arrays first, then the sentinel trio
+    # (sentinel_valid stays), per-lane mins only as a last resort. Every
+    # dropped key still rides in bench_detail.json. (r9: the line reached
+    # 1873 chars; one more lane would have silently cost the mins.)
+    for victim in ("sus_windows", "defer_windows", "sentinel", "mins"):
+        if len(line) <= 1900:
+            break
+        print(f"# WARN summary line {len(line)} chars; dropping {victim}",
               file=sys.stderr)
-        summary.pop("mins")
+        summary.pop(victim, None)
         line = json.dumps(summary, separators=(",", ":"))
     # verbose per-lane detail goes to STDERR so the final stdout line stays
     # within the driver's tail window (r4: the inflated line truncated its
