@@ -480,3 +480,40 @@ class TestDecodedFileCache:
         cat.register("metrics", "cpu", view="cpu_cacheinv")
         cat.invalidate("metrics", "cpu")
         assert not C._scan_cache._entries
+
+    def test_concurrent_serves_with_invalidation(self, spark, meas):
+        """8 serving threads hammer the cached time-range path while the
+        catalog invalidates twice mid-flight — every response must be
+        complete and identical (the cache is stat-validated and cleared
+        under a lock; a torn entry or partial eviction would shear a
+        response)."""
+        import threading
+
+        cat = MeasurementCatalog(spark, meas)
+        svc = QueryService(spark, cat)
+        cat.register("metrics", "cpu", view="cpu_conc")
+        want = sorted(map(tuple, svc.scan_measurement_arrow(
+            "metrics", "cpu", where=self.WHERE, limit=10**6).to_pylist()))
+        errs: list = []
+
+        def _serve():
+            try:
+                for _ in range(20):
+                    got = sorted(map(tuple, svc.scan_measurement_arrow(
+                        "metrics", "cpu", where=self.WHERE,
+                        limit=10**6).to_pylist()))
+                    assert got == want
+            except Exception as e:  # surfaced below
+                errs.append(e)
+
+        def _invalidate():
+            for _ in range(2):
+                cat.invalidate("metrics", "cpu")
+
+        threads = [threading.Thread(target=_serve) for _ in range(8)]
+        threads.append(threading.Thread(target=_invalidate))
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errs, errs[0]
