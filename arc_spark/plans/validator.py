@@ -77,6 +77,21 @@ def _parse_plan(spark: SparkSession, sql: str):
     return spark._jsparkSession.sessionState().sqlParser().parsePlan(sql)
 
 
+# EXPLAIN [mode] <statement>: read-only iff the inner statement is —
+# validated by recursion, so EXPLAIN INSERT is rejected like INSERT.
+# (The plan walk alone would deny every EXPLAIN: its node is
+# ExplainCommand, and "Command" is the deny marker.)
+_EXPLAIN_RE = re.compile(
+    r"(?is)^\s*EXPLAIN\s+(?:(?:EXTENDED|CODEGEN|COST|FORMATTED)\s+)?(.+)$")
+
+
+def _strip_explain(sql: str) -> str | None:
+    """The statement under an EXPLAIN prefix, or None when `sql` is not
+    an EXPLAIN."""
+    m = _EXPLAIN_RE.match(sql)
+    return m.group(1) if m else None
+
+
 def validate_read_only(spark: SparkSession, sql: str) -> None:
     """Raise :class:`SqlValidationError` unless `sql` is a read-only query
     (SELECT/WITH/VALUES/EXPLAIN/DESCRIBE and the SHOW forms arc allows)."""
@@ -86,6 +101,9 @@ def validate_read_only(spark: SparkSession, sql: str) -> None:
         return
     if _DENY_TOKEN_RE.match(sql):
         raise SqlValidationError("only read-only queries are allowed")
+    inner = _strip_explain(sql)
+    if inner is not None:
+        return validate_read_only(spark, inner)
     try:
         plan = _parse_plan(spark, sql)
     except Exception as e:  # parse error → surface as validation error
@@ -122,7 +140,13 @@ def extract_tables(spark: SparkSession, sql: str) -> list[tuple[str, ...]]:
 
     CTE names are parsed as UnresolvedRelation too until analysis; they are
     filtered out by matching against the WITH clause's definitions — same
-    semantics the reference implements by regex (query.go:1074-1302)."""
+    semantics the reference implements by regex (query.go:1074-1302).
+    EXPLAIN prefixes are stripped so RBAC sees the inner statement's
+    tables (ExplainCommand prints its child as one argument line that
+    the relation regex cannot be trusted to cover)."""
+    inner = _strip_explain(sql)
+    if inner is not None:
+        return extract_tables(spark, inner)
     plan = _parse_plan(spark, sql)
     tree = plan.treeString()
     refs = []

@@ -26,6 +26,12 @@ GOOD = [
     "SELECT count(*) FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey",
     "SHOW TABLES",
     "SHOW DATABASES",
+    # EXPLAIN of a read is a read (r9: the plan walk alone denied every
+    # EXPLAIN via its ExplainCommand node; now validated by recursion on
+    # the inner statement)
+    "EXPLAIN SELECT count(*) FROM events",
+    "EXPLAIN FORMATTED SELECT * FROM events LIMIT 5",
+    "EXPLAIN EXTENDED WITH x AS (SELECT 1 AS a) SELECT * FROM x",
 ]
 
 BAD = [
@@ -48,6 +54,11 @@ BAD = [
     "SELECT * FROM json.`secrets.json`",
     "WITH x AS (SELECT * FROM text.`/etc/hostname`) SELECT * FROM x",
     "SELECT * FROM binaryFile.`/etc/hosts`",
+    # EXPLAIN of a write/path-read is still a write/path-read
+    "EXPLAIN INSERT INTO events VALUES (1)",
+    "EXPLAIN DROP TABLE events",
+    "EXPLAIN SELECT * FROM parquet.`/etc/passwd`",
+    "EXPLAIN EXPLAIN SELECT 1; DROP TABLE x",
 ]
 
 
