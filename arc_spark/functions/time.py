@@ -108,3 +108,78 @@ def register_sql_functions(spark) -> None:
            RETURN timestamp_micros(
                (unix_micros(t) div interval_us(width)) * interval_us(width))"""
     )
+
+
+def gapfill(
+    df,
+    bucket_col: str,
+    step: str,
+    group_cols: tuple[str, ...] = (),
+    value_cols: tuple[str, ...] = ("value",),
+    method: str = "null",
+):
+    """Fill missing time buckets in an aggregated frame — the
+    TimescaleDB ``time_bucket_gapfill`` family, Spark-first. ``df`` is
+    already one row per (group, bucket); missing buckets inside each
+    group's [min, max] span come back with:
+
+    - ``method="null"`` — NULL values (the grid alone),
+    - ``method="locf"`` — last observation carried forward,
+    - ``method="linear"`` — linear interpolation between the
+      surrounding observations (edges without both neighbors stay
+      NULL, Timescale semantics).
+
+    Scale shape: one tiny per-group (min, max) aggregate → the dense
+    bucket grid generates PLAN-SIDE via ``sequence()`` + explode (rows
+    proportional to the OUTPUT, never a driver loop), one left join
+    back (both sides hash-partitioned on the group — the join and
+    every fill window reuse one exchange), and the fills are window
+    functions ordered by bucket. No corpus-sized shuffle beyond the
+    aggregate the caller already did.
+
+    The bucket column must be a timestamp; ``step`` is an interval
+    string (``'1 hour'``). Grids are bounded per group by observed
+    min/max — callers wanting a fixed horizon filter or union the span
+    row themselves.
+    """
+    from pyspark.sql import Window, functions as F
+
+    if method not in ("null", "locf", "linear"):
+        raise ValueError(f"unknown gapfill method {method!r}")
+    g = [F.col(c) for c in group_cols]
+    span = df.groupBy(*g).agg(
+        F.min(bucket_col).alias("__mn"), F.max(bucket_col).alias("__mx"))
+    grid = span.select(
+        *[F.col(c) for c in group_cols],
+        F.explode(F.expr(
+            f"sequence(__mn, __mx, interval '{step}')")).alias(bucket_col))
+    full = grid.join(df, [*group_cols, bucket_col], "left")
+    if method == "null":
+        return full
+    w = Window.partitionBy(*g).orderBy(bucket_col)
+    back = w.rowsBetween(Window.unboundedPreceding, 0)
+    fwd = w.rowsBetween(0, Window.unboundedFollowing)
+    t_us = F.unix_micros(F.col(bucket_col))
+    out = full
+    for v in value_cols:
+        if method == "locf":
+            out = out.withColumn(
+                v, F.last(v, ignorenulls=True).over(back))
+        else:
+            prev_v = F.last(v, ignorenulls=True).over(back)
+            next_v = F.first(v, ignorenulls=True).over(fwd)
+            prev_t = F.last(
+                F.when(F.col(v).isNotNull(), t_us), ignorenulls=True
+            ).over(back)
+            next_t = F.first(
+                F.when(F.col(v).isNotNull(), t_us), ignorenulls=True
+            ).over(fwd)
+            interp = prev_v + (next_v - prev_v) * (
+                (t_us - prev_t).cast("double")
+                / (next_t - prev_t).cast("double"))
+            out = out.withColumn(
+                v,
+                F.when(F.col(v).isNotNull(), F.col(v))
+                .when(prev_v.isNotNull() & next_v.isNotNull()
+                      & (next_t != prev_t), interp))
+    return out

@@ -2686,3 +2686,120 @@ WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.8
 
 QUERIES["q80_incremental_dedup"] = q80_incremental_dedup
 ORACLES["q80_incremental_dedup"] = ORACLES_Q80
+
+
+def _gapfill_base(spark: SparkSession, sf: str):
+    """Sparse hourly aggregate for the gapfill lanes: ~1% of events
+    (value > 99) bucketed per type — guaranteed gaps at sf0.01/0.1.
+    The avg is exact-decimal-summed then one double division (the dsum
+    determinism pattern), so both engines fill identical values."""
+    from arc_spark.functions.time import time_bucket
+
+    t = load_tables(spark, sf, register_views=False)
+    ev = t["events"].filter(F.col("value") > 99.0)
+    return ev.groupBy(
+        "event_type", time_bucket("1 hour", "ts").alias("bucket")
+    ).agg(F.round(
+        F.sum(F.col("value").cast("decimal(30,6)")).cast("double")
+        / F.count(F.lit(1)), 6).alias("avg_value"))
+
+
+def q81_gapfill_locf(spark: SparkSession, sf: str) -> DataFrame:
+    """time_bucket_gapfill + last-observation-carried-forward: the
+    dashboard-serving shape for sparse series (Timescale's
+    time_bucket_gapfill/locf; the reference has no gapfill — this is a
+    Spark-first extension). Dense per-type hourly grid over each type's
+    observed span, missing buckets filled from the last observation."""
+    from arc_spark.functions.time import gapfill
+
+    out = gapfill(_gapfill_base(spark, sf), "bucket", "1 hour",
+                  ("event_type",), ("avg_value",), method="locf")
+    return out.select("event_type", "bucket",
+                      F.round("avg_value", 6).alias("avg_value"))
+
+
+def q82_gapfill_linear(spark: SparkSession, sf: str) -> DataFrame:
+    """Gapfill with linear interpolation between surrounding
+    observations (edges without both neighbors stay NULL — Timescale
+    interpolate semantics). Output is micro-unit BIGINT: the interp
+    arithmetic is identical IEEE ops on both engines, but ROUND's
+    tie-break at the 6th decimal is engine-specific (found: 169.0166665
+    split the engines) — floor(x*1e6 + 0.5) is deterministic given
+    identical doubles, and integers hash exactly."""
+    from arc_spark.functions.time import gapfill
+
+    out = gapfill(_gapfill_base(spark, sf), "bucket", "1 hour",
+                  ("event_type",), ("avg_value",), method="linear")
+    return out.select(
+        "event_type", "bucket",
+        F.floor(F.col("avg_value") * 1e6 + 0.5).cast("long")
+        .alias("avg_micro"))
+
+
+_GAPFILL_AGG = """
+    SELECT event_type,
+           make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS bucket,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_value
+    FROM events WHERE value > 99.0 GROUP BY 1, 2
+"""
+
+_GAPFILL_GRID = f"""
+agg AS ({_GAPFILL_AGG}),
+span AS (
+    SELECT event_type, MIN(bucket) AS mn, MAX(bucket) AS mx
+    FROM agg GROUP BY 1
+),
+grid AS (
+    SELECT event_type,
+           unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS bucket
+    FROM span
+),
+joined AS (
+    SELECT g.event_type, g.bucket, a.avg_value
+    FROM grid g LEFT JOIN agg a USING (event_type, bucket)
+)
+"""
+
+ORACLES["q81_gapfill_locf"] = f"""
+WITH {_GAPFILL_GRID}
+SELECT event_type, bucket,
+       ROUND(last_value(avg_value IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+           AS avg_value
+FROM joined
+"""
+
+ORACLES["q82_gapfill_linear"] = f"""
+WITH {_GAPFILL_GRID},
+nb AS (
+    SELECT event_type, bucket, avg_value,
+           epoch_us(bucket) AS t,
+           last_value(avg_value IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+           last_value(CASE WHEN avg_value IS NOT NULL
+                           THEN epoch_us(bucket) END IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+           first_value(avg_value IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY bucket
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+           first_value(CASE WHEN avg_value IS NOT NULL
+                            THEN epoch_us(bucket) END IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY bucket
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+    FROM joined
+)
+SELECT event_type, bucket,
+       CAST(FLOOR((CASE WHEN avg_value IS NOT NULL THEN avg_value
+                  WHEN pv IS NOT NULL AND nv IS NOT NULL AND nt <> pt
+                  THEN pv + (nv - pv) * (CAST(t - pt AS DOUBLE)
+                                         / CAST(nt - pt AS DOUBLE))
+             END) * 1e6 + 0.5) AS BIGINT) AS avg_micro
+FROM nb
+"""
+
+QUERIES["q81_gapfill_locf"] = q81_gapfill_locf
+QUERIES["q82_gapfill_linear"] = q82_gapfill_linear

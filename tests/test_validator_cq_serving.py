@@ -365,3 +365,77 @@ class TestJsonTokenMixedColumnStaysVectorized:
         out = [f'"{s}"' if quoted and s != "null" else s
                for s in tok.to_pylist()]
         assert out == expect
+
+
+class TestGapfill:
+    """functions/time.py::gapfill (r9): dense bucket grid + locf/linear
+    fills with Timescale edge semantics."""
+
+    def _agg(self, spark):
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            ("a", t0, 10.0),
+            ("a", t0 + dt.timedelta(hours=3), 40.0),   # 2 missing buckets
+            ("a", t0 + dt.timedelta(hours=4), 50.0),
+            ("b", t0 + dt.timedelta(hours=1), 7.0),    # single point
+        ]
+        return spark.createDataFrame(
+            rows, "event_type string, bucket timestamp, v double")
+
+    def test_null_grid(self, spark):
+        from arc_spark.functions.time import gapfill
+
+        out = gapfill(self._agg(spark), "bucket", "1 hour",
+                      ("event_type",), ("v",), method="null").collect()
+        a = sorted(r for r in out if r["event_type"] == "a")
+        assert len(a) == 5  # hours 0..4 dense
+        assert [r["v"] for r in sorted(a, key=lambda r: r["bucket"])] == \
+            [10.0, None, None, 40.0, 50.0]
+        assert len([r for r in out if r["event_type"] == "b"]) == 1
+
+    def test_locf(self, spark):
+        from arc_spark.functions.time import gapfill
+
+        out = gapfill(self._agg(spark), "bucket", "1 hour",
+                      ("event_type",), ("v",), method="locf")
+        a = [r["v"] for r in sorted(
+            out.filter("event_type = 'a'").collect(),
+            key=lambda r: r["bucket"])]
+        assert a == [10.0, 10.0, 10.0, 40.0, 50.0]
+
+    def test_linear(self, spark):
+        from arc_spark.functions.time import gapfill
+
+        out = gapfill(self._agg(spark), "bucket", "1 hour",
+                      ("event_type",), ("v",), method="linear")
+        a = [r["v"] for r in sorted(
+            out.filter("event_type = 'a'").collect(),
+            key=lambda r: r["bucket"])]
+        assert a == [10.0, 20.0, 30.0, 40.0, 50.0]
+
+    def test_linear_edges_stay_null(self, spark):
+        import datetime as dt
+
+        from arc_spark.functions.time import gapfill
+
+        t0 = dt.datetime(2024, 1, 1)
+        df = spark.createDataFrame(
+            [("a", t0, None), ("a", t0 + dt.timedelta(hours=1), 5.0),
+             ("a", t0 + dt.timedelta(hours=2), None)],
+            "event_type string, bucket timestamp, v double")
+        out = gapfill(df, "bucket", "1 hour", ("event_type",), ("v",),
+                      method="linear")
+        vals = [r["v"] for r in sorted(out.collect(),
+                                       key=lambda r: r["bucket"])]
+        assert vals == [None, 5.0, None]  # no neighbor on one side
+
+    def test_unknown_method(self, spark):
+        import pytest as _pytest
+
+        from arc_spark.functions.time import gapfill
+
+        with _pytest.raises(ValueError):
+            gapfill(self._agg(spark), "bucket", "1 hour",
+                    ("event_type",), ("v",), method="cubic")
