@@ -94,6 +94,12 @@ DEFAULTS: dict[str, dict[str, Any]] = {
         "max_rows": 0,
         "timeout_s": 0.0,
         "queries_per_minute": 0,
+        # native-serving decoded-file cache (catalog._DecodedFileCache):
+        # total budget in MB (0 disables) and the per-file size gate in
+        # KB — only files at/under the gate are cached (tiny hour-files;
+        # big compacted files stream efficiently already)
+        "scan_cache_mb": 128,
+        "scan_cache_file_kb": 256,
     },
     "metrics": {
         # in-memory time-series rings (internal/metrics/timeseries.go)
@@ -482,6 +488,13 @@ def build_engine(cfg: dict, spark=None) -> dict:
         )
     query = QueryService(spark, catalog,
                          governor=Governor(default_policy=default_policy))
+    # size the process-wide decoded-file cache from config (env knobs
+    # ARC_SPARK_SCAN_CACHE_* keep working as the default source)
+    import arc_spark.catalog as _cat
+
+    _cat._scan_cache = _cat._DecodedFileCache(
+        max_bytes=int(qc["scan_cache_mb"]) << 20,
+        max_file_bytes=int(qc["scan_cache_file_kb"]) << 10)
 
     ing = cfg["ingest"]
     wal_dir = None

@@ -752,3 +752,26 @@ class TestEnumValidation:
         monkeypatch.setenv("ARC_EXPORT_FORMAT", "parquetish")
         with pytest.raises(ValueError, match=r"\[export\] format"):
             load_config(None)
+
+
+class TestScanCacheConfig:
+    def test_build_engine_sizes_decoded_file_cache(self, spark, tmp_path):
+        """[query] scan_cache_mb / scan_cache_file_kb size the native
+        serving decoded-file cache (r9)."""
+        from arc_spark.config import build_engine, load_config
+
+        import arc_spark.catalog as cat
+
+        cfgfile = tmp_path / "arc.toml"
+        cfgfile.write_text(
+            f"[storage]\nlocal_path = '{tmp_path / 'data'}'\n"
+            "[server]\nport = 0\n"
+            "[query]\nscan_cache_mb = 7\nscan_cache_file_kb = 33\n"
+        )
+        engine = build_engine(load_config(str(cfgfile), env={}),
+                              spark=spark)
+        try:
+            assert cat._scan_cache.max_bytes == 7 << 20
+            assert cat._scan_cache.max_file_bytes == 33 << 10
+        finally:
+            engine["server"].stop()
