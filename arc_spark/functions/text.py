@@ -133,15 +133,24 @@ def lang_scores(col: Column | str) -> dict[str, Column]:
 
 def lang_id(col: Column | str) -> Column:
     """argmax over language scores; 'unknown' when no marker hit.
-    Deterministic tie-break: language iteration order (en, de, fr, es)."""
+    Deterministic tie-break: language iteration order (en, de, fr, es).
+
+    Built as ONE array_max over (score, -index, lang) structs — struct
+    ordering gives highest score, ties to the earliest language — so
+    each score expression appears exactly once in the plan. The old
+    chained-CASE argmax embedded every previous best-score tree TWICE
+    per step (condition + otherwise): ~2^k expression growth that blew
+    whole-stage codegen's 64 KB method limit the moment lang_id shared
+    a stage with other gates (r9, found in the curation pipeline — the
+    stage silently fell back to interpreted per-row eval)."""
     scores = lang_scores(col)
-    best_lang = F.lit("unknown")
-    best_score = F.lit(0).cast("long")
-    for lang, s in scores.items():
-        is_better = s > best_score
-        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
-        best_score = F.when(is_better, s).otherwise(best_score)
-    return best_lang
+    entries = [
+        F.struct(s.alias("s"), F.lit(-i).alias("ni"),
+                 F.lit(lang).alias("l"))
+        for i, (lang, s) in enumerate(scores.items())
+    ]
+    best = F.array_max(F.array(*entries))
+    return F.when(best["s"] > 0, best["l"]).otherwise(F.lit("unknown"))
 
 
 # --- quality scoring --------------------------------------------------------

@@ -75,7 +75,12 @@ def run_curation_pipeline(
         return df
 
     # -- 1. row-local quality gates (no shuffle; run FIRST) ----------------
-    gated = (
+    # barrier BEFORE the repetition semi-join: lang_id/quality_score
+    # expand to hundreds of string literals, and letting the optimizer
+    # merge both consumers into one stage blows whole-stage codegen's
+    # 64 KB method limit (interpreted fallback, per-row) — the cached
+    # gate output keeps every downstream stage compiled
+    gated = _stage(
         docs
         .withColumn("__lang", lang_id("text"))
         .withColumn("__q", quality_score("text"))
