@@ -183,3 +183,43 @@ def gapfill(
                 .when(prev_v.isNotNull() & next_v.isNotNull()
                       & (next_t != prev_t), interp))
     return out
+
+
+def counter_rate(
+    df,
+    time_col: str = "time",
+    value_col: str = "value",
+    group_cols: tuple[str, ...] = (),
+    reset_as_value: bool = True,
+):
+    """Per-second rate of a monotonically-increasing counter, with
+    monitoring-standard reset handling (InfluxDB ``non_negative_
+    derivative`` / PromQL ``rate`` semantics for raw samples): a
+    negative delta means the counter restarted, so the post-reset VALUE
+    is the increase (``reset_as_value=True``) or the sample is dropped
+    from the rate (False → NULL).
+
+    One window per group ordered by time (a single hash-partition
+    shuffle on the group; at 100 TB series are the natural partition
+    key and skew maps to hot series — the same profile every windowed
+    operator here has). The first sample of each group has no
+    predecessor and returns NULL. Output keeps the input row plus
+    ``delta`` (counter increase) and ``rate_per_s``.
+    """
+    from pyspark.sql import Window, functions as F
+
+    w = Window.partitionBy(*[F.col(c) for c in group_cols]) \
+        .orderBy(time_col)
+    prev_v = F.lag(value_col).over(w)
+    prev_t = F.lag(time_col).over(w)
+    raw = F.col(value_col) - prev_v
+    inc = (F.when(raw >= 0, raw)
+           .otherwise(F.col(value_col) if reset_as_value
+                      else F.lit(None)))
+    dt_s = (F.unix_micros(F.col(time_col))
+            - F.unix_micros(prev_t)).cast("double") / F.lit(1e6)
+    return (df
+            .withColumn("delta", F.when(prev_v.isNotNull(), inc))
+            .withColumn("rate_per_s", F.when(
+                prev_t.isNotNull() & (dt_s > 0),
+                F.col("delta") / dt_s)))

@@ -2803,3 +2803,79 @@ FROM nb
 
 QUERIES["q81_gapfill_locf"] = q81_gapfill_locf
 QUERIES["q82_gapfill_linear"] = q82_gapfill_linear
+
+
+def q83_counter_rate(spark: SparkSession, sf: str) -> DataFrame:
+    """Counter-rate over a synthesized per-user monotonic counter with
+    resets (cumulative event values; every 97th event simulates a
+    counter restart) — InfluxDB non_negative_derivative semantics.
+    Reported per event_type: mean rate (micro-unit BIGINT — identical
+    IEEE division both engines, exact integer hash) and reset count."""
+    from arc_spark.functions.time import counter_rate
+
+    t = load_tables(spark, sf, register_views=False)
+    ev = t["events"].select(
+        "event_type", "ts", "event_id",
+        # deterministic pseudo-counter: cumulative within type, reset
+        # whenever event_id % 97 == 0
+        F.sum(F.when(F.col("event_id") % 97 == 0, F.lit(None))
+              .otherwise(F.col("value")))
+        .over(Window.partitionBy("event_type").orderBy("ts", "event_id"))
+        .alias("ctr"))
+    ev = ev.withColumn(
+        "ctr", F.when(F.col("event_id") % 97 == 0, 0.0)
+        .otherwise(F.round("ctr", 6)))
+    rated = counter_rate(ev, time_col="ts", value_col="ctr",
+                         group_cols=("event_type",))
+    return rated.filter(F.col("rate_per_s").isNotNull()).groupBy(
+        "event_type").agg(
+        F.count(F.lit(1)).alias("n_rates"),
+        # dsum determinism pattern: decimal-exact sum of the (identical)
+        # doubles, ONE double division — AVG(double)'s partial-sum order
+        # differs between engines
+        F.floor(F.sum(F.col("rate_per_s").cast("decimal(30,12)"))
+                .cast("double") / F.count(F.lit(1)) * 1e6 + 0.5)
+        .cast("long").alias("mean_rate_micro"),
+        F.sum(F.when(F.col("delta") == F.col("ctr"), 1).otherwise(0))
+        .cast("long").alias("n_resets"))
+
+
+ORACLES["q83_counter_rate"] = """
+WITH ctr AS (
+    SELECT event_type, ts, event_id,
+           CASE WHEN event_id % 97 = 0 THEN 0.0
+                ELSE ROUND(SUM(CASE WHEN event_id % 97 = 0 THEN NULL
+                                    ELSE value END) OVER (
+                    PARTITION BY event_type ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+           END AS ctr
+    FROM events
+), lagged AS (
+    SELECT event_type, ts, ctr,
+           lag(ctr) OVER (PARTITION BY event_type
+                          ORDER BY ts, event_id) AS pv,
+           lag(ts) OVER (PARTITION BY event_type
+                         ORDER BY ts, event_id) AS pt
+    FROM ctr
+), rated AS (
+    SELECT event_type,
+           CASE WHEN ctr - pv >= 0 THEN ctr - pv ELSE ctr END AS delta,
+           ctr,
+           (CASE WHEN ctr - pv >= 0 THEN ctr - pv ELSE ctr END)
+             / (CAST(epoch_us(ts) - epoch_us(pt) AS DOUBLE) / 1e6)
+             AS rate_per_s
+    FROM lagged
+    WHERE pv IS NOT NULL AND pt IS NOT NULL
+          AND epoch_us(ts) - epoch_us(pt) > 0
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rates,
+       CAST(FLOOR(CAST(SUM(CAST(rate_per_s AS DECIMAL(30,12)))
+                        AS DOUBLE) / COUNT(*) * 1e6 + 0.5) AS BIGINT)
+           AS mean_rate_micro,
+       CAST(SUM(CASE WHEN delta = ctr THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_resets
+FROM rated GROUP BY event_type
+"""
+
+QUERIES["q83_counter_rate"] = q83_counter_rate

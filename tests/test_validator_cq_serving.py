@@ -439,3 +439,45 @@ class TestGapfill:
         with _pytest.raises(ValueError):
             gapfill(self._agg(spark), "bucket", "1 hour",
                     ("event_type",), ("v",), method="cubic")
+
+
+class TestCounterRate:
+    """functions/time.py::counter_rate (r9): non_negative_derivative
+    semantics — per-second rate, resets yield the post-reset value (or
+    NULL), first sample NULL."""
+
+    def _df(self, spark):
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            ("h1", t0, 100.0),
+            ("h1", t0 + dt.timedelta(seconds=10), 150.0),   # +5/s
+            ("h1", t0 + dt.timedelta(seconds=20), 30.0),    # RESET
+            ("h1", t0 + dt.timedelta(seconds=30), 60.0),    # +3/s
+            ("h2", t0, 7.0),                                # lone sample
+        ]
+        return spark.createDataFrame(
+            rows, "host string, time timestamp, value double")
+
+    def test_rates_and_reset_as_value(self, spark):
+        from arc_spark.functions.time import counter_rate
+
+        out = {(r["host"], r["time"].second): (r["delta"], r["rate_per_s"])
+               for r in counter_rate(
+                   self._df(spark), group_cols=("host",)).collect()}
+        assert out[("h1", 0)] == (None, None)       # first sample
+        assert out[("h1", 10)] == (50.0, 5.0)
+        assert out[("h1", 20)] == (30.0, 3.0)       # reset → value/Δt
+        assert out[("h1", 30)] == (30.0, 3.0)
+        assert out[("h2", 0)] == (None, None)
+
+    def test_reset_dropped_mode(self, spark):
+        from arc_spark.functions.time import counter_rate
+
+        out = {(r["host"], r["time"].second): r["rate_per_s"]
+               for r in counter_rate(
+                   self._df(spark), group_cols=("host",),
+                   reset_as_value=False).collect()}
+        assert out[("h1", 20)] is None               # reset sample dropped
+        assert out[("h1", 10)] == 5.0
