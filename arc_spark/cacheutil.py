@@ -1,23 +1,43 @@
 """Cache-lifetime plumbing for operators with internal persist() calls.
 
 Several operators persist an intermediate relation that feeds multiple
-branches of the returned plan (DSIR's doc×bucket counts, the jaccard
-capped posting list). The cache must stay hot while the caller can still
-trigger those branches, but a long-lived session that calls the operator
-repeatedly must not accumulate dead cached partitions (r8 advice).
-``release_on_drop`` ties the cache's lifetime to the RETURNED frame: the
-finalizer unpersists the internals exactly when the caller drops its
-last reference to the result.
+branches of the returned LAZY plan (DSIR's doc×bucket counts, the
+jaccard capped posting list, token packing's windowed frame). Two
+lifetime constraints collide:
+
+- the cache must stay hot until the caller EXECUTES the returned plan —
+  which may be long after the operator returned, through arbitrarily
+  many further compositions (``pack_token_shards(df).groupBy(...)
+  .count()``), so nothing tied to Python object reachability works: the
+  intermediate frame's wrapper dies at composition time while the JVM
+  plan lives on (r9: a weakref-finalize design silently unpersisted
+  q51's window cache before the action ran — caught by the plan-shape
+  suite);
+- a long-lived session calling operators repeatedly must not accumulate
+  dead cached partitions forever (the r8 advisory).
+
+Resolution: a process-wide BOUNDED FIFO registry. Every operator-
+internal cache registers here; beyond ``ARC_SPARK_OPERATOR_CACHES``
+(default 8) the oldest registrant is unpersisted. Eviction is always
+SAFE — Spark recomputes an unpersisted relation — it only costs time if
+an old pipeline is re-executed later, and any workload touching more
+than 8 operator pipelines concurrently can raise the knob. Spark's own
+LRU storage eviction still governs memory within the window.
 """
 
 from __future__ import annotations
 
-import weakref
+import os
+import threading
+from collections import deque
+
+_MAX = int(os.environ.get("ARC_SPARK_OPERATOR_CACHES", "8"))
+_lock = threading.Lock()
+_ring: "deque" = deque()
 
 
 def _unpersist_quiet(*dfs) -> None:
-    """Best-effort unpersist for finalizer use — the JVM/session may
-    already be gone at interpreter shutdown."""
+    """Best-effort unpersist — the JVM/session may already be gone."""
     for df in dfs:
         try:
             df.unpersist(blocking=False)
@@ -25,7 +45,28 @@ def _unpersist_quiet(*dfs) -> None:
             pass
 
 
+def register_cache(*cached) -> None:
+    """Track operator-internal persisted frames; unpersist the oldest
+    once more than ``ARC_SPARK_OPERATOR_CACHES`` are live."""
+    evicted = []
+    with _lock:
+        for df in cached:
+            _ring.append(df)
+        while len(_ring) > _MAX:
+            evicted.append(_ring.popleft())
+    _unpersist_quiet(*evicted)
+
+
+def clear_registry() -> None:
+    """Unpersist every tracked cache (tests, session teardown)."""
+    with _lock:
+        dfs = list(_ring)
+        _ring.clear()
+    _unpersist_quiet(*dfs)
+
+
 def release_on_drop(result, *cached) -> None:
-    """Unpersist each frame in ``cached`` when ``result`` is
-    garbage-collected."""
-    weakref.finalize(result, _unpersist_quiet, *cached)
+    """Deprecated alias from the first r9 design — the GC-tied release
+    broke composed pipelines (see module docstring). Registers the
+    caches in the bounded ring instead; ``result`` is ignored."""
+    register_cache(*cached)

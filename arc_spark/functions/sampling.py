@@ -235,13 +235,12 @@ def dsir_importance_weights(df, target, tokens_col="w",
                 F.sum(F.col("__c") * F.col("__lru")).alias("weight_micro"))
            .withColumn("weight", F.round(
                F.col("weight_micro") / F.lit(1e6), 6)))
-    # Cache lifetime rides the returned frame: doc_feat stays hot while
-    # the caller can still trigger the scoring scan, and unpersists when
-    # the result is dropped — repeated calls in a long-lived session no
-    # longer accumulate cached partitions (r8 advice).
-    from arc_spark.cacheutil import release_on_drop
+    # bounded operator-cache registry (r8 advice, r9 design): doc_feat
+    # stays hot for the returned lazy plan and its compositions; a
+    # long-lived session evicts the oldest caches past the registry cap
+    from arc_spark.cacheutil import register_cache
 
-    release_on_drop(out, doc_feat)
+    register_cache(doc_feat)
     return out
 
 

@@ -309,14 +309,14 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
-    from arc_spark.cacheutil import release_on_drop
+    from arc_spark.cacheutil import register_cache
 
     if prefix_filter:
-        release_on_drop(out, sh, cand)
+        register_cache(sh, cand)
     elif windowed_cap:
-        release_on_drop(out, posting)
+        register_cache(posting)
     else:
-        release_on_drop(out, sh)
+        register_cache(sh)
     return out
 
 
@@ -517,9 +517,9 @@ def dedup_against_index(
         .filter(F.col("jaccard") >= threshold)
         .select("new_doc", "index_doc", "jaccard")
     )
-    from arc_spark.cacheutil import release_on_drop
+    from arc_spark.cacheutil import register_cache
 
-    release_on_drop(out, new_sh)
+    register_cache(new_sh)
     return out
 
 
@@ -600,9 +600,9 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
-    from arc_spark.cacheutil import release_on_drop
+    from arc_spark.cacheutil import register_cache
 
-    release_on_drop(verified, sh_shared)
+    register_cache(sh_shared)
     return verified
 
 
@@ -729,9 +729,9 @@ def cross_overlap_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
-    from arc_spark.cacheutil import release_on_drop
+    from arc_spark.cacheutil import register_cache
 
-    release_on_drop(out, sh_l, sh_r)
+    register_cache(sh_l, sh_r)
     return out
 
 
@@ -916,9 +916,9 @@ def duplicated_window_fraction(
             F.round(F.col("dup_windows") / F.col("n_windows"), digits),
         )
     )
-    from arc_spark.cacheutil import release_on_drop
+    from arc_spark.cacheutil import register_cache
 
-    release_on_drop(out, ex)
+    register_cache(ex)
     return out
 
 

@@ -115,7 +115,7 @@ def pack_token_shards(
         .withColumn("shard", (F.col("offset") + F.col("local_shard")).cast("long"))
         .drop("offset", "local_shard")
     )
-    from arc_spark.cacheutil import release_on_drop
+    from arc_spark.cacheutil import register_cache
 
-    release_on_drop(out, local)
+    register_cache(local)
     return out

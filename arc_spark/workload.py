@@ -2484,9 +2484,9 @@ def q74_bigram_fluency(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(F.when(F.col("avg_lp") < -7.0, 1).otherwise(0))
         .alias("below_floor"),
     )
-    from arc_spark.cacheutil import release_on_drop
+    from arc_spark.cacheutil import register_cache
 
-    release_on_drop(out, big_counts)
+    register_cache(big_counts)
     return out
 
 

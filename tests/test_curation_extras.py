@@ -341,29 +341,33 @@ class TestDsirImportanceWeights:
         assert set(got) == {1, 2}
         assert got[1]["n_feats"] == 1 and got[2]["n_feats"] == 3
 
-    def test_cache_released_with_result(self, spark):
-        """The internal doc×bucket cache unpersists when the returned
-        frame is dropped — repeated calls in a long-lived session must
-        not accumulate cached partitions (r8 advice)."""
-        import gc
-
+    def test_cache_registry_bounds_accumulation(self, spark):
+        """Operator-internal caches live in a BOUNDED registry —
+        repeated calls in a long-lived session evict the oldest instead
+        of accumulating forever (r8 advice; the first r9 design tied
+        release to the returned frame's GC, which silently unpersisted
+        caches under lazy composition — q51's plan-shape test caught
+        it)."""
         from pyspark.sql import functions as F
 
+        import arc_spark.cacheutil as cu
         from arc_spark.functions.sampling import dsir_importance_weights
 
+        cu.clear_registry()
         jsc = spark.sparkContext._jsc.sc()
-        before = jsc.getPersistentRDDs().size()
+        base = jsc.getPersistentRDDs().size()
         df = spark.createDataFrame(
             [(1, "en", ["a", "b"]), (2, "xx", ["c"])],
             "doc_id long, lang string, w array<string>")
-        out = dsir_importance_weights(
-            df, target=F.col("lang") == "en", tokens_col="w",
-            id_cols=("doc_id",), buckets=64)
-        assert out.count() == 2
-        assert jsc.getPersistentRDDs().size() > before  # cache live
-        del out
-        gc.collect()
-        assert jsc.getPersistentRDDs().size() == before  # released
+        for _ in range(cu._MAX + 4):
+            out = dsir_importance_weights(
+                df, target=F.col("lang") == "en", tokens_col="w",
+                id_cols=("doc_id",), buckets=64)
+            assert out.count() == 2
+        # at most _MAX operator caches live, however many calls ran
+        assert jsc.getPersistentRDDs().size() - base <= cu._MAX
+        cu.clear_registry()
+        assert jsc.getPersistentRDDs().size() <= base
 
 
 class TestDsirCurationChain:
