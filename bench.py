@@ -175,8 +175,18 @@ def main() -> None:
                                      limit=10_000)
     samples_by: dict[str, list[float]] = {}
     rows_by: dict[str, int] = {}
+    from arc_spark import cacheutil
+
     for _ in range(iterations):
         for name in BENCH_QUERIES:
+            # lanes are INDEPENDENT queries: drop the previous lane's
+            # operator-internal caches like any steady-state server whose
+            # bounded registry has moved on — 8 dead MEMORY_AND_DISK
+            # relations in one JVM measurably tax the next lane (r9
+            # measured: q16 min 1.74 s polluted vs 0.73 s cleared; the
+            # r8-and-earlier artifacts carried this pollution, so
+            # cross-round lane comparisons only get FAIRER)
+            cacheutil.clear_registry()
             fn = QUERIES[name]
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
@@ -556,6 +566,14 @@ def main() -> None:
                 "end": sent_end[1], "final": sent_final[1]}
     drift = abs(sent_final[1] - sent_start[1]) / max(sent_start[1], 1e-9)
     sentinel_valid = drift <= 0.15
+    # informational (r9): worst MID-RUN sentinel divergence vs start.
+    # Mid samples race the live JVM so they cannot GATE validity, but a
+    # large value says the query block ran under a transient the
+    # start/final rule cannot see (observed: a valid-flagged run whose
+    # post_query sentinel was 2.7x start — every lane ~25% slow)
+    mid_drift = max(
+        abs(s - sent_start[1]) / max(sent_start[1], 1e-9)
+        for s in (sent_post_query[1], sent_end[1]))
     if not sentinel_valid:
         print(f"# WARN SENTINEL-INVALID: 32-thread headroom drifted "
               f"{drift * 100:.0f}% start->final ({mt_pairs}); per "
@@ -599,6 +617,7 @@ def main() -> None:
         # parallel headroom moved >15% between the equal-condition samples
         # and absolute lane times must not be compared across artifacts
         "sentinel_valid": sentinel_valid,
+        "sentinel_mid_drift": round(mid_drift, 3),
         # stdout budget: start loadavg only (the gating sample); the
         # post_query/end trios ride in bench_detail.json
         "loadavg": {"start": load_start},
