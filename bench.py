@@ -597,8 +597,8 @@ def main() -> None:
         # per-window evidence (M rec/s): sync ack-rate / deferred e2e-rate
         # per temporally separated window — distinguishes a load spike
         # (one bad window) from a code regression (all windows down)
-        "sus_windows": [round(a / 1e6, 2) for a, _ in sus_windows],
-        "defer_windows": [round(e / 1e6, 2) for _, e in defer_windows],
+        "sus_windows": [round(a / 1e6, 1) for a, _ in sus_windows],
+        "defer_windows": [round(e / 1e6, 1) for _, e in defer_windows],
         # the DEFAULT deployment profile (config.py: defer_decode=True,
         # flush_workers=2) — its sustained e2e number is the headline
         "ingest_default_profile_rec_s": sustained_defer_rec_s,
@@ -617,7 +617,7 @@ def main() -> None:
         # parallel headroom moved >15% between the equal-condition samples
         # and absolute lane times must not be compared across artifacts
         "sentinel_valid": sentinel_valid,
-        "sentinel_mid_drift": round(mid_drift, 3),
+        "mid_drift": round(mid_drift, 3),
         # stdout budget: start loadavg only (the gating sample); the
         # post_query/end trios ride in bench_detail.json
         "loadavg": {"start": load_start},
