@@ -230,24 +230,43 @@ class _DecodedFileCache:
             self._entries.clear()
             self._bytes = 0
 
+    def evict_prefix(self, prefix: str) -> None:
+        """Drop entries under one path prefix (a measurement root) —
+        invalidating measurement A must not cold-start B's serving."""
+        with self._lock:
+            victims = [p for p in self._entries if p.startswith(prefix)]
+            for p in victims:
+                _, _, t = self._entries.pop(p)
+                self._bytes -= t.nbytes
+
 
 #: process-wide decoded-file cache (immutable committed files; safe to
 #: share across catalogs/sessions in one process)
 _scan_cache = _DecodedFileCache()
 
 
-def _hive_parts(rel_path: str) -> "list[tuple[str, object]]":
+def _hive_parts(rel_path: str) -> "list[tuple[str, object]] | None":
     """``key=value`` hive components of a path relative to the scan
     root, typed like pyarrow's hive-partitioning inference over our
-    layouts (int32 for integral values, string otherwise)."""
+    layouts (int32 for CANONICAL in-range integers, string otherwise).
+    Returns None when a value's typing is uncertain — non-canonical
+    spellings Python's int() accepts but pyarrow's inference doesn't
+    (``1_0``, ``+5``), or integers outside int32 — so the caller can
+    decline to the dataset scan instead of diverging from it."""
     out: list[tuple[str, object]] = []
     for seg in rel_path.split("/")[:-1]:
         if "=" not in seg:
             continue
         k, _, v = seg.partition("=")
-        try:
-            out.append((k, int(v)))
-        except ValueError:
+        if v.isdigit() or (v.startswith("-") and v[1:].isdigit()):
+            iv = int(v)
+            if not (-(1 << 31) <= iv < (1 << 31)) or str(iv) != v:
+                return None  # out of int32 / non-canonical ("007")
+            out.append((k, iv))
+        elif any(ch.isdigit() for ch in v) and all(
+                ch.isdigit() or ch in "+-_." for ch in v):
+            return None  # numeric-ish spelling pyarrow may type oddly
+        else:
             out.append((k, v))
     return out
 
@@ -287,10 +306,13 @@ def _read_small_files_cached(bk, root: str, files: "list[str]",
     for f, fs, st in stats:
         tab = _scan_cache.get(fs, st.st_mtime_ns, st.st_size)
         if tab is None:
+            parts = _hive_parts(f[prefix_len:])
+            if parts is None:
+                return None  # uncertain partition typing: dataset path
             import pyarrow.parquet as pq
 
             tab = pq.read_table(fs, memory_map=True)
-            for k, v in _hive_parts(f[prefix_len:]):
+            for k, v in parts:
                 typ = pa.int32() if isinstance(v, int) else pa.string()
                 tab = tab.append_column(
                     pa.field(k, typ),
@@ -923,5 +945,8 @@ class MeasurementCatalog:
         self.epoch += 1
         # the native-serving decoded-file cache holds committed files
         # too; stat-validation already catches in-place rewrites, this
-        # catches everything else the epoch bump is for
-        _scan_cache.clear()
+        # catches everything else the epoch bump is for — scoped to THIS
+        # measurement's tiers so invalidating A never cold-starts B's
+        # serving (r9 review)
+        for p in self.paths(db, measurement):
+            _scan_cache.evict_prefix(backend_for(p).fs_path(p))

@@ -97,9 +97,14 @@ DEFAULTS: dict[str, dict[str, Any]] = {
         # native-serving decoded-file cache (catalog._DecodedFileCache):
         # total budget in MB (0 disables) and the per-file size gate in
         # KB — only files at/under the gate are cached (tiny hour-files;
-        # big compacted files stream efficiently already)
-        "scan_cache_mb": 128,
-        "scan_cache_file_kb": 256,
+        # big compacted files stream efficiently already). The
+        # ARC_SPARK_SCAN_CACHE_* env knobs SEED these defaults (r9
+        # review: build_engine used to clobber an env override with the
+        # literal default); an explicit config-file value still wins.
+        "scan_cache_mb": int(os.environ.get(
+            "ARC_SPARK_SCAN_CACHE_MB", "128")),
+        "scan_cache_file_kb": int(os.environ.get(
+            "ARC_SPARK_SCAN_CACHE_FILE_KB", "256")),
     },
     "metrics": {
         # in-memory time-series rings (internal/metrics/timeseries.go)

@@ -191,6 +191,7 @@ def counter_rate(
     value_col: str = "value",
     group_cols: tuple[str, ...] = (),
     reset_as_value: bool = True,
+    order_cols: tuple[str, ...] = (),
 ):
     """Per-second rate of a monotonically-increasing counter, with
     monitoring-standard reset handling (InfluxDB ``non_negative_
@@ -205,11 +206,16 @@ def counter_rate(
     operator here has). The first sample of each group has no
     predecessor and returns NULL. Output keeps the input row plus
     ``delta`` (counter increase) and ``rate_per_s``.
+
+    ``order_cols`` break timestamp TIES deterministically (pass the
+    event id when timestamps can repeat — lag over a tied order pairs
+    rows in shuffle-dependent order otherwise, making delta/rate
+    nondeterministic across runs).
     """
     from pyspark.sql import Window, functions as F
 
     w = Window.partitionBy(*[F.col(c) for c in group_cols]) \
-        .orderBy(time_col)
+        .orderBy(time_col, *[F.col(c) for c in order_cols])
     prev_v = F.lag(value_col).over(w)
     prev_t = F.lag(time_col).over(w)
     raw = F.col(value_col) - prev_v

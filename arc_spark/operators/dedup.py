@@ -464,6 +464,12 @@ def dedup_against_index(
     if exact:
         new_sh = new_sh.persist(StorageLevel.MEMORY_AND_DISK)
     new_sigs = _signatures_from_shingled(new_sh, num_hashes)
+    if not exact:
+        # the estimate path consumes the shard's signature pipeline
+        # twice (band explode AND the sig_a scoring join) — persist the
+        # signatures so the scan→shingle→minhash projection runs once
+        # (the exact path persists the shingles for the same reason)
+        new_sigs = new_sigs.persist(StorageLevel.MEMORY_AND_DISK)
     nb = _band_rows(new_sigs, num_hashes, bands)
     ib = _band_rows(index.select("doc", "sig"), num_hashes, bands)
     cands = (
@@ -491,6 +497,9 @@ def dedup_against_index(
             .filter(F.col("jaccard") >= threshold)
             .select("new_doc", "index_doc", "jaccard")
         )
+        from arc_spark.cacheutil import register_cache
+
+        register_cache(new_sigs)
         return out
     cid = corpus_id_col or id_col
     ctxt = corpus_text_col or text_col

@@ -227,9 +227,21 @@ def _checkpoint_base(bk, table_path: str):
                 and info.base_name[: -len(".checkpoint.parquet")].isdigit())
         except Exception:
             return None
+        # a fallback candidate is only a valid seed if the JSON suffix
+        # AFTER it is CONTIGUOUS up to the newest commit — log cleanup
+        # may have removed commits between an old checkpoint and the
+        # lost pointer target, and replaying across that gap would
+        # silently drop those commits from the reconstructed state
+        # (and the next checkpoint would cement the loss)
+        vers = [ver for ver, _ in _log_versions(bk, table_path)]
+        newest = max(vers) if vers else -1
+        have = set(vers)
         for cand in reversed(cks):
             if cand == v:
                 continue  # the pointer target we already failed to read
+            if newest >= 0 and not all(
+                    x in have for x in range(cand + 1, newest + 1)):
+                continue  # gap after this candidate: unusable seed
             try:
                 rows = pq.read_table(io.BytesIO(bk.read_bytes(
                     bk.join(d, f"{cand:020d}.checkpoint.parquet")

@@ -2826,7 +2826,8 @@ def q83_counter_rate(spark: SparkSession, sf: str) -> DataFrame:
         "ctr", F.when(F.col("event_id") % 97 == 0, 0.0)
         .otherwise(F.round("ctr", 6)))
     rated = counter_rate(ev, time_col="ts", value_col="ctr",
-                         group_cols=("event_type",))
+                         group_cols=("event_type",),
+                         order_cols=("event_id",))
     return rated.filter(F.col("rate_per_s").isNotNull()).groupBy(
         "event_type").agg(
         F.count(F.lit(1)).alias("n_rates"),

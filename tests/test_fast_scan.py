@@ -472,14 +472,28 @@ class TestDecodedFileCache:
         assert cache.get("/f0", 1, 1) is None  # evicted
         assert cache.get("/f4", 1, 1) is not None
 
-    def test_catalog_invalidate_clears(self, spark, meas):
+    def test_catalog_invalidate_evicts_measurement_scoped(self, spark,
+                                                           meas):
+        """invalidate(A) drops A's cached files but must NOT cold-start
+        other measurements' serving (r9 review: a scheduled compaction
+        of one measurement wiped the whole process cache)."""
         import arc_spark.catalog as C
 
         cat, _ = self._scan(spark, meas)
-        assert C._scan_cache._entries  # populated by the scan
+        mine = [p for p in C._scan_cache._entries
+                if f"{meas}/metrics/cpu" in p]
+        assert mine  # populated by the scan
+        # plant a foreign entry that must survive
+        import pyarrow as pa
+
+        C._scan_cache.put("/elsewhere/other.parquet", 1, 1,
+                          pa.table({"x": [1]}))
         cat.register("metrics", "cpu", view="cpu_cacheinv")
         cat.invalidate("metrics", "cpu")
-        assert not C._scan_cache._entries
+        assert not any(f"{meas}/metrics/cpu" in p
+                       for p in C._scan_cache._entries)
+        assert C._scan_cache.get("/elsewhere/other.parquet", 1, 1) \
+            is not None
 
     def test_concurrent_serves_with_invalidation(self, spark, meas):
         """8 serving threads hammer the cached time-range path while the
