@@ -873,6 +873,78 @@ class TestDeltaCheckpoint:
         assert set(after["files"]) == set(before["files"]) == committed
 
 
+class TestCheckpointSeedGapRefusal:
+    """r9 review: when the _last_checkpoint target is lost AND the JSON
+    commits between an older surviving checkpoint and the newest commit
+    were already log-cleaned, that older checkpoint must NOT be used as
+    a seed (replaying across the gap silently drops the cleaned
+    commits); state reconstruction refuses instead of cementing loss."""
+
+    def _advance(self, root, i):
+        import pyarrow as pa
+
+        write_measurement_arrow(pa.table({
+            "time": pa.array([1_705_310_000_000_000 + i],
+                             pa.timestamp("us")),
+            "host": pa.array(["h"]), "value": pa.array([float(i)]),
+        }), root, "metrics", "cpu", tag_columns=["host"])
+
+    def test_gap_after_candidate_rejects_seed(self, meas, monkeypatch):
+        import arc_spark.operators.export as ex
+
+        monkeypatch.setattr(ex, "CHECKPOINT_EVERY", 3)
+        root, mp = meas
+        export_delta_log(mp)  # v0
+        for i in range(5):    # v1..v5: checkpoints at v2 and v5
+            self._advance(root, i)
+            export_delta_log(mp)
+        d = os.path.join(mp, DELTA_LOG_DIR)
+        # spec log cleanup up to the NEWEST checkpoint (v5), then lose
+        # the v5 checkpoint out-of-band: v2's checkpoint survives but
+        # commits v3..v4 are gone — the gap case
+        for v in range(0, 5):
+            os.unlink(os.path.join(d, f"{v:020d}.json"))
+        os.unlink(os.path.join(d, f"{5:020d}.checkpoint.parquet"))
+        bk = backend_for(mp)
+        assert ex._checkpoint_base(bk, mp) is None  # refused the seed
+        # and a checkpoint rewrite at v5 refuses to cement stale state
+        ex._write_checkpoint(bk, mp, 5)
+        assert not os.path.exists(
+            os.path.join(d, f"{5:020d}.checkpoint.parquet"))
+
+    def test_contiguous_suffix_accepts_older_seed(self, meas,
+                                                  monkeypatch):
+        import arc_spark.operators.export as ex
+
+        monkeypatch.setattr(ex, "CHECKPOINT_EVERY", 3)
+        root, mp = meas
+        export_delta_log(mp)  # v0
+        for i in range(5):
+            self._advance(root, i)
+            export_delta_log(mp)  # ... v5 -> checkpoint #2
+        d = os.path.join(mp, DELTA_LOG_DIR)
+        # lose ONLY the v5 checkpoint; v3..v5 JSONs all survive, so the
+        # v2 checkpoint + contiguous suffix is a complete seed
+        os.unlink(os.path.join(d, f"{5:020d}.checkpoint.parquet"))
+        bk = backend_for(mp)
+        base = ex._checkpoint_base(bk, mp)
+        assert base is not None and base[0] == 2
+        # exporter-side reconstruction over seed + contiguous suffix
+        # resolves the full committed set (the strict test reader
+        # deliberately ERRORS on a dangling pointer — that's its job;
+        # the exporter must still be able to re-checkpoint from here)
+        protocol, meta, files, _ = ex._replay_actions(bk, mp)
+        assert protocol is not None and meta is not None
+        import urllib.parse as _up
+
+        assert {_up.unquote(p) for p in files} == {
+            os.path.relpath(f, mp).replace("\\", "/")
+            for f in snapshots.data_files(mp)}
+        ex._write_checkpoint(bk, mp, 5)
+        assert os.path.exists(
+            os.path.join(d, f"{5:020d}.checkpoint.parquet"))
+
+
 class TestGatedSmokeCollectionGuard:
     """r8 verdict #7: the auto-activating third-party interop smokes are
     only valuable if they still COLLECT — a refactor that renames a
