@@ -229,3 +229,56 @@ def counter_rate(
             .withColumn("rate_per_s", F.when(
                 prev_t.isNotNull() & (dt_s > 0),
                 F.col("delta") / dt_s)))
+
+
+def m4_downsample(
+    df,
+    n_buckets: int = 200,
+    time_col: str = "time",
+    value_col: str = "value",
+    group_cols: tuple[str, ...] = (),
+):
+    """M4 visualization downsampling (Jugel et al., VLDB 2014): per
+    pixel-column bucket keep the rows attaining min(time), max(time),
+    min(value), max(value) — the four points that make a width-
+    ``n_buckets`` line chart of the reduced series PIXEL-IDENTICAL to
+    the full series. The dashboard-serving reducer (a 100M-point series
+    → ≤4·n_buckets points) that, unlike sequential LTTB, is pure
+    aggregation: per-group span (tiny relation, broadcast back), bucket
+    index arithmetic, one groupBy for the per-bucket extremes, one
+    broadcastable join + filter. No window over the raw series, no
+    sequential dependency — fully parallel at any corpus size.
+
+    Ties keep EVERY attaining row (deterministic, engine-portable; a
+    renderer drawing duplicate points is unaffected). Output adds
+    ``bucket`` and keeps input columns. NULL values are ignored for the
+    value extremes but still hold their time-extreme slots.
+    """
+    from pyspark.sql import functions as F
+
+    g = list(group_cols)
+    t_us = F.unix_micros(F.col(time_col))
+    span = df.groupBy(*[F.col(c) for c in g]).agg(
+        F.min(t_us).alias("__t0"), F.max(t_us).alias("__t1"))
+    j = df.join(F.broadcast(span), g) if g else df.crossJoin(
+        F.broadcast(span))
+    # last point lands in the last bucket (not a one-point overflow)
+    b = F.when(
+        F.col("__t1") == F.col("__t0"), F.lit(0)
+    ).otherwise(F.least(
+        F.floor(((t_us - F.col("__t0")).cast("double")
+                 / (F.col("__t1") - F.col("__t0")).cast("double"))
+                * n_buckets).cast("long"),
+        F.lit(n_buckets - 1)))
+    bucketed = j.withColumn("bucket", b)
+    ext = bucketed.groupBy(*[F.col(c) for c in g], "bucket").agg(
+        F.min(t_us).alias("__mnt"), F.max(t_us).alias("__mxt"),
+        F.min(value_col).alias("__mnv"), F.max(value_col).alias("__mxv"))
+    keep = (
+        bucketed.join(F.broadcast(ext), [*g, "bucket"])
+        .filter((t_us == F.col("__mnt")) | (t_us == F.col("__mxt"))
+                | (F.col(value_col) == F.col("__mnv"))
+                | (F.col(value_col) == F.col("__mxv")))
+        .drop("__t0", "__t1", "__mnt", "__mxt", "__mnv", "__mxv")
+    )
+    return keep

@@ -2880,3 +2880,46 @@ FROM rated GROUP BY event_type
 """
 
 QUERIES["q83_counter_rate"] = q83_counter_rate
+
+
+def q84_m4_downsample(spark: SparkSession, sf: str) -> DataFrame:
+    """M4 visualization downsampling (Jugel et al. VLDB 2014): per
+    100-pixel-bucket min/max-time and min/max-value rows per event
+    type — the dashboard line-chart reducer. Pure aggregation (no
+    sequential dependency), ≤4·buckets·groups output rows."""
+    from arc_spark.functions.time import m4_downsample
+
+    t = load_tables(spark, sf, register_views=False)
+    out = m4_downsample(t["events"], n_buckets=100, time_col="ts",
+                        value_col="value", group_cols=("event_type",))
+    return out.select(
+        "event_type", "bucket",
+        F.unix_micros("ts").alias("t_us"), "value")
+
+
+ORACLES["q84_m4_downsample"] = """
+WITH t AS (
+    SELECT event_type, epoch_us(ts) AS t_us, value FROM events
+), span AS (
+    SELECT event_type, MIN(t_us) AS t0, MAX(t_us) AS t1
+    FROM t GROUP BY 1
+), b AS (
+    SELECT t.event_type, t_us, value,
+           CASE WHEN t1 = t0 THEN 0
+                ELSE LEAST(CAST(FLOOR(
+                    CAST(t_us - t0 AS DOUBLE) / CAST(t1 - t0 AS DOUBLE)
+                    * 100) AS BIGINT), 99)
+           END AS bucket
+    FROM t JOIN span USING (event_type)
+), ext AS (
+    SELECT event_type, bucket,
+           MIN(t_us) AS mnt, MAX(t_us) AS mxt,
+           MIN(value) AS mnv, MAX(value) AS mxv
+    FROM b GROUP BY 1, 2
+)
+SELECT b.event_type, b.bucket, b.t_us, b.value
+FROM b JOIN ext USING (event_type, bucket)
+WHERE t_us = mnt OR t_us = mxt OR value = mnv OR value = mxv
+"""
+
+QUERIES["q84_m4_downsample"] = q84_m4_downsample

@@ -481,3 +481,54 @@ class TestCounterRate:
                    reset_as_value=False).collect()}
         assert out[("h1", 20)] is None               # reset sample dropped
         assert out[("h1", 10)] == 5.0
+
+
+class TestM4Downsample:
+    """functions/time.py::m4_downsample (r9): the four extremes per
+    bucket, pixel-identity property on a known series."""
+
+    def test_extremes_selected(self, spark):
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 1, 1)
+        # one group, 8 points across 2 buckets; spike at t=2, dip at t=5
+        rows = [("a", t0 + dt.timedelta(seconds=i), v)
+                for i, v in enumerate([1.0, 2.0, 9.0, 3.0,
+                                       4.0, -5.0, 4.5, 4.8])]
+        df = spark.createDataFrame(
+            rows, "host string, time timestamp, value double")
+        from arc_spark.functions.time import m4_downsample
+
+        out = m4_downsample(df, n_buckets=2, group_cols=("host",))
+        got = {(r["bucket"], r["time"].second, r["value"])
+               for r in out.collect()}
+        # bucket 0 (t=0..3): min_t=0, max_t=3, max_v=9@2, min_v=1@0
+        assert {(0, 0, 1.0), (0, 3, 3.0), (0, 2, 9.0)} <= got
+        # bucket 1 (t=4..7): min_t=4, max_t=7, min_v=-5@5, max_v=4.8@7
+        assert {(1, 4, 4.0), (1, 7, 4.8), (1, 5, -5.0)} <= got
+        # nothing non-extremal leaks through
+        assert (0, 1, 2.0) not in got and (1, 6, 4.5) not in got
+
+    def test_single_point_group(self, spark):
+        import datetime as dt
+
+        from arc_spark.functions.time import m4_downsample
+
+        df = spark.createDataFrame(
+            [("a", dt.datetime(2024, 1, 1), 7.0)],
+            "host string, time timestamp, value double")
+        out = m4_downsample(df, n_buckets=10,
+                            group_cols=("host",)).collect()
+        assert len(out) == 1 and out[0]["bucket"] == 0
+
+    def test_output_bounded_by_4k(self, spark):
+        from arc_spark.functions.time import m4_downsample
+        from arc_spark.workload import load_tables
+
+        ev = load_tables(spark, "/root/testdata/sf0.001",
+                         register_views=False)["events"]
+        out = m4_downsample(ev, n_buckets=50, time_col="ts",
+                            group_cols=("event_type",))
+        n_groups = ev.select("event_type").distinct().count()
+        # <= 4 points per (group, bucket) plus ties; sanity bound 8x
+        assert out.count() <= 8 * 50 * n_groups
