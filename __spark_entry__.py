@@ -64,8 +64,10 @@ def oracle_sql() -> dict[str, str]:
     q53_ivf_topk, q72_ivf_sq8_topk, q54_simhash_pairs, q55_simhash —
     hash-family / sketch / approximate-ANN outputs are engine-specific —
     and q52_multimodal_features, whose PNG/WAV decode is not
-    SQL-expressible. All 50 driver-cap lanes (sorted(queries())[:50])
-    carry oracles.
+    SQL-expressible. The driver's 50-lane correctness board is the
+    registry's INSERTION ORDER [:50]; ``arc_spark.workload.DRIVER_BOARD``
+    is the explicit board list (all 50 carry oracles) and
+    tests/test_board.py locks the composition.
     """
     from arc_spark.workload import ORACLES
 

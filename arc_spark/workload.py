@@ -2603,14 +2603,11 @@ def _q76_oracle() -> str:
         table="documents")
 
 
-# r9 board rotation (driver caps CORRECTNESS at sorted(QUERIES)[:50]):
-# the DSIR lanes — r8's flagship operators — moved INTO the cap as
-# q31/q32 so the driver's own harness verifies them; the SQL-surface
-# lanes that held those slots (bare SELECT-ORDER-LIMIT and COUNT(*))
-# moved past the cap as q78/q79 — both remain oracle-verified by
-# tests/test_workload_oracle.py AND byte-matched across all four wire
-# formats by the native-serving tests, so no coverage is lost. Same
-# code either side of the rename.
+# DSIR lanes. r9 tried to rotate these onto the driver board by key
+# rename but the board is insertion-order[:50], not sorted()[:50], so the
+# rotation silently failed (VERDICT r9 item 1). r10 fixes it for real:
+# the DRIVER_BOARD block at the end of this module reorders the registry
+# so these occupy board slots 20–21, and tests/test_board.py locks it.
 QUERIES["q31_dsir_weights"] = q76_dsir_weights
 ORACLES["q31_dsir_weights"] = _q76_oracle()
 
@@ -2923,3 +2920,111 @@ WHERE t_us = mnt OR t_us = mxt OR value = mnv OR value = mxv
 """
 
 QUERIES["q84_m4_downsample"] = q84_m4_downsample
+
+# ---------------------------------------------------------------------------
+# Driver correctness board (round-10 rotation)
+# ---------------------------------------------------------------------------
+# The driver's CORRECTNESS_r{N} harness checks the registry's INSERTION
+# ORDER [:50] (not sorted()[:50] — r9's rotation failed because it assumed
+# sorted order; CORRECTNESS_r09.json is the counterexample).  This block is
+# therefore the single authority on board composition: DRIVER_BOARD lists
+# the 50 lanes the driver verifies this round, the reorder below makes the
+# registry's first 50 keys exactly that list, and
+# tests/test_board.py locks the composition so a failed rotation can never
+# ship silently again.
+#
+# r10 rotation (VERDICT r9 items 1–2):
+#   IN : q31_dsir_weights / q32_dsir_resample (the flagship DSIR lanes —
+#        pytest-green since r8 but never driver-verified), plus ten
+#        never-driver-checked oracle lanes: q56, q57, q60, q61, q64,
+#        q80–q84.
+#   OUT: q78_select_order_limit / q79_count_star (driver-green r1–r9 under
+#        their historical q31/q32 keys; still byte-matched by the native-
+#        serving suites) and the long-stable q01–q10 (driver-green nine
+#        consecutive rounds; all remain oracle-locked every pytest run by
+#        tests/test_workload_oracle.py, which parametrizes over ALL of
+#        ORACLES regardless of board position).
+#
+# Historical key remap (for anyone diffing CORRECTNESS/BENCH artifacts
+# across rounds by key): the full keys are unambiguous —
+# "q31_dsir_weights" (r10+) never collided with "q78_select_order_limit"
+# (r9) / "q31_select_order_limit" (r1–r8); bench.py also records this map
+# in its JSON artifact metadata ("lane_key_remap").
+ROTATION_LOG: dict[int, dict[str, tuple[str, ...]]] = {
+    10: {
+        "in": ("q31_dsir_weights", "q32_dsir_resample",
+               "q56_window_dupfrac", "q57_url_normalize",
+               "q60_json_extract", "q61_stats_aggs", "q64_corpus_stats",
+               "q80_incremental_dedup", "q81_gapfill_locf",
+               "q82_gapfill_linear", "q83_counter_rate",
+               "q84_m4_downsample"),
+        "out": ("q01_pricing_summary", "q02_revenue_by_nation",
+                "q03_top_orders", "q04_order_priority_exists",
+                "q05_window_topk_per_brand", "q06_events_conditional_agg",
+                "q07_time_bucket", "q08_date_trunc", "q09_cte_setops",
+                "q10_in_subquery", "q78_select_order_limit",
+                "q79_count_star"),
+    },
+}
+
+DRIVER_BOARD: tuple[str, ...] = (
+    "q11_having_scalar_subquery",
+    "q12_string_funcs",
+    "q13_asof_join",
+    "q14_dedup_exact",
+    "q15_dedup_lww",
+    "q16_ngram_jaccard",
+    "q17_minhash_lsh",
+    "q19_embedding_topk",
+    "q20_lang_id",
+    "q21_quality_score",
+    "q22_token_stats",
+    "q23_fingerprint",
+    "q24_recursive_cte",
+    "q25_lateral_topk",
+    "q26_multitier_union",
+    "q27_semantic_dedup",
+    "q28_embedding_near_dup",
+    "q29_rollup",
+    "q30_conditional_pivot",
+    "q31_dsir_weights",
+    "q32_dsir_resample",
+    "q33_delete_rewrite",
+    "q34_retention_cutoff",
+    "q35_range_window",
+    "q36_sessionize",
+    "q37_percentiles",
+    "q38_full_outer",
+    "q39_repetition_filter",
+    "q40_comma_cross_join",
+    "q41_kmeans_assign",
+    "q42_pruned_time_bucket",
+    "q43_grouping_sets",
+    "q44_unpivot",
+    "q45_dup_clusters",
+    "q46_cluster_canonical",
+    "q47_pii_redact",
+    "q48_hash_split",
+    "q49_mixture_sample",
+    "q50_decontaminate",
+    "q51_token_packing",
+    "q56_window_dupfrac",
+    "q57_url_normalize",
+    "q60_json_extract",
+    "q61_stats_aggs",
+    "q64_corpus_stats",
+    "q80_incremental_dedup",
+    "q81_gapfill_locf",
+    "q82_gapfill_linear",
+    "q83_counter_rate",
+    "q84_m4_downsample",
+)
+
+# Reorder IN PLACE so every importer (bench.py, __spark_entry__.py, tests)
+# sees the board-first ordering regardless of import timing.
+_board_front = {k: QUERIES[k] for k in DRIVER_BOARD}
+_past_cap = {k: v for k, v in QUERIES.items() if k not in _board_front}
+QUERIES.clear()
+QUERIES.update(_board_front)
+QUERIES.update(_past_cap)
+del _board_front, _past_cap

@@ -652,6 +652,23 @@ def main() -> None:
         "loadavg_full": {"start": load_start,
                          "post_query": load_post_query,
                          "end": load_end},
+        # historical lane-key remap (r9 advice): anyone diffing BENCH /
+        # CORRECTNESS artifacts across rounds by key needs this map —
+        # identical code either side of each rename
+        "lane_key_remap": {
+            "q31_select_order_limit": {
+                "rounds": "r1-r8", "renamed_to": "q78_select_order_limit"},
+            "q32_count_star": {
+                "rounds": "r1-r8", "renamed_to": "q79_count_star"},
+            "q31_dsir_weights": {
+                "rounds": "r9+",
+                "note": "new DSIR lane; unrelated to the historical "
+                        "q31_select_order_limit despite the shared number"},
+            "q32_dsir_resample": {
+                "rounds": "r9+",
+                "note": "new DSIR lane; unrelated to the historical "
+                        "q32_count_star despite the shared number"},
+        },
     }
     print("# detail " + json.dumps({"mins": mins}), file=sys.stderr)
     try:
