@@ -54,6 +54,19 @@ def register_cache(*cached) -> None:
             _ring.append(df)
         while len(_ring) > _MAX:
             evicted.append(_ring.popleft())
+    if evicted:
+        # eviction is SAFE (Spark recomputes) but silently voids the
+        # optimizer-barrier perf wins a still-pending >8-operator pipeline
+        # depends on (e.g. the 13s->1.5s ngram posting case) — say so, so
+        # such pipelines discover they need to raise the knob (r9 advice)
+        import logging
+
+        logging.getLogger(__name__).info(
+            "cacheutil: evicted %d operator cache(s) beyond "
+            "ARC_SPARK_OPERATOR_CACHES=%d; a pipeline composing more than "
+            "%d cache-backed operators before its action should raise the "
+            "env knob or its persisted barriers will recompute",
+            len(evicted), _MAX, _MAX)
     _unpersist_quiet(*evicted)
 
 

@@ -948,5 +948,9 @@ class MeasurementCatalog:
         # catches everything else the epoch bump is for — scoped to THIS
         # measurement's tiers so invalidating A never cold-starts B's
         # serving (r9 review)
+        # trailing separator so 'cpu' never evicts a sibling whose name
+        # shares the prefix ('cpu_total') — cached keys are file paths
+        # strictly under the measurement root (r9 advice)
         for p in self.paths(db, measurement):
-            _scan_cache.evict_prefix(backend_for(p).fs_path(p))
+            _scan_cache.evict_prefix(
+                backend_for(p).fs_path(p).rstrip("/") + "/")

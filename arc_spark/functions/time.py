@@ -146,6 +146,16 @@ def gapfill(
 
     if method not in ("null", "locf", "linear"):
         raise ValueError(f"unknown gapfill method {method!r}")
+    # step is spliced into an F.expr interval literal — whitelist it so a
+    # malformed/attacker-influenced string can't inject expression text
+    # into the plan (r9 advice)
+    if not re.fullmatch(
+            r"\d+\s+(second|minute|hour|day|week)s?", step.strip(),
+            re.IGNORECASE):
+        raise ValueError(
+            f"gapfill step must look like '5 minutes' "
+            f"(N second|minute|hour|day|week[s]); got {step!r}")
+    step = step.strip()
     g = [F.col(c) for c in group_cols]
     span = df.groupBy(*g).agg(
         F.min(bucket_col).alias("__mn"), F.max(bucket_col).alias("__mx"))

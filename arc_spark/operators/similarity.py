@@ -242,12 +242,12 @@ def _fit_centroids_lloyd(sample: DataFrame, k: int, iters: int, seed: int):
 #: the mode exists for, and auto ≡ off at pytest scale.
 SQ8_AUTO_MIN_CANDIDATE_BYTES = 4 << 30
 
-#: sq8="auto" probe floor: corpora at or under this row count skip the
-#: queries.count()/dim probe entirely and resolve auto ≡ off. Matches the
-#: default fit_sample — below it the centroid fit already covers the whole
-#: corpus and the candidate shuffle fits the in-memory path (the regime
-#: where measured SQ8 is a wash-to-loss, r6), so two extra Spark actions
-#: per call buy nothing.
+#: sq8="auto" probe floor: corpora at or under this row count replace the
+#: FULL queries.count() with a bounded limit-count probe (at most the
+#: query rows that would hit the byte gate) — a small corpus does not
+#: bound the candidate payload when the query set is huge (r9 review), so
+#: the spill protection stays by construction, while the common
+#: small/small case pays one tiny bounded job instead of a full count.
 SQ8_AUTO_PROBE_MIN_N = 100_000
 
 
@@ -307,10 +307,13 @@ def ivf_topk(
     dim × 8`` bytes (expected equi-join fan-out under uniform cluster
     sizes) and enables SQ8 above ``SQ8_AUTO_MIN_CANDIDATE_BYTES``; the
     two counts and one first() it needs are metadata-cheap next to the
-    scan the operator already does, and are SKIPPED entirely when the
-    corpus is small (``n <= SQ8_AUTO_PROBE_MIN_N``) — below that the centroid fit
-    already scans the whole corpus and the candidate shuffle fits the
-    in-memory path, the regime where measured SQ8 is a wash-to-loss.
+    scan the operator already does. When the corpus is small
+    (``n <= SQ8_AUTO_PROBE_MIN_N``) the FULL ``queries.count()`` is
+    replaced by a BOUNDED probe (scan at most the number of query rows
+    that would hit the gate) — a small corpus alone does not bound the
+    candidate payload, so huge query sets keep the spill protection, but
+    the common small/small case pays only an O(gate/per-query-bytes)
+    limit-count instead of a full query-side count.
     When auto flips SQ8 on, the decision and payload estimate are
     logged at INFO. Pass True/False to override.
 
@@ -325,11 +328,31 @@ def ivf_topk(
     n = corpus.count()
     if sq8 == "auto":
         if n <= SQ8_AUTO_PROBE_MIN_N:
-            # sample-fit regime: the whole corpus fits the centroid fit;
-            # skip the queries.count()/dim probe — no plausible query
-            # fan-out here puts the job in the spill-bound regime the
-            # gate exists for (measured r6: SQ8 loses at this scale)
-            sq8 = False
+            # sample-fit regime: the centroid fit already covers the whole
+            # corpus, so skip the FULL queries.count() — but a small corpus
+            # does NOT bound the candidate payload (q queries still shuffle
+            # q × n × n_probe/n_clusters × dim × 8 bytes; r9 review). Use a
+            # BOUNDED probe instead: derive the query count that would hit
+            # the gate and scan at most that many query rows — O(gate /
+            # per-query-bytes) rows, never O(|queries|), so huge query sets
+            # keep the spill protection without paying a full count.
+            dim_row = corpus.select(
+                F.size(F.col(vec_col)).alias("d")).first()
+            dim = (dim_row["d"] or 0) if dim_row is not None else 0
+            per_query = n * n_probe / max(n_clusters, 1) * dim * 8
+            q_gate = int(SQ8_AUTO_MIN_CANDIDATE_BYTES
+                         / max(per_query, 1.0)) + 1
+            q_seen = queries.select(F.lit(1)).limit(q_gate).count()
+            sq8 = q_seen >= q_gate
+            if sq8:
+                import logging
+
+                logging.getLogger(__name__).info(
+                    "ivf_topk sq8=auto enabled SQ8 on a small corpus "
+                    "(n=%d): >= %d query rows put the candidate payload "
+                    "over the %.1f GiB gate (pass sq8=False for exact "
+                    "float scoring)", n, q_gate,
+                    SQ8_AUTO_MIN_CANDIDATE_BYTES / (1 << 30))
         else:
             dim_row = corpus.select(
                 F.size(F.col(vec_col)).alias("d")).first()

@@ -531,3 +531,21 @@ class TestDecodedFileCache:
         for t in threads:
             t.join()
         assert not errs, errs[0]
+
+
+class TestEvictPrefixSiblingScope:
+    """r9 advice: catalog.invalidate('db','cpu') must not evict cached
+    files of sibling measurement 'cpu_total' — the evict prefix carries a
+    trailing separator so only files strictly under the root match."""
+
+    def test_trailing_separator_spares_sibling(self):
+        from arc_spark.catalog import _DecodedFileCache
+
+        t = pa.table({"x": [1]})
+        cache = _DecodedFileCache(max_bytes=1 << 20)
+        cache.put("/w/db/cpu/f1.parquet", 1, 1, t)
+        cache.put("/w/db/cpu_total/f1.parquet", 1, 1, t)
+        # the invalidate() call path: root path rstrip('/') + '/'
+        cache.evict_prefix("/w/db/cpu".rstrip("/") + "/")
+        assert cache.get("/w/db/cpu/f1.parquet", 1, 1) is None
+        assert cache.get("/w/db/cpu_total/f1.parquet", 1, 1) is not None

@@ -115,3 +115,40 @@ class TestSQ8AutoGate:
         small = 3 * 6_000 * 4 / 4 * 64 * 8
         assert big > 10 * sim.SQ8_AUTO_MIN_CANDIDATE_BYTES
         assert small < sim.SQ8_AUTO_MIN_CANDIDATE_BYTES / 100
+
+
+class TestAutoBoundedProbeSmallCorpus:
+    """r9 advice: a small corpus (n <= SQ8_AUTO_PROBE_MIN_N) must not
+    unconditionally disable SQ8 — a huge query set still puts the
+    candidate payload over the gate. The small-corpus branch now runs a
+    BOUNDED query-side probe (limit(q_gate).count()), so auto keeps the
+    spill protection by construction."""
+
+    def test_small_corpus_large_queryset_enables_sq8(
+            self, spark, sf_oracle, monkeypatch):
+        import arc_spark.operators.similarity as sim
+
+        # corpus stays under the probe floor (default 100k), but the gate
+        # is shrunk so even the 3-query set crosses it via the bounded
+        # probe — auto must match the explicit sq8=True output
+        monkeypatch.setattr(sim, "SQ8_AUTO_MIN_CANDIDATE_BYTES", 1)
+        t = load_tables(spark, sf_oracle, register_views=False)
+        emb = t["embeddings"]
+        q = emb.filter(F.col("vec_id") < 3)
+        auto = ivf_topk(emb, q, k=5, n_clusters=4, n_probe=4)
+        sq = ivf_topk(emb, q, k=5, n_clusters=4, n_probe=4, sq8=True)
+        assert sorted(map(tuple, auto.collect())) == \
+            sorted(map(tuple, sq.collect()))
+
+    def test_small_corpus_small_queryset_stays_float(self):
+        """Arithmetic contract of the bounded probe: at the pytest shape
+        (6k corpus, dim 64, 3 queries) q_gate is far above the query
+        count, so the probe sees fewer rows than the gate and resolves
+        False — same answer the old unconditional skip gave, now derived
+        instead of assumed."""
+        import arc_spark.operators.similarity as sim
+
+        n, dim, n_probe, n_clusters = 6_000, 64, 4, 4
+        per_query = n * n_probe / n_clusters * dim * 8
+        q_gate = int(sim.SQ8_AUTO_MIN_CANDIDATE_BYTES / per_query) + 1
+        assert q_gate > 1_000  # 3-query probes can never flip it on

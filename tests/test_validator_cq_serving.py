@@ -532,3 +532,35 @@ class TestM4Downsample:
         n_groups = ev.select("event_type").distinct().count()
         # <= 4 points per (group, bucket) plus ties; sanity bound 8x
         assert out.count() <= 8 * 50 * n_groups
+
+
+class TestGapfillStepValidation:
+    """r9 advice: the step string is spliced into an interval literal —
+    a whitelist rejects anything that isn't 'N unit[s]' before it can
+    inject expression text into the plan."""
+
+    def _df(self, spark):
+        import datetime as dt
+
+        return spark.createDataFrame(
+            [("a", dt.datetime(2024, 1, 1), 1.0)],
+            "event_type string, bucket timestamp, v double")
+
+    def test_injection_shaped_step_rejected(self, spark):
+        import pytest as _pytest
+
+        from arc_spark.functions.time import gapfill
+
+        for bad in ("1 hour') AND (SELECT 1", "1; drop", "hour",
+                    "1 fortnight", "", "1 hour' || '"):
+            with _pytest.raises(ValueError, match="gapfill step"):
+                gapfill(self._df(spark), "bucket", bad,
+                        ("event_type",), ("v",), method="locf")
+
+    def test_valid_steps_accepted(self, spark):
+        from arc_spark.functions.time import gapfill
+
+        for good in ("1 hour", "5 minutes", "30 SECONDS", " 2 days "):
+            out = gapfill(self._df(spark), "bucket", good,
+                          ("event_type",), ("v",), method="locf")
+            assert out.count() == 1  # single-row span: grid is one bucket
