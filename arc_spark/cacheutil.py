@@ -2,8 +2,7 @@
 
 Several operators persist an intermediate relation that feeds multiple
 branches of the returned LAZY plan (DSIR's doc×bucket counts, the
-jaccard capped posting list, token packing's windowed frame). Two
-lifetime constraints collide:
+jaccard capped posting list). Two lifetime constraints collide:
 
 - the cache must stay hot until the caller EXECUTES the returned plan —
   which may be long after the operator returned, through arbitrarily

