@@ -143,3 +143,21 @@ class TestPlanShapes:
         plan = _physical(QUERIES["q48_hash_split"](spark, sf_oracle))
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
         assert plan.count("HashAggregate") >= 2  # partial+final agg
+
+    def test_q74_instance_table_single_exchange(self, spark, sf_oracle):
+        """Bigram fluency (r10 rework): below the broadcast gate the
+        instance table feeds exactly ONE exchange — the model-build
+        aggregate on (bigram, w1). The score join must be a broadcast
+        hash join (no bigram-keyed reshuffle of the instances) and the
+        unigram rollup a window WITHIN the vocab table, not a second
+        instance aggregation."""
+        df = QUERIES["q74_bigram_fluency"](spark, sf_oracle)
+        plan = _physical(df)
+        assert "BroadcastHashJoin" in plan, plan
+        # the only bigram-keyed exchange allowed is the model build on
+        # (bigram, w1); a bigram-ALONE exchange is the score join
+        # reshuffling the instance table
+        offenders = [ln for ln in plan.splitlines()
+                     if "Exchange hashpartitioning(bigram" in ln
+                     and "w1" not in ln]
+        assert not offenders, f"instance table reshuffled on bigram:\n{plan}"
