@@ -393,13 +393,23 @@ def parse_chunk_vectorized(chunk: bytes, precision: str):
     scale = PRECISION_TO_US.get(precision)
     if scale is None:
         raise LineProtocolError(f"bad precision {precision!r}")
+    # r10: the chunk enters Arrow as ONE binary scalar and every byte-
+    # level gate (UTF-8 validity, escape/quote/CR detection) runs as a
+    # C++ kernel. The previous head did chunk.decode + three Python
+    # `in` scans + a str copy into pa.array — all GIL-HELD, ~24% of
+    # parse wall (Amdahl from the 2.95×/8-thread scaling), which
+    # serialized the fused bulk writer's thread pool. Kernels release
+    # the GIL, so the multi-MB scans now overlap across chunks.
+    barr = pa.array([chunk], type=pa.binary())
     try:
-        text = chunk.decode("utf-8")
-    except UnicodeDecodeError:
+        sarr = pc.cast(barr, pa.string())  # C++ UTF-8 validation
+    except pa.ArrowInvalid:
         return None  # generic path applies lossy decode + sanitize
-    if "\\" in text or '"' in text or "\r" in text:
+    if (pc.sum(pc.count_substring(sarr, "\\")).as_py()
+            or pc.sum(pc.count_substring(sarr, '"')).as_py()
+            or pc.sum(pc.count_substring(sarr, "\r")).as_py()):
         return None
-    lines = pc.list_flatten(pc.split_pattern(pa.array([text]), "\n"))
+    lines = pc.list_flatten(pc.split_pattern(sarr, "\n"))
     trimmed = pc.utf8_trim_whitespace(lines)
     keep = pc.and_(
         pc.not_equal(trimmed, ""), pc.invert(pc.starts_with(lines, "#"))
