@@ -86,6 +86,18 @@ def sessionize_stream(
     sessions for users that stopped sending events entirely.
 
     Emitted rows are CLOSED sessions only (append semantics downstream).
+
+    Trigger note: with ``trigger(availableNow=True)`` this query does NOT
+    self-terminate — ProcessingTimeTimeout makes Spark spin no-data
+    "cleaning up state" micro-batches while any group's timeout is
+    pending (i.e., until `timeout_ms` has elapsed for every open
+    session). Continuous triggers (the intended deployment) are
+    unaffected. For drain-and-stop batch usage, either stop the query
+    once a committed progress report shows ``numInputRows == 0`` (all
+    real data is then processed; open sessions stay in the checkpointed
+    state store for the next run), or disable
+    ``spark.sql.streaming.noDataMicroBatches.enabled`` to skip the
+    timeout sweep entirely.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 

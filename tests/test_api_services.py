@@ -608,24 +608,30 @@ class TestBackgroundFlush:
         })
 
     def test_threshold_ack_returns_before_flush_completes(self, spark, tmp_path):
-        import time as _t
+        import threading as _th
 
         svc = IngestService(spark, str(tmp_path), max_buffer_rows=10_000,
                             max_buffer_age_s=10**9, flush_workers=1)
-        # make the flush observably slow so "ack returned before the flush
-        # completed" is deterministic, not a timing race
+        # gate the flush on an event the test controls: the write returning
+        # while the gate is still closed PROVES the ack did not wait for
+        # flush completion — no wall-clock threshold, so suite load can't
+        # flake it (the old sleep(1.0)/ack<0.9 version tripped at 1.46 s
+        # under a loaded box purely from scheduler jitter)
         orig_flush = svc.flush
+        release = _th.Event()
 
-        def slow_flush():
-            _t.sleep(1.0)
+        def gated_flush():
+            release.wait(60)
             return orig_flush()
 
-        svc.flush = slow_flush
+        svc.flush = gated_flush
         try:
-            t0 = _t.perf_counter()
             svc.write_msgpack("m", self._payload(20_000))
-            ack = _t.perf_counter() - t0
-            assert ack < 0.9  # did not wait out the 1s flush
+            # reached while the worker's flush is still parked on the gate:
+            # the flush cannot have completed (release is never set before
+            # this line), so the ack demonstrably preceded it
+            assert not release.is_set()
+            release.set()
             flushed = svc.drain()
             assert flushed + svc.stats["flushed"] >= 20_000
         finally:

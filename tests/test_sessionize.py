@@ -28,6 +28,31 @@ def _ev(uid, minute):
     return (uid, T0 + dt.timedelta(minutes=minute))
 
 
+def _drain_available(q, deadline_s: float = 120.0):
+    """Wait until an availableNow stateful query has processed all real
+    data, then stop it. availableNow + ProcessingTimeTimeout never
+    self-terminates: while any group holds an unexpired timeout Spark
+    spins 'No new data but cleaning up state' micro-batches forever
+    (observed: batch 214 after 2 min on a 4-row input), so
+    ``awaitTermination(120)`` was a flat 2-minute sleep per call and
+    ``processAllAvailable()`` parks indefinitely. The first committed
+    ZERO-input batch proves every data batch before it committed — exit
+    there (~1-2 s)."""
+    import time as _t
+
+    deadline = _t.monotonic() + deadline_s
+    while _t.monotonic() < deadline:
+        # isDataAvailable first: on restart the last committed batch is
+        # REPLAYED with numInputRows=0, so a bare zero-input check stops
+        # before the new data's batch ever runs
+        available = q.status["isDataAvailable"]
+        lp = q.lastProgress
+        if lp is not None and lp["numInputRows"] == 0 and not available:
+            break
+        _t.sleep(0.2)
+    q.stop()
+
+
 class TestBatchSessionize:
     def test_gap_splits_sessions(self, spark):
         # user 1: events at 0,10,20 | gap | 60,65  → two sessions (3 + 2)
@@ -73,7 +98,7 @@ class TestStreamingSessionize:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        _drain_available(q)
         rows = spark.sql("SELECT * FROM closed_sessions").collect()
         # only user 1's first session closed (the 60-min event crossed the gap);
         # user 1's second session and user 2's session remain open in state
@@ -102,7 +127,7 @@ class TestStreamingSessionize:
                 .trigger(availableNow=True)
                 .start()
             )
-            q.awaitTermination(120)
+            _drain_available(q)
             return collected
 
         assert run_once("s1") == []  # session still open
