@@ -426,6 +426,15 @@ def main() -> None:
         svc.flush()
         svc.close()
 
+    # r9 verdict #6: the single 200-payload flush warms the worker pool
+    # but NOT the full concurrent path (8 writer threads + 2 flush workers
+    # + GC state after ~45 query lanes) — BENCH_r09's defer windows read
+    # 2.9/3.3/12.3M, the first two still ramping. Run one full DISCARDED
+    # window per mode so the three measured windows are all steady-state;
+    # these lanes report throughput keys, not wall, so the +6s is free.
+    _sustained_window(defer=False, secs=2.0)
+    _sustained_window(defer=True, secs=2.0)
+
     sus_windows = []    # sync mode: (ack, e2e)
     defer_windows = []  # deferred decode (DEFAULT profile): (ack, e2e)
     for _ in range(3):
