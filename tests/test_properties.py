@@ -910,6 +910,30 @@ class TestTypedJsonVectorizedEquivalence:
                      for v in r] for r in rows]
         assert norm(rows_of(fast_chunks)) == norm(rows_of(slow_chunks))
 
+    def test_slice_parallel_byte_identical(self):
+        """r10: tables at/above _JSON_PAR_MIN_ROWS encode slice-parallel
+        on the shared pool; flush alignment must keep the wire bytes
+        identical to the serial encoder (not merely parse-equivalent) —
+        including the uneven tail slice and null runs."""
+        import pyarrow as pa
+
+        from arc_spark import serving
+
+        n = serving._JSON_PAR_MIN_ROWS + 4_321
+        table = pa.table({
+            "i": pa.array([None if v % 97 == 0 else v - 5_000
+                           for v in range(n)], type=pa.int64()),
+            "f": pa.array([v / 7.0 if v % 3 else float(v)
+                           for v in range(n)], type=pa.float64()),
+            "s": pa.array([None if v % 89 == 0 else f'v"{v}\\x'
+                           for v in range(n)], type=pa.string()),
+            "ts": pa.array([1_700_000_000_000_000 + v * 1_000_000
+                            for v in range(n)], type=pa.timestamp("us")),
+        })
+        serial = serving._typed_json_chunks_vectorized(table, 1000)
+        par = list(serving.stream_typed_json(table, flush_rows=1000))[1:]
+        assert par == serial
+
 
 class TestIncrementalDedupDifferential:
     """r9: dedup_against_index exact mode must equal the brute-force
