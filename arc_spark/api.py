@@ -1151,9 +1151,14 @@ class IngestService:
         # measured sweep on local[32], 49 MB / 1M lines: 8 workers 0.28 s,
         # 16 0.37 s, 25 0.51 s, 32 0.60 s — beyond ~8 threads the
         # GIL-held per-chunk glue between the GIL-releasing pyarrow
-        # segments serializes and the handoff churn dominates. Chunks cap
-        # at 16 (≥2 per worker smooths stragglers without adding glue).
-        n_chunks = max(1, min(16, len(payload) // (2 << 20) + 1))
+        # segments serializes and the handoff churn dominates.
+        # r10 re-sweep (after the parse head's byte gates moved into
+        # Arrow kernels): each chunk now carries ~26 ms of GIL-held
+        # kernel-dispatch glue REGARDLESS of size, so 2-per-worker
+        # oversubscription lost to 1-per-worker — parse-only 16ch/8w
+        # 0.336 s vs 8ch/8w 0.184 s; whole lane 0.406 → 0.323 s (1M),
+        # 0.125 → 0.120 s (250k). Chunks now cap at the worker count.
+        n_chunks = max(1, min(8, len(payload) // (2 << 20) + 1))
         n_workers = min(8, n_chunks, os.cpu_count() or 8)
         ranges = _lp_byte_ranges(payload, n_chunks)
         root, sort_keys_cfg = self.root, self.sort_keys_config
