@@ -92,10 +92,11 @@ def sessionize_stream(
     "cleaning up state" micro-batches while any group's timeout is
     pending (i.e., until `timeout_ms` has elapsed for every open
     session). Continuous triggers (the intended deployment) are
-    unaffected. For drain-and-stop batch usage, either stop the query
-    once a committed progress report shows ``numInputRows == 0`` (all
-    real data is then processed; open sessions stay in the checkpointed
-    state store for the next run), or disable
+    unaffected. For drain-and-stop batch usage, use
+    :func:`arc_spark.streaming.util.drain_available` (stops the query
+    once a committed progress report shows ``numInputRows == 0`` with no
+    data pending; open sessions stay in the checkpointed state store for
+    the next run), or disable
     ``spark.sql.streaming.noDataMicroBatches.enabled`` to skip the
     timeout sweep entirely.
     """

@@ -1,0 +1,50 @@
+"""Streaming query lifecycle helpers.
+
+The one non-obvious piece: draining an ``availableNow`` query that uses
+a stateful operator with ``ProcessingTimeTimeout`` (e.g.
+:func:`arc_spark.streaming.sessionize.sessionize_stream`). Spark never
+self-terminates such a query — while any group holds an unexpired
+timeout, the micro-batch engine spins "No new data but cleaning up
+state" batches forever (observed: batch 214 after two minutes on a
+4-row input), so ``awaitTermination(t)`` always waits out its full
+timeout and ``processAllAvailable()`` parks indefinitely.
+:func:`drain_available` is the supported drain-and-stop pattern.
+"""
+
+from __future__ import annotations
+
+import time
+
+
+def drain_available(query, deadline_s: float = 300.0,
+                    poll_s: float = 0.2) -> bool:
+    """Wait until an ``availableNow`` streaming query has processed all
+    real input, then stop it. Returns True if the drain condition was
+    observed, False if the deadline expired first (the query is stopped
+    either way).
+
+    The drain condition is a committed ZERO-input progress report with
+    no data available: every data batch before it has committed, so the
+    sink holds everything derivable from the input. The
+    ``isDataAvailable`` guard is load-bearing — on a checkpoint restart
+    Spark REPLAYS the last committed (possibly no-data) batch, so a bare
+    zero-input check would stop before the new data's batch runs.
+
+    Open stateful groups (e.g. sessions that have not crossed their gap)
+    stay in the checkpointed state store for the next run — that is the
+    correct drain semantics for incremental batch-over-stream usage, and
+    it is exactly what a continuous deployment would hold in memory.
+    """
+    deadline = time.monotonic() + deadline_s
+    drained = False
+    try:
+        while time.monotonic() < deadline:
+            available = query.status["isDataAvailable"]
+            lp = query.lastProgress
+            if lp is not None and lp["numInputRows"] == 0 and not available:
+                drained = True
+                break
+            time.sleep(poll_s)
+    finally:
+        query.stop()
+    return drained

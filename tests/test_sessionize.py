@@ -29,28 +29,12 @@ def _ev(uid, minute):
 
 
 def _drain_available(q, deadline_s: float = 120.0):
-    """Wait until an availableNow stateful query has processed all real
-    data, then stop it. availableNow + ProcessingTimeTimeout never
-    self-terminates: while any group holds an unexpired timeout Spark
-    spins 'No new data but cleaning up state' micro-batches forever
-    (observed: batch 214 after 2 min on a 4-row input), so
-    ``awaitTermination(120)`` was a flat 2-minute sleep per call and
-    ``processAllAvailable()`` parks indefinitely. The first committed
-    ZERO-input batch proves every data batch before it committed — exit
-    there (~1-2 s)."""
-    import time as _t
+    """Library drain helper (arc_spark.streaming.util) with a test-sized
+    deadline; the availableNow/ProcessingTimeTimeout rationale lives on
+    the helper's docstring."""
+    from arc_spark.streaming.util import drain_available
 
-    deadline = _t.monotonic() + deadline_s
-    while _t.monotonic() < deadline:
-        # isDataAvailable first: on restart the last committed batch is
-        # REPLAYED with numInputRows=0, so a bare zero-input check stops
-        # before the new data's batch ever runs
-        available = q.status["isDataAvailable"]
-        lp = q.lastProgress
-        if lp is not None and lp["numInputRows"] == 0 and not available:
-            break
-        _t.sleep(0.2)
-    q.stop()
+    assert drain_available(q, deadline_s=deadline_s)
 
 
 class TestBatchSessionize:
