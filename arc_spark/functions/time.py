@@ -148,13 +148,15 @@ def gapfill(
         raise ValueError(f"unknown gapfill method {method!r}")
     # step is spliced into an F.expr interval literal — whitelist it so a
     # malformed/attacker-influenced string can't inject expression text
-    # into the plan (r9 advice)
-    if not re.fullmatch(
-            r"\d+\s+(second|minute|hour|day|week)s?", step.strip(),
-            re.IGNORECASE):
+    # into the plan (r9 advice). The unit set is the module's own
+    # _INTERVAL_RE (micro/millisecond included — a ns-precision store
+    # legitimately gapfills at '500 milliseconds'; the first whitelist
+    # draft dropped them, r10 review)
+    if not _INTERVAL_RE.fullmatch(step):
         raise ValueError(
-            f"gapfill step must look like '5 minutes' "
-            f"(N second|minute|hour|day|week[s]); got {step!r}")
+            f"gapfill step must look like '5 minutes' (N "
+            f"microsecond|millisecond|second|minute|hour|day|week[s]); "
+            f"got {step!r}")
     step = step.strip()
     g = [F.col(c) for c in group_cols]
     span = df.groupBy(*g).agg(

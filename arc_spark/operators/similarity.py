@@ -327,6 +327,11 @@ def ivf_topk(
     # --- 1. fit coarse quantizer on a sample -----------------------------
     n = corpus.count()
     if sq8 == "auto":
+        # dim probe shared by both gate branches (hoisted; the branches
+        # silently diverged when it was duplicated — r10 review)
+        dim_row = corpus.select(
+            F.size(F.col(vec_col)).alias("d")).first()
+        dim = (dim_row["d"] or 0) if dim_row is not None else 0
         if n <= SQ8_AUTO_PROBE_MIN_N:
             # sample-fit regime: the centroid fit already covers the whole
             # corpus, so skip the FULL queries.count() — but a small corpus
@@ -336,12 +341,13 @@ def ivf_topk(
             # the gate and scan at most that many query rows — O(gate /
             # per-query-bytes) rows, never O(|queries|), so huge query sets
             # keep the spill protection without paying a full count.
-            dim_row = corpus.select(
-                F.size(F.col(vec_col)).alias("d")).first()
-            dim = (dim_row["d"] or 0) if dim_row is not None else 0
             per_query = n * n_probe / max(n_clusters, 1) * dim * 8
-            q_gate = int(SQ8_AUTO_MIN_CANDIDATE_BYTES
-                         / max(per_query, 1.0)) + 1
+            # clamp to a JVM int: per_query ≤ 1 (empty corpus, dim 0)
+            # would put q_gate past 2^31-1 and limit() has no long
+            # overload — a probe this large is an unconditional "gate
+            # can't trip" anyway (r10 review)
+            q_gate = min(int(SQ8_AUTO_MIN_CANDIDATE_BYTES
+                             / max(per_query, 1.0)) + 1, (1 << 31) - 1)
             q_seen = queries.select(F.lit(1)).limit(q_gate).count()
             sq8 = q_seen >= q_gate
             if sq8:
@@ -354,9 +360,6 @@ def ivf_topk(
                     "float scoring)", n, q_gate,
                     SQ8_AUTO_MIN_CANDIDATE_BYTES / (1 << 30))
         else:
-            dim_row = corpus.select(
-                F.size(F.col(vec_col)).alias("d")).first()
-            dim = (dim_row["d"] or 0) if dim_row is not None else 0
             est = (queries.count() * n * n_probe
                    / max(n_clusters, 1) * dim * 8)
             sq8 = est >= SQ8_AUTO_MIN_CANDIDATE_BYTES

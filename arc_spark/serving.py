@@ -408,6 +408,7 @@ def _typed_json_chunks_vectorized(table: pa.Table,
 
 
 _JSON_ENC_POOL = None
+_JSON_ENC_POOL_LOCK = __import__("threading").Lock()
 _JSON_PAR_MIN_ROWS = 32_768
 
 
@@ -415,13 +416,17 @@ def _json_enc_pool():
     """Shared encode pool for slice-parallel JSON assembly. Arrow compute
     kernels are single-threaded per call but RELEASE the GIL, so N slices
     encode genuinely concurrently; the per-value fallback loops hold the
-    GIL and simply serialize — correctness is unaffected either way."""
+    GIL and simply serialize — correctness is unaffected either way.
+    Init is locked: two concurrent first serves would otherwise each
+    build an executor and leak the loser's threads for process life."""
     global _JSON_ENC_POOL
     if _JSON_ENC_POOL is None:
         from concurrent.futures import ThreadPoolExecutor
 
-        _JSON_ENC_POOL = ThreadPoolExecutor(
-            max_workers=8, thread_name_prefix="arc-json-enc")
+        with _JSON_ENC_POOL_LOCK:
+            if _JSON_ENC_POOL is None:
+                _JSON_ENC_POOL = ThreadPoolExecutor(
+                    max_workers=8, thread_name_prefix="arc-json-enc")
     return _JSON_ENC_POOL
 
 

@@ -39,6 +39,13 @@ def drain_available(query, deadline_s: float = 300.0,
     drained = False
     try:
         while time.monotonic() < deadline:
+            if not query.isActive:
+                # failed (or externally stopped) query: surface the real
+                # error instead of spinning out the deadline and
+                # returning a bare False (r10 review) — awaitTermination
+                # re-raises the StreamingQueryException if one exists
+                query.awaitTermination(1)
+                break
             available = query.status["isDataAvailable"]
             lp = query.lastProgress
             if lp is not None and lp["numInputRows"] == 0 and not available:

@@ -619,18 +619,26 @@ class TestBackgroundFlush:
         # under a loaded box purely from scheduler jitter)
         orig_flush = svc.flush
         release = _th.Event()
+        flush_done = _th.Event()
 
         def gated_flush():
-            release.wait(60)
-            return orig_flush()
+            release.wait(30)
+            try:
+                return orig_flush()
+            finally:
+                flush_done.set()
 
         svc.flush = gated_flush
         try:
             svc.write_msgpack("m", self._payload(20_000))
-            # reached while the worker's flush is still parked on the gate:
-            # the flush cannot have completed (release is never set before
-            # this line), so the ack demonstrably preceded it
-            assert not release.is_set()
+            # the property under test: the ack returned while the flush
+            # had NOT completed. If the ack path regressed to waiting out
+            # the flush, the 30s gate expires first, orig_flush runs, and
+            # flush_done is set before write_msgpack returns — this
+            # assert then fails. (An earlier version asserted
+            # `not release.is_set()`, which nothing could ever set before
+            # this line — vacuously green; r10 review.)
+            assert not flush_done.is_set()
             release.set()
             flushed = svc.drain()
             assert flushed + svc.stats["flushed"] >= 20_000

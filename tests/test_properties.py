@@ -919,7 +919,11 @@ class TestTypedJsonVectorizedEquivalence:
 
         from arc_spark import serving
 
-        n = serving._JSON_PAR_MIN_ROWS + 4_321
+        # 2× the parallel floor + a ragged remainder: n // 24_576 must be
+        # ≥ 2 so the encode actually SPLITS (at min_rows + 4_321 the slice
+        # count resolved to 1 and the test compared serial to serial —
+        # r10 review) and the tail slice is shorter than the others
+        n = serving._JSON_PAR_MIN_ROWS * 2 + 4_321
         table = pa.table({
             "i": pa.array([None if v % 97 == 0 else v - 5_000
                            for v in range(n)], type=pa.int64()),
