@@ -63,6 +63,42 @@ class TestBatchSessionize:
         assert len(out) == 1 and out[0]["n_events"] == 2
 
 
+class TestDrainAvailable:
+    def test_failed_query_raises_instead_of_spinning(
+            self, spark, tmp_path, few_state_partitions):
+        """drain_available must surface a failed query's
+        StreamingQueryException promptly — not sleep out the full
+        deadline and return False (r10 review)."""
+        import time as _t
+
+        import pytest as _pytest
+        from pyspark.errors.exceptions.captured import StreamingQueryException
+
+        from arc_spark.streaming.util import drain_available
+
+        in_dir = str(tmp_path / "in")
+        spark.createDataFrame(
+            [_ev(1, 0)], "user_id long, ts timestamp"
+        ).write.parquet(in_dir)
+        spark.udf.register(
+            "sess_boom", lambda x: (_ for _ in ()).throw(
+                RuntimeError("kaboom")), "long")
+        bad = (spark.readStream.schema("user_id long, ts timestamp")
+               .parquet(in_dir)
+               .selectExpr("sess_boom(user_id) AS user_id", "ts"))
+        q = (
+            sessionize_stream(bad, gap="30 minutes", timeout_ms=3_600_000)
+            .writeStream.format("memory").queryName("drain_fail")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        t0 = _t.monotonic()
+        with _pytest.raises(StreamingQueryException):
+            drain_available(q, deadline_s=60)
+        assert _t.monotonic() - t0 < 30  # surfaced, not deadline-slept
+
+
 class TestStreamingSessionize:
     def test_closed_sessions_emitted(self, spark, tmp_path, few_state_partitions):
         in_dir = str(tmp_path / "in")
