@@ -932,6 +932,92 @@ def duplicated_window_fraction(
 
 
 # --------------------------------------------------------------------------
+# corpus-level line dedup (C4/RefinedWeb boilerplate removal — a TRANSFORM,
+# unlike duplicated_window_fraction's per-doc measure)
+# --------------------------------------------------------------------------
+
+def dedup_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+    delimiter: str = "\n",
+    normalize: bool = True,
+) -> DataFrame:
+    """Remove every line that occurs (normalized) in ≥ ``min_docs``
+    distinct documents, reassembling each doc's surviving lines in their
+    original order — the line-level corpus dedup of C4 ("three-sentence
+    span" variant) and RefinedWeb (Penedo et al. 2023 §Line-wise
+    corrections): navigation chrome, cookie banners, and footers repeat
+    verbatim across pages and survive document-level dedup.
+
+    Output: (id_col, text_col [cleaned], n_lines, lines_removed) — one
+    row per input doc; a doc whose every line was boilerplate comes back
+    with an empty string (callers typically drop or flag those). Matching
+    uses the lowercased whitespace-collapsed line when ``normalize``
+    (the emitted text keeps the ORIGINAL line bytes); empty/whitespace
+    lines participate like any other — shared blank separator lines
+    count as boilerplate once ``min_docs`` docs contain one.
+
+    Scale shape (linear in total lines, no pairs): one posexplode, one
+    groupBy on the line key (map-side combine applies), one join back,
+    one per-doc regroup with an array_sort reassembly. ``delimiter`` is
+    a Java regex on the Spark side (keep it a literal like ``\\n`` for
+    oracle parity). At 100 TB, key on ``xxhash64(line)`` instead of the
+    raw string before the count shuffle — kept raw here for
+    cross-engine oracle parity (same note as
+    :func:`duplicated_window_fraction`). The exploded frame persists:
+    it feeds both the count branch and the join back, and the cached
+    relation is the usual optimizer barrier against the inferred
+    not-null constraint being pushed below the exchange with the split
+    pipeline inlined."""
+    from pyspark import StorageLevel
+
+    from arc_spark.cacheutil import register_cache
+
+    n = df.sparkSession.sparkContext.defaultParallelism
+    base = (
+        df.repartition(n)
+        .select(F.col(id_col).alias("__id"),
+                F.split(F.col(text_col), delimiter).alias("__ls"))
+    )
+    ex = base.select(
+        "__id", F.size("__ls").alias("__n"),
+        F.posexplode_outer("__ls").alias("__pos", "__line"),
+    ).filter(F.col("__line").isNotNull())
+    key = (
+        F.lower(F.regexp_replace(F.trim(F.col("__line")), r"\s+", " "))
+        if normalize else F.col("__line")
+    )
+    ex = ex.withColumn("__k", key).persist(StorageLevel.MEMORY_AND_DISK)
+    register_cache(ex)
+    counts = ex.groupBy("__k").agg(
+        F.countDistinct("__id").alias("__nd"))
+    kept = ex.join(counts, "__k").filter(F.col("__nd") < min_docs)
+    rebuilt = kept.groupBy("__id").agg(
+        F.concat_ws(
+            delimiter,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
+                lambda x: x["__line"],
+            ),
+        ).alias("__text"),
+        F.count(F.lit(1)).alias("__kept"),
+    )
+    totals = base.select("__id", F.size("__ls").alias("__n"))
+    return (
+        totals.join(rebuilt, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce(F.col("__text"), F.lit("")).alias(text_col),
+            F.col("__n").cast("long").alias("n_lines"),
+            (F.col("__n") - F.coalesce(F.col("__kept"), F.lit(0)))
+            .cast("long").alias("lines_removed"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # semantic dedup (SemDeDup-style: cluster, then cosine-prune in-cluster)
 # --------------------------------------------------------------------------
 

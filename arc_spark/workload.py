@@ -2953,6 +2953,69 @@ WHERE t_us = mnt OR t_us = mxt OR value = mnv OR value = mxv
 
 QUERIES["q84_m4_downsample"] = q84_m4_downsample
 
+
+# deterministic line augmentation for q85: the synthetic corpus is one
+# single-line bag of words, so the line-dedup differential would be a
+# no-op on it. Breaking every 8 tokens into a line and appending one
+# shared footer line (same transformation spelled in both engines — the
+# q47 PII-augmentation pattern) gives the operator real cross-doc
+# duplicate lines to remove, which the value hash then verifies.
+_LINE_AUG_RE = r"((?:\S+ ){8})"
+_LINE_FOOTER = "shared boilerplate footer"
+
+
+def q85_line_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-level line dedup (C4 / RefinedWeb boilerplate removal):
+    drop every line occurring (normalized) in ≥2 distinct docs, rebuild
+    surviving lines in order — the TRANSFORM twin of q56's
+    duplicated-window measure. One line-key count shuffle + one join
+    back + one per-doc reassembly; no pair materialization."""
+    from arc_spark.operators.dedup import dedup_lines
+
+    t = load_tables(spark, sf, register_views=False)
+    aug = t["documents"].withColumn(
+        "text",
+        F.concat(F.regexp_replace(F.col("text"), _LINE_AUG_RE, "$1\n"),
+                 F.lit("\n" + _LINE_FOOTER)))
+    return dedup_lines(aug, min_docs=2)
+
+
+ORACLES["q85_line_dedup"] = f"""
+WITH aug AS (
+    SELECT doc_id,
+           regexp_replace(text, '{_LINE_AUG_RE}', '\\1' || chr(10), 'g')
+             || chr(10) || '{_LINE_FOOTER}' AS text
+    FROM documents
+), l AS (
+    SELECT doc_id,
+           unnest(string_split(text, chr(10))) AS line,
+           unnest(generate_series(1, len(string_split(text, chr(10)))))
+               AS pos
+    FROM aug
+), k AS (
+    SELECT doc_id, pos, line,
+           lower(regexp_replace(trim(line), '\\s+', ' ', 'g')) AS key
+    FROM l
+), c AS (
+    SELECT key, COUNT(DISTINCT doc_id) AS nd FROM k GROUP BY key
+), kept AS (
+    SELECT k.doc_id, k.pos, k.line FROM k JOIN c USING (key)
+    WHERE c.nd < 2
+), reb AS (
+    SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+           COUNT(*) AS kept FROM kept GROUP BY doc_id
+), tot AS (
+    SELECT doc_id, len(string_split(text, chr(10))) AS n FROM aug
+)
+SELECT t.doc_id,
+       COALESCE(r.text, '') AS text,
+       CAST(t.n AS BIGINT) AS n_lines,
+       CAST(t.n - COALESCE(r.kept, 0) AS BIGINT) AS lines_removed
+FROM tot t LEFT JOIN reb r USING (doc_id)
+"""
+
+QUERIES["q85_line_dedup"] = q85_line_dedup
+
 # ---------------------------------------------------------------------------
 # Driver correctness board (round-10 rotation)
 # ---------------------------------------------------------------------------

@@ -531,3 +531,59 @@ class TestIncrementalDedupIndex:
         got = dedup_against_index(new, idx, threshold=0.1,
                                   corpus=corpus).collect()
         assert all(r["new_doc"] != 115 for r in got)
+
+
+class TestDedupLines:
+    """Corpus-level line dedup (C4/RefinedWeb boilerplate removal):
+    cross-doc duplicated lines are removed, order is preserved, and the
+    normalized match key ignores case/whitespace while the emitted text
+    keeps original bytes. The cross-engine differential is the q85
+    oracle lane (test_workload_oracle)."""
+
+    def _docs(self, spark):
+        return spark.createDataFrame([
+            (1, "unique alpha\nShared Footer\nunique beta"),
+            (2, "shared   footer\nonly two"),
+            (3, "solo doc line"),
+            (4, "Shared Footer"),
+        ], "doc_id long, text string")
+
+    def test_removes_cross_doc_lines_preserving_order(self, spark):
+        from arc_spark.operators.dedup import dedup_lines
+
+        out = {r["doc_id"]: r for r in
+               dedup_lines(self._docs(spark)).collect()}
+        assert out[1]["text"] == "unique alpha\nunique beta"
+        assert out[1]["n_lines"] == 3 and out[1]["lines_removed"] == 1
+        # normalization matched 'shared   footer' to 'Shared Footer',
+        # but the survivor keeps its ORIGINAL spelling
+        assert out[2]["text"] == "only two"
+        assert out[3]["text"] == "solo doc line"
+        assert out[3]["lines_removed"] == 0
+
+    def test_fully_boilerplate_doc_comes_back_empty(self, spark):
+        from arc_spark.operators.dedup import dedup_lines
+
+        out = {r["doc_id"]: r for r in
+               dedup_lines(self._docs(spark)).collect()}
+        assert out[4]["text"] == ""
+        assert out[4]["n_lines"] == 1 and out[4]["lines_removed"] == 1
+
+    def test_normalize_false_is_byte_exact(self, spark):
+        from arc_spark.operators.dedup import dedup_lines
+
+        out = {r["doc_id"]: r for r in
+               dedup_lines(self._docs(spark), normalize=False).collect()}
+        # case/whitespace-distinct spellings no longer match each other...
+        assert out[2]["text"] == "shared   footer\nonly two"
+        # ...but byte-identical lines across docs still dedup
+        assert out[1]["text"] == "unique alpha\nunique beta"
+        assert out[4]["text"] == ""
+
+    def test_min_docs_threshold(self, spark):
+        from arc_spark.operators.dedup import dedup_lines
+
+        out = {r["doc_id"]: r for r in
+               dedup_lines(self._docs(spark), min_docs=4).collect()}
+        # footer appears in 3 docs < 4: everything survives
+        assert all(r["lines_removed"] == 0 for r in out.values())
