@@ -23,12 +23,16 @@ def drain_available(query, deadline_s: float = 300.0,
     observed, False if the deadline expired first (the query is stopped
     either way).
 
-    The drain condition is a committed ZERO-input progress report with
-    no data available: every data batch before it has committed, so the
-    sink holds everything derivable from the input. The
-    ``isDataAvailable`` guard is load-bearing — on a checkpoint restart
-    Spark REPLAYS the last committed (possibly no-data) batch, so a bare
-    zero-input check would stop before the new data's batch runs.
+    The drain condition is TWO committed zero-input progress reports
+    with distinct batch ids (and no data available at observation time)
+    since the last data-carrying batch. One zero-input report is not
+    enough: on a checkpoint restart Spark REPLAYS the last committed
+    (possibly no-data) batch, and both ``isDataAvailable`` and
+    ``lastProgress`` can lag its commit under load — a single-report
+    check raced that window and stopped before the new data's batch ran.
+    Two distinct zero-input commits cannot precede the data batch:
+    availableNow latches the source offsets at query start, so the first
+    batch planned after the replay IS the pending data batch.
 
     Open stateful groups (e.g. sessions that have not crossed their gap)
     stay in the checkpointed state store for the next run — that is the
@@ -37,18 +41,27 @@ def drain_available(query, deadline_s: float = 300.0,
     """
     deadline = time.monotonic() + deadline_s
     drained = False
+    zero_batches: set = set()
     try:
         while time.monotonic() < deadline:
             if not query.isActive:
                 # failed (or externally stopped) query: surface the real
                 # error instead of spinning out the deadline and
                 # returning a bare False (r10 review) — awaitTermination
-                # re-raises the StreamingQueryException if one exists
+                # re-raises the StreamingQueryException if one exists.
+                # A clean self-termination means availableNow processed
+                # everything: that IS a successful drain.
                 query.awaitTermination(1)
+                drained = True
                 break
             available = query.status["isDataAvailable"]
             lp = query.lastProgress
-            if lp is not None and lp["numInputRows"] == 0 and not available:
+            if lp is not None:
+                if lp["numInputRows"] == 0:
+                    zero_batches.add(lp["batchId"])
+                else:
+                    zero_batches.clear()  # data batch: restart the count
+            if len(zero_batches) >= 2 and not available:
                 drained = True
                 break
             time.sleep(poll_s)
