@@ -962,8 +962,9 @@ def dedup_lines(
     Scale shape (linear in total lines, no pairs): one posexplode, one
     groupBy on the line key (map-side combine applies), one join back,
     one per-doc regroup with an array_sort reassembly. ``delimiter`` is
-    a Java regex on the Spark side (keep it a literal like ``\\n`` for
-    oracle parity). At 100 TB, key on ``xxhash64(line)`` instead of the
+    a LITERAL string (quoted with \\Q…\\E for the split), used verbatim
+    for both split and reassembly; rows with NULL ``text_col`` are
+    dropped. At 100 TB, key on ``xxhash64(line)`` instead of the
     raw string before the count shuffle — kept raw here for
     cross-engine oracle parity (same note as
     :func:`duplicated_window_fraction`). The exploded frame persists:
@@ -979,14 +980,23 @@ def dedup_lines(
     base = (
         df.repartition(n)
         .select(F.col(id_col).alias("__id"),
-                F.split(F.col(text_col), delimiter).alias("__ls"))
+                # \Q...\E: the delimiter is a LITERAL for both the split
+                # and the concat_ws reassembly — an unescaped regex here
+                # would split on the pattern but re-join with the regex
+                # SOURCE TEXT embedded in every cleaned doc (r10 review)
+                F.split(F.col(text_col),
+                        "\\Q" + delimiter + "\\E").alias("__ls"))
     )
     ex = base.select(
         "__id", F.size("__ls").alias("__n"),
         F.posexplode_outer("__ls").alias("__pos", "__line"),
     ).filter(F.col("__line").isNotNull())
+    # the normalize class is Java's \s spelled out ([ \t\n\x0B\f\r]) so
+    # the DuckDB oracle can pin the IDENTICAL set — RE2's \s lacks \x0B,
+    # a latent cross-engine divergence (r10 review)
     key = (
-        F.lower(F.regexp_replace(F.trim(F.col("__line")), r"\s+", " "))
+        F.lower(F.regexp_replace(F.trim(F.col("__line")),
+                                 "[ \t\n\x0B\f\r]+", " "))
         if normalize else F.col("__line")
     )
     ex = ex.withColumn("__k", key).persist(StorageLevel.MEMORY_AND_DISK)
@@ -1004,7 +1014,10 @@ def dedup_lines(
         ).alias("__text"),
         F.count(F.lit(1)).alias("__kept"),
     )
-    totals = base.select("__id", F.size("__ls").alias("__n"))
+    # totals come off the persisted exploded frame, not `base`: deriving
+    # them from base re-ran the source scan + the full-text repartition
+    # exchange a second time (r10 review); __n rides ex for exactly this
+    totals = ex.groupBy("__id").agg(F.first("__n").alias("__n"))
     return (
         totals.join(rebuilt, "__id", "left")
         .select(

@@ -49,10 +49,16 @@ def drain_available(query, deadline_s: float = 300.0,
                 # error instead of spinning out the deadline and
                 # returning a bare False (r10 review) — awaitTermination
                 # re-raises the StreamingQueryException if one exists.
-                # A clean self-termination means availableNow processed
-                # everything: that IS a successful drain.
+                # Clean termination is ambiguous (self-finish vs an
+                # external stop() mid-drain — the API can't tell them
+                # apart), so count it as drained only when the last
+                # committed report shows zero input: a self-finished
+                # availableNow run always ends on one, while an external
+                # stop before the pending data batch leaves a data-
+                # carrying (or no) report behind (r10 review).
                 query.awaitTermination(1)
-                drained = True
+                lp = query.lastProgress
+                drained = lp is not None and lp["numInputRows"] == 0
                 break
             available = query.status["isDataAvailable"]
             lp = query.lastProgress

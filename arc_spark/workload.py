@@ -2960,7 +2960,11 @@ QUERIES["q84_m4_downsample"] = q84_m4_downsample
 # shared footer line (same transformation spelled in both engines — the
 # q47 PII-augmentation pattern) gives the operator real cross-doc
 # duplicate lines to remove, which the value hash then verifies.
-_LINE_AUG_RE = r"((?:\S+ ){8})"
+# The token class is spelled out instead of \S: Java \s includes \x0B,
+# RE2's does not — an explicit class keeps the two engines' line breaks
+# identical for any corpus content (r10 review; dedup_lines' normalize
+# pins its class the same way).
+_LINE_AUG_RE = r"((?:[^ \t\n\x0B\f\r]+ ){8})"
 _LINE_FOOTER = "shared boilerplate footer"
 
 
@@ -2994,7 +2998,8 @@ WITH aug AS (
     FROM aug
 ), k AS (
     SELECT doc_id, pos, line,
-           lower(regexp_replace(trim(line), '\\s+', ' ', 'g')) AS key
+           lower(regexp_replace(trim(line), '[ \\t\\n\\x0B\\f\\r]+', ' ',
+                                'g')) AS key
     FROM l
 ), c AS (
     SELECT key, COUNT(DISTINCT doc_id) AS nd FROM k GROUP BY key

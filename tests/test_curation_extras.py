@@ -587,3 +587,19 @@ class TestDedupLines:
                dedup_lines(self._docs(spark), min_docs=4).collect()}
         # footer appears in 3 docs < 4: everything survives
         assert all(r["lines_removed"] == 0 for r in out.values())
+
+    def test_regex_special_delimiter_is_literal(self, spark):
+        """delimiter is a LITERAL (\\Q-quoted for the split): '||' must
+        not be read as a regex alternation — unquoted it split on every
+        position and reassembly embedded the pattern text (r10 review)."""
+        from arc_spark.operators.dedup import dedup_lines
+
+        docs = spark.createDataFrame([
+            (1, "keep one||shared||keep two"),
+            (2, "shared||solo"),
+        ], "doc_id long, text string")
+        out = {r["doc_id"]: r for r in
+               dedup_lines(docs, delimiter="||").collect()}
+        assert out[1]["text"] == "keep one||keep two"
+        assert out[1]["n_lines"] == 3 and out[1]["lines_removed"] == 1
+        assert out[2]["text"] == "solo"
