@@ -1158,8 +1158,12 @@ class IngestService:
         # oversubscription lost to 1-per-worker — parse-only 16ch/8w
         # 0.336 s vs 8ch/8w 0.184 s; whole lane 0.406 → 0.323 s (1M),
         # 0.125 → 0.120 s (250k). Chunks now cap at the worker count.
-        n_chunks = max(1, min(8, len(payload) // (2 << 20) + 1))
-        n_workers = min(8, n_chunks, os.cpu_count() or 8)
+        # workers first, then cap chunks AT the worker count: a literal
+        # 8-chunk cap on a <8-core box re-creates the 2-per-worker
+        # oversubscription the sweep showed regresses (r10 advice).
+        max_workers = min(8, os.cpu_count() or 8)
+        n_chunks = max(1, min(max_workers, len(payload) // (2 << 20) + 1))
+        n_workers = min(max_workers, n_chunks)
         ranges = _lp_byte_ranges(payload, n_chunks)
         root, sort_keys_cfg = self.root, self.sort_keys_config
 

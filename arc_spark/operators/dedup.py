@@ -29,6 +29,16 @@ from arc_spark.functions.text import fingerprint_md5, words
 from arc_spark.functions.vector import cosine_similarity
 
 
+def _regex_literal(s: str) -> str:
+    """Quote ``s`` as a java.util.regex LITERAL (Pattern.quote semantics).
+
+    Plain ``\\Q + s + \\E`` breaks when ``s`` itself contains ``\\E`` —
+    the remainder is silently interpreted as live regex (r10 advice).
+    Re-open the quote around every embedded ``\\E``: the occurrence is
+    emitted as close-quote, escaped-backslash + ``E``, re-open-quote."""
+    return "\\Q" + s.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+
+
 # --------------------------------------------------------------------------
 # exact dedup
 # --------------------------------------------------------------------------
@@ -985,7 +995,7 @@ def dedup_lines(
                 # would split on the pattern but re-join with the regex
                 # SOURCE TEXT embedded in every cleaned doc (r10 review)
                 F.split(F.col(text_col),
-                        "\\Q" + delimiter + "\\E").alias("__ls"))
+                        _regex_literal(delimiter)).alias("__ls"))
     )
     ex = base.select(
         "__id", F.size("__ls").alias("__n"),

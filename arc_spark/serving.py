@@ -409,7 +409,13 @@ def _typed_json_chunks_vectorized(table: pa.Table,
 
 _JSON_ENC_POOL = None
 _JSON_ENC_POOL_LOCK = __import__("threading").Lock()
-_JSON_PAR_MIN_ROWS = 32_768
+# slice floor: below ~25k rows/slice the per-slice fixed cost goes backward
+# (measurements at the slice-count comment in to_typed_json_stream); the
+# parallel path only engages when it can cut ≥2 floor-sized slices —
+# 32,768 as the gate put 32k–49k-row tables on the pool with exactly one
+# slice (thread round-trip, zero parallelism; r10 advice).
+_JSON_SLICE_FLOOR_ROWS = 24_576
+_JSON_PAR_MIN_ROWS = 2 * _JSON_SLICE_FLOOR_ROWS
 
 
 def _json_enc_pool():
@@ -470,7 +476,7 @@ def stream_typed_json(df, flush_rows: int = 1000) -> Iterator[str]:
     # 8×13k = 46 ms, 16×7k = 120 ms, serial = 55 ms warm). Floor the
     # slice size, cap the fan-out at 8.
     pool = _json_enc_pool()
-    n_slices = min(8, max(1, n // 24_576))
+    n_slices = min(8, max(2, n // _JSON_SLICE_FLOOR_ROWS))
     per = max(flush_rows,
               (-(-n // n_slices) + flush_rows - 1)
               // flush_rows * flush_rows)

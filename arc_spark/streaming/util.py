@@ -49,16 +49,17 @@ def drain_available(query, deadline_s: float = 300.0,
                 # error instead of spinning out the deadline and
                 # returning a bare False (r10 review) — awaitTermination
                 # re-raises the StreamingQueryException if one exists.
-                # Clean termination is ambiguous (self-finish vs an
-                # external stop() mid-drain — the API can't tell them
-                # apart), so count it as drained only when the last
-                # committed report shows zero input: a self-finished
-                # availableNow run always ends on one, while an external
-                # stop before the pending data batch leaves a data-
-                # carrying (or no) report behind (r10 review).
+                # If it returns without raising, the run ended cleanly;
+                # count that as drained regardless of the final report's
+                # numInputRows: a stateless availableNow query can
+                # self-finish on a data-carrying batch with no trailing
+                # no-data report, and requiring one here failed such
+                # fully-successful drains (r10 advice). The residual
+                # ambiguity — an external stop() racing the drain — is
+                # accepted: nothing in this codebase stops a query it
+                # handed to drain_available.
                 query.awaitTermination(1)
-                lp = query.lastProgress
-                drained = lp is not None and lp["numInputRows"] == 0
+                drained = True
                 break
             available = query.status["isDataAvailable"]
             lp = query.lastProgress

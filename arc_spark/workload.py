@@ -2986,10 +2986,15 @@ def q85_line_dedup(spark: SparkSession, sf: str) -> DataFrame:
 
 ORACLES["q85_line_dedup"] = f"""
 WITH aug AS (
+    -- text IS NOT NULL pins the dedup_lines contract (NULL-text docs are
+    -- DROPPED, not emitted as empty) instead of leaving it fixture-
+    -- dependent: without the filter a NULL-text doc would surface here as
+    -- (text='', n_lines NULL) while the Spark side drops it (r10 advice)
     SELECT doc_id,
            regexp_replace(text, '{_LINE_AUG_RE}', '\\1' || chr(10), 'g')
              || chr(10) || '{_LINE_FOOTER}' AS text
     FROM documents
+    WHERE text IS NOT NULL
 ), l AS (
     SELECT doc_id,
            unnest(string_split(text, chr(10))) AS line,
@@ -3033,17 +3038,15 @@ QUERIES["q85_line_dedup"] = q85_line_dedup
 # tests/test_board.py locks the composition so a failed rotation can never
 # ship silently again.
 #
-# r10 rotation (VERDICT r9 items 1–2):
-#   IN : q31_dsir_weights / q32_dsir_resample (the flagship DSIR lanes —
-#        pytest-green since r8 but never driver-verified), plus ten
-#        never-driver-checked oracle lanes: q56, q57, q60, q61, q64,
-#        q80–q84.
-#   OUT: q78_select_order_limit / q79_count_star (driver-green r1–r9 under
-#        their historical q31/q32 keys; still byte-matched by the native-
-#        serving suites) and the long-stable q01–q10 (driver-green nine
-#        consecutive rounds; all remain oracle-locked every pytest run by
-#        tests/test_workload_oracle.py, which parametrizes over ALL of
-#        ORACLES regardless of board position).
+# r11 rotation (VERDICT r10 item 1) — the completion round:
+#   IN : the LAST 11 oracle-carrying lanes that have never had a
+#        driver-green row — q62, q63, q67–q71, q73–q75, q85.  After r11,
+#        EVERY oracle lane in the registry has a driver signature.
+#   OUT: q11–q14, q20–q23, q29, q30, q33 (all driver-green in
+#        CORRECTNESS_r10 and ≥2 rounds stable; all remain oracle-locked
+#        every pytest run by tests/test_workload_oracle.py, which
+#        parametrizes over ALL of ORACLES regardless of board position).
+# r10 rotation history is in ROTATION_LOG[10] below.
 #
 # Historical key remap (for anyone diffing CORRECTNESS/BENCH artifacts
 # across rounds by key): the full keys are unambiguous —
@@ -3065,31 +3068,38 @@ ROTATION_LOG: dict[int, dict[str, tuple[str, ...]]] = {
                 "q10_in_subquery", "q78_select_order_limit",
                 "q79_count_star"),
     },
+    # r11 (VERDICT r10 item 1): the LAST 11 oracle-carrying lanes that have
+    # never had a driver-green row rotate in; after this round every oracle
+    # lane in the registry has a driver signature.  OUT lanes are all
+    # driver-green in CORRECTNESS_r10 and ≥2 rounds stable; they stay
+    # oracle-locked every pytest run (test_workload_oracle parametrizes over
+    # ALL of ORACLES regardless of board position).
+    11: {
+        "in": ("q62_array_agg", "q63_stratified_cap",
+               "q67_decimal128_roundtrip", "q68_range_join",
+               "q69_regex_like", "q70_tfidf_terms", "q71_mixture_weights",
+               "q73_doc_chunking", "q74_bigram_fluency",
+               "q75_dataset_profile", "q85_line_dedup"),
+        "out": ("q11_having_scalar_subquery", "q12_string_funcs",
+                "q13_asof_join", "q14_dedup_exact", "q20_lang_id",
+                "q21_quality_score", "q22_token_stats", "q23_fingerprint",
+                "q29_rollup", "q30_conditional_pivot",
+                "q33_delete_rewrite"),
+    },
 }
 
 DRIVER_BOARD: tuple[str, ...] = (
-    "q11_having_scalar_subquery",
-    "q12_string_funcs",
-    "q13_asof_join",
-    "q14_dedup_exact",
     "q15_dedup_lww",
     "q16_ngram_jaccard",
     "q17_minhash_lsh",
     "q19_embedding_topk",
-    "q20_lang_id",
-    "q21_quality_score",
-    "q22_token_stats",
-    "q23_fingerprint",
     "q24_recursive_cte",
     "q25_lateral_topk",
     "q26_multitier_union",
     "q27_semantic_dedup",
     "q28_embedding_near_dup",
-    "q29_rollup",
-    "q30_conditional_pivot",
     "q31_dsir_weights",
     "q32_dsir_resample",
-    "q33_delete_rewrite",
     "q34_retention_cutoff",
     "q35_range_window",
     "q36_sessionize",
@@ -3108,6 +3118,17 @@ DRIVER_BOARD: tuple[str, ...] = (
     "q49_mixture_sample",
     "q50_decontaminate",
     "q51_token_packing",
+    "q62_array_agg",
+    "q63_stratified_cap",
+    "q67_decimal128_roundtrip",
+    "q68_range_join",
+    "q69_regex_like",
+    "q70_tfidf_terms",
+    "q71_mixture_weights",
+    "q73_doc_chunking",
+    "q74_bigram_fluency",
+    "q75_dataset_profile",
+    "q85_line_dedup",
     "q56_window_dupfrac",
     "q57_url_normalize",
     "q60_json_extract",

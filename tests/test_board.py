@@ -26,20 +26,47 @@ def test_every_board_lane_carries_an_oracle():
     assert not missing, f"board lanes without oracle SQL: {missing}"
 
 
-def test_r10_rotation_landed():
-    """The r10 rotation's IN lanes are on the board and its OUT lanes are
+def test_r11_rotation_landed():
+    """The r11 rotation's IN lanes are on the board and its OUT lanes are
     off it but still registered (pytest-oracle coverage is board-agnostic:
     test_workload_oracle parametrizes over ALL of ORACLES)."""
     board = set(DRIVER_BOARD)
-    rot = ROTATION_LOG[10]
+    rot = ROTATION_LOG[11]
     for lane in rot["in"]:
         assert lane in board, f"rotation-in lane {lane} missed the board"
     for lane in rot["out"]:
         assert lane not in board, f"rotation-out lane {lane} still on board"
         assert lane in QUERIES, f"rotation-out lane {lane} was dropped"
-        # every rotated-out SQL lane stays oracle-locked (q78/q79 renamed
-        # from historical q31/q32 keep their oracles too)
         assert lane in ORACLES, f"rotation-out lane {lane} lost its oracle"
+
+
+def test_r10_rotation_lanes_still_registered():
+    """r10's IN lanes may rotate off later but must never be dropped; its
+    OUT lanes stay registered + oracle-locked."""
+    rot = ROTATION_LOG[10]
+    for lane in rot["in"] + rot["out"]:
+        assert lane in QUERIES, f"r10 rotation lane {lane} was dropped"
+        assert lane in ORACLES, f"r10 rotation lane {lane} lost its oracle"
+
+
+def test_every_oracle_lane_has_had_driver_coverage():
+    """r11 closes the coverage asterisk: every oracle lane is either on the
+    current board or was on a prior round's board (driver-green r1-r10).
+    A new oracle lane added WITHOUT board placement fails here."""
+    # lanes driver-verified in r1-r10 under their current keys
+    historical = {
+        "q01_pricing_summary", "q02_revenue_by_nation", "q03_top_orders",
+        "q04_order_priority_exists", "q05_window_topk_per_brand",
+        "q06_events_conditional_agg", "q07_time_bucket", "q08_date_trunc",
+        "q09_cte_setops", "q10_in_subquery", "q11_having_scalar_subquery",
+        "q12_string_funcs", "q13_asof_join", "q14_dedup_exact",
+        "q20_lang_id", "q21_quality_score", "q22_token_stats",
+        "q23_fingerprint", "q29_rollup", "q30_conditional_pivot",
+        "q33_delete_rewrite", "q78_select_order_limit", "q79_count_star",
+    }
+    uncovered = [k for k in ORACLES
+                 if k not in DRIVER_BOARD and k not in historical]
+    assert not uncovered, f"oracle lanes with no driver coverage: {uncovered}"
 
 
 def test_dsir_lanes_on_board():

@@ -603,3 +603,24 @@ class TestDedupLines:
         assert out[1]["text"] == "keep one||keep two"
         assert out[1]["n_lines"] == 3 and out[1]["lines_removed"] == 1
         assert out[2]["text"] == "solo"
+
+    def test_delimiter_containing_quote_end_is_literal(self, spark):
+        r"""A delimiter containing '\E' must stay literal: naive
+        \Q..\E wrapping ends the quote at the embedded \E and the
+        remainder runs as live regex (r11 fix: Pattern.quote-style
+        re-opened quoting in _regex_literal)."""
+        from arc_spark.operators.dedup import dedup_lines
+
+        # delimiter = r"\E.*" — after a naive "\Q\E.*\E" the ".*" is a
+        # live wildcard that splits everything; quoted correctly it only
+        # matches the exact 4-char sequence.
+        delim = "\\E.*"
+        docs = spark.createDataFrame([
+            (1, f"keep one{delim}shared{delim}keep two"),
+            (2, f"shared{delim}solo"),
+        ], "doc_id long, text string")
+        out = {r["doc_id"]: r for r in
+               dedup_lines(docs, delimiter=delim).collect()}
+        assert out[1]["text"] == f"keep one{delim}keep two"
+        assert out[1]["n_lines"] == 3 and out[1]["lines_removed"] == 1
+        assert out[2]["text"] == "solo"
