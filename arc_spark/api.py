@@ -666,7 +666,12 @@ class QueryService:
         if fmt == "json":
             from arc_spark.serving import stream_typed_json
 
-            return stream_typed_json(table)
+            # LIST, not the raw generator: every fmt="json" consumer
+            # (server.py joins chunks; _serve_native_count) works on the
+            # materialized chunk list — the generator reached json.dumps
+            # in the HTTP route and killed the handler mid-connection
+            # (caught by tests/test_serve_fuzz.py's first run)
+            return list(stream_typed_json(table))
         if fmt == "rows":
             from pyspark.sql import Row
 

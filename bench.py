@@ -97,6 +97,39 @@ def _sentinel() -> tuple[float, float]:
     return round(st, 3), round(mt, 3)
 
 
+_MINI_POOL = None
+_MINI_BUF = b"\xab" * (1 << 20)
+
+
+def _mini_sentinel() -> float:
+    """Cheap 32-thread load probe (~512 MiB sha256 total; ~15-40 ms on a
+    quiet box): bracket every lane sample so host-CPU-steal waves can be
+    ISOLATED to the lanes they hit instead of invalidating the whole
+    artifact (r10 verdict item 2: four builder runs + the judge's own,
+    zero sentinel-valid artifacts — the steal is recurring). Mid-run
+    readings race the live JVM, so they gate nothing absolute; a sample
+    counts as QUIET when both its bracketing readings sit within 1.5× of
+    the run's own MEDIAN reading. A uniformly slow box therefore tags
+    everything quiet — correct: the start/final full-sentinel rule owns
+    absolute cross-artifact validity, this probe owns transients."""
+    global _MINI_POOL
+    import hashlib
+    from concurrent.futures import ThreadPoolExecutor
+
+    if _MINI_POOL is None:
+        _MINI_POOL = ThreadPoolExecutor(max_workers=32)
+
+    def work() -> None:
+        h = hashlib.sha256()
+        for _ in range(16):
+            h.update(_MINI_BUF)
+
+    t0 = time.perf_counter()
+    for f in [_MINI_POOL.submit(work) for _ in range(32)]:
+        f.result()
+    return time.perf_counter() - t0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     load_start = [round(x, 2) for x in os.getloadavg()]
@@ -130,12 +163,47 @@ def main() -> None:
     total = 0.0
 
     all_samples: dict[str, list[float]] = {}
+    # every lane sample is bracketed by _mini_sentinel readings (r10
+    # verdict item 2): brackets_by[lane][i] = (pre, post) for sample i
+    brackets_by: dict[str, list[tuple[float, float]]] = {}
+    mini_readings: list[float] = []
+    quiet_counts: dict[str, int] = {}
+    QUIET_FACTOR = 1.50
 
-    def record(name: str, samples: list[float], agg: str = "p50") -> float:
-        dt = (min(samples) if agg == "min"
-              else sorted(samples)[len(samples) // 2])
+    def _mini() -> float:
+        r = _mini_sentinel()
+        mini_readings.append(r)
+        return r
+
+    def _quiet_samples(name: str) -> list[float]:
+        """Samples whose bracketing probe readings both sit within
+        QUIET_FACTOR of the run's MEDIAN reading — i.e. no host-steal
+        wave overlapped the sample's window. Median, not min: the ~30 ms
+        probe has ±30-50% inherent jitter (JVM background + scheduler),
+        so min×1.3 sat below the readings' own p50 and tagged 18/43
+        lanes noisy on a quiet box (first r11 smoke); steal waves read
+        2-5× the median, far outside the 1.5× gate."""
+        rs = sorted(mini_readings)
+        thr = rs[len(rs) // 2] * QUIET_FACTOR
+        return [s for s, (a, b) in zip(all_samples_raw[name],
+                                       brackets_by[name])
+                if a <= thr and b <= thr]
+
+    all_samples_raw: dict[str, list[float]] = {}
+
+    def record(name: str, agg: str = "p50") -> float:
+        """Aggregate a lane: the statistic is taken over its QUIET subset
+        (if any) so one steal wave reads as noise isolation, not artifact
+        invalidation; lanes with zero quiet samples after retries fall
+        back to all samples and are named in the artifact's noisy_lanes."""
+        samples = all_samples_raw[name]
+        quiet = _quiet_samples(name)
+        quiet_counts[name] = len(quiet)
+        pool = quiet or samples
+        dt = (min(pool) if agg == "min"
+              else sorted(pool)[len(pool) // 2])
         times[name] = round(dt, 3)
-        mins[name] = round(min(samples), 3)
+        mins[name] = round(min(pool), 3)
         all_samples[name] = [round(s, 4) for s in samples]
         return dt
 
@@ -173,133 +241,131 @@ def main() -> None:
                                   limit=10_000)  # warm file index
     count_svc.scan_measurement_arrow("bench", "events", where=TR_WHERE,
                                      limit=10_000)
-    samples_by: dict[str, list[float]] = {}
     rows_by: dict[str, int] = {}
     from arc_spark import cacheutil
 
-    for _ in range(iterations):
-        for name in BENCH_QUERIES:
+    def _q_thunk(qname: str):
+        fn = QUERIES[qname]
+
+        def run() -> int:
             # lanes are INDEPENDENT queries: drop the previous lane's
             # operator-internal caches like any steady-state server whose
             # bounded registry has moved on — 8 dead MEMORY_AND_DISK
             # relations in one JVM measurably tax the next lane (r9
-            # measured: q16 min 1.74 s polluted vs 0.73 s cleared; the
-            # r8-and-earlier artifacts carried this pollution, so
-            # cross-round lane comparisons only get FAIRER)
+            # measured: q16 min 1.74 s polluted vs 0.73 s cleared)
             cacheutil.clear_registry()
-            fn = QUERIES[name]
-            t0 = time.perf_counter()
             df = fn(spark, sf_dir)
-            n = (df.count() if name != "q78_select_order_limit"
-                 else len(df.collect()))
-            samples_by.setdefault(name, []).append(time.perf_counter() - t0)
-            rows_by[name] = n
-        # result-serving lanes: full events table (BASELINE.md's SELECT
-        # LIMIT table serves 100k-1M rows per wire format; events at sf0.1
-        # is 100k rows) through the reference's two binary formats —
-        # measures the Spark collect + encode path end to end
-        for lane, enc in serve_lanes:
-            t0 = time.perf_counter()
-            nbytes = len(enc(ev))
-            samples_by.setdefault(lane, []).append(time.perf_counter() - t0)
-            rows_by[lane] = nbytes
-        # native fast-scan serving (catalog.scan_arrow: pyarrow C++ scan
-        # of the committed measurement, no Spark job — the trivial
-        # SELECT-LIMIT wire shape arc's 9.49M rows/s number measures)
+            return (df.count() if qname != "q78_select_order_limit"
+                    else len(df.collect()))
+
+        return run
+
+    # every lane is a named thunk so the bracketed pass loop AND the
+    # bounded noise-retry loop below drive them uniformly (r10 item 2).
+    # Serve-lane semantics (what each measures vs BASELINE.md):
+    #   serve_{arrow,msgpack}_events — full events table through the
+    #     reference's two binary wire formats: Spark collect + encode e2e.
+    #   serve_*_fastscan — catalog.scan_arrow native pyarrow scan of the
+    #     committed measurement, no Spark job (arc's 9.49M rows/s Arrow /
+    #     7.49M msgpack / 2.99M typed-JSON LIMIT categories).
+    #   serve_count_native — bare COUNT(*) answered from parquet footers,
+    #     full validate+RBAC+shape-detect in the timing (arc 1.03 ms).
+    #   serve_sql_timerange — the 7d/10K category arriving as SQL through
+    #     the full execute() pipeline (POST /api/v1/query shape, arc 15 ms).
+    #   serve_timerange[_compact] — native 7d LIMIT 10K over the
+    #     hour-partitioned tree (file-count-bound) / the compacted
+    #     measurement (arc's 15 ms regime is a compacted long-lived server).
+    pass_lanes: list[tuple[str, object]] = (
+        [(name, _q_thunk(name)) for name in BENCH_QUERIES]
+        + [(lane, (lambda e=enc: len(e(ev)))) for lane, enc in serve_lanes]
+        + [
+            ("serve_arrow_fastscan",
+             lambda: len(to_arrow_ipc(ev_cat.scan_arrow("bench", "events")))),
+            ("serve_msgpack_fastscan",
+             lambda: len(to_columnar_msgpack(
+                 ev_cat.scan_arrow("bench", "events")))),
+            ("serve_json_fastscan",
+             lambda: sum(len(c) for c in stream_typed_json(
+                 ev_cat.scan_arrow("bench", "events")))),
+            ("serve_count_native",
+             lambda: count_svc.execute("SELECT COUNT(*) FROM events")[0][0]),
+            ("serve_sql_timerange",
+             lambda: len(count_svc.execute(
+                 "SELECT * FROM events WHERE "
+                 "time >= '2024-01-10 00:00:00' AND "
+                 "time < '2024-01-17 00:00:00' LIMIT 10000", fmt="arrow"))),
+            ("serve_timerange",
+             lambda: len(to_arrow_ipc(tr_svc.scan_measurement_arrow(
+                 "bench", "events", where=TR_WHERE, limit=10_000)))),
+            ("serve_timerange_compact",
+             lambda: len(to_arrow_ipc(count_svc.scan_measurement_arrow(
+                 "bench", "events", where=TR_WHERE, limit=10_000)))),
+        ]
+    )
+
+    def _bracketed(name: str, thunk, r_pre: float) -> float:
+        """One timed sample fenced by mini-sentinel readings; returns the
+        post reading (doubles as the next lane's pre)."""
         t0 = time.perf_counter()
-        nbytes = len(to_arrow_ipc(ev_cat.scan_arrow("bench", "events")))
-        samples_by.setdefault("serve_arrow_fastscan", []).append(
-            time.perf_counter() - t0)
-        rows_by["serve_arrow_fastscan"] = nbytes
-        # same native scan through the columnar-MessagePack wire (arc's
-        # 7.49M rows/s LIMIT-1M msgpack category)
-        t0 = time.perf_counter()
-        nbytes = len(to_columnar_msgpack(
-            ev_cat.scan_arrow("bench", "events")))
-        samples_by.setdefault("serve_msgpack_fastscan", []).append(
-            time.perf_counter() - t0)
-        rows_by["serve_msgpack_fastscan"] = nbytes
-        # and through typed JSON (arc's 2.99M rows/s category) — the
-        # vectorized column-wise encoder (Arrow kernels + merged-quote
-        # row join; per-value fallback only for escape-needing columns)
-        t0 = time.perf_counter()
-        nbytes = sum(len(c) for c in stream_typed_json(
-            ev_cat.scan_arrow("bench", "events")))
-        samples_by.setdefault("serve_json_fastscan", []).append(
-            time.perf_counter() - t0)
-        rows_by["serve_json_fastscan"] = nbytes
-        # native COUNT(*) on the SQL serving path: answered from parquet
-        # footers over the committed snapshot, no Spark job (arc's 1.03ms
-        # metadata count, BASELINE.md) — full validate+RBAC+shape-detect
-        # included in the timing
-        t0 = time.perf_counter()
-        n_cnt = count_svc.execute("SELECT COUNT(*) FROM events")[0][0]
-        samples_by.setdefault("serve_count_native", []).append(
-            time.perf_counter() - t0)
-        rows_by["serve_count_native"] = n_cnt
-        # SQL-surface native time-range (r8): the same 7d/10K category
-        # arriving as SQL through the full execute() pipeline
-        # (validate → RBAC → plan-shape detect → pyarrow scan) — the
-        # POST /api/v1/query shape BASELINE's 15 ms number measures
-        t0 = time.perf_counter()
-        sql_tr_bytes = len(count_svc.execute(
-            "SELECT * FROM events WHERE "
-            "time >= '2024-01-10 00:00:00' AND "
-            "time < '2024-01-17 00:00:00' LIMIT 10000", fmt="arrow"))
-        samples_by.setdefault("serve_sql_timerange", []).append(
-            time.perf_counter() - t0)
-        rows_by["serve_sql_timerange"] = sql_tr_bytes
-        # time-range serving: 7d window, LIMIT 10K, Arrow wire bytes.
-        # Two substrates: the hour-partitioned tree (720 files at sf0.1 —
-        # file-count-bound, ~0.5 ms/file open) and the compacted
-        # measurement (the tier compaction drives toward; arc's 15 ms
-        # number is a long-lived server whose files are compacted)
-        t0 = time.perf_counter()
-        tr_bytes = len(to_arrow_ipc(tr_svc.scan_measurement_arrow(
-            "bench", "events", where=TR_WHERE, limit=10_000)))
-        samples_by.setdefault("serve_timerange", []).append(
-            time.perf_counter() - t0)
-        rows_by["serve_timerange"] = tr_bytes
-        t0 = time.perf_counter()
-        tr_bytes = len(to_arrow_ipc(count_svc.scan_measurement_arrow(
-            "bench", "events", where=TR_WHERE, limit=10_000)))
-        samples_by.setdefault("serve_timerange_compact", []).append(
-            time.perf_counter() - t0)
-        rows_by["serve_timerange_compact"] = tr_bytes
+        val = thunk()
+        dt = time.perf_counter() - t0
+        r_post = _mini()
+        all_samples_raw.setdefault(name, []).append(dt)
+        brackets_by.setdefault(name, []).append((r_pre, r_post))
+        rows_by[name] = val
+        return r_post
+
+    r_prev = _mini()
+    for _ in range(iterations):
+        for name, thunk in pass_lanes:
+            r_prev = _bracketed(name, thunk, r_prev)
+
+    # bounded noise retry (r10 verdict item 2): a lane whose every sample
+    # was hit by a steal wave gets up to 2 fresh bracketed re-runs instead
+    # of poisoning the artifact. With >=2 temporally separated passes per
+    # lane already, retries fire only when the box was loud across ALL of
+    # a lane's windows — a named, per-lane event in the artifact either way.
+    MAX_LANE_RETRIES = 2
+    lane_retries: dict[str, int] = {}
+    for name, thunk in pass_lanes:
+        while (not _quiet_samples(name)
+               and lane_retries.get(name, 0) < MAX_LANE_RETRIES):
+            lane_retries[name] = lane_retries.get(name, 0) + 1
+            _bracketed(name, thunk, _mini())
 
     for name in BENCH_QUERIES:
-        samples = samples_by[name]
-        dt = record(name, samples)
+        samples = all_samples_raw[name]
+        dt = record(name)
         total += dt
-        print(f"# {name}: p50 {dt:.3f}s over {iterations} passes "
-              f"(min {min(samples):.3f}, max {max(samples):.3f}) "
-              f"rows={rows_by[name]}", file=sys.stderr)
+        print(f"# {name}: p50 {dt:.3f}s over {len(samples)} passes "
+              f"({quiet_counts[name]} quiet; min {min(samples):.3f}, "
+              f"max {max(samples):.3f}) rows={rows_by[name]}",
+              file=sys.stderr)
     for lane in ([lane for lane, _ in serve_lanes]
                  + ["serve_arrow_fastscan", "serve_msgpack_fastscan",
                     "serve_json_fastscan"]):
-        samples = samples_by[lane]
-        dt = record(lane, samples)
+        dt = record(lane)
         total += dt
         print(f"# {lane}: p50 {dt:.3f}s ({n_serve / dt / 1e6:.2f}M rows/s, "
-              f"{rows_by[lane] / 1e6:.1f} MB)", file=sys.stderr)
-    dt = record("serve_count_native", samples_by["serve_count_native"])
+              f"{rows_by[lane] / 1e6:.1f} MB; {quiet_counts[lane]} quiet)",
+              file=sys.stderr)
+    dt = record("serve_count_native")
     total += dt
     print(f"# serve_count_native: p50 {dt * 1000:.2f}ms footer-metadata "
           f"COUNT(*) ({rows_by['serve_count_native']:,} rows; arc 1.03ms)",
           file=sys.stderr)
-    dt = record("serve_sql_timerange", samples_by["serve_sql_timerange"])
+    dt = record("serve_sql_timerange")
     total += dt
     print(f"# serve_sql_timerange: p50 {dt * 1000:.2f}ms SQL-surface "
           "native 7d-range LIMIT 10K incl. validate+RBAC+shape-detect "
           "(arc 15ms)", file=sys.stderr)
-    dt = record("serve_timerange", samples_by["serve_timerange"])
+    dt = record("serve_timerange")
     total += dt
     print(f"# serve_timerange: p50 {dt * 1000:.2f}ms native 7d-range "
           f"LIMIT 10K, hour-partitioned tree "
           f"({rows_by['serve_timerange'] / 1e6:.2f} MB Arrow; arc 15ms)",
           file=sys.stderr)
-    dt = record("serve_timerange_compact",
-                samples_by["serve_timerange_compact"])
+    dt = record("serve_timerange_compact")
     total += dt
     print(f"# serve_timerange_compact: p50 {dt * 1000:.2f}ms same range "
           "over the compacted measurement (arc 15ms)", file=sys.stderr)
@@ -330,8 +396,19 @@ def main() -> None:
         },
         "tags": ["host"],
     })
-    e2e_samples, ack_samples = [], []
-    for _ in range(iterations):
+    def _bracketed_timed(name: str, fn) -> None:
+        """Like _bracketed, but fn times itself (returns (dt, val)) so
+        fixture setup/teardown stays outside the measurement."""
+        r_pre = _mini()
+        dt, val = fn()
+        r_post = _mini()
+        all_samples_raw.setdefault(name, []).append(dt)
+        brackets_by.setdefault(name, []).append((r_pre, r_post))
+        rows_by[name] = val
+
+    ack_samples = []
+
+    def _ingest_100k_pass():
         with tempfile.TemporaryDirectory() as td:
             svc = IngestService(spark, td, max_buffer_rows=10**9,
                                 max_buffer_age_s=10**9)
@@ -339,8 +416,17 @@ def main() -> None:
             svc.write_msgpack("bench", payload)
             ack_samples.append(time.perf_counter() - t0)
             svc.flush()
-            e2e_samples.append(time.perf_counter() - t0)
-    dt = record("ingest_msgpack_100k", e2e_samples)
+            return time.perf_counter() - t0, n_rows
+
+    for _ in range(iterations):
+        _bracketed_timed("ingest_msgpack_100k", _ingest_100k_pass)
+    for _ in range(MAX_LANE_RETRIES):
+        if _quiet_samples("ingest_msgpack_100k"):
+            break
+        lane_retries["ingest_msgpack_100k"] = (
+            lane_retries.get("ingest_msgpack_100k", 0) + 1)
+        _bracketed_timed("ingest_msgpack_100k", _ingest_100k_pass)
+    dt = record("ingest_msgpack_100k")
     ack_dt = sorted(ack_samples)[len(ack_samples) // 2]
     total += dt
     print(
@@ -426,14 +512,28 @@ def main() -> None:
         svc.flush()
         svc.close()
 
-    # r9 verdict #6: the single 200-payload flush warms the worker pool
-    # but NOT the full concurrent path (8 writer threads + 2 flush workers
-    # + GC state after ~45 query lanes) — BENCH_r09's defer windows read
-    # 2.9/3.3/12.3M, the first two still ramping. Run one full DISCARDED
-    # window per mode so the three measured windows are all steady-state;
-    # these lanes report throughput keys, not wall, so the +6s is free.
-    _sustained_window(defer=False, secs=2.0)
-    _sustained_window(defer=True, secs=2.0)
+    # r9 verdict #6 / r10 verdict #4: the single 200-payload flush warms
+    # the worker pool but NOT the full concurrent path (8 writer threads +
+    # 2 flush workers + GC state after ~45 query lanes), and ONE fixed
+    # discarded window per mode still left the first measured defer window
+    # ~half warmup about half the time (BENCH_r10's 1.9/1.5/9.4M). Ramp
+    # detection replaces the fixed count: discard 2 s windows until two
+    # CONSECUTIVE agree within 20% on the mode's headline metric (sync:
+    # ack rate, defer: drained e2e rate), capped at 4 — the measured
+    # windows then all start at steady state. These lanes report
+    # throughput keys, not wall, so ramp seconds are free.
+    def _ramp_discard(defer: bool, cap: int = 4) -> int:
+        prev = None
+        for i in range(cap):
+            ack, e2e = _sustained_window(defer=defer, secs=2.0)
+            cur = e2e if defer else ack
+            if prev is not None and abs(cur - prev) <= 0.2 * max(cur, prev):
+                return i + 1
+            prev = cur
+        return cap
+
+    ramp_windows = {"sync": _ramp_discard(defer=False),
+                    "defer": _ramp_discard(defer=True)}
 
     sus_windows = []    # sync mode: (ack, e2e)
     defer_windows = []  # deferred decode (DEFAULT profile): (ack, e2e)
@@ -519,39 +619,44 @@ def main() -> None:
             svc.close()
             return dt, n_burst
 
-    heavy_samples = {"ingest_lp_bulk_250k": [], "ingest_lp_bulk_1m": [],
-                     "ingest_msgpack_burst_12m": []}
-    heavy_rows = {}
+    heavy_lanes = [
+        ("ingest_lp_bulk_250k", lambda: _lp_pass(lp_payload)),
+        ("ingest_lp_bulk_1m", lambda: _lp_pass(lp_1m)),
+        ("ingest_msgpack_burst_12m", _burst_pass),
+    ]
     burst_iters = max(3, iterations - 2)
     for i in range(iterations):
-        dt, heavy_rows["ingest_lp_bulk_250k"] = _lp_pass(lp_payload)
-        heavy_samples["ingest_lp_bulk_250k"].append(dt)
-        dt, heavy_rows["ingest_lp_bulk_1m"] = _lp_pass(lp_1m)
-        heavy_samples["ingest_lp_bulk_1m"].append(dt)
-        if i < burst_iters:
-            dt, heavy_rows["ingest_msgpack_burst_12m"] = _burst_pass()
-            heavy_samples["ingest_msgpack_burst_12m"].append(dt)
+        for lane, fn in heavy_lanes:
+            if lane == "ingest_msgpack_burst_12m" and i >= burst_iters:
+                continue
+            _bracketed_timed(lane, fn)
+    for lane, fn in heavy_lanes:
+        for _ in range(MAX_LANE_RETRIES):
+            if _quiet_samples(lane):
+                break
+            lane_retries[lane] = lane_retries.get(lane, 0) + 1
+            _bracketed_timed(lane, fn)
 
     for lane in ("ingest_lp_bulk_250k", "ingest_lp_bulk_1m"):
-        dt = record(lane, heavy_samples[lane])
+        dt = record(lane)
         total += dt
         print(
             f"# {lane}: p50 {dt:.3f}s fused parse+write, local threads "
             f"(<=128MB routing; r8) "
-            f"({heavy_rows[lane] / dt:,.0f} rec/s; passes "
-            f"{[round(s, 2) for s in heavy_samples[lane]]})",
+            f"({rows_by[lane] / dt:,.0f} rec/s; passes "
+            f"{[round(s, 2) for s in all_samples_raw[lane]]}, "
+            f"{quiet_counts[lane]} quiet)",
             file=sys.stderr,
         )
-    burst_dt = record("ingest_msgpack_burst_12m",
-                      heavy_samples["ingest_msgpack_burst_12m"], agg="min")
+    burst_dt = record("ingest_msgpack_burst_12m", agg="min")
     total += burst_dt
-    n_burst = heavy_rows["ingest_msgpack_burst_12m"]
+    n_burst = rows_by["ingest_msgpack_burst_12m"]
     print(
         f"# ingest_msgpack_burst_12m: {burst_dt:.3f}s accept+distributed "
         f"drain ({n_burst / burst_dt / 1e6:.1f}M rec/s e2e; "
-        f"{len(heavy_samples['ingest_msgpack_burst_12m'])} temporally "
+        f"{len(all_samples_raw['ingest_msgpack_burst_12m'])} temporally "
         f"separated passes "
-        f"{[round(s, 2) for s in heavy_samples['ingest_msgpack_burst_12m']]})",
+        f"{[round(s, 2) for s in all_samples_raw['ingest_msgpack_burst_12m']]})",
         file=sys.stderr,
     )
 
@@ -627,6 +732,11 @@ def main() -> None:
         # and absolute lane times must not be compared across artifacts
         "sentinel_valid": sentinel_valid,
         "mid_drift": round(mid_drift, 3),
+        # per-lane noise isolation (r10 item 2): lanes whose EVERY sample
+        # (including bounded retries) overlapped a mini-sentinel spike —
+        # their p50/min fall back to all-samples and should be read with
+        # that asterisk; every other lane's statistic is quiet-window-only
+        "noisy_lanes": sorted(k for k, v in quiet_counts.items() if v == 0),
         # stdout budget: start loadavg only (the gating sample); the
         # post_query/end trios ride in bench_detail.json
         "loadavg": {"start": load_start},
@@ -638,7 +748,8 @@ def main() -> None:
     # (sentinel_valid stays), per-lane mins only as a last resort. Every
     # dropped key still rides in bench_detail.json. (r9: the line reached
     # 1873 chars; one more lane would have silently cost the mins.)
-    for victim in ("sus_windows", "defer_windows", "sentinel", "mins"):
+    for victim in ("sus_windows", "defer_windows", "sentinel", "mins",
+                   "noisy_lanes"):
         if len(line) <= 1900:
             break
         print(f"# WARN summary line {len(line)} chars; dropping {victim}",
@@ -653,6 +764,21 @@ def main() -> None:
     detail = {
         "mins": mins,
         "samples": all_samples,
+        # noise-isolation evidence (r10 item 2): per-lane (pre, post)
+        # mini-sentinel brackets for every sample, the run's quiet floor,
+        # per-lane quiet-sample counts, and which lanes needed retries
+        "quiet": {
+            "floor_s": round(min(mini_readings), 4),
+            "baseline_median_s": round(
+                sorted(mini_readings)[len(mini_readings) // 2], 4),
+            "threshold_factor": QUIET_FACTOR,
+            "counts": quiet_counts,
+            "retries": lane_retries,
+            "readings_n": len(mini_readings),
+            "brackets": {k: [[round(a, 3), round(b, 3)] for a, b in v]
+                         for k, v in brackets_by.items()},
+        },
+        "ramp_windows_discarded": ramp_windows,
         "sus_windows_full": [[round(a), round(e)] for a, e in sus_windows],
         "defer_windows_full": [[round(a), round(e)]
                                for a, e in defer_windows],
