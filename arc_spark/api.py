@@ -999,20 +999,42 @@ class IngestService:
             return self._admit(db, payload if _wal else None,
                                raw=(f"lp:{precision}", payload,
                                     count_lines(payload)))
-        from arc_spark.sources.ingest import rows_to_columnar
-        from arc_spark.sources.line_protocol import parse_batch
+        from arc_spark.sources.line_protocol import parse_chunk_columnar
 
-        # invalid UTF-8 is sanitized (U+FFFD), not fatal — one hostile batch
-        # must not DoS the ingest path (reference internal/ingest/utf8*.go)
-        # (same ack-decode mutex as write_msgpack: the pure-Python parse
-        # convoys on the GIL under writer concurrency)
-        with self._decode_serial:
-            rows = parse_batch(payload.decode("utf-8", "replace"),
-                               precision=precision)
-        if not rows:
+        # vectorized columnar parse, split PER MEASUREMENT — the former
+        # parse_batch + rows_to_columnar pair was 5.6× slower (pure-Python
+        # row loop behind the ack mutex) AND silently filed every row of a
+        # multi-measurement payload under the FIRST line's measurement
+        # (rows_to_columnar keys the whole batch on rows[0]; r11 repro:
+        # cpu+mem payload → everything under bench/cpu). The kernels
+        # release the GIL, so no ack mutex here: concurrent writers'
+        # parses overlap instead of convoying. Invalid UTF-8 is sanitized
+        # inside the parser (U+FFFD), not fatal — one hostile batch must
+        # not DoS the ingest path (reference internal/ingest/utf8*.go).
+        from arc_spark.sources.line_protocol import (LineProtocolError,
+                                                     count_lines)
+
+        per_meas = parse_chunk_columnar(payload, precision)
+        batches = []
+        parsed = 0
+        for meas, b in per_meas.items():
+            if not b["columns"]:
+                continue
+            b["measurement"] = meas
+            parsed += len(b["columns"][next(iter(b["columns"]))])
+            batches.append(b)
+        # the sync ack path keeps parse_batch's ALL-OR-NOTHING contract
+        # (deferred/flush callers skip+count instead): parse_chunk_columnar
+        # drops malformed lines silently, so a parsed-vs-expected shortfall
+        # here means the payload must be rejected whole — 400, not a
+        # partial ingest the client can't see
+        expected = count_lines(payload)
+        if parsed < expected:
+            raise LineProtocolError(
+                f"{expected - parsed} of {expected} lines failed to parse")
+        if not batches:
             return 0
-        return self._admit(db, payload if _wal else None,
-                           batch=rows_to_columnar(rows))
+        return self._admit(db, payload if _wal else None, batches=batches)
 
     def _write_line_protocol_distributed(
         self, db: str, payload: bytes, precision: str
@@ -1169,6 +1191,13 @@ class IngestService:
         max_workers = min(8, os.cpu_count() or 8)
         n_chunks = max(1, min(max_workers, len(payload) // (2 << 20) + 1))
         n_workers = min(max_workers, n_chunks)
+        # NOT raised: Arrow's 8-thread IO pool does serialize 8 concurrent
+        # chunk writes in isolation (110 ms vs 45 at io=cpu, JVM-free
+        # microbench), but in the fused path the write half already hides
+        # inside the other threads' parse window (parse wall ~175 ms >
+        # saturated-write wall ~110 ms) — a 12-pass alternating in-session
+        # A/B measured io=32 as a wash-to-slightly-worse (r11), so the
+        # process-global knob stays untouched.
         ranges = _lp_byte_ranges(payload, n_chunks)
         root, sort_keys_cfg = self.root, self.sort_keys_config
 
@@ -1403,6 +1432,7 @@ class IngestService:
         wal_payload: bytes | None,
         batch: dict | None = None,
         raw: tuple[str, bytes, int] | None = None,
+        batches: list[dict] | None = None,
     ) -> int:
         """WAL append + buffer insert, atomically: a concurrent flush
         snapshot either sees both (entry flushed, WAL cut past it) or
@@ -1422,6 +1452,9 @@ class IngestService:
         if batch is not None:
             validate_identifier(
                 batch.get("measurement") or "default", "measurement")
+        for b in batches or ():
+            validate_identifier(
+                b.get("measurement") or "default", "measurement")
         while True:
             with self._lock:
                 over = (
@@ -1459,11 +1492,21 @@ class IngestService:
                     self.stats["acked"] += n
                 trip_size = len(self._raw) >= max(self.max_buffer_rows // 1000, 1)
             else:
-                meas = batch.get("measurement") or "default"
-                if not batch["columns"]:
+                # one lock pass + one WAL append for ALL of a payload's
+                # per-measurement batches (multi-measurement LP): the
+                # WAL entry stays payload-granular, so replay semantics
+                # are unchanged
+                todo = batches if batches is not None else [batch]
+                n = 0
+                for b in todo:
+                    if not b["columns"]:
+                        continue
+                    meas = b.get("measurement") or "default"
+                    k = len(b["columns"][next(iter(b["columns"]))])
+                    self._buffers.setdefault((db, meas), []).append(b)
+                    n += k
+                if n == 0:
                     return 0
-                n = len(batch["columns"][next(iter(batch["columns"]))])
-                self._buffers.setdefault((db, meas), []).append(batch)
                 self._buffer_rows += n
                 self.stats["acked"] += n
                 trip_size = self._buffer_rows >= self.max_buffer_rows
@@ -1569,15 +1612,38 @@ class IngestService:
             except ValueError:
                 return False
 
+        # LP payloads parse CONCURRENTLY across entries: the kernels in
+        # parse_chunk_columnar release the GIL, one ~500 KB payload costs
+        # ~10 ms of Arrow compute, and a deferred backlog below the
+        # distributed threshold arrives as dozens of independent payloads
+        # — sequential decode made the in-process LP drain the sustained
+        # lane's bound (~1 M lines/s/worker; r11 measured the 8-way map
+        # at ~4× on the same backlog). Per-entry results stay separate so
+        # the ack-delta/dropped accounting below is untouched.
+        lp_parsed: dict[int, dict] = {}
+        lp_idx = [i for i, e in enumerate(raw) if e[1].startswith("lp")]
+        if len(lp_idx) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            def _parse_lp(i: int) -> dict:
+                _db, kind, payload, _n = raw[i]
+                precision = kind.split(":")[1] if ":" in kind else "ns"
+                return parse_chunk_columnar(payload, precision)
+
+            workers = min(8, os.cpu_count() or 8, len(lp_idx))
+            with ThreadPoolExecutor(max_workers=workers) as ex:
+                lp_parsed = dict(zip(lp_idx, ex.map(_parse_lp, lp_idx)))
+
         out: dict[tuple[str, str], list[dict]] = {}
         delta = 0
         dropped = 0
-        for db, kind, payload, n_pre in raw:
+        for idx, (db, kind, payload, n_pre) in enumerate(raw):
             actual = 0
             if kind.startswith("lp"):
                 precision = kind.split(":")[1] if ":" in kind else "ns"
-                for meas, batch in parse_chunk_columnar(
-                        payload, precision).items():
+                per_meas = (lp_parsed[idx] if idx in lp_parsed
+                            else parse_chunk_columnar(payload, precision))
+                for meas, batch in per_meas.items():
                     if batch["columns"] and _name_ok(meas):
                         n = len(batch["columns"][next(iter(batch["columns"]))])
                         out.setdefault((db, meas), []).append(batch)

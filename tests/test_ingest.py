@@ -378,3 +378,46 @@ class TestIngestHardening:
                             max_buffer_age_s=10**9)
         payload = b"cpu,host=a\xff v=1 1700000000000000000\n"
         assert svc.write_line_protocol("m", payload) == 1
+
+    def test_multi_measurement_sync_lp_splits(self, spark, tmp_path):
+        """r11 fix: the sync LP ack path filed EVERY row of a
+        multi-measurement payload under the first line's measurement
+        (rows_to_columnar keyed the batch on rows[0]); the vectorized
+        per-measurement parse splits correctly."""
+        import os
+
+        from arc_spark.api import IngestService
+
+        svc = IngestService(spark, str(tmp_path), max_buffer_rows=10**9,
+                            max_buffer_age_s=10**9)
+        n = svc.write_line_protocol(
+            "m",
+            b"cpu,host=a usage=1 1700000000000000000\n"
+            b"mem,host=a used=2 1700000000000000000\n"
+            b"cpu,host=b usage=3 1700000001000000000\n")
+        assert n == 3
+        svc.flush()
+        meas_dirs = {p for p in os.listdir(tmp_path / "m")
+                     if not p.startswith(("_", "."))}
+        assert meas_dirs == {"cpu", "mem"}
+
+    def test_malformed_sync_lp_rejected_whole(self, spark, tmp_path):
+        """The sync ack path keeps parse_batch's all-or-nothing contract:
+        one malformed line rejects the payload (HTTP 400), never a
+        partial ingest the client can't see."""
+        import pytest as _pytest
+
+        from arc_spark.api import IngestService
+        from arc_spark.sources.line_protocol import LineProtocolError
+
+        svc = IngestService(spark, str(tmp_path), max_buffer_rows=10**9,
+                            max_buffer_age_s=10**9)
+        with _pytest.raises(LineProtocolError):
+            svc.write_line_protocol(
+                "m",
+                b"cpu,host=a usage=1 1700000000000000000\n"
+                b"not line protocol at all\n")
+        assert svc.stats["acked"] == 0
+        # comments and blank lines are not "failed" lines
+        assert svc.write_line_protocol(
+            "m", b"\n# c\ncpu,host=a usage=1 1700000000000000000\n") == 1
