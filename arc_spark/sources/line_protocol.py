@@ -393,6 +393,18 @@ def parse_chunk_vectorized(chunk: bytes, precision: str):
     scale = PRECISION_TO_US.get(precision)
     if scale is None:
         raise LineProtocolError(f"bad precision {precision!r}")
+    # r11: single-pass C scanner first for the STRICTLY uniform shape
+    # (one measurement, stable key sequences, ASCII, timestamps present)
+    # — ~5× the kernel formulation on the same chunk, because the kernel
+    # path re-scans the data ~30 allocation-heavy passes deep while the
+    # C pass touches each byte once. Declines (None) fall through to the
+    # kernels; three-way equivalence (C / kernels / per-line generic) is
+    # fuzz-locked in tests/test_properties.py.
+    from arc_spark.sources._clp import parse_chunk_native
+
+    native = parse_chunk_native(chunk, scale)
+    if native is not None:
+        return native
     # r10: the chunk enters Arrow as ONE binary scalar and every byte-
     # level gate (UTF-8 validity, escape/quote/CR detection) runs as a
     # C++ kernel. The previous head did chunk.decode + three Python

@@ -477,6 +477,63 @@ class TestLpVectorizedEquivalence:
         if fast is not None:
             assert self._canon(fast) == self._canon(gen)
 
+    def test_native_c_path_accepts_uniform_and_matches_kernels(self):
+        """The r11 single-pass C scanner must ACCEPT the dominant wire
+        shape (else it silently never fires and the fuzz proves nothing
+        about it) and agree with the kernel path column-for-column —
+        int/float/bool fields, tags, ns timestamps."""
+        import pytest as _pytest
+
+        import arc_spark.sources._clp as clp
+        from arc_spark.sources import line_protocol as lp
+
+        chunk = "\n".join(
+            f"cpu,host=h{i % 64},dc=east usage={i % 100},"
+            f"load={i % 7}.5,n={i}i,up={'t' if i % 2 else 'false'} "
+            f"{1700000000000000000 + i * 10**9}"
+            for i in range(2000)).encode()
+        native = clp.parse_chunk_native(chunk, lp.PRECISION_TO_US["ns"])
+        if clp._parse is None:
+            _pytest.skip("no C compiler: kernel path is active")
+        assert native is not None, "C path declined the dominant shape"
+        orig = clp.parse_chunk_native
+        clp.parse_chunk_native = lambda *a, **k: None
+        try:
+            kern = lp.parse_chunk_vectorized(chunk, "ns")
+        finally:
+            clp.parse_chunk_native = orig
+        assert kern is not None
+        assert self._canon(native) == self._canon(kern)
+
+    @given(
+        payload=st.text(
+            alphabet="abc,= .\n#0123456789if\\\"\rxyzé",
+            max_size=120,
+        ),
+        precision=st.sampled_from(["ns", "us", "ms", "s"]),
+    )
+    @settings(max_examples=150, deadline=None)
+    def test_native_garbage_never_diverges_from_kernels(self, payload,
+                                                        precision):
+        """The C scanner on arbitrary bytes: decline, or produce exactly
+        the kernel result — never crash, never accept what the kernels
+        reject differently."""
+        import arc_spark.sources._clp as clp
+        from arc_spark.sources import line_protocol as lp
+
+        chunk = payload.encode()
+        native = clp.parse_chunk_native(chunk, lp.PRECISION_TO_US[precision])
+        if native is None:
+            return
+        orig = clp.parse_chunk_native
+        clp.parse_chunk_native = lambda *a, **k: None
+        try:
+            kern = lp.parse_chunk_vectorized(chunk, precision)
+        finally:
+            clp.parse_chunk_native = orig
+        assert kern is not None, "C accepted a chunk the kernels decline"
+        assert self._canon(native) == self._canon(kern)
+
     @given(
         payload=st.text(
             alphabet='abc,= "\\\n#01.iu\t', min_size=0, max_size=200
