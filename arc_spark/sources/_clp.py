@@ -173,18 +173,20 @@ int64_t arc_lp_parse(const uint8_t *buf, int64_t size, int64_t n_alloc,
             p = match_span(buf, size, p, buf + sp[0], sp[1]);
             if (p < 0 || p >= size || buf[p] != '=') return -1;
             p++;
-            int64_t ve = scan_value(buf, size, p,
-                                    t + 1 < n_tags ? ',' : ' ', ' ', 1);
+            /* ALWAYS terminate on ',' AND ' ': a bare ',' inside the
+             * LAST tag's value would otherwise absorb an =-less extra
+             * tag ("m,a=1,xyz f=..." → value "1,xyz") that the generic
+             * parser REJECTS as a malformed tag — a divergence, caught
+             * in r11 review */
+            int64_t ve = scan_value(buf, size, p, ',', ' ', 1);
             if (ve < 0 || ve >= size || ve == p) return -1;
-            /* a tag value containing ',' where ' ' was expected (or vice
-             * versa) mis-terminates and the NEXT match fails — but a ','
-             * in the LAST tag's value must decline here, not leak */
-            if (t + 1 == n_tags && buf[ve] != ' ') return -1;
+            uint8_t expect_t = (t + 1 < n_tags) ? ',' : ' ';
+            if (buf[ve] != expect_t) return -1;
             tag_starts[t * n_alloc + row] = (int32_t)p;
             tag_lens[t * n_alloc + row] = (int32_t)(ve - p);
             p = ve;
         }
-        if (p >= size || buf[p] != (n_tags ? ' ' : ' ')) return -1;
+        if (p >= size || buf[p] != ' ') return -1;
         p++;
         /* fields */
         for (int64_t f = 0; f < n_fields; f++) {
@@ -192,14 +194,12 @@ int64_t arc_lp_parse(const uint8_t *buf, int64_t size, int64_t n_alloc,
             p = match_span(buf, size, p, buf + sp[0], sp[1]);
             if (p < 0 || p >= size || buf[p] != '=') return -1;
             p++;
-            int64_t ve = scan_value(buf, size, p,
-                                    f + 1 < n_fields ? ',' : ' ', ' ', 1);
-            if (ve < 0 || ve == p) return -1;
-            if (f + 1 < n_fields) {
-                if (ve >= size || buf[ve] != ',') return -1;
-            } else {
-                if (ve >= size || buf[ve] != ' ') return -1;
-            }
+            /* same terminator discipline as tags (field-value typing
+             * would also catch a leaked ',', but don't rely on it) */
+            int64_t ve = scan_value(buf, size, p, ',', ' ', 1);
+            if (ve < 0 || ve == p || ve >= size) return -1;
+            uint8_t expect_f = (f + 1 < n_fields) ? ',' : ' ';
+            if (buf[ve] != expect_f) return -1;
             int64_t vl = ve - p;
             int64_t ty = types[f];
             int64_t *slot = field_vals + f * n_alloc + row;

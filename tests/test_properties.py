@@ -505,6 +505,25 @@ class TestLpVectorizedEquivalence:
         assert kern is not None
         assert self._canon(native) == self._canon(kern)
 
+    def test_native_declines_extra_equals_less_tag(self):
+        """r11 review catch: a bare ',' inside the LAST tag's value slot
+        ("m,a=1,xyz f=1 1") absorbed an =-less extra tag into the value,
+        where the generic parser REJECTS the line as malformed — the C
+        scanner must decline the chunk, not invent a value."""
+        import arc_spark.sources._clp as clp
+        import pytest as _pytest
+
+        if clp.parse_chunk_native(b"m,a=1 f=1 1", 0.001) is None \
+                and clp._parse is None:
+            _pytest.skip("no C compiler")
+        chunk = (b"m,a=1 f=1 1700000000000000000\n"
+                 b"m,a=1,xyz f=1 1700000000000000001\n")
+        assert clp.parse_chunk_native(chunk, 0.001) is None
+        # ...and the same shape in the FIELD section
+        chunk2 = (b"m f=1 1700000000000000000\n"
+                  b"m f=1,5 1700000000000000001\n")
+        assert clp.parse_chunk_native(chunk2, 0.001) is None
+
     @given(
         payload=st.text(
             alphabet="abc,= .\n#0123456789if\\\"\rxyzé",
