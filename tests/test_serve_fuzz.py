@@ -184,3 +184,17 @@ def test_http_serve_matches_duckdb(serve_env, table):
         port, admin, f"SELECT * FROM {meas} WHERE 1=1")
     assert sorted(cols_s) == sorted(all_cols)
     assert _norm_rows(cols_s, rows_s, {"time"}) == duck_norm
+
+    # Arrow wire over the same native shape: parse the IPC stream back
+    # and hold it to the same oracle rows
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/api/v1/query",
+        data=json.dumps({"sql": f"SELECT * FROM {meas} LIMIT 1000000",
+                         "format": "arrow"}).encode(), method="POST")
+    req.add_header("Authorization", f"Bearer {admin}")
+    with urllib.request.urlopen(req, timeout=120) as resp:
+        arrow_tbl = pa.ipc.open_stream(resp.read()).read_all()
+    assert sorted(arrow_tbl.column_names) == sorted(all_cols)
+    arrow_rows = [list(r.values()) for r in arrow_tbl.to_pylist()]
+    assert _norm_rows(arrow_tbl.column_names, arrow_rows,
+                      {"time"}) == duck_norm
