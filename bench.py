@@ -548,7 +548,10 @@ def main() -> None:
     # ack rate, defer: drained e2e rate), capped at 4 — the measured
     # windows then all start at steady state. These lanes report
     # throughput keys, not wall, so ramp seconds are free.
-    def _ramp_discard(defer: bool, cap: int = 4) -> int:
+    # cap 6 (was 4): the first sentinel-valid r11 run hit the cap without
+    # converging and its measured defer windows still read 8.1/11.9/15.7M
+    # — ramp seconds are free for throughput lanes, so buy more
+    def _ramp_discard(defer: bool, cap: int = 6) -> int:
         prev = None
         for i in range(cap):
             ack, e2e = _sustained_window(defer=defer, secs=2.0)
@@ -558,7 +561,7 @@ def main() -> None:
             prev = cur
         return cap
 
-    def _ramp_discard_lp(cap: int = 4) -> int:
+    def _ramp_discard_lp(cap: int = 6) -> int:
         prev = None
         for i in range(cap):
             ack, _ = _sustained_window(defer=True, secs=2.0, kind="lp")
