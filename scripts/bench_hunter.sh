@@ -20,8 +20,14 @@ print(_sentinel()[1])")
         valid=$(python -c "
 import json
 s = json.loads(open('/tmp/bench_r11_auto_$i.json').read().strip().splitlines()[-1])
-print(1 if s.get('sentinel_valid') else 0)")
-        echo "attempt $i: sentinel_valid=$valid" >&2
+sent = s.get('sentinel') or {}
+mts = [v[1] for v in sent.values()]
+# stop only on a run that is BOTH rule-valid and calm through the
+# middle: a start/final-valid run whose end sentinel doubled (the first
+# r11 valid artifact) still carries inflated ingest lanes
+calm_mid = bool(mts) and max(mts) <= 1.5 * min(mts)
+print(1 if s.get('sentinel_valid') and calm_mid else 0)")
+        echo "attempt $i: valid_and_calm=$valid" >&2
         if [ "$valid" = "1" ]; then
             cp "/tmp/bench_r11_auto_$i.json" /tmp/bench_r11_VALID.json
             cp bench_detail.json /tmp/bench_r11_VALID_detail.json
