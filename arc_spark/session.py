@@ -148,6 +148,17 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Whole-stage-codegen class cache: the Spark default is 100
+        # entries, sized for a job that runs ONE query shape — a
+        # long-lived multi-query server (this engine's whole point)
+        # thrashes it: ~40 distinct workload lanes evict each other's
+        # compiled classes, so every lane pays a full Janino recompile
+        # per arrival (r11 root-caused the r10/r11 artifact mystery of
+        # q16 reading 2.4-2.8 s in-bench vs 1.1-1.8 isolated: with 5000
+        # entries the in-context run matches isolated, measured
+        # 2.75±0.04 → 1.2-1.9 s; q45/q17 same family). Entries are
+        # compiled-class references — thousands cost MBs, not GBs.
+        .config("spark.sql.codegen.cache.maxEntries", "5000")
         # Joins: dims broadcast; facts sort-merge/shuffled-hash via AQE.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # µs timestamps at rest (arc's storage type, SURVEY §1.2) — the
