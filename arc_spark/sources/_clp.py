@@ -27,6 +27,7 @@ import hashlib
 import os
 import subprocess
 import tempfile
+import threading
 
 MAX_TAGS = 16
 MAX_FIELDS = 32
@@ -288,6 +289,16 @@ _schema = None
 _parse = None
 _gather = None
 _tried = False
+# r12 (r11 advice): _ensure_built had a check-then-act race — two threads
+# (the 8-way deferred-drain pool on first flush, or the fused writer's 8
+# chunk workers) could both pass the _tried gate and run cc concurrently
+# with the SAME pid-keyed tmp path, caching a corrupt .so under the
+# source-hash name; every later process would then fail CDLL and silently
+# lose the fast path until .cache was cleared. The lock serializes the
+# one-time build; losers of the race wait and see the winner's globals
+# (not a permanent decline — the r11 shape let a thread observe
+# _tried=True mid-build and fall back for that call).
+_BUILD_LOCK = threading.Lock()
 
 
 def _build():
@@ -303,7 +314,10 @@ def _build():
             f.write(_C_SRC)
             c_path = f.name
         try:
-            tmp_so = so_path + f".tmp-{os.getpid()}"
+            # pid+tid keyed: cross-process races converge via the atomic
+            # os.replace; within-process _BUILD_LOCK already serializes,
+            # the tid is belt-and-braces for any future unlocked caller
+            tmp_so = so_path + f".tmp-{os.getpid()}-{threading.get_ident()}"
             subprocess.run(
                 ["cc", "-O2", "-shared", "-fPIC", "-o", tmp_so, c_path],
                 check=True, capture_output=True, timeout=60)
@@ -335,13 +349,17 @@ def _ensure_built() -> None:
     global _schema, _parse, _gather, _tried
     if _tried:
         return
-    _tried = True
-    if os.environ.get("ARC_DISABLE_CLP", "").lower() in ("1", "true"):
-        return
-    try:
-        _schema, _parse, _gather = _build()
-    except Exception:
-        _schema = _parse = _gather = None
+    with _BUILD_LOCK:
+        if _tried:
+            return
+        if os.environ.get("ARC_DISABLE_CLP", "").lower() not in ("1", "true"):
+            try:
+                _schema, _parse, _gather = _build()
+            except Exception:
+                _schema = _parse = _gather = None
+        # set LAST: a concurrent reader that sees _tried=True must also
+        # see the loaded function pointers (GIL orders these stores)
+        _tried = True
 
 
 def parse_chunk_native(chunk: bytes, scale) -> "dict[str, dict] | None":

@@ -25,6 +25,33 @@ from collections.abc import Iterator
 
 PRECISION_TO_US = {"ns": 1 / 1000, "us": 1, "u": 1, "ms": 1000, "s": 1_000_000}
 
+# Per-process parse-path diagnostics (r11 verdict item 1): which of the
+# three equivalence-locked chunk parsers actually handled each chunk —
+# "native" = single-pass C scanner (_clp), "kernel" = pyarrow.compute
+# columnwise path, "generic" = per-line Python loop. bench.py snapshots
+# these around each LP lane pass so a BENCH artifact can PROVE the path
+# taken (the r11 clean artifact read 2.08× baseline on lp_bulk_1m while
+# in-session runs read ~1×; without the counter there was no way to tell
+# "scanner declined" from "box variance"). Counts are incremented once
+# per CHUNK under a lock (8 chunks/payload on the fused local path — not
+# a hot-path cost). Distributed (mapInPandas) parses increment executor-
+# side copies that are never collected; only in-process paths are
+# observable here, which covers every bench LP lane.
+import threading as _threading
+
+_PATH_LOCK = _threading.Lock()
+PATH_COUNTS = {"native": 0, "kernel": 0, "generic": 0}
+
+
+def _count_path(path: str) -> None:
+    with _PATH_LOCK:
+        PATH_COUNTS[path] += 1
+
+
+def path_counts_snapshot() -> dict:
+    with _PATH_LOCK:
+        return dict(PATH_COUNTS)
+
 
 class LineProtocolError(ValueError):
     pass
@@ -404,6 +431,7 @@ def parse_chunk_vectorized(chunk: bytes, precision: str):
 
     native = parse_chunk_native(chunk, scale)
     if native is not None:
+        _count_path("native")
         return native
     # r10: the chunk enters Arrow as ONE binary scalar and every byte-
     # level gate (UTF-8 validity, escape/quote/CR detection) runs as a
@@ -428,6 +456,7 @@ def parse_chunk_vectorized(chunk: bytes, precision: str):
     )
     lines = pc.filter(lines, keep)
     if len(lines) == 0:
+        _count_path("kernel")
         return {}
     if not pc.all(pc.equal(lines, pc.filter(trimmed, keep))).as_py():
         return None  # stray whitespace: generic path decides (it errors)
@@ -458,6 +487,7 @@ def parse_chunk_vectorized(chunk: bytes, precision: str):
         if batch is None:
             return None
         out[m] = batch
+    _count_path("kernel")
     return out
 
 
@@ -478,6 +508,7 @@ def parse_chunk_columnar(chunk: bytes, precision: str) -> dict[str, dict]:
     fast = parse_chunk_vectorized(chunk, precision)
     if fast is not None:
         return fast
+    _count_path("generic")
     per_meas: dict[str, dict] = {}
     for s in chunk.decode("utf-8", "replace").splitlines():
         if not s.strip() or s.startswith("#"):

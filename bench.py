@@ -130,10 +130,29 @@ def _mini_sentinel() -> float:
     return time.perf_counter() - t0
 
 
+def _sentinel_stable(trail: dict, tag: str) -> tuple[float, float]:
+    """Full sentinel with bounded retries (r11 verdict item 2): the r11
+    driver artifact lost its run-level `sentinel_valid` to a single
+    startup steal wave (START mt 1.239 s vs ~0.3-0.6 everywhere else)
+    while all 43 lanes were quiet. Read twice; if the 32-thread numbers
+    disagree >10%, read a third time. Return the reading with the LOWEST
+    mt — the calmest observation is the best estimate of the box's true
+    parallel headroom (a steal wave only ever inflates). All readings go
+    into the artifact (bench_detail sentinel_trail) so a retried
+    baseline is visible, not silent."""
+    reads = [_sentinel(), _sentinel()]
+    if abs(reads[1][1] - reads[0][1]) > 0.10 * max(reads[0][1],
+                                                   reads[1][1]):
+        reads.append(_sentinel())
+    trail[tag] = [list(r) for r in reads]
+    return min(reads, key=lambda r: r[1])
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     load_start = [round(x, 2) for x in os.getloadavg()]
-    sent_start = _sentinel()
+    sentinel_trail: dict[str, list] = {}
+    sent_start = _sentinel_stable(sentinel_trail, "start")
     from arc_spark.session import get_spark
     from arc_spark.workload import QUERIES
 
@@ -624,6 +643,18 @@ def main() -> None:
         f"{1700000000000000000 + i * 10**9}"
         for i in range(n_lines)
     ).encode()
+    # kernel-path canary (r11 verdict item 6): the uniform lanes above
+    # are all C-scanner-accepted now, so the pyarrow-kernel path lost
+    # bench coverage the moment the C path landed — a kernel regression
+    # could hide behind it. TWO alternating measurements decline the C
+    # scanner (strictly-one-measurement shape) but stay on the kernel
+    # path (≤64 uniq measurements); the path counters below prove it.
+    lp_kernel_payload = "\n".join(
+        f"{'cpu' if i % 2 else 'mem'},host=h{i % 64} "
+        f"usage={i % 100},load={i % 7} "
+        f"{1700000000000000000 + i * 10**9}"
+        for i in range(n_lines)
+    ).encode()
     # backfill-scale LP lane: 1M lines (~49 MB) — per-task overhead
     # amortizes and the fused path approaches its parse+write asymptote
     n_lines_1m = 1_000_000
@@ -634,7 +665,17 @@ def main() -> None:
     ).encode()
     burst_payloads = sus_payloads
 
-    def _lp_pass(payload):
+    # which chunk parser handled each LP lane pass (r11 verdict item 1:
+    # the r11 clean artifact read lp_bulk_1m at 2.08× while in-session
+    # runs read ~1× and NOTHING in the artifact could say whether the C
+    # scanner fired — now every pass records its native/kernel/generic
+    # chunk-count delta, so "scanner declined" and "box variance" are
+    # distinguishable in the artifact itself)
+    from arc_spark.sources.line_protocol import path_counts_snapshot
+
+    lp_path_log: dict[str, list[dict]] = {}
+
+    def _lp_pass(payload, lane):
         # HTTP-sized payloads route through the LOCAL THREADED fused
         # writer (r8): pyarrow parse + parquet write across ≤8 threads,
         # no Spark job — the Python-task round-trip (~0.2-0.3 s fixed on
@@ -644,9 +685,14 @@ def main() -> None:
             svc = IngestService(spark, td, max_buffer_rows=10**9,
                                 max_buffer_age_s=10**9,
                                 distributed_decode_min_bytes=1 << 20)
+            before = path_counts_snapshot()
             t0 = time.perf_counter()
             n_written = svc.write_line_protocol("bench", payload)
-            return time.perf_counter() - t0, n_written
+            dt = time.perf_counter() - t0
+            after = path_counts_snapshot()
+            lp_path_log.setdefault(lane, []).append(
+                {k: after[k] - before[k] for k in after})
+            return dt, n_written
 
     def _burst_pass():
         # burst-drain lane (arc's 20.9M rec/s headline is a saturated
@@ -671,8 +717,12 @@ def main() -> None:
             return dt, n_burst
 
     heavy_lanes = [
-        ("ingest_lp_bulk_250k", lambda: _lp_pass(lp_payload)),
-        ("ingest_lp_bulk_1m", lambda: _lp_pass(lp_1m)),
+        ("ingest_lp_bulk_250k",
+         lambda: _lp_pass(lp_payload, "ingest_lp_bulk_250k")),
+        ("ingest_lp_bulk_1m",
+         lambda: _lp_pass(lp_1m, "ingest_lp_bulk_1m")),
+        ("ingest_lp_bulk_kernel_250k",
+         lambda: _lp_pass(lp_kernel_payload, "ingest_lp_bulk_kernel_250k")),
         ("ingest_msgpack_burst_12m", _burst_pass),
     ]
     burst_iters = max(3, iterations - 2)
@@ -688,15 +738,18 @@ def main() -> None:
             lane_retries[lane] = lane_retries.get(lane, 0) + 1
             _bracketed_timed(lane, fn)
 
-    for lane in ("ingest_lp_bulk_250k", "ingest_lp_bulk_1m"):
+    for lane in ("ingest_lp_bulk_250k", "ingest_lp_bulk_1m",
+                 "ingest_lp_bulk_kernel_250k"):
         dt = record(lane)
         total += dt
+        paths = {k: sum(d[k] for d in lp_path_log.get(lane, []))
+                 for k in ("native", "kernel", "generic")}
         print(
             f"# {lane}: p50 {dt:.3f}s fused parse+write, local threads "
             f"(<=128MB routing; r8) "
             f"({rows_by[lane] / dt:,.0f} rec/s; passes "
             f"{[round(s, 2) for s in all_samples_raw[lane]]}, "
-            f"{quiet_counts[lane]} quiet)",
+            f"{quiet_counts[lane]} quiet; chunk paths {paths})",
             file=sys.stderr,
         )
     burst_dt = record("ingest_msgpack_burst_12m", agg="min")
@@ -719,7 +772,7 @@ def main() -> None:
     # once more — if `final` recovers to `start` while `end` did not, the
     # end-divergence was the JVM's own background load, not box drift.
     spark.stop()
-    sent_final = _sentinel()
+    sent_final = _sentinel_stable(sentinel_trail, "final")
 
     # validity rule (SCALING.md §bench-calibration, r7 verdict #1d): the
     # run's p50s are only cross-artifact comparable when parallel headroom
@@ -745,6 +798,33 @@ def main() -> None:
               f"SCALING.md this run's absolute p50s are NOT comparable "
               f"across artifacts — re-run on a quiet box", file=sys.stderr)
 
+    # uniform-steal gate (r11 verdict item 3): the per-lane quiet gate is
+    # RELATIVE to the run's own median probe, so a box that is uniformly
+    # loud for the whole run tags every lane quiet (r11: q48 0.631 s vs
+    # 0.176 clean, zero trips). bench_calibration.json anchors an
+    # ABSOLUTE quiet-box probe p50 (from a sentinel-valid clean run);
+    # a run whose median probe exceeds it by >degraded_factor is flagged
+    # globally degraded — its lane times are real but not comparable to
+    # clean artifacts without sentinel normalization.
+    probe_median = sorted(mini_readings)[len(mini_readings) // 2]
+    box_degraded = False
+    probe_vs_calib = None
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_calibration.json")) as fh:
+            calib = json.load(fh)
+        probe_vs_calib = round(
+            probe_median / calib["mini_sentinel_p50_s"], 2)
+        box_degraded = probe_vs_calib > calib["degraded_factor"]
+    except (OSError, KeyError, ZeroDivisionError, ValueError):
+        calib = None
+    if box_degraded:
+        print(f"# WARN BOX-DEGRADED: run median probe {probe_median:.3f}s "
+              f"is {probe_vs_calib}x the quiet-box calibration "
+              f"({calib['mini_sentinel_p50_s']}s) — uniform host steal; "
+              f"lane times are internally consistent but inflated vs "
+              f"clean artifacts; prefer a re-run", file=sys.stderr)
+
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     summary = {
         "metric": "workload_total_wall",
@@ -758,7 +838,6 @@ def main() -> None:
         "iterations": iterations,
         "ingest_sustained_rec_s": sustained_rec_s,
         "ingest_sustained_defer_rec_s": sustained_defer_rec_s,
-        "ingest_sustained_defer_ack_rec_s": sustained_defer_ack_rec_s,
         # LP requests (10k lines each) against the DEFAULT deferred
         # profile — the reference's Line Protocol 5.4M rec/s is this
         # ack-into-buffer/async-flush shape (p50 1.83 ms per request),
@@ -771,9 +850,15 @@ def main() -> None:
         # (one bad window) from a code regression (all windows down)
         "sus_windows": [round(a / 1e6, 1) for a, _ in sus_windows],
         "defer_windows": [round(e / 1e6, 1) for _, e in defer_windows],
-        # the DEFAULT deployment profile (config.py: defer_decode=True,
-        # flush_workers=2) — its sustained e2e number is the headline
-        "ingest_default_profile_rec_s": sustained_defer_rec_s,
+        # NOTE (r12 line-budget): ingest_default_profile_rec_s (an exact
+        # duplicate of ingest_sustained_defer_rec_s) and the secondary
+        # defer-ack rate moved to bench_detail.json to make room for the
+        # kernel-canary lane + the native-chunk proof below.
+        # C-scanner proof for the one weak lane (r11 verdict item 1):
+        # chunks of the 1M-line payload parsed by the native path,
+        # summed across passes (40 = 8 chunks × 5 passes, all native)
+        "lp1m_native": sum(d["native"]
+                           for d in lp_path_log["ingest_lp_bulk_1m"]),
         # environment fingerprint (r6 verdict #1 + r7 #1a): fixed-work CPU
         # sentinel [single-thread, 32-thread] seconds at four boundaries —
         # start (pre-JVM), post_query (query/ingest block boundary), end
@@ -800,6 +885,10 @@ def main() -> None:
         # than these three)
         "sf": float(sf) if sf else None,
     }
+    # absent = clean: the flag only spends summary-line budget on the
+    # runs where it matters (bench_detail always carries the ratio)
+    if box_degraded:
+        summary["box_degraded"] = True
     line = json.dumps(summary, separators=(",", ":"))
     # hard budget: the driver captures a 2000-char tail. Degrade in order
     # of judge-value — per-window arrays first, then the sentinel trio
@@ -838,6 +927,20 @@ def main() -> None:
         },
         "ramp_windows_discarded": ramp_windows,
         "mid_drift": round(mid_drift, 3),
+        # full start/final sentinel retry trail (r11 verdict item 2) —
+        # every reading taken, so a retried baseline is auditable
+        "sentinel_trail": sentinel_trail,
+        # uniform-steal calibration evidence (r11 verdict item 3)
+        "probe_median_s": round(probe_median, 4),
+        "probe_vs_calibration": probe_vs_calib,
+        "box_degraded": box_degraded,
+        # per-pass chunk-parser path deltas for every LP lane (r11
+        # verdict item 1): native = C scanner, kernel = pyarrow.compute,
+        # generic = per-line Python
+        "lp_paths": lp_path_log,
+        # moved out of the summary line for budget (r12):
+        "ingest_sustained_defer_ack_rec_s": sustained_defer_ack_rec_s,
+        "ingest_default_profile_rec_s": sustained_defer_rec_s,
         "ingest_lp_sustained_e2e_rec_s": lp_sustained_e2e_rec_s,
         "sus_windows_full": [[round(a), round(e)] for a, e in sus_windows],
         "defer_windows_full": [[round(a), round(e)]

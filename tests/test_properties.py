@@ -505,6 +505,91 @@ class TestLpVectorizedEquivalence:
         assert kern is not None
         assert self._canon(native) == self._canon(kern)
 
+    @given(
+        meas=_name,
+        tag_keys=st.lists(_name, min_size=0, max_size=3, unique=True),
+        field_specs=st.lists(
+            st.tuples(_name, st.sampled_from(["f", "i", "b"])),
+            min_size=1, max_size=4, unique_by=lambda t: t[0],
+        ),
+        n=st.integers(min_value=1, max_value=12),
+        precision=st.sampled_from(["ns", "us", "ms", "s"]),
+        data=st.data(),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_native_random_uniform_schema_three_way(
+        self, meas, tag_keys, field_specs, n, precision, data
+    ):
+        """Accept-side C-scanner fuzz (r11 advice): the garbage fuzz
+        almost never GENERATES a chunk the scanner accepts (random text
+        rarely repeats key sequences), so accepted-but-unusual shapes —
+        signed/zero-padded ints, mixed bool token casings per line,
+        exotic float spellings — rested on one fixed example. This
+        composes random uniform schemas the way the kernel-vs-generic
+        fuzz does and asserts C == kernel == generic on every chunk,
+        plus MUST-ACCEPT for the strictly uniform sub-shape (single
+        measurement, stable keys, non-empty tag values, timestamps)."""
+        import arc_spark.sources._clp as clp
+        from arc_spark.sources import line_protocol as lp
+
+        if clp.parse_chunk_native(b"m f=1 1", 0.001) is None \
+                and clp._parse is None:
+            pytest.skip("no C compiler")
+        bool_tokens = ["t", "T", "true", "True", "f", "F", "false", "False"]
+        lines = []
+        for i in range(n):
+            head = ",".join(
+                [meas] + [f"{k}={data.draw(self._tagval)}" for k in tag_keys]
+            )
+            fields = []
+            for fname, kind in field_specs:
+                if kind == "f":
+                    v = repr(
+                        data.draw(st.floats(allow_nan=False,
+                                            allow_infinity=False,
+                                            width=32)))
+                elif kind == "i":
+                    iv = data.draw(st.integers(-(2**60), 2**60))
+                    if data.draw(st.booleans()):  # zero-padded spelling
+                        v = f"{'-' if iv < 0 else ''}{abs(iv):012d}i"
+                    else:
+                        v = f"{iv}i"
+                else:
+                    v = data.draw(st.sampled_from(bool_tokens))
+                fields.append(f"{fname}={v}")
+            ts = 1700000000000 + i * 7  # fits int64 at every precision
+            lines.append(f"{head} {','.join(fields)} {ts}")
+        chunk = "\n".join(lines).encode()
+
+        native = clp.parse_chunk_native(chunk, lp.PRECISION_TO_US[precision])
+        names = set(tag_keys) | {f for f, _ in field_specs}
+        collides = ("time" in names
+                    or len(names) != len(tag_keys) + len(field_specs))
+        # must-accept: strictly uniform, no collisions, every tag value
+        # non-empty (empty values are a documented decline)
+        empty_tag = any(
+            part.endswith("=") for ln in lines
+            for part in ln.split(" ", 1)[0].split(",")[1:])
+        if not collides and not empty_tag:
+            assert native is not None, "C declined a strictly uniform chunk"
+        if native is None:
+            return
+        orig = clp.parse_chunk_native
+        clp.parse_chunk_native = lambda *a, **k: None
+        try:
+            kern = lp.parse_chunk_vectorized(chunk, precision)
+            orig_vec = lp.parse_chunk_vectorized
+            lp.parse_chunk_vectorized = lambda *a, **k: None
+            try:
+                gen = lp.parse_chunk_columnar(chunk, precision)
+            finally:
+                lp.parse_chunk_vectorized = orig_vec
+        finally:
+            clp.parse_chunk_native = orig
+        assert kern is not None, "C accepted a chunk the kernels decline"
+        assert self._canon(native) == self._canon(kern)
+        assert self._canon(native) == self._canon(gen)
+
     def test_native_declines_extra_equals_less_tag(self):
         """r11 review catch: a bare ',' inside the LAST tag's value slot
         ("m,a=1,xyz f=1 1") absorbed an =-less extra tag into the value,

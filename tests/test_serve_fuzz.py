@@ -119,6 +119,8 @@ def _norm_cell(v, kind_hint=None):
     if kind_hint == "timestamp" and isinstance(v, str):
         parsed = dt.datetime.fromisoformat(v)
         return _norm_cell(parsed)
+    if kind_hint == "timestamp" and isinstance(v, int):
+        return ("t", v)  # msgpack wire: timestamps travel as epoch µs
     if isinstance(v, float):
         if math.isnan(v):
             return ("f", "nan")
@@ -198,3 +200,27 @@ def test_http_serve_matches_duckdb(serve_env, table):
     arrow_rows = [list(r.values()) for r in arrow_tbl.to_pylist()]
     assert _norm_rows(arrow_tbl.column_names, arrow_rows,
                       {"time"}) == duck_norm
+
+    # columnar-msgpack wire (r11 verdict item 5 — this was the one
+    # serve format with encoder-unit coverage only): decode the
+    # {"frames", "column_order"} envelope with the codec's own GENERIC
+    # decoder (unpackb — a separate code path from the vectorized
+    # encoder, so an encode bug can't self-verify) and hold the rows to
+    # the same DuckDB oracle. Timestamps travel as epoch µs on this wire.
+    from arc_spark.sources.msgpack_codec import unpackb
+
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/api/v1/query",
+        data=json.dumps({"sql": f"SELECT * FROM {meas} LIMIT 1000000",
+                         "format": "msgpack"}).encode(), method="POST")
+    req.add_header("Authorization", f"Bearer {admin}")
+    with urllib.request.urlopen(req, timeout=120) as resp:
+        env = unpackb(resp.read())
+    mp_cols = list(env["column_order"])
+    assert sorted(mp_cols) == sorted(all_cols)
+    mp_rows: list[list] = []
+    for frame in env["frames"]:
+        fcols = frame["columns"]
+        for i in range(frame["n"]):
+            mp_rows.append([fcols[c][i] for c in mp_cols])
+    assert _norm_rows(mp_cols, mp_rows, {"time"}) == duck_norm
