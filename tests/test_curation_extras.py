@@ -526,7 +526,10 @@ class TestIncrementalDedupIndex:
         corpus = docs.filter("doc_id < 100")
         idx = minhash_index(corpus)
         # the <k-words doc is IN the index inventory but can't band-match
-        assert idx.filter("doc_id = 115").count() == 0  # it's in new slice
+        # (filter on the index's OWN schema (doc, sig, sz) — the former
+        # "doc_id" spelling only resolved through the expr-projection's
+        # attribute lineage, an accident the mapInPandas path removes)
+        assert idx.filter("doc = 115").count() == 0  # it's in new slice
         new = docs.filter("doc_id >= 100")
         got = dedup_against_index(new, idx, threshold=0.1,
                                   corpus=corpus).collect()

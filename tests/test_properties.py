@@ -1100,6 +1100,52 @@ class TestTypedJsonVectorizedEquivalence:
         assert par == serial
 
 
+class TestMinhashNumpyDifferential:
+    """r12: _signatures_from_shingled defaults to a vectorized numpy
+    XXH64 (mapInPandas) — stored indexes, band buckets, and streaming
+    state all depend on the signatures being BIT-IDENTICAL to the
+    Catalyst transform()/array_min() expression, so the two paths are
+    differentially fuzzed (random docs incl. <k-word NULL rows, random
+    num_hashes, negative/extreme word hashes via real text)."""
+
+    @settings(max_examples=10, deadline=None)
+    @given(st.data())
+    def test_numpy_equals_expr_bitwise(self, spark, data):
+        import os
+
+        import arc_spark.operators.dedup as dd
+
+        vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "x",
+                 "longword" * 4, "Ünïcødé", "7", ""]
+        n_docs = data.draw(st.integers(min_value=1, max_value=12))
+        rows = []
+        for i in range(n_docs):
+            words_ = data.draw(st.lists(
+                st.sampled_from(vocab), min_size=0, max_size=10))
+            rows.append((i, " ".join(words_)))
+        num_hashes = data.draw(st.sampled_from([1, 4, 64, 128]))
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        sh = dd._shingled(docs, "doc_id", "text", 3)
+
+        def grab(impl):
+            old = os.environ.get("ARC_MINHASH_IMPL")
+            os.environ["ARC_MINHASH_IMPL"] = impl
+            try:
+                return {
+                    r["doc"]: (tuple(r["sig"]) if r["sig"] is not None
+                               else None, r["sz"])
+                    for r in dd._signatures_from_shingled(
+                        sh, num_hashes).collect()
+                }
+            finally:
+                if old is None:
+                    os.environ.pop("ARC_MINHASH_IMPL", None)
+                else:
+                    os.environ["ARC_MINHASH_IMPL"] = old
+
+        assert grab("numpy") == grab("expr")
+
+
 class TestIncrementalDedupDifferential:
     """r9: dedup_against_index exact mode must equal the brute-force
     cross-slice Jaccard over the SAME shingle sets — the candidate
