@@ -38,6 +38,13 @@ def drain_available(query, deadline_s: float = 300.0,
     stay in the checkpointed state store for the next run — that is the
     correct drain semantics for incremental batch-over-stream usage, and
     it is exactly what a continuous deployment would hold in memory.
+
+    Caveat for external callers (r11 advice): ANY clean termination
+    counts as drained — including a ``stop()`` issued by another thread
+    mid-drain, which this function cannot distinguish from a stateless
+    query self-finishing after its last data batch. If your code stops
+    queries it has handed to ``drain_available``, treat a True return
+    as "terminated without error", not "all input processed".
     """
     deadline = time.monotonic() + deadline_s
     drained = False
