@@ -536,6 +536,49 @@ class TestIncrementalDedupIndex:
         assert all(r["new_doc"] != 115 for r in got)
 
 
+class TestShortDocBandRows:
+    """r12 regression lock: <k-word docs must contribute ZERO band rows.
+    Before the fix their signatures were arrays of NULL slots, which
+    passed the isNotNull band guard and hashed to the all-null-input
+    bucket (xxhash64() = seed = 42) in EVERY band — correct verified
+    output, but every pair of short docs became an LSH candidate (c²
+    in the short-doc count at corpus scale)."""
+
+    def test_zero_band_rows_and_zero_candidates(self, spark):
+        import os
+
+        from pyspark.sql import functions as F
+
+        from arc_spark.operators.dedup import (
+            _band_rows, _shingled, _signatures_from_shingled)
+
+        docs = spark.createDataFrame(
+            [(i, "ab") for i in range(40)]          # 40 short docs
+            + [(100, "x y z w v u t"), (101, "x y z w v u t")],
+            "doc_id long, text string")
+        for impl in ("numpy", "expr"):
+            old = os.environ.get("ARC_MINHASH_IMPL")
+            os.environ["ARC_MINHASH_IMPL"] = impl
+            try:
+                sigs = _signatures_from_shingled(
+                    _shingled(docs, "doc_id", "text", 3), 8)
+                br = _band_rows(sigs, 8, 4)
+                rows = br.collect()
+                assert all(r["doc"] >= 100 for r in rows), \
+                    f"short doc produced band rows ({impl})"
+                # the two real dups still bucket together in every band
+                assert len(rows) == 8, impl
+                # sig NULL (not [NULL]*n) and sz NULL for short docs
+                short = sigs.filter(F.col("doc") < 100).collect()
+                assert all(r["sig"] is None and r["sz"] is None
+                           for r in short), impl
+            finally:
+                if old is None:
+                    os.environ.pop("ARC_MINHASH_IMPL", None)
+                else:
+                    os.environ["ARC_MINHASH_IMPL"] = old
+
+
 class TestDedupLines:
     """Corpus-level line dedup (C4/RefinedWeb boilerplate removal):
     cross-doc duplicated lines are removed, order is preserved, and the

@@ -590,6 +590,34 @@ class TestLpVectorizedEquivalence:
         assert self._canon(native) == self._canon(kern)
         assert self._canon(native) == self._canon(gen)
 
+    def test_ensure_built_is_threadsafe(self, tmp_path, monkeypatch):
+        """r12 (r11 advice): the one-time cc build is lock-serialized —
+        8 threads racing a COLD module must all end up with the same
+        loaded library and the C path accepting, never a corrupt .so or
+        a permanent silent fallback. Reload the module with a fresh
+        cache dir so the build genuinely runs under contention."""
+        import importlib
+        from concurrent.futures import ThreadPoolExecutor
+
+        import arc_spark.sources._clp as clp
+
+        monkeypatch.setenv("ARC_CWALK_CACHE", str(tmp_path / "cache"))
+        clp = importlib.reload(clp)
+        if clp._parse is not None:
+            raise AssertionError("reload must start unbuilt")
+        chunk = b"m,a=x f=1,g=2 1700000000000000000\n" * 4
+        with ThreadPoolExecutor(max_workers=8) as ex:
+            results = list(ex.map(
+                lambda _: clp.parse_chunk_native(chunk, 0.001), range(8)))
+        try:
+            if clp._parse is None:
+                pytest.skip("no C compiler")
+            assert all(r is not None for r in results), \
+                "a racing thread silently lost the fast path"
+        finally:
+            monkeypatch.undo()
+            importlib.reload(clp)  # restore the shared-cache build
+
     def test_native_declines_extra_equals_less_tag(self):
         """r11 review catch: a bare ',' inside the LAST tag's value slot
         ("m,a=1,xyz f=1 1") absorbed an =-less extra tag into the value,
