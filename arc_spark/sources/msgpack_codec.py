@@ -174,6 +174,23 @@ def pack_array_vectorized(arr, out: bytearray) -> bool:
             return False  # beyond str8: generic path
         _append_array_header(n, out)
         total = int(offs[-1] - offs[0])
+        # C fast path (r12): one header-store+memcpy pass per string.
+        # The numpy scatter below builds repeat/arange index arrays over
+        # EVERY payload byte — it was 58 ms of a 65k-row JSON-ish
+        # column's 75 ms serve encode; the C pass is ~1 ms. Byte-
+        # identical output (locked by a dedicated identity fuzz plus the
+        # decode-equivalence fuzz running on whichever path is active).
+        from arc_spark.sources._cwalk import native_pack_str
+
+        pk = native_pack_str()
+        if pk is not None and total + 2 * n < (1 << 31):
+            rel = (offs - offs[0]).astype(np.int32)
+            buf_c = np.empty(total + 2 * n, dtype=np.uint8)
+            wrote = pk(data_buf.address + int(offs[0]),
+                       rel.ctypes.data, n, buf_c.ctypes.data)
+            if wrote >= 0:
+                out += buf_c[:wrote].tobytes()
+                return True
         # header width per string: 1 byte (fixstr ≤31) or 2 (0xd9 + len)
         hdr_len = np.where(lens <= 31, np.int64(1), np.int64(2))
         hdr_before = np.concatenate(([0], np.cumsum(hdr_len)))

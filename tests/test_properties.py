@@ -733,6 +733,41 @@ class TestPackArrayVectorized:
         _pack(arr.to_pylist(), ref)
         assert unpackb(bytes(out)) == unpackb(bytes(ref))
 
+    @given(
+        vals=st.lists(st.text(max_size=120), max_size=60),
+        slice_from=st.integers(0, 5),
+    )
+    @settings(max_examples=80, deadline=None)
+    def test_c_string_pack_byte_identical_to_numpy(self, vals, slice_from):
+        """r12: the C string-column encoder (arc_pack_str_column) must be
+        BYTE-identical to the numpy scatter path it replaces — not just
+        value-equivalent — so decoder run-detection, wire hashes, and any
+        consumer comparing payloads see one encoding regardless of
+        whether the accelerator built. Mixed fixstr/str8 widths, empty
+        strings, multi-byte UTF-8, and nonzero Arrow offsets all ride
+        the same example stream."""
+        import pyarrow as pa
+
+        import arc_spark.sources._cwalk as cw
+        from arc_spark.sources.msgpack_codec import pack_array_vectorized
+
+        if cw.native_pack_str() is None:
+            pytest.skip("no C compiler: numpy path is the only path")
+        arr = pa.array(vals, type=pa.string())
+        if slice_from and slice_from < len(arr):
+            arr = arr.slice(slice_from)
+        out_c = bytearray()
+        took_c = pack_array_vectorized(arr, out_c)
+        orig = cw._pack_str
+        cw._pack_str = None
+        try:
+            out_np = bytearray()
+            took_np = pack_array_vectorized(arr, out_np)
+        finally:
+            cw._pack_str = orig
+        assert took_c == took_np
+        assert bytes(out_c) == bytes(out_np)
+
     def test_timestamp_and_chunked(self):
         import pyarrow as pa
 
