@@ -478,13 +478,14 @@ class QueryService:
         return None
 
     def _plan_lines(self, sql: str) -> list[str] | None:
-        """Parsed-plan treeString lines (one JVM parse, shared by the
-        native shape detectors), or None on a parse failure."""
-        from arc_spark.plans.validator import _parse_plan
+        """Parsed-plan treeString lines (through the process-wide parse
+        LRU — validation/RBAC/shape-detect share one parse per distinct
+        SQL), or None on a parse failure."""
+        from arc_spark.plans.validator import plan_tree_string
 
         try:
-            return [ln for ln in _parse_plan(self.spark, sql)
-                    .treeString().splitlines() if ln.strip()]
+            return [ln for ln in plan_tree_string(self.spark, sql)
+                    .splitlines() if ln.strip()]
         except Exception:
             return None
 

@@ -77,6 +77,43 @@ def _parse_plan(spark: SparkSession, sql: str):
     return spark._jsparkSession.sessionState().sqlParser().parsePlan(sql)
 
 
+# Parsed-plan treeString LRU (r12). One execute() parses the same SQL
+# up to three times (read-only validation, RBAC table extraction, the
+# native shape detectors), each a ~3-5 ms JVM round-trip — together
+# ~8 ms of the 15 ms native time-range budget. parsePlan is purely
+# SYNTACTIC (unresolved — no catalog, session, or token state), so the
+# tree string is a deterministic function of the SQL text and the
+# Spark version: cache key is the SQL alone, hits are valid across
+# sessions and catalog epochs, and a steady-state server re-serving a
+# dashboard query parses it once ever. Same design point as the A9
+# SQL-transform cache (the reference caches its query rewrite per SQL,
+# internal/database/cache.go). Bounded, lock-guarded, ~≤10 KB/entry.
+import threading as _threading
+from collections import OrderedDict as _OrderedDict
+
+_TREE_CACHE: "_OrderedDict[str, str]" = _OrderedDict()
+_TREE_CACHE_MAX = 512
+_TREE_LOCK = _threading.Lock()
+
+
+def plan_tree_string(spark: SparkSession, sql: str) -> str:
+    """``parsePlan(sql).treeString()`` through the process-wide LRU.
+    Parse failures are not cached (the error path is not hot and the
+    exception detail should come from the live parser)."""
+    with _TREE_LOCK:
+        tree = _TREE_CACHE.get(sql)
+        if tree is not None:
+            _TREE_CACHE.move_to_end(sql)
+            return tree
+    tree = _parse_plan(spark, sql).treeString()
+    with _TREE_LOCK:
+        _TREE_CACHE[sql] = tree
+        _TREE_CACHE.move_to_end(sql)
+        while len(_TREE_CACHE) > _TREE_CACHE_MAX:
+            _TREE_CACHE.popitem(last=False)
+    return tree
+
+
 # EXPLAIN [mode] <statement>: read-only iff the inner statement is —
 # validated by recursion, so EXPLAIN INSERT is rejected like INSERT.
 # (The plan walk alone would deny every EXPLAIN: its node is
@@ -105,10 +142,9 @@ def validate_read_only(spark: SparkSession, sql: str) -> None:
     if inner is not None:
         return validate_read_only(spark, inner)
     try:
-        plan = _parse_plan(spark, sql)
+        tree = plan_tree_string(spark, sql)
     except Exception as e:  # parse error → surface as validation error
         raise SqlValidationError(f"SQL parse error: {e}") from None
-    tree = plan.treeString()
     for line in tree.splitlines():
         node = line.lstrip(" :+-*")
         name = node.split(" ", 1)[0].split("[", 1)[0]
@@ -147,8 +183,7 @@ def extract_tables(spark: SparkSession, sql: str) -> list[tuple[str, ...]]:
     inner = _strip_explain(sql)
     if inner is not None:
         return extract_tables(spark, inner)
-    plan = _parse_plan(spark, sql)
-    tree = plan.treeString()
+    tree = plan_tree_string(spark, sql)
     refs = []
     for m in _RELATION_RE.finditer(tree):
         parts = tuple(p.strip() for p in m.group(1).split(","))
