@@ -3086,6 +3086,10 @@ ROTATION_LOG: dict[int, dict[str, tuple[str, ...]]] = {
                 "q29_rollup", "q30_conditional_pivot",
                 "q33_delete_rewrite"),
     },
+    # r12: no rotation — as of r11 every oracle lane has a driver
+    # signature (the rotation backlog is zero) and no new oracle lanes
+    # were added this round; the board is unchanged from r11.
+    12: {"in": (), "out": ()},
 }
 
 DRIVER_BOARD: tuple[str, ...] = (

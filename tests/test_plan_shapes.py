@@ -118,6 +118,18 @@ class TestPlanShapes:
         plan = _physical(QUERIES["q47_pii_redact"](spark, sf_oracle))
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
+    def test_q17_single_signature_pass(self, spark, sf_oracle):
+        """r12: LSH candidates come from groupBy(band,bucket)+in-bucket
+        pairs — the signature mapInPandas must appear EXACTLY once in
+        the plan. A regression to the band-rows self-join shows up as a
+        second MapInPandas (each join side re-derives the signature
+        pipeline; exchange reuse never fires across asymmetric sides)
+        and silently doubles the dominant CPU stage at corpus scale."""
+        plan = _physical(QUERIES["q17_minhash_lsh"](spark, sf_oracle))
+        assert plan.count("MapInPandas") == 1, \
+            "signature pipeline evaluated more than once"
+        assert "collect_list" in plan, "group-pairs candidate stage missing"
+
     def test_q28_uses_block_gemm(self, spark, sf_oracle):
         """Embedding near-dup must run the blocked-GEMM path (one
         applyInPandas group per block pair), not a per-pair lambda fold."""
