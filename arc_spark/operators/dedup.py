@@ -709,10 +709,19 @@ def minhash_lsh_pairs(
     if verify:
         sh_shared = sh_shared.persist()
     sigs = _signatures_from_shingled(sh_shared, num_hashes)
-    # NULL-signature docs (<k words) must generate no band rows — posexplode
-    # of a NULL array emits nothing, so they can never pair.
+    # NULL-signature docs (<k words) must generate no band rows — the
+    # signature is a true NULL, the guarded posexplode_outer emits a
+    # single (null, null) row, and the bucket filter drops it.
     # Band index as data (sequence/transform), matching the signature
     # formulation: small generated code, bit-identical buckets.
+    # MEASURED NON-CHANGE (r12): emitting (doc, band, bucket) directly
+    # from the numpy signature kernel — skipping this transform and the
+    # posexplode — LOSES (factor-64 A/B: 10.2 s vs 8.0 warm): n·bands
+    # exploded rows cross the mapInPandas Arrow boundary (~410 MB at
+    # 320k docs) vs n sig arrays (~330 MB), and the pandas row-frame
+    # construction costs more than the interpreted JVM-side band
+    # lambdas it saves. The sig transfer + JVM explode is the better
+    # split; don't re-fuse without re-measuring.
     band_arr = F.expr(
         f"transform(sequence(0, {bands - 1}), i -> xxhash64("
         + ",".join(f"element_at(sig, {r} * i + {j + 1})" for j in range(r))
