@@ -97,6 +97,31 @@ def _sentinel() -> tuple[float, float]:
     return round(st, 3), round(mt, 3)
 
 
+def _membw_probe() -> float:
+    """Memory-bandwidth probe (GB/s): the r12 flagship run exposed a
+    blind spot in the whole CPU-probe stack — lp_bulk_1m read 0.34-0.40 s
+    with the native path PROVEN (lp1m_native=40) and every bracket
+    quiet, while identical code measured 0.21-0.24 in other
+    sentinel-valid runs. sha256 over 1 MiB buffers is cache-resident:
+    it sees CPU steal but NOT a memory-bandwidth-heavy co-tenant, and
+    the ingest lanes (LP parse, msgpack decode, zstd) are exactly the
+    bandwidth-bound ones. One 256 MiB copy ×3 at the start/final
+    boundaries records the run's achievable bandwidth so cross-artifact
+    readers can attribute ingest-lane drift the CPU sentinels call
+    quiet. Detail-only (sentinel list shapes stay artifact-compatible)."""
+    import numpy as np
+
+    src = np.ones(256 << 20, np.uint8)
+    dst = np.empty_like(src)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.copyto(dst, src)
+        best = min(best, time.perf_counter() - t0)
+    # bytes touched per pass: read src + write dst
+    return round((2 * src.nbytes) / best / 1e9, 2)
+
+
 _MINI_POOL = None
 _MINI_BUF = b"\xab" * (1 << 20)
 
@@ -153,6 +178,7 @@ def main() -> None:
     load_start = [round(x, 2) for x in os.getloadavg()]
     sentinel_trail: dict[str, list] = {}
     sent_start = _sentinel_stable(sentinel_trail, "start")
+    membw_start = _membw_probe()
     from arc_spark.session import get_spark
     from arc_spark.workload import QUERIES
 
@@ -773,6 +799,7 @@ def main() -> None:
     # end-divergence was the JVM's own background load, not box drift.
     spark.stop()
     sent_final = _sentinel_stable(sentinel_trail, "final")
+    membw_final = _membw_probe()
 
     # validity rule (SCALING.md §bench-calibration, r7 verdict #1d): the
     # run's p50s are only cross-artifact comparable when parallel headroom
@@ -934,6 +961,12 @@ def main() -> None:
         "probe_median_s": round(probe_median, 4),
         "probe_vs_calibration": probe_vs_calib,
         "box_degraded": box_degraded,
+        # memory-bandwidth anchor (r12): the CPU probes are cache-
+        # resident and blind to bandwidth co-tenants, which is exactly
+        # what moves the bandwidth-bound ingest lanes (observed: native-
+        # proven lp_bulk_1m 0.34-0.40 s with all-quiet brackets in one
+        # valid run vs 0.21-0.24 in another). GB/s at start/final.
+        "membw_gbs": {"start": membw_start, "final": membw_final},
         # per-pass chunk-parser path deltas for every LP lane (r11
         # verdict item 1): native = C scanner, kernel = pyarrow.compute,
         # generic = per-line Python
