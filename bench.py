@@ -113,6 +113,12 @@ def _membw_probe() -> float:
 
     src = np.ones(256 << 20, np.uint8)
     dst = np.empty_like(src)
+    # fault every page in BOTH buffers before timing: np.empty maps
+    # without touching, and when the page cache is full (right after a
+    # bench run wrote GBs) first-touch reclaim can poison ALL timed
+    # copies, not just the first (observed: 0.89 GB/s start reading vs
+    # 18.2 final on the same box)
+    np.copyto(dst, src)
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
@@ -249,6 +255,8 @@ def main() -> None:
               else sorted(pool)[len(pool) // 2])
         times[name] = round(dt, 3)
         mins[name] = round(min(pool), 3)
+        # (budget note r12: iterations + empty noisy_lanes moved off the
+        # summary line — the gzip lane key pushed it to 1899/1900)
         all_samples[name] = [round(s, 4) for s in samples]
         return dt
 
@@ -524,6 +532,16 @@ def main() -> None:
         for j in range(8)
     ]
 
+    # gzip-compressed twins of the sustained payloads (arc's own
+    # compressed-ingest categories: MessagePack+Zstd 17.2M / +GZIP
+    # 16.9M rec/s — magic-byte auto-detect, decompress at ack before
+    # the WAL append, same as this engine's maybe_decompress). gzip is
+    # the stdlib-always-available codec; the zstd path shares every
+    # byte of post-detect code so its rate differs only by codec speed.
+    import gzip as _gzip
+
+    gz_payloads = [_gzip.compress(p, compresslevel=1) for p in sus_payloads]
+
     def _sustained_window(defer: bool, secs: float = 3.0,
                           kind: str = "msgpack"):
         """One fresh-service window; returns (ack_rate, e2e_rate) rec/s.
@@ -547,8 +565,9 @@ def main() -> None:
                         counts[k] += lp_sus_n
                         i += 1
                     return
+                body = gz_payloads if kind == "gzip" else sus_payloads
                 while time.perf_counter() < stop_at:
-                    svc.write_msgpack("bench", sus_payloads[(k + i) % 8])
+                    svc.write_msgpack("bench", body[(k + i) % 8])
                     counts[k] += sus_n
                     i += 1
 
@@ -606,10 +625,10 @@ def main() -> None:
             prev = cur
         return cap
 
-    def _ramp_discard_lp(cap: int = 6) -> int:
+    def _ramp_discard_kind(kind: str, cap: int = 6) -> int:
         prev = None
         for i in range(cap):
-            ack, _ = _sustained_window(defer=True, secs=2.0, kind="lp")
+            ack, _ = _sustained_window(defer=True, secs=2.0, kind=kind)
             if prev is not None and abs(ack - prev) <= 0.2 * max(ack, prev):
                 return i + 1
             prev = ack
@@ -617,15 +636,18 @@ def main() -> None:
 
     ramp_windows = {"sync": _ramp_discard(defer=False),
                     "defer": _ramp_discard(defer=True),
-                    "lp": _ramp_discard_lp()}
+                    "lp": _ramp_discard_kind("lp"),
+                    "gzip": _ramp_discard_kind("gzip")}
 
     sus_windows = []    # sync mode: (ack, e2e)
     defer_windows = []  # deferred decode (DEFAULT profile): (ack, e2e)
     lp_windows = []     # LP requests, deferred profile: (ack, e2e)
+    gz_windows = []     # gzip-compressed msgpack, deferred profile
     for _ in range(3):
         sus_windows.append(_sustained_window(defer=False))
         defer_windows.append(_sustained_window(defer=True))
         lp_windows.append(_sustained_window(defer=True, kind="lp"))
+        gz_windows.append(_sustained_window(defer=True, kind="gzip"))
     # fixed-duration lanes: the metric is throughput, so each reports as
     # its own JSON key instead of inflating the wall-clock total
     sustained_rec_s = round(max(ack for ack, _ in sus_windows))
@@ -633,6 +655,16 @@ def main() -> None:
     sustained_defer_ack_rec_s = round(max(ack for ack, _ in defer_windows))
     lp_sustained_ack_rec_s = round(max(ack for ack, _ in lp_windows))
     lp_sustained_e2e_rec_s = round(max(e2e for _, e2e in lp_windows))
+    gzip_sustained_ack_rec_s = round(max(ack for ack, _ in gz_windows))
+    print(
+        f"# ingest_msgpack_gzip_3x3s: best "
+        f"{gzip_sustained_ack_rec_s / 1e6:.2f}M rec/s acked "
+        f"(gzip payloads, magic-byte auto-detect + bomb-guarded "
+        f"decompress at ack, deferred profile — arc's MessagePack+GZIP "
+        f"16.9M category; windows "
+        f"{[round(a / 1e6, 2) for a, _ in gz_windows]})",
+        file=sys.stderr,
+    )
     print(
         f"# ingest_lp_sustained_3x3s: best {lp_sustained_ack_rec_s / 1e6:.2f}M "
         f"rec/s acked (10k-line requests, deferred profile — arc's own LP "
@@ -862,7 +894,6 @@ def main() -> None:
         # insertion order) — compact enough to survive the driver's 2000-
         # char tail capture, unlike r4's verbose {p50,min,iters} dicts
         "mins": [mins[k] for k in times],
-        "iterations": iterations,
         "ingest_sustained_rec_s": sustained_rec_s,
         "ingest_sustained_defer_rec_s": sustained_defer_rec_s,
         # LP requests (10k lines each) against the DEFAULT deferred
@@ -872,6 +903,9 @@ def main() -> None:
         # lanes measure the stronger visible-on-return contract (drained
         # e2e rate + per-window values ride in bench_detail.json)
         "ingest_lp_sustained_rec_s": lp_sustained_ack_rec_s,
+        # gzip-compressed msgpack requests, deferred profile (arc's
+        # MessagePack+GZIP 16.9M rec/s category; decompress-at-ack)
+        "ingest_gzip_rec_s": gzip_sustained_ack_rec_s,
         # per-window evidence (M rec/s): sync ack-rate / deferred e2e-rate
         # per temporally separated window — distinguishes a load spike
         # (one bad window) from a code regression (all windows down)
@@ -905,17 +939,20 @@ def main() -> None:
         # (including bounded retries) overlapped a mini-sentinel spike —
         # their p50/min fall back to all-samples and should be read with
         # that asterisk; every other lane's statistic is quiet-window-only
-        "noisy_lanes": sorted(k for k, v in quiet_counts.items() if v == 0),
         # mid_drift, loadavg, and the LP drained-e2e rate moved to
         # bench_detail.json (r11: the line crossed the 2000-char driver
         # tail and started dropping the SENTINEL — higher judge-value
         # than these three)
         "sf": float(sf) if sf else None,
     }
-    # absent = clean: the flag only spends summary-line budget on the
-    # runs where it matters (bench_detail always carries the ratio)
+    # absent = clean: these keys only spend summary-line budget on runs
+    # where they matter (bench_detail always carries iterations, the
+    # full noisy set, and the calibration ratio)
     if box_degraded:
         summary["box_degraded"] = True
+    noisy = sorted(k for k, v in quiet_counts.items() if v == 0)
+    if noisy:
+        summary["noisy_lanes"] = noisy
     line = json.dumps(summary, separators=(",", ":"))
     # hard budget: the driver captures a 2000-char tail. Degrade in order
     # of judge-value — per-window arrays first, then the sentinel trio
@@ -975,6 +1012,9 @@ def main() -> None:
         "ingest_sustained_defer_ack_rec_s": sustained_defer_ack_rec_s,
         "ingest_default_profile_rec_s": sustained_defer_rec_s,
         "ingest_lp_sustained_e2e_rec_s": lp_sustained_e2e_rec_s,
+        "gz_windows_full": [[round(a), round(e)] for a, e in gz_windows],
+        "iterations": iterations,
+        "noisy_lanes": noisy,
         "sus_windows_full": [[round(a), round(e)] for a, e in sus_windows],
         "defer_windows_full": [[round(a), round(e)]
                                for a, e in defer_windows],
