@@ -74,17 +74,41 @@ def maybe_decompress(payload: bytes,
             )
         return out
     if payload[:4] == ZSTD_MAGIC:
-        if _zstd is None:
-            raise ValueError(
-                "zstd-compressed payload received but no zstd codec is "
-                "available (pip install zstandard)"
-            )
+        if _zstd is not None:
+            try:
+                return _zstd.ZstdDecompressor().decompress(
+                    payload, max_output_size=max_decompressed_bytes
+                )
+            except _zstd.ZstdError as e:
+                raise DecompressionBombError(str(e)) from None
+        # r12: pyarrow fallback — the zstandard package is optional but
+        # pyarrow (a hard dependency) ships the codec, so zstd payloads
+        # now work everywhere. Bomb guard via CHUNKED streaming reads:
+        # stop the moment the cap is crossed instead of trusting (or
+        # even parsing) the frame's self-declared content size — a
+        # forged header must not size the allocation.
+        import pyarrow as pa
+
         try:
-            return _zstd.ZstdDecompressor().decompress(
-                payload, max_output_size=max_decompressed_bytes
-            )
-        except _zstd.ZstdError as e:
-            raise DecompressionBombError(str(e)) from None
+            stream = pa.input_stream(pa.py_buffer(payload),
+                                     compression="zstd")
+            chunks: list[bytes] = []
+            got = 0
+            while True:
+                chunk = stream.read(1 << 22)  # 4 MiB
+                if not chunk:
+                    break
+                got += len(chunk)
+                if got > max_decompressed_bytes:
+                    raise DecompressionBombError(
+                        f"zstd payload exceeds {max_decompressed_bytes} "
+                        f"bytes decompressed")
+                chunks.append(chunk)
+            return b"".join(chunks)
+        except (pa.ArrowInvalid, OSError) as e:
+            # pyarrow surfaces corrupt frames as OSError("ZSTD
+            # decompress failed: ..."), not ArrowInvalid
+            raise MalformedPayloadError(f"bad zstd frame: {e}") from None
     return payload
 
 

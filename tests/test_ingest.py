@@ -359,6 +359,49 @@ class TestIngestHardening:
         # under the cap: passes through decompressed
         assert len(maybe_decompress(bomb, max_decompressed_bytes=8 << 20)) == 4 << 20
 
+    def test_zstd_via_pyarrow_fallback(self, spark, tmp_path):
+        """r12: zstd payloads work WITHOUT the optional zstandard
+        package — pyarrow (a hard dependency) ships the codec; the
+        fallback bomb-guards via chunked streaming reads (never trusts
+        the frame's self-declared content size) and maps corrupt frames
+        to the client-fault error, not an engine fault."""
+        import pyarrow as pa
+
+        from arc_spark.api import IngestService
+        from arc_spark.catalog import MeasurementCatalog
+        from arc_spark.sources.ingest import (
+            DecompressionBombError, MalformedPayloadError,
+            maybe_decompress)
+
+        def zstd(b: bytes) -> bytes:
+            buf = pa.BufferOutputStream()
+            with pa.output_stream(buf, compression="zstd") as s:
+                s.write(b)
+            return buf.getvalue().to_pybytes()
+
+        # e2e: compressed columnar write → rows on disk
+        svc = IngestService(spark, str(tmp_path), max_buffer_rows=10**9,
+                            max_buffer_age_s=10**9)
+        payload = packb({
+            "m": "cpu",
+            "columns": {"time": [1700000000000000], "host": ["a"],
+                        "v": [1.0]},
+            "tags": ["host"],
+        })
+        assert svc.write_msgpack("m", zstd(payload)) == 1
+        svc.flush()
+        assert MeasurementCatalog(
+            spark, str(tmp_path)).table("m", "cpu").count() == 1
+        # bomb guard: cap crossed mid-stream, not after full expansion
+        bomb = zstd(b"\x00" * (4 << 20))
+        with pytest.raises(DecompressionBombError):
+            maybe_decompress(bomb, max_decompressed_bytes=1 << 20)
+        assert len(maybe_decompress(
+            bomb, max_decompressed_bytes=8 << 20)) == 4 << 20
+        # corrupt frame → client fault
+        with pytest.raises(MalformedPayloadError):
+            maybe_decompress(b"\x28\xb5\x2f\xfdnot-a-frame", 1 << 20)
+
     def test_uncompressed_passthrough(self):
         from arc_spark.sources.ingest import maybe_decompress
 
