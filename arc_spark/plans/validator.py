@@ -96,21 +96,30 @@ _TREE_CACHE_MAX = 512
 _TREE_LOCK = _threading.Lock()
 
 
+# don't let one pathological request pin megabytes in the LRU: a giant
+# generated SQL (or its proportionally giant tree) bypasses the cache —
+# repeated dashboards, the case the cache exists for, are short
+_TREE_CACHE_MAX_ITEM = 64 * 1024
+
+
 def plan_tree_string(spark: SparkSession, sql: str) -> str:
     """``parsePlan(sql).treeString()`` through the process-wide LRU.
     Parse failures are not cached (the error path is not hot and the
     exception detail should come from the live parser)."""
-    with _TREE_LOCK:
-        tree = _TREE_CACHE.get(sql)
-        if tree is not None:
-            _TREE_CACHE.move_to_end(sql)
-            return tree
+    cacheable = len(sql) <= _TREE_CACHE_MAX_ITEM
+    if cacheable:
+        with _TREE_LOCK:
+            tree = _TREE_CACHE.get(sql)
+            if tree is not None:
+                _TREE_CACHE.move_to_end(sql)
+                return tree
     tree = _parse_plan(spark, sql).treeString()
-    with _TREE_LOCK:
-        _TREE_CACHE[sql] = tree
-        _TREE_CACHE.move_to_end(sql)
-        while len(_TREE_CACHE) > _TREE_CACHE_MAX:
-            _TREE_CACHE.popitem(last=False)
+    if cacheable and len(tree) <= 4 * _TREE_CACHE_MAX_ITEM:
+        with _TREE_LOCK:
+            _TREE_CACHE[sql] = tree
+            _TREE_CACHE.move_to_end(sql)
+            while len(_TREE_CACHE) > _TREE_CACHE_MAX:
+                _TREE_CACHE.popitem(last=False)
     return tree
 
 
