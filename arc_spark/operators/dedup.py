@@ -946,16 +946,32 @@ def minhash_lsh_pairs(
     # the join did per bucket (LSH buckets are 64-bit random — only true
     # near-dup clusters collide, and a c-doc cluster owes c² candidates
     # under either formulation).
+    # In-bucket pairs stream as ROWS (two chained generates), never as
+    # one materialized c²-element array (r12 advice): dedup corpora
+    # routinely contain huge exact-duplicate clusters that collide in
+    # EVERY band, and the old nested transform/flatten built all c²
+    # pairs as a single array in a single row — past Spark's 2³¹
+    # array-element hard limit at c≈65k docs, and GBs in one row well
+    # before that. posexplode + slice emits the same ordered pairs one
+    # row at a time, spillable like any other generate output. Inner
+    # generates are safe here (no pushdown hazard: ds is born from an
+    # aggregation, which is already an optimizer barrier — nothing can
+    # be inlined below the shuffle). least/greatest normalizes to the
+    # value order the old `doc_a < doc_b` filter produced; a doc
+    # appears at most once per (band,bucket) so equal pairs can't
+    # arise.
     cands = (
         band_rows.groupBy("band", "bucket")
         .agg(F.collect_list("doc").alias("ds"))
         .filter(F.size("ds") >= 2)
-        .select(F.explode_outer(F.expr(
-            "filter(flatten(transform(ds, a -> transform(ds,"
-            " b -> struct(a AS doc_a, b AS doc_b)))),"
-            " p -> p.doc_a < p.doc_b)")).alias("p"))
-        .filter(F.col("p").isNotNull())
-        .select("p.doc_a", "p.doc_b")
+        .select("ds", F.posexplode("ds").alias("i", "a"))
+        .select(
+            "a",
+            F.explode(F.expr("slice(ds, i + 2, size(ds) - i - 1)"))
+            .alias("b"),
+        )
+        .select(F.least("a", "b").alias("doc_a"),
+                F.greatest("a", "b").alias("doc_b"))
         .distinct()
     )
     if not verify:

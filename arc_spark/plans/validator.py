@@ -81,19 +81,57 @@ def _parse_plan(spark: SparkSession, sql: str):
 # up to three times (read-only validation, RBAC table extraction, the
 # native shape detectors), each a ~3-5 ms JVM round-trip — together
 # ~8 ms of the 15 ms native time-range budget. parsePlan is purely
-# SYNTACTIC (unresolved — no catalog, session, or token state), so the
-# tree string is a deterministic function of the SQL text and the
-# Spark version: cache key is the SQL alone, hits are valid across
-# sessions and catalog epochs, and a steady-state server re-serving a
-# dashboard query parses it once ever. Same design point as the A9
+# SYNTACTIC (unresolved — no catalog or token state), so the tree
+# string is a deterministic function of (SQL text, parser-affecting
+# session confs, Spark version). r13 (r12 advice): the cache key
+# carries a per-SESSION parser-conf fingerprint — an embedder running
+# sessions with different ansi/parser settings gets distinct entries
+# instead of stale validation results. The fingerprint is read ONCE
+# per SparkSession object (a py4j conf read per call would eat the
+# 3-5 ms the cache saves); flipping a parser conf mid-session on the
+# SAME session is out of contract (the server never SETs — the
+# validator itself blocks SET through the API — and an embedder that
+# does so must call invalidate_parse_cache()). Bounded by TOTAL BYTES
+# (key+tree), not entry count: 512 × worst-case 64 KB keys + 256 KB
+# trees would otherwise pin ~160 MB. Same design point as the A9
 # SQL-transform cache (the reference caches its query rewrite per SQL,
-# internal/database/cache.go). Bounded, lock-guarded, ~≤10 KB/entry.
+# internal/database/cache.go).
 import threading as _threading
+import weakref as _weakref
 from collections import OrderedDict as _OrderedDict
 
-_TREE_CACHE: "_OrderedDict[str, str]" = _OrderedDict()
+_TREE_CACHE: "_OrderedDict[tuple, str]" = _OrderedDict()
 _TREE_CACHE_MAX = 512
+_TREE_CACHE_MAX_BYTES = 8 * 1024 * 1024
+_TREE_CACHE_BYTES = 0  # guarded by _TREE_LOCK
 _TREE_LOCK = _threading.Lock()
+
+# confs that change what parsePlan returns for the same SQL text
+_PARSER_CONF_KEYS = (
+    "spark.sql.ansi.enabled",
+    "spark.sql.ansi.doubleQuotedIdentifiers",
+    "spark.sql.ansi.enforceReservedKeywords",
+    "spark.sql.legacy.setopsPrecedence.enabled",
+)
+_SESSION_FPRINT: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
+
+
+def _parser_fingerprint(spark: SparkSession) -> tuple:
+    fp = _SESSION_FPRINT.get(spark)
+    if fp is None:
+        fp = tuple(spark.conf.get(k, None) for k in _PARSER_CONF_KEYS)
+        _SESSION_FPRINT[spark] = fp
+    return fp
+
+
+def invalidate_parse_cache() -> None:
+    """Drop all cached parse trees and session fingerprints (for
+    embedders that flip parser confs on a live session)."""
+    global _TREE_CACHE_BYTES
+    with _TREE_LOCK:
+        _TREE_CACHE.clear()
+        _TREE_CACHE_BYTES = 0
+    _SESSION_FPRINT.clear()
 
 
 # don't let one pathological request pin megabytes in the LRU: a giant
@@ -106,20 +144,29 @@ def plan_tree_string(spark: SparkSession, sql: str) -> str:
     """``parsePlan(sql).treeString()`` through the process-wide LRU.
     Parse failures are not cached (the error path is not hot and the
     exception detail should come from the live parser)."""
+    global _TREE_CACHE_BYTES
     cacheable = len(sql) <= _TREE_CACHE_MAX_ITEM
     if cacheable:
+        key = (_parser_fingerprint(spark), sql)
         with _TREE_LOCK:
-            tree = _TREE_CACHE.get(sql)
+            tree = _TREE_CACHE.get(key)
             if tree is not None:
-                _TREE_CACHE.move_to_end(sql)
+                _TREE_CACHE.move_to_end(key)
                 return tree
     tree = _parse_plan(spark, sql).treeString()
     if cacheable and len(tree) <= 4 * _TREE_CACHE_MAX_ITEM:
+        entry_bytes = len(sql) + len(tree)
         with _TREE_LOCK:
-            _TREE_CACHE[sql] = tree
-            _TREE_CACHE.move_to_end(sql)
-            while len(_TREE_CACHE) > _TREE_CACHE_MAX:
-                _TREE_CACHE.popitem(last=False)
+            old = _TREE_CACHE.pop(key, None)
+            if old is not None:
+                _TREE_CACHE_BYTES -= len(sql) + len(old)
+            _TREE_CACHE[key] = tree
+            _TREE_CACHE_BYTES += entry_bytes
+            while _TREE_CACHE and (
+                    len(_TREE_CACHE) > _TREE_CACHE_MAX
+                    or _TREE_CACHE_BYTES > _TREE_CACHE_MAX_BYTES):
+                (_, esql), etree = _TREE_CACHE.popitem(last=False)
+                _TREE_CACHE_BYTES -= len(esql) + len(etree)
     return tree
 
 

@@ -79,8 +79,40 @@ def maybe_decompress(payload: bytes,
                 return _zstd.ZstdDecompressor().decompress(
                     payload, max_output_size=max_decompressed_bytes
                 )
-            except _zstd.ZstdError as e:
-                raise DecompressionBombError(str(e)) from None
+            except _zstd.ZstdError:
+                # One-shot ZstdError conflates three cases: output over
+                # the cap, no content-size in the frame header, and a
+                # genuinely corrupt frame. r13 (r12 advice): classify by
+                # CHUNKED REPLAY instead of message-sniffing so both
+                # codec paths (zstandard here, pyarrow below) map the
+                # same input to the same error class — corrupt frames
+                # are the client's fault (MalformedPayloadError), only
+                # a real cap trip is DecompressionBombError, and a
+                # VALID streamed frame without a header content size
+                # now decompresses instead of failing. Replay cost is
+                # confined to the cold error path.
+                import io as _io
+
+                try:
+                    reader = _zstd.ZstdDecompressor().stream_reader(
+                        _io.BytesIO(payload))
+                    chunks: list[bytes] = []
+                    got = 0
+                    while True:
+                        chunk = reader.read(1 << 22)  # 4 MiB
+                        if not chunk:
+                            break
+                        got += len(chunk)
+                        if got > max_decompressed_bytes:
+                            raise DecompressionBombError(
+                                f"zstd payload exceeds "
+                                f"{max_decompressed_bytes} bytes "
+                                f"decompressed")
+                        chunks.append(chunk)
+                    return b"".join(chunks)
+                except _zstd.ZstdError as e:
+                    raise MalformedPayloadError(
+                        f"bad zstd frame: {e}") from None
         # r12: pyarrow fallback — the zstandard package is optional but
         # pyarrow (a hard dependency) ships the codec, so zstd payloads
         # now work everywhere. Bomb guard via CHUNKED streaming reads:

@@ -670,3 +670,27 @@ class TestDedupLines:
         assert out[1]["text"] == f"keep one{delim}keep two"
         assert out[1]["n_lines"] == 3 and out[1]["lines_removed"] == 1
         assert out[2]["text"] == "solo"
+
+
+class TestLshPairStreaming:
+    """r12 advice: in-bucket candidate pairs must stream as rows, not
+    materialize as one c²-element array per bucket. A big exact-dup
+    cluster collides in EVERY band — the shape that overflowed the old
+    flatten(transform×transform) formulation — and its full pair set
+    must come through with the doc_a < doc_b normalization intact."""
+
+    def test_large_duplicate_cluster_pairs_complete(self, spark):
+        from arc_spark.operators.dedup import minhash_lsh_pairs
+
+        c = 120
+        text = "the same exact duplicated document body " * 5
+        rows = [(i, text) for i in range(c)]
+        rows += [(1000 + i, f"unique filler document number {i} "
+                  f"with distinct words {i * 7} {i * 13}") for i in range(20)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = minhash_lsh_pairs(df, threshold=0.9).collect()
+        pairs = {(r["doc_a"], r["doc_b"]) for r in out}
+        expected = {(a, b) for a in range(c) for b in range(a + 1, c)}
+        assert pairs == expected
+        assert all(r["doc_a"] < r["doc_b"] for r in out)
+        assert all(r["jaccard"] == 1.0 for r in out)

@@ -464,3 +464,86 @@ class TestIngestHardening:
         # comments and blank lines are not "failed" lines
         assert svc.write_line_protocol(
             "m", b"\n# c\ncpu,host=a usage=1 1700000000000000000\n") == 1
+
+
+class TestZstdErrorClassParity:
+    """r12 advice: the error CLASS for a given zstd input must not
+    depend on which codec is installed. With the zstandard package the
+    one-shot decompress raises ZstdError for cap-trips, missing header
+    content sizes, AND corrupt frames alike — the classify-by-replay
+    path must map corrupt → MalformedPayloadError (like the pyarrow
+    fallback), cap → DecompressionBombError, and recover valid frames
+    the one-shot rejected only for a missing content size. Exercised
+    through a faithful fake of the zstandard API (the package is
+    optional and absent in this env); the pyarrow-fallback twin cases
+    live in TestZstd*Fallback above."""
+
+    @staticmethod
+    def _fake_zstd():
+        import io
+        import types
+
+        import pyarrow as pa
+
+        class ZstdError(Exception):
+            pass
+
+        class _Reader:
+            def __init__(self, fobj):
+                self._src = fobj.read()
+                try:
+                    self._stream = pa.input_stream(
+                        pa.py_buffer(self._src), compression="zstd")
+                except Exception as e:  # construction-time failure
+                    raise ZstdError(str(e))
+
+            def read(self, n):
+                try:
+                    return self._stream.read(n)
+                except Exception as e:
+                    raise ZstdError(str(e))
+
+        class ZstdDecompressor:
+            def decompress(self, payload, max_output_size=0):
+                # the real one-shot refuses frames without a header
+                # content size and outputs over max_output_size; both
+                # surface as ZstdError. pyarrow's writer never embeds
+                # a content size, so every frame from our test encoder
+                # hits the no-content-size branch — exactly the shape
+                # that must fall through to the replay.
+                raise ZstdError("could not determine content size "
+                                "in frame header")
+
+            def stream_reader(self, fobj):
+                return _Reader(fobj)
+
+        m = types.ModuleType("zstandard")
+        m.ZstdError = ZstdError
+        m.ZstdDecompressor = ZstdDecompressor
+        return m
+
+    def test_replay_classification(self, monkeypatch):
+        import pyarrow as pa
+
+        from arc_spark.sources import ingest as ing
+        from arc_spark.sources.ingest import (
+            DecompressionBombError, MalformedPayloadError,
+            maybe_decompress)
+
+        monkeypatch.setattr(ing, "_zstd", self._fake_zstd())
+
+        def zstd(b: bytes) -> bytes:
+            buf = pa.BufferOutputStream()
+            with pa.output_stream(buf, compression="zstd") as s:
+                s.write(b)
+            return buf.getvalue().to_pybytes()
+
+        # valid frame the one-shot rejected (no content size) → data
+        assert maybe_decompress(zstd(b"hello" * 100), 1 << 20) \
+            == b"hello" * 100
+        # cap trip → bomb, on the replay path
+        with pytest.raises(DecompressionBombError):
+            maybe_decompress(zstd(b"\x00" * (4 << 20)), 1 << 20)
+        # corrupt frame → client fault, same class as pyarrow fallback
+        with pytest.raises(MalformedPayloadError):
+            maybe_decompress(b"\x28\xb5\x2f\xfdnot-a-frame", 1 << 20)

@@ -564,3 +564,43 @@ class TestGapfillStepValidation:
             out = gapfill(self._df(spark), "bucket", good,
                           ("event_type",), ("v",), method="locf")
             assert out.count() == 1  # single-row span: grid is one bucket
+
+
+class TestParseTreeLru:
+    """r13 (r12 advice): the parse-tree LRU keys on a per-session
+    parser-conf fingerprint (not SQL text alone) and is bounded by
+    TOTAL BYTES, not entry count."""
+
+    def test_key_carries_parser_fingerprint(self, spark):
+        from arc_spark.plans import validator as V
+
+        V.invalidate_parse_cache()
+        sql = "SELECT 1 AS parse_lru_probe"
+        V.plan_tree_string(spark, sql)
+        keys = list(V._TREE_CACHE)
+        assert any(k[1] == sql for k in keys)
+        (fp, _), = [k for k in keys if k[1] == sql]
+        assert fp == V._parser_fingerprint(spark)
+        assert len(fp) == len(V._PARSER_CONF_KEYS)
+        # fingerprint is read once per session object, then memoized
+        assert spark in V._SESSION_FPRINT
+
+    def test_byte_bound_eviction(self, spark, monkeypatch):
+        from arc_spark.plans import validator as V
+
+        V.invalidate_parse_cache()
+        monkeypatch.setattr(V, "_TREE_CACHE_MAX_BYTES", 20_000)
+        # each entry's tree is a few KB; enough inserts must evict by
+        # bytes long before the 512-entry cap
+        for i in range(40):
+            V.plan_tree_string(
+                spark,
+                "SELECT " + ", ".join(
+                    f"{i} AS c{i}_{j}" for j in range(30)))
+        assert V._TREE_CACHE_BYTES <= 20_000
+        assert 0 < len(V._TREE_CACHE) < 40
+        # accounting stays exact under eviction
+        assert V._TREE_CACHE_BYTES == sum(
+            len(k[1]) + len(t) for k, t in V._TREE_CACHE.items())
+        V.invalidate_parse_cache()
+        assert V._TREE_CACHE_BYTES == 0 and not V._TREE_CACHE
