@@ -226,33 +226,57 @@ def main() -> None:
         mini_readings.append(r)
         return r
 
-    def _quiet_samples(name: str) -> list[float]:
-        """Samples whose bracketing probe readings both sit within
-        QUIET_FACTOR of the run's MEDIAN reading — i.e. no host-steal
-        wave overlapped the sample's window. Median, not min: the ~30 ms
-        probe has ±30-50% inherent jitter (JVM background + scheduler),
-        so min×1.3 sat below the readings' own p50 and tagged 18/43
-        lanes noisy on a quiet box (first r11 smoke); steal waves read
-        2-5× the median, far outside the 1.5× gate."""
+    def _quiet_idx(name: str) -> list[int]:
+        """Indices of samples whose bracketing probe readings both sit
+        within QUIET_FACTOR of the run's MEDIAN reading — i.e. no
+        host-steal wave overlapped the sample's window. Median, not
+        min: the ~30 ms probe has ±30-50% inherent jitter (JVM
+        background + scheduler), so min×1.3 sat below the readings' own
+        p50 and tagged 18/43 lanes noisy on a quiet box (first r11
+        smoke); steal waves read 2-5× the median, far outside the 1.5×
+        gate."""
         rs = sorted(mini_readings)
         thr = rs[len(rs) // 2] * QUIET_FACTOR
-        return [s for s, (a, b) in zip(all_samples_raw[name],
-                                       brackets_by[name])
+        return [i for i, (a, b) in enumerate(brackets_by[name])
                 if a <= thr and b <= thr]
 
+    def _quiet_samples(name: str) -> list[float]:
+        return [all_samples_raw[name][i] for i in _quiet_idx(name)]
+
     all_samples_raw: dict[str, list[float]] = {}
+    warmup_only_quiet: list[str] = []
 
     def record(name: str, agg: str = "p50") -> float:
         """Aggregate a lane: the statistic is taken over its QUIET subset
         (if any) so one steal wave reads as noise isolation, not artifact
         invalidation; lanes with zero quiet samples after retries fall
-        back to all samples and are named in the artifact's noisy_lanes."""
+        back to all samples and are named in the artifact's noisy_lanes.
+
+        r13 (r12 verdict item 2 — cold-sample selection bias): sample 0
+        is a warmup by construction (codegen/JIT/worker spawn), so a
+        quiet gate that keeps ONLY the warmup would report the lane's
+        own maximum as its p50 (r12: q41 0.683 over warm 0.41-0.49,
+        q45 2.271 over warm 1.64-1.74 — the two phantom regressions).
+        The statistic pool is the quiet subset EXCLUDING the warmup;
+        when the warmup is the only quiet sample, the gate itself is
+        the artifact — fall back to min of the warm samples and name
+        the lane in bench_detail's warmup_only_quiet."""
         samples = all_samples_raw[name]
-        quiet = _quiet_samples(name)
-        quiet_counts[name] = len(quiet)
-        pool = quiet or samples
-        dt = (min(pool) if agg == "min"
-              else sorted(pool)[len(pool) // 2])
+        qi = _quiet_idx(name)
+        quiet_counts[name] = len(qi)
+        warm_qi = [i for i in qi if i > 0] if len(samples) > 1 else qi
+        if warm_qi:
+            pool = [samples[i] for i in warm_qi]
+            dt = (min(pool) if agg == "min"
+                  else sorted(pool)[len(pool) // 2])
+        elif qi:  # only the warmup pass was quiet: distrust the gate
+            warmup_only_quiet.append(name)
+            pool = samples[1:]
+            dt = min(pool)
+        else:
+            pool = samples
+            dt = (min(pool) if agg == "min"
+                  else sorted(pool)[len(pool) // 2])
         times[name] = round(dt, 3)
         mins[name] = round(min(pool), 3)
         # (budget note r12: iterations + empty noisy_lanes moved off the
@@ -984,6 +1008,10 @@ def main() -> None:
                 sorted(mini_readings)[len(mini_readings) // 2], 4),
             "threshold_factor": QUIET_FACTOR,
             "counts": quiet_counts,
+            # lanes where ONLY the warmup pass bracketed quiet — their
+            # statistic is min-of-warm-samples, not quiet-p50 (r12
+            # verdict item 2: cold-sample selection bias)
+            "warmup_only_quiet": warmup_only_quiet,
             "retries": lane_retries,
             "readings_n": len(mini_readings),
             "brackets": {k: [[round(a, 3), round(b, 3)] for a, b in v]
