@@ -3090,40 +3090,75 @@ ROTATION_LOG: dict[int, dict[str, tuple[str, ...]]] = {
     # signature (the rotation backlog is zero) and no new oracle lanes
     # were added this round; the board is unchanged from r11.
     12: {"in": (), "out": ()},
+    # r13 (VERDICT r12 item 3 — freshness rotation): the 23 oracle
+    # lanes whose latest driver signature dates from r8-r10 rotate
+    # back IN so no lane's driver signature is ever more than ~4
+    # rounds stale. OUT: 23 lanes green in BOTH r11 and r12 driver
+    # artifacts (≥2 consecutive driver-green rounds) and untouched by
+    # r13 code changes; the r13-touched dedup family (q16/q17/q45/q46/
+    # q50/q80 — shingle native twin, streaming LSH pairs, minhash
+    # empty-array guard) stays ON the board as this round's evidence.
+    # All OUT lanes remain oracle-locked every pytest run
+    # (test_workload_oracle parametrizes over ALL of ORACLES).
+    13: {
+        "in": ("q01_pricing_summary", "q02_revenue_by_nation",
+               "q03_top_orders", "q04_order_priority_exists",
+               "q05_window_topk_per_brand", "q06_events_conditional_agg",
+               "q07_time_bucket", "q08_date_trunc", "q09_cte_setops",
+               "q10_in_subquery", "q11_having_scalar_subquery",
+               "q12_string_funcs", "q13_asof_join", "q14_dedup_exact",
+               "q20_lang_id", "q21_quality_score", "q22_token_stats",
+               "q23_fingerprint", "q29_rollup", "q30_conditional_pivot",
+               "q33_delete_rewrite", "q78_select_order_limit",
+               "q79_count_star"),
+        "out": ("q15_dedup_lww", "q19_embedding_topk",
+                "q24_recursive_cte", "q25_lateral_topk",
+                "q26_multitier_union", "q27_semantic_dedup",
+                "q28_embedding_near_dup", "q34_retention_cutoff",
+                "q35_range_window", "q36_sessionize", "q37_percentiles",
+                "q38_full_outer", "q39_repetition_filter",
+                "q40_comma_cross_join", "q42_pruned_time_bucket",
+                "q43_grouping_sets", "q44_unpivot", "q47_pii_redact",
+                "q57_url_normalize", "q60_json_extract",
+                "q61_stats_aggs", "q62_array_agg", "q63_stratified_cap"),
+    },
 }
 
 DRIVER_BOARD: tuple[str, ...] = (
-    "q15_dedup_lww",
+    "q01_pricing_summary",
+    "q02_revenue_by_nation",
+    "q03_top_orders",
+    "q04_order_priority_exists",
+    "q05_window_topk_per_brand",
+    "q06_events_conditional_agg",
+    "q07_time_bucket",
+    "q08_date_trunc",
+    "q09_cte_setops",
+    "q10_in_subquery",
+    "q11_having_scalar_subquery",
+    "q12_string_funcs",
+    "q13_asof_join",
+    "q14_dedup_exact",
     "q16_ngram_jaccard",
     "q17_minhash_lsh",
-    "q19_embedding_topk",
-    "q24_recursive_cte",
-    "q25_lateral_topk",
-    "q26_multitier_union",
-    "q27_semantic_dedup",
-    "q28_embedding_near_dup",
+    "q20_lang_id",
+    "q21_quality_score",
+    "q22_token_stats",
+    "q23_fingerprint",
+    "q29_rollup",
+    "q30_conditional_pivot",
     "q31_dsir_weights",
     "q32_dsir_resample",
-    "q34_retention_cutoff",
-    "q35_range_window",
-    "q36_sessionize",
-    "q37_percentiles",
-    "q38_full_outer",
-    "q39_repetition_filter",
-    "q40_comma_cross_join",
+    "q33_delete_rewrite",
     "q41_kmeans_assign",
-    "q42_pruned_time_bucket",
-    "q43_grouping_sets",
-    "q44_unpivot",
     "q45_dup_clusters",
     "q46_cluster_canonical",
-    "q47_pii_redact",
     "q48_hash_split",
     "q49_mixture_sample",
     "q50_decontaminate",
     "q51_token_packing",
-    "q62_array_agg",
-    "q63_stratified_cap",
+    "q56_window_dupfrac",
+    "q64_corpus_stats",
     "q67_decimal128_roundtrip",
     "q68_range_join",
     "q69_regex_like",
@@ -3132,17 +3167,14 @@ DRIVER_BOARD: tuple[str, ...] = (
     "q73_doc_chunking",
     "q74_bigram_fluency",
     "q75_dataset_profile",
-    "q85_line_dedup",
-    "q56_window_dupfrac",
-    "q57_url_normalize",
-    "q60_json_extract",
-    "q61_stats_aggs",
-    "q64_corpus_stats",
+    "q78_select_order_limit",
+    "q79_count_star",
     "q80_incremental_dedup",
     "q81_gapfill_locf",
     "q82_gapfill_linear",
     "q83_counter_rate",
     "q84_m4_downsample",
+    "q85_line_dedup",
 )
 
 # Reorder IN PLACE so every importer (bench.py, __spark_entry__.py, tests)

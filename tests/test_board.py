@@ -26,12 +26,13 @@ def test_every_board_lane_carries_an_oracle():
     assert not missing, f"board lanes without oracle SQL: {missing}"
 
 
-def test_r11_rotation_landed():
-    """The r11 rotation's IN lanes are on the board and its OUT lanes are
-    off it but still registered (pytest-oracle coverage is board-agnostic:
-    test_workload_oracle parametrizes over ALL of ORACLES)."""
+def test_latest_rotation_landed():
+    """The latest rotation's IN lanes are on the board and its OUT lanes
+    are off it but still registered (pytest-oracle coverage is
+    board-agnostic: test_workload_oracle parametrizes over ALL of
+    ORACLES)."""
     board = set(DRIVER_BOARD)
-    rot = ROTATION_LOG[11]
+    rot = ROTATION_LOG[max(ROTATION_LOG)]
     for lane in rot["in"]:
         assert lane in board, f"rotation-in lane {lane} missed the board"
     for lane in rot["out"]:
@@ -40,30 +41,23 @@ def test_r11_rotation_landed():
         assert lane in ORACLES, f"rotation-out lane {lane} lost its oracle"
 
 
-def test_r10_rotation_lanes_still_registered():
-    """r10's IN lanes may rotate off later but must never be dropped; its
-    OUT lanes stay registered + oracle-locked."""
-    rot = ROTATION_LOG[10]
-    for lane in rot["in"] + rot["out"]:
-        assert lane in QUERIES, f"r10 rotation lane {lane} was dropped"
-        assert lane in ORACLES, f"r10 rotation lane {lane} lost its oracle"
+def test_rotation_lanes_never_dropped():
+    """Every lane that ever appeared in a rotation stays registered and
+    oracle-locked (rotating OFF the board must never delete coverage)."""
+    for rnd, rot in ROTATION_LOG.items():
+        for lane in tuple(rot["in"]) + tuple(rot["out"]):
+            assert lane in QUERIES, f"r{rnd} rotation lane {lane} dropped"
+            assert lane in ORACLES, f"r{rnd} lane {lane} lost its oracle"
 
 
 def test_every_oracle_lane_has_had_driver_coverage():
-    """r11 closes the coverage asterisk: every oracle lane is either on the
-    current board or was on a prior round's board (driver-green r1-r10).
-    A new oracle lane added WITHOUT board placement fails here."""
-    # lanes driver-verified in r1-r10 under their current keys
-    historical = {
-        "q01_pricing_summary", "q02_revenue_by_nation", "q03_top_orders",
-        "q04_order_priority_exists", "q05_window_topk_per_brand",
-        "q06_events_conditional_agg", "q07_time_bucket", "q08_date_trunc",
-        "q09_cte_setops", "q10_in_subquery", "q11_having_scalar_subquery",
-        "q12_string_funcs", "q13_asof_join", "q14_dedup_exact",
-        "q20_lang_id", "q21_quality_score", "q22_token_stats",
-        "q23_fingerprint", "q29_rollup", "q30_conditional_pivot",
-        "q33_delete_rewrite", "q78_select_order_limit", "q79_count_star",
-    }
+    """Every oracle lane is either on the current board or was on a prior
+    round's board. A lane rotated OUT was by definition driver-checked
+    while on the board, so the historical set is derivable from
+    ROTATION_LOG — a new oracle lane added WITHOUT board placement fails
+    here (it appears in neither)."""
+    historical = {lane for rot in ROTATION_LOG.values()
+                  for lane in rot["out"]}
     uncovered = [k for k in ORACLES
                  if k not in DRIVER_BOARD and k not in historical]
     assert not uncovered, f"oracle lanes with no driver coverage: {uncovered}"
