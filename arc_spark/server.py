@@ -35,6 +35,12 @@ one stored without a table restriction):
   hot_only / hot_max_age_days, effective resolution, PUT/DELETE)
 - ``GET/POST /api/v1/auth/tokens``, ``DELETE /api/v1/auth/tokens/<name>``
   (auth_routes.go)
+- ``GET /api/v1/auth/verify`` — public credential probe: self-reports
+  token validity + permissions (auth_routes.go:54 verifyToken)
+- ``GET /api/v1/sync-spokes[/<id>]``, ``POST /api/v1/sync-spokes/<id>/
+  rotate|enable|disable``, ``DELETE /api/v1/sync-spokes/<id>`` — spoke
+  admin verbs, admin-token audience (edgesync_admin.go:64; secrets
+  readable only at register/rotate time)
 - ``POST /api/v1/import/line|lp|tle?db=`` (import.go bulk lanes; LP routes
   through the distributed decode path)
 - ``POST /api/v1/query/arrow|msgpack``   (dedicated wire-format routes,
@@ -737,11 +743,67 @@ class ArcServer:
                     ]
                     return self._reply(200, ("\n".join(lines) + "\n").encode(),
                                        "text/plain; version=0.0.4")
+                if url.path == "/api/v1/auth/verify":
+                    # cheap credential probe for agents/load balancers
+                    # (reference auth_routes.go:54 verifyToken — a public
+                    # route that self-reports validity instead of the
+                    # generic 401, so a prober can distinguish "bad
+                    # token" from "route missing"). Never echoes the
+                    # token; allowed_tables stays server-side (the RBAC
+                    # views are enumerable through their own admin
+                    # routes, not through a read probe).
+                    tok = self._token()
+                    if outer.auth is None:
+                        return self._json(200, {"valid": True,
+                                                "auth_disabled": True})
+                    if not tok:
+                        return self._json(401, {
+                            "valid": False, "error": "no token provided"})
+                    info = outer.auth.verify(tok)
+                    if info is None:
+                        return self._json(401, {
+                            "valid": False,
+                            "error": "invalid or expired token"})
+                    return self._json(200, {
+                        "valid": True,
+                        "token_info": {
+                            "name": info["name"],
+                            "restricted": info["allowed_tables"]
+                            is not None,
+                        },
+                        "permissions": info["permissions"],
+                    })
                 token = self._authenticate()
                 if token is None:
                     return
                 if url.path.startswith("/api/v1/rbac/"):
                     return self._rbac("GET", url, q, b"", token)
+                if url.path == "/api/v1/sync-spokes":
+                    # operator observability: which spokes exist, enabled
+                    # state, registration time — secrets excluded
+                    # (reference edgesync_admin.go list; admin-only
+                    # including the read path: the spoke list is a map of
+                    # edge deployments)
+                    if outer.bundle_registry is None:
+                        return self._json(503, {
+                            "error": "bundle import not configured"})
+                    if not self._require_admin(token):
+                        return
+                    return self._json(200, {
+                        "spokes": outer.bundle_registry.list()})
+                if url.path.startswith("/api/v1/sync-spokes/"):
+                    if outer.bundle_registry is None:
+                        return self._json(503, {
+                            "error": "bundle import not configured"})
+                    if not self._require_admin(token):
+                        return
+                    sid = url.path.rsplit("/", 1)[-1]
+                    s = outer.bundle_registry.get(sid)
+                    if s is None:
+                        return self._json(404,
+                                          {"error": "spoke not registered"})
+                    return self._json(200, {"spoke_id": sid,
+                                            "enabled": s["enabled"]})
                 if url.path == "/api/v1/databases":
                     return self._json(200, {"databases": outer.query.catalog.databases()})
                 if url.path == "/api/v1/measurements":
@@ -1851,6 +1913,42 @@ class ArcServer:
                         req["spoke_id"], req["secret"],
                         enabled=bool(req.get("enabled", True)))
                     return self._json(201, {"registered": req["spoke_id"]})
+                if url.path.startswith("/api/v1/sync-spokes/"):
+                    # per-spoke admin verbs (reference edgesync_admin.go:64
+                    # rotate/enable/disable): rotate re-mints the shared
+                    # secret server-side and shows it exactly once —
+                    # rotation-without-downtime the replace-on-register
+                    # path can't provide; enable/disable are reversible
+                    # (registration + counters survive, unlike DELETE)
+                    if outer.bundle_registry is None:
+                        return self._json(503, {
+                            "error": "bundle import not configured"})
+                    if not self._require_admin(token):
+                        return
+                    parts = url.path.rsplit("/", 2)
+                    verb = parts[-1]
+                    sid = parts[-2]
+                    if verb == "rotate":
+                        new = outer.bundle_registry.rotate(sid)
+                        if new is None:
+                            return self._json(
+                                404, {"error": "spoke not registered"})
+                        return self._json(200, {
+                            "spoke_id": sid, "secret": new,
+                            "warning": "The previous secret no longer "
+                                       "authenticates. Reconfigure the "
+                                       "spoke before its next contact "
+                                       "window."})
+                    if verb in ("enable", "disable"):
+                        ok = outer.bundle_registry.set_enabled(
+                            sid, verb == "enable")
+                        if not ok:
+                            return self._json(
+                                404, {"error": "spoke not registered"})
+                        return self._json(200, {
+                            "spoke_id": sid,
+                            "enabled": verb == "enable"})
+                    return self._json(404, {"error": "not found"})
                 if url.path == "/api/v1/tiering/migrate":
                     # reference internal/api/tiering.go TriggerMigration:
                     # move day partitions older than N days to the cold
@@ -2220,6 +2318,18 @@ class ArcServer:
                     removed = outer.cqs.pop(name, None) is not None
                     return self._json(200 if removed else 404,
                                       {"removed": removed, "name": name})
+                if url.path.startswith("/api/v1/sync-spokes/"):
+                    # reference edgesync_admin.go delete: registration
+                    # gone; files already received are retained
+                    if outer.bundle_registry is None:
+                        return self._json(503, {
+                            "error": "bundle import not configured"})
+                    if not self._require_admin(token):
+                        return
+                    sid = url.path.rsplit("/", 1)[-1]
+                    deleted = outer.bundle_registry.delete(sid)
+                    return self._json(200 if deleted else 404,
+                                      {"deleted": deleted, "spoke_id": sid})
                 self._json(404, {"error": "not found"})
 
         self._httpd = ThreadingHTTPServer((host, port), Handler)

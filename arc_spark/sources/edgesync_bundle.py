@@ -188,12 +188,55 @@ class SpokeRegistry:
             return None
         return {"secret": row[0], "enabled": bool(row[1])}
 
-    def set_enabled(self, spoke_id: str, enabled: bool) -> None:
+    def set_enabled(self, spoke_id: str, enabled: bool) -> bool:
+        """True if the spoke existed. Reversible, unlike delete: the
+        registration (and its secret) survives, so re-enabling needs no
+        re-provisioning (reference edgesync_admin.go disable)."""
         with self._lock:
-            self._db.execute(
+            cur = self._db.execute(
                 "UPDATE spokes SET enabled=? WHERE spoke_id=?",
                 (int(enabled), spoke_id))
             self._db.commit()
+            return cur.rowcount > 0
+
+    def list(self) -> list[dict]:
+        """All registrations, SECRETS EXCLUDED — the list is operator
+        observability (which edge deployments exist), and a secret is
+        readable only at register/rotate time (edgesync_admin.go list)."""
+        with self._lock:
+            rows = self._db.execute(
+                "SELECT spoke_id, enabled, created_at FROM spokes"
+                " ORDER BY spoke_id").fetchall()
+        return [{"spoke_id": r[0], "enabled": bool(r[1]),
+                 "created_at": r[2]} for r in rows]
+
+    def rotate(self, spoke_id: str) -> str | None:
+        """Re-mint the spoke's shared secret in place; returns the new
+        secret (the ONLY time it is readable) or None for an unknown
+        spoke. Rotation-without-downtime is the operational need the
+        replace-on-register path can't serve: replace requires knowing
+        (and re-sending) a secret, rotate invalidates the old one
+        atomically server-side (edgesync_admin.go rotate)."""
+        import secrets as _secrets
+
+        new = _secrets.token_hex(32)
+        with self._lock:
+            cur = self._db.execute(
+                "UPDATE spokes SET secret=? WHERE spoke_id=?",
+                (new, spoke_id))
+            self._db.commit()
+            if cur.rowcount == 0:
+                return None
+        return new
+
+    def delete(self, spoke_id: str) -> bool:
+        """Remove the registration outright. Files already received from
+        the spoke are retained (edgesync_admin.go delete note)."""
+        with self._lock:
+            cur = self._db.execute(
+                "DELETE FROM spokes WHERE spoke_id=?", (spoke_id,))
+            self._db.commit()
+            return cur.rowcount > 0
 
 
 class BundleIndex:

@@ -990,3 +990,113 @@ class TestGovernanceAdminSurface:
             _req(port, "/api/v1/governance/delete", "POST", admin,
                  json.dumps({"token": tok}).encode())
         assert e.value.code == 404
+
+
+class TestAuthVerifyAndSpokeAdmin:
+    """r13: GET /api/v1/auth/verify (reference auth_routes.go:54 — a
+    public credential probe that self-reports validity) and the
+    per-spoke admin verbs (edgesync_admin.go:64)."""
+
+    def test_auth_verify_valid_token(self, live):
+        port, admin, limited, _ = live
+        status, body, _ = _req(port, "/api/v1/auth/verify", token=admin)
+        out = json.loads(body)
+        assert status == 200 and out["valid"] is True
+        assert out["token_info"]["name"] == "admin"
+        assert out["token_info"]["restricted"] is False
+        assert "read" in out["permissions"]
+        # restricted token: valid, flagged restricted, token not echoed
+        status, body, _ = _req(port, "/api/v1/auth/verify", token=limited)
+        out = json.loads(body)
+        assert status == 200 and out["valid"] is True
+        assert out["token_info"]["restricted"] is True
+        assert limited not in body.decode()
+
+    def test_auth_verify_missing_and_bad_token(self, live):
+        port, *_ = live
+        for tok, msg in ((None, "no token provided"),
+                         ("bogus-token", "invalid or expired token")):
+            with pytest.raises(urllib.error.HTTPError) as e:
+                _req(port, "/api/v1/auth/verify", token=tok)
+            assert e.value.code == 401
+            out = json.loads(e.value.read())
+            assert out["valid"] is False and out["error"] == msg
+
+    def test_spoke_admin_no_registry_503(self, live):
+        port, admin, *_ = live
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _req(port, "/api/v1/sync-spokes", token=admin)
+        assert e.value.code == 503
+
+    def test_spoke_admin_verbs(self, spark, tmp_path):
+        from arc_spark.server import ArcServer
+        from arc_spark.sources.edgesync_bundle import SpokeRegistry
+
+        root = str(tmp_path / "data")
+        ingest = IngestService(spark, root, max_buffer_rows=10**9,
+                               max_buffer_age_s=10**9)
+        svc = QueryService(spark, MeasurementCatalog(spark, root))
+        auth = AuthStore(str(tmp_path / "auth.db"))
+        admin = auth.create_token("admin")
+        limited = auth.create_token("limited",
+                                    allowed_tables=["other_table"])
+        server = ArcServer(svc, ingest, auth)
+        reg = SpokeRegistry()
+        server.bundle_registry = reg  # build_engine wires this when the
+        # hub bundle-import config is on; the routes need only the object
+        server.start()
+        port = server.port
+        self._drive(port, admin, limited, reg)
+        server.stop()
+
+    def _drive(self, port, admin, limited, reg):
+        # register (existing route) then exercise the r13 verbs
+        _req(port, "/api/v1/sync-spokes", method="POST", token=admin,
+             body=json.dumps({"spoke_id": "edge-9",
+                              "secret": "s0"}).encode())
+        status, body, _ = _req(port, "/api/v1/sync-spokes", token=admin)
+        out = json.loads(body)
+        assert status == 200
+        assert [s["spoke_id"] for s in out["spokes"]] == ["edge-9"]
+        assert "secret" not in json.dumps(out["spokes"])
+        # get one
+        status, body, _ = _req(port, "/api/v1/sync-spokes/edge-9",
+                               token=admin)
+        assert json.loads(body) == {"spoke_id": "edge-9", "enabled": True}
+        # disable / enable
+        status, body, _ = _req(port, "/api/v1/sync-spokes/edge-9/disable",
+                               method="POST", token=admin, body=b"")
+        assert json.loads(body)["enabled"] is False
+        assert reg.get("edge-9")["enabled"] is False
+        status, body, _ = _req(port, "/api/v1/sync-spokes/edge-9/enable",
+                               method="POST", token=admin, body=b"")
+        assert json.loads(body)["enabled"] is True
+        # rotate: new secret returned once, replaces the old
+        status, body, _ = _req(port, "/api/v1/sync-spokes/edge-9/rotate",
+                               method="POST", token=admin, body=b"")
+        out = json.loads(body)
+        assert out["spoke_id"] == "edge-9" and len(out["secret"]) == 64
+        assert reg.get("edge-9")["secret"] == out["secret"] != "s0"
+        # verbs on unknown spokes → 404
+        for verb in ("rotate", "enable", "disable"):
+            with pytest.raises(urllib.error.HTTPError) as e:
+                _req(port, f"/api/v1/sync-spokes/ghost/{verb}",
+                     method="POST", token=admin, body=b"")
+            assert e.value.code == 404
+        # delete → gone from list; second delete 404
+        status, body, _ = _req(port, "/api/v1/sync-spokes/edge-9",
+                               method="DELETE", token=admin)
+        assert json.loads(body)["deleted"] is True
+        status, body, _ = _req(port, "/api/v1/sync-spokes", token=admin)
+        assert json.loads(body)["spokes"] == []
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _req(port, "/api/v1/sync-spokes/edge-9", method="DELETE",
+                 token=admin)
+        assert e.value.code == 404
+        # non-admin token → 403 on every surface incl. the read path
+        for path, method in (("/api/v1/sync-spokes", "GET"),
+                             ("/api/v1/sync-spokes/x/rotate", "POST")):
+            with pytest.raises(urllib.error.HTTPError) as e:
+                _req(port, path, method=method, token=limited,
+                     body=b"" if method == "POST" else None)
+            assert e.value.code == 403
