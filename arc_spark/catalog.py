@@ -128,6 +128,28 @@ class TimeRange:
             return False
         return True
 
+    def covers(self, window: tuple[int, int] | None) -> bool:
+        """True when EVERY row a file with this hive window can hold
+        already satisfies the predicate — the exact row filter is then
+        an identity and the scan can skip it entirely. r13: on the
+        hour-partitioned 7d/10K serving shape, ~69 of 71 pruned-in
+        files are fully interior to the range, and the per-file acero
+        filter was the lane's dominant warm cost (11.3 of 18.7 ms —
+        the serve_timerange vs arc-15 ms gap). Conservative under any
+        time unit: rows live in [ws, we) real time, so ws ≥ lo (> for
+        an exclusive bound) and we ≤ hi suffice regardless of
+        inclusivity or sub-µs row resolution."""
+        if window is None:
+            return False
+        ws, we = window
+        if self.lo_us is not None and (
+                ws < self.lo_us or (ws == self.lo_us
+                                    and not self.lo_incl)):
+            return False
+        if self.hi_us is not None and we > self.hi_us:
+            return False
+        return True
+
     def arrow_filter(self, time_type):
         """Exact row predicate against a `time` column of ``time_type``.
         Raises ValueError when the column type can't represent the bounds
@@ -324,7 +346,12 @@ def _read_small_files_cached(bk, root: str, files: "list[str]",
             flt = time_range.arrow_filter(
                 tab.schema.field("time").type)
         try:
-            if flt is not None:
+            # skip the exact row filter for files whose hive window is
+            # fully interior to the range — the filter is an identity
+            # there, and on the hour-partitioned 7d shape it was the
+            # lane's dominant warm cost (see TimeRange.covers)
+            if flt is not None and not time_range.covers(
+                    _path_time_window(f[prefix_len:])):
                 tab = tab.filter(flt)
             if columns is not None:
                 tab = tab.select(columns)
