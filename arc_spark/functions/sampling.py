@@ -161,9 +161,14 @@ def temperature_weights(df, alpha: float = 0.5,
     )
     scaled = per.withColumn(
         "scaled", F.pow(F.col("n_units").cast("double"), F.lit(alpha)))
-    total = scaled.agg(F.sum("scaled")).collect()[0][0]
-    return (scaled.withColumn(
-        "weight", F.round(F.col("scaled") / F.lit(float(total)), 6))
+    # r13: the total rides a broadcast single-row cross join instead of
+    # an eager collect-into-literal — the operator was running a full
+    # aggregation job at PLAN-CONSTRUCTION time, a driver barrier that
+    # serializes composition at scale. Same IEEE division (double
+    # column vs double literal), so the q71 oracle hash is unchanged.
+    total = scaled.agg(F.sum("scaled").alias("__total"))
+    return (scaled.crossJoin(F.broadcast(total))
+        .withColumn("weight", F.round(F.col("scaled") / F.col("__total"), 6))
         .withColumn("scaled", F.round("scaled", 6))
         .select("source", "n_docs", "n_units", "scaled", "weight"))
 
@@ -220,14 +225,25 @@ def dsir_importance_weights(df, target, tokens_col="w",
     bcounts = doc_feat.groupBy("__b").agg(
         F.sum("__c").alias("__cr"),
         F.sum(F.when(F.col("__t"), F.col("__c")).otherwise(0)).alias("__ct"))
-    tot = bcounts.agg(F.sum("__cr"), F.sum("__ct")).first()
-    raw_n, tgt_n = int(tot[0] or 0), int(tot[1] or 0)
-    denom_t = float(tgt_n + alpha * buckets)
-    denom_r = float(raw_n + alpha * buckets)
-    model = bcounts.select(
+    # r13: corpus totals ride a broadcast single-row cross join instead
+    # of an eager .first()-into-literal — the operator was running the
+    # FULL explode+aggregate pipeline at PLAN-CONSTRUCTION time (a
+    # measured 6.8 s driver stall in the sf0.001 example funnel; at
+    # 100 TB an entire corpus pass before the caller even sees a
+    # DataFrame). Value-identical: the denominators are the same IEEE
+    # doubles (int64→double cast + one literal add, exactly what
+    # float(n + alpha*buckets) computed driver-side), so the q31/q32
+    # oracle hashes are unchanged; coalesce(0) reproduces the old
+    # `int(tot or 0)` empty-input contract.
+    totals = bcounts.agg(
+        (F.coalesce(F.sum("__ct"), F.lit(0)).cast("double")
+         + F.lit(float(alpha * buckets))).alias("__denom_t"),
+        (F.coalesce(F.sum("__cr"), F.lit(0)).cast("double")
+         + F.lit(float(alpha * buckets))).alias("__denom_r"))
+    model = bcounts.crossJoin(F.broadcast(totals)).select(
         "__b",
-        F.round((F.log((F.col("__ct") + F.lit(alpha)) / F.lit(denom_t))
-                 - F.log((F.col("__cr") + F.lit(alpha)) / F.lit(denom_r)))
+        F.round((F.log((F.col("__ct") + F.lit(alpha)) / F.col("__denom_t"))
+                 - F.log((F.col("__cr") + F.lit(alpha)) / F.col("__denom_r")))
                 * 1e6).cast("long").alias("__lru"))
     scored = doc_feat.join(F.broadcast(model), "__b")
     out = (scored.groupBy(*[c for c in id_cols])

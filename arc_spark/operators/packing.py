@@ -71,8 +71,19 @@ def pack_token_shards(
     if n_buckets is None:
         # cluster width matters as much as input partitioning: a cached
         # or coalesced input can report ONE partition on a 32-core box
-        # (then max(8, partitions) pins the window to 8 serial slices)
-        n_buckets = max(8, per_doc.rdd.getNumPartitions(),
+        # (then max(8, partitions) pins the window to 8 serial slices).
+        # r13: the volume signal is the LEAF FILE COUNT (analysis-only;
+        # files track bytes once compaction holds file sizes near the
+        # target), not `.rdd.getNumPartitions()` — the RDD conversion
+        # forces full physical planning of the upstream lineage at
+        # OPERATOR-BUILD time (measured 8.9 s of driver stall on an
+        # 8-stage pipeline lineage; ~2 s even on a shallow scan), which
+        # serializes the driver exactly where the 100 TB case hurts.
+        try:
+            n_files = len(per_doc.inputFiles())
+        except Exception:  # non-file source (rate, memory stream, ...)
+            n_files = 0
+        n_buckets = max(8, n_files,
                         per_doc.sparkSession.sparkContext
                         .defaultParallelism)
     local_w = (

@@ -966,7 +966,11 @@ class TestNativeSqlTimeRangeE2E:
         cls._svc = svc
         return svc
 
-    @settings(max_examples=25, deadline=None)
+    # r13 suite-budget trim (verdict r12 #8): 25 -> 12 — the
+    # range-shape space overlaps tests/test_serve_fuzz.py's
+    # uniform-schema e2e fuzz, which drives the same native
+    # path through a live server per round
+    @settings(max_examples=12, deadline=None)
     @given(
         st.integers(min_value=-30, max_value=270),   # start hour offset
         st.integers(min_value=-30, max_value=270),   # end hour offset
@@ -1216,7 +1220,10 @@ class TestIncrementalDedupDifferential:
     the machinery under test; shingling itself is shared and collected
     once as the reference input."""
 
-    @settings(max_examples=12, deadline=None)
+    # r13 suite-budget trim: 12 -> 7 (each example is three
+    # full Spark pipelines; the shingle/band machinery is
+    # further locked by test_shingle_native + q80's oracle)
+    @settings(max_examples=7, deadline=None)
     @given(st.data())
     def test_exact_mode_equals_bruteforce(self, spark, data):
         from arc_spark.operators.dedup import (
