@@ -549,3 +549,48 @@ class TestEvictPrefixSiblingScope:
         cache.evict_prefix("/w/db/cpu".rstrip("/") + "/")
         assert cache.get("/w/db/cpu/f1.parquet", 1, 1) is None
         assert cache.get("/w/db/cpu_total/f1.parquet", 1, 1) is not None
+
+
+class TestCoversFilterSkip:
+    """r13: TimeRange.covers() lets fully-interior hive files skip the
+    exact row filter. Locks (a) covers() boundary semantics per bound
+    inclusivity, and (b) end-to-end equality against a run with the
+    skip DISABLED — any covers() over-claim would surface as extra
+    rows here."""
+
+    def test_covers_boundary_semantics(self):
+        from arc_spark.catalog import TimeRange
+
+        H = 3_600_000_000  # one hour in µs
+        win = (10 * H, 11 * H)  # rows live in [10h, 11h)
+        # inclusive lo at the window start covers; exclusive doesn't
+        assert TimeRange(lo_us=10 * H, lo_incl=True).covers(win)
+        assert not TimeRange(lo_us=10 * H, lo_incl=False).covers(win)
+        # hi at the window END covers under either inclusivity (rows
+        # are strictly below we); one µs less doesn't
+        assert TimeRange(hi_us=11 * H, hi_incl=False).covers(win)
+        assert TimeRange(hi_us=11 * H, hi_incl=True).covers(win)
+        assert not TimeRange(hi_us=11 * H - 1, hi_incl=True).covers(win)
+        # unpartitioned files are never covered; open bounds cover
+        assert not TimeRange(lo_us=0).covers(None)
+        assert TimeRange().covers(win)
+
+    def test_skip_equals_forced_filter(self, spark, meas, monkeypatch):
+        import arc_spark.catalog as C
+
+        cat = MeasurementCatalog(spark, meas)
+        svc = QueryService(spark, cat)
+        wheres = TestTimeRangeNativeScan.WHERES + [
+            # exact hour edges: boundary files on both sides
+            "time >= '2024-01-15 01:00:00' AND time <= '2024-01-15 02:00:00'",
+            "time > '2024-01-15 01:00:00' AND time < '2024-01-15 02:00:00'",
+        ]
+        for where in wheres:
+            fast = svc.scan_measurement_arrow(
+                "metrics", "cpu", where=where, limit=10**6)
+            with monkeypatch.context() as m:
+                m.setattr(C.TimeRange, "covers", lambda self, w: False)
+                forced = svc.scan_measurement_arrow(
+                    "metrics", "cpu", where=where, limit=10**6)
+            assert fast.sort_by("time").equals(
+                forced.sort_by("time")), where
