@@ -266,6 +266,14 @@ class _DecodedFileCache:
 #: share across catalogs/sessions in one process)
 _scan_cache = _DecodedFileCache()
 
+# Debug/verify knob (r13 advice): when set, the covers() fast path
+# re-applies the exact row filter on fully-interior hive files and
+# logs any row that escapes its path window — catches writer-invariant
+# violations from out-of-band import paths at the cost of the filter
+# the fast path exists to skip.
+_VERIFY_INTERIOR = os.environ.get(
+    "ARC_SCAN_VERIFY_INTERIOR", "") not in ("", "0", "false")
+
 
 def _hive_parts(rel_path: str) -> "list[tuple[str, object]] | None":
     """``key=value`` hive components of a path relative to the scan
@@ -349,10 +357,28 @@ def _read_small_files_cached(bk, root: str, files: "list[str]",
             # skip the exact row filter for files whose hive window is
             # fully interior to the range — the filter is an identity
             # there, and on the hour-partitioned 7d shape it was the
-            # lane's dominant warm cost (see TimeRange.covers)
+            # lane's dominant warm cost (see TimeRange.covers). This
+            # leans on the WRITER INVARIANT that every row in an
+            # hour=/day= file lies inside its path window (writer.py
+            # partitions by columns DERIVED from `time`, and compaction
+            # re-derives them — see _hour_cols' contract). r14 (r13
+            # advice): ARC_SCAN_VERIFY_INTERIOR=1 re-applies the filter
+            # on covers()-skipped files and flags any mis-partitioned
+            # row — a debug mode for import paths outside the writer.
             if flt is not None and not time_range.covers(
                     _path_time_window(f[prefix_len:])):
                 tab = tab.filter(flt)
+            elif flt is not None and _VERIFY_INTERIOR:
+                checked = tab.filter(flt)
+                if checked.num_rows != tab.num_rows:
+                    import logging
+
+                    logging.getLogger("arc_spark.catalog").error(
+                        "mis-partitioned hive file %s: %d row(s) "
+                        "outside its path time window (writer "
+                        "invariant violated; serving the filtered "
+                        "rows)", f, tab.num_rows - checked.num_rows)
+                    tab = checked
             if columns is not None:
                 tab = tab.select(columns)
         except (pa.ArrowInvalid, KeyError):

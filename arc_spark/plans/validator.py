@@ -114,24 +114,43 @@ _PARSER_CONF_KEYS = (
     "spark.sql.legacy.setopsPrecedence.enabled",
 )
 _SESSION_FPRINT: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
+_FPRINT_GEN = 0  # bumped by invalidate_parse_cache(); guarded by _TREE_LOCK
 
 
 def _parser_fingerprint(spark: SparkSession) -> tuple:
-    fp = _SESSION_FPRINT.get(spark)
+    # Both the get and the re-stamp sit under _TREE_LOCK so
+    # invalidate_parse_cache() is atomic w.r.t. in-flight lookups: a
+    # request racing an embedder's invalidation could otherwise re-stamp
+    # the session's PRE-invalidation fingerprint between the clear and
+    # its next parse and re-serve a stale tree. The conf read (py4j
+    # round-trip) stays OUTSIDE the lock; the generation snapshot
+    # bracketing it means a stamp only lands if NO invalidation ran
+    # while the (possibly pre-flip) confs were being read — the loser
+    # simply re-reads on its next call.
+    with _TREE_LOCK:
+        fp = _SESSION_FPRINT.get(spark)
+        gen = _FPRINT_GEN
     if fp is None:
         fp = tuple(spark.conf.get(k, None) for k in _PARSER_CONF_KEYS)
-        _SESSION_FPRINT[spark] = fp
+        with _TREE_LOCK:
+            cached = _SESSION_FPRINT.get(spark)
+            if cached is not None:
+                return cached
+            if _FPRINT_GEN == gen:
+                _SESSION_FPRINT[spark] = fp
     return fp
 
 
 def invalidate_parse_cache() -> None:
     """Drop all cached parse trees and session fingerprints (for
-    embedders that flip parser confs on a live session)."""
-    global _TREE_CACHE_BYTES
+    embedders that flip parser confs on a live session). Atomic with
+    respect to concurrent _parser_fingerprint() stamps (same lock)."""
+    global _TREE_CACHE_BYTES, _FPRINT_GEN
     with _TREE_LOCK:
         _TREE_CACHE.clear()
         _TREE_CACHE_BYTES = 0
-    _SESSION_FPRINT.clear()
+        _SESSION_FPRINT.clear()
+        _FPRINT_GEN += 1
 
 
 # don't let one pathological request pin megabytes in the LRU: a giant

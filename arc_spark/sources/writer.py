@@ -76,6 +76,17 @@ def read_manifest(root: str, db: str, measurement: str) -> dict:
 
 
 def with_partition_columns(df: DataFrame, time_col: str = "time") -> DataFrame:
+    """Derive the hive partition columns FROM the row's own time value.
+
+    CONTRACT (serving fast path depends on it): every row in an
+    ``hour=``/``day=`` file lies inside its path's time window, because
+    the partition columns are computed from ``time`` here — never
+    caller-supplied. ``TimeRange.covers()`` (catalog.py) skips the
+    exact row filter on fully-interior files on the strength of this
+    invariant; any new import/compaction path that materializes the
+    hive layout must route through this helper (or set
+    ARC_SCAN_VERIFY_INTERIOR=1 while validating that it preserves the
+    invariant)."""
     t = F.col(time_col)
     return (
         df.withColumn("year", F.year(t))

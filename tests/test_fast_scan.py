@@ -594,3 +594,53 @@ class TestCoversFilterSkip:
                     "metrics", "cpu", where=where, limit=10**6)
             assert fast.sort_by("time").equals(
                 forced.sort_by("time")), where
+
+    def test_verify_interior_flags_mispartitioned_file(
+            self, spark, meas, monkeypatch, caplog):
+        """r14 (r13 advice): the covers() skip leans on the writer
+        invariant (rows inside their hive path window). With
+        ARC_SCAN_VERIFY_INTERIOR on, a doctored out-of-window row in an
+        interior file is filtered AND logged instead of served."""
+        import glob
+        import logging
+
+        import pyarrow.parquet as pq
+
+        import arc_spark.catalog as C
+
+        # doctor one committed hour=1 file: shift a row's time to hour 3
+        f = sorted(glob.glob(
+            meas + "/metrics/cpu/year=2024/month=1/day=15/hour=1/*.parquet"
+        ))[0]
+        tab = pq.read_table(f)
+        times = tab.column("time").to_pylist()
+        times[0] = times[0] + dt.timedelta(hours=2)
+        tab = tab.set_column(
+            tab.schema.get_field_index("time"), "time",
+            pa.array(times, tab.schema.field("time").type))
+        pq.write_table(tab, f)
+        # the in-place rewrite invalidates Hadoop's .crc sidecar
+        import os
+        crc = os.path.join(os.path.dirname(f),
+                           "." + os.path.basename(f) + ".crc")
+        if os.path.exists(crc):
+            os.unlink(crc)
+
+        cat = MeasurementCatalog(spark, meas)
+        svc = QueryService(spark, cat)
+        where = ("time >= '2024-01-15 01:00:00' "
+                 "AND time < '2024-01-15 02:00:00'")  # hour=1 interior
+
+        def n_rows():
+            return svc.scan_measurement_arrow(
+                "metrics", "cpu", where=where, limit=10**6).num_rows
+
+        # default fast path: the stray row rides the covers() skip
+        monkeypatch.setattr(C, "_VERIFY_INTERIOR", False)
+        leaked = n_rows()
+        cat.invalidate("metrics", "cpu")
+        monkeypatch.setattr(C, "_VERIFY_INTERIOR", True)
+        with caplog.at_level(logging.ERROR, logger="arc_spark.catalog"):
+            verified = n_rows()
+        assert verified == leaked - 1
+        assert any("mis-partitioned" in r.message for r in caplog.records)

@@ -110,6 +110,42 @@ class TestTokenPackingAutoBuckets:
             again.select("doc_id", "shard")).count() == 0
         out.unpersist()
 
+    def test_many_small_files_bucket_cap(self, spark, tmp_path):
+        """r14 (r13 advice): the auto bucket default is VOLUME-capped —
+        a many-tiny-files corpus must not get one bucket per file
+        (every non-empty (source,bucket) emits >=1 shard, so 200
+        buckets for 200 docs would collapse shard sizes to one doc)."""
+        from arc_spark.operators import packing as P
+
+        n_files = 200
+        base = str(tmp_path / "tiny")
+        spark.range(n_files).select(
+            F.lit("s0").alias("source"),
+            F.col("id").alias("doc_id"),
+            F.lit(100).alias("tokens"),
+        ).repartition(n_files).write.parquet(base)
+        per_doc = spark.read.parquet(base)
+        files = per_doc.inputFiles()
+        # round-robin repartition leaves some of the 200 partitions
+        # empty; what matters is a file count well above the floor
+        dp = spark.sparkContext.defaultParallelism
+        assert len(files) > max(8, dp)
+        out = P.pack_token_shards(per_doc, budget=2000)
+        # bucket count == the parallelism floor, NOT the file count:
+        # tiny total bytes -> volume signal ~1 -> floor wins
+        n_buckets = out.agg(F.countDistinct("bucket")).collect()[0][0]
+        assert n_buckets <= max(8, dp) < len(files)
+        # byte estimator itself: sampled stat ~= real total
+        est = P._estimated_input_bytes(spark, files)
+        import os
+        real = sum(
+            os.path.getsize(f.replace("file:", "")) for f in files)
+        assert est is not None and 0.5 * real <= est <= 2 * real
+        # packing still sane: ~100/20 docs per shard against budget
+        shards = out.groupBy("source", "bucket", "shard").agg(
+            F.sum("tokens").alias("t"))
+        assert shards.filter(F.col("t") > 2000 + 100).count() == 0
+
 
 class TestDatasetProfile:
     def test_profile_shape_and_values(self, spark, sf_oracle):

@@ -604,3 +604,28 @@ class TestParseTreeLru:
             len(k[1]) + len(t) for k, t in V._TREE_CACHE.items())
         V.invalidate_parse_cache()
         assert V._TREE_CACHE_BYTES == 0 and not V._TREE_CACHE
+
+    def test_invalidate_races_fingerprint_stamp(self, spark):
+        """r14 (r13 advice): a request whose conf read straddles an
+        invalidation must NOT re-stamp its pre-invalidation fingerprint
+        — the generation bump makes the stale stamp a no-op, so the
+        next call re-reads the (possibly flipped) confs."""
+        from arc_spark.plans import validator as V
+
+        V.invalidate_parse_cache()
+        with V._TREE_LOCK:
+            fp0 = V._SESSION_FPRINT.get(spark)
+            gen0 = V._FPRINT_GEN
+        assert fp0 is None
+        # emulate the racing thread: it snapshotted gen0 and read the
+        # confs, then an embedder invalidates before it stamps
+        stale_fp = ("stale",) * len(V._PARSER_CONF_KEYS)
+        V.invalidate_parse_cache()
+        with V._TREE_LOCK:
+            if V._SESSION_FPRINT.get(spark) is None and \
+                    V._FPRINT_GEN == gen0:
+                V._SESSION_FPRINT[spark] = stale_fp  # must not happen
+        assert V._SESSION_FPRINT.get(spark) is None
+        # the next real call stamps a fresh, real fingerprint
+        fp = V._parser_fingerprint(spark)
+        assert fp != stale_fp and len(fp) == len(V._PARSER_CONF_KEYS)
