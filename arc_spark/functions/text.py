@@ -371,14 +371,22 @@ def tfidf_top_terms(df, n_top: int = 5, source_col: str = "source",
     ).filter(F.length("term") >= min_len)
     tf = toks.groupBy("source", "term").agg(
         F.count(F.lit(1)).alias("tf"))
-    n_sources = df.select(source_col).distinct().count()
+    # n_sources rides a broadcast cross join (one row), NOT a build-time
+    # distinct().count() — the eager action ran a full corpus pass before
+    # the caller ever saw a DataFrame (the r13 dsir/mixture/packing
+    # plan-construction-barrier class, r14 sweep) and cost the lane a
+    # second scan of ``df`` as a separate job. cast(bigint→double)+1.0 is
+    # exact for any real source count, so the smoothed idf is
+    # bit-identical to the old float(n_sources + 1) literal.
+    ns = df.agg(F.countDistinct(_c(source_col)).alias("_n_sources"))
     docf = tf.groupBy("term").agg(
         F.count(F.lit(1)).alias("df"))
-    scored = tf.join(docf, "term").withColumn(
+    scored = tf.join(docf, "term").join(F.broadcast(ns)).withColumn(
         "tfidf",
         F.round(F.col("tf") * F.log(
-            F.lit(float(n_sources + 1)) / (F.col("df") + 1)), 6),
-    )
+            (F.col("_n_sources").cast("double") + F.lit(1.0))
+            / (F.col("df") + 1)), 6),
+    ).drop("_n_sources")
     # EXACT two-phase top-N: a single window partitioned by source would
     # put each source's whole vocabulary through one task (vocab is
     # Heaps-sublinear but still ~10^7-10^8 terms at 100 TB). Phase 1

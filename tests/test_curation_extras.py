@@ -694,3 +694,37 @@ class TestLshPairStreaming:
         assert pairs == expected
         assert all(r["doc_a"] < r["doc_b"] for r in out)
         assert all(r["jaccard"] == 1.0 for r in out)
+
+
+class TestTfidfLazyConstruction:
+    """r14: tfidf_top_terms must not run a Spark job at plan-construction
+    time (the r13 dsir/mixture/packing barrier class — an eager
+    n_sources = distinct().count() ran a full corpus pass before the
+    caller saw a DataFrame). The scalar now rides a broadcast cross join;
+    the smoothed idf must stay bit-identical to the literal form."""
+
+    def test_no_job_at_construction(self, spark):
+        import math
+
+        from arc_spark.functions.text import tfidf_top_terms
+
+        docs = spark.createDataFrame(
+            [("s1", "alpha beta gamma alpha"),
+             ("s2", "beta delta delta epsilon"),
+             ("s3", "gamma gamma alpha zeta")],
+            "source string, text string")
+        sc = spark.sparkContext
+        sc.setJobGroup("tfidf-construct-probe", "laziness probe")
+        try:
+            out = tfidf_top_terms(docs, n_top=2)
+        finally:
+            jobs = sc.statusTracker().getJobIdsForGroup(
+                "tfidf-construct-probe")
+            sc.setJobGroup(None, None)
+        assert list(jobs) == [], (
+            f"tfidf_top_terms ran Spark jobs at construction: {jobs}")
+        rows = {(r["source"], r["term"]): r for r in out.collect()}
+        # idf parity with the old literal form: ln((n_sources+1)/(df+1))
+        r = rows[("s2", "delta")]
+        assert r["tf"] == 2 and r["df"] == 1
+        assert r["tfidf"] == round(2 * math.log((3 + 1.0) / (1 + 1)), 6)
