@@ -26,6 +26,47 @@ def _c(col: Column | str) -> Column:
 DEFAULT_BUCKETS = 10_000
 
 
+def _spread_few_file_input(df):
+    """Round-robin-repartition ``df`` to the cluster default parallelism
+    when its file-backed input cannot reach it (r14, guide §2.5 input
+    skew — the ``_shingled`` pattern, gated to stay scale-adaptive).
+
+    DSIR's explode+md5 feature pipeline is a CPU-bound projection that
+    otherwise runs at the INPUT's partition count: a one-file corpus at
+    bench scale ran the whole thing on one core (measured q31 2.01 →
+    1.37 s p50 at sf0.1). The gate estimates achievable scan parallelism
+    as max(leaf files, estimated bytes / maxPartitionBytes) — both
+    analysis-only (no job; the byte estimate is packing.py's bounded
+    Hadoop-FS stat sample) — and skips the shuffle whenever the input
+    can already fill the cluster (a 100 TB corpus must never pay a
+    redistribution pass for this). Non-file-backed frames (in-memory
+    test data, post-shuffle lineage) report no files and pass through.
+    """
+    spark = df.sparkSession
+    n = spark.sparkContext.defaultParallelism
+    try:
+        files = list(df.inputFiles())
+    except Exception:
+        return df
+    if not files:
+        return df
+    if len(files) >= n:
+        return df
+    from arc_spark.operators.packing import _estimated_input_bytes
+
+    est = _estimated_input_bytes(spark, files)
+    if est:
+        try:
+            raw = spark.conf.get("spark.sql.files.maxPartitionBytes",
+                                 str(128 << 20))
+            mpb = int(raw)  # session.py sets a plain byte count
+        except ValueError:
+            mpb = 128 << 20
+        if max(len(files), -(-est // mpb)) >= n:
+            return df
+    return df.repartition(n)
+
+
 def hash_bucket(col: Column | str, buckets: int = DEFAULT_BUCKETS,
                 salt: str = "split") -> Column:
     """Deterministic bucket in [0, buckets) from md5(salt || value).
@@ -208,6 +249,10 @@ def dsir_importance_weights(df, target, tokens_col="w",
     from arc_spark.functions.text import bigram_list_expr
 
     ids = [_c(c) for c in id_cols]
+    # spread few-file inputs across the cluster BEFORE the CPU-bound
+    # explode+md5 pipeline (r14; no-op whenever the scan can already
+    # fill the default parallelism — see _spread_few_file_input)
+    df = _spread_few_file_input(df)
     feats = df.select(
         *ids, target.alias("__t"),
         F.explode_outer(F.expr(

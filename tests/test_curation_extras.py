@@ -728,3 +728,42 @@ class TestTfidfLazyConstruction:
         r = rows[("s2", "delta")]
         assert r["tf"] == 2 and r["df"] == 1
         assert r["tfidf"] == round(2 * math.log((3 + 1.0) / (1 + 1)), 6)
+
+
+class TestSpreadFewFileInput:
+    """r14: the DSIR feature pipeline spreads few-file inputs across the
+    cluster before its CPU-bound explode+md5 stage, and must NOT pay the
+    redistribution when the scan can already fill the default
+    parallelism (scale-adaptive gate) or when the frame is not
+    file-backed (in-memory test data)."""
+
+    def test_single_file_input_gets_spread(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from arc_spark.functions.sampling import _spread_few_file_input
+
+        p = str(tmp_path / "one.parquet")
+        spark.range(100).coalesce(1).selectExpr(
+            "id as doc_id", "'src' as s").write.parquet(p)
+        df = spark.read.parquet(p)
+        assert len(df.inputFiles()) == 1
+        out = _spread_few_file_input(df)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "ROUND_ROBIN" in plan or "RoundRobin" in plan
+
+    def test_many_file_input_passes_through(self, spark, tmp_path):
+        from arc_spark.functions.sampling import _spread_few_file_input
+
+        n = spark.sparkContext.defaultParallelism
+        p = str(tmp_path / "many.parquet")
+        spark.range(2000).repartition(n).write.parquet(p)
+        df = spark.read.parquet(p)
+        assert len(df.inputFiles()) >= n
+        out = _spread_few_file_input(df)
+        assert out is df  # no shuffle added
+
+    def test_in_memory_frame_passes_through(self, spark):
+        from arc_spark.functions.sampling import _spread_few_file_input
+
+        df = spark.createDataFrame([(1, "a")], "doc_id long, s string")
+        assert _spread_few_file_input(df) is df
