@@ -106,7 +106,11 @@ def extract_features(
                 "feature": feats,
             })
 
-    return df.mapInPandas(kernel, schema=out_schema)
+    # ship ONLY the columns the kernel reads across the Arrow boundary
+    # (r14, guide §4: Spark cannot see inside the function, so an
+    # unpruned frame sends — and reads from storage — every column)
+    return df.select("blob_id", "media_type", blob_col).mapInPandas(
+        kernel, schema=out_schema)
 
 
 def resize_images(
@@ -217,4 +221,8 @@ def sample_frames(
                     rows["frame"].append(marker)
             yield pd.DataFrame(rows)
 
-    return df.mapInPandas(kernel, schema=schema)
+    # prune to the kernel's read set before the Arrow boundary (r14,
+    # guide §4); media_type/duration_ms are optional in caller frames
+    need = ["blob_id", blob_col] + [
+        c for c in ("media_type", "duration_ms") if c in df.columns]
+    return df.select(*need).mapInPandas(kernel, schema=schema)
