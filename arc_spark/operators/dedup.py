@@ -22,6 +22,8 @@ functions, window) — no Python in the hot path.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -256,6 +258,38 @@ def _shingle_native_gen(k: int, extra_cols: tuple):
     return gen
 
 
+SHINGLE_TASK_BYTES = int(os.environ.get(
+    "ARC_SHINGLE_TASK_BYTES", str(128 << 10)))
+
+
+def _shingle_spread_width(df: DataFrame) -> int:
+    """Partition width for the shingle spread: one task per
+    ``SHINGLE_TASK_BYTES`` of input, clamped to [1, defaultParallelism].
+
+    Analysis-only (bounded leaf-file stat sample, no Spark job — the
+    packing/DSIR estimator). Frames where the size cannot be known
+    cheaply — in-memory test data, streams, post-shuffle lineage —
+    keep the full cluster width, as does any corpus large enough to
+    fill it; only a provably small file-backed input narrows.
+    """
+    spark = df.sparkSession
+    n = spark.sparkContext.defaultParallelism
+    try:
+        if df.isStreaming:
+            return n
+        files = list(df.inputFiles())
+    except Exception:
+        return n
+    if not files:
+        return n
+    from arc_spark.operators.packing import _estimated_input_bytes
+
+    est = _estimated_input_bytes(spark, files)
+    if est is None:
+        return n
+    return max(1, min(n, -(-est // SHINGLE_TASK_BYTES)))
+
+
 def _shingled(df: DataFrame, id_col: str, text_col: str, k: int,
               extra_cols: tuple = ()) -> DataFrame:
     """(doc, shingles: array<bigint>) — distinct HASHED k-word shingles.
@@ -277,7 +311,19 @@ def _shingled(df: DataFrame, id_col: str, text_col: str, k: int,
 
     The repartition spreads rows across the cluster first: corpora often
     arrive as few large files, and shingling is a CPU-bound projection that
-    would otherwise run at the input's partition count.
+    would otherwise run at the input's partition count. The WIDTH is
+    bytes-derived (r14, guide §2.5/§6): defaultParallelism is right when
+    the corpus can fill it, but a small file-backed corpus spread to the
+    full cluster width pays per-task dispatch — ~10 ms/JVM task and
+    ~15 ms/Python task for the downstream mapInPandas signature stage —
+    for microseconds of CPU each (measured: the 32-wide signature stage
+    at sf0.1 is 0.67 s vs 0.46 s at width 8, and the incremental-dedup
+    lane, which crosses into Python twice, drops 2.17 → 1.30 s). One
+    task per ~128 KB of input text (~100-200 ms of shingle+sig CPU at
+    k=3/128 hashes), clamped to [1, defaultParallelism]; in-memory and
+    streaming frames, and corpora big enough to fill the cluster, keep
+    the full width — at 100 TB the clamp always resolves to
+    defaultParallelism, so this changes nothing off-local.
 
     r13: ``ARC_SHINGLE_IMPL=native`` opts into the vectorized twin
     (:func:`_shingle_native_gen` via ``mapInArrow`` — C XXH64 over the
@@ -292,7 +338,7 @@ def _shingled(df: DataFrame, id_col: str, text_col: str, k: int,
     import os as _os
 
     spark = df.sparkSession
-    n = spark.sparkContext.defaultParallelism
+    n = _shingle_spread_width(df)
     extra = [F.col(c) for c in extra_cols]
     base = df.repartition(n).select(
         F.col(id_col).alias("doc"), *extra, words(text_col).alias("w")

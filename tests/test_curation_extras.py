@@ -767,3 +767,51 @@ class TestSpreadFewFileInput:
 
         df = spark.createDataFrame([(1, "a")], "doc_id long, s string")
         assert _spread_few_file_input(df) is df
+
+
+class TestShingleSpreadWidth:
+    """r14: the shingle spread derives its width from input bytes (one
+    task per SHINGLE_TASK_BYTES, clamped to [1, defaultParallelism]) so
+    a small file-backed corpus does not pay full-cluster task dispatch —
+    the downstream mapInPandas signature stage costs ~15 ms per Python
+    task regardless of rows. Unknown-size frames keep the full width."""
+
+    def test_small_file_narrows(self, spark, tmp_path):
+        from arc_spark.operators.dedup import (SHINGLE_TASK_BYTES,
+                                               _shingle_spread_width)
+
+        p = str(tmp_path / "small.parquet")
+        spark.range(50).coalesce(1).selectExpr(
+            "id as doc_id", "'w x y z' as text").write.parquet(p)
+        df = spark.read.parquet(p)
+        import os as _os
+
+        sz = sum(_os.path.getsize(_os.path.join(r, f))
+                 for r, _, fs in _os.walk(p) for f in fs
+                 if f.endswith(".parquet"))
+        assert sz < SHINGLE_TASK_BYTES
+        assert _shingle_spread_width(df) == 1
+
+    def test_large_input_keeps_full_width(self, spark, tmp_path):
+        import arc_spark.operators.dedup as dd
+
+        n = spark.sparkContext.defaultParallelism
+        p = str(tmp_path / "big.parquet")
+        spark.range(500).coalesce(1).selectExpr(
+            "id as doc_id", "repeat('t ', 50) as text").write.parquet(p)
+        df = spark.read.parquet(p)
+        # shrink the unit so this small fixture counts as "large"
+        old = dd.SHINGLE_TASK_BYTES
+        dd.SHINGLE_TASK_BYTES = 64
+        try:
+            assert dd._shingle_spread_width(df) == n
+        finally:
+            dd.SHINGLE_TASK_BYTES = old
+
+    def test_in_memory_frame_keeps_full_width(self, spark):
+        from arc_spark.operators.dedup import _shingle_spread_width
+
+        n = spark.sparkContext.defaultParallelism
+        df = spark.createDataFrame([(1, "a b c")],
+                                   "doc_id long, text string")
+        assert _shingle_spread_width(df) == n
