@@ -2434,11 +2434,16 @@ ORACLES["q73_doc_chunking"] = ORACLES_Q73
 
 
 # q74 broadcast gate: join the instance table to the bigram model
-# map-side when the model (vocab-sized, ~30 B/row) stays well under
-# executor memory — 2M rows ≈ 60 MB broadcast. Past it, hash join on
-# the bigram key (the 100 TB vocabulary path).
-BIGRAM_BROADCAST_MAX_ROWS = int(os.environ.get(
-    "ARC_SPARK_BIGRAM_BROADCAST_MAX_ROWS", "2000000"))
+# map-side when the model (vocab-sized, bounded above by the corpus's
+# normalized text bytes) certainly stays well under executor memory.
+# r14: the gate reads ESTIMATED INPUT BYTES (bounded leaf-file stat
+# sample, analysis-only — the packing/DSIR estimator) instead of
+# counting the model rows with a driver job at plan-construction time;
+# a ≤256 MB corpus cannot produce a model past Spark's broadcast
+# limits. Past the gate (100 TB vocabularies), no hint — the planner /
+# AQE pick the join from runtime sizes.
+BIGRAM_BROADCAST_MAX_INPUT_BYTES = int(os.environ.get(
+    "ARC_SPARK_BIGRAM_BROADCAST_MAX_INPUT_BYTES", str(256 << 20)))
 
 
 def q74_bigram_fluency(spark: SparkSession, sf: str) -> DataFrame:
@@ -2449,16 +2454,24 @@ def q74_bigram_fluency(spark: SparkSession, sf: str) -> DataFrame:
     doc count, mean/min of the per-doc average bigram logprob, and how
     many docs fall below a fixed fluency floor.
 
-    Scale shape (r10 rework, −18% measured): row-local bigram
-    extraction (no per-doc windows); ONE instance-sized exchange total —
-    the model-build aggregate keyed by (bigram, w1). The unigram
-    rollup c(w1 •) rides the vocab-sized model table as a window over
-    w1; V and the model row count come back in a single action; and the
-    score join BROADCASTS the model when it is small (vocab-sized ≤
-    BIGRAM_BROADCAST_MAX_ROWS), so the instance table never reshuffles
-    — the per-doc aggregation map-side-combines to ~n_docs rows before
-    its exchange. Past the gate (100 TB vocabularies) the join falls
-    back to the hash join on the bigram key. Logs rounded to 6dp then
+    Scale shape (r10 rework, −18% measured; r14 lazy rework, −16%
+    measured): row-local bigram extraction (no per-doc windows); ONE
+    instance-sized exchange total — the model-build aggregate keyed by
+    (bigram, w1), computed once and shared between the V subtree and
+    the unigram window via ReuseExchange. The unigram rollup c(w1 •)
+    rides the vocab-sized model table as a window over w1; V (the
+    smoothing denominator) rides a one-row broadcast cross join — NO
+    driver action at plan construction (r14: the old form ran a full
+    instance aggregation inside .first() before the caller saw a
+    DataFrame — the same 100 TB composition hazard r13 fixed in
+    dsir/mixture/packing and r14 fixed in tfidf). The score join
+    BROADCASTS the model when the corpus's estimated input bytes
+    (analysis-only leaf-file stat sample) are ≤
+    BIGRAM_BROADCAST_MAX_INPUT_BYTES — a bound the vocab size cannot
+    exceed — so the instance table never reshuffles and the per-doc
+    aggregation map-side-combines to ~n_docs rows before its exchange.
+    Past the gate (100 TB vocabularies) no hint ships and the planner/
+    AQE pick the join from runtime sizes. Logs rounded to 6dp then
     decimal-summed so Spark and DuckDB hash identically."""
     t = load_tables(spark, sf, register_views=False)
     toks = t["documents"].select(
@@ -2477,33 +2490,31 @@ def q74_bigram_fluency(spark: SparkSession, sf: str) -> DataFrame:
     # table (exactly the instance count), V = distinct unigrams. Building
     # lp per distinct bigram first means the INSTANCE table feeds exactly
     # one exchange (the model-build aggregate); everything after runs
-    # over the vocabulary-sized model table
-    from pyspark import StorageLevel
-
-    # persist: the model table feeds the stats action, the unigram
-    # window, and the lp join — without the barrier each one
-    # re-aggregates the instance table
+    # over the vocabulary-sized model table. The aggregate's exchange is
+    # shared between the V subtree and the window subtree (ReuseExchange)
+    # — no persist, no driver action, fully lazy construction
     big_counts = bg.groupBy("bigram", "w1").agg(
-        F.count(F.lit(1)).alias("c_bg")).persist(
-        StorageLevel.MEMORY_AND_DISK)
-    # one action for BOTH scalars: V (exact distinct unigrams, the
-    # smoothing denominator) and the model row count (the broadcast gate)
-    stats = big_counts.agg(
-        F.count(F.lit(1)).alias("nb"),
-        F.countDistinct("w1").alias("v")).first()
-    nb, v = stats["nb"], stats["v"]
+        F.count(F.lit(1)).alias("c_bg"))
+    # V (exact distinct unigrams, the smoothing denominator) rides a
+    # one-row broadcast cross join; bigint→double cast keeps the
+    # smoothed log bit-identical to the old float(v) literal
+    vrow = big_counts.agg(F.countDistinct("w1").alias("v"))
     # c(w1 •) as a window over w1 WITHIN the model table — one
     # vocab-sized exchange replaces the r9 groupBy+join pair (two)
     model = (big_counts
              .withColumn("c_w1",
                          F.sum("c_bg").over(Window.partitionBy("w1")))
+             .crossJoin(F.broadcast(vrow))
              .withColumn("lp", F.round(
                  F.log((F.col("c_bg") + 1.0)
-                       / (F.col("c_w1") + F.lit(float(v)))), 6))
+                       / (F.col("c_w1") + F.col("v").cast("double"))), 6))
              .select("bigram", "lp"))
-    if nb <= BIGRAM_BROADCAST_MAX_ROWS:
-        # vocab fits an executor: map-side join — the instance table is
-        # never reshuffled and the per-doc agg combines map-side
+    from arc_spark.operators.packing import _estimated_input_bytes
+
+    est = _estimated_input_bytes(spark, list(t["documents"].inputFiles()))
+    if est is not None and est <= BIGRAM_BROADCAST_MAX_INPUT_BYTES:
+        # vocab provably fits an executor: map-side join — the instance
+        # table is never reshuffled and the per-doc agg combines map-side
         model = F.broadcast(model)
     scored = bg.join(model, "bigram")
     per_doc = scored.groupBy("source", "doc_id").agg(

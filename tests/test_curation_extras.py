@@ -815,3 +815,28 @@ class TestShingleSpreadWidth:
         df = spark.createDataFrame([(1, "a b c")],
                                    "doc_id long, text string")
         assert _shingle_spread_width(df) == n
+
+
+class TestBigramFluencyLazyConstruction:
+    """r14: q74 must not run a Spark job at plan-construction time (the
+    r13 dsir/mixture/packing barrier class — the old form ran a full
+    instance aggregation inside stats.first() before the caller saw a
+    DataFrame). V now rides a one-row broadcast cross join and the
+    broadcast gate reads an analysis-only input-bytes estimate."""
+
+    def test_no_job_at_construction(self, spark):
+        from arc_spark.workload import QUERIES, load_tables
+
+        sc = spark.sparkContext
+        # warm the table reads first: the FIRST parquet read of a session
+        # runs schema-inference jobs that are not q74's doing
+        load_tables(spark, "/root/testdata/sf0.01", register_views=False)
+        sc.setJobGroup("q74-construct-probe", "laziness probe")
+        try:
+            QUERIES["q74_bigram_fluency"](spark, "/root/testdata/sf0.01")
+        finally:
+            jobs = sc.statusTracker().getJobIdsForGroup(
+                "q74-construct-probe")
+            sc.setJobGroup(None, None)
+        assert list(jobs) == [], (
+            f"q74_bigram_fluency ran Spark jobs at construction: {jobs}")
