@@ -1,0 +1,147 @@
+"""A/B: q74 bigram fluency — V via a third text-pipeline pass (current)
+vs V riding the model's own exchange chain (shared-V form).
+
+What the runtime plan actually shows for the current form (this round's
+re-audit): `vrow = big_counts.agg(countDistinct(w1))` is COLLAPSED by
+the optimizer through the (bigram, w1) aggregate into a direct
+w1-keyed distinct aggregate over the INSTANCE frame — its exchange is
+`hashpartitioning(w1)`, the model branch's is
+`hashpartitioning(bigram, w1)`, so the two subtrees can never share a
+stage and the normalize+split+explode pipeline runs THREE times per
+evaluation (V branch, model branch, scoring probe), not the two the
+r14 lazy-commit notes assumed.
+
+The shared-V form computes V as `sum(first-row-in-w1-partition)` over
+the window output: a row_number() == 1 flag cannot be pushed below the
+Window, so the V aggregate consumes the SAME
+Exchange(bigram,w1) -> HashAgg -> Exchange(w1) chain the model uses —
+AQE stage reuse collapses the duplicated chain at runtime and the text
+pipeline runs TWICE (model-chain map side + scoring probe). The V
+value is exactly countDistinct(w1) (bigint, same add-one-smoothed
+denominator), so results are bit-identical.
+
+Checks row equality (exact, decimal sums included) at sf0.01 + sf0.1,
+then alternates with a q21 canary; finally counts the scan stages the
+executed (final, post-AQE) plan actually ran. Writes
+/tmp/q74_shared_v_ab.json.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+while os.path.exists("/tmp/arc_hunter_firing"):
+    time.sleep(30)
+open("/tmp/arc_ab_busy", "w").close()
+
+from pyspark.sql import Window  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from arc_spark.functions.text import bigram_list_expr  # noqa: E402
+from arc_spark.session import get_spark  # noqa: E402
+from arc_spark.workload import _SPARK_NORM, QUERIES, load_tables  # noqa: E402
+
+SF = "/root/testdata/sf0.1"
+spark = get_spark()
+sc = spark.sparkContext
+
+
+def q74_shared_v(spark, sf):
+    t = load_tables(spark, sf, register_views=False)
+    toks = t["documents"].select(
+        "source", "doc_id",
+        F.split(F.expr(_SPARK_NORM), " ").alias("w"),
+    ).filter(F.size("w") >= 2)
+    bg = toks.select(
+        "source", "doc_id",
+        F.explode(F.expr(bigram_list_expr("w"))).alias("bigram"),
+    ).withColumn("w1", F.split(F.col("bigram"), " ").getItem(0))
+    big_counts = bg.groupBy("bigram", "w1").agg(
+        F.count(F.lit(1)).alias("c_bg"))
+    # windowed model table: c(w1 .) plus a first-row-of-w1 flag. The
+    # flag is window-derived, so the V aggregate below CANNOT be pushed
+    # past the Window -- V shares the model's exchange chain instead of
+    # re-running the text pipeline a third time.
+    wp = Window.partitionBy("w1")
+    mt = (big_counts
+          .withColumn("c_w1", F.sum("c_bg").over(wp))
+          .withColumn("__rk", F.row_number().over(wp.orderBy("bigram"))))
+    vrow = (mt.groupBy()
+            .agg(F.sum(F.when(F.col("__rk") == 1, 1).otherwise(0))
+                 .alias("v")))
+    model = (mt.crossJoin(F.broadcast(vrow))
+             .withColumn("lp", F.round(
+                 F.log((F.col("c_bg") + 1.0)
+                       / (F.col("c_w1") + F.col("v").cast("double"))), 6))
+             .select("bigram", "lp"))
+    from arc_spark.operators.packing import _estimated_input_bytes
+
+    est = _estimated_input_bytes(spark, list(t["documents"].inputFiles()))
+    if est is not None and est <= 256 << 20:
+        model = F.broadcast(model)
+    scored = bg.join(model, "bigram")
+    per_doc = scored.groupBy("source", "doc_id").agg(
+        (F.sum(F.col("lp").cast("decimal(30,6)"))
+         / F.count(F.lit(1))).cast("decimal(30,6)").alias("avg_lp"))
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("avg_lp"), 5).cast("double").alias("mean_lp"),
+        F.round(F.min("avg_lp"), 5).cast("double").alias("worst_lp"),
+        F.sum(F.when(F.col("avg_lp") < -7.0, 1).otherwise(0))
+        .alias("below_floor"),
+    )
+
+
+# --- equivalence -----------------------------------------------------------
+for sf in ("/root/testdata/sf0.01", SF):
+    o = sorted(map(tuple, QUERIES["q74_bigram_fluency"](spark, sf).collect()))
+    n = sorted(map(tuple, q74_shared_v(spark, sf).collect()))
+    assert o == n, f"MISMATCH at {sf}: {o[:2]} vs {n[:2]}"
+    print(f"{sf}: rows equal ({len(o)})", flush=True)
+
+
+def noop(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+from arc_spark.cacheutil import clear_registry  # noqa: E402
+
+res = {"old": [], "new": [], "canary": []}
+for it in range(13):
+    for tag, build in (
+            ("old", lambda: QUERIES["q74_bigram_fluency"](spark, SF)),
+            ("new", lambda: q74_shared_v(spark, SF))):
+        t_build0 = time.perf_counter()
+        df = build()
+        build_s = time.perf_counter() - t_build0
+        sc.setJobDescription(f"ab:{tag}:{it}")
+        t0 = time.perf_counter()
+        noop(df)
+        res[tag].append(round(build_s + time.perf_counter() - t0, 3))
+        sc.setJobDescription(None)
+        clear_registry()
+        spark.catalog.clearCache()
+    cq = QUERIES["q21_quality_score"](spark, SF)
+    t0 = time.perf_counter()
+    noop(cq)
+    res["canary"].append(round(time.perf_counter() - t0, 3))
+
+for k_, v in res.items():
+    w = sorted(v[1:])
+    print(k_, "p50", w[len(w) // 2], "min", w[0], v, flush=True)
+json.dump(res, open("/tmp/q74_shared_v_ab.json", "w"))
+
+# final-plan scan count: collect() runs the DataFrame's own
+# queryExecution, so executedPlan afterwards is the post-AQE final plan
+for tag, build in (("old", lambda: QUERIES["q74_bigram_fluency"](spark, SF)),
+                   ("new", lambda: q74_shared_v(spark, SF))):
+    df = build()
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    print(tag, "final?", "isFinalPlan=true" in plan,
+          "| Scan parquet x", plan.count("Scan parquet"),
+          "| reused:", plan.count("Reused"), flush=True)
+os.remove("/tmp/arc_ab_busy")
+print("DONE")
