@@ -840,3 +840,60 @@ class TestBigramFluencyLazyConstruction:
             sc.setJobGroup(None, None)
         assert list(jobs) == [], (
             f"q74_bigram_fluency ran Spark jobs at construction: {jobs}")
+
+
+class TestBigramFluencyPastGatePersist:
+    """r14 session 2: past the broadcast gate (corpus-scale inputs) q74
+    persists the vocab-sized model table so V and lp read one
+    materialization — two corpus passes instead of the three the
+    optimizer otherwise plans (it collapses countDistinct(w1) into its
+    own instance-level distinct aggregate; nothing is exchange-shared).
+    Below the gate the plan must stay exactly the un-barriered
+    broadcast form (the three passes overlap and win at bench scale —
+    quiet A/B in scripts/q74_lazy_persist_ab.py)."""
+
+    SF = "/root/testdata/sf0.01"
+
+    def test_past_gate_rows_equal_and_persisted(self, spark, monkeypatch):
+        import arc_spark.workload as W
+        from arc_spark.cacheutil import clear_registry
+
+        base = sorted(map(tuple,
+                          W.QUERIES["q74_bigram_fluency"](spark, self.SF)
+                          .collect()))
+        monkeypatch.setattr(W, "BIGRAM_BROADCAST_MAX_INPUT_BYTES", -1)
+        try:
+            df = W.QUERIES["q74_bigram_fluency"](spark, self.SF)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert "InMemoryTableScan" in plan, (
+                "past-gate q74 must persist the model table")
+            gated = sorted(map(tuple, df.collect()))
+        finally:
+            clear_registry()
+        assert gated == base
+
+    def test_below_gate_not_persisted(self, spark):
+        import arc_spark.workload as W
+
+        df = W.QUERIES["q74_bigram_fluency"](spark, self.SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" not in plan and \
+            "InMemoryRelation" not in plan, (
+                "below-gate q74 must stay un-barriered (passes overlap)")
+
+    def test_past_gate_construction_is_lazy(self, spark, monkeypatch):
+        import arc_spark.workload as W
+        from arc_spark.cacheutil import clear_registry
+
+        sc = spark.sparkContext
+        W.load_tables(spark, self.SF, register_views=False)
+        monkeypatch.setattr(W, "BIGRAM_BROADCAST_MAX_INPUT_BYTES", -1)
+        sc.setJobGroup("q74-gate-probe", "past-gate laziness probe")
+        try:
+            W.QUERIES["q74_bigram_fluency"](spark, self.SF)
+        finally:
+            jobs = sc.statusTracker().getJobIdsForGroup("q74-gate-probe")
+            sc.setJobGroup(None, None)
+            clear_registry()
+        assert list(jobs) == [], (
+            f"past-gate q74 ran Spark jobs at construction: {jobs}")
