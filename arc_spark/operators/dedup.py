@@ -600,7 +600,8 @@ def _xxh64_int_scalar(i: int, seed: int) -> int:
     return h
 
 
-def _minhash_numpy_gen(num_hashes: int, extra_cols: tuple):
+def _minhash_numpy_gen(num_hashes: int, extra_cols: tuple,
+                       bands: int | None = None):
     """mapInPandas generator: vectorized minhash signatures.
 
     Per Arrow batch: concatenate all shingle arrays into one uint64
@@ -610,7 +611,18 @@ def _minhash_numpy_gen(num_hashes: int, extra_cols: tuple):
     ``np.minimum.reduceat``. ~24× less CPU than the interpreted
     nested-HOF expression (0.42 s vs ~10 s CPU for 128×260k at sf0.1)
     because Catalyst evaluates higher-order lambdas per ELEMENT in
-    interpreted mode — they never enter whole-stage codegen."""
+    interpreted mode — they never enter whole-stage codegen.
+
+    ``bands`` set (r14): emit the LSH band BUCKETS instead of the
+    signature — ``buckets[i] = xxhash64(sig[r·i], …, sig[r·i+r-1])``
+    (Spark's seed-42 chained XXH64.hashLong over the slot values,
+    bit-identical to the ``_band_rows`` Catalyst expression, so index
+    rows built either way still join). For a consumer that only bands
+    (minhash_lsh_pairs: both the verify and estimate forms use ``sig``
+    for nothing else), this halves the Arrow return payload at the
+    default 128/64 (64 longs/doc vs 128) and deletes the interpreted
+    per-row band transform. NULL/empty shingles → NULL buckets, same
+    contract as ``sig``."""
     seeds = [_xxh64_int_scalar(i, 42) for i in range(num_hashes)]
 
     def gen(batches):
@@ -678,15 +690,46 @@ def _minhash_numpy_gen(num_hashes: int, extra_cols: tuple):
                         h ^= np.uint64(1 << 63)
                         mins[si] = np.minimum.reduceat(h, starts)
                     mins ^= np.uint64(1 << 63)
-                    sig_mat = mins.view(np.int64).T
-                    for row, j in enumerate(live):
-                        sig_out[j] = sig_mat[row]
-                        sz_out[j] = int(lens[row])
+                    if bands is None:
+                        sig_mat = mins.view(np.int64).T
+                        for row, j in enumerate(live):
+                            sig_out[j] = sig_mat[row]
+                            sz_out[j] = int(lens[row])
+                    else:
+                        # chained XXH64.hashLong over each band's r
+                        # signature slots, seed 42 — the vectorized twin
+                        # of _band_rows' xxhash64(slot, ..., slot) expr
+                        r_per = num_hashes // bands
+                        hl_init = P5 + np.uint64(8)
+                        bk = np.empty((bands, len(live)), np.uint64)
+                        for bi in range(bands):
+                            hb = np.full(len(live), np.uint64(42),
+                                         np.uint64)
+                            for j in range(r_per):
+                                k1b = mins[bi * r_per + j] * P2
+                                k1b = ((k1b << np.uint64(31))
+                                       | (k1b >> np.uint64(33))) * P1
+                                hb += hl_init
+                                hb ^= k1b
+                                hb = ((hb << np.uint64(27))
+                                      | (hb >> np.uint64(37))) * P1 + P4
+                                hb ^= hb >> np.uint64(33)
+                                hb *= P2
+                                hb ^= hb >> np.uint64(29)
+                                hb *= P3
+                                hb ^= hb >> np.uint64(32)
+                            bk[bi] = hb
+                        bk_mat = bk.view(np.int64).T
+                        for row, j in enumerate(live):
+                            sig_out[j] = bk_mat[row]
                 out = {"doc": pdf["doc"]}
                 for c in extra_cols:
                     out[c] = pdf[c]
-                out["sig"] = pd.Series(sig_out, dtype=object)
-                out["sz"] = pd.Series(sz_out, dtype="Int32")
+                if bands is None:
+                    out["sig"] = pd.Series(sig_out, dtype=object)
+                    out["sz"] = pd.Series(sz_out, dtype="Int32")
+                else:
+                    out["buckets"] = pd.Series(sig_out, dtype=object)
                 yield pd.DataFrame(out)
 
     return gen
@@ -814,6 +857,53 @@ def _band_rows(sigs: DataFrame, num_hashes: int, bands: int,
     ).filter(F.col("bucket").isNotNull())
 
 
+def _bucket_rows_from_shingled(sh: DataFrame, num_hashes: int, bands: int,
+                               extra_cols: tuple = ()) -> DataFrame:
+    """(doc, band, bucket) straight from a _shingled frame, with the
+    band buckets computed INSIDE the numpy signature kernel (r14).
+
+    For a consumer that never reads the signature itself —
+    :func:`minhash_lsh_pairs` bands and discards ``sig`` in both its
+    verify and estimate forms — returning buckets instead of signatures
+    halves the kernel's Arrow return payload at the default 128/64 (64
+    vs 128 longs per doc) and deletes the interpreted per-row band
+    transform (r = 2 chained xxhash64 calls × 64 bands per row, never
+    codegen'd). The r12 A/B that refuted kernel-side banding emitted
+    EXPLODED (doc, band, bucket) ROWS — n·bands rows crossing Arrow
+    (~410 MB at 320k docs) — this form returns one bands-length ARRAY
+    per doc (~half the sig payload) and leaves the explode in the JVM.
+
+    Buckets are bit-identical to :func:`_band_rows` over
+    :func:`_signatures_from_shingled` (differential lock:
+    tests/test_properties.py::TestKernelBucketsDifferential), so index
+    and query rows built by either path still join.
+
+    ``ARC_MINHASH_IMPL=expr`` or ``ARC_LSH_BUCKET_SRC=sig`` falls back
+    to the signature + Catalyst-band composition (also the
+    differential-test oracle)."""
+    import os as _os
+
+    if (_os.environ.get("ARC_MINHASH_IMPL", "numpy") != "numpy"
+            or _os.environ.get("ARC_LSH_BUCKET_SRC", "kernel") != "kernel"):
+        return _band_rows(
+            _signatures_from_shingled(sh, num_hashes, extra_cols),
+            num_hashes, bands, extra_cols)
+    from pyspark.sql.types import (ArrayType, LongType, StructField,
+                                   StructType)
+
+    fields = [sh.schema["doc"]]
+    fields += [sh.schema[c] for c in extra_cols]
+    fields += [StructField("buckets", ArrayType(LongType()), True)]
+    bks = sh.mapInPandas(
+        _minhash_numpy_gen(num_hashes, extra_cols, bands=bands),
+        StructType(fields))
+    return bks.select(
+        "doc",
+        *[F.col(c) for c in extra_cols],
+        F.posexplode_outer("buckets").alias("band", "bucket"),
+    ).filter(F.col("bucket").isNotNull())
+
+
 def dedup_against_index(
     new_df: DataFrame,
     index: DataFrame,
@@ -860,14 +950,22 @@ def dedup_against_index(
     exact = corpus is not None
     if exact:
         new_sh = new_sh.persist(StorageLevel.MEMORY_AND_DISK)
-    new_sigs = _signatures_from_shingled(new_sh, num_hashes)
-    if not exact:
+        # exact path: the shard's signatures feed NOTHING but the band
+        # explode (verification re-reads the exact shingles), so the
+        # buckets come straight from the kernel (r14,
+        # _bucket_rows_from_shingled: half the Arrow return payload, no
+        # interpreted band transform). The INDEX side must keep banding
+        # its STORED signatures — kernel buckets are bit-identical
+        # (differential-locked) so the band join is unaffected.
+        nb = _bucket_rows_from_shingled(new_sh, num_hashes, bands)
+    else:
         # the estimate path consumes the shard's signature pipeline
         # twice (band explode AND the sig_a scoring join) — persist the
         # signatures so the scan→shingle→minhash projection runs once
         # (the exact path persists the shingles for the same reason)
+        new_sigs = _signatures_from_shingled(new_sh, num_hashes)
         new_sigs = new_sigs.persist(StorageLevel.MEMORY_AND_DISK)
-    nb = _band_rows(new_sigs, num_hashes, bands)
+        nb = _band_rows(new_sigs, num_hashes, bands)
     ib = _band_rows(index.select("doc", "sig"), num_hashes, bands)
     cands = (
         nb.alias("n").join(
@@ -947,42 +1045,29 @@ def minhash_lsh_pairs(
     w.p. ~1e-8, so verified output ≡ the exact operator's output w.h.p.
     while scaling as O(n·bands) instead of O(n²).
     """
-    r = num_hashes // bands
-    # one shingle scan serves both the signatures and the exact-verify step
-    # (recomputing it would repeat the full tokenize+hash pipeline); without
-    # the verify pass there is no second consumer, so skip the persist
+    # one shingle scan serves both the band buckets and the exact-verify
+    # step (recomputing it would repeat the full tokenize+hash pipeline);
+    # without the verify pass there is no second consumer, so skip the
+    # persist
     sh_shared = _shingled(df, id_col, text_col, k)
     if verify:
         sh_shared = sh_shared.persist()
-    sigs = _signatures_from_shingled(sh_shared, num_hashes)
-    # NULL-signature docs (<k words) must generate no band rows — the
-    # signature is a true NULL, the guarded posexplode_outer emits a
+    # Band buckets come straight from the signature kernel (r14): this
+    # operator uses `sig` for NOTHING but banding (verify re-reads the
+    # exact shingles; the estimate form returns candidates as-is), so
+    # returning the bands-length bucket array instead of the signature
+    # halves the kernel's Arrow payload and deletes the interpreted
+    # per-row band transform. NULL-signature docs (<k words) generate no
+    # band rows — buckets is a true NULL, the posexplode_outer emits a
     # single (null, null) row, and the bucket filter drops it.
-    # Band index as data (sequence/transform), matching the signature
-    # formulation: small generated code, bit-identical buckets.
-    # MEASURED NON-CHANGE (r12): emitting (doc, band, bucket) directly
-    # from the numpy signature kernel — skipping this transform and the
-    # posexplode — LOSES (factor-64 A/B: 10.2 s vs 8.0 warm): n·bands
-    # exploded rows cross the mapInPandas Arrow boundary (~410 MB at
-    # 320k docs) vs n sig arrays (~330 MB), and the pandas row-frame
-    # construction costs more than the interpreted JVM-side band
-    # lambdas it saves. The sig transfer + JVM explode is the better
-    # split; don't re-fuse without re-measuring.
-    band_arr = F.expr(
-        f"transform(sequence(0, {bands - 1}), i -> xxhash64("
-        + ",".join(f"element_at(sig, {r} * i + {j + 1})" for j in range(r))
-        + "))"
-    )
-    # outer posexplode + null filter, NOT inner: same inferred-filter
-    # pushdown hazard as the jaccard posting explode above — an inner
-    # generate would re-evaluate the full signature expression inside a
-    # pushed-down filter.
-    band_rows = sigs.select(
-        "doc",
-        F.posexplode_outer(
-            F.when(F.col("sig").isNotNull(), band_arr)
-        ).alias("band", "bucket"),
-    ).filter(F.col("bucket").isNotNull())
+    # MEASURED NON-CHANGE (r12), still honored: emitting EXPLODED
+    # (doc, band, bucket) ROWS from the kernel LOSES (factor-64 A/B:
+    # 10.2 s vs 8.0 warm — n·bands rows ≈ 410 MB across Arrow at 320k
+    # docs vs 330 MB of sig arrays). The r14 form returns one
+    # bands-length ARRAY per doc (~165 MB at the same factor) and
+    # leaves the explode in the JVM — smaller than both measured
+    # points; buckets stay bit-identical (differential-locked).
+    band_rows = _bucket_rows_from_shingled(sh_shared, num_hashes, bands)
     # candidates via group-pairs, not a band-rows self-join (r12): the
     # self-join planned as a broadcast/shuffle join whose two sides each
     # re-derive the FULL signature pipeline from the persisted shingles

@@ -1223,6 +1223,52 @@ class TestMinhashNumpyDifferential:
         assert grab("numpy") == grab("expr")
 
 
+class TestKernelBucketsDifferential:
+    """r14: _bucket_rows_from_shingled defaults to band buckets computed
+    INSIDE the numpy signature kernel (chained XXH64.hashLong, seed 42).
+    minhash_lsh_pairs' candidate generation rides these buckets, and
+    they must stay BIT-IDENTICAL to the sig + Catalyst-band composition
+    (the xxhash64(slot, ..., slot) transform) — index rows and query
+    rows built by different paths/releases must still join. Fuzzes
+    random docs (incl. <k-word NULL rows), both r=2 and r=3 band
+    geometries, against the ARC_LSH_BUCKET_SRC=sig oracle path."""
+
+    @settings(max_examples=10 if _FULL_FUZZ else 6, deadline=None)
+    @given(st.data())
+    def test_kernel_buckets_equal_expr_band_rows(self, spark, data):
+        import os
+
+        import arc_spark.operators.dedup as dd
+
+        vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta",
+                 "longword" * 4, "Ünïcødé", "7", ""]
+        n_docs = data.draw(st.integers(min_value=1, max_value=12))
+        rows = []
+        for i in range(n_docs):
+            words_ = data.draw(st.lists(
+                st.sampled_from(vocab), min_size=0, max_size=10))
+            rows.append((i, " ".join(words_)))
+        num_hashes, bands = data.draw(st.sampled_from(
+            [(8, 4), (128, 64), (12, 4), (6, 6)]))  # r = 2, 2, 3, 1
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        sh = dd._shingled(docs, "doc_id", "text", 3)
+
+        def grab(src):
+            old = os.environ.get("ARC_LSH_BUCKET_SRC")
+            os.environ["ARC_LSH_BUCKET_SRC"] = src
+            try:
+                return sorted(
+                    map(tuple, dd._bucket_rows_from_shingled(
+                        sh, num_hashes, bands).collect()))
+            finally:
+                if old is None:
+                    os.environ.pop("ARC_LSH_BUCKET_SRC", None)
+                else:
+                    os.environ["ARC_LSH_BUCKET_SRC"] = old
+
+        assert grab("kernel") == grab("sig")
+
+
 class TestIncrementalDedupDifferential:
     """r9: dedup_against_index exact mode must equal the brute-force
     cross-slice Jaccard over the SAME shingle sets — the candidate
