@@ -857,6 +857,19 @@ def _band_rows(sigs: DataFrame, num_hashes: int, bands: int,
     ).filter(F.col("bucket").isNotNull())
 
 
+def _validate_band_geometry(num_hashes: int, bands: int) -> None:
+    """ADVICE r14: the kernel bands path silently degenerates when
+    bands > num_hashes (r_per = num_hashes // bands == 0 leaves every
+    live doc at the seed bucket 42 in every band — an O(n²) candidate
+    blowup), while the sig/Catalyst fallback fails loudly (zero-arg
+    xxhash64 is an analysis error). Make BOTH paths fail loudly and
+    identically on the misconfiguration."""
+    if not 1 <= bands <= num_hashes:
+        raise ValueError(
+            f"band geometry requires 1 <= bands <= num_hashes, got "
+            f"bands={bands}, num_hashes={num_hashes}")
+
+
 def _bucket_rows_from_shingled(sh: DataFrame, num_hashes: int, bands: int,
                                extra_cols: tuple = ()) -> DataFrame:
     """(doc, band, bucket) straight from a _shingled frame, with the
@@ -882,6 +895,8 @@ def _bucket_rows_from_shingled(sh: DataFrame, num_hashes: int, bands: int,
     to the signature + Catalyst-band composition (also the
     differential-test oracle)."""
     import os as _os
+
+    _validate_band_geometry(num_hashes, bands)
 
     if (_os.environ.get("ARC_MINHASH_IMPL", "numpy") != "numpy"
             or _os.environ.get("ARC_LSH_BUCKET_SRC", "kernel") != "kernel"):
@@ -946,6 +961,7 @@ def dedup_against_index(
     """
     from pyspark import StorageLevel
 
+    _validate_band_geometry(num_hashes, bands)
     new_sh = _shingled(new_df, id_col, text_col, k)
     exact = corpus is not None
     if exact:
@@ -1045,6 +1061,7 @@ def minhash_lsh_pairs(
     w.p. ~1e-8, so verified output ≡ the exact operator's output w.h.p.
     while scaling as O(n·bands) instead of O(n²).
     """
+    _validate_band_geometry(num_hashes, bands)
     # one shingle scan serves both the band buckets and the exact-verify
     # step (recomputing it would repeat the full tokenize+hash pipeline);
     # without the verify pass there is no second consumer, so skip the

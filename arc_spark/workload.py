@@ -3187,44 +3187,73 @@ ROTATION_LOG: dict[int, dict[str, tuple[str, ...]]] = {
                 "q33_delete_rewrite", "q78_select_order_limit",
                 "q79_count_star"),
     },
+    # r15 (VERDICT r14 item 8 — the alternating freshness cadence
+    # continues): the 23 lanes rotated OUT at r14 (last driver-green in
+    # r13, two rounds stale by r15's end) rotate back IN; the 23 lanes
+    # rotated IN at r14 (driver-green in CORRECTNESS_r14, fresh) rotate
+    # OUT.  No oracle lane's driver signature ever ages past 2 rounds.
+    # The dedup evidence family (q16/q17/q45/q46/q50/q80) and the
+    # r14-touched q31/q32/q41/q51/q70/q74 stay ON the board.  All OUT
+    # lanes remain oracle-locked every pytest run (test_workload_oracle
+    # parametrizes over ALL of ORACLES).
+    15: {
+        "in": ("q01_pricing_summary", "q02_revenue_by_nation",
+               "q03_top_orders", "q04_order_priority_exists",
+               "q05_window_topk_per_brand", "q06_events_conditional_agg",
+               "q07_time_bucket", "q08_date_trunc", "q09_cte_setops",
+               "q10_in_subquery", "q11_having_scalar_subquery",
+               "q12_string_funcs", "q13_asof_join", "q14_dedup_exact",
+               "q20_lang_id", "q21_quality_score", "q22_token_stats",
+               "q23_fingerprint", "q29_rollup", "q30_conditional_pivot",
+               "q33_delete_rewrite", "q78_select_order_limit",
+               "q79_count_star"),
+        "out": ("q15_dedup_lww", "q19_embedding_topk",
+                "q24_recursive_cte", "q25_lateral_topk",
+                "q26_multitier_union", "q27_semantic_dedup",
+                "q28_embedding_near_dup", "q34_retention_cutoff",
+                "q35_range_window", "q36_sessionize", "q37_percentiles",
+                "q38_full_outer", "q39_repetition_filter",
+                "q40_comma_cross_join", "q42_pruned_time_bucket",
+                "q43_grouping_sets", "q44_unpivot", "q47_pii_redact",
+                "q57_url_normalize", "q60_json_extract",
+                "q61_stats_aggs", "q62_array_agg", "q63_stratified_cap"),
+    },
 }
 
 DRIVER_BOARD: tuple[str, ...] = (
-    "q15_dedup_lww",
+    "q01_pricing_summary",
+    "q02_revenue_by_nation",
+    "q03_top_orders",
+    "q04_order_priority_exists",
+    "q05_window_topk_per_brand",
+    "q06_events_conditional_agg",
+    "q07_time_bucket",
+    "q08_date_trunc",
+    "q09_cte_setops",
+    "q10_in_subquery",
+    "q11_having_scalar_subquery",
+    "q12_string_funcs",
+    "q13_asof_join",
+    "q14_dedup_exact",
     "q16_ngram_jaccard",
     "q17_minhash_lsh",
-    "q19_embedding_topk",
-    "q24_recursive_cte",
-    "q25_lateral_topk",
-    "q26_multitier_union",
-    "q27_semantic_dedup",
-    "q28_embedding_near_dup",
+    "q20_lang_id",
+    "q21_quality_score",
+    "q22_token_stats",
+    "q23_fingerprint",
+    "q29_rollup",
+    "q30_conditional_pivot",
     "q31_dsir_weights",
     "q32_dsir_resample",
-    "q34_retention_cutoff",
-    "q35_range_window",
-    "q36_sessionize",
-    "q37_percentiles",
-    "q38_full_outer",
-    "q39_repetition_filter",
-    "q40_comma_cross_join",
+    "q33_delete_rewrite",
     "q41_kmeans_assign",
-    "q42_pruned_time_bucket",
-    "q43_grouping_sets",
-    "q44_unpivot",
     "q45_dup_clusters",
     "q46_cluster_canonical",
-    "q47_pii_redact",
     "q48_hash_split",
     "q49_mixture_sample",
     "q50_decontaminate",
     "q51_token_packing",
     "q56_window_dupfrac",
-    "q57_url_normalize",
-    "q60_json_extract",
-    "q61_stats_aggs",
-    "q62_array_agg",
-    "q63_stratified_cap",
     "q64_corpus_stats",
     "q67_decimal128_roundtrip",
     "q68_range_join",
@@ -3234,6 +3263,8 @@ DRIVER_BOARD: tuple[str, ...] = (
     "q73_doc_chunking",
     "q74_bigram_fluency",
     "q75_dataset_profile",
+    "q78_select_order_limit",
+    "q79_count_star",
     "q80_incremental_dedup",
     "q81_gapfill_locf",
     "q82_gapfill_linear",

@@ -23,6 +23,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 while os.path.exists("/tmp/arc_hunter_firing"):
     time.sleep(30)
 open("/tmp/arc_ab_busy", "w").close()
+# ADVICE r14: the marker must come down on EVERY exit path (an exception
+# mid-run would otherwise permanently block the bench hunter's gate)
+import atexit  # noqa: E402
+
+atexit.register(lambda: os.path.exists("/tmp/arc_ab_busy")
+                and os.remove("/tmp/arc_ab_busy"))
 
 from pyspark.sql import functions as F  # noqa: E402
 

@@ -1268,6 +1268,29 @@ class TestKernelBucketsDifferential:
 
         assert grab("kernel") == grab("sig")
 
+    def test_bad_band_geometry_raises(self, spark):
+        """ADVICE r14: bands > num_hashes silently degenerated the
+        kernel path (r_per == 0 -> every doc at seed bucket 42 in every
+        band, O(n²) candidate blowup) while the sig path failed loudly.
+        Both band consumers now raise ValueError up front."""
+        import pytest
+
+        import arc_spark.operators.dedup as dd
+
+        docs = spark.createDataFrame(
+            [(1, "a b c d e")], "doc_id long, text string")
+        sh = dd._shingled(docs, "doc_id", "text", 3)
+        for bad_hashes, bad_bands in ((8, 16), (8, 0), (8, -1)):
+            with pytest.raises(ValueError, match="band geometry"):
+                dd._bucket_rows_from_shingled(sh, bad_hashes, bad_bands)
+            with pytest.raises(ValueError, match="band geometry"):
+                dd.minhash_lsh_pairs(
+                    docs, num_hashes=bad_hashes, bands=bad_bands)
+            with pytest.raises(ValueError, match="band geometry"):
+                dd.dedup_against_index(
+                    docs, dd.minhash_index(docs),
+                    num_hashes=bad_hashes, bands=bad_bands)
+
 
 class TestIncrementalDedupDifferential:
     """r9: dedup_against_index exact mode must equal the brute-force
