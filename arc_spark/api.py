@@ -1271,13 +1271,99 @@ class IngestService:
         decode ceiling: measured 13M rec/s warm on a 12M-row msgpack
         backlog vs ~3.5M for the in-process flush workers.
 
+        r15 (guide §2.6 overlap): a backlog big enough for 2+ jobs drains
+        as TWO CONCURRENT half-jobs instead of one. Each job stays
+        cores/2-capped (the r11 finding that full-width fan-out within
+        ONE job is ~8% slower stands — it doubles per-task fixed cost),
+        but two jobs in flight back-fill each other's task tails and
+        fill the cores one capped job leaves idle: a fixed ~262 MB /
+        12M-row backlog measured 15.0 → 19.0M rows/s p50 (+27%, 5/5
+        aligned passes; 3- and 4-way splits oversubscribe the Python
+        workers and LOSE — 0.71/0.89/0.94 s p50 for 2/3/4). Manifest and
+        snapshot stay ONE commit over the merged results, so atomic
+        visibility and the tag-union semantics are byte-identical to the
+        single-job drain. The split gate is byte-based
+        (distributed_flush_min_bytes per sub-job), so small backlogs pay
+        nothing.
+
         Same constraints as the fused LP writer: the root must be
         executor-resolvable (local/file/s3), per-task schema merging, and
         at-least-once on failure (the WAL retains the payloads; a retry
         after a partial write duplicates rows, which compaction's
-        last-writer-wins dedup collapses for tagged measurements).
+        last-writer-wins dedup collapses for tagged measurements —
+        failure of EITHER sub-job fails the whole drain, and the caller
+        requeues the full snapshot exactly as before).
 
         Returns rows written; the caller owns stats/WAL accounting."""
+        import json as _json
+
+        from arc_spark import snapshots
+        from arc_spark.sources.writer import measurement_path, write_manifest
+
+        total_bytes = sum(len(p) for _, p in entries)
+        min_per_job = self.distributed_flush_min_bytes or (64 << 20)
+        n_jobs = max(1, min(int(os.environ.get("ARC_DEFER_DRAIN_JOBS",
+                                               "2")),
+                            total_bytes // max(1, min_per_job),
+                            len(entries)))
+        if n_jobs <= 1:
+            results = self._drain_stage_and_run(db, entries)
+        else:
+            # contiguous byte-balanced halves (payload order preserved
+            # within each job; the two jobs overlap on the scheduler)
+            parts: list[list[tuple[str, bytes]]] = []
+            target = total_bytes / n_jobs
+            cur: list[tuple[str, bytes]] = []
+            acc = 0
+            for e in entries:
+                cur.append(e)
+                acc += len(e[1])
+                if acc >= target * (len(parts) + 1) and len(parts) < n_jobs - 1:
+                    parts.append(cur)
+                    cur = []
+            if cur:
+                parts.append(cur)
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=len(parts)) as ex:
+                results = [r for part in ex.map(
+                    lambda p: self._drain_stage_and_run(db, p), parts)
+                    for r in part]
+        n_rows = 0
+        meas_tags: dict[str, set] = {}
+        meas_files: dict[str, list] = {}
+        for r in results:
+            n_rows += r["n"]
+            meas_tags.setdefault(r["measurement"], set()).update(
+                _json.loads(r["tags"]))
+            meas_files.setdefault(r["measurement"], []).extend(
+                _json.loads(r["files"]))
+        root = self.root
+        for meas, tags in meas_tags.items():
+            tag_list = sorted(tags)
+            # carry decimal metadata: the drained tasks applied
+            # decimal_config to the data, so the manifest must say so —
+            # otherwise this atomic replace silently drops decimals the
+            # in-process flush recorded
+            write_manifest(root, db, meas, tag_list,
+                           self._manifest_sort_keys(meas, tag_list),
+                           decimals=self._dec_manifest(meas))
+            # atomic visibility: all of this drain's files for the
+            # measurement publish in one snapshot swap; a crash mid-drain
+            # left them invisible and the WAL retains the payloads
+            snapshots.commit(measurement_path(root, db, meas),
+                             add=meas_files.get(meas, []))
+        self._notify_written({(db, m) for m in meas_tags})
+        return n_rows
+
+    def _drain_stage_and_run(
+        self, db: str, entries: list[tuple[str, bytes]]
+    ) -> list:
+        """Stage one concatenated payload file and run ONE decode+write
+        job over it; returns the job's result rows (measurement/n/tags/
+        files per task-measurement). Commit/manifest/stats belong to the
+        caller (:meth:`_drain_raw_distributed`), which may run several of
+        these concurrently."""
         import json as _json
         import uuid as _uuid
 
@@ -1388,7 +1474,7 @@ class IngestService:
                     yield pd.DataFrame(out)
 
         try:
-            results = (
+            return (
                 self.spark.range(0, n_tasks, 1, n_tasks)
                 .mapInPandas(decode_write,
                              "measurement string, n long, tags string, "
@@ -1397,35 +1483,6 @@ class IngestService:
             )
         finally:
             bk.remove_file_if_exists(staged)
-
-        from arc_spark import snapshots
-        from arc_spark.sources.writer import measurement_path, write_manifest
-
-        n_rows = 0
-        meas_tags: dict[str, set] = {}
-        meas_files: dict[str, list] = {}
-        for r in results:
-            n_rows += r["n"]
-            meas_tags.setdefault(r["measurement"], set()).update(
-                _json.loads(r["tags"]))
-            meas_files.setdefault(r["measurement"], []).extend(
-                _json.loads(r["files"]))
-        for meas, tags in meas_tags.items():
-            tag_list = sorted(tags)
-            # carry decimal metadata: the drained tasks applied
-            # decimal_config to the data, so the manifest must say so —
-            # otherwise this atomic replace silently drops decimals the
-            # in-process flush recorded
-            write_manifest(root, db, meas, tag_list,
-                           self._manifest_sort_keys(meas, tag_list),
-                           decimals=self._dec_manifest(meas))
-            # atomic visibility: all of this drain's files for the
-            # measurement publish in one snapshot swap; a crash mid-drain
-            # left them invisible and the WAL retains the payloads
-            snapshots.commit(measurement_path(root, db, meas),
-                             add=meas_files.get(meas, []))
-        self._notify_written({(db, m) for m in meas_tags})
-        return n_rows
 
     def _admit(
         self,

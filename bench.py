@@ -337,6 +337,46 @@ def main() -> None:
 
         return run
 
+    # r15 (VERDICT r14 item 6, additions-only — existing lanes are
+    # untouched): the q80 bench lane rebuilds its corpus index EVERY
+    # pass by design (driver re-runs are self-contained), which hides
+    # the actual incremental-dedup cost behind ~1 s of index build.
+    # This ADDITIONAL lane measures the 100 TB arrival workflow proper:
+    # the MinHash index is built once per bench invocation and STORED
+    # (parquet — minhash_index's stored-format contract), and each pass
+    # dedups the arriving shard against the stored index (same
+    # parameters as q80: threshold 0.8, 128 hashes, 64 bands, exact
+    # verify against the corpus text). Nothing persists across bench
+    # invocations — the index is derived fresh from the parquet inputs
+    # inside this run, exactly like the warmed serve fixtures above.
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from pyspark.sql import functions as _F
+
+    from arc_spark.operators.dedup import dedup_against_index, minhash_index
+    from arc_spark.workload import load_tables as _load_tables
+
+    _docs80 = _load_tables(spark, sf_dir, register_views=False)["documents"]
+    _corpus80 = _docs80.filter(_F.col("doc_id") % 5 != 0)
+    _new80 = _docs80.filter(_F.col("doc_id") % 5 == 0)
+    import atexit as _atexit
+
+    _idx80_dir = _tempfile.mkdtemp(prefix="arc_bench_q80_idx_")
+    _atexit.register(lambda: _shutil.rmtree(_idx80_dir,
+                                            ignore_errors=True))
+    minhash_index(_corpus80).write.mode("overwrite").parquet(_idx80_dir)
+    _idx80 = spark.read.parquet(_idx80_dir)
+
+    def _q80_stored_thunk():
+        def run() -> int:
+            cacheutil.clear_registry()
+            return dedup_against_index(
+                _new80, _idx80, threshold=0.8, num_hashes=128, bands=64,
+                corpus=_corpus80).count()
+
+        return run
+
     # every lane is a named thunk so the bracketed pass loop AND the
     # bounded noise-retry loop below drive them uniformly (r10 item 2).
     # Serve-lane semantics (what each measures vs BASELINE.md):
@@ -377,6 +417,7 @@ def main() -> None:
             ("serve_timerange_compact",
              lambda: len(to_arrow_ipc(count_svc.scan_measurement_arrow(
                  "bench", "events", where=TR_WHERE, limit=10_000)))),
+            ("q80_dedup_stored_index", _q80_stored_thunk()),
         ]
     )
 
@@ -446,6 +487,12 @@ def main() -> None:
     total += dt
     print(f"# serve_timerange_compact: p50 {dt * 1000:.2f}ms same range "
           "over the compacted measurement (arc 15ms)", file=sys.stderr)
+    dt = record("q80_dedup_stored_index")
+    total += dt
+    print(f"# q80_dedup_stored_index: p50 {dt:.3f}s incremental dedup vs "
+          f"the STORED index (rows={rows_by['q80_dedup_stored_index']}; "
+          "the q80 lane includes the in-run index build by design)",
+          file=sys.stderr)
 
     # per-block sentinel (r7 verdict #1a): a single start/end pair cannot
     # ATTRIBUTE drift — the r7 artifact showed 32-thread headroom halving

@@ -947,6 +947,62 @@ class TestDistributedFlush:
         assert back.filter("extra IS NULL").count() == 50
         assert back.filter("extra = 51.0").count() == 1
 
+    def test_split_drain_commits_tag_union_once(self, spark, tmp_path):
+        """r15: a large backlog drains as TWO concurrent sub-jobs (guide
+        §2.6 overlap), but manifest + snapshot must stay ONE commit over
+        the union of both halves — a tag column appearing only in the
+        second half must survive in the manifest exactly as the
+        single-job drain would record it."""
+        from arc_spark.api import IngestService
+        from arc_spark.sources.msgpack_codec import packb
+        from arc_spark.sources.writer import read_manifest
+
+        def payload(tags, cols):
+            n = 2_000
+            columns = {"time": [1700000000000000 + i for i in range(n)]}
+            for c in cols:
+                columns[c] = [f"v{i % 3}" for i in range(n)]
+            columns["value"] = [float(i) for i in range(n)]
+            return packb({"m": "cpu", "columns": columns, "tags": tags})
+
+        svc = IngestService(spark, str(tmp_path), max_buffer_rows=10**9,
+                            max_buffer_age_s=10**9, defer_decode=True)
+        svc.distributed_flush_min_bytes = 1 << 10  # 2 payloads → 2 jobs
+        svc.write_msgpack("bench", payload(["host"], ["host"]))
+        svc.write_msgpack("bench", payload(["host", "region"],
+                                           ["host", "region"]))
+        assert svc.flush() == 4_000
+        m = read_manifest(str(tmp_path), "bench", "cpu")
+        assert m["tag_columns"] == ["host", "region"]
+        back = spark.read.parquet(str(tmp_path / "bench" / "cpu"))
+        assert back.count() == 4_000
+        svc.close()
+
+    def test_split_drain_disabled_matches(self, spark, tmp_path, monkeypatch):
+        """ARC_DEFER_DRAIN_JOBS=1 forces the single-job drain; committed
+        rows and manifest must be identical to the split default."""
+        from arc_spark.api import IngestService
+        from arc_spark.sources.msgpack_codec import packb
+        from arc_spark.sources.writer import read_manifest
+
+        monkeypatch.setenv("ARC_DEFER_DRAIN_JOBS", "1")
+        svc = IngestService(spark, str(tmp_path), max_buffer_rows=10**9,
+                            max_buffer_age_s=10**9, defer_decode=True)
+        svc.distributed_flush_min_bytes = 1 << 10
+        for j in range(4):
+            svc.write_msgpack("bench", packb({"m": "cpu", "columns": {
+                "time": [1700000000000000 + (j * 100 + i) * 1000
+                         for i in range(100)],
+                "host": [f"h{i % 8}" for i in range(100)],
+                "value": [float(i) for i in range(100)]},
+                "tags": ["host"]}))
+        assert svc.flush() == 400
+        assert read_manifest(str(tmp_path), "bench",
+                             "cpu")["tag_columns"] == ["host"]
+        assert spark.read.parquet(
+            str(tmp_path / "bench" / "cpu")).count() == 400
+        svc.close()
+
     def test_deferred_lp_backlog_drains_distributed(self, spark, tmp_path):
         """Deferred LINE-PROTOCOL backlogs over the threshold also drain
         on executors (parse_chunk_columnar per payload in-task)."""
