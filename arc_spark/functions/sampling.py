@@ -270,22 +270,33 @@ def dsir_importance_weights(df, target, tokens_col="w",
     bcounts = doc_feat.groupBy("__b").agg(
         F.sum("__c").alias("__cr"),
         F.sum(F.when(F.col("__t"), F.col("__c")).otherwise(0)).alias("__ct"))
-    # r13: corpus totals ride a broadcast single-row cross join instead
-    # of an eager .first()-into-literal — the operator was running the
-    # FULL explode+aggregate pipeline at PLAN-CONSTRUCTION time (a
-    # measured 6.8 s driver stall in the sf0.001 example funnel; at
-    # 100 TB an entire corpus pass before the caller even sees a
-    # DataFrame). Value-identical: the denominators are the same IEEE
-    # doubles (int64→double cast + one literal add, exactly what
-    # float(n + alpha*buckets) computed driver-side), so the q31/q32
-    # oracle hashes are unchanged; coalesce(0) reproduces the old
-    # `int(tot or 0)` empty-input contract.
-    totals = bcounts.agg(
-        (F.coalesce(F.sum("__ct"), F.lit(0)).cast("double")
+    # r13 made the corpus totals lazy (no .first() at plan-construction);
+    # r15 removes the broadcast-build sub-job the lazy form still paid:
+    # the totals derive from ``bcounts`` ITSELF, so a whole-frame window
+    # sum computes them inline in the model subtree — no second subtree,
+    # no BroadcastExchange job for the one-row totals (the model's own
+    # broadcast for the scoring join remains). BIT-IDENTICAL by
+    # construction, not just in practice: ``__ct``/``__cr`` are BIGINT
+    # counts, so their sum is exact integer arithmetic in ANY
+    # accumulation order — the int64→double cast + literal add then
+    # yields the same IEEE doubles the broadcast form produced (and the
+    # eager float(n + alpha*buckets) before it); q31/q32 oracle hashes
+    # unchanged (verified at sf0.01 AND sf0.1). The empty-frame window
+    # sum returns no rows at all (model is empty either way), matching
+    # the old coalesce(0) contract. A/B: q31 full lane p50 1.83 → 1.61 s
+    # (−12 %, 4/5 aligned passes better). The single-partition window
+    # over ``buckets``-many rows (≤10k by contract) is a bounded-size
+    # frame at ANY corpus scale, so this holds at 100 TB.
+    from pyspark.sql import Window as _W
+
+    _whole = _W.partitionBy()
+    btot = bcounts.select(
+        "__b", "__ct", "__cr",
+        (F.sum("__ct").over(_whole).cast("double")
          + F.lit(float(alpha * buckets))).alias("__denom_t"),
-        (F.coalesce(F.sum("__cr"), F.lit(0)).cast("double")
+        (F.sum("__cr").over(_whole).cast("double")
          + F.lit(float(alpha * buckets))).alias("__denom_r"))
-    model = bcounts.crossJoin(F.broadcast(totals)).select(
+    model = btot.select(
         "__b",
         F.round((F.log((F.col("__ct") + F.lit(alpha)) / F.col("__denom_t"))
                  - F.log((F.col("__cr") + F.lit(alpha)) / F.col("__denom_r")))
