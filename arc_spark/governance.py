@@ -291,19 +291,38 @@ class QueryRegistry:
         watchdog: threading.Timer | None = None
         if timeout_s is not None:
             def _expire() -> None:
-                if info.status == "running":
-                    info.status = "timeout"
+                if info.status != "running":
+                    return
+                info.status = "timeout"
+                # cancelJobGroup only interrupts jobs that are ALREADY
+                # submitted; a cancel landing while the driver is still
+                # planning/launching is a no-op and the job submitted a
+                # moment later runs to completion. Re-issue the cancel
+                # until the query thread observes the timeout (bounded;
+                # the loop exits as soon as run() reaches its finally).
+                while info.finished_at is None:
                     sc.cancelJobGroup(qid)
+                    time.sleep(0.2)
 
             watchdog = threading.Timer(timeout_s, _expire)
             watchdog.daemon = True
             watchdog.start()
         try:
             result = collect(df)
+            if info.status == "timeout":
+                # the cancel raced the job's completion — the result is
+                # here, but the query exceeded its duration cap, so the
+                # governance contract (reference context.WithTimeout)
+                # still fails it.
+                raise QueryTimeout(
+                    f"query {qid} exceeded max duration {timeout_s}s"
+                )
             if info.status == "running":
                 info.status = "done"
                 info.rows = len(result) if hasattr(result, "__len__") else None
             return result
+        except QueryTimeout:
+            raise
         except Exception as exc:
             if info.status == "timeout":
                 raise QueryTimeout(
