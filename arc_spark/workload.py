@@ -59,6 +59,52 @@ def _osum(expr: str) -> str:
     return f"CAST(SUM(CAST({expr} AS DECIMAL(30,6))) AS DOUBLE)"
 
 
+def _broadcast_threshold_bytes(spark) -> int:
+    """The session's autoBroadcastJoinThreshold as plain bytes (the conf
+    string may be '10485760', '10485760b', or '10mb'; -1 disables)."""
+    raw = str(spark.conf.get("spark.sql.autoBroadcastJoinThreshold",
+                             "10485760")).strip().lower()
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+    if raw.endswith("b"):
+        raw = raw[:-1]
+    mult = 1
+    if raw and raw[-1] in units:
+        mult = units[raw[-1]]
+        raw = raw[:-1]
+    try:
+        return int(raw) * mult
+    except ValueError:
+        return 10 << 20
+
+
+def _dims_broadcast_ok(spark, *frames) -> bool:
+    """True when the summed analysis-only input-byte estimate of
+    ``frames`` fits the session's broadcast threshold — the gate for an
+    EXPLICIT broadcast hint on a joined dimension-chain subtree (guide
+    §3.1: post-join size estimates inflate, so without the hint Spark
+    broadcasts the FACT side of q02/q03; with real input bytes the
+    decision matches what the planner itself does for bare scans). No
+    job runs: bounded Hadoop-FS stats only. Fails closed — any frame
+    without file-backed input, or a disabled threshold, keeps the
+    unhinted plan, so at scale the planner's shuffle strategy stands."""
+    from arc_spark.operators.packing import _estimated_input_bytes
+
+    thresh = _broadcast_threshold_bytes(spark)
+    if thresh <= 0:
+        return False
+    total = 0
+    for f in frames:
+        try:
+            files = list(f.inputFiles())
+        except Exception:
+            return False
+        est = _estimated_input_bytes(spark, files)
+        if est is None:
+            return False
+        total += est
+    return total <= thresh
+
+
 TS = dt.datetime  # brevity
 
 
@@ -93,13 +139,29 @@ def q02_revenue_by_nation(spark: SparkSession, sf: str) -> DataFrame:
     shuffle on keys with AQE."""
     t = load_tables(spark, sf, register_views=False)
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
+    # r15 (guide §3.1): the planner's size estimate of the joined
+    # customer⋈orders side inflates past lineitem's scan size, so it
+    # broadcast the FACT table (600k rows built per run, driver round
+    # trip) and streamed the dims. Hint the dim chain as the build side
+    # when its REAL input bytes fit the threshold; past the gate the
+    # unhinted plan (planner's shuffle strategy) stands. Inner joins +
+    # pushed filter ⇒ identical rows either way (oracle-locked). A/B:
+    # p50 1.73 → 1.31 s (−24 %), 5/7 aligned passes better.
+    co = (
         t["customer"]
         .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
-        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("o_orderdate") >= F.lit(TS(1996, 1, 1)))
         .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
-        .filter(F.col("o_orderdate") >= F.lit(TS(1996, 1, 1)))
+    )
+    if _dims_broadcast_ok(spark, t["customer"], t["orders"]):
+        joined = t["lineitem"].join(
+            F.broadcast(co), F.col("o_orderkey") == F.col("l_orderkey"))
+    else:
+        joined = co.join(
+            t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+    return (
+        joined
         .groupBy("r_name", "n_name")
         .agg(dsum(revenue, "revenue"), F.count(F.lit(1)).alias("n_items"))
     )
@@ -110,15 +172,25 @@ def q03_top_orders(spark: SparkSession, sf: str) -> DataFrame:
     tie-break; Spark plans a TakeOrderedAndProject (no global sort)."""
     t = load_tables(spark, sf, register_views=False)
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
+    # r15: same estimate inflation as q02 — the planner broadcast the
+    # (shipdate-filtered) lineitem side; hint the filtered
+    # customer⋈orders chain as build side inside the byte gate instead.
+    # A/B: p50 0.67 → 0.58 s (−13 %), 6/7 aligned passes better.
+    co = (
         t["customer"]
         .filter(F.col("c_mktsegment") == "BUILDING")
         .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
-        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
-        .filter(
-            (F.col("o_orderdate") < F.lit(TS(1998, 1, 1)))
-            & (F.col("l_shipdate") > F.lit(TS(1998, 1, 1)))
-        )
+        .filter(F.col("o_orderdate") < F.lit(TS(1998, 1, 1)))
+    )
+    li = t["lineitem"].filter(F.col("l_shipdate") > F.lit(TS(1998, 1, 1)))
+    if _dims_broadcast_ok(spark, t["customer"], t["orders"]):
+        joined = li.join(
+            F.broadcast(co), F.col("o_orderkey") == F.col("l_orderkey"))
+    else:
+        joined = co.join(
+            li, F.col("o_orderkey") == F.col("l_orderkey"))
+    return (
+        joined
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(dsum(revenue, "revenue"))
         .select(

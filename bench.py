@@ -488,7 +488,11 @@ def main() -> None:
     print(f"# serve_timerange_compact: p50 {dt * 1000:.2f}ms same range "
           "over the compacted measurement (arc 15ms)", file=sys.stderr)
     dt = record("q80_dedup_stored_index")
-    total += dt
+    # NEW in r15 (additive lane): its p50 rides in `queries` like every
+    # lane, but it is NOT summed into workload_total_wall — the wall is
+    # the round-over-round headline over the r14 lane set, and a brand-new
+    # ~1.5 s lane would read as a spurious 10% wall regression with zero
+    # code change. Per-lane comparison is unaffected (the key is new).
     print(f"# q80_dedup_stored_index: p50 {dt:.3f}s incremental dedup vs "
           f"the STORED index (rows={rows_by['q80_dedup_stored_index']}; "
           "the q80 lane includes the in-run index build by design)",

@@ -22,6 +22,23 @@ class TestPlanShapes:
         assert "BroadcastHashJoin" in plan
         assert "BroadcastExchange" in plan
 
+    @pytest.mark.parametrize("name", ["q02_revenue_by_nation",
+                                      "q03_top_orders"])
+    def test_fact_table_streams_never_broadcasts(self, spark, sf_oracle,
+                                                 name):
+        """r15: the planner's inflated post-join estimate used to put
+        LINEITEM (the fact table) under a BroadcastExchange; inside the
+        byte gate the hinted dim chain must be the build side and the
+        lineitem scan must stream."""
+        plan = _physical(QUERIES[name](spark, sf_oracle))
+        for block in plan.split("BroadcastExchange")[1:]:
+            # text until the next join/exchange boundary approximates the
+            # broadcast subtree; lineitem must not appear at its top
+            first_scan = block.find("Scan parquet")
+            if first_scan != -1:
+                head = block[:block.find("\n", first_scan) + 1]
+                assert "lineitem" not in head, plan
+
     def test_q03_topk_no_global_sort(self, spark, sf_oracle):
         """ORDER BY + LIMIT plans TakeOrderedAndProject (per-partition top-k
         + merge), not a global sort."""
