@@ -586,6 +586,50 @@ _XXH_P4 = 0x85EBCA77C2B2AE63
 _XXH_P5 = 0x27D4EB2F165667C5
 
 
+def _numpy_band_buckets(mins, bands: int):
+    """LSH band buckets from a signature matrix: ``buckets[bi] =``
+    chained XXH64.hashLong (seed 42) over the band's ``r`` consecutive
+    signature slots — the vectorized twin of :func:`_band_rows`'
+    ``xxhash64(slot, …, slot)`` Catalyst expression, shared by the
+    shingle kernel (:func:`_minhash_numpy_gen`) and the stored-signature
+    kernel (:func:`_bucket_rows_from_sigs`) so bit-identity across every
+    bucket producer is by construction, not by parallel maintenance.
+
+    ``mins``: (num_hashes, n) uint64 signature matrix (column-per-doc).
+    Returns a (bands, n) uint64 bucket matrix. Caller guarantees a
+    valid band geometry (:func:`_validate_band_geometry`) and an
+    ``errstate(over="ignore")`` context (uint64 wraparound is the hash)."""
+    import numpy as np
+
+    P1 = np.uint64(_XXH_P1)
+    P2 = np.uint64(_XXH_P2)
+    P3 = np.uint64(_XXH_P3)
+    P4 = np.uint64(_XXH_P4)
+    P5 = np.uint64(_XXH_P5)
+    num_hashes = mins.shape[0]
+    n = mins.shape[1]
+    r_per = num_hashes // bands
+    hl_init = P5 + np.uint64(8)
+    bk = np.empty((bands, n), np.uint64)
+    for bi in range(bands):
+        hb = np.full(n, np.uint64(42), np.uint64)
+        for j in range(r_per):
+            k1b = mins[bi * r_per + j] * P2
+            k1b = ((k1b << np.uint64(31))
+                   | (k1b >> np.uint64(33))) * P1
+            hb += hl_init
+            hb ^= k1b
+            hb = ((hb << np.uint64(27))
+                  | (hb >> np.uint64(37))) * P1 + P4
+            hb ^= hb >> np.uint64(33)
+            hb *= P2
+            hb ^= hb >> np.uint64(29)
+            hb *= P3
+            hb ^= hb >> np.uint64(32)
+        bk[bi] = hb
+    return bk
+
+
 def _xxh64_int_scalar(i: int, seed: int) -> int:
     """Spark XXH64.hashInt for one INT value (driver-side, per seed)."""
     m = (1 << 64) - 1
@@ -696,30 +740,8 @@ def _minhash_numpy_gen(num_hashes: int, extra_cols: tuple,
                             sig_out[j] = sig_mat[row]
                             sz_out[j] = int(lens[row])
                     else:
-                        # chained XXH64.hashLong over each band's r
-                        # signature slots, seed 42 — the vectorized twin
-                        # of _band_rows' xxhash64(slot, ..., slot) expr
-                        r_per = num_hashes // bands
-                        hl_init = P5 + np.uint64(8)
-                        bk = np.empty((bands, len(live)), np.uint64)
-                        for bi in range(bands):
-                            hb = np.full(len(live), np.uint64(42),
-                                         np.uint64)
-                            for j in range(r_per):
-                                k1b = mins[bi * r_per + j] * P2
-                                k1b = ((k1b << np.uint64(31))
-                                       | (k1b >> np.uint64(33))) * P1
-                                hb += hl_init
-                                hb ^= k1b
-                                hb = ((hb << np.uint64(27))
-                                      | (hb >> np.uint64(37))) * P1 + P4
-                                hb ^= hb >> np.uint64(33)
-                                hb *= P2
-                                hb ^= hb >> np.uint64(29)
-                                hb *= P3
-                                hb ^= hb >> np.uint64(32)
-                            bk[bi] = hb
-                        bk_mat = bk.view(np.int64).T
+                        bk_mat = (_numpy_band_buckets(mins, bands)
+                                  .view(np.int64).T)
                         for row, j in enumerate(live):
                             sig_out[j] = bk_mat[row]
                 out = {"doc": pdf["doc"]}
@@ -982,6 +1004,14 @@ def dedup_against_index(
         new_sigs = _signatures_from_shingled(new_sh, num_hashes)
         new_sigs = new_sigs.persist(StorageLevel.MEMORY_AND_DISK)
         nb = _band_rows(new_sigs, num_hashes, bands)
+    # index-side banding stays the Catalyst expression (r15 REFUTED
+    # A/B, scripts/q80_sigbucket_ab_r15.py): a numpy sig→buckets kernel
+    # loses at EVERY measured index size (4k rows: 0.21 vs 0.46 s; 256k
+    # rows: min 1.1 vs 4.1 s) — chained xxhash64 over longs is cheap
+    # even interpreted, while the kernel pays the full Arrow transfer
+    # of the stored signatures plus per-row object assembly. The r14
+    # shard-side kernel win came from HALVING an already-paid crossing;
+    # there is no crossing to halve here.
     ib = _band_rows(index.select("doc", "sig"), num_hashes, bands)
     cands = (
         nb.alias("n").join(
