@@ -17,6 +17,46 @@ _numpy_band_buckets factoring (shared band math) stays - it is used by
 the shingle kernel."""
 import os, sys, time, tempfile, shutil, statistics
 sys.path.insert(0, "/root/repo")
+# --- the REFUTED kernel, inlined so this negative result stays
+# --- reproducible (the production function was removed after the A/B)
+def _bucket_rows_from_sigs_refuted(sigs, num_hashes, bands):
+    import arc_spark.operators.dedup as _dd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (ArrayType, LongType, StructField,
+                                   StructType)
+
+    _dd._validate_band_geometry(num_hashes, bands)
+    fields = [sigs.schema["doc"],
+              StructField("buckets", ArrayType(LongType()), True)]
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        with np.errstate(over="ignore"):
+            for pdf in batches:
+                cells = pdf["sig"].to_numpy()
+                n = len(pdf)
+                live = [j for j in range(n) if cells[j] is not None]
+                out = [None] * n
+                if live:
+                    mins = (np.vstack([cells[j] for j in live])
+                            .astype(np.int64).view(np.uint64).T)
+                    mins = np.ascontiguousarray(mins)
+                    bk_mat = (_dd._numpy_band_buckets(mins, bands)
+                              .view(np.int64).T)
+                    for row, j in enumerate(live):
+                        out[j] = bk_mat[row]
+                yield pd.DataFrame({
+                    "doc": pdf["doc"],
+                    "buckets": pd.Series(out, dtype=object)})
+
+    bks = sigs.mapInPandas(gen, StructType(fields))
+    return bks.select(
+        "doc", F.posexplode_outer("buckets").alias("band", "bucket"),
+    ).filter(F.col("bucket").isNotNull())
+
+
 while os.path.exists("/tmp/arc_hunter_firing"):
     time.sleep(30)
 open("/tmp/arc_ab_busy", "w").close()
@@ -48,11 +88,11 @@ try:
         n = sigs.count()
         def noop(df): df.write.format("noop").mode("overwrite").save()
         # warm both
-        noop(dd._bucket_rows_from_sigs(sigs, 128, 64))
+        noop(_bucket_rows_from_sigs_refuted(sigs, 128, 64))
         noop(dd._band_rows(sigs, 128, 64))
         res = {"kernel": [], "catalyst": []}
         for i in range(5):
-            for name, fn in (("kernel", lambda: noop(dd._bucket_rows_from_sigs(sigs, 128, 64))),
+            for name, fn in (("kernel", lambda: noop(_bucket_rows_from_sigs_refuted(sigs, 128, 64))),
                              ("catalyst", lambda: noop(dd._band_rows(sigs, 128, 64)))):
                 t0 = time.perf_counter(); fn()
                 res[name].append(round(time.perf_counter()-t0, 3))

@@ -24,6 +24,7 @@ try:
     from arc_spark.session import get_spark
     from arc_spark import cacheutil
     import arc_spark.operators.dedup as dd
+    # --- the REFUTED kernel, inlined so this negative result stays\n    # --- reproducible (the production function was removed after the A/B)\n    def _bucket_rows_from_sigs_refuted(sigs, num_hashes, bands):\n        import arc_spark.operators.dedup as _dd\n        from pyspark.sql import functions as F\n        from pyspark.sql.types import (ArrayType, LongType, StructField,\n                                       StructType)\n\n        _dd._validate_band_geometry(num_hashes, bands)\n        fields = [sigs.schema["doc"],\n                  StructField("buckets", ArrayType(LongType()), True)]\n\n        def gen(batches):\n            import numpy as np\n            import pandas as pd\n\n            with np.errstate(over="ignore"):\n                for pdf in batches:\n                    cells = pdf["sig"].to_numpy()\n                    n = len(pdf)\n                    live = [j for j in range(n) if cells[j] is not None]\n                    out = [None] * n\n                    if live:\n                        mins = (np.vstack([cells[j] for j in live])\n                                .astype(np.int64).view(np.uint64).T)\n                        mins = np.ascontiguousarray(mins)\n                        bk_mat = (_dd._numpy_band_buckets(mins, bands)\n                                  .view(np.int64).T)\n                        for row, j in enumerate(live):\n                            out[j] = bk_mat[row]\n                    yield pd.DataFrame({\n                        "doc": pdf["doc"],\n                        "buckets": pd.Series(out, dtype=object)})\n\n        bks = sigs.mapInPandas(gen, StructType(fields))\n        return bks.select(\n            "doc", F.posexplode_outer("buckets").alias("band", "bucket"),\n        ).filter(F.col("bucket").isNotNull())\n
     from arc_spark.workload import load_tables, QUERIES
     from pyspark.sql import functions as F
     spark = get_spark(app_name="q80-sigbucket-ab")
@@ -35,40 +36,49 @@ try:
     dd.minhash_index(corpus).write.mode("overwrite").parquet(idx_dir)
     idx = spark.read.parquet(idx_dir)
 
-    kernel_impl = dd._bucket_rows_from_sigs
-    def catalyst_impl(sigs, num_hashes, bands):
-        return dd._band_rows(sigs, num_hashes, bands)
+    # dedup_against_index's exact path uses _band_rows ONLY for the
+    # index side, so swapping the module attribute swaps exactly ib
+    orig_band_rows = dd._band_rows
 
-    def run():
-        cacheutil.clear_registry()
-        return dedup_count()
+    def kernel_band_rows(sigs, num_hashes, bands, extra_cols=()):
+        assert not extra_cols
+        return _bucket_rows_from_sigs_refuted(sigs, num_hashes, bands)
+
     def dedup_count():
-        return dd.dedup_against_index(new, idx, threshold=0.8, num_hashes=128,
-                                      bands=64, corpus=corpus).count()
+        cacheutil.clear_registry()
+        return dd.dedup_against_index(new, idx, threshold=0.8,
+                                      num_hashes=128, bands=64,
+                                      corpus=corpus).count()
+
     # result equivalence first
-    dd._bucket_rows_from_sigs = kernel_impl
-    a = sorted(map(tuple, dd.dedup_against_index(new, idx, threshold=0.8,
-               num_hashes=128, bands=64, corpus=corpus).collect()))
-    dd._bucket_rows_from_sigs = catalyst_impl
-    b = sorted(map(tuple, dd.dedup_against_index(new, idx, threshold=0.8,
-               num_hashes=128, bands=64, corpus=corpus).collect()))
+    dd._band_rows = kernel_band_rows
+    a = sorted(map(tuple, dd.dedup_against_index(
+        new, idx, threshold=0.8, num_hashes=128, bands=64,
+        corpus=corpus).collect()))
+    dd._band_rows = orig_band_rows
+    b = sorted(map(tuple, dd.dedup_against_index(
+        new, idx, threshold=0.8, num_hashes=128, bands=64,
+        corpus=corpus).collect()))
     assert a == b, "RESULT MISMATCH"
     print("results equal:", len(a), "rows", flush=True)
 
     res = {"kernel": [], "catalyst": [], "canary": []}
     for i in range(7):
-        for name, impl in (("kernel", kernel_impl), ("catalyst", catalyst_impl)):
-            dd._bucket_rows_from_sigs = impl
-            cacheutil.clear_registry()
+        for name, impl in (("kernel", kernel_band_rows),
+                           ("catalyst", orig_band_rows)):
+            dd._band_rows = impl
             t0 = time.perf_counter(); dedup_count()
-            res[name].append(round(time.perf_counter()-t0, 3))
+            res[name].append(round(time.perf_counter() - t0, 3))
+        dd._band_rows = orig_band_rows
         t0 = time.perf_counter()
         QUERIES["q21_quality_score"](spark, sf_dir).count()
-        res["canary"].append(round(time.perf_counter()-t0, 3))
-        print(f"iter {i}: " + " ".join(f"{k}={res[k][-1]}" for k in res), flush=True)
+        res["canary"].append(round(time.perf_counter() - t0, 3))
+        print(f"iter {i}: " + " ".join(f"{k}={res[k][-1]}" for k in res),
+              flush=True)
     for k, v in res.items():
-        print(k, "p50", round(statistics.median(v),3), "min", min(v), v)
-    wins = sum(1 for a_,b_ in zip(res["kernel"],res["catalyst"]) if a_<b_)
+        print(k, "p50", round(statistics.median(v), 3), "min", min(v), v)
+    wins = sum(1 for a_, b_ in zip(res["kernel"], res["catalyst"])
+               if a_ < b_)
     print(f"kernel wins {wins}/7 aligned")
     spark.stop(); shutil.rmtree(idx_dir, ignore_errors=True)
 finally:
